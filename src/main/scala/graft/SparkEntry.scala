@@ -1,13 +1,277 @@
 package graft
+
 import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every entry in `queries` is an operator of the graft library run on
+  * the driver's test tables; `oracleSql` holds the DuckDB-equivalent SQL
+  * the driver hash-checks against. Column names and rounding match on
+  * both sides by construction.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.joinNationRevenue(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Relational / OLAP core
+    "q01_pricing_summary"           -> (Relational.pricingSummary _),
+    "q02_filter_project"            -> (Relational.filterProject _),
+    "q03_join_nation_revenue"       -> (Relational.joinNationRevenue _),
+    "q04_topn_customers"            -> (Relational.topNCustomers _),
+    "q05_latest_order_per_customer" -> (Relational.latestOrderPerCustomer _),
+    "q06_distinct_users"            -> (Relational.distinctUsers _),
+    "q07_customers_with_orders"     -> (Relational.customersWithOrders _),
+    "q08_customers_without_orders"  -> (Relational.customersWithoutOrders _),
+    "q09_rollup_revenue"            -> (Relational.rollupRevenue _),
+    "q10_conditional_agg"           -> (Relational.conditionalAgg _),
+    "q11_big_orders_having"         -> (Relational.bigOrdersHaving _),
+    "q12_union_segments"            -> (Relational.unionSegments _),
+    "q13_above_avg_orders"          -> (Relational.aboveAvgOrders _),
+    "q14_segment_share"             -> (Relational.segmentShare _),
+    // Event / log analytics
+    "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
+    "ev02_error_rate"               -> (Events.errorRate _),
+    "ev03_value_percentiles"        -> (Events.valuePercentiles _),
+    "ev04_sessionize"               -> (Events.sessionize _),
+    "ev05_top_purchasers"           -> (Events.topPurchasers _),
+    "ev06_funnel"                   -> (Events.funnel _),
+    "ev07_daily_active_users"       -> (Events.dailyActiveUsers _),
+    "ev08_next_day_retention"       -> (Events.nextDayRetention _),
+    "ev09_json_props"               -> (Events.jsonProps _),
+    "ev10_cumulative_revenue"       -> (Events.cumulativeRevenue _),
+    // Event sourcing / CQRS
+    "es01_latest_state_projection"  -> (Events.latestStateProjection _),
+    "es02_event_type_daily"         -> (Events.eventTypeDaily _),
+    // Text analysis
+    "tx01_token_stats"              -> (TextOps.tokenStats _),
+    "tx02_term_freq"                -> (TextOps.termFreq _),
+    "tx03_tfidf_topk"               -> (TextOps.tfidfTopK _),
+    "tx04_quality_score"            -> (TextOps.qualityScores _),
+    "tx05_lang_id"                  -> (TextOps.langIdEval _),
+    "tx06_exact_dedup"              -> (TextOps.exactDedup _),
+    "tx09_ngram_jaccard"            -> (TextOps.tokenJaccard _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity),2) AS sum_qty,
+         round(sum(l_extendedprice),2) AS sum_base_price,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
+         round(avg(l_quantity),2) AS avg_qty,
+         round(avg(l_extendedprice),2) AS avg_price,
+         round(avg(l_discount),4) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus""",
+    "q02_filter_project" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
+    "q03_join_nation_revenue" ->
+      """SELECT r_name, n_name,
+         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         count(*) AS n_items
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+         GROUP BY r_name, n_name""",
+    "q04_topn_customers" ->
+      """SELECT o_custkey, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+         FROM orders GROUP BY o_custkey
+         ORDER BY revenue DESC, o_custkey ASC LIMIT 10""",
+    "q05_latest_order_per_customer" ->
+      """SELECT o_custkey, o_orderkey AS latest_orderkey,
+         o_orderdate AS latest_orderdate, round(o_totalprice,2) AS latest_totalprice
+         FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
+         WHERE rn = 1""",
+    "q06_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+         FROM events GROUP BY event_type""",
+    "q07_customers_with_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q08_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    "q09_rollup_revenue" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)""",
+    "q10_conditional_agg" ->
+      """SELECT o_orderpriority,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+         count(*) AS n_total,
+         round(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 1.0 / count(*), 4) AS finished_rate
+         FROM orders GROUP BY o_orderpriority""",
+    "q11_big_orders_having" ->
+      """SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty, count(*) AS n_lines
+         FROM lineitem GROUP BY l_orderkey
+         HAVING round(sum(l_quantity),2) > 150""",
+    "q12_union_segments" ->
+      """SELECT DISTINCT custkey, segment FROM (
+           SELECT c_custkey AS custkey, 'high_balance' AS segment FROM customer WHERE c_acctbal > 7000
+           UNION ALL
+           SELECT o_custkey AS custkey, 'big_spender' AS segment FROM orders WHERE o_totalprice > 400000)""",
+    "q13_above_avg_orders" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS totalprice
+         FROM orders
+         JOIN (SELECT o_custkey AS a_custkey, avg(o_totalprice) AS avg_price
+               FROM orders GROUP BY o_custkey) a ON o_custkey = a_custkey
+         WHERE o_totalprice > avg_price * 1.5""",
+    "q14_segment_share" ->
+      """WITH seg AS (
+           SELECT c_mktsegment, sum(o_totalprice) AS seg_rev
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment)
+         SELECT c_mktsegment, round(seg_rev,2) AS revenue,
+                round(seg_rev / sum(seg_rev) OVER (), 4) AS share
+         FROM seg""",
+    "ev01_hourly_throughput" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type, count(*) AS n
+         FROM events GROUP BY 1, 2""",
+    "ev02_error_rate" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+         count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+         count(*) AS n_total,
+         round(count(CASE WHEN event_type = 'error' THEN 1 END) * 1.0 / count(*), 4) AS error_rate
+         FROM events GROUP BY 1""",
+    "ev03_value_percentiles" ->
+      """SELECT event_type,
+         round(quantile_cont(value, 0.5), 2) AS p50,
+         round(quantile_cont(value, 0.95), 2) AS p95,
+         round(quantile_cont(value, 0.99), 2) AS p99
+         FROM events GROUP BY event_type""",
+    "ev04_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
+         g AS (SELECT user_id,
+               epoch(ts_s) - epoch(lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap_s
+               FROM e)
+         SELECT user_id,
+                sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                count(*) AS n_events
+         FROM g GROUP BY user_id""",
+    "ev05_top_purchasers" ->
+      """SELECT user_id, round(sum(value),2) AS revenue, count(*) AS n_purchases
+         FROM events WHERE event_type = 'purchase' GROUP BY user_id
+         ORDER BY revenue DESC, user_id ASC LIMIT 10""",
+    "ev06_funnel" ->
+      """SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) AS first_signup,
+         min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) AS first_purchase
+         FROM events GROUP BY user_id
+         HAVING min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END) IS NOT NULL
+            AND min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END) IS NOT NULL
+            AND min(CASE WHEN event_type = 'signup' THEN CAST(ts AS TIMESTAMP) END)
+              < min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS TIMESTAMP) END)""",
+    "ev07_daily_active_users" ->
+      """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, count(DISTINCT user_id) AS dau
+         FROM events GROUP BY 1""",
+    "ev08_next_day_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day FROM events)
+         SELECT a.day AS day, count(*) AS retained_users
+         FROM ud a JOIN ud b ON a.user_id = b.user_id AND b.day = a.day + INTERVAL 1 DAY
+         GROUP BY a.day""",
+    "ev09_json_props" ->
+      """SELECT event_type,
+         round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)), 4) AS avg_k,
+         max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS max_k,
+         min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS min_k
+         FROM events GROUP BY event_type""",
+    "ev10_cumulative_revenue" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, sum(value) AS rev
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT day, round(rev,2) AS daily_rev,
+                round(sum(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_rev
+         FROM daily""",
+    "es01_latest_state_projection" ->
+      """SELECT user_id, event_type AS last_event_type,
+         round(value,2) AS last_value, CAST(ts AS TIMESTAMP) AS last_ts
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
+         WHERE rn = 1""",
+    "es02_event_type_daily" ->
+      """SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+         count(*) AS n, round(sum(value),2) AS total_value
+         FROM events GROUP BY 1, 2""",
+    "tx01_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+         round(avg(len(string_split_regex(trim(text), '\s+'))), 2) AS avg_tokens,
+         max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+         FROM documents GROUP BY lang""",
+    "tx02_term_freq" ->
+      """SELECT term, count(*) AS freq
+         FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+         GROUP BY term ORDER BY freq DESC, term ASC LIMIT 20""",
+    "tx03_tfidf_topk" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+         terms AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM docs),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+         scored AS (SELECT tf.doc_id, tf.term,
+                    round(tf.tf * round(ln(nd.n_docs * 1.0 / df.df), 6), 4) AS score
+                    FROM tf JOIN df USING (term) CROSS JOIN nd)
+         SELECT doc_id, term, score, rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+               FROM scored)
+         WHERE rank <= 3 AND score > 0""",
+    "tx04_quality_score" ->
+      """SELECT * FROM (
+           SELECT doc_id, n_tokens,
+                  round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+                  round(0.5 * least(n_tokens / 100.0, 1.0) + 0.5 * (1 - n_stop * 1.0 / n_tokens), 4) AS qscore
+           FROM (SELECT doc_id,
+                        len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+                        len(list_filter(string_split_regex(trim(text), '\s+'),
+                            t -> t IN ('the', 'a'))) AS n_stop
+                 FROM documents))
+         WHERE qscore >= 0.5""",
+    "tx05_lang_id" ->
+      """WITH sc AS (
+           SELECT lang,
+             len(list_filter(toks, t -> t IN ('the','a','fast','slow'))) AS c_en,
+             len(list_filter(toks, t -> t IN ('data','row','table'))) AS c_es,
+             len(list_filter(toks, t -> t IN ('key','hash','merge'))) AS c_de,
+             len(list_filter(toks, t -> t IN ('query','filter','join'))) AS c_fr,
+             len(list_filter(toks, t -> t IN ('stream','batch','window'))) AS c_zh
+           FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS toks FROM documents))
+         SELECT lang,
+           CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                WHEN c_fr >= c_en AND c_fr >= c_es AND c_fr >= c_de AND c_fr >= c_zh THEN 'fr'
+                ELSE 'zh' END AS predicted,
+           count(*) AS n
+         FROM sc GROUP BY 1, 2""",
+    "tx06_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, count(*) AS n_copies, min(doc_id) AS keep_doc_id
+         FROM documents GROUP BY md5(text)""",
+    "tx09_ngram_jaccard" ->
+      """SELECT * FROM (
+           SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                        len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+           FROM (SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                 FROM documents WHERE doc_id < 1000) a
+           JOIN (SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                 FROM documents WHERE doc_id < 1000) b
+             ON a.source = b.source AND a.doc_id < b.doc_id)
+         WHERE jaccard >= 0.6""",
+  )
 }

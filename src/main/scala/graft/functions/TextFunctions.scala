@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions.
+  *
+  * Mirrors the reference's text pipelines: tag-generator's extraction +
+  * stopword filtering (tag-generator/app/tag_extractor/extract.py,
+  * english_extractor.py), recap-worker's tokenize/quality filters
+  * (recap-worker/recap-worker/src/util/text.rs) and language
+  * classification (whatlang usage there), search-indexer's token prep.
+  *
+  * Everything here composes native `org.apache.spark.sql.functions` —
+  * no UDFs — so the expressions stay inside WholeStageCodegen and the
+  * parquet scan can still prune columns underneath them.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Word n-gram shingles, e.g. n=2 → ["a b", "b c", ...]. Built from
+    * zip_with over shifted slices; stays codegen-friendly. For n=1 this
+    * is just the token array.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    require(n >= 1)
+    val t = tokens(text)
+    if (n == 1) t
+    else {
+      // transform over 0..size-n, joining n consecutive tokens
+      transform(
+        sequence(lit(1), greatest(size(t) - lit(n - 1), lit(0))),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
+    }
+  }
+
+  /** Count of tokens that appear in `words`. */
+  def tokenCountIn(text: Column, words: Seq[String]): Column = {
+    val set = array(words.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(set, t)))
+  }
+
+  /** Stopword ratio: fraction of tokens in the stopword list (the
+    * recap-worker / tag-generator quality-filter signal).
+    */
+  def stopwordRatio(text: Column, stopwords: Seq[String]): Column =
+    tokenCountIn(text, stopwords) / tokenCount(text)
+
+  /** Composite document quality score in [0,1]: length saturation plus
+    * non-stopword density, the shape of recap-worker's inclusion filter.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
+    val density  = lit(1.0) - stopwordRatio(text, stopwords)
+    round(lit(0.5) * lenScore + lit(0.5) * density, 4)
+  }
+
+  /** Language-profile marker sets: per language, words whose presence
+    * votes for that language. Deliberately tiny profiles — the operator
+    * shape (per-language vote counts + deterministic argmax) is what
+    * scales; swap in real frequency profiles for production corpora.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "row", "table"),
+    "de" -> Seq("key", "hash", "merge"),
+    "fr" -> Seq("query", "filter", "join"),
+    "zh" -> Seq("stream", "batch", "window"))
+
+  /** Predicted language: first lang (in declaration order) whose vote
+    * count is >= all others — a CASE chain with first-match semantics,
+    * mirrored verbatim by the DuckDB oracle.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, ws) => l -> tokenCountIn(text, ws) }
+    val whens = scores.init.map { case (lang, s) =>
+      (scores.filter(_._1 != lang).map(o => s >= o._2).reduce(_ && _), lang)
+    }
+    whens.foldRight(lit(scores.last._1)) { case ((c, l), e) => when(c, lit(l)).otherwise(e) }
+  }
+}

@@ -1,0 +1,160 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event / log analytics over the `events` fact table.
+  *
+  * Mirrors the reference's ClickHouse SLI pipeline
+  * (clickhouse/migrations/009_create_sli_metrics.sql: per-minute
+  * error-rate and throughput materialized views) and the Grafana SLO
+  * queries over http_logs (clickhouse/migrations/002,003), plus the
+  * event-sourced CQRS projections of knowledge-sovereign
+  * (knowledge-sovereign/migrations/00001_initial_schema.sql,
+  * 00006_partition_knowledge_events.sql).
+  *
+  * Scale notes: every query shuffles once on (bucket and/or user) keys
+  * with map-side partial aggregation; windows partition on
+  * high-cardinality user_id (never a single global window over raw
+  * events). At 100 TB the same plans hold: time-bucket keys keep group
+  * cardinality bounded, and AQE coalesces the post-shuffle partitions.
+  */
+object Events {
+
+  /** Event timestamps are nanosecond-precision in parquet; Spark truncates
+    * to microseconds on read. The DuckDB oracles CAST to microsecond
+    * timestamps so both engines agree exactly.
+    */
+  private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
+
+  /** ev01: time-bucketed throughput (toStartOfMinute/Hour analog). */
+  def hourlyThroughput(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
+  /** ev02: windowed error-rate ratio (sli_error_rate_mv pattern). */
+  def errorRate(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        count(lit(1)).as("n_total"),
+        round(count(when(col("event_type") === "error", 1)) / count(lit(1)), 4).as("error_rate"))
+
+  /** ev03: exact p50/p95/p99 per group (latency SLO pattern). Exact
+    * percentile for oracle parity; at 100 TB swap to percentile_approx
+    * (same plan shape, sketch-mergeable, no sort-per-group blowup).
+    */
+  def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 2).as("p50"),
+        round(expr("percentile(value, 0.95)"), 2).as("p95"),
+        round(expr("percentile(value, 0.99)"), 2).as("p99"))
+
+  /** ev04: gap-based sessionization — a session break is >30 min idle.
+    * lag + cumulative-sum-of-breaks over a per-user window; second
+    * granularity so both engines agree on the gap comparison.
+    */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    ev(s, dir)
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .withColumn("gap_s", unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byUser)))
+      .withColumn("is_break", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("is_break").as("n_sessions"), count(lit(1)).as("n_events"))
+  }
+
+  /** ev05: top-N users by revenue in a time window, deterministic
+    * tie-break. Aggregates first (tiny output), then global top-K.
+    */
+  def topPurchasers(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(round(sum("value"), 2).as("revenue"), count(lit(1)).as("n_purchases"))
+      .orderBy(col("revenue").desc, col("user_id").asc)
+      .limit(10)
+
+  /** ev06: signup→purchase funnel: users whose first signup precedes
+    * their first purchase.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("first_signup"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("first_purchase"))
+      .filter(col("first_signup").isNotNull && col("first_purchase").isNotNull &&
+              col("first_signup") < col("first_purchase"))
+      .select("user_id", "first_signup", "first_purchase")
+
+  /** ev07: daily active users. */
+  def dailyActiveUsers(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(countDistinct("user_id").as("dau"))
+
+  /** ev08: day-over-day retention — users active on day d who return on
+    * d+1. Self-join on (user, day) pairs AFTER distinct-ing, so the join
+    * input is bounded by users×days, not raw events.
+    */
+  def nextDayRetention(s: SparkSession, dir: String): DataFrame = {
+    val userDays = ev(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day")).distinct()
+    val next = userDays.select(col("user_id").as("r_user"),
+      (col("day") - expr("INTERVAL 1 DAY")).as("r_day"))
+    userDays.join(next, col("user_id") === col("r_user") && col("day") === col("r_day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("retained_users"))
+  }
+
+  /** ev09: semi-structured JSON extraction + aggregation (the
+    * `fields Map(String,String)` pattern in clickhouse logs).
+    */
+  def jsonProps(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy("event_type")
+      .agg(round(avg("k"), 4).as("avg_k"), max("k").as("max_k"), min("k").as("min_k"))
+
+  /** ev10: running cumulative aggregate over time (bounded: window runs
+    * over the per-day aggregate, not raw events).
+    */
+  def cumulativeRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum("value").as("rev"))
+    daily
+      .withColumn("cum_rev", sum("rev").over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("day"), round(col("rev"), 2).as("daily_rev"), round(col("cum_rev"), 2).as("cum_rev"))
+  }
+
+  /** es01: event-log replay → latest-state-per-entity projection
+    * (knowledge-sovereign CQRS read-model pattern: knowledge_events →
+    * knowledge_home_items).
+    */
+  def latestStateProjection(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    ev(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+              round(col("value"), 2).as("last_value"), col("ts").as("last_ts"))
+  }
+
+  /** es02: full-replay aggregation by (type, day) — the backfill path of
+    * the CQRS projector.
+    */
+  def eventTypeDaily(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+}

@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational / OLAP query surface.
+  *
+  * Mirrors the reference's ClickHouse log rollups
+  * (clickhouse/migrations/009_create_sli_metrics.sql — countIf/count over
+  * groups) and alt-backend's article/feed reads
+  * (alt-backend/app/shared/driver/alt_db — the fetch_*_driver.go files:
+  * counts, latest-per-feed, exists/not-exists filters).
+  *
+  * Scale notes: facts (lineitem/orders) shuffle once on their group/join
+  * keys with map-side partial aggregation; dimension tables
+  * (region/nation/customer at TPC-H proportions) are explicitly
+  * broadcast. All aggregates are rounded in-plan so results are
+  * FP-stable across engines (the DuckDB oracle rounds identically).
+  */
+object Relational {
+
+  /** q01: grouped multi-aggregate scan (TPC-H Q1 pattern). */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum("l_quantity"), 2).as("sum_qty"),
+        round(sum("l_extendedprice"), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg("l_quantity"), 2).as("avg_qty"),
+        round(avg("l_extendedprice"), 2).as("avg_price"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** q02: filtered revenue aggregate (TPC-H Q6 pattern) — the predicate and
+    * the two-column projection must both reach the parquet scan.
+    */
+  def filterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** q03: multi-way join with broadcast dims (TPC-H Q5 pattern): revenue by
+    * nation. lineitem⋈orders shuffles on orderkey; customer/nation/region
+    * broadcast.
+    */
+  def joinNationRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") <  lit("1998-01-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+           count(lit(1)).as("n_items"))
+
+  /** q04: top-N by aggregate, deterministic tie-break (mirrors Grafana
+    * top-paths/status panels). The sort input is post-aggregation (one row
+    * per customer), so the global TakeOrdered is cheap at any scale.
+    */
+  def topNCustomers(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("revenue").desc, col("o_custkey").asc)
+      .limit(10)
+
+  /** q05: argmax-per-key via window (mirrors
+    * alt-backend fetch_latest_article_by_feed_driver.go).
+    */
+  def latestOrderPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
+              col("o_orderdate").as("latest_orderdate"),
+              round(col("o_totalprice"), 2).as("latest_totalprice"))
+  }
+
+  /** q06: count-distinct per group (unique visitors pattern). */
+  def distinctUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_events"))
+
+  /** q07: left-semi join / EXISTS (feeds-with-articles pattern). */
+  def customersWithOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** q08: left-anti join (unread/unsummarized-count pattern,
+    * alt_db/fetch_unsummarized_articles_count_driver.go).
+    */
+  def customersWithoutOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+
+  /** q09: ROLLUP hierarchical totals region→nation. */
+  def rollupRevenue(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+
+  /** q10: conditional aggregation (countIf pattern,
+    * clickhouse sli_error_rate_mv).
+    */
+  def conditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(
+        count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
+        count(lit(1)).as("n_total"),
+        round(count(when(col("o_orderstatus") === "F", 1)) / count(lit(1)), 4).as("finished_rate"))
+
+  /** q11: GROUP BY + HAVING. */
+  def bigOrdersHaving(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey")
+      .agg(round(sum("l_quantity"), 2).as("total_qty"), count(lit(1)).as("n_lines"))
+      .filter(col("total_qty") > 150)
+
+  /** q12: UNION DISTINCT of heterogeneous sources. */
+  def unionSegments(s: SparkSession, dir: String): DataFrame = {
+    val highBal = Tables.customer(s, dir).filter(col("c_acctbal") > 7000)
+      .select(col("c_custkey").as("custkey"), lit("high_balance").as("segment"))
+    val bigSpend = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+      .select(col("o_custkey").as("custkey"), lit("big_spender").as("segment"))
+    highBal.union(bigSpend).distinct()
+  }
+
+  /** q13: per-key average comparison (decorrelated subquery pattern):
+    * orders 50% above their customer's average order value.
+    */
+  def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val avgPer = o.groupBy(col("o_custkey").as("a_custkey"))
+      .agg(avg("o_totalprice").as("avg_price"))
+    o.join(avgPer, col("o_custkey") === col("a_custkey"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+  }
+
+  /** q14: share-of-total via window over the aggregated (tiny) frame. */
+  def segmentShare(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .groupBy("c_mktsegment")
+      .agg(sum("o_totalprice").as("seg_rev"))
+    seg.withColumn("share", round(col("seg_rev") / sum("seg_rev").over(), 4))
+      .select(col("c_mktsegment"), round(col("seg_rev"), 2).as("revenue"), col("share"))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over the `documents` table.
+  *
+  * Mirrors tag-generator's TF-IDF keyword extraction
+  * (tag-generator/app/tag_extractor/english_extractor.py), recap-worker's
+  * tokenization / language-classification / quality filters
+  * (recap-worker/recap-worker/src/util/text.rs), and search-indexer's
+  * token preparation.
+  *
+  * Scale notes: the explode-heavy queries (term frequency, TF-IDF) fan a
+  * document out to its tokens before aggregating — at 100 TB this is the
+  * classic inverted-index build: one shuffle keyed by term, partial
+  * map-side aggregation keeps the shuffle volume ≈ distinct-terms ×
+  * partitions, not total tokens. Per-doc scores stay document-partitioned
+  * (no shuffle at all until the final small top-K).
+  */
+object TextOps {
+
+  val stopwords: Seq[String] = Seq("the", "a")
+
+  /** tx01: tokenization + per-language token stats. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", tokenCount(col("text")))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 2).as("avg_tokens"),
+        max("n_tokens").as("max_tokens"))
+
+  /** tx02: global top-K term frequency (the inverted-index head). */
+  def termFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(20)
+
+  /** tx03: TF-IDF top-3 terms per document (tag-generator's keyword
+    * extraction). idf is rounded to 6 decimals before scoring so the
+    * ln() of both engines agrees bit-for-bit after rounding; ranking
+    * uses the rounded score with a term tie-break.
+    */
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
+    val nDocs = docs.select(countDistinct("doc_id").as("n_docs"))
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf", round(log(col("n_docs") / col("df")), 6))
+      .withColumn("score", round(col("tf") * col("idf"), 4))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3 && col("score") > 0)
+      .select("doc_id", "term", "score", "rank")
+  }
+
+  /** tx04: document quality scoring (recap-worker inclusion filter). */
+  def qualityScores(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("n_tokens"),
+        round(stopwordRatio(col("text"), stopwords), 4).as("stop_ratio"),
+        qualityScore(col("text"), stopwords).as("qscore"))
+      .filter(col("qscore") >= 0.5)
+
+  /** tx05: stopword-profile language ID vs the labeled lang column. */
+  def langIdEval(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("predicted", langId(col("text")))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+
+  /** tx06: exact dedup groups via content hash (md5 on both engines). */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_doc_id"))
+
+  /** tx09: token-set Jaccard similarity on blocked candidate pairs.
+    * Blocking on `source` turns the O(n²) cross-join into a
+    * co-partitioned equi-join whose cost is Σ block², the same blocking
+    * shape recap-worker uses for sentence-level near-dup filtering.
+    */
+  def tokenJaccard(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("source"), array_distinct(tokens(col("text"))).as("toks"))
+    val a = d.select(col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = d.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    a.join(b, "source")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
+      .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))))
+      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select("source", "doc_a", "doc_b", "jaccard")
+  }
+}
