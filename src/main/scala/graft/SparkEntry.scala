@@ -53,8 +53,24 @@ object SparkEntry {
     "tx04_quality_score"            -> (TextOps.qualityScores _),
     "tx05_lang_id"                  -> (TextOps.langIdEval _),
     "tx06_exact_dedup"              -> (TextOps.exactDedup _),
+    "tx07_minhash_lsh_dedup"        -> (Dedup.tx07 _),
+    "tx08_simhash_dedup"            -> (Dedup.tx08 _),
     "tx09_ngram_jaccard"            -> (TextOps.tokenJaccard _),
+    "tx10_fingerprint"              -> (Dedup.tx10 _),
+    // Similarity / vectors
+    "sim01_knn_brute"               -> (Similarity.knnBrute _),
+    "sim02_label_centroids"         -> (Similarity.labelCentroids _),
+    "sim03_cosine_neardup"          -> (Similarity.cosineNearDup _),
+    "sim04_ivf_ann"                 -> (Similarity.ivfAnn _),
   )
+
+  /** Sequential double-precision cosine, written out so DuckDB evaluates
+    * the same ordered sum as the codegen'd CosineSimilarity expression.
+    */
+  private def duckCos(a: String, b: String): String =
+    s"""(list_sum(list_transform(list_zip($a, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+        (sqrt(list_sum(list_transform(list_zip($a, $a), x -> CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE)))) *
+         sqrt(list_sum(list_transform(list_zip($b, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE))))))"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -273,5 +289,28 @@ object SparkEntry {
                  FROM documents WHERE doc_id < 1000) b
              ON a.source = b.source AND a.doc_id < b.doc_id)
          WHERE jaccard >= 0.6""",
+    "sim01_knn_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, round(${duckCos("q_emb", "c_emb")}, 6) AS cos
+                    FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
+         SELECT query_id, neighbor_id, cos, rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+               FROM scored)
+         WHERE rank <= 5""",
+    "sim02_label_centroids" ->
+      """SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
+         FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c
+               FROM (SELECT label, unnest(embedding) AS v,
+                            generate_subscripts(embedding, 1) AS pos
+                     FROM embeddings)
+               GROUP BY label, pos)
+         GROUP BY label""",
+    "sim03_cosine_neardup" ->
+      s"""SELECT label, vec_a, vec_b, cos FROM (
+           SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
+           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
+         WHERE cos >= 0.3""",
   )
 }

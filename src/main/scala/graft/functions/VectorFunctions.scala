@@ -1,0 +1,116 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Cosine similarity over two float/double array columns as a native
+  * Catalyst expression with whole-stage codegen — the hot inner loop of
+  * every similarity/ANN operator (SURVEY §2 sim01–sim04).
+  *
+  * Mirrors the vector-retrieval side of the reference's RAG stack
+  * (knowledge-augur / knowledge-embedder: cosine top-k over stored
+  * article embeddings). A Scala UDF here would box every element of
+  * every array on every comparison; this expression reads primitives
+  * straight out of Tungsten `ArrayData` inside the generated loop, so a
+  * brute-force scan stays a single WholeStageCodegen stage.
+  *
+  * Accumulation is sequential over array order, in doubles — the exact
+  * formula the DuckDB oracles replicate (zip → double multiply →
+  * ordered sum), so results hash-match after rounding.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType) = dt match {
+      case ArrayType(FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_cosine expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+  }
+
+  private def isFloat(dt: DataType): Boolean = dt match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val lf = isFloat(left.dataType); val rf = isFloat(right.dataType)
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) null else dot / denom
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (isFloat(left.dataType)) "getFloat" else "getDouble"
+    val rGet = if (isFloat(right.dataType)) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val denom = ctx.freshName("denom")
+      s"""
+        int $n = Math.min($x.numElements(), $y.numElements());
+        double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        for (int $i = 0; $i < $n; $i++) {
+          double xi = (double) $x.$lGet($i);
+          double yi = (double) $y.$rGet($i);
+          $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
+        }
+        double $denom = Math.sqrt($na) * Math.sqrt($nb);
+        if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Column API for the native expression. */
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  private val cosineInfo =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
+  private val cosineBuilder: Seq[Expression] => Expression =
+    exprs => CosineSimilarity(exprs(0), exprs(1))
+
+  /** Register `graft_cosine` for SQL use in an existing session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
+}
+
+/** `spark.sql.extensions=graft.functions.GraftExtensions` installs the
+  * graft SQL functions cluster-wide (the production path; `register`
+  * above is the ad-hoc path).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    ext.injectFunction((
+      FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+}

@@ -1,0 +1,58 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: opaque binary payloads + typed metadata.
+  *
+  * The reference stores article imagery/attachments by URL and
+  * enriches them out-of-band; at pipeline scale the idiom is an opaque
+  * `binary` column with typed metadata and a partition-wise
+  * decode/feature step. The Spark-side plumbing here — schema, batch
+  * iteration via mapPartitions, feature struct — is real and tested;
+  * the actual codec call is STUBBED (deterministic fake decoder) because
+  * no image/audio libraries ship in this container. Swap
+  * `stubDecode` for a real codec (JNI/FFI per partition) without
+  * touching the surrounding plan.
+  */
+object BinaryMeta {
+
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte])
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                           width: Int, height: Int, checksum: Long)
+
+  /** STUB decoder: deterministic pseudo-dimensions derived from the
+    * payload bytes. Replace with a real codec; the signature —
+    * bytes in, (width, height) out, called once per row inside a
+    * partition batch — is the contract.
+    */
+  private[multimodal] def stubDecode(payload: Array[Byte]): (Int, Int) = {
+    val h = payload.foldLeft(17L)((acc, b) => acc * 31 + b)
+    (256 + (h % 1024).toInt.abs, 256 + ((h >> 10) % 1024).toInt.abs)
+  }
+
+  /** Partition-wise feature extraction. mapPartitions (not map) so a
+    * real decoder can amortize per-batch init (model load, codec
+    * context) across the partition — the Spark-idiomatic shape of the
+    * reference's enrichment sidecars.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.mapPartitions { rows =>
+      // per-partition init would go here (codec context, model handle)
+      rows.map { r =>
+        val (w, h) = stubDecode(r.payload)
+        val checksum = r.payload.foldLeft(1469598103934665603L)((acc, b) => (acc ^ b) * 1099511628211L)
+        MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, checksum)
+      }
+    }
+  }
+
+  /** Metadata rollup over extracted features — the queryable side. */
+  def featureStats(features: Dataset[MediaFeatures]): DataFrame =
+    features.groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+           avg("n_bytes").as("avg_bytes"),
+           max("width").as("max_width"),
+           max("height").as("max_height"))
+}

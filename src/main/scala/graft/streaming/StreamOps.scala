@@ -1,0 +1,85 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+
+/** Structured Streaming operators (SURVEY §2 st01–st03).
+  *
+  * Mirrors the reference's continuous pipelines: rask-log-forwarder →
+  * ClickHouse per-minute SLI materialized views (clickhouse/migrations/
+  * 009_create_sli_metrics.sql) become watermarked windowed aggregates;
+  * mq-hub's at-least-once delivery dedup becomes watermarked
+  * dropDuplicates; knowledge-sovereign's event-stream session state
+  * becomes flatMapGroupsWithState.
+  *
+  * All three run identically over `readStream` sources at cluster scale:
+  * state is partitioned by group key in the state store, watermarks bound
+  * state size, and the aggregation shuffles once on (window, key).
+  */
+object StreamOps {
+
+  /** st01: watermarked tumbling-window counts per event_type — the
+    * streaming form of Events.hourlyThroughput / the SLI throughput MV.
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("n"))
+
+  /** st03: watermarked streaming dedup on event_id — the at-least-once →
+    * exactly-once compaction mq-hub performs on redelivery.
+    */
+  def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
+
+  case class SessionInput(user_id: Long, ts: Timestamp)
+  case class SessionState(start: Long, last: Long, n: Int)
+  case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)
+
+  /** st02: gap-based sessionization with custom state — the streaming
+    * form of Events.sessionize. Sessions close after `gapSec` idle
+    * (event-time timeout keyed by watermark); each closed session is
+    * emitted once.
+    */
+  def sessionize(events: Dataset[SessionInput], gapSec: Long = 1800,
+                 watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
+          } else {
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(s) if t - s.last <= gapSec * 1000 =>
+                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
+                case Some(s) =>
+                  closed ::= SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapSec * 1000)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+import graft.functions.HashFunctions._
+import graft.functions.VectorFunctions
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / shingles") {
+    val df = Seq("a b c d").toDF("text")
+    assert(df.select(tokenCount(col("text"))).head.getInt(0) == 4)
+    val sh2 = df.select(shingles(col("text"), 2)).head.getSeq[String](0)
+    assert(sh2 == Seq("a b", "b c", "c d"))
+    val sh1 = df.select(shingles(col("text"), 1)).head.getSeq[String](0)
+    assert(sh1 == Seq("a", "b", "c", "d"))
+  }
+
+  test("langId picks marker-majority language deterministically") {
+    val df = Seq(
+      ("the a fast slow slow", "en"),
+      ("data row table data", "es"),
+      ("key hash merge key", "de"),
+      ("x y z", "en") // no markers at all → all-zero tie → first lang
+    ).toDF("text", "expected")
+    val got = df.select(col("expected"), langId(col("text")).as("got")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("minhash: identical docs share full signature; disjoint docs don't") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),
+      (3L, "z1 z2 z3 z4 z5 z6")).toDF("id", "text")
+    val sigs = df.select(col("id"), minhashSignature(shingles(col("text"), 3)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(3L))
+    assert(sigs(1L).length == 64)
+  }
+
+  test("simhash: identical text → distance 0, small perturbation → small distance") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota")).toDF("id", "text")
+    val sigs = df.select(col("id"), simhash64(tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 20)
+  }
+
+  test("winnowing fingerprints: containment shares prints") {
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h x y z")).toDF("id", "text")
+    val fps = df.select(col("id"), winnowFingerprints(tokens(col("text"))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(fps(1L).intersect(fps(2L)).nonEmpty)
+  }
+
+  test("cosineSim: exact values, nulls, and codegen/interpreted agreement") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 0.0f), Array(-1.0f, 0.0f), -1.0)).toDF("a", "b", "want")
+    df.collect() // materialize
+    val got = df.select(VectorFunctions.cosineSim(col("a"), col("b")).as("cos"), col("want")).collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+    // zero vector → null
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(VectorFunctions.cosineSim(col("a"), col("b"))).head
+    assert(z.isNullAt(0))
+    // interpreted path (no codegen) must match
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      val got2 = df.select(VectorFunctions.cosineSim(col("a"), col("b"))).collect().map(_.getDouble(0))
+      assert(got2.sameElements(got.map(_.getDouble(0))))
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+  }
+
+  test("graft_cosine SQL registration") {
+    VectorFunctions.register(spark)
+    val r = spark.sql("SELECT graft_cosine(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS c").head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+  }
+}

@@ -1,0 +1,111 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamOps
+import graft.sources.{FeedXml, LogLines}
+import graft.multimodal.BinaryMeta
+
+class StreamingSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("st01 windowed counts aggregate by tumbling window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = StreamOps.windowedCounts(
+      mem.toDF.toDF("ts", "event_type"), "10 minutes", "30 minutes")
+    val q = df.writeStream.format("memory").queryName("st01").outputMode("append").start()
+    try {
+      mem.addData((ts(0), "view"), (ts(1), "view"), (ts(2), "error"))
+      q.processAllAvailable()
+      mem.addData((ts(120), "view")) // advances watermark past first window
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n FROM st01").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(rows.get("view").contains(2L) && rows.get("error").contains(1L))
+    } finally q.stop()
+  }
+
+  test("st03 streaming dedup drops redelivered events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val df = StreamOps.dedupStream(mem.toDF.toDF("event_id", "ts"))
+    val q = df.writeStream.format("memory").queryName("st03").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(0)), (2L, ts(1)), (3L, ts(2)))
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM st03").head.getLong(0) == 3L)
+    } finally q.stop()
+  }
+
+  test("st02 stateful sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.SessionInput]
+    val out = StreamOps.sessionize(mem.toDS(), gapSec = 600, watermark = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("st02").outputMode("append").start()
+    try {
+      // user 7: two events close together, then a 40-min gap, then one more
+      mem.addData(StreamOps.SessionInput(7L, ts(0)), StreamOps.SessionInput(7L, ts(5)))
+      q.processAllAvailable()
+      mem.addData(StreamOps.SessionInput(7L, ts(45)))
+      q.processAllAvailable()
+      mem.addData(StreamOps.SessionInput(7L, ts(120))) // push watermark
+      q.processAllAvailable()
+      val sessions = spark.sql("SELECT user_id, n_events FROM st02").collect()
+      assert(sessions.exists(r => r.getLong(0) == 7L && r.getInt(1) == 2),
+        s"expected closed 2-event session, got ${sessions.mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("src01 log line parsing + rollup") {
+    val lines = Seq(
+      "2026-01-15T10:00:00.123Z INFO alt-backend request served path=/v1/feeds",
+      "2026-01-15T10:00:01.000Z ERROR alt-backend upstream timeout",
+      "2026-01-15T10:00:02.000Z INFO news-creator summary generated",
+      "not a structured line at all").toDF("value")
+    val parsed = LogLines.parse(lines)
+    assert(parsed.count() == 4)
+    assert(parsed.filter(col("level").isNull).count() == 1) // unparseable kept
+    val counts = LogLines.levelCounts(parsed).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts.get(("alt-backend", "INFO")).contains(1L))
+    assert(counts.get(("alt-backend", "ERROR")).contains(1L))
+  }
+
+  test("src02 feed xml → articles") {
+    val items = Seq(
+      ("https://example.org/feed",
+       "<item><title>Hello</title><link>https://example.org/a1</link>" +
+       "<pubDate>Mon, 05 Jan 2026 10:00:00 +0000</pubDate>" +
+       "<description>first post</description></item>"),
+      ("https://example.org/feed",
+       "<item><title>World</title><link>https://example.org/a2</link>" +
+       "<pubDate>Tue, 06 Jan 2026 11:30:00 +0000</pubDate>" +
+       "<description>second post</description></item>")
+    ).toDF("feed_url", "item_xml")
+    val arts = FeedXml.articles(items).collect()
+    assert(arts.length == 2)
+    val a1 = arts.find(_.getAs[String]("title") == "Hello").get
+    assert(a1.getAs[String]("link") == "https://example.org/a1")
+    assert(a1.getAs[Timestamp]("published_at") != null)
+    assert(arts.map(_.getAs[Long]("article_id")).distinct.length == 2)
+  }
+
+  test("mm01 binary feature extraction is deterministic with typed schema") {
+    val media = Seq(
+      BinaryMeta.MediaRow(1L, "image", Array[Byte](1, 2, 3, 4)),
+      BinaryMeta.MediaRow(2L, "image", Array[Byte](9, 9, 9)),
+      BinaryMeta.MediaRow(3L, "audio", Array[Byte](5, 4, 3, 2, 1))).toDS()
+    val feats = BinaryMeta.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.map(_.n_bytes).sameElements(Array(4, 3, 5)))
+    assert(feats.forall(f => f.width >= 256 && f.height >= 256))
+    // determinism: same input → same features
+    val again = BinaryMeta.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(feats.sameElements(again))
+    val stats = BinaryMeta.featureStats(BinaryMeta.extractFeatures(media)).collect()
+    assert(stats.map(_.getString(0)).toSet == Set("image", "audio"))
+  }
+}
