@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
 
 /** Hash-sketch column functions: MinHash signatures, SimHash, winnowing
   * fingerprints.
@@ -11,22 +12,27 @@ import org.apache.spark.sql.functions._
   * recap compilation), generalized to the standard large-corpus sketches
   * an LLM-data pipeline needs.
   *
-  * Everything composes native higher-order functions over `xxhash64`, so
-  * signatures are computed inside codegen with no UDF boxing, and the
-  * sketch computation is embarrassingly parallel (per-row, no shuffle).
+  * The per-row sketches (minhash signature, simhash) are native Catalyst
+  * expressions (SketchExpressions.scala) — tight codegen loops, one hash
+  * per shingle; banding/windowing compose native higher-order functions.
+  * Sketch computation is embarrassingly parallel (per-row, no shuffle).
   */
 object HashFunctions {
 
-  /** MinHash signature of a shingle array: k permutations simulated by
-    * seeding xxhash64 with the permutation index. Returns array<long>
-    * of length k (null-min avoided by empty-array guard: empty input →
-    * signature of Long.MaxValue sentinels).
+  /** MinHash signature of a shingle array: k permutations of the
+    * one-shot XXH64 shingle hash via linear maps, computed by the native
+    * `MinHashSignature` expression (codegen'd tight loop — the
+    * higher-order-function formulation was ~100× slower). Empty input →
+    * signature of Long.MaxValue sentinels.
     */
   def minhashSignature(shingleCol: Column, k: Int = 64): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => coalesce(
-        array_min(transform(shingleCol, sh => xxhash64(concat(i.cast("string"), lit(":"), sh)))),
-        lit(Long.MaxValue)))
+    ColumnBridge.column(MinHashSignature(ColumnBridge.expression(shingleCol), k))
+
+  /** Shingles → LSH band hashes in one native pass (signature + band
+    * chaining fused; see MinHashBands for why the composed form is slow).
+    */
+  def minhashBands(shingleCol: Column, k: Int = 64, bands: Int = 16): Column =
+    ColumnBridge.column(MinHashBands(ColumnBridge.expression(shingleCol), k, bands))
 
   /** LSH band hashes of a minhash signature: b bands of r rows each —
     * docs sharing any band hash are candidate pairs. Returns
@@ -39,25 +45,12 @@ object HashFunctions {
           concat_ws(",", transform(slice(sigCol, band * r + lit(1), lit(r)), x => x.cast("string")))))
     )
 
-  /** 64-bit SimHash over a token array: per-bit vote counts from each
-    * token's xxhash64, sign → bit. Near-identical token multisets land
-    * within small hamming distance.
+  /** 64-bit SimHash over a token array: per-bit ±1 vote counts from each
+    * token's XXH64, sign → bit, via the native `SimHash64` expression.
+    * Near-identical token multisets land within small hamming distance.
     */
-  def simhash64(tokenCol: Column): Column = {
-    val votes = aggregate(
-      tokenCol,
-      array_repeat(lit(0L), 64),
-      (acc, t) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          j => when(call_function("shiftright", xxhash64(t), j).bitwiseAND(1) === 1, 1L).otherwise(-1L)),
-        (a, v) => a + v))
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(63)), (v, j) => struct(v.as("v"), j.as("j"))),
-      lit(0L),
-      (acc, p) => when(p.getField("v") > 0,
-        acc.bitwiseOR(call_function("shiftleft", lit(1L), p.getField("j")))).otherwise(acc))
-  }
+  def simhash64(tokenCol: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(tokenCol)))
 
   /** 16-bit chunks of a 64-bit simhash — pigeonhole blocking: two sigs
     * within hamming distance 3 share at least one of the 4 chunks.

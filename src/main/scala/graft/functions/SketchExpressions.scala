@@ -1,0 +1,298 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hash sketches.
+  *
+  * The higher-order-function formulations (transform × aggregate) are
+  * interpreted per element and allocate a string per permutation-hash —
+  * at sf0.1 the minhash signature alone cost ~80 s. These expressions
+  * hash each shingle ONCE (XXH64, Spark's own hash kernel) and run the
+  * k-permutation / 64-bit-vote loops as tight generated Java over
+  * primitive arrays: O(m·k) long arithmetic with zero allocation,
+  * inside WholeStageCodegen. Same blocking semantics, ~100× faster —
+  * the difference between a sketch you can afford at 100 TB and one
+  * you can't.
+  */
+object Sketches {
+  /** splitmix64 — deterministic coefficient stream for the permutation
+    * family v_i = h·A_i + B_i (A_i forced odd → bijection on Z/2^64).
+    */
+  def splitmix64(seed: Long): Long = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  def coefA(k: Int): Array[Long] = Array.tabulate(k)(i => splitmix64(i.toLong * 2) | 1L)
+  def coefB(k: Int): Array[Long] = Array.tabulate(k)(i => splitmix64(i.toLong * 2 + 1))
+
+  val SEED = 42L
+}
+
+/** MinHash signature of an array<string> of shingles: array<long>, length k. */
+case class MinHashSignature(child: Expression, k: Int) extends UnaryExpression {
+  private val A = Sketches.coefA(k)
+  private val B = Sketches.coefB(k)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"minhash expects array<string>, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    val m = arr.numElements()
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Sketches.SEED)
+        var i = 0
+        while (i < k) { val v = h * A(i) + B(i); if (v < sig(i)) sig(i) = v; i += 1 }
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", A, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", B, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sig = ctx.freshName("sig"); val m = ctx.freshName("m")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v"); val s = ctx.freshName("s")
+      s"""
+        long[] $sig = new long[$k];
+        java.util.Arrays.fill($sig, Long.MAX_VALUE);
+        int $m = $arr.numElements();
+        for (int $j = 0; $j < $m; $j++) {
+          if ($arr.isNullAt($j)) continue;
+          UTF8String $s = $arr.getUTF8String($j);
+          long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${Sketches.SEED}L);
+          for (int $i = 0; $i < $k; $i++) {
+            long $v = $h * $aRef[$i] + $bRef[$i];
+            if ($v < $sig[$i]) $sig[$i] = $v;
+          }
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($sig);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** LSH band hashes straight from shingles: minhash signature (k perms)
+  * and per-band XXH64 chaining in ONE pass — array<long> of length b.
+  *
+  * Exists because composing `lshBands(minhashSignature(...))` as
+  * higher-order functions re-evaluates the inlined signature expression
+  * once per band (16× the whole tokenize→shingle→hash pipeline, ~120 s
+  * at sf0.1); this expression is the same math in a single codegen loop.
+  */
+case class MinHashBands(child: Expression, k: Int, bands: Int) extends UnaryExpression {
+  require(k % bands == 0, s"k=$k must be divisible by bands=$bands")
+  private val r = k / bands
+  private val A = Sketches.coefA(k)
+  private val B = Sketches.coefB(k)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"minhash_bands expects array<string>, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    val m = arr.numElements()
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Sketches.SEED)
+        var i = 0
+        while (i < k) { val v = h * A(i) + B(i); if (v < sig(i)) sig(i) = v; i += 1 }
+      }
+      j += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = Sketches.SEED
+      var i = b * r
+      while (i < (b + 1) * r) { h = XXH64.hashLong(sig(i), h); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", A, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", B, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val sig = ctx.freshName("sig"); val out = ctx.freshName("out")
+      val m = ctx.freshName("m"); val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v"); val s = ctx.freshName("s")
+      val b = ctx.freshName("b"); val bh = ctx.freshName("bh")
+      s"""
+        long[] $sig = new long[$k];
+        java.util.Arrays.fill($sig, Long.MAX_VALUE);
+        int $m = $arr.numElements();
+        for (int $j = 0; $j < $m; $j++) {
+          if ($arr.isNullAt($j)) continue;
+          UTF8String $s = $arr.getUTF8String($j);
+          long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${Sketches.SEED}L);
+          for (int $i = 0; $i < $k; $i++) {
+            long $v = $h * $aRef[$i] + $bRef[$i];
+            if ($v < $sig[$i]) $sig[$i] = $v;
+          }
+        }
+        long[] $out = new long[$bands];
+        for (int $b = 0; $b < $bands; $b++) {
+          long $bh = ${Sketches.SEED}L;
+          for (int $i = $b * $r; $i < ($b + 1) * $r; $i++) {
+            $bh = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong($sig[$i], $bh);
+          }
+          $out[$b] = $bh;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Word n-gram shingles of an array<string> of tokens: array<string> of
+  * space-joined n-grams (empty when fewer than n tokens).
+  *
+  * Exists because the higher-order-function formulation re-evaluates the
+  * inlined token-split expression per shingle element.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"shingles expects array<string>, got $dt")
+  }
+
+  private val sep = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    val cnt = math.max(m - n + 1, 0)
+    val out = new Array[AnyRef](cnt)
+    var i = 0
+    while (i < cnt) {
+      val parts = new Array[UTF8String](n)
+      var o = 0
+      while (o < n) { parts(o) = arr.getUTF8String(i + o); o += 1 }
+      out(i) = UTF8String.concatWs(sep, parts: _*)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val sepRef = ctx.addReferenceObj("shingleSep", sep, "UTF8String")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val m = ctx.freshName("m"); val cnt = ctx.freshName("cnt")
+      val out = ctx.freshName("out"); val i = ctx.freshName("i")
+      val o = ctx.freshName("o"); val parts = ctx.freshName("parts")
+      s"""
+        int $m = $arr.numElements();
+        int $cnt = Math.max($m - ${n - 1}, 0);
+        Object[] $out = new Object[$cnt];
+        for (int $i = 0; $i < $cnt; $i++) {
+          UTF8String[] $parts = new UTF8String[$n];
+          for (int $o = 0; $o < $n; $o++) { $parts[$o] = $arr.getUTF8String($i + $o); }
+          $out[$i] = UTF8String.concatWs($sepRef, $parts);
+        }
+        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of an array<string> of tokens (per-bit ±1 votes). */
+case class SimHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"simhash expects array<string>, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    val m = arr.numElements()
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) {
+        val s = arr.getUTF8String(j)
+        val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Sketches.SEED)
+        var b = 0
+        while (b < 64) { votes(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+      }
+      j += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (votes(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val votes = ctx.freshName("votes"); val m = ctx.freshName("m")
+      val j = ctx.freshName("j"); val b = ctx.freshName("b")
+      val h = ctx.freshName("h"); val s = ctx.freshName("s"); val sig = ctx.freshName("sig")
+      s"""
+        int[] $votes = new int[64];
+        int $m = $arr.numElements();
+        for (int $j = 0; $j < $m; $j++) {
+          if ($arr.isNullAt($j)) continue;
+          UTF8String $s = $arr.getUTF8String($j);
+          long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+            $s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), ${Sketches.SEED}L);
+          for (int $b = 0; $b < 64; $b++) { $votes[$b] += (((($h >>> $b) & 1L) == 1L) ? 1 : -1); }
+        }
+        long $sig = 0L;
+        for (int $b = 0; $b < 64; $b++) { if ($votes[$b] > 0) $sig |= (1L << $b); }
+        ${ev.value} = $sig;
+      """
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

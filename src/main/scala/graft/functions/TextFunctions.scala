@@ -22,20 +22,17 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
-  /** Word n-gram shingles, e.g. n=2 → ["a b", "b c", ...]. Built from
-    * zip_with over shifted slices; stays codegen-friendly. For n=1 this
-    * is just the token array.
+  /** Word n-gram shingles, e.g. n=2 → ["a b", "b c", ...], via the
+    * native WordShingles expression (a higher-order-function version
+    * re-evaluates the token split per shingle element). For n=1 this is
+    * just the token array.
     */
   def shingles(text: Column, n: Int): Column = {
     require(n >= 1)
     val t = tokens(text)
     if (n == 1) t
-    else {
-      // transform over 0..size-n, joining n consecutive tokens
-      transform(
-        sequence(lit(1), greatest(size(t) - lit(n - 1), lit(0))),
-        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*))
-    }
+    else org.apache.spark.sql.graft.ColumnBridge.column(
+      WordShingles(org.apache.spark.sql.graft.ColumnBridge.expression(t), n))
   }
 
   /** Count of tokens that appear in `words`. */
