@@ -32,6 +32,8 @@ object SparkEntry {
     "q12_union_segments"            -> (Relational.unionSegments _),
     "q13_above_avg_orders"          -> (Relational.aboveAvgOrders _),
     "q14_segment_share"             -> (Relational.segmentShare _),
+    "q15_keyset_pagination"         -> (Relational.keysetPage _),
+    "q16_text_search"               -> (TextOps.textSearch _),
     // Event / log analytics
     "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
     "ev02_error_rate"               -> (Events.errorRate _),
@@ -57,6 +59,11 @@ object SparkEntry {
     "tx08_simhash_dedup"            -> (Dedup.tx08 _),
     "tx09_ngram_jaccard"            -> (TextOps.tokenJaccard _),
     "tx10_fingerprint"              -> (Dedup.tx10 _),
+    "tx11_term_cooccurrence"        -> (TextOps.termCooccurrence _),
+    "tx12_rouge1"                   -> (TextOps.rouge1Pairs _),
+    "tx13_bpe_token_count"          -> (TextOps.bpeTokenCounts _),
+    // Graph / label propagation
+    "lp01_label_propagation"        -> (Graph.lp01 _),
     // Similarity / vectors
     "sim01_knn_brute"               -> (Similarity.knnBrute _),
     "sim02_label_centroids"         -> (Similarity.labelCentroids _),
@@ -156,6 +163,51 @@ object SparkEntry {
          SELECT c_mktsegment, round(seg_rev,2) AS revenue,
                 round(seg_rev / sum(seg_rev) OVER (), 4) AS share
          FROM seg""",
+    "q15_keyset_pagination" ->
+      """SELECT o_orderkey, o_orderdate, round(o_totalprice,2) AS totalprice
+         FROM orders
+         WHERE o_orderdate > TIMESTAMP '1997-06-01'
+            OR (o_orderdate = TIMESTAMP '1997-06-01' AND o_orderkey > 1000)
+         ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 20""",
+    "q16_text_search" ->
+      """SELECT source, count(*) AS n_hits FROM documents
+         WHERE text LIKE '%merge join%' GROUP BY source""",
+    "tx11_term_cooccurrence" ->
+      """WITH f AS (
+           SELECT doc_id, term
+           FROM (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+                 FROM documents)
+           WHERE len(term) >= 5)
+         SELECT a.term AS term_a, b.term AS term_b, count(*) AS n_docs
+         FROM f a JOIN f b ON a.doc_id = b.doc_id AND a.term < b.term
+         GROUP BY 1, 2 HAVING count(*) >= 100""",
+    "tx12_rouge1" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                    FROM documents WHERE doc_id < 51),
+         cand AS (SELECT doc_id AS cand_id, toks AS cand FROM d WHERE doc_id < 50),
+         ref AS (SELECT doc_id - 1 AS cand_id, toks AS ref FROM d)
+         SELECT cand_id,
+                round(len(list_intersect(cand, ref)) * 1.0 / len(cand), 4) AS rouge_p,
+                round(len(list_intersect(cand, ref)) * 1.0 / len(ref), 4) AS rouge_r,
+                round(2.0 * len(list_intersect(cand, ref)) / (len(cand) + len(ref)), 4) AS rouge_f1
+         FROM cand JOIN ref USING (cand_id)""",
+    "tx13_bpe_token_count" ->
+      """SELECT sum(n) AS total_tokens, round(avg(n),2) AS avg_tokens, max(n) AS max_tokens
+         FROM (SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n
+               FROM documents)""",
+    "lp01_label_propagation" ->
+      """WITH d AS (SELECT doc_id, lang, source FROM documents WHERE doc_id < 500),
+         edges AS (SELECT a.doc_id AS src, b.doc_id AS dst
+                   FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id),
+         votes AS (SELECT e.src AS node, dd.lang AS label, count(*) AS votes
+                   FROM edges e JOIN d dd ON e.dst = dd.doc_id GROUP BY 1, 2),
+         winners AS (SELECT node, label AS new_label
+                     FROM (SELECT *, row_number() OVER (PARTITION BY node ORDER BY votes DESC, label ASC) AS rn
+                           FROM votes)
+                     WHERE rn = 1),
+         final AS (SELECT n.doc_id AS node, coalesce(w.new_label, n.lang) AS label
+                   FROM d n LEFT JOIN winners w ON n.doc_id = w.node)
+         SELECT label, count(*) AS n_nodes FROM final GROUP BY label""",
     "ev01_hourly_throughput" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS bucket, event_type, count(*) AS n
          FROM events GROUP BY 1, 2""",

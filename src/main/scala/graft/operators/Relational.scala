@@ -158,6 +158,20 @@ object Relational {
       .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
   }
 
+  /** q15: keyset (cursor) pagination — the alt-backend feed/article
+    * list pattern (cursor on (created_at, id) instead of OFFSET, so page
+    * N costs the same as page 1). The predicate reaches the parquet scan.
+    */
+  def keysetPage(s: SparkSession, dir: String): DataFrame = {
+    val cDate = lit("1997-06-01").cast("timestamp")
+    Tables.orders(s, dir)
+      .filter(col("o_orderdate") > cDate ||
+              (col("o_orderdate") === cDate && col("o_orderkey") > 1000))
+      .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"))
+  }
+
   /** q14: share-of-total via window over the aggregated (tiny) frame. */
   def segmentShare(s: SparkSession, dir: String): DataFrame = {
     val seg = Tables.orders(s, dir)

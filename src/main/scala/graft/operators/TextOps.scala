@@ -91,6 +91,65 @@ object TextOps {
       .groupBy(md5(col("text")).as("content_hash"))
       .agg(count(lit(1)).as("n_copies"), min("doc_id").as("keep_doc_id"))
 
+  /** tx11: term co-occurrence pairs (the Tag Verse 3D tag cloud is a
+    * co-occurrence graph over article tags — alt-frontend-sv renders
+    * what this computes). Restricted to terms of length ≥ 5 to bound
+    * the per-doc pair fan-out; ordered pairs a < b.
+    */
+  def termCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val docTerms = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(length(col("term")) >= 5)
+    docTerms.as("a").join(docTerms.as("b"), "doc_id")
+      .filter(col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 100)
+  }
+
+  /** tx12: ROUGE-1 precision/recall/F1 between candidate and reference
+    * docs (recap-worker/recap-worker/src/evaluation/rouge.rs scores
+    * generated recaps the same way). Pairs: doc i vs doc i+1, i < 50.
+    */
+  def rouge1Pairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 51)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val cand = d.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("cand_id"), col("toks").as("cand"))
+    val ref = d.select((col("doc_id") - 1).as("cand_id"), col("toks").as("ref"))
+    cand.join(ref, "cand_id")
+      .withColumn("overlap", size(array_intersect(col("cand"), col("ref"))))
+      .select(
+        col("cand_id"),
+        round(col("overlap") / size(col("cand")), 4).as("rouge_p"),
+        round(col("overlap") / size(col("ref")), 4).as("rouge_r"),
+        round(lit(2) * col("overlap") / (size(col("cand")) + size(col("ref"))), 4).as("rouge_f1"))
+  }
+
+  /** tx13: regex token counting — the BPE-style pre-tokenizer split
+    * (word pieces + standalone punctuation), the token-budgeting
+    * counter an LLM-data pipeline runs over every document.
+    */
+  def bpeTokenCounts(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+          .as("n_bpe_tokens"))
+      .groupBy()
+      .agg(sum("n_bpe_tokens").as("total_tokens"),
+           round(avg("n_bpe_tokens"), 2).as("avg_tokens"),
+           max("n_bpe_tokens").as("max_tokens"))
+
+  /** q16: substring text search + per-source hit counts (the
+    * search-indexer / pg_trgm ILIKE surface of alt-backend's feed
+    * search drivers).
+    */
+  def textSearch(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("text").contains("merge join"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_hits"))
+
   /** tx09: token-set Jaccard similarity on blocked candidate pairs.
     * Blocking on `source` turns the O(n²) cross-join into a
     * co-partitioned equi-join whose cost is Σ block², the same blocking
