@@ -34,6 +34,7 @@ object SparkEntry {
     "q14_segment_share"             -> (Relational.segmentShare _),
     "q15_keyset_pagination"         -> (Relational.keysetPage _),
     "q16_text_search"               -> (TextOps.textSearch _),
+    "q17_part_supplier_catalog"     -> (Relational.partSupplierCatalog _),
     // Event / log analytics
     "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
     "ev02_error_rate"               -> (Events.errorRate _),
@@ -48,6 +49,7 @@ object SparkEntry {
     // Event sourcing / CQRS
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),
+    "es03_retention_ttl"            -> (Events.retentionTtl _),
     // Text analysis
     "tx01_token_stats"              -> (TextOps.tokenStats _),
     "tx02_term_freq"                -> (TextOps.termFreq _),
@@ -172,6 +174,21 @@ object SparkEntry {
     "q16_text_search" ->
       """SELECT source, count(*) AS n_hits FROM documents
          WHERE text LIKE '%merge join%' GROUP BY source""",
+    "q17_part_supplier_catalog" ->
+      """WITH cheapest AS (
+           SELECT p_brand, p_partkey AS cheapest_partkey, round(p_retailprice,2) AS price
+           FROM (SELECT *, row_number() OVER (PARTITION BY p_brand
+                 ORDER BY p_retailprice ASC, p_partkey ASC) AS rn FROM part)
+           WHERE rn = 1),
+         sup AS (SELECT count(*) AS n_suppliers, count(DISTINCT n_name) AS n_supplier_nations
+                 FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+         SELECT p_brand, cheapest_partkey, price, n_suppliers, n_supplier_nations
+         FROM cheapest CROSS JOIN sup""",
+    "es03_retention_ttl" ->
+      """SELECT event_type,
+         count(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15' THEN 1 END) AS n_expired,
+         count(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15' THEN 1 END) AS n_retained
+         FROM events GROUP BY event_type""",
     "tx11_term_cooccurrence" ->
       """WITH f AS (
            SELECT doc_id, term

@@ -64,14 +64,9 @@ object HashFunctions {
 
   /** Winnowing fingerprints (rolling min-hash over windows of token
     * hashes, window w): the document-fingerprint scheme of MOSS. Returns
-    * the distinct, sorted fingerprint array.
+    * the distinct, sorted fingerprint array (native expression — the
+    * HOF form copied the hash array per window).
     */
-  def winnowFingerprints(tokenCol: Column, w: Int = 4): Column = {
-    val hashes = transform(tokenCol, t => xxhash64(t))
-    array_sort(array_distinct(
-      when(size(hashes) < w, array(array_min(hashes)))
-        .otherwise(transform(
-          sequence(lit(1), size(hashes) - lit(w - 1)),
-          i => array_min(slice(hashes, i, lit(w)))))))
-  }
+  def winnowFingerprints(tokenCol: Column, w: Int = 4): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(tokenCol), w))
 }

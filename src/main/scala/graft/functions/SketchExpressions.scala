@@ -242,6 +242,61 @@ case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing fingerprints of an array<string> of tokens: XXH64 each
+  * token, take the min hash of every w-window, return distinct sorted
+  * mins (MOSS scheme). One pass, no per-window array copies (the
+  * higher-order-function form sliced the hash array per window).
+  */
+case class WinnowFingerprints(child: Expression, w: Int) extends UnaryExpression {
+  require(w >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"winnow expects array<string>, got $dt")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val m = arr.numElements()
+    if (m == 0) return UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    val hashes = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val s = arr.getUTF8String(j)
+      hashes(j) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Sketches.SEED)
+      j += 1
+    }
+    val cnt = math.max(m - w + 1, 1)
+    val mins = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      var mn = hashes(i)
+      var o = 1
+      while (o < w && i + o < m) { if (hashes(i + o) < mn) mn = hashes(i + o); o += 1 }
+      mins(i) = mn
+      i += 1
+    }
+    val distinct = mins.distinct.sorted
+    UnsafeArrayData.fromPrimitiveArray(distinct)
+  }
+
+  // Interpreted eval is a tight primitive loop already; the expression
+  // exists to avoid the HOF slice-copy blowup. CodegenFallback keeps the
+  // surrounding operators in codegen.
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("winnow", this, classOf[WinnowFingerprints].getName)
+    nullSafeCodeGen(ctx, ev, arr => {
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $self.nullSafeEval($arr);"
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of an array<string> of tokens (per-bit ±1 votes). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

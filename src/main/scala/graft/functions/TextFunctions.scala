@@ -56,6 +56,22 @@ object TextFunctions {
     round(lit(0.5) * lenScore + lit(0.5) * density, 4)
   }
 
+  /** Strip HTML to text: remove script/style subtrees, drop tags,
+    * decode the common entities, collapse whitespace — the article-body
+    * cleaning step of the reference's ingestion (pre-processor's
+    * sanitizer; recap-worker cleans HTML with ammonia before
+    * tokenizing). Pure regexp_replace chain: runs inside codegen, no UDF.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
+    val noTags = regexp_replace(noScript, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Language-profile marker sets: per language, words whose presence
     * votes for that language. Deliberately tiny profiles — the operator
     * shape (per-language vote counts + deterministic argmax) is what

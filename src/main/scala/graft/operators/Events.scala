@@ -157,4 +157,17 @@ object Events {
     ev(s, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+
+  /** es03: retention/TTL accounting — rows kept vs expired at a cutoff
+    * (ClickHouse `TTL timestamp + INTERVAL 2 DAY DELETE` in
+    * clickhouse/migrations/001, knowledge-sovereign retention tables).
+    * At scale this predicate is the partition-pruning key: time-
+    * partitioned storage drops whole partitions, never row-scans.
+    */
+  def retentionTtl(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(when(col("ts") < lit("2024-01-15").cast("timestamp"), 1)).as("n_expired"),
+        count(when(col("ts") >= lit("2024-01-15").cast("timestamp"), 1)).as("n_retained"))
 }

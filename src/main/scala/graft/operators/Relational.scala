@@ -172,6 +172,24 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"))
   }
 
+  /** q17: part/supplier catalog rollup (TPC-H Q2 shape): cheapest part
+    * per brand with supplier-nation context — exercises the remaining
+    * dimension tables with broadcast joins and a per-brand argmin.
+    */
+  def partSupplierCatalog(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("p_brand").orderBy(col("p_retailprice").asc, col("p_partkey").asc)
+    Tables.part(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .crossJoin(broadcast(
+        Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+          .agg(count(lit(1)).as("n_suppliers"), countDistinct("n_name").as("n_supplier_nations"))))
+      .select(col("p_brand"), col("p_partkey").as("cheapest_partkey"),
+              round(col("p_retailprice"), 2).as("price"),
+              col("n_suppliers"), col("n_supplier_nations"))
+  }
+
   /** q14: share-of-total via window over the aggregated (tiny) frame. */
   def segmentShare(s: SparkSession, dir: String): DataFrame = {
     val seg = Tables.orders(s, dir)

@@ -28,6 +28,14 @@ class FunctionsSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("stripHtml removes tags/scripts and decodes entities") {
+    val html = """<html><head><style>body{color:red}</style></head>
+      <body><script>alert("x")</script><h1>Title</h1>
+      <p>A &amp; B &lt;tag&gt; &quot;quoted&quot;&nbsp;end</p></body></html>"""
+    val got = Seq(html).toDF("h").select(stripHtml(col("h"))).head.getString(0)
+    assert(got == """Title A & B <tag> "quoted" end""", got)
+  }
+
   test("minhash: identical docs share full signature; disjoint docs don't") {
     val df = Seq(
       (1L, "w1 w2 w3 w4 w5 w6"),
