@@ -46,6 +46,7 @@ object SparkEntry {
     "ev08_next_day_retention"       -> (Events.nextDayRetention _),
     "ev09_json_props"               -> (Events.jsonProps _),
     "ev10_cumulative_revenue"       -> (Events.cumulativeRevenue _),
+    "ev11_percentiles_approx"       -> (Events.valuePercentilesApprox _),
     // Event sourcing / CQRS
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),

@@ -56,6 +56,20 @@ object Events {
         round(expr("percentile(value, 0.95)"), 2).as("p95"),
         round(expr("percentile(value, 0.99)"), 2).as("p99"))
 
+  /** ev11: sketch-based percentiles — the 100 TB form of ev03. Exact
+    * percentile sorts every group; percentile_approx merges bounded
+    * KLL-style sketches map-side, so cost is O(n) with constant memory
+    * per group. Rows-only check (the sketch is engine-specific); exact
+    * parity is ev03's job.
+    */
+  def valuePercentilesApprox(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile_approx(value, 0.5, 10000)"), 2).as("p50"),
+        round(expr("percentile_approx(value, 0.95, 10000)"), 2).as("p95"),
+        round(expr("percentile_approx(value, 0.99, 10000)"), 2).as("p99"))
+
   /** ev04: gap-based sessionization — a session break is >30 min idle.
     * lag + cumulative-sum-of-breaks over a per-user window; second
     * granularity so both engines agree on the gap comparison.

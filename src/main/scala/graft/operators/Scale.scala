@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Scale-out utilities: skew salting and bucketed co-location.
+  *
+  * These are the knobs the 100 TB deployment turns that small-SF tests
+  * never force: a hot key (one feed with 10M articles, one service
+  * producing half the logs) stalls a shuffle join on a single task, and
+  * repeated joins on the same key re-shuffle the same terabytes.
+  * Mirrors the reference's pain points: ClickHouse partitions logs by
+  * (service_group, service_name) for the same locality reason
+  * (clickhouse/migrations/001_create_logs_table.sql).
+  */
+object Scale {
+
+  /** Skew-resistant equi-join: left rows scatter across `salts`
+    * sub-keys, right rows replicate to every sub-key, so one hot key
+    * spreads over `salts` tasks instead of one. Use when AQE's skew
+    * handling isn't enough (e.g. a single key larger than any split).
+    * Result is identical to `left.join(right, key)`.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+    require(salts >= 1)
+    val sl = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+    val sr = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    sl.join(sr, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a DataFrame as a bucketed+sorted table: joins and
+    * aggregations on `key` between tables bucketed the same way run
+    * with NO shuffle exchange — the physical plan reads co-located
+    * buckets directly. This is how the repeatedly-joined facts
+    * (events⋈users, lineitem⋈orders) should be laid out at 100 TB.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit =
+    df.write.format("parquet")
+      .mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+}

@@ -37,6 +37,15 @@ object StreamOps {
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** st04: stream-static enrichment — a stream joined against a
+    * (broadcastable) dimension table, the streaming form of the
+    * ingestion pipeline enriching events with feed/user metadata.
+    * The static side re-reads per micro-batch, so slowly-changing
+    * dims stay fresh without restarting the query.
+    */
+  def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), key)
+
   case class SessionInput(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)

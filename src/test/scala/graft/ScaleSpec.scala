@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import graft.operators.Scale
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join result") {
+    val left = (1 to 1000).map(i => (i % 7L, i)).toDF("k", "v")      // key 0..6, skewed-ish
+    val right = (0 to 6).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
+    val plain = left.join(right, "k")
+    val salted = Scale.saltedJoin(left, right, "k", salts = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    Scale.writeBucketed(Tables.orders(spark, sfDir), "b_orders", "o_orderkey", 4)
+    Scale.writeBucketed(
+      Tables.lineitem(spark, sfDir).withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    try {
+      val joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        .groupBy("o_orderkey").agg(sum("l_quantity").as("q"))
+      joined.collect() // materialize to finalize the adaptive plan
+      val plan = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.isEmpty,
+        s"expected bucketed join+agg with zero shuffles, got ${shuffles.size}:\n$plan")
+      // sanity: same result as the unbucketed join
+      val expected = Tables.orders(spark, sfDir)
+        .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+        .count()
+      assert(spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey").count() == expected)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+}

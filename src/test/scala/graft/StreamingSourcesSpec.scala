@@ -60,6 +60,21 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st04 stream-static enrichment join") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val out = StreamOps.enrich(mem.toDF.toDF("user_id", "value"), dim, "user_id")
+    val q = out.writeStream.format("memory").queryName("st04").outputMode("append").start()
+    try {
+      mem.addData((1L, 10.0), (2L, 5.0), (3L, 1.0)) // user 3 has no dim row
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, tier FROM st04").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(rows == Map(1L -> "gold", 2L -> "basic")) // inner join drops 3
+    } finally q.stop()
+  }
+
   test("src01 log line parsing + rollup") {
     val lines = Seq(
       "2026-01-15T10:00:00.123Z INFO alt-backend request served path=/v1/feeds",
