@@ -265,8 +265,11 @@ case class WinnowFingerprints(child: Expression, w: Int) extends UnaryExpression
     val hashes = new Array[Long](m)
     var j = 0
     while (j < m) {
-      val s = arr.getUTF8String(j)
-      hashes(j) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Sketches.SEED)
+      if (arr.isNullAt(j)) hashes(j) = Long.MaxValue // null token never wins a window min
+      else {
+        val s = arr.getUTF8String(j)
+        hashes(j) = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Sketches.SEED)
+      }
       j += 1
     }
     val cnt = math.max(m - w + 1, 1)

@@ -50,13 +50,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val lf = isFloat(left.dataType); val rf = isFloat(right.dataType)
-    val n = math.min(x.numElements(), y.numElements())
+    val nx = x.numElements(); val ny = y.numElements()
+    val n = math.min(nx, ny)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
+    // norms run over the FULL arrays — a truncated embedding must score
+    // lower, not silently renormalize to 1 (and the DuckDB oracle's
+    // self-zips are full-length)
+    while (i < nx) { val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i); na += xi * xi; i += 1 }
+    i = n
+    while (i < ny) { val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i); nb += yi * yi; i += 1 }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) null else dot / denom
   }
@@ -68,14 +75,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
       val denom = ctx.freshName("denom")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
       s"""
-        int $n = Math.min($x.numElements(), $y.numElements());
+        int $nx = $x.numElements();
+        int $ny = $y.numElements();
+        int $n = Math.min($nx, $ny);
         double $dot = 0.0, $na = 0.0, $nb = 0.0;
         for (int $i = 0; $i < $n; $i++) {
           double xi = (double) $x.$lGet($i);
           double yi = (double) $y.$rGet($i);
           $dot += xi * yi; $na += xi * xi; $nb += yi * yi;
         }
+        for (int $i = $n; $i < $nx; $i++) { double xi = (double) $x.$lGet($i); $na += xi * xi; }
+        for (int $i = $n; $i < $ny; $i++) { double yi = (double) $y.$rGet($i); $nb += yi * yi; }
         double $denom = Math.sqrt($na) * Math.sqrt($nb);
         if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $dot / $denom; }
       """

@@ -23,8 +23,11 @@ object Scale {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
     require(salts >= 1)
+    // salt must be DETERMINISTIC per row: monotonically_increasing_id /
+    // rand change on shuffle-stage retries (SPARK-23207 class) and would
+    // duplicate or drop rows. Hash the row's own columns instead.
     val sl = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
     val sr = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     sl.join(sr, Seq(key, "__salt")).drop("__salt")

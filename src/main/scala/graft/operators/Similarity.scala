@@ -93,11 +93,14 @@ object Similarity {
       .select(col("cell"), transform(col("pairs"), p => p.getField("c")).as("centroid"))
     // assign: nearest centroid per vector (broadcast cross, argmax window)
     val wAssign = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cell").asc)
+    // persisted: feeds both sides of the search join — without it the
+    // centroid build + assignment window runs twice
     val assigned = e.join(broadcast(centroids))
       .withColumn("cc", cosineSim(col("embedding"), col("centroid")))
       .withColumn("rn", row_number().over(wAssign))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // search: queries probe only their own cell
     val queries = assigned.filter(queryPred)
       .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))

@@ -37,9 +37,14 @@ object FeedXml {
         xxhash64(col("item.link")).as("article_id"),
         col("item.title").as("title"),
         col("item.link").as("link"),
-        // RFC-822 pubDate; Spark 4's parser dropped day-of-week (EEE)
-        // support, so strip the redundant "Mon, " prefix before parsing.
-        to_timestamp(regexp_replace(col("item.pubDate"), "^[A-Za-z]{3}, ", ""),
-          "dd MMM yyyy HH:mm:ss Z").as("published_at"),
+        // RFC-822 pubDate. Spark 4's parser dropped day-of-week (EEE)
+        // support → strip the "Mon, " prefix; accept both numeric
+        // (+0000) and named (GMT) zones and 1-2 digit days; a malformed
+        // date yields null, never an ANSI crash mid-ingestion.
+        coalesce(
+          try_to_timestamp(regexp_replace(col("item.pubDate"), "^[A-Za-z]{3},\\s*", ""),
+            lit("d MMM yyyy HH:mm:ss Z")),
+          try_to_timestamp(regexp_replace(col("item.pubDate"), "^[A-Za-z]{3},\\s*", ""),
+            lit("d MMM yyyy HH:mm:ss zzz"))).as("published_at"),
         col("item.description").as("description"))
 }

@@ -25,7 +25,10 @@ object LogLines {
     */
   def parse(lines: DataFrame): DataFrame =
     lines.select(
-      to_timestamp(nullif(regexp_extract(col("value"), pat, 1), lit(""))).as("ts"),
+      // try_to_timestamp: a matching-but-invalid first token (e.g.
+      // "stdout INFO ...") must yield null ts, not an ANSI cast crash —
+      // the forwarder's "never lose a log line" rule
+      try_to_timestamp(nullif(regexp_extract(col("value"), pat, 1), lit(""))).as("ts"),
       nullif(regexp_extract(col("value"), pat, 2), lit("")).as("level"),
       nullif(regexp_extract(col("value"), pat, 3), lit("")).as("service"),
       nullif(regexp_extract(col("value"), pat, 4), lit("")).as("message"),

@@ -74,11 +74,18 @@ object StreamOps {
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
-                case Some(s) if t - s.last <= gapSec * 1000 =>
-                  cur = Some(s.copy(last = math.max(s.last, t), n = s.n + 1))
-                case Some(s) =>
+                // within gap of the session window on either side —
+                // late-but-in-watermark events extend the START too
+                case Some(s) if t >= s.start - gapSec * 1000 && t <= s.last + gapSec * 1000 =>
+                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+                case Some(s) if t > s.last =>
                   closed ::= SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))
+                case Some(s) =>
+                  // older than the open session by more than the gap: a
+                  // distinct earlier session whose close condition is
+                  // already known — emit it directly
+                  closed ::= SessionOut(user, new Timestamp(t), new Timestamp(t), 1)
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }

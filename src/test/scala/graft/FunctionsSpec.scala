@@ -92,6 +92,19 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("cosineSim: length mismatch uses full norms (truncated vec scores lower)") {
+    val r = Seq((Array(3.0f, 4.0f), Array(3.0f)))
+      .toDF("a", "b").select(VectorFunctions.cosineSim(col("a"), col("b"))).head.getDouble(0)
+    assert(math.abs(r - 0.6) < 1e-12, s"expected 9/(5*3)=0.6, got $r") // not silently 1.0
+  }
+
+  test("winnow fingerprints tolerate null tokens") {
+    val r = Seq(1).toDF("x")
+      .select(winnowFingerprints(array(lit("a"), lit(null).cast("string"), lit("b")), 2))
+      .head.getSeq[Long](0)
+    assert(r.nonEmpty && !r.contains(Long.MaxValue))
+  }
+
   test("graft_cosine SQL registration") {
     VectorFunctions.register(spark)
     val r = spark.sql("SELECT graft_cosine(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS c").head

@@ -60,6 +60,24 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st02 late in-watermark event extends the session START") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.SessionInput]
+    val out = StreamOps.sessionize(mem.toDS(), gapSec = 600, watermark = "30 minutes")
+    val q = out.writeStream.format("memory").queryName("st02b").outputMode("append").start()
+    try {
+      mem.addData(StreamOps.SessionInput(9L, ts(10)))
+      q.processAllAvailable()
+      mem.addData(StreamOps.SessionInput(9L, ts(5))) // late, within watermark + gap
+      q.processAllAvailable()
+      mem.addData(StreamOps.SessionInput(9L, ts(120))) // push watermark, close session
+      q.processAllAvailable()
+      val s = spark.sql("SELECT start, n_events FROM st02b WHERE user_id = 9").collect()
+      assert(s.exists(r => r.getTimestamp(0).getTime == ts(5).getTime && r.getInt(1) == 2),
+        s"expected session starting at the late event, got ${s.mkString(",")}")
+    } finally q.stop()
+  }
+
   test("st04 stream-static enrichment join") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
@@ -84,6 +102,9 @@ class StreamingSourcesSpec extends SparkSpec {
     val parsed = LogLines.parse(lines)
     assert(parsed.count() == 4)
     assert(parsed.filter(col("level").isNull).count() == 1) // unparseable kept
+    // matching-but-invalid timestamp token must not crash (ANSI cast)
+    val weird = LogLines.parse(Seq("stdout INFO svc msg").toDF("value")).collect()
+    assert(weird.length == 1 && weird.head.isNullAt(0))
     val counts = LogLines.levelCounts(parsed).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(counts.get(("alt-backend", "INFO")).contains(1L))
@@ -103,6 +124,16 @@ class StreamingSourcesSpec extends SparkSpec {
     ).toDF("feed_url", "item_xml")
     val arts = FeedXml.articles(items).collect()
     assert(arts.length == 2)
+    // RFC-822 named zone + 1-digit day (the RSS 2.0 spec's own example
+    // shape) and garbage must both survive parsing
+    val extra = FeedXml.articles(Seq(
+      ("f", "<item><title>T</title><link>u1</link>" +
+            "<pubDate>Wed, 2 Oct 2002 13:00:00 GMT</pubDate><description>d</description></item>"),
+      ("f", "<item><title>U</title><link>u2</link>" +
+            "<pubDate>not a date</pubDate><description>d</description></item>")).toDF("feed_url", "item_xml"))
+      .collect()
+    assert(extra.find(_.getAs[String]("title") == "T").get.getAs[Timestamp]("published_at") != null)
+    assert(extra.find(_.getAs[String]("title") == "U").get.getAs[Timestamp]("published_at") == null)
     val a1 = arts.find(_.getAs[String]("title") == "Hello").get
     assert(a1.getAs[String]("link") == "https://example.org/a1")
     assert(a1.getAs[Timestamp]("published_at") != null)
