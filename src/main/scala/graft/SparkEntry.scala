@@ -69,6 +69,7 @@ object SparkEntry {
     "lp01_label_propagation"        -> (Graph.lp01 _),
     // Similarity / vectors
     "sim01_knn_brute"               -> (Similarity.knnBrute _),
+    "rag01_context_assembly"        -> (Rag.contextAssembly _),
     "sim02_label_centroids"         -> (Similarity.labelCentroids _),
     "sim03_cosine_neardup"          -> (Similarity.cosineNearDup _),
     "sim04_ivf_ann"                 -> (Similarity.ivfAnn _),
@@ -368,6 +369,20 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
                FROM scored)
          WHERE rank <= 5""",
+    "rag01_context_assembly" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, round(${duckCos("q_emb", "c_emb")}, 6) AS cos
+                    FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         topk AS (SELECT query_id, neighbor_id, cos, rank
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                        FROM scored)
+                  WHERE rank <= 3),
+         sn AS (SELECT doc_id AS neighbor_id, substr(text, 1, 30) AS chunk FROM documents)
+         SELECT query_id, count(*) AS n_ctx_docs, max(cos) AS top_score,
+                string_agg(chunk, ' | ' ORDER BY rank) AS context
+         FROM topk JOIN sn USING (neighbor_id)
+         GROUP BY query_id""",
     "sim02_label_centroids" ->
       """SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
          FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+
+/** Plan invariants across the whole query surface — the ".explain and
+  * iterate" discipline, automated. These are the properties that decide
+  * whether a plan survives a 100× scale-up, independent of data size.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String) =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  private def formatted(name: String) =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution
+      .explainString(FormattedMode)
+
+  test("no query plans an unconditional CartesianProduct") {
+    // Cross products must always be broadcast nested-loop (small side
+    // broadcast, e.g. kNN query sets) — a CartesianProductExec means
+    // both sides shuffle-replicate, which never survives scale.
+    val offenders = SparkEntry.queries.keys.filter { n =>
+      plan(n).collectWithSubqueries { case c: CartesianProductExec => c }.nonEmpty
+    }
+    assert(offenders.isEmpty, s"CartesianProduct in: ${offenders.mkString(", ")}")
+  }
+
+  test("q02 pushes all predicates and prunes to the aggregate's columns") {
+    val f = formatted("q02_filter_project")
+    assert(f.contains("PushedFilters: [IsNotNull(l_shipdate)"), f.linesIterator.filter(_.contains("Pushed")).mkString)
+    assert(f.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"))
+  }
+
+  test("q03 joins dimensions via broadcast, not shuffle") {
+    val f = formatted("q03_join_nation_revenue")
+    assert(f.split("BroadcastHashJoin").length - 1 >= 3, "expected >=3 broadcast joins")
+    assert(!f.contains("SortMergeJoin"), "dimension joins must not sort-merge at this shape")
+  }
+
+  private def finalPlan(name: String) = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect() // finalize the adaptive plan
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  /** AQE wraps materialized stages in QueryStageExec leaves, which
+    * plain collect() does not descend into — walk them explicitly.
+    */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+    (p +: p.children.flatMap(allNodes)) ++ (p match {
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => allNodes(q.plan)
+      case _ => Seq.empty
+    })
+
+  private def codegenSpans(name: String) = allNodes(finalPlan(name)).collect {
+    case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+  }
+
+  test("whole-stage codegen covers the scan-filter-aggregate pipelines") {
+    assert(codegenSpans("q01_pricing_summary").nonEmpty,
+      "q01 should run inside WholeStageCodegen")
+  }
+
+  test("native sketch expressions do not break codegen") {
+    assert(codegenSpans("tx07_minhash_lsh_dedup").nonEmpty)
+    assert(codegenSpans("sim01_knn_brute").nonEmpty) // CosineSimilarity stays in codegen
+  }
+}
