@@ -51,6 +51,7 @@ object SparkEntry {
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),
     "es03_retention_ttl"            -> (Events.retentionTtl _),
+    "asof01_purchase_after_view"    -> (AsOf.purchaseAfterView _),
     // Text analysis
     "tx01_token_stats"              -> (TextOps.tokenStats _),
     "tx02_term_freq"                -> (TextOps.termFreq _),
@@ -191,6 +192,22 @@ object SparkEntry {
          count(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15' THEN 1 END) AS n_expired,
          count(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15' THEN 1 END) AS n_retained
          FROM events GROUP BY event_type""",
+    "asof01_purchase_after_view" ->
+      """WITH u AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS is_left
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 0 AS is_left
+           FROM events WHERE event_type = 'view'),
+         w AS (
+           SELECT *,
+             last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id ROWS UNBOUNDED PRECEDING) AS view_id,
+             last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id ROWS UNBOUNDED PRECEDING) AS view_ts
+           FROM u)
+         SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, view_id, view_ts
+         FROM w WHERE is_left = 1""",
     "tx11_term_cooccurrence" ->
       """WITH f AS (
            SELECT doc_id, term

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** As-of (point-in-time) join — for each left row, the most recent
+  * right row at or before its timestamp, per key.
+  *
+  * Spark has no native ASOF JOIN; the naive formulations are a range
+  * cross-join (quadratic) or a per-row correlated subquery (driver
+  * death). This is the scalable shape: tag both sides, union, and take
+  * a running `last(..., ignoreNulls)` over a per-key time-ordered
+  * window — one shuffle on the key, linear work, identical semantics
+  * on any engine (the DuckDB oracle runs the same window, which also
+  * pins tie-breaking: right rows sort before left rows at equal
+  * timestamps, later event_id wins among equal right rows).
+  *
+  * The reference shape: correlating a knowledge event with the latest
+  * preceding state snapshot (knowledge-sovereign's event→projection
+  * reads), or a log line with the deployment that preceded it.
+  */
+object AsOf {
+
+  /** Generic as-of join on `key`: left (key, ts, leftId) gains
+    * right's (rightId, ts) of the latest right row with ts <= left.ts.
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String,
+               tsCol: String, idCol: String): DataFrame = {
+    val l = left.select(col(key), col(tsCol).as("__ts"), col(idCol).as("__id"), lit(1).as("__is_left"))
+    val r = right.select(col(key), col(tsCol).as("__ts"), col(idCol).as("__id"), lit(0).as("__is_left"))
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts").asc, col("__is_left").asc, col("__id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.union(r)
+      .withColumn("__asof_id", last(when(col("__is_left") === 0, col("__id")), ignoreNulls = true).over(w))
+      .withColumn("__asof_ts", last(when(col("__is_left") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(col(key), col("__id").as(idCol), col("__ts").as(tsCol),
+              col("__asof_id").as(s"asof_$idCol"), col("__asof_ts").as(s"asof_$tsCol"))
+  }
+
+  /** asof01 adapter: each purchase matched to the user's most recent
+    * view at or before it.
+    */
+  def purchaseAfterView(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    joinAsOf(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "view"),
+      "user_id", "ts", "event_id")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"),
+              col("asof_event_id").as("view_id"), col("asof_ts").as("view_ts"))
+  }
+}

@@ -54,6 +54,20 @@ class OperatorsSpec extends SparkSpec {
     })
   }
 
+  test("asof join picks the latest right row at-or-before each left row") {
+    import spark.implicits._
+    def t(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val left = Seq((1L, t(10), 100L), (1L, t(30), 101L), (2L, t(5), 200L))
+      .toDF("k", "ts", "id")
+    val right = Seq((1L, t(10), 900L), (1L, t(9), 901L), (1L, t(29), 902L))
+      .toDF("k", "ts", "id")
+    val got = operators.AsOf.joinAsOf(left, right, "k", "ts", "id")
+      .collect().map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+    assert(got(100L).contains(900L)) // equal ts matches (<=), beats 9-min row
+    assert(got(101L).contains(902L)) // latest before 30
+    assert(got(200L).isEmpty)        // no right rows for key 2 → null
+  }
+
   test("es01 projection has one state per user") {
     val r = Events.latestStateProjection(spark, sfDir)
     assert(r.count() == Tables.events(spark, sfDir).select("user_id").distinct().count())
