@@ -33,6 +33,17 @@ object Scale {
     sl.join(sr, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Write a fact table partitioned by day — the layout ClickHouse
+    * gets from `PARTITION BY toYYYYMMDD(timestamp)` (migrations/002)
+    * and what makes es03-style TTL a metadata drop instead of a scan:
+    * time-range predicates prune whole directories at planning time.
+    */
+  def writePartitionedByDay(df: DataFrame, tsCol: String, path: String): Unit =
+    df.withColumn("__day", date_format(col(tsCol), "yyyy-MM-dd"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("__day")
+      .parquet(path)
+
   /** Write a DataFrame as a bucketed+sorted table: joins and
     * aggregations on `key` between tables bucketed the same way run
     * with NO shuffle exchange — the physical plan reads co-located

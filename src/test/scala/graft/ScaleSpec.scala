@@ -17,6 +17,23 @@ class ScaleSpec extends SparkSpec {
     assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
   }
 
+  test("day-partitioned writes prune partitions at planning time") {
+    val path = "/tmp/graft-events-by-day"
+    Scale.writePartitionedByDay(Tables.events(spark, sfDir), "ts", path)
+    val pruned = spark.read.parquet(path).filter(col("__day") === "2024-01-05")
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata("PartitionFilters").contains("__day"),
+      s"expected partition filter, got ${scan.metadata("PartitionFilters")}")
+    // only the matching day's files are read
+    assert(scan.selectedPartitions.partitionCount == 1)
+    val expected = Tables.events(spark, sfDir)
+      .filter(date_format(col("ts"), "yyyy-MM-dd") === "2024-01-05").count()
+    assert(pruned.count() == expected)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     Scale.writeBucketed(Tables.orders(spark, sfDir), "b_orders", "o_orderkey", 4)
     Scale.writeBucketed(

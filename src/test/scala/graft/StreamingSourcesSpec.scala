@@ -140,6 +140,30 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(arts.map(_.getAs[Long]("article_id")).distinct.length == 2)
   }
 
+  test("st05 end-to-end: file log stream → parse → per-service error counts") {
+    // the rask-log-forwarder → ClickHouse SLI pipeline as one streaming
+    // query: text file source → LogLines.parse → rollup → sink
+    val dir = java.nio.file.Files.createTempDirectory("graft-logs").toFile
+    java.nio.file.Files.writeString(new java.io.File(dir, "a.log").toPath,
+      """2026-01-15T10:00:00.000Z INFO alt-backend ok
+        |2026-01-15T10:00:01.000Z ERROR alt-backend boom
+        |2026-01-15T10:00:02.000Z ERROR news-creator fail
+        |garbage line
+        |""".stripMargin)
+    val stream = spark.readStream.text(dir.getAbsolutePath)
+    val counts = LogLines.levelCounts(LogLines.parse(stream))
+    val q = counts.writeStream.format("memory").queryName("st05")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT service, level, n FROM st05").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(rows.get(("alt-backend", "ERROR")).contains(1L))
+      assert(rows.get(("news-creator", "ERROR")).contains(1L))
+      assert(rows.get(("alt-backend", "INFO")).contains(1L))
+    } finally q.stop()
+  }
+
   test("mm01 binary feature extraction is deterministic with typed schema") {
     val media = Seq(
       BinaryMeta.MediaRow(1L, "image", Array[Byte](1, 2, 3, 4)),
