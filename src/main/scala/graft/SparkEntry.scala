@@ -35,6 +35,8 @@ object SparkEntry {
     "q15_keyset_pagination"         -> (Relational.keysetPage _),
     "q16_text_search"               -> (TextOps.textSearch _),
     "q17_part_supplier_catalog"     -> (Relational.partSupplierCatalog _),
+    "q18_grouping_sets"             -> (Relational.groupingSets _),
+    "q19_revenue_quartiles"         -> (Relational.revenueQuartiles _),
     // Event / log analytics
     "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
     "ev02_error_rate"               -> (Events.errorRate _),
@@ -47,6 +49,8 @@ object SparkEntry {
     "ev09_json_props"               -> (Events.jsonProps _),
     "ev10_cumulative_revenue"       -> (Events.cumulativeRevenue _),
     "ev11_percentiles_approx"       -> (Events.valuePercentilesApprox _),
+    "ev12_error_burst"              -> (Events.errorBurst _),
+    "ev13_moving_avg_revenue"       -> (Events.movingAvgRevenue _),
     // Event sourcing / CQRS
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),
@@ -192,6 +196,29 @@ object SparkEntry {
          count(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15' THEN 1 END) AS n_expired,
          count(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15' THEN 1 END) AS n_retained
          FROM events GROUP BY event_type""",
+    "q18_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS revenue
+         FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
+    "q19_revenue_quartiles" ->
+      """WITH pc AS (SELECT o_custkey, round(sum(o_totalprice),2) AS revenue
+                     FROM orders GROUP BY o_custkey),
+         q AS (SELECT *, ntile(4) OVER (ORDER BY revenue DESC, o_custkey ASC) AS quartile FROM pc)
+         SELECT quartile, count(*) AS n_customers,
+                round(sum(revenue),2) AS total_revenue, round(min(revenue),2) AS min_revenue
+         FROM q GROUP BY quartile""",
+    "ev12_error_burst" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                    epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS epoch_s FROM events),
+         w AS (SELECT *, count(*) OVER (PARTITION BY user_id ORDER BY epoch_s
+               RANGE BETWEEN 300 PRECEDING AND CURRENT ROW) AS n_last_5min FROM e)
+         SELECT event_id, user_id, n_last_5min FROM w WHERE event_type = 'error'""",
+    "ev13_moving_avg_revenue" ->
+      """WITH daily AS (
+           SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, sum(value) AS rev
+           FROM events WHERE event_type = 'purchase' GROUP BY 1)
+         SELECT day, round(rev,2) AS daily_rev,
+                round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),2) AS ma7
+         FROM daily""",
     "asof01_purchase_after_view" ->
       """WITH u AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS is_left

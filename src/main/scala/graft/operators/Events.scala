@@ -151,6 +151,36 @@ object Events {
       .select(col("day"), round(col("rev"), 2).as("daily_rev"), round(col("cum_rev"), 2).as("cum_rev"))
   }
 
+  /** ev12: sliding range-frame count — for each error event, how many
+    * events the same user produced in the preceding 5 minutes (the
+    * burst-detection window behind alerting rules). RANGE frame over
+    * epoch seconds, per-user partition — no self-join.
+    */
+  def errorBurst(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("epoch_s"))
+      .rangeBetween(-300, Window.currentRow)
+    ev(s, dir)
+      .withColumn("epoch_s", unix_timestamp(date_trunc("second", col("ts"))))
+      .withColumn("n_last_5min", count(lit(1)).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("n_last_5min"))
+  }
+
+  /** ev13: trailing 7-day moving average of daily revenue — the
+    * Grafana smoothing window, computed over the per-day aggregate
+    * (tiny frame), not raw events.
+    */
+  def movingAvgRevenue(s: SparkSession, dir: String): DataFrame = {
+    val daily = ev(s, dir)
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(sum("value").as("rev"))
+    val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    daily.select(col("day"), round(col("rev"), 2).as("daily_rev"),
+                 round(avg("rev").over(w), 2).as("ma7"))
+  }
+
   /** es01: event-log replay → latest-state-per-entity projection
     * (knowledge-sovereign CQRS read-model pattern: knowledge_events →
     * knowledge_home_items).

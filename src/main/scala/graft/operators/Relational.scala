@@ -172,6 +172,31 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"))
   }
 
+  /** q18: GROUPING SETS — simultaneous independent rollups (status and
+    * priority marginals in one pass), the multi-panel dashboard shape.
+    */
+  def groupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+
+  /** q19: ntile quartiles of customers by revenue — the cohort-banding
+    * step of engagement dashboards; deterministic via custkey tiebreak.
+    */
+  def revenueQuartiles(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir)
+      .groupBy("o_custkey")
+      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+    val q = perCust.withColumn("quartile",
+      ntile(4).over(Window.orderBy(col("revenue").desc, col("o_custkey").asc)))
+    q.groupBy("quartile")
+      .agg(count(lit(1)).as("n_customers"),
+           round(sum("revenue"), 2).as("total_revenue"),
+           round(min("revenue"), 2).as("min_revenue"))
+  }
+
   /** q17: part/supplier catalog rollup (TPC-H Q2 shape): cheapest part
     * per brand with supplier-nation context — exercises the remaining
     * dimension tables with broadcast joins and a per-brand argmin.
