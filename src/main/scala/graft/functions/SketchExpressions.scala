@@ -282,7 +282,9 @@ case class WinnowFingerprints(child: Expression, w: Int) extends UnaryExpression
       mins(i) = mn
       i += 1
     }
-    val distinct = mins.distinct.sorted
+    // drop the null sentinel: a window of all-null tokens must emit no
+    // fingerprint, or unrelated null-heavy docs would "share" MaxValue
+    val distinct = mins.distinct.filter(_ != Long.MaxValue).sorted
     UnsafeArrayData.fromPrimitiveArray(distinct)
   }
 

@@ -65,9 +65,12 @@ object TextFunctions {
   def stripHtml(html: Column): Column = {
     val noScript = regexp_replace(html, "(?is)<(script|style)[^>]*>.*?</\\1>", " ")
     val noTags = regexp_replace(noScript, "(?s)<[^>]+>", " ")
+    // &amp; must decode LAST: decoding it first turns double-escaped
+    // text (&amp;lt;) into markup (&lt; → <) that was never there
     val decoded = Seq(
-      "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ")
+      "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&nbsp;" -> " ",
+      "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
     trim(regexp_replace(decoded, "\\s+", " "))
   }

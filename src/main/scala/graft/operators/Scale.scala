@@ -25,9 +25,12 @@ object Scale {
     require(salts >= 1)
     // salt must be DETERMINISTIC per row: monotonically_increasing_id /
     // rand change on shuffle-stage retries (SPARK-23207 class) and would
-    // duplicate or drop rows. Hash the row's own columns instead.
+    // duplicate or drop rows. Hash the row's own columns plus its input
+    // partition id (stable under retry) so byte-identical duplicates of
+    // a hot key still spread across salts.
     val sl = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(left.columns.map(col) :+ spark_partition_id().cast("long"): _*),
+        lit(salts.toLong)).cast("int"))
     val sr = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     sl.join(sr, Seq(key, "__salt")).drop("__salt")

@@ -69,27 +69,49 @@ object StreamOps {
             state.remove()
             Iterator(SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n))
           } else {
+            val gapMs = gapSec * 1000
             val sorted = rows.map(_.ts.getTime).toSeq.sorted
             var closed = List.empty[SessionOut]
             var cur = state.getOption
+            // chain of late events older than the open session's window;
+            // consecutive late events within the gap merge, and the chain
+            // bridges into the open session if an event connects them
+            var early: Option[SessionState] = None
+            def flushEarly(): Unit = early.foreach { e =>
+              closed ::= SessionOut(user, new Timestamp(e.start), new Timestamp(e.last), e.n)
+              early = None
+            }
             sorted.foreach { t =>
               cur match {
                 // within gap of the session window on either side —
                 // late-but-in-watermark events extend the START too
-                case Some(s) if t >= s.start - gapSec * 1000 && t <= s.last + gapSec * 1000 =>
-                  cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+                case Some(s) if t >= s.start - gapMs && t <= s.last + gapMs =>
+                  early match {
+                    case Some(e) if t - e.last <= gapMs => // t bridges chain→session
+                      cur = Some(SessionState(math.min(s.start, e.start),
+                        math.max(s.last, t), s.n + e.n + 1))
+                      early = None
+                    case _ =>
+                      flushEarly()
+                      cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1))
+                  }
                 case Some(s) if t > s.last =>
+                  flushEarly()
                   closed ::= SessionOut(user, new Timestamp(s.start), new Timestamp(s.last), s.n)
                   cur = Some(SessionState(t, t, 1))
-                case Some(s) =>
-                  // older than the open session by more than the gap: a
-                  // distinct earlier session whose close condition is
-                  // already known — emit it directly
-                  closed ::= SessionOut(user, new Timestamp(t), new Timestamp(t), 1)
+                case Some(_) =>
+                  // older than the open session by more than the gap:
+                  // accumulate into the late chain (sorted, so t >= e.last)
+                  early = early match {
+                    case Some(e) if t - e.last <= gapMs => Some(e.copy(last = t, n = e.n + 1))
+                    case Some(_) => flushEarly(); Some(SessionState(t, t, 1))
+                    case None => Some(SessionState(t, t, 1))
+                  }
                 case None =>
                   cur = Some(SessionState(t, t, 1))
               }
             }
+            flushEarly()
             cur.foreach { s =>
               state.update(s)
               state.setTimeoutTimestamp(s.last + gapSec * 1000)

@@ -34,6 +34,10 @@ class FunctionsSpec extends SparkSpec {
       <p>A &amp; B &lt;tag&gt; &quot;quoted&quot;&nbsp;end</p></body></html>"""
     val got = Seq(html).toDF("h").select(stripHtml(col("h"))).head.getString(0)
     assert(got == """Title A & B <tag> "quoted" end""", got)
+    // double-escaped text must decode exactly one level, not two
+    val dbl = Seq("<p>&amp;lt;b&amp;gt;</p>").toDF("h")
+      .select(stripHtml(col("h"))).head.getString(0)
+    assert(dbl == "&lt;b&gt;", dbl)
   }
 
   test("minhash: identical docs share full signature; disjoint docs don't") {

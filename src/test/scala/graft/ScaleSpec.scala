@@ -14,7 +14,9 @@ class ScaleSpec extends SparkSpec {
     val plain = left.join(right, "k")
     val salted = Scale.saltedJoin(left, right, "k", salts = 8)
     assert(salted.count() == plain.count())
-    assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty)
+    // exceptAll: except() deduplicates, which would hide a salting bug
+    // that duplicates one matched row and drops another
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
   test("day-partitioned writes prune partitions at planning time") {

@@ -78,6 +78,23 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st02 consecutive late events merge into one late session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamOps.SessionInput]
+    val out = StreamOps.sessionize(mem.toDS(), gapSec = 600, watermark = "4 hours")
+    val q = out.writeStream.format("memory").queryName("st02c").outputMode("append").start()
+    try {
+      mem.addData(StreamOps.SessionInput(11L, ts(180)))
+      q.processAllAvailable()
+      // two late events, within the gap of EACH OTHER but far before the
+      // open session — must close as ONE 2-event session, not two singles
+      mem.addData(StreamOps.SessionInput(11L, ts(0)), StreamOps.SessionInput(11L, ts(5)))
+      q.processAllAvailable()
+      val s = spark.sql("SELECT n_events FROM st02c WHERE user_id = 11").collect()
+      assert(s.map(_.getInt(0)).toSeq == Seq(2), s.mkString(","))
+    } finally q.stop()
+  }
+
   test("st04 stream-static enrichment join") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
