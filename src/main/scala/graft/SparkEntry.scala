@@ -72,6 +72,9 @@ object SparkEntry {
     "tx13_bpe_token_count"          -> (TextOps.bpeTokenCounts _),
     // Graph / label propagation
     "lp01_label_propagation"        -> (Graph.lp01 _),
+    // Data quality
+    "dq01_events_profile"           -> (DataQuality.eventsProfile _),
+    "tx14_source_signature"         -> (DataQuality.sourceSignatures _),
     // Similarity / vectors
     "sim01_knn_brute"               -> (Similarity.knnBrute _),
     "rag01_context_assembly"        -> (Rag.contextAssembly _),
@@ -196,6 +199,15 @@ object SparkEntry {
          count(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15' THEN 1 END) AS n_expired,
          count(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15' THEN 1 END) AS n_retained
          FROM events GROUP BY event_type""",
+    "dq01_events_profile" ->
+      """SELECT count(*) AS n_rows,
+         count(CASE WHEN value IS NULL THEN 1 END) AS null_values,
+         count(CASE WHEN value < 0 THEN 1 END) AS negative_values,
+         round(min(value),2) AS min_value, round(max(value),2) AS max_value,
+         count(DISTINCT event_type) AS n_event_types,
+         count(CASE WHEN ts IS NULL THEN 1 END) AS null_ts,
+         count(CASE WHEN user_id IS NULL THEN 1 END) AS null_users
+         FROM events""",
     "q18_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS revenue
          FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",

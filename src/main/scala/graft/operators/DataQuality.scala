@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.SimHashAgg.simhashAgg
+import graft.functions.TextFunctions.tokens
+
+/** Data-quality profiling — the pipeline gate the reference runs at
+  * ingestion (feed-validator service; pre-processor input checks):
+  * null rates, value ranges, domain cardinality, rule violations,
+  * computed in ONE scan per table (every stat is a conditional
+  * aggregate, so the whole profile is a single map-side-combined
+  * aggregation regardless of table size).
+  */
+object DataQuality {
+
+  /** dq01: one-scan quality profile of the events fact table. */
+  def eventsProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).agg(
+      count(lit(1)).as("n_rows"),
+      count(when(col("value").isNull, 1)).as("null_values"),
+      count(when(col("value") < 0, 1)).as("negative_values"),
+      round(min("value"), 2).as("min_value"),
+      round(max("value"), 2).as("max_value"),
+      countDistinct("event_type").as("n_event_types"),
+      count(when(col("ts").isNull, 1)).as("null_ts"),
+      count(when(col("user_id").isNull, 1)).as("null_users"))
+
+  /** tx14: per-source SimHash signature via the mergeable AGGREGATE
+    * form — one 256-byte buffer per group shuffles instead of the
+    * group's rows (rows-only check; grouped-vs-array equivalence is
+    * spec-verified).
+    */
+  def sourceSignatures(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy("source")
+      .agg(simhashAgg(col("token")).as("signature"), count(lit(1)).as("n_tokens"))
+      .orderBy("source")
+}

@@ -63,6 +63,19 @@ class FunctionsSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(3L)) <= 20)
   }
 
+  test("simhash aggregate equals per-array simhash bit-for-bit") {
+    import graft.functions.SimHashAgg.simhashAgg
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "one two three four five six seven")).toDF("id", "text")
+    val viaArray = docs.select(col("id"), simhash64(tokens(col("text"))).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaAgg = docs.select(col("id"), explode(tokens(col("text"))).as("t"))
+      .groupBy("id").agg(simhashAgg(col("t")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaArray == viaAgg, s"$viaArray vs $viaAgg")
+  }
+
   test("winnowing fingerprints: containment shares prints") {
     val df = Seq(
       (1L, "a b c d e f g h"),
