@@ -1,24 +1,40 @@
 package graft.tools
 
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 
-/** Dev scratch main: dump formatted plans for selected queries. */
+/** Dev tool: regenerate EXPLAIN.md (formatted plans of headline
+  * queries) and smoke-check the driver's entry contract.
+  */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val n = SparkEntry.entry(spark).count()
+    println(s"entry rows (driver smoke-check, must be >0): $n")
+
     val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq else Seq(
+    val headline = Seq(
       "q01_pricing_summary", "q02_filter_project", "q03_join_nation_revenue",
-      "sim01_knn_brute", "tx07_minhash_lsh_dedup", "ev01_hourly_throughput")
-    names.foreach { n =>
-      println(s"========== $n ==========")
-      println(SparkEntry.queries(n)(spark, dir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      "q05_latest_order_per_customer", "ev04_sessionize",
+      "tx07_minhash_lsh_dedup", "sim01_knn_brute", "asof01_purchase_after_view")
+    val out = new StringBuilder
+    out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
+    out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
+    out ++= "for: `PushedFilters` + narrow `ReadSchema` on scans, `BroadcastHashJoin`\n"
+    out ++= "for dimension joins, no `CartesianProduct` (PlanSpec enforces these).\n\n"
+    headline.foreach { name =>
+      out ++= s"## $name\n\n```\n"
+      out ++= SparkEntry.queries(name)(spark, dir).queryExecution
+        .explainString(org.apache.spark.sql.execution.FormattedMode)
+      out ++= "```\n\n"
     }
+    Files.writeString(Paths.get("/root/repo/EXPLAIN.md"), out.toString)
+    println("wrote EXPLAIN.md")
     spark.stop()
   }
 }
