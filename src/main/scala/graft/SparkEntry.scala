@@ -51,6 +51,8 @@ object SparkEntry {
     "ev11_percentiles_approx"       -> (Events.valuePercentilesApprox _),
     "ev12_error_burst"              -> (Events.errorBurst _),
     "ev13_moving_avg_revenue"       -> (Events.movingAvgRevenue _),
+    "ev14_value_anomalies"          -> (Events.valueAnomalies _),
+    "ev15_approx_distinct_users"    -> (Events.approxDistinctUsers _),
     // Event sourcing / CQRS
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),
@@ -231,6 +233,14 @@ object SparkEntry {
          SELECT day, round(rev,2) AS daily_rev,
                 round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),2) AS ma7
          FROM daily""",
+    "ev14_value_anomalies" ->
+      """WITH st AS (SELECT event_type AS t, avg(value) AS mu, stddev_samp(value) AS sigma
+                     FROM events GROUP BY event_type)
+         SELECT event_type,
+                count(CASE WHEN abs(value - mu) > sigma * 3 THEN 1 END) AS n_outliers,
+                count(*) AS n_total
+         FROM events JOIN st ON event_type = t
+         GROUP BY event_type""",
     "asof01_purchase_after_view" ->
       """WITH u AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS is_left

@@ -181,6 +181,33 @@ object Events {
                  round(avg("rev").over(w), 2).as("ma7"))
   }
 
+  /** ev14: z-score anomaly counts — events beyond 3σ of their type's
+    * value distribution (the alert-rule shape over SLI series). Two
+    * passes over the fact: per-type moments, then a broadcast join
+    * back for the outlier test.
+    */
+  def valueAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val stats = ev(s, dir).groupBy(col("event_type").as("t"))
+      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+    ev(s, dir)
+      .join(broadcast(stats), col("event_type") === col("t"))
+      .groupBy("event_type")
+      .agg(
+        count(when(abs(col("value") - col("mu")) > col("sigma") * 3, 1)).as("n_outliers"),
+        count(lit(1)).as("n_total"))
+  }
+
+  /** ev15: sketch count-distinct (HLL++) — the 100 TB path for q06's
+    * exact countDistinct: mergeable constant-size sketches instead of
+    * a distinct shuffle. Rows-only check (sketch estimates are
+    * engine-specific; exact parity is q06's job).
+    */
+  def approxDistinctUsers(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy("event_type")
+      .agg(approx_count_distinct("user_id", 0.01).as("n_users_approx"),
+           count(lit(1)).as("n_events"))
+
   /** es01: event-log replay → latest-state-per-entity projection
     * (knowledge-sovereign CQRS read-model pattern: knowledge_events →
     * knowledge_home_items).
