@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.VectorFunctions
+import graft.operators.{AsOf, Scale}
+
+/** Property-based checks of the custom expressions and operators
+  * against mathematical invariants and brute-force reference
+  * implementations on random inputs.
+  */
+class PropertiesSpec extends SparkSpec {
+
+  /** Deterministic sampling from a Gen (no scalatest bridge in the
+    * offline cache): fixed seed stream, n samples.
+    */
+  private def samples[T](gen: Gen[T], n: Int): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+  import spark.implicits._
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.chooseNum(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0f, 10.0f)).map(_.toArray))
+        .suchThat(v => v.exists(x => math.abs(x) > 1e-3))
+
+  test("cosine invariants: bounds, self-similarity, symmetry, positive scaling") {
+    samples(Gen.listOfN(8, Gen.zip(vecGen, vecGen)), 5).foreach { pairs =>
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("a", "b")
+        val rows = df.select(
+          VectorFunctions.cosineSim(col("a"), col("b")).as("ab"),
+          VectorFunctions.cosineSim(col("b"), col("a")).as("ba"),
+          VectorFunctions.cosineSim(col("a"), col("a")).as("aa"),
+          VectorFunctions.cosineSim(col("a"), transform(col("b"), x => x * 2.5f)).as("abs")
+        ).collect()
+        rows.foreach { r =>
+          assert(math.abs(r.getDouble(0)) <= 1.0 + 1e-9)           // bounded
+          assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12) // symmetric
+          assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)             // cos(a,a)=1
+          assert(math.abs(r.getDouble(0) - r.getDouble(3)) < 1e-6)  // scale-invariant
+        }
+      }
+    }
+  }
+
+  test("asof join matches brute-force reference on random event sets") {
+    val evGen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0, 5000), Gen.chooseNum(0L, 999999L)))
+    samples(Gen.zip(evGen, evGen), 4).foreach { case (ls, rs) =>
+      if (ls.nonEmpty && rs.nonEmpty) {
+        // unique ids per side so the reference's tie-break is well-defined
+        val left = ls.zipWithIndex.map { case ((k, t, _), i) => (k, new java.sql.Timestamp(t * 1000L), i.toLong) }
+        val right = rs.zipWithIndex.map { case ((k, t, _), i) => (k, new java.sql.Timestamp(t * 1000L), 100000L + i) }
+        val got = AsOf.joinAsOf(left.toDF("k", "ts", "id"), right.toDF("k", "ts", "id"), "k", "ts", "id")
+          .collect().map(r => r.getLong(1) -> Option(r.get(3)).map(_.asInstanceOf[Long])).toMap
+        left.foreach { case (k, ts, id) =>
+          val want = right.filter(r => r._1 == k && !r._2.after(ts))
+            .sortBy(r => (r._2.getTime, r._3)).lastOption.map(_._3)
+          assert(got(id) == want, s"left $id: got ${got(id)}, want $want")
+        }
+      }
+    }
+  }
+
+  test("salted join equals plain join on random skewed data") {
+    val gen = Gen.listOfN(200, Gen.zip(Gen.oneOf(1L, 1L, 1L, 2L, 3L), Gen.chooseNum(0, 100)))
+    samples(gen, 4).foreach { rows =>
+      if (rows.nonEmpty) {
+        val left = rows.toDF("k", "v")
+        val right = Seq((1L, "a"), (2L, "b"), (4L, "d")).toDF("k", "w")
+        val plain = left.join(right, "k")
+        val salted = Scale.saltedJoin(left, right, "k", 5)
+        assert(salted.count() == plain.count())
+        assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+      }
+    }
+  }
+}
