@@ -23,10 +23,16 @@ object Bench {
     // untimed warmup against the BENCHMARKED dataset: file listings,
     // parquet footers, JIT + codegen — so the first timed query isn't
     // charged session spin-up
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings").foreach { t =>
-      try spark.read.parquet(s"$sfDir/$t.parquet").limit(1)
-        .write.format("noop").mode("overwrite").save()
+    // go through the Tables loaders — events needs the nanos-as-long
+    // conf a raw read.parquet lacks
+    val loaders: Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      Seq("region" -> Tables.region, "nation" -> Tables.nation,
+          "customer" -> Tables.customer, "supplier" -> Tables.supplier,
+          "part" -> Tables.part, "orders" -> Tables.orders,
+          "lineitem" -> Tables.lineitem, "events" -> Tables.events,
+          "documents" -> Tables.documents, "embeddings" -> Tables.embeddings)
+    loaders.foreach { case (t, load) =>
+      try load(spark, sfDir).limit(1).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $t: ${e.getMessage}") }
     }
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)

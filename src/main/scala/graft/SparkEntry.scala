@@ -234,7 +234,7 @@ object SparkEntry {
                 round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),2) AS ma7
          FROM daily""",
     "ev14_value_anomalies" ->
-      """WITH st AS (SELECT event_type AS t, avg(value) AS mu, stddev_samp(value) AS sigma
+      """WITH st AS (SELECT event_type AS t, round(avg(value),6) AS mu, round(stddev_samp(value),6) AS sigma
                      FROM events GROUP BY event_type)
          SELECT event_type,
                 count(CASE WHEN abs(value - mu) > sigma * 3 THEN 1 END) AS n_outliers,

@@ -32,6 +32,15 @@ case class SimHashAgg(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case dt =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"simhash_agg expects a string column, got $dt")
+    }
+
   override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
 
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {

@@ -187,8 +187,12 @@ object Events {
     * back for the outlier test.
     */
   def valueAnomalies(s: SparkSession, dir: String): DataFrame = {
+    // mu/sigma rounded before the boundary test: partial-aggregation
+    // summation order differs between engines in the last ulps, and an
+    // unrounded 3σ threshold could flip the count for a value sitting
+    // exactly on the boundary
     val stats = ev(s, dir).groupBy(col("event_type").as("t"))
-      .agg(avg("value").as("mu"), stddev_samp("value").as("sigma"))
+      .agg(round(avg("value"), 6).as("mu"), round(stddev_samp("value"), 6).as("sigma"))
     ev(s, dir)
       .join(broadcast(stats), col("event_type") === col("t"))
       .groupBy("event_type")

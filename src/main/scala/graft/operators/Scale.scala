@@ -20,17 +20,22 @@ object Scale {
     * spreads over `salts` tasks instead of one. Use when AQE's skew
     * handling isn't enough (e.g. a single key larger than any split).
     * Result is identical to `left.join(right, key)`.
+    *
+    * The salt must be DETERMINISTIC per row — rand /
+    * monotonically_increasing_id / spark_partition_id all change on
+    * shuffle-stage retries when upstream lineage is order-
+    * nondeterministic (SPARK-23207 class) and would duplicate or drop
+    * rows. So the salt hashes row CONTENT: `saltCols` if given (pass a
+    * unique id column when rows of a hot key can be byte-identical —
+    * content-hashing identical rows cannot spread them, by
+    * construction), else all columns.
     */
-  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int): DataFrame = {
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String, salts: Int,
+                 saltCols: Seq[String] = Nil): DataFrame = {
     require(salts >= 1)
-    // salt must be DETERMINISTIC per row: monotonically_increasing_id /
-    // rand change on shuffle-stage retries (SPARK-23207 class) and would
-    // duplicate or drop rows. Hash the row's own columns plus its input
-    // partition id (stable under retry) so byte-identical duplicates of
-    // a hot key still spread across salts.
+    val basis = if (saltCols.nonEmpty) saltCols else left.columns.toSeq
     val sl = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col) :+ spark_partition_id().cast("long"): _*),
-        lit(salts.toLong)).cast("int"))
+      pmod(xxhash64(basis.map(col): _*), lit(salts.toLong)).cast("int"))
     val sr = right.withColumn("__salt",
       explode(sequence(lit(0), lit(salts - 1))))
     sl.join(sr, Seq(key, "__salt")).drop("__salt")

@@ -18,7 +18,11 @@ object Scratch {
     println(s"entry rows (driver smoke-check, must be >0): $n")
 
     val dir = "/root/testdata/sf0.01"
-    val headline = Seq(
+    // args override the headline set (each must be a queries key)
+    val headline = if (args.nonEmpty) {
+      args.toSeq.foreach(a => require(SparkEntry.queries.contains(a), s"unknown query: $a"))
+      args.toSeq
+    } else Seq(
       "q01_pricing_summary", "q02_filter_project", "q03_join_nation_revenue",
       "q05_latest_order_per_customer", "ev04_sessionize",
       "tx07_minhash_lsh_dedup", "sim01_knn_brute", "asof01_purchase_after_view")
