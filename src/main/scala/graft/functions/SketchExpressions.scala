@@ -302,6 +302,98 @@ case class WinnowFingerprints(child: Expression, w: Int) extends UnaryExpression
     copy(child = newChild)
 }
 
+/** Language ID over an array<string> of tokens in ONE pass: count
+  * marker-word hits per language, return the first language (in
+  * declaration order) whose count is >= all others — identical
+  * semantics to the CASE chain the DuckDB oracle runs.
+  *
+  * Exists because the composed form (one `filter` higher-order
+  * function per language profile) re-evaluates the inlined token
+  * split per profile and walks the tokens five times, interpreted.
+  */
+case class LangIdExpr(child: Expression, langs: Seq[String], markerSets: Seq[Seq[String]])
+    extends UnaryExpression {
+  require(langs.nonEmpty && langs.length == markerSets.length)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"lang_id expects array<string>, got $dt")
+  }
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    markerSets.map { ws =>
+      val s = new java.util.HashSet[UTF8String]()
+      ws.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  @transient private lazy val langStrs: Array[UTF8String] =
+    langs.map(UTF8String.fromString).toArray
+
+  private def pickWinner(counts: Array[Int]): Int = {
+    var i = 0
+    while (i < counts.length) {
+      var ok = true
+      var j = 0
+      while (ok && j < counts.length) { if (counts(j) > counts(i)) ok = false; j += 1 }
+      if (ok) return i
+      i += 1
+    }
+    counts.length - 1
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val counts = new Array[Int](sets.length)
+    val m = arr.numElements()
+    var j = 0
+    while (j < m) {
+      if (!arr.isNullAt(j)) {
+        val t = arr.getUTF8String(j)
+        var l = 0
+        while (l < sets.length) { if (sets(l).contains(t)) counts(l) += 1; l += 1 }
+      }
+      j += 1
+    }
+    langStrs(pickWinner(counts))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
+    val langsRef = ctx.addReferenceObj("langStrs", langStrs, "UTF8String[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val counts = ctx.freshName("counts"); val m = ctx.freshName("m")
+      val j = ctx.freshName("j"); val l = ctx.freshName("l"); val t = ctx.freshName("t")
+      val win = ctx.freshName("win"); val ok = ctx.freshName("ok"); val k = ctx.freshName("k")
+      val n = sets.length
+      s"""
+        int[] $counts = new int[$n];
+        int $m = $arr.numElements();
+        for (int $j = 0; $j < $m; $j++) {
+          if ($arr.isNullAt($j)) continue;
+          UTF8String $t = $arr.getUTF8String($j);
+          for (int $l = 0; $l < $n; $l++) {
+            if ($setsRef[$l].contains($t)) $counts[$l]++;
+          }
+        }
+        int $win = $n - 1;
+        for (int $l = 0; $l < $n; $l++) {
+          boolean $ok = true;
+          for (int $k = 0; $ok && $k < $n; $k++) { if ($counts[$k] > $counts[$l]) $ok = false; }
+          if ($ok) { $win = $l; break; }
+        }
+        ${ev.value} = $langsRef[$win];
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** 64-bit SimHash of an array<string> of tokens (per-bit ±1 votes). */
 case class SimHash64(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType

@@ -88,14 +88,13 @@ object TextFunctions {
     "zh" -> Seq("stream", "batch", "window"))
 
   /** Predicted language: first lang (in declaration order) whose vote
-    * count is >= all others — a CASE chain with first-match semantics,
-    * mirrored verbatim by the DuckDB oracle.
+    * count is >= all others — one native-expression pass over the
+    * tokens (the composed when-chain walked them once per profile),
+    * with semantics the DuckDB oracle's CASE chain mirrors verbatim.
     */
-  def langId(text: Column): Column = {
-    val scores = langMarkers.map { case (l, ws) => l -> tokenCountIn(text, ws) }
-    val whens = scores.init.map { case (lang, s) =>
-      (scores.filter(_._1 != lang).map(o => s >= o._2).reduce(_ && _), lang)
-    }
-    whens.foldRight(lit(scores.last._1)) { case ((c, l), e) => when(c, lit(l)).otherwise(e) }
-  }
+  def langId(text: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      LangIdExpr(
+        org.apache.spark.sql.graft.ColumnBridge.expression(tokens(text)),
+        langMarkers.map(_._1), langMarkers.map(_._2)))
 }
