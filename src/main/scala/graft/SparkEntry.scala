@@ -53,6 +53,8 @@ object SparkEntry {
     "ev13_moving_avg_revenue"       -> (Events.movingAvgRevenue _),
     "ev14_value_anomalies"          -> (Events.valueAnomalies _),
     "ev15_approx_distinct_users"    -> (Events.approxDistinctUsers _),
+    "ev16_sketch_dau"               -> (Events.sketchDau _),
+    "km01_spherical_kmeans"         -> (KMeans.km01 _),
     // Event sourcing / CQRS
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),

@@ -212,6 +212,25 @@ object Events {
       .agg(approx_count_distinct("user_id", 0.01).as("n_users_approx"),
            count(lit(1)).as("n_events"))
 
+  /** ev16: re-aggregatable distinct counts — hourly HLL sketches
+    * (Datasketches, `hll_sketch_agg`) unioned up to daily estimates.
+    * The 100 TB materialized-view pattern: store tiny sketches per
+    * fine bucket once, roll up to ANY coarser window without
+    * re-scanning raw events (exactly what a ClickHouse
+    * uniqState/uniqMerge MV does). Rows-only: estimates are
+    * engine-specific; exactness is ev07's job — the spec checks the
+    * estimate lands within HLL error of the exact DAU.
+    */
+  def sketchDau(s: SparkSession, dir: String): DataFrame = {
+    val hourly = ev(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sketch"))
+    hourly
+      .groupBy(date_trunc("day", col("hour")).as("day"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("dau_approx"))
+      .orderBy("day")
+  }
+
   /** es01: event-log replay → latest-state-per-entity projection
     * (knowledge-sovereign CQRS read-model pattern: knowledge_events →
     * knowledge_home_items).

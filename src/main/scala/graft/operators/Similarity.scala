@@ -80,9 +80,11 @@ object Similarity {
 
   /** Generic IVF over any (vec_id, embedding, label) corpus; `label`
     * seeds the coarse cells (one Lloyd update from the labeled
-    * partition — swap in k-means++ rounds for unlabeled corpora).
+    * partition — KMeans.fit for proper iterations). `probes` > 1
+    * searches the query's top-N cells (multi-probe: the standard
+    * recall knob — cost grows linearly in probes, never quadratic).
     */
-  def ivfAnnOn(e: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+  def ivfAnnOn(e: DataFrame, queryPred: Column, k: Int = 5, probes: Int = 1): DataFrame = {
     // centroid table: tiny (one cell per label), broadcast everywhere
     val centroids = e
       .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -101,9 +103,18 @@ object Similarity {
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("embedding"), col("cell"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // search: queries probe only their own cell
-    val queries = assigned.filter(queryPred)
-      .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    // search: queries probe their top-`probes` cells
+    val wProbe = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cell").asc)
+    val queries =
+      if (probes == 1)
+        assigned.filter(queryPred)
+          .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      else
+        e.filter(queryPred).join(broadcast(centroids))
+          .withColumn("cc", cosineSim(col("embedding"), col("centroid")))
+          .withColumn("rn", row_number().over(wProbe))
+          .filter(col("rn") <= probes)
+          .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     assigned.select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
       .join(broadcast(queries), Seq("cell"))

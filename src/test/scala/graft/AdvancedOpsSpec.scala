@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, KMeans, RangeJoin, Similarity}
+
+class AdvancedOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clustered = {
+    val rnd = new scala.util.Random(13)
+    (for (c <- 0 until 3; i <- 0 until 30) yield {
+      val v = Array.tabulate(8)(j => (if (j == c) 1.0f else 0.0f) + rnd.nextFloat() * 0.2f)
+      (c * 100L + i, v, (c + 1) % 3) // deliberately WRONG seed labels
+    }).toDF("vec_id", "embedding", "label")
+  }
+
+  test("kmeans: cost is non-decreasing across Lloyd iterations and recovers planted clusters") {
+    val e = clustered
+    val c1 = KMeans.cost(KMeans.fit(e, 1))
+    val c3 = KMeans.cost(KMeans.fit(e, 3))
+    assert(c3 >= c1 - 1e-9, s"cost decreased: $c1 -> $c3")
+    // after convergence each cluster should be pure: every vec groups
+    // with the others of its planted axis
+    val sizes = KMeans.fit(e, 3).groupBy("cluster").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.sameElements(Array(30L, 30L, 30L)), sizes.mkString(","))
+  }
+
+  test("multi-probe IVF recall is >= single-probe on clustered data") {
+    val e = clustered
+    val pred = col("vec_id") % 10 === 0
+    val brute = Similarity.knnBruteOn(e, pred).filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recall(probes: Int): Double = {
+      val ivf = Similarity.ivfAnnOn(e, pred, probes = probes).filter(col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      ivf.count { case (q, n) => brute.get(q).contains(n) }.toDouble / ivf.size
+    }
+    val r1 = recall(1); val r2 = recall(2)
+    assert(r2 >= r1, s"probes=2 recall $r2 < probes=1 recall $r1")
+    assert(r2 >= 0.9, s"multi-probe recall too low: $r2")
+  }
+
+  test("hll sketch DAU lands within error bounds of exact DAU") {
+    val approx = Events.sketchDau(spark, sfDir).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1).toDouble).toMap
+    val exact = Events.dailyActiveUsers(spark, sfDir).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (day, est) =>
+      val ex = exact(day).toDouble
+      assert(math.abs(est - ex) / ex < 0.05, s"$day: est $est vs exact $ex")
+    }
+  }
+
+  test("range join matches the naive containment join") {
+    val points = Seq((1L, 100L), (2L, 250L), (3L, 999L), (4L, 300L))
+      .toDF("pid", "t")
+    val intervals = Seq((10L, 90L, 260L), (11L, 250L, 400L), (12L, 500L, 600L))
+      .toDF("iid", "s", "e")
+    val got = RangeJoin.pointInInterval(points, intervals, "t", "s", "e", bucketSec = 60)
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = points.crossJoin(intervals)
+      .filter(col("t") >= col("s") && col("t") < col("e"))
+      .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive, s"got $got, want $naive")
+    assert(naive == Set((1L, 10L), (2L, 10L), (2L, 11L), (4L, 11L))) // sanity of the fixture
+  }
+}
