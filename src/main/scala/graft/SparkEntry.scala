@@ -37,6 +37,7 @@ object SparkEntry {
     "q17_part_supplier_catalog"     -> (Relational.partSupplierCatalog _),
     "q18_grouping_sets"             -> (Relational.groupingSets _),
     "q19_revenue_quartiles"         -> (Relational.revenueQuartiles _),
+    "q20_unpivot_measures"          -> (Relational.unpivotMeasures _),
     // Event / log analytics
     "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
     "ev02_error_rate"               -> (Events.errorRate _),
@@ -203,6 +204,14 @@ object SparkEntry {
          count(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15' THEN 1 END) AS n_expired,
          count(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15' THEN 1 END) AS n_retained
          FROM events GROUP BY event_type""",
+    "q20_unpivot_measures" ->
+      """SELECT measure, count(*) AS n, round(avg(value),4) AS avg_value, round(max(value),2) AS max_value
+         FROM (
+           SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+           UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+           UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+           UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+         GROUP BY measure""",
     "dq01_events_profile" ->
       """SELECT count(*) AS n_rows,
          count(CASE WHEN value IS NULL THEN 1 END) AS null_values,

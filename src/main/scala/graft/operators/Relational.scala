@@ -197,6 +197,20 @@ object Relational {
            round(min("revenue"), 2).as("min_revenue"))
   }
 
+  /** q20: unpivot/melt — wide measure columns to (measure, value) long
+    * form, then per-measure stats (the metric-explorer shape: one
+    * chart per measure from one scan).
+    */
+  def unpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"),
+           round(max("value"), 2).as("max_value"))
+
   /** q17: part/supplier catalog rollup (TPC-H Q2 shape): cheapest part
     * per brand with supplier-nation context — exercises the remaining
     * dimension tables with broadcast joins and a per-brand argmin.

@@ -46,6 +46,43 @@ object StreamOps {
   def enrich(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
     stream.join(broadcast(dim), key)
 
+  /** st06: incremental CQRS projection — maintain a latest-state-per-key
+    * table from an event stream with foreachBatch merge (the
+    * knowledge-sovereign projector loop: knowledge_events →
+    * knowledge_home_items, kept fresh per micro-batch instead of
+    * replayed). Each batch reduces to its per-key latest row, then
+    * merges against the existing projection parquet.
+    */
+  def maintainProjection(events: DataFrame, keyCol: String, tsCol: String,
+                         projectionPath: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val spark = batch.sparkSession
+        val latestInBatch = batch
+          .withColumn("__rn", row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+              .orderBy(col(tsCol).desc)))
+          .filter(col("__rn") === 1).drop("__rn")
+        val merged =
+          if (new java.io.File(projectionPath).exists()) {
+            val existing = spark.read.parquet(projectionPath)
+            existing.unionByName(latestInBatch)
+              .withColumn("__rn", row_number().over(
+                org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+                  .orderBy(col(tsCol).desc)))
+              .filter(col("__rn") === 1).drop("__rn")
+          } else latestInBatch
+        // write to a tmp dir then swap: the projection read above and the
+        // overwrite below cannot share a path mid-job
+        val tmp = projectionPath + "__staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        val target = new java.io.File(projectionPath)
+        if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
+        new java.io.File(tmp).renameTo(target)
+        ()
+      }
+    }.start()
+
   case class SessionInput(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)

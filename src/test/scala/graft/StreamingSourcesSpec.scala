@@ -181,6 +181,25 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st06 foreachBatch projection maintains latest state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft-proj").toFile.getAbsolutePath + "/proj"
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.maintainProjection(
+      mem.toDF.toDF("user_id", "ts", "state"), "user_id", "ts", path)
+    try {
+      mem.addData((1L, ts(0), "created"), (2L, ts(1), "created"))
+      q.processAllAvailable()
+      mem.addData((1L, ts(10), "updated")) // newer state for user 1
+      q.processAllAvailable()
+      mem.addData((2L, ts(0), "stale"))    // OLDER than user 2's state — must not win
+      q.processAllAvailable()
+      val proj = spark.read.parquet(path).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(proj == Map(1L -> "updated", 2L -> "created"), proj.toString)
+    } finally q.stop()
+  }
+
   test("mm01 binary feature extraction is deterministic with typed schema") {
     val media = Seq(
       BinaryMeta.MediaRow(1L, "image", Array[Byte](1, 2, 3, 4)),
