@@ -1,8 +1,10 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.types._
@@ -316,7 +318,10 @@ case class LangIdExpr(child: Expression, langs: Seq[String], markerSets: Seq[Seq
   require(langs.nonEmpty && langs.length == markerSets.length)
 
   override def dataType: DataType = StringType
-  override def nullable: Boolean = child.nullable
+  // null input classifies as the LAST language (all-zero counts fall
+  // through to it) — matching the replaced when-chain and the oracle's
+  // CASE ... ELSE, where null comparisons fail every branch
+  override def nullable: Boolean = false
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -345,8 +350,10 @@ case class LangIdExpr(child: Expression, langs: Seq[String], markerSets: Seq[Seq
     counts.length - 1
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) return langStrs(langStrs.length - 1)
+    val arr = v.asInstanceOf[ArrayData]
     val counts = new Array[Int](sets.length)
     val m = arr.numElements()
     var j = 0
@@ -364,30 +371,37 @@ case class LangIdExpr(child: Expression, langs: Seq[String], markerSets: Seq[Seq
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val setsRef = ctx.addReferenceObj("langSets", sets, "java.util.HashSet[]")
     val langsRef = ctx.addReferenceObj("langStrs", langStrs, "UTF8String[]")
-    nullSafeCodeGen(ctx, ev, arr => {
-      val counts = ctx.freshName("counts"); val m = ctx.freshName("m")
-      val j = ctx.freshName("j"); val l = ctx.freshName("l"); val t = ctx.freshName("t")
-      val win = ctx.freshName("win"); val ok = ctx.freshName("ok"); val k = ctx.freshName("k")
-      val n = sets.length
-      s"""
-        int[] $counts = new int[$n];
-        int $m = $arr.numElements();
-        for (int $j = 0; $j < $m; $j++) {
-          if ($arr.isNullAt($j)) continue;
-          UTF8String $t = $arr.getUTF8String($j);
-          for (int $l = 0; $l < $n; $l++) {
-            if ($setsRef[$l].contains($t)) $counts[$l]++;
+    val childGen = child.genCode(ctx)
+    val counts = ctx.freshName("counts"); val m = ctx.freshName("m")
+    val j = ctx.freshName("j"); val l = ctx.freshName("l"); val t = ctx.freshName("t")
+    val win = ctx.freshName("win"); val ok = ctx.freshName("ok"); val k = ctx.freshName("k")
+    val n = sets.length
+    val code =
+      code"""
+        ${childGen.code}
+        UTF8String ${ev.value};
+        if (${childGen.isNull}) {
+          ${ev.value} = $langsRef[$n - 1];
+        } else {
+          int[] $counts = new int[$n];
+          int $m = ${childGen.value}.numElements();
+          for (int $j = 0; $j < $m; $j++) {
+            if (${childGen.value}.isNullAt($j)) continue;
+            UTF8String $t = ${childGen.value}.getUTF8String($j);
+            for (int $l = 0; $l < $n; $l++) {
+              if ($setsRef[$l].contains($t)) $counts[$l]++;
+            }
           }
+          int $win = $n - 1;
+          for (int $l = 0; $l < $n; $l++) {
+            boolean $ok = true;
+            for (int $k = 0; $ok && $k < $n; $k++) { if ($counts[$k] > $counts[$l]) $ok = false; }
+            if ($ok) { $win = $l; break; }
+          }
+          ${ev.value} = $langsRef[$win];
         }
-        int $win = $n - 1;
-        for (int $l = 0; $l < $n; $l++) {
-          boolean $ok = true;
-          for (int $k = 0; $ok && $k < $n; $k++) { if ($counts[$k] > $counts[$l]) $ok = false; }
-          if ($ok) { $win = $l; break; }
-        }
-        ${ev.value} = $langsRef[$win];
       """
-    })
+    ev.copy(code = code, isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

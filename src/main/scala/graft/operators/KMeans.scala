@@ -2,10 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
-import graft.functions.VectorFunctions.cosineSim
 
 /** Spherical k-means (cosine Lloyd iterations) over an embedding
   * corpus.
@@ -21,39 +19,31 @@ import graft.functions.VectorFunctions.cosineSim
   */
 object KMeans {
 
-  private def centroidsOf(assigned: DataFrame): DataFrame =
-    assigned
-      .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cluster", "pos")
-      .agg(avg(col("v").cast("double")).as("c"))
-      .groupBy("cluster")
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
-      .select(col("cluster"), transform(col("pairs"), p => p.getField("c")).as("centroid"))
-
-  private def assign(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cluster").asc)
-    e.join(broadcast(centroids))
-      .withColumn("cc", cosineSim(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cluster"), col("cc"))
-  }
-
   /** Run `iters` Lloyd iterations from label-seeded clusters; returns
-    * (vec_id, cluster, cc) assignments of the final iteration.
+    * (vec_id, cluster, cc) assignments of the final iteration. Uses
+    * the shared Similarity.centroidsFor / assignToCentroids building
+    * blocks; each iteration's cache is dropped once the next one
+    * materializes (only the corpus + the live assignment stay cached).
     */
   def fit(e: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     val corpus = e.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
-    var assigned = e.select(col("vec_id"), col("embedding"), col("label").as("cluster"))
+    var assigned = e.select(col("vec_id"), col("embedding"), col("label").as("cell"))
       .withColumn("cc", lit(null).cast("double"))
+    var prev: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
-      val cents = centroidsOf(assigned)
-      assigned = assign(corpus, cents).persist(StorageLevel.MEMORY_AND_DISK)
+      val cents = Similarity.centroidsFor(assigned, "cell")
+      val next = Similarity.assignToCentroids(corpus, cents)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before dropping what it was built from
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      assigned = next
       i += 1
     }
-    assigned
+    corpus.unpersist()
+    assigned.withColumnRenamed("cell", "cluster")
   }
 
   /** Mean cosine of vectors to their assigned centroid — the

@@ -26,12 +26,23 @@ object RangeJoin {
                       ptsCol: String, startCol: String, endCol: String,
                       bucketSec: Long): DataFrame = {
     require(bucketSec > 0)
-    val p = points.withColumn("__bucket", (col(ptsCol) / bucketSec).cast("long"))
-    val iv = intervals.withColumn("__bucket",
-      explode(sequence((col(startCol) / bucketSec).cast("long"),
-                       ((col(endCol) - 1) / bucketSec).cast("long"))))
-    p.join(iv, "__bucket")
-      .filter(col(ptsCol) >= col(startCol) && col(ptsCol) < col(endCol))
-      .drop("__bucket")
+    require(!points.columns.contains("__rj_bucket") && !intervals.columns.contains("__rj_bucket"),
+      "__rj_bucket is reserved by pointInInterval")
+    val p = points.withColumn("__rj_bucket", (col(ptsCol) / bucketSec).cast("long")).alias("__rj_p")
+    val iv = intervals
+      // a malformed end <= start interval matches nothing — and must not
+      // reach sequence(), where start > stop generates a huge DESCENDING
+      // bucket array and kills the job
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__rj_bucket",
+        explode(sequence((col(startCol) / bucketSec).cast("long"),
+                         ((col(endCol) - 1) / bucketSec).cast("long"))))
+      .alias("__rj_iv")
+    // qualified refs: points and intervals may legitimately share column
+    // names (ts, service, …) — the join must not become ambiguous
+    p.join(iv, col("__rj_p.__rj_bucket") === col("__rj_iv.__rj_bucket"))
+      .filter(col(s"__rj_p.$ptsCol") >= col(s"__rj_iv.$startCol") &&
+              col(s"__rj_p.$ptsCol") < col(s"__rj_iv.$endCol"))
+      .drop("__rj_bucket")
   }
 }

@@ -42,6 +42,30 @@ object Similarity {
   def knnBrute(s: SparkSession, dir: String): DataFrame =
     knnBruteOn(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
 
+  /** Elementwise-mean centroid per value of `cellCol` → (cell,
+    * centroid: array<double>). Shared by IVF, k-means, and the
+    * centroid-summary query — fix the math once, every caller follows.
+    */
+  private[operators] def centroidsFor(e: DataFrame, cellCol: String): DataFrame =
+    e.select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("cell", "pos")
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy("cell")
+      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
+      .select(col("cell"), transform(col("pairs"), p => p.getField("c")).as("centroid"))
+
+  /** Assign each vector to its nearest broadcast centroid (argmax
+    * cosine, cell-asc tie-break) → (vec_id, embedding, cell, cc).
+    */
+  private[operators] def assignToCentroids(e: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cell").asc)
+    e.select("vec_id", "embedding").join(broadcast(centroids))
+      .withColumn("cc", cosineSim(col("embedding"), col("centroid")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell"), col("cc"))
+  }
+
   /** sim02: per-label centroid (one k-means assignment step's "update"
     * half) — elementwise mean via posexplode, centroid norm as the
     * oracle-checkable scalar summary.
@@ -86,22 +110,11 @@ object Similarity {
     */
   def ivfAnnOn(e: DataFrame, queryPred: Column, k: Int = 5, probes: Int = 1): DataFrame = {
     // centroid table: tiny (one cell per label), broadcast everywhere
-    val centroids = e
-      .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cell", "pos")
-      .agg(avg(col("v").cast("double")).as("c"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
-      .select(col("cell"), transform(col("pairs"), p => p.getField("c")).as("centroid"))
-    // assign: nearest centroid per vector (broadcast cross, argmax window)
-    val wAssign = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cell").asc)
+    val centroids = centroidsFor(e, "label")
     // persisted: feeds both sides of the search join — without it the
     // centroid build + assignment window runs twice
-    val assigned = e.join(broadcast(centroids))
-      .withColumn("cc", cosineSim(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"))
+    val assigned = assignToCentroids(e, centroids)
+      .select("vec_id", "embedding", "cell")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // search: queries probe their top-`probes` cells
     val wProbe = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cell").asc)
@@ -110,7 +123,7 @@ object Similarity {
         assigned.filter(queryPred)
           .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       else
-        e.filter(queryPred).join(broadcast(centroids))
+        e.filter(queryPred).select("vec_id", "embedding").join(broadcast(centroids))
           .withColumn("cc", cosineSim(col("embedding"), col("centroid")))
           .withColumn("rn", row_number().over(wProbe))
           .filter(col("rn") <= probes)

@@ -55,32 +55,49 @@ object StreamOps {
     */
   def maintainProjection(events: DataFrame, keyCol: String, tsCol: String,
                          projectionPath: String): org.apache.spark.sql.streaming.StreamingQuery =
-    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
-      if (!batch.isEmpty) {
-        val spark = batch.sparkSession
-        val latestInBatch = batch
-          .withColumn("__rn", row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
-              .orderBy(col(tsCol).desc)))
-          .filter(col("__rn") === 1).drop("__rn")
-        val merged =
-          if (new java.io.File(projectionPath).exists()) {
-            val existing = spark.read.parquet(projectionPath)
-            existing.unionByName(latestInBatch)
-              .withColumn("__rn", row_number().over(
-                org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
-                  .orderBy(col(tsCol).desc)))
-              .filter(col("__rn") === 1).drop("__rn")
-          } else latestInBatch
-        // write to a tmp dir then swap: the projection read above and the
-        // overwrite below cannot share a path mid-job
-        val tmp = projectionPath + "__staging"
-        merged.write.mode("overwrite").parquet(tmp)
-        val target = new java.io.File(projectionPath)
-        if (target.exists()) org.apache.commons.io.FileUtils.deleteDirectory(target)
-        new java.io.File(tmp).renameTo(target)
-        ()
-      }
+    events.writeStream.foreachBatch { (rawBatch: DataFrame, _: Long) =>
+      // persist: otherwise isEmpty runs one job and the merge re-reads
+      // the batch source a second time
+      val batch = rawBatch.persist()
+      try {
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // ts desc + content-hash tie-break: equal-timestamp events and
+          // at-least-once replays must resolve to the SAME winner every
+          // time, or recovery can flip committed state
+          def latest(df: DataFrame): DataFrame = df
+            .withColumn("__rn", row_number().over(
+              org.apache.spark.sql.expressions.Window.partitionBy(keyCol)
+                .orderBy(col(tsCol).desc, xxhash64(df.columns.map(col): _*).asc)))
+            .filter(col("__rn") === 1).drop("__rn")
+          val target = new java.io.File(projectionPath)
+          val backup = new java.io.File(projectionPath + "__backup")
+          // crash recovery: a previous run that died mid-swap leaves the
+          // state in the backup dir
+          if (!target.exists() && backup.exists()) {
+            if (!backup.renameTo(target))
+              throw new IllegalStateException(s"projection recovery rename failed: $backup -> $target")
+          }
+          val merged =
+            if (target.exists())
+              latest(spark.read.parquet(projectionPath).unionByName(batch))
+            else latest(batch)
+          // staged swap with explicit failure checks — never delete the
+          // only copy before its replacement is in place
+          val staging = new java.io.File(projectionPath + "__staging")
+          if (staging.exists()) org.apache.commons.io.FileUtils.deleteDirectory(staging)
+          merged.write.mode("overwrite").parquet(staging.getPath)
+          if (target.exists()) {
+            if (backup.exists()) org.apache.commons.io.FileUtils.deleteDirectory(backup)
+            if (!target.renameTo(backup))
+              throw new IllegalStateException(s"projection swap rename failed: $target -> $backup")
+          }
+          if (!staging.renameTo(target))
+            throw new IllegalStateException(s"projection swap rename failed: $staging -> $target")
+          if (backup.exists()) org.apache.commons.io.FileUtils.deleteDirectory(backup)
+        }
+      } finally batch.unpersist()
+      ()
     }.start()
 
   case class SessionInput(user_id: Long, ts: Timestamp)

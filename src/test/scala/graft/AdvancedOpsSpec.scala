@@ -64,5 +64,12 @@ class AdvancedOpsSpec extends SparkSpec {
       .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == naive, s"got $got, want $naive")
     assert(naive == Set((1L, 10L), (2L, 10L), (2L, 11L), (4L, 11L))) // sanity of the fixture
+    // a malformed end<start interval matches nothing and must not blow
+    // up sequence(); shared column names must not be ambiguous
+    val bad = Seq((13L, 1700000000L, 0L)).toDF("iid", "s", "e")
+    assert(RangeJoin.pointInInterval(points, bad, "t", "s", "e", 60).count() == 0)
+    val sharedName = intervals.withColumnRenamed("iid", "pid")
+    val r = RangeJoin.pointInInterval(points, sharedName, "t", "s", "e", 60)
+    assert(r.count() == 4) // same matches, no AMBIGUOUS_REFERENCE
   }
 }

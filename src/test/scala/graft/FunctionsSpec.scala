@@ -26,6 +26,10 @@ class FunctionsSpec extends SparkSpec {
     ).toDF("text", "expected")
     val got = df.select(col("expected"), langId(col("text")).as("got")).collect()
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+    // null text falls through to the last language, like the oracle's
+    // CASE ... ELSE (null comparisons fail every branch)
+    val n = Seq(Option.empty[String]).toDF("text").select(langId(col("text"))).head
+    assert(!n.isNullAt(0) && n.getString(0) == "zh", n.toString)
   }
 
   test("stripHtml removes tags/scripts and decodes entities") {
