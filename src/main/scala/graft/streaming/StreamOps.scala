@@ -31,6 +31,21 @@ object StreamOps {
       .agg(count(lit(1)).as("n"))
       .select(col("window.start").as("bucket"), col("event_type"), col("n"))
 
+  /** st07: streaming error-rate SLI — the exact streaming form of
+    * clickhouse sli_error_rate_mv (countIf/count per window), emitted
+    * once per closed window via watermark.
+    */
+  def windowedErrorRate(events: DataFrame, windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        count(lit(1)).as("n_total"))
+      .select(col("window.start").as("bucket"), col("n_errors"), col("n_total"),
+              round(col("n_errors") / col("n_total"), 4).as("error_rate"))
+
   /** st03: watermarked streaming dedup on event_id — the at-least-once →
     * exactly-once compaction mq-hub performs on redelivery.
     */

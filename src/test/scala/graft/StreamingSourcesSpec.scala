@@ -29,6 +29,23 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st07 streaming error rate emits closed windows with correct ratios") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = StreamOps.windowedErrorRate(
+      mem.toDF.toDF("ts", "event_type"), "10 minutes", "30 minutes")
+    val q = df.writeStream.format("memory").queryName("st07").outputMode("append").start()
+    try {
+      mem.addData((ts(0), "view"), (ts(1), "error"), (ts(2), "view"), (ts(3), "error"))
+      q.processAllAvailable()
+      mem.addData((ts(120), "view")) // push watermark, close first window
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT n_errors, n_total, error_rate FROM st07").collect()
+      assert(rows.exists(r => r.getLong(0) == 2 && r.getLong(1) == 4 && r.getDouble(2) == 0.5),
+        rows.mkString(","))
+    } finally q.stop()
+  }
+
   test("st03 streaming dedup drops redelivered events") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Long, Timestamp)]
