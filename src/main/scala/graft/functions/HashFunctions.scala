@@ -8,8 +8,9 @@ import org.apache.spark.sql.graft.ColumnBridge
   * fingerprints.
   *
   * Mirrors recap-worker's sentence-level XXH3 near-duplicate filtering
-  * (recap-worker/recap-worker/src/util/text.rs — hash-based dedup before
-  * recap compilation), generalized to the standard large-corpus sketches
+  * (recap-worker/recap-worker/src/util/text.rs:11 hash_text/xxh3_64 and
+  * text.rs:30 rolling_hash_windows — hash-based dedup before recap
+  * compilation), generalized to the standard large-corpus sketches
   * an LLM-data pipeline needs.
   *
   * The per-row sketches (minhash signature, simhash) are native Catalyst

@@ -8,12 +8,12 @@ import graft.Tables
 /** Event / log analytics over the `events` fact table.
   *
   * Mirrors the reference's ClickHouse SLI pipeline
-  * (clickhouse/migrations/009_create_sli_metrics.sql: per-minute
+  * (clickhouse/migrations/009_create_sli_metrics.sql:21 — per-minute
   * error-rate and throughput materialized views) and the Grafana SLO
   * queries over http_logs (clickhouse/migrations/002,003), plus the
   * event-sourced CQRS projections of knowledge-sovereign
-  * (knowledge-sovereign/migrations/00001_initial_schema.sql,
-  * 00006_partition_knowledge_events.sql).
+  * (knowledge-sovereign/migrations/00001_initial_schema.sql:8
+  * knowledge_events, 00006_partition_knowledge_events.sql).
   *
   * Scale notes: every query shuffles once on (bucket and/or user) keys
   * with map-side partial aggregation; windows partition on

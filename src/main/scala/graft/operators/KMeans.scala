@@ -9,7 +9,7 @@ import graft.Tables
   * corpus.
   *
   * Mirrors recap-worker's clustering step
-  * (recap-worker/recap-worker/src/util/kmeans.rs — k-means over
+  * (recap-worker/recap-worker/src/util/kmeans.rs:22 KMeans::new — k-means over
   * sentence embeddings for recap grouping), as iterated DataFrame
   * plans: each iteration is one broadcast-assign (no shuffle of the
   * corpus) plus one posexplode aggregation (one shuffle keyed by

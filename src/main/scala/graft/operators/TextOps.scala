@@ -9,7 +9,8 @@ import graft.functions.TextFunctions._
 /** Text-analysis operators over the `documents` table.
   *
   * Mirrors tag-generator's TF-IDF keyword extraction
-  * (tag-generator/app/tag_extractor/english_extractor.py), recap-worker's
+  * (tag-generator/app/tag_extractor/english_extractor.py:15
+  * extract_keywords_english), recap-worker's
   * tokenization / language-classification / quality filters
   * (recap-worker/recap-worker/src/util/text.rs), and search-indexer's
   * token preparation.
