@@ -60,6 +60,7 @@ object SparkEntry {
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),
     "es03_retention_ttl"            -> (Events.retentionTtl _),
+    "es04_weekly_recap_rollup"      -> (Events.weeklyRecapRollup _),
     "asof01_purchase_after_view"    -> (AsOf.purchaseAfterView _),
     // Text analysis
     "tx01_token_stats"              -> (TextOps.tokenStats _),
@@ -252,6 +253,12 @@ object SparkEntry {
                 count(*) AS n_total
          FROM events JOIN st ON event_type = t
          GROUP BY event_type""",
+    "es04_weekly_recap_rollup" ->
+      """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week,
+         count(*) AS n_events,
+         count(DISTINCT user_id) AS active_users,
+         round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS revenue
+         FROM events GROUP BY 1""",
     "asof01_purchase_after_view" ->
       """WITH u AS (
            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS is_left

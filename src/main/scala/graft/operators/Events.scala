@@ -252,6 +252,18 @@ object Events {
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
 
+  /** es04: the weekly-recap rollup cadence (recap-worker compiles
+    * weekly recaps; this is its input aggregation): per ISO week,
+    * event volume, revenue, and active users.
+    */
+  def weeklyRecapRollup(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("active_users"),
+        round(sum(when(col("event_type") === "purchase", col("value"))), 2).as("revenue"))
+
   /** es03: retention/TTL accounting — rows kept vs expired at a cutoff
     * (ClickHouse `TTL timestamp + INTERVAL 2 DAY DELETE` in
     * clickhouse/migrations/001, knowledge-sovereign retention tables).
