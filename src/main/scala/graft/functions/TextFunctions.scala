@@ -56,6 +56,15 @@ object TextFunctions {
     round(lit(0.5) * lenScore + lit(0.5) * density, 4)
   }
 
+  /** Sentence segmentation: split on terminal punctuation followed by
+    * whitespace (recap-worker/recap-worker/src/util/text.rs:19
+    * split_sentences — the granularity its XXH3 near-dup filter hashes
+    * at). Compose with HashFunctions for sentence-level dedup:
+    * explode(sentences) → xxhash64 → groupBy.
+    */
+  def sentences(text: Column): Column =
+    filter(split(trim(text), "(?<=[.!?])\\s+"), s => length(trim(s)) > 0)
+
   /** Strip HTML to text: remove script/style subtrees, drop tags,
     * decode the common entities, collapse whitespace — the article-body
     * cleaning step of the reference's ingestion (pre-processor's

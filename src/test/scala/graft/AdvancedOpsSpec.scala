@@ -52,6 +52,27 @@ class AdvancedOpsSpec extends SparkSpec {
     }
   }
 
+  test("label propagation converges on a two-community graph") {
+    import graft.operators.Graph
+    // clique A={1,2,3} seeded "a"; clique B={4..8} seeded "b" except a
+    // wrong seed on 8; one bridge 3-4. Majorities are tie-free, so one
+    // round fixes 8 and the labeling is a fixed point thereafter
+    // (synchronous LPA oscillates on tie-heavy graphs — that's inherent
+    // to the algorithm, not this implementation).
+    def clique(ns: Seq[Long]) = for (a <- ns; b <- ns if a != b) yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L)) ++ clique(Seq(4L, 5L, 6L, 7L, 8L)) ++
+      Seq((3L, 4L), (4L, 3L))).toDF("src", "dst")
+    val seed = (Seq(1L -> "a", 2L -> "a", 3L -> "a", 8L -> "a") ++
+      Seq(4L, 5L, 6L, 7L).map(_ -> "b")).toDF("node", "label")
+    val once = Graph.propagate(edges, seed)
+    val labels = once.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(labels(_) == "a"), labels.toString)
+    assert(Seq(4L, 5L, 6L, 7L, 8L).forall(labels(_) == "b"), labels.toString)
+    // fixed point: further rounds change nothing
+    val twice = Graph.propagate(edges, once)
+    assert(twice.exceptAll(once).isEmpty)
+  }
+
   test("range join matches the naive containment join") {
     val points = Seq((1L, 100L), (2L, 250L), (3L, 999L), (4L, 300L))
       .toDF("pid", "t")

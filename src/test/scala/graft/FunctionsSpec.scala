@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.functions.HashFunctions._
 import graft.functions.VectorFunctions
@@ -30,6 +31,19 @@ class FunctionsSpec extends SparkSpec {
     // CASE ... ELSE (null comparisons fail every branch)
     val n = Seq(Option.empty[String]).toDF("text").select(langId(col("text"))).head
     assert(!n.isNullAt(0) && n.getString(0) == "zh", n.toString)
+  }
+
+  test("sentence segmentation splits on terminal punctuation") {
+    val got = Seq("First one. Second!  Third?Trailing not split. ")
+      .toDF("t").select(TextFunctions.sentences(col("t"))).head.getSeq[String](0)
+    assert(got == Seq("First one.", "Second!", "Third?Trailing not split."), got.toString)
+    // sentence-level exact dedup composes: same sentence hashes equal
+    val h = Seq("A b c. D e f.", "D e f. Zzz.")
+      .toDF("t")
+      .select(explode(TextFunctions.sentences(col("t"))).as("s"))
+      .groupBy(xxhash64(col("s"))).count()
+      .filter(col("count") > 1).count()
+    assert(h == 1) // "D e f." appears in both docs
   }
 
   test("stripHtml removes tags/scripts and decodes entities") {
