@@ -217,6 +217,24 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("src04 ingestion pipeline: parse → strip → quality gate → dedup") {
+    def item(link: String, date: String, desc: String) =
+      s"<item><title>T</title><link>$link</link><pubDate>$date</pubDate>" +
+      s"<description>$desc</description></item>"
+    val items = Seq(
+      ("f1", item("u1", "Mon, 05 Jan 2026 10:00:00 +0000",
+        "<p>The quick &amp; clean article body here</p>")),
+      ("f2", item("u2", "Tue, 06 Jan 2026 10:00:00 +0000",
+        "The quick &amp; clean article body here")),   // same text post-strip, later date
+      ("f1", item("u3", "Mon, 05 Jan 2026 11:00:00 +0000", "<b>ok</b>")) // fails quality gate
+    ).toDF("feed_url", "item_xml")
+    val corpus = graft.sources.Ingest.feedToCorpus(items).collect()
+    assert(corpus.length == 1, corpus.mkString(","))
+    val a = corpus.head
+    assert(a.getAs[String]("link") == "u1") // earliest published copy wins
+    assert(a.getAs[String]("text") == "The quick & clean article body here")
+  }
+
   test("mm01 binary feature extraction is deterministic with typed schema") {
     val media = Seq(
       BinaryMeta.MediaRow(1L, "image", Array[Byte](1, 2, 3, 4)),
