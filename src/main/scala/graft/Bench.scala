@@ -35,9 +35,6 @@ object Bench {
       try load(spark, sfDir).limit(1).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => System.err.println(s"[bench] warmup $t: ${e.getMessage}") }
     }
-    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir)
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
     // best of two runs per query: the VM has noisy neighbors and the
     // min over repetitions is the standard steady-state cost estimate
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
