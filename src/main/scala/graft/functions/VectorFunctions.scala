@@ -104,25 +104,48 @@ object VectorFunctions {
     ColumnBridge.column(
       CosineSimilarity(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
-  private val cosineInfo =
-    new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine")
-  private val cosineBuilder: Seq[Expression] => Expression =
-    exprs => CosineSimilarity(exprs(0), exprs(1))
-
-  /** Register `graft_cosine` for SQL use in an existing session. */
+  /** Register every graft SQL function in an existing session. */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry
-      .registerFunction(FunctionIdentifier("graft_cosine"), cosineInfo, cosineBuilder)
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, name), builder)
+    }
 }
 
 /** `spark.sql.extensions=graft.functions.GraftExtensions` installs the
-  * graft SQL functions cluster-wide (the production path; `register`
-  * above is the ad-hoc path).
+  * graft SQL functions cluster-wide (the production path;
+  * `VectorFunctions.register` is the ad-hoc path). Integer literals
+  * parameterize k/bands/window where the expression needs them.
   */
+object GraftExtensions {
+  private def intArg(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  }
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
+    "graft_minhash" -> (es =>
+      MinHashSignature(es(0), if (es.length > 1) intArg(es(1), "k") else 64)),
+    "graft_minhash_bands" -> (es => MinHashBands(es(0),
+      if (es.length > 1) intArg(es(1), "k") else 64,
+      if (es.length > 2) intArg(es(2), "bands") else 16)),
+    "graft_shingles" -> (es => WordShingles(es(0), intArg(es(1), "n"))),
+    "graft_simhash" -> (es => SimHash64(es(0))),
+    "graft_winnow" -> (es =>
+      WinnowFingerprints(es(0), if (es.length > 1) intArg(es(1), "w") else 4)),
+    "graft_lang_id" -> (es => LangIdExpr(es(0),
+      TextFunctions.langMarkers.map(_._1), TextFunctions.langMarkers.map(_._2))),
+    "graft_simhash_agg" -> (es => SimHashAgg(es(0)).toAggregateExpression()))
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction((
-      FunctionIdentifier("graft_cosine"),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    GraftExtensions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
+        builder))
+    }
 }

@@ -140,9 +140,21 @@ class FunctionsSpec extends SparkSpec {
     assert(r.nonEmpty && !r.contains(Long.MaxValue))
   }
 
-  test("graft_cosine SQL registration") {
+  test("graft SQL function registration covers the full native surface") {
     VectorFunctions.register(spark)
     val r = spark.sql("SELECT graft_cosine(array(1.0F, 2.0F), array(1.0F, 2.0F)) AS c").head
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(spark.sql("SELECT graft_simhash(array('a','b'))").head.getLong(0) ==
+           spark.sql("SELECT graft_simhash(array('a','b'))").head.getLong(0))
+    assert(spark.sql("SELECT size(graft_minhash(array('x'), 32))").head.getInt(0) == 32)
+    assert(spark.sql("SELECT graft_shingles(array('a','b','c'), 2)").head.getSeq[String](0)
+      == Seq("a b", "b c"))
+    assert(spark.sql("SELECT graft_lang_id(array('the','a'))").head.getString(0) == "en")
+    assert(spark.sql("SELECT size(graft_winnow(array('a','b','c','d','e')))").head.getInt(0) >= 1)
+    // the aggregate form, via SQL GROUP BY, equals the per-array form
+    val agg = spark.sql(
+      "SELECT graft_simhash_agg(t) FROM (SELECT explode(array('a','b','c')) AS t)").head.getLong(0)
+    val arr = spark.sql("SELECT graft_simhash(array('a','b','c'))").head.getLong(0)
+    assert(agg == arr)
   }
 }
