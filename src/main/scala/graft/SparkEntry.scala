@@ -295,7 +295,7 @@ object SparkEntry {
                 round(2.0 * len(list_intersect(cand, ref)) / (len(cand) + len(ref)), 4) AS rouge_f1
          FROM cand JOIN ref USING (cand_id)""",
     "tx13_bpe_token_count" ->
-      """SELECT sum(n) AS total_tokens, round(avg(n),2) AS avg_tokens, max(n) AS max_tokens
+      """SELECT CAST(sum(n) AS BIGINT) AS total_tokens, round(avg(n),2) AS avg_tokens, max(n) AS max_tokens
          FROM (SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n
                FROM documents)""",
     "lp01_label_propagation" ->
@@ -332,7 +332,7 @@ object SparkEntry {
                epoch(ts_s) - epoch(lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap_s
                FROM e)
          SELECT user_id,
-                sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS n_sessions,
+                CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                 count(*) AS n_events
          FROM g GROUP BY user_id""",
     "ev05_top_purchasers" ->
@@ -381,7 +381,7 @@ object SparkEntry {
          FROM events GROUP BY 1, 2""",
     "tx01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
-         sum(len(string_split_regex(trim(text), '\s+'))) AS total_tokens,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
          round(avg(len(string_split_regex(trim(text), '\s+'))), 2) AS avg_tokens,
          max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
          FROM documents GROUP BY lang""",
