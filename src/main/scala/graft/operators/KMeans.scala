@@ -30,19 +30,17 @@ object KMeans {
     val corpus = e.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
     var assigned = e.select(col("vec_id"), col("embedding"), col("label").as("cell"))
       .withColumn("cc", lit(null).cast("double"))
-    var prev: Option[DataFrame] = None
     var i = 0
     while (i < iters) {
+      // assignToCentroids collects the k centroids to the driver and
+      // bakes them into the next plan as literals, so each iteration's
+      // lineage is exactly (corpus cache scan → one projection) — no
+      // chained lineage, no per-iteration persist, no corpus fan-out.
       val cents = Similarity.centroidsFor(assigned, "cell")
-      val next = Similarity.assignToCentroids(corpus, cents)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before dropping what it was built from
-      prev.foreach(_.unpersist())
-      prev = Some(next)
-      assigned = next
+      assigned = Similarity.assignToCentroids(corpus, cents)
       i += 1
     }
-    corpus.unpersist()
+    corpus.unpersist(blocking = false)
     assigned.withColumnRenamed("cell", "cluster")
   }
 

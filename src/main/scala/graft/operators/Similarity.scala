@@ -54,16 +54,41 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
       .select(col("cell"), transform(col("pairs"), p => p.getField("c")).as("centroid"))
 
-  /** Assign each vector to its nearest broadcast centroid (argmax
-    * cosine, cell-asc tie-break) → (vec_id, embedding, cell, cc).
+  /** Assign each vector to its nearest centroid (argmax cosine,
+    * cell-asc tie-break) → (vec_id, embedding, cell, cc).
+    *
+    * The centroid table is tiny (≤ k rows × dim) so it is collected to
+    * the driver and baked into the plan as literals — the per-row
+    * argmax is then ONE projection over the corpus: k codegen'd
+    * cosine kernels into an array, `array_max` + `array_position` for
+    * the winner. No join, no window, no shuffle, and the corpus never
+    * fans out ×k — the same driver-side-centroids shape MLlib's
+    * k-means uses, which is what survives a 100 TB corpus.
+    *
+    * Tie-break: centroids are scanned in ascending-cell order and
+    * `array_position` returns the FIRST index holding the max, so
+    * equal scores resolve to the smallest cell — identical to the old
+    * `orderBy(cc desc, cell asc)` window.
     */
   private[operators] def assignToCentroids(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(col("cc").desc, col("cell").asc)
-    e.select("vec_id", "embedding").join(broadcast(centroids))
-      .withColumn("cc", cosineSim(col("embedding"), col("centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell"), col("cc"))
+    val rows = centroids.select("cell", "centroid").collect()
+    require(rows.nonEmpty, "assignToCentroids: empty centroid table")
+    val (ordered, cellLit) = rows(0).get(0) match {
+      case _: Int =>
+        val o = rows.sortBy(_.getInt(0)); (o, typedlit(o.map(_.getInt(0)).toSeq))
+      case _: Long =>
+        val o = rows.sortBy(_.getLong(0)); (o, typedlit(o.map(_.getLong(0)).toSeq))
+      case _: String =>
+        val o = rows.sortBy(_.getString(0)); (o, typedlit(o.map(_.getString(0)).toSeq))
+      case other => throw new IllegalArgumentException(
+        s"assignToCentroids: unsupported cell type ${other.getClass}")
+    }
+    val ccs = array(ordered.map(r => cosineSim(col("embedding"), typedlit(r.getSeq[Double](1)))): _*)
+    e.select(col("vec_id"), col("embedding"), ccs.as("ccs"))
+      .withColumn("idx", array_position(col("ccs"), array_max(col("ccs"))).cast("int"))
+      .select(col("vec_id"), col("embedding"),
+        element_at(cellLit, col("idx")).as("cell"),
+        element_at(col("ccs"), col("idx")).as("cc"))
   }
 
   /** sim02: per-label centroid (one k-means assignment step's "update"

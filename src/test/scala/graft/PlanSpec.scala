@@ -69,4 +69,16 @@ class PlanSpec extends SparkSpec {
     assert(codegenSpans("tx07_minhash_lsh_dedup").nonEmpty)
     assert(codegenSpans("sim01_knn_brute").nonEmpty) // CosineSimilarity stays in codegen
   }
+
+  test("k-means assignment is one projection over the corpus — no Exchange, no Window") {
+    // Centroids are driver-collected literals, so a Lloyd iteration's
+    // lineage must be exactly scan → project: any Exchange or Window
+    // here means the corpus fanned out ×k again (the round-1 defect).
+    val assigned = graft.operators.KMeans.fit(Tables.embeddings(spark, sfDir), 2)
+    val nodes = allNodes(assigned.queryExecution.executedPlan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "Exchange in the assignment plan")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "Window in the assignment plan")
+  }
 }
