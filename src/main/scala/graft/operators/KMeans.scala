@@ -50,6 +50,68 @@ object KMeans {
   def cost(assigned: DataFrame): Double =
     assigned.agg(avg("cc")).head.getDouble(0)
 
+  /** Mini-batch (spherical) k-means: per epoch, sample a fraction of
+    * the corpus, assign it against the frozen driver-side centroids,
+    * and fold the batch into each centroid with the running-mean rate.
+    *
+    * Mirrors recap-worker's MiniBatchKMeans
+    * (recap-worker/recap-worker/src/util/kmeans.rs:98, the Sculley 2010
+    * update): the reference applies points one at a time with
+    * per-centre rate eta = 1/count, which telescopes over a batch to
+    * exactly `(count·centroid + batchSum) / (count + batchSize)` — so
+    * the batch-aggregated update below is the same arithmetic, batched
+    * for a distributed corpus. Per epoch the cluster work is one
+    * sampled scan + one bounded (k×dim after map-side combine)
+    * aggregation; only k×dim numbers ever reach the driver, so epochs
+    * cost the same at 100 TB as the corpus scan does.
+    */
+  def fitMiniBatch(e: DataFrame, epochs: Int, fraction: Double, seed: Long = 42L): DataFrame = {
+    require(epochs >= 1 && fraction > 0 && fraction <= 1)
+    val corpus = e.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
+    val init = Similarity.centroidsFor(e, "label").select("cell", "centroid").collect()
+      .sortBy(_.getInt(0))
+    val cells = init.map(_.getInt(0))
+    val cellIdx = cells.zipWithIndex.toMap
+    val cents = init.map(_.getSeq[Double](1).toArray)
+    val counts = Array.fill(cells.length)(0L)
+    val cellLit = typedlit(cells.toSeq)
+    var ep = 0
+    while (ep < epochs) {
+      val batch = corpus.sample(withReplacement = false, fraction, seed + ep)
+      val assigned = Similarity.assignToCentroidLiterals(
+        batch, cellLit, cents.map(_.toSeq).toSeq)
+      // one row per (cell, dim): batch sum + batch count after partial agg
+      val stats = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cell", "pos")
+        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val batchN = Array.fill(cells.length)(0L)
+      stats.foreach { r =>
+        val j = cellIdx(r.getInt(0)); val pos = r.getInt(1)
+        val b = r.getLong(3)
+        cents(j)(pos) = (counts(j) * cents(j)(pos) + r.getDouble(2)) / (counts(j) + b)
+        batchN(j) = b
+      }
+      var j = 0
+      while (j < counts.length) { counts(j) += batchN(j); j += 1 }
+      ep += 1
+    }
+    corpus.unpersist(blocking = false)
+    Similarity.assignToCentroidLiterals(e, cellLit, cents.map(_.toSeq).toSeq)
+      .withColumnRenamed("cell", "cluster")
+  }
+
+  /** km02 adapter: cluster sizes + mean in-cluster cosine after 3
+    * mini-batch epochs at 30% sampling (rows-only: sampled FP
+    * iteration has no SQL oracle).
+    */
+  def km02(s: SparkSession, dir: String): DataFrame =
+    fitMiniBatch(Tables.embeddings(s, dir), epochs = 3, fraction = 0.3)
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("cc"), 4).as("mean_cos"))
+      .orderBy("cluster")
+
   /** km01 adapter: cluster sizes + rounded mean in-cluster cosine
     * after 3 iterations (rows-only: iterative FP has no SQL oracle).
     */

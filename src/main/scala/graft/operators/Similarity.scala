@@ -83,7 +83,16 @@ object Similarity {
       case other => throw new IllegalArgumentException(
         s"assignToCentroids: unsupported cell type ${other.getClass}")
     }
-    val ccs = array(ordered.map(r => cosineSim(col("embedding"), typedlit(r.getSeq[Double](1)))): _*)
+    assignToCentroidLiterals(e, cellLit, ordered.map(_.getSeq[Double](1)))
+  }
+
+  /** The literal-centroid core of the assignment: callers that already
+    * hold the centroids driver-side (mini-batch k-means keeps them as
+    * mutable driver state between batches) skip the collect.
+    */
+  private[operators] def assignToCentroidLiterals(
+      e: DataFrame, cellLit: Column, cents: Seq[Seq[Double]]): DataFrame = {
+    val ccs = array(cents.map(c => cosineSim(col("embedding"), typedlit(c))): _*)
     e.select(col("vec_id"), col("embedding"), ccs.as("ccs"))
       .withColumn("idx", array_position(col("ccs"), array_max(col("ccs"))).cast("int"))
       .select(col("vec_id"), col("embedding"),

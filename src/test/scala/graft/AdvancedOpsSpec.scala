@@ -25,6 +25,27 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(sizes.sameElements(Array(30L, 30L, 30L)), sizes.mkString(","))
   }
 
+  test("mini-batch kmeans recovers planted clusters and is seed-deterministic") {
+    val e = clustered
+    // the label seeding is deliberately wrong — mini-batch epochs must
+    // still pull the centroids onto the planted axes
+    val fitted = KMeans.fitMiniBatch(e, epochs = 3, fraction = 0.5)
+    val sizes = fitted.groupBy("cluster").count().collect().map(_.getLong(1)).sorted
+    assert(sizes.sum == 90L, sizes.mkString(","))
+    assert(sizes.sameElements(Array(30L, 30L, 30L)), sizes.mkString(","))
+    // purity: each cluster holds exactly one planted axis (vec_id/100)
+    val pairs = fitted.select((col("vec_id") / 100).cast("int").as("axis"), col("cluster"))
+      .distinct().collect()
+    assert(pairs.length == 3, s"clusters mix planted axes: ${pairs.mkString(",")}")
+    // sampled updates must land within a whisker of full-batch Lloyd
+    val mbCost = KMeans.cost(fitted)
+    val lloydCost = KMeans.cost(KMeans.fit(e, 3))
+    assert(mbCost >= lloydCost - 0.005, s"mini-batch cost $mbCost far from Lloyd $lloydCost")
+    // same seed, same result (sampling is seeded per epoch)
+    val again = KMeans.fitMiniBatch(e, epochs = 3, fraction = 0.5)
+    assert(fitted.select("vec_id", "cluster").exceptAll(again.select("vec_id", "cluster")).isEmpty)
+  }
+
   test("multi-probe IVF recall is >= single-probe on clustered data") {
     val e = clustered
     val pred = col("vec_id") % 10 === 0
