@@ -182,16 +182,31 @@ object Relational {
         col("o_orderstatus"), col("o_orderpriority"))
       .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
 
-  /** q19: ntile quartiles of customers by revenue — the cohort-banding
-    * step of engagement dashboards; deterministic via custkey tiebreak.
+  /** q19: revenue quartiles of customers — the cohort-banding step of
+    * engagement dashboards.
+    *
+    * Banding is by VALUE against the three quartile cut-points, not by
+    * ntile rank: an ntile needs a global total order (a single-partition
+    * WindowExec — tens of millions of rows on one task at 100×), while
+    * cut-points come from the mergeable percentile_approx sketch and
+    * banding is then a broadcast singleton + a when-chain inside one
+    * codegen stage. percentile_approx is exact below its accuracy
+    * buffer (100k), where it returns the same element quantile_disc
+    * picks — the DuckDB oracle mirrors that definition.
     */
   def revenueQuartiles(s: SparkSession, dir: String): DataFrame = {
     val perCust = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg(round(sum("o_totalprice"), 2).as("revenue"))
-    val q = perCust.withColumn("quartile",
-      ntile(4).over(Window.orderBy(col("revenue").desc, col("o_custkey").asc)))
-    q.groupBy("quartile")
+    val cuts = perCust.agg(percentile_approx(
+      col("revenue"), array(lit(0.25), lit(0.5), lit(0.75)), lit(100000)).as("cuts"))
+    perCust.crossJoin(broadcast(cuts))
+      .withColumn("quartile",
+        when(col("revenue") > element_at(col("cuts"), 3), 1)
+          .when(col("revenue") > element_at(col("cuts"), 2), 2)
+          .when(col("revenue") > element_at(col("cuts"), 1), 3)
+          .otherwise(4))
+      .groupBy("quartile")
       .agg(count(lit(1)).as("n_customers"),
            round(sum("revenue"), 2).as("total_revenue"),
            round(min("revenue"), 2).as("min_revenue"))
