@@ -56,6 +56,7 @@ object SparkEntry {
     "ev15_approx_distinct_users"    -> (Events.approxDistinctUsers _),
     "ev16_sketch_dau"               -> (Events.sketchDau _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
+    "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     // Event sourcing / CQRS
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),
@@ -228,7 +229,12 @@ object SparkEntry {
     "q19_revenue_quartiles" ->
       """WITH pc AS (SELECT o_custkey, round(sum(o_totalprice),2) AS revenue
                      FROM orders GROUP BY o_custkey),
-         q AS (SELECT *, ntile(4) OVER (ORDER BY revenue DESC, o_custkey ASC) AS quartile FROM pc)
+         c AS (SELECT quantile_disc(revenue, 0.25) AS c1, quantile_disc(revenue, 0.5) AS c2,
+                      quantile_disc(revenue, 0.75) AS c3 FROM pc),
+         q AS (SELECT revenue,
+                      CASE WHEN revenue > c3 THEN 1 WHEN revenue > c2 THEN 2
+                           WHEN revenue > c1 THEN 3 ELSE 4 END AS quartile
+               FROM pc CROSS JOIN c)
          SELECT quartile, count(*) AS n_customers,
                 round(sum(revenue),2) AS total_revenue, round(min(revenue),2) AS min_revenue
          FROM q GROUP BY quartile""",

@@ -39,15 +39,32 @@ object Graph {
   /** lp01 adapter: document graph with edges between docs sharing a
     * source (bounded to doc_id < 500), seeded with the lang column;
     * output = label distribution after one propagation step.
+    *
+    * The shared-source graph is a union of cliques, so the vote never
+    * needs the doc×doc adjacency (m² edges per source — one hub source
+    * with a million docs would materialize 10¹² edges): a node's
+    * neighbor votes are exactly the per-source label histogram minus
+    * itself. Two bounded shuffles — histogram keyed by (source, label),
+    * then an equi-join of docs to their source's histogram — and the
+    * per-doc winner is an arithmetic scan of a ≤|labels| array:
+    * `array_min` over struct(-votes, label) encodes the (votes desc,
+    * label asc) tie-break. Empty vote set (singleton source) keeps the
+    * doc's own label, matching `propagate` on isolated nodes.
     */
   def lp01(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
-    val nodes = d.select(col("doc_id").as("node"), col("lang").as("label"))
-    val byarc = d.select(col("doc_id"), col("source"))
-    val edges = byarc.as("a").join(byarc.as("b"), "source")
-      .filter(col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("src"), col("b.doc_id").as("dst"))
-    propagate(edges, nodes)
+      .select(col("doc_id"), col("source"), col("lang"))
+    val hist = d.groupBy("source", "lang").agg(count(lit(1)).as("cnt"))
+      .groupBy("source")
+      .agg(collect_list(struct(col("lang"), col("cnt"))).as("hist"))
+    d.join(hist, "source")
+      .withColumn("winner",
+        array_min(filter(
+          transform(col("hist"), h => struct(
+            (when(h.getField("lang") === col("lang"), 1).otherwise(0) - h.getField("cnt")).as("nv"),
+            h.getField("lang").as("label"))),
+          x => x.getField("nv") < 0)).getField("label"))
+      .select(coalesce(col("winner"), col("lang")).as("label"))
       .groupBy("label").agg(count(lit(1)).as("n_nodes"))
   }
 }
