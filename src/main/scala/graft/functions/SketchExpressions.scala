@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -461,4 +461,100 @@ case class SimHash64(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
+}
+
+/** Length of the longest common subsequence of two array<string> token
+  * sequences — the kernel of ROUGE-L
+  * (recap-worker/recap-worker/src/evaluation/rouge.rs:13-37 computes
+  * the same DP per candidate/reference pair).
+  *
+  * Tokens are hashed once (XXH64) so the O(m·n) DP inner loop compares
+  * longs, not byte arrays, and runs over a two-row int table inside
+  * codegen — O(min(m,n)) memory per row, no allocation besides the two
+  * rows. A 2⁻⁶⁴ hash collision could overcount by one token; acceptable
+  * for a similarity metric (and unobservable after 4-decimal rounding
+  * at realistic document lengths). Null tokens equal each other.
+  */
+case class LcsLength(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(StringType, _), ArrayType(StringType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(s"graft_lcs expects two array<string>, got $l / $r")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    var x = LcsLength.hashTokensJava(a.asInstanceOf[ArrayData])
+    var y = LcsLength.hashTokensJava(b.asInstanceOf[ArrayData])
+    if (x.length < y.length) { val t = x; x = y; y = t } // y is the short side
+    val n = y.length
+    if (n == 0) return 0
+    val prev = new Array[Int](n + 1)
+    val cur = new Array[Int](n + 1)
+    var i = 0
+    while (i < x.length) {
+      var j = 0
+      while (j < n) {
+        cur(j + 1) =
+          if (x(i) == y(j)) prev(j) + 1
+          else math.max(cur(j), prev(j + 1))
+        j += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, n + 1)
+      i += 1
+    }
+    prev(n)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // case-class companions get no static forwarders — generated Java
+    // must go through the module instance
+    val cls = classOf[LcsLength].getName + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val xs = ctx.freshName("xs"); val ys = ctx.freshName("ys")
+      val prev = ctx.freshName("prev"); val cur = ctx.freshName("cur")
+      val tmp = ctx.freshName("tmp"); val n = ctx.freshName("n")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      s"""
+        long[] $xs = $cls.hashTokensJava($a);
+        long[] $ys = $cls.hashTokensJava($b);
+        if ($xs.length < $ys.length) { long[] $tmp = $xs; $xs = $ys; $ys = $tmp; }
+        int $n = $ys.length;
+        int[] $prev = new int[$n + 1];
+        int[] $cur = new int[$n + 1];
+        for (int $i = 0; $i < $xs.length; $i++) {
+          for (int $j = 0; $j < $n; $j++) {
+            $cur[$j + 1] = ($xs[$i] == $ys[$j])
+              ? $prev[$j] + 1
+              : Math.max($cur[$j], $prev[$j + 1]);
+          }
+          System.arraycopy($cur, 0, $prev, 0, $n + 1);
+        }
+        ${ev.value} = $prev[$n];
+      """
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object LcsLength {
+  /** Static entry for the generated code path. */
+  def hashTokensJava(arr: ArrayData): Array[Long] = {
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) Long.MinValue
+        else {
+          val s = arr.getUTF8String(i)
+          XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, Sketches.SEED)
+        }
+      i += 1
+    }
+    out
+  }
 }

@@ -137,7 +137,8 @@ object GraftExtensions {
       WinnowFingerprints(es(0), if (es.length > 1) intArg(es(1), "w") else 4)),
     "graft_lang_id" -> (es => LangIdExpr(es(0),
       TextFunctions.langMarkers.map(_._1), TextFunctions.langMarkers.map(_._2))),
-    "graft_simhash_agg" -> (es => SimHashAgg(es(0)).toAggregateExpression()))
+    "graft_simhash_agg" -> (es => SimHashAgg(es(0)).toAggregateExpression()),
+    "graft_lcs" -> (es => LcsLength(es(0), es(1))))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

@@ -44,6 +44,38 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("LCS matches reference DP on random token sequences; ROUGE-L invariants hold") {
+    import graft.functions.TextFunctions.lcsLen
+    // quadratic reference DP, string equality (no hashing)
+    def refLcs(a: Seq[String], b: Seq[String]): Int = {
+      val dp = Array.ofDim[Int](a.length + 1, b.length + 1)
+      for (i <- a.indices; j <- b.indices)
+        dp(i + 1)(j + 1) =
+          if (a(i) == b(j)) dp(i)(j) + 1 else math.max(dp(i + 1)(j), dp(i)(j + 1))
+      dp(a.length)(b.length)
+    }
+    val tokGen = Gen.chooseNum(0, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dog", "cat", "は", "猫")))
+    samples(Gen.listOfN(12, Gen.zip(tokGen, tokGen)), 4).foreach { pairs =>
+      if (pairs.nonEmpty) {
+        val df = pairs.toDF("a", "b")
+        val rows = df.select(
+          lcsLen(col("a"), col("b")).as("ab"),
+          lcsLen(col("b"), col("a")).as("ba"),
+          lcsLen(col("a"), col("a")).as("aa"),
+          lcsLen(col("a"), concat(col("a"), col("b"))).as("apre"),
+          size(col("a")).as("na"), size(col("b")).as("nb")).collect()
+        rows.zip(pairs).foreach { case (r, (a, b)) =>
+          assert(r.getInt(0) == refLcs(a, b), s"lcs($a, $b)")        // matches reference DP
+          assert(r.getInt(0) == r.getInt(1))                          // symmetric
+          assert(r.getInt(2) == a.length)                             // lcs(a,a) = |a|
+          assert(r.getInt(3) == a.length)                             // prefix containment
+          assert(r.getInt(0) <= math.min(a.length, b.length))         // bounded
+        }
+      }
+    }
+  }
+
   test("asof join matches brute-force reference on random event sets") {
     val evGen = Gen.listOfN(60, Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0, 5000), Gen.chooseNum(0L, 999999L)))
     samples(Gen.zip(evGen, evGen), 4).foreach { case (ls, rs) =>
