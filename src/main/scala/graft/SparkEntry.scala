@@ -77,6 +77,8 @@ object SparkEntry {
     "tx11_term_cooccurrence"        -> (TextOps.termCooccurrence _),
     "tx12_rouge1"                   -> (TextOps.rouge1Pairs _),
     "tx13_bpe_token_count"          -> (TextOps.bpeTokenCounts _),
+    "tx15_rouge_l"                  -> (TextOps.rougeLPairs _),
+    "tx16_cjk_token_stats"          -> (TextOps.cjkTokenStats _),
     // Graph / label propagation
     "lp01_label_propagation"        -> (Graph.lp01 _),
     // Data quality
@@ -390,6 +392,13 @@ object SparkEntry {
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
          round(avg(len(string_split_regex(trim(text), '\s+'))), 2) AS avg_tokens,
          max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
+         FROM documents GROUP BY lang""",
+    "tx16_cjk_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+         CAST(sum(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^\x00-\x7F]'))) AS BIGINT) AS total_tokens,
+         round(avg(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^\x00-\x7F]'))), 2) AS avg_tokens,
+         CAST(sum(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^\x00-\x7F]'))
+                  - len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+'))) AS BIGINT) AS cjk_char_tokens
          FROM documents GROUP BY lang""",
     "tx02_term_freq" ->
       """SELECT term, count(*) AS freq

@@ -22,6 +22,29 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** CJK-aware mixed tokenization: lowercased ASCII alphanumeric runs
+    * become word tokens, every non-ASCII character becomes its own
+    * token, punctuation/whitespace separate. On Japanese text (no
+    * spaces) whitespace splitting yields one token per document — this
+    * is the dictionary-less fallback the reference's text stack implies:
+    * recap-worker's ROUGE tokenizer does exactly this split
+    * (recap-worker/recap-worker/src/evaluation/rouge.rs:110 tokenize —
+    * ASCII words + per-grapheme CJK), standing in for search-indexer's
+    * kagome morphological analysis
+    * (search-indexer/app/tokenize/tokenizer.go:10). Compose with
+    * `shinglesOfTokens(_, 2)` for the character-bigram blocking that
+    * CJK search/dedup needs. One regex pass, no UDF, both engines agree
+    * on the pattern (BMP codepoints).
+    */
+  def tokensMixed(text: Column): Column =
+    regexp_extract_all(lower(trim(text)), lit("[a-z0-9]+|[^\\x00-\\x7F]"), lit(0))
+
+  /** ASCII-word-only token count (the subtrahend for counting CJK char
+    * tokens without a per-token regex filter).
+    */
+  def asciiWordCount(text: Column): Column =
+    size(regexp_extract_all(lower(trim(text)), lit("[a-z0-9]+"), lit(0)))
+
   /** Word n-gram shingles, e.g. n=2 → ["a b", "b c", ...], via the
     * native WordShingles expression (a higher-order-function version
     * re-evaluates the token split per shingle element). For n=1 this is
@@ -29,10 +52,17 @@ object TextFunctions {
     */
   def shingles(text: Column, n: Int): Column = {
     require(n >= 1)
-    val t = tokens(text)
-    if (n == 1) t
+    shinglesOfTokens(tokens(text), n)
+  }
+
+  /** n-gram shingles over an arbitrary token array (e.g. tokensMixed
+    * for CJK character bigrams).
+    */
+  def shinglesOfTokens(toks: Column, n: Int): Column = {
+    require(n >= 1)
+    if (n == 1) toks
     else org.apache.spark.sql.graft.ColumnBridge.column(
-      WordShingles(org.apache.spark.sql.graft.ColumnBridge.expression(t), n))
+      WordShingles(org.apache.spark.sql.graft.ColumnBridge.expression(toks), n))
   }
 
   /** Count of tokens that appear in `words`. */
@@ -106,4 +136,13 @@ object TextFunctions {
       LangIdExpr(
         org.apache.spark.sql.graft.ColumnBridge.expression(tokens(text)),
         langMarkers.map(_._1), langMarkers.map(_._2)))
+
+  /** Longest-common-subsequence length of two token arrays — the
+    * ROUGE-L kernel (native codegen'd DP; see LcsLength).
+    */
+  def lcsLen(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      LcsLength(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
 }

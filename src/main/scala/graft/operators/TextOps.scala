@@ -127,6 +127,29 @@ object TextOps {
         round(lit(2) * col("overlap") / (size(col("cand")) + size(col("ref"))), 4).as("rouge_f1"))
   }
 
+  /** tx15: ROUGE-L precision/recall/F1 over the same candidate/reference
+    * pairs as tx12 (recap-worker/recap-worker/src/evaluation/rouge.rs:13-37
+    * computes ROUGE-1 and ROUGE-L side by side). Token SEQUENCES, not
+    * sets: LCS respects order, so "a b c" vs "c b a" scores 1/3, not 1.
+    * F1 = 2·lcs/(m+n) — the harmonic mean of lcs/m and lcs/n. Rows-only
+    * (no LCS in the SQL oracle); the DP kernel is property-tested
+    * against a reference implementation in FunctionsSpec.
+    */
+  def rougeLPairs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 51)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val cand = d.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("cand_id"), col("toks").as("cand"))
+    val ref = d.select((col("doc_id") - 1).as("cand_id"), col("toks").as("ref"))
+    cand.join(ref, "cand_id")
+      .withColumn("lcs", lcsLen(col("cand"), col("ref")))
+      .select(
+        col("cand_id"),
+        round(col("lcs") / size(col("cand")), 4).as("rouge_l_p"),
+        round(col("lcs") / size(col("ref")), 4).as("rouge_l_r"),
+        round(lit(2) * col("lcs") / (size(col("cand")) + size(col("ref"))), 4).as("rouge_l_f1"))
+  }
+
   /** tx13: regex token counting — the BPE-style pre-tokenizer split
     * (word pieces + standalone punctuation), the token-budgeting
     * counter an LLM-data pipeline runs over every document.
@@ -140,6 +163,26 @@ object TextOps {
       .agg(sum("n_bpe_tokens").as("total_tokens"),
            round(avg("n_bpe_tokens"), 2).as("avg_tokens"),
            max("n_bpe_tokens").as("max_tokens"))
+
+  /** tx16: token stats under the CJK-aware mixed tokenizer — the
+    * language-robust twin of tx01. On Japanese text the whitespace
+    * tokenizer collapses a document to ONE token and every downstream
+    * text operator silently degenerates; tokensMixed keeps ASCII words
+    * and counts each CJK character as a token (`cjk_char_tokens` counts
+    * the non-word share). Oracle-checked: DuckDB runs the identical
+    * regex, so this stays green on any corpus mix.
+    */
+  def cjkTokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        size(tokensMixed(col("text"))).as("n_tokens"),
+        asciiWordCount(col("text")).as("n_word_tokens"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("n_tokens"), 2).as("avg_tokens"),
+        sum(col("n_tokens") - col("n_word_tokens")).as("cjk_char_tokens"))
 
   /** q16: substring text search + per-source hit counts (the
     * search-indexer / pg_trgm ILIKE surface of alt-backend's feed

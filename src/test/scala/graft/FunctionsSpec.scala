@@ -18,6 +18,43 @@ class FunctionsSpec extends SparkSpec {
     assert(sh1 == Seq("a", "b", "c", "d"))
   }
 
+  test("tokensMixed: CJK chars become single tokens, ASCII words lowercase") {
+    // the reference's own ROUGE fixture string (rouge.rs tests)
+    val got = Seq("生成AIがビジネスを変える").toDF("t")
+      .select(tokensMixed(col("t"))).head.getSeq[String](0)
+    assert(got == Seq("生", "成", "ai", "が", "ビ", "ジ", "ネ", "ス", "を", "変", "え", "る"), got.toString)
+    // mixed text: punctuation separates, ASCII runs stay words
+    val mixed = Seq("Sparkで集計! fast JOIN 123x").toDF("t")
+      .select(tokensMixed(col("t"))).head.getSeq[String](0)
+    assert(mixed == Seq("spark", "で", "集", "計", "fast", "join", "123x"), mixed.toString)
+    // whitespace tokenizer degenerates to ONE token on Japanese —
+    // the failure tokensMixed exists to fix
+    val ws = Seq("生成AIがビジネスを変える").toDF("t")
+      .select(tokenCount(col("t"))).head.getInt(0)
+    assert(ws == 1)
+    // char-bigram shingles over the mixed tokens: the CJK blocking key
+    val bi = Seq("日本語です").toDF("t")
+      .select(shinglesOfTokens(tokensMixed(col("t")), 2)).head.getSeq[String](0)
+    assert(bi == Seq("日 本", "本 語", "語 で", "で す"), bi.toString)
+  }
+
+  test("minhash near-dup blocking works on Japanese text via tokensMixed bigrams") {
+    // two near-identical Japanese docs + one unrelated: the near-dups
+    // must share an LSH band, the unrelated doc must not
+    val df = Seq(
+      (1L, "東京で大規模な花火大会が開催された週末の夜空"),
+      (2L, "東京で大規模な花火大会が開催された週末の夜に"),
+      (3L, "機械学習モデルの蒸留による推論高速化の手法")).toDF("id", "text")
+    val bands = df.select(col("id"),
+        explode(minhashBands(shinglesOfTokens(tokensMixed(col("text")), 2))).as("band"))
+    val pairs = bands.as("a").join(bands.as("b"), "band")
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), s"near-dups share no band: $pairs")
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L), s"unrelated doc blocked: $pairs")
+  }
+
   test("langId picks marker-majority language deterministically") {
     val df = Seq(
       ("the a fast slow slow", "en"),
