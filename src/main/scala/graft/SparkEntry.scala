@@ -90,6 +90,8 @@ object SparkEntry {
     "sim02_label_centroids"         -> (Similarity.labelCentroids _),
     "sim03_cosine_neardup"          -> (Similarity.cosineNearDup _),
     "sim04_ivf_ann"                 -> (Similarity.ivfAnn _),
+    "sim05_rp_neardup"              -> (Similarity.rpNearDup _),
+    "tx17_lsh_jaccard"              -> (TextOps.lshJaccardPairs _),
   )
 
   /** Sequential double-precision cosine, written out so DuckDB evaluates

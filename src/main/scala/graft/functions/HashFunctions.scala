@@ -63,6 +63,14 @@ object HashFunctions {
         c.cast("int").as("chunk_idx"),
         call_function("shiftright", sigCol, c * 16).bitwiseAND(0xFFFFL).as("chunk_val")))
 
+  /** Random-hyperplane LSH band values of an embedding column — the
+    * embedding-space analog of minhashBands (see RpSignBands): vectors
+    * within a small angle collide in some band with high probability.
+    * rowsPerBand is the block-size knob (buckets per band ≤ 2^r).
+    */
+  def rpSignBands(embCol: Column, bands: Int = 16, rowsPerBand: Int = 8): Column =
+    ColumnBridge.column(RpSignBands(ColumnBridge.expression(embCol), bands, rowsPerBand))
+
   /** Winnowing fingerprints (rolling min-hash over windows of token
     * hashes, window w): the document-fingerprint scheme of MOSS. Returns
     * the distinct, sorted fingerprint array (native expression — the

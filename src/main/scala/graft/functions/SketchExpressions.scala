@@ -540,6 +540,96 @@ case class LcsLength(left: Expression, right: Expression) extends BinaryExpressi
     copy(left = newLeft, right = newRight)
 }
 
+/** Random-hyperplane (signed random projection) LSH band values of a
+  * float/double embedding: `bands` values, each packing `rowsPerBand`
+  * sign bits of deterministic Rademacher (±1) hyperplane projections —
+  * Charikar's SRP scheme, the embedding-space analog of MinHash bands.
+  * Two vectors agree on one hyperplane bit with probability
+  * 1 − θ/π (θ = angle), so a band of r bits collides with p^r and the
+  * OR over b bands amplifies recall: r is THE block-size knob — at
+  * 100 TB r grows with log N so per-band buckets (≤ 2^r) keep
+  * shrinking, which label/source blocking can never do.
+  *
+  * The band index is packed into the high bits of each value, so one
+  * explode + equi-join on the single long column blocks correctly.
+  * Hyperplane components come from splitmix64(hp·2^20 + dim) bits —
+  * deterministic, no stored matrix, any dimensionality.
+  */
+case class RpSignBands(child: Expression, bands: Int, rowsPerBand: Int) extends UnaryExpression {
+  require(bands >= 1 && rowsPerBand >= 1 && rowsPerBand <= 32)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(s"graft_rp_bands expects array<float|double>, got $dt")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var bits = 0L
+      var t = 0
+      while (t < rowsPerBand) {
+        val hp = b * rowsPerBand + t
+        var dot = 0.0
+        var i = 0
+        while (i < n) {
+          val v = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+          val sign = if ((Sketches.splitmix64(hp.toLong * 1048576L + i) & 1L) == 1L) 1.0 else -1.0
+          dot += sign * v
+          i += 1
+        }
+        bits = (bits << 1) | (if (dot > 0) 1L else 0L)
+        t += 1
+      }
+      out(b) = (b.toLong << 32) | bits
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val out = ctx.freshName("out"); val n = ctx.freshName("n")
+      val b = ctx.freshName("b"); val t = ctx.freshName("t"); val i = ctx.freshName("i")
+      val bits = ctx.freshName("bits"); val dot = ctx.freshName("dot")
+      val hp = ctx.freshName("hp"); val v = ctx.freshName("v")
+      s"""
+        int $n = $arr.numElements();
+        long[] $out = new long[$bands];
+        for (int $b = 0; $b < $bands; $b++) {
+          long $bits = 0L;
+          for (int $t = 0; $t < $rowsPerBand; $t++) {
+            int $hp = $b * $rowsPerBand + $t;
+            double $dot = 0.0;
+            for (int $i = 0; $i < $n; $i++) {
+              double $v = (double) $arr.$get($i);
+              $dot += (((graft.functions.Sketches.splitmix64((long) $hp * 1048576L + $i) & 1L) == 1L) ? $v : -$v);
+            }
+            $bits = ($bits << 1) | (($dot > 0) ? 1L : 0L);
+          }
+          $out[$b] = ((long) $b << 32) | $bits;
+        }
+        ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object LcsLength {
   /** Static entry for the generated code path. */
   def hashTokensJava(arr: ArrayData): Array[Long] = {

@@ -138,7 +138,10 @@ object GraftExtensions {
     "graft_lang_id" -> (es => LangIdExpr(es(0),
       TextFunctions.langMarkers.map(_._1), TextFunctions.langMarkers.map(_._2))),
     "graft_simhash_agg" -> (es => SimHashAgg(es(0)).toAggregateExpression()),
-    "graft_lcs" -> (es => LcsLength(es(0), es(1))))
+    "graft_lcs" -> (es => LcsLength(es(0), es(1))),
+    "graft_rp_bands" -> (es => RpSignBands(es(0),
+      if (es.length > 1) intArg(es(1), "bands") else 16,
+      if (es.length > 2) intArg(es(2), "rowsPerBand") else 8)))
 }
 
 class GraftExtensions extends (SparkSessionExtensions => Unit) {

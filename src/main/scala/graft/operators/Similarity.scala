@@ -112,9 +112,16 @@ object Similarity {
       .groupBy("label")
       .agg(round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
 
-  /** sim03: embedding-cosine near-dup pairs, blocked by label (the
-    * blocking key turns O(n²) into Σ block²; embeddings are random in
-    * the test data so the threshold is calibrated to its cos range).
+  /** sim03: embedding-cosine near-dup pairs, blocked by label.
+    *
+    * EXACT oracle-parity baseline: the label constraint is part of the
+    * query's semantics (pairs within a label), and with ~10 labels the
+    * Σ block² cost is still O(n²/10) — this is the reference answer the
+    * sketch path is measured against, not the plan to run at 100 TB.
+    * The designated scale path is `rpNearDupOn` (sim05): RP-LSH bands →
+    * candidate equi-join → exact cosine verify, where the per-band
+    * block count (≤ 2^r) grows with the knob r instead of being pinned
+    * at |labels|.
     */
   def cosineNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(s, dir)
@@ -126,6 +133,49 @@ object Similarity {
       .filter(col("cos") >= 0.3)
       .select("label", "vec_a", "vec_b", "cos")
   }
+
+  /** Embedding near-dup pairs via random-hyperplane LSH: per-row band
+    * sketch (no shuffle) → candidate pairs from one equi-join on the
+    * band value → exact cosine ≥ `threshold` verified on candidates
+    * only. The 100 TB shape for high-threshold near-dup mining: at
+    * τ ≥ 0.9 a pair agrees per hyperplane with p ≈ 0.86, so r = 16
+    * bands of ~N/65536-sized buckets still catch ≥ 93% per 32 bands,
+    * while Σ block² collapses. At LOW thresholds (τ ≤ 0.5) no LSH
+    * beats all-pairs — angles near 90° randomize the bits; that is a
+    * property of the problem, not the plan (use the exact baseline and
+    * a stronger blocking semantic instead).
+    */
+  def rpNearDupOn(e: DataFrame, threshold: Double,
+                  bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.rpSignBands
+    val v = e.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = v.select(col("vec_id"),
+        explode(rpSignBands(col("embedding"), bands, rowsPerBand)).as("band"))
+    val cand = banded.select(col("band"), col("vec_id").as("vec_a"))
+      .join(banded.select(col("band"), col("vec_id").as("vec_b")), "band")
+      .filter(col("vec_a") < col("vec_b"))
+      .select("vec_a", "vec_b").distinct()
+    cand
+      .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
+      .withColumn("cos", round(cosineSim(col("emb_a"), col("emb_b")), 6))
+      .filter(col("cos") >= threshold)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  /** sim05 adapter: RP-banded near-dup over the test corpus. The test
+    * embeddings are random — they have no real near-dup structure, so
+    * any τ with nonzero matches sits in the borderline regime where
+    * banding recall is partial by design (r = 6 here: 64 buckets/band,
+    * ~4× less candidate volume than all-pairs, ~half the τ = 0.3
+    * borderline pairs emitted, every emitted pair exact). The
+    * full-recall regime LSH exists for — planted near-dups at τ ≥ 0.9 —
+    * is pinned by the spec, which matches brute force exactly.
+    */
+  def rpNearDup(s: SparkSession, dir: String): DataFrame =
+    rpNearDupOn(Tables.embeddings(s, dir), threshold = 0.3, bands = 16, rowsPerBand = 6)
+      .orderBy("vec_a", "vec_b")
 
   /** sim04: IVF-style ANN — assign every vector to its nearest label
     * centroid (broadcast), then search only within the query's cell.

@@ -194,10 +194,14 @@ object TextOps {
       .groupBy("source")
       .agg(count(lit(1)).as("n_hits"))
 
-  /** tx09: token-set Jaccard similarity on blocked candidate pairs.
-    * Blocking on `source` turns the O(n²) cross-join into a
-    * co-partitioned equi-join whose cost is Σ block², the same blocking
-    * shape recap-worker uses for sentence-level near-dup filtering.
+  /** tx09: token-set Jaccard similarity on source-blocked pairs.
+    *
+    * EXACT oracle-parity baseline: same-source is part of the pair
+    * semantics, but ~10 sources keep Σ block² at O(n²/10) — the answer
+    * sheet, not the 100 TB plan. The designated scale path is
+    * `lshJaccardPairs` (tx17): identical verify over minhash-band
+    * candidates, where block sizes are set by signature collisions
+    * (tiny for dissimilar docs) instead of source cardinality.
     */
   def tokenJaccard(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir)
@@ -210,6 +214,41 @@ object TextOps {
       .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
       .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))))
       .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .filter(col("jaccard") >= 0.6)
+      .select("source", "doc_a", "doc_b", "jaccard")
+  }
+
+  /** tx17: the same pair semantics as tx09 (same source, token-set
+    * Jaccard ≥ 0.6, doc_id < 1000) with minhash-band blocking instead
+    * of source blocking — the 100 TB shape. Candidates come from an
+    * equi-join on band hashes (block size ∝ signature collisions, not
+    * source cardinality); the exact Jaccard + same-source predicate is
+    * verified on candidates only, so every emitted pair is correct and
+    * only borderline-τ pairs can be missed (banding recall at j = 0.6
+    * with 16×4 bands is ~0.89, →1 as j grows; the spec pins both
+    * properties against tx09's exact output). Rows-only: DuckDB cannot
+    * mirror the XXH64 band hashes.
+    */
+  def lshJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.HashFunctions.minhashBands
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("source"), array_distinct(tokens(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = d.select(col("doc_id"),
+      explode(minhashBands(col("toks"), 64, 16)).as("band"))
+    val cand = banded.select(col("band"), col("doc_id").as("doc_a"))
+      .join(banded.select(col("band"), col("doc_id").as("doc_b")), "band")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(d.select(col("doc_id").as("doc_a"), col("source"), col("toks").as("toks_a")), "doc_a")
+      .join(d.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("toks").as("toks_b")), "doc_b")
+      .filter(col("source") === col("source_b"))
+      .withColumn("jaccard",
+        round(size(array_intersect(col("toks_a"), col("toks_b"))) /
+              size(array_union(col("toks_a"), col("toks_b"))), 4))
       .filter(col("jaccard") >= 0.6)
       .select("source", "doc_a", "doc_b", "jaccard")
   }

@@ -23,6 +23,53 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!pairs.exists { case (a, b) => b == 4L || b == 5L || a == 4L })
   }
 
+  test("tx17 LSH-banded jaccard: subset of exact tx09, full recall on high-sim pairs") {
+    import graft.operators.TextOps
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1), r.getLong(2))
+    val exact = TextOps.tokenJaccard(spark, sfDir).collect()
+    val lsh = TextOps.lshJaccardPairs(spark, sfDir).collect()
+    val exactSet = exact.map(key).toSet
+    val lshSet = lsh.map(key).toSet
+    assert(exact.nonEmpty, "fixture has no exact pairs — test is vacuous")
+    // every emitted pair is verified, so precision is exactly 1
+    assert(lshSet.subsetOf(exactSet), s"false positives: ${lshSet -- exactSet}")
+    // banding only loses borderline pairs: j >= 0.75 must all be found
+    val high = exact.filter(_.getDouble(3) >= 0.75).map(key).toSet
+    assert(high.subsetOf(lshSet), s"missed high-sim pairs: ${high -- lshSet}")
+    // and overall recall stays near the 16x4-band theory (~0.89 at j=0.6)
+    assert(lshSet.size >= (0.8 * exactSet.size).toInt,
+      s"recall ${lshSet.size.toDouble / exactSet.size} too low")
+  }
+
+  test("sim05 RP-banded near-dup matches brute force on planted near-dups") {
+    val rnd = new scala.util.Random(7)
+    // 20 base vectors, each with a tiny-perturbation twin (cos ~0.99+),
+    // plus noise vectors — τ=0.9 separates twins from everything else
+    val base = (0 until 20).map(i => i -> Array.fill(32)(rnd.nextGaussian().toFloat))
+    val rows = base.flatMap { case (i, v) =>
+      val twin = v.map(x => x + rnd.nextGaussian().toFloat * 0.02f)
+      Seq((i.toLong, v), (100L + i, twin))
+    } ++ (0 until 40).map(i => (1000L + i, Array.fill(32)(rnd.nextGaussian().toFloat)))
+    val e = rows.toDF("vec_id", "embedding")
+    val brute = e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineSim(col("ea"), col("eb")))
+      .filter(col("cos") >= 0.9)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = Similarity.rpNearDupOn(e, threshold = 0.9, bands = 32, rowsPerBand = 8)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.size >= 20, s"fixture produced too few true pairs: ${brute.size}")
+    assert(got == brute, s"missed: ${brute -- got}, extra: ${got -- brute}")
+    // the r knob grows block cardinality: more sign bits → more,
+    // smaller buckets per band (this is what label blocking can't do)
+    import graft.functions.HashFunctions.rpSignBands
+    def buckets(r: Int) = e.select(explode(rpSignBands(col("embedding"), 1, r)).as("band"))
+      .agg(countDistinct("band")).head.getLong(0)
+    assert(buckets(8) > buckets(4), s"buckets r=8 ${buckets(8)} <= r=4 ${buckets(4)}")
+    assert(buckets(4) > buckets(2), s"buckets r=4 ${buckets(4)} <= r=2 ${buckets(2)}")
+  }
+
   test("simhash guarantees recall for pairs within hamming <= 3") {
     import graft.functions.{HashFunctions, TextFunctions}
     // the 4×16-bit pigeonhole blocking guarantees candidates only for
