@@ -87,6 +87,7 @@ object SparkEntry {
     // Similarity / vectors
     "sim01_knn_brute"               -> (Similarity.knnBrute _),
     "rag01_context_assembly"        -> (Rag.contextAssembly _),
+    "rag02_reranked_retrieval"      -> (Rag.rerankedRetrieval _),
     "sim02_label_centroids"         -> (Similarity.labelCentroids _),
     "sim03_cosine_neardup"          -> (Similarity.cosineNearDup _),
     "sim04_ivf_ann"                 -> (Similarity.ivfAnn _),
@@ -484,6 +485,25 @@ object SparkEntry {
                 string_agg(chunk, ' | ' ORDER BY rank) AS context
          FROM topk JOIN sn USING (neighbor_id)
          GROUP BY query_id""",
+    "rag02_reranked_retrieval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, round(${duckCos("q_emb", "c_emb")}, 6) AS cos
+                    FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         topk AS (SELECT query_id, neighbor_id, cos
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                        FROM scored)
+                  WHERE rank <= 10),
+         t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents),
+         e AS (SELECT query_id, neighbor_id, cos,
+                      round(len(list_intersect(qt.toks, ct.toks)) * 1.0 /
+                            len(list_distinct(list_concat(qt.toks, ct.toks))), 6) AS lex
+               FROM topk JOIN t qt ON qt.doc_id = query_id JOIN t ct ON ct.doc_id = neighbor_id),
+         r AS (SELECT *, round(0.7 * cos + 0.3 * lex, 6) AS rerank_score FROM e)
+         SELECT query_id, neighbor_id, cos, lex, rerank_score, rerank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, neighbor_id ASC) AS rerank
+               FROM r)
+         WHERE rerank <= 3""",
     "sim02_label_centroids" ->
       """SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
          FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c

@@ -2,7 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.TextFunctions.tokens
 
 /** RAG retrieval + context assembly.
   *
@@ -33,5 +35,38 @@ object Rag {
           transform(array_sort(collect_list(struct(col("rank"), col("chunk")))),
             p => p.getField("chunk")),
           " | ").as("context"))
+  }
+
+  /** rag02: retrieve → rerank → select, mirroring the reference's
+    * two-stage flow (rag-orchestrator retrieves top-k by embedding
+    * cosine, rerank-server re-scores each (query, candidate) pair with
+    * a cross-encoder — rerank-server/rerank_server.py:37). The Spark
+    * re-scorer is feature-based: the candidate's retrieval cosine
+    * blended with query↔candidate token-set Jaccard
+    * (0.7·cos + 0.3·lex), which is the standard model-free stand-in —
+    * the plan shape (wide cheap retrieve, narrow expensive re-score on
+    * k·|queries| rows only, re-rank window per query) is exactly what a
+    * model-backed scorer plugs into. Oracle-checked end to end.
+    */
+  def rerankedRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val hits = Similarity.knnBruteOn(
+      Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = 10)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    // candidates are |queries|·k rows — keep them the broadcast side of
+    // both joins against the (large) document table
+    val withQuery = toks.select(col("doc_id").as("query_id"), col("toks").as("q_toks"))
+      .join(broadcast(hits), "query_id")
+    val enriched = toks.select(col("doc_id").as("neighbor_id"), col("toks").as("c_toks"))
+      .join(broadcast(withQuery), "neighbor_id")
+      .withColumn("lex",
+        round(size(array_intersect(col("q_toks"), col("c_toks"))) /
+              size(array_union(col("q_toks"), col("c_toks"))), 6))
+      .withColumn("rerank_score", round(lit(0.7) * col("cos") + lit(0.3) * col("lex"), 6))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rerank_score").desc, col("neighbor_id").asc)
+    enriched.withColumn("rerank", row_number().over(w))
+      .filter(col("rerank") <= 3)
+      .select("query_id", "neighbor_id", "cos", "lex", "rerank_score", "rerank")
   }
 }
