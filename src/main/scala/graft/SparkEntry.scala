@@ -55,6 +55,7 @@ object SparkEntry {
     "ev14_value_anomalies"          -> (Events.valueAnomalies _),
     "ev15_approx_distinct_users"    -> (Events.approxDistinctUsers _),
     "ev16_sketch_dau"               -> (Events.sketchDau _),
+    "ot01_trace_spans"              -> (Events.traceSpans _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     // Event sourcing / CQRS
@@ -346,6 +347,29 @@ object SparkEntry {
                 CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
                 count(*) AS n_events
          FROM g GROUP BY user_id""",
+    "ot01_trace_spans" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    coalesce(value, 0) AS dur_ms,
+                    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
+         g AS (SELECT *, epoch(ts_s) - epoch(lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap_s
+               FROM e),
+         t AS (SELECT *, CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trace_seq
+               FROM g),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id, trace_seq ORDER BY dur_ms DESC, event_id ASC) AS rn
+               FROM t)
+         SELECT user_id, trace_seq,
+                count(*) AS n_spans,
+                min(ts_s) AS trace_start,
+                CAST(epoch(max(ts_s)) - epoch(min(ts_s)) AS BIGINT) AS wall_s,
+                round(sum(dur_ms),2) AS total_span_ms,
+                count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+                max(CASE WHEN rn = 1 THEN event_type END) AS top_service,
+                round(max(CASE WHEN rn = 1 THEN dur_ms END),2) AS top_span_ms,
+                CASE WHEN round(sum(dur_ms),2) > 0
+                     THEN round(round(max(CASE WHEN rn = 1 THEN dur_ms END),2) / round(sum(dur_ms),2), 4)
+                END AS top_share
+         FROM r GROUP BY user_id, trace_seq""",
     "ev05_top_purchasers" ->
       """SELECT user_id, round(sum(value),2) AS revenue, count(*) AS n_purchases
          FROM events WHERE event_type = 'purchase' GROUP BY user_id

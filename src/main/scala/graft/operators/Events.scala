@@ -84,6 +84,46 @@ object Events {
       .agg(sum("is_break").as("n_sessions"), count(lit(1)).as("n_events"))
   }
 
+  /** ot01: OTel-style trace reassembly + critical-path attribution over
+    * a trace-shaped view of the event stream (clickhouse/migrations/
+    * 005_create_otel_traces.sql + 010: spans keyed by TraceId with
+    * Duration and ServiceName; the Grafana trace panel groups them per
+    * trace). The view: trace = a user's 30-min-gap session (ev04's
+    * break rule), span = event, ServiceName = event_type, Duration =
+    * value (ms). Per trace: span count, wall time, summed span time,
+    * error count, and the critical path — the longest span's service
+    * and its share of total span time (the "which service dominates
+    * this trace" panel). One sessionize window + one in-trace
+    * row_number window + one aggregation; per-service duration
+    * PERCENTILES over the same view are ev03 verbatim (event_type =
+    * ServiceName), so they are not duplicated here.
+    */
+  def traceSpans(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byUserLag = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    val spans = ev(s, dir)
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .withColumn("dur_ms", coalesce(col("value"), lit(0.0)))
+      .withColumn("gap_s", unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byUserLag)))
+      .withColumn("is_break", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .withColumn("trace_seq", sum("is_break").over(byUser))
+    val wTop = Window.partitionBy("user_id", "trace_seq")
+      .orderBy(col("dur_ms").desc, col("event_id").asc)
+    spans.withColumn("rn", row_number().over(wTop))
+      .groupBy("user_id", "trace_seq")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        min("ts_s").as("trace_start"),
+        (max(unix_timestamp(col("ts_s"))) - min(unix_timestamp(col("ts_s")))).as("wall_s"),
+        round(sum("dur_ms"), 2).as("total_span_ms"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"),
+        max(when(col("rn") === 1, col("event_type"))).as("top_service"),
+        round(max(when(col("rn") === 1, col("dur_ms"))), 2).as("top_span_ms"))
+      .withColumn("top_share",
+        when(col("total_span_ms") > 0, round(col("top_span_ms") / col("total_span_ms"), 4)))
+  }
+
   /** ev05: top-N users by revenue in a time window, deterministic
     * tie-break. Aggregates first (tiny output), then global top-K.
     */
