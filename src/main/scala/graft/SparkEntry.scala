@@ -93,6 +93,7 @@ object SparkEntry {
     "sim03_cosine_neardup"          -> (Similarity.cosineNearDup _),
     "sim04_ivf_ann"                 -> (Similarity.ivfAnn _),
     "sim05_rp_neardup"              -> (Similarity.rpNearDup _),
+    "sim06_ivf_kmeans"              -> (Similarity.ivfAnnKmeansEntry _),
     "tx17_lsh_jaccard"              -> (TextOps.lshJaccardPairs _),
   )
 

@@ -186,6 +186,74 @@ object Similarity {
   def ivfAnn(s: SparkSession, dir: String): DataFrame =
     ivfAnnOn(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
 
+  /** IVF with k-means-trained coarse cells whose COUNT grows with the
+    * corpus: nCells defaults to ⌈√N⌉, so in-cell search cost stays
+    * ≈ √N per query instead of degenerating to N/|labels| the way a
+    * fixed label seeding does (the honest knob sim04 lacks). Seeds are
+    * nCells deterministic sample vectors (hash-ordered — single
+    * vectors, not cell means, so initial centroids are spread, not all
+    * equal to the global mean), refined by `iters` Lloyd rounds of the
+    * literal-centroid assignment; the search is the same
+    * assign-then-equi-join as ivfAnnOn. Centroid count ⌈√N⌉ keeps the
+    * driver-side literal table trivially small even at 10⁹ vectors
+    * (~31k × dim doubles).
+    */
+  def ivfAnnKmeans(e: DataFrame, queryPred: Column, k: Int = 5,
+                   nCells: Int = 0, iters: Int = 2, probes: Int = 1): DataFrame = {
+    val v = e.select("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = if (nCells > 0) nCells else math.ceil(math.sqrt(v.count().toDouble)).toInt
+    val seeds = v.orderBy(pmod(hash(col("vec_id")), lit(1000003)).asc, col("vec_id").asc)
+      .limit(cells).collect()
+    var cents: Seq[Seq[Double]] = seeds.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toSeq).toSeq
+    val cellLit = typedlit((0 until cells).toList)
+    var i = 0
+    while (i < iters) {
+      val assigned = assignToCentroidLiterals(v, cellLit, cents)
+      val updated = centroidsFor(assigned, "cell").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      // cells that captured no vectors keep their previous centroid
+      cents = cents.indices.map(c => updated.getOrElse(c, cents(c)))
+      i += 1
+    }
+    val assigned = assignToCentroidLiterals(v, cellLit, cents)
+      .select("vec_id", "embedding", "cell")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // multi-probe: queries search their top-`probes` cells — the
+    // standard recall knob when cells subdivide natural clusters. The
+    // per-query top-probes runs as array ops over the (few) query rows.
+    val queries =
+      if (probes == 1)
+        assigned.filter(queryPred)
+          .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      else {
+        val ccsArr = array(cents.map(c => cosineSim(col("embedding"), typedlit(c))): _*)
+        val probeStructs = transform(sequence(lit(0), lit(cells - 1)),
+          i => struct(element_at(col("ccs"), i + 1).as("cc"), i.as("cell")))
+        v.filter(queryPred)
+          .withColumn("ccs", ccsArr)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+            explode(slice(reverse(array_sort(probeStructs)), 1, probes)).as("probe"))
+          .select(col("probe.cell").as("cell"), col("query_id"), col("q_emb"))
+      }
+    val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    assigned.select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(queries), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(wTop))
+      .filter(col("rank") <= k)
+      .select("query_id", "cell", "neighbor_id", "cos", "rank")
+  }
+
+  /** sim06 adapter: √N-cell k-means IVF over the test corpus. */
+  def ivfAnnKmeansEntry(s: SparkSession, dir: String): DataFrame =
+    ivfAnnKmeans(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
+      .orderBy("query_id", "rank")
+
   /** Generic IVF over any (vec_id, embedding, label) corpus; `label`
     * seeds the coarse cells (one Lloyd update from the labeled
     * partition — KMeans.fit for proper iterations). `probes` > 1

@@ -61,6 +61,32 @@ class AdvancedOpsSpec extends SparkSpec {
     assert(r2 >= 0.9, s"multi-probe recall too low: $r2")
   }
 
+  test("kmeans-seeded IVF: cells grow ~sqrt(N) and recall@1 stays high on clustered data") {
+    val e = clustered
+    val pred = col("vec_id") % 10 === 0
+    val brute = Similarity.knnBruteOn(e, pred).filter(col("rank") === 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def recallAt1(probes: Int): Double = {
+      val hits = Similarity.ivfAnnKmeans(e, pred, probes = probes).filter(col("rank") === 1)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      hits.count { case (q, n) => brute.get(q).contains(n) }.toDouble / hits.size
+    }
+    val r1 = recallAt1(1); val r2 = recallAt1(2)
+    assert(r1 >= 0.7, s"recall@1 probes=1 $r1") // cells subdivide clusters
+    assert(r2 >= r1 && r2 >= 0.85, s"recall@1 probes=2 $r2 (probes=1 $r1)")
+    // occupied cell count follows corpus size (ceil(sqrt(90)) = 10
+    // centroids vs ceil(sqrt(30)) = 6) — the knob label seeding pins
+    // at |labels| forever. Query every vector so the result exposes
+    // the full assignment.
+    def occupiedCells(corpus: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfAnnKmeans(corpus, lit(true), k = 1)
+        .select(countDistinct("cell")).head.getLong(0)
+    val cellsBig = occupiedCells(e)
+    val cellsSmall = occupiedCells(clustered.filter(col("vec_id") % 3 === 0))
+    assert(cellsBig > cellsSmall, s"cells: N=90 -> $cellsBig, N=30 -> $cellsSmall")
+    assert(cellsBig > 3, s"cells pinned near |labels|: $cellsBig")
+  }
+
   test("hll sketch DAU lands within error bounds of exact DAU") {
     val approx = Events.sketchDau(spark, sfDir).collect()
       .map(r => r.getTimestamp(0) -> r.getLong(1).toDouble).toMap
