@@ -56,6 +56,7 @@ object SparkEntry {
     "ev15_approx_distinct_users"    -> (Events.approxDistinctUsers _),
     "ev16_sketch_dau"               -> (Events.sketchDau _),
     "ot01_trace_spans"              -> (Events.traceSpans _),
+    "ev17_window_funnel"            -> (Events.windowFunnel _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     // Event sourcing / CQRS
@@ -80,6 +81,7 @@ object SparkEntry {
     "tx13_bpe_token_count"          -> (TextOps.bpeTokenCounts _),
     "tx15_rouge_l"                  -> (TextOps.rougeLPairs _),
     "tx16_cjk_token_stats"          -> (TextOps.cjkTokenStats _),
+    "tx18_bm25_search"              -> (TextOps.bm25Search _),
     // Graph / label propagation
     "lp01_label_propagation"        -> (Graph.lp01 _),
     // Data quality
@@ -371,6 +373,20 @@ object SparkEntry {
                      THEN round(round(max(CASE WHEN rn = 1 THEN dur_ms END),2) / round(sum(dur_ms),2), 4)
                 END AS top_share
          FROM r GROUP BY user_id, trace_seq""",
+    "ev17_window_funnel" ->
+      """WITH e AS (SELECT user_id, event_type,
+                    epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS ep FROM events),
+         w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ep END)
+                  OVER (PARTITION BY user_id) AS t1 FROM e),
+         w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ep > t1 AND ep <= t1 + 604800 THEN ep END)
+                  OVER (PARTITION BY user_id) AS t2 FROM w1),
+         w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ep > t2 AND ep <= t1 + 604800 THEN ep END)
+                  OVER (PARTITION BY user_id) AS t3 FROM w2),
+         u AS (SELECT DISTINCT user_id, t1, t2, t3 FROM w3)
+         SELECT CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2
+                     WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS level,
+                count(*) AS n_users
+         FROM u GROUP BY 1""",
     "ev05_top_purchasers" ->
       """SELECT user_id, round(sum(value),2) AS revenue, count(*) AS n_purchases
          FROM events WHERE event_type = 'purchase' GROUP BY user_id
@@ -428,6 +444,21 @@ object SparkEntry {
          CAST(sum(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^\x00-\x7F]'))
                   - len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+'))) AS BIGINT) AS cjk_char_tokens
          FROM documents GROUP BY lang""",
+    "tx18_bm25_search" ->
+      """WITH dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         d2 AS (SELECT doc_id, len(toks) AS dl, toks FROM dd),
+         st AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM d2),
+         t AS (SELECT doc_id, dl, unnest(toks) AS term FROM d2),
+         tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
+                WHERE term IN ('merge', 'join', 'stream') GROUP BY 1, 2, 3),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT tf.doc_id,
+                  round(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1), 6)
+                    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl)) AS contrib
+                FROM tf JOIN df USING (term) CROSS JOIN st)
+         SELECT doc_id, round(sum(contrib), 4) AS bm25
+         FROM sc GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
     "tx02_term_freq" ->
       """SELECT term, count(*) AS freq
          FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)

@@ -148,6 +148,35 @@ object Events {
               col("first_signup") < col("first_purchase"))
       .select("user_id", "first_signup", "first_purchase")
 
+  /** ev17: multi-step in-window funnel — ClickHouse's windowFunnel
+    * shape (the generalization of ev06's two-step min-based funnel):
+    * per user, earliest view, then earliest click AFTER it, then
+    * earliest purchase after THAT, all within 7 days of the view;
+    * report user counts per reached level. Earliest-entry semantics
+    * keep it deterministic and SQL-mirrorable. Three stacked
+    * whole-partition window aggregates share ONE shuffle on user_id
+    * (no orderBy → no sort, each is a running conditional min over the
+    * same partitioning), then a per-user distinct and a tiny level
+    * rollup.
+    */
+  def windowFunnel(s: SparkSession, dir: String): DataFrame = {
+    val w = 604800L // 7 days in seconds
+    val byUser = Window.partitionBy("user_id")
+    ev(s, dir)
+      .select(col("user_id"), col("event_type"),
+        unix_timestamp(date_trunc("second", col("ts"))).as("ep"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ep"))).over(byUser))
+      .withColumn("t2", min(when(col("event_type") === "click" &&
+        col("ep") > col("t1") && col("ep") <= col("t1") + w, col("ep"))).over(byUser))
+      .withColumn("t3", min(when(col("event_type") === "purchase" &&
+        col("ep") > col("t2") && col("ep") <= col("t1") + w, col("ep"))).over(byUser))
+      .select("user_id", "t1", "t2", "t3").distinct()
+      .withColumn("level",
+        when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
+          .when(col("t1").isNotNull, 1).otherwise(0))
+      .groupBy("level").agg(count(lit(1)).as("n_users"))
+  }
+
   /** ev07: daily active users. */
   def dailyActiveUsers(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)

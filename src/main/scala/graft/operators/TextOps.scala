@@ -184,6 +184,40 @@ object TextOps {
         round(avg("n_tokens"), 2).as("avg_tokens"),
         sum(col("n_tokens") - col("n_word_tokens")).as("cjk_char_tokens"))
 
+  /** tx18: BM25-ranked full-text search — the scoring function behind
+    * the reference's search surface (search-indexer feeds Meilisearch,
+    * whose relevance core is BM25:
+    * search-indexer/app/driver/meilisearch_driver.go:471 "Japanese
+    * BM25 queries", config/constants.go:22 "BM25 only"). Lucene-form
+    * idf ln((N−df+0.5)/(df+0.5)+1), k1 = 1.2, b = 0.75. The index-side
+    * stats (df per term, avgdl) are tiny aggregates broadcast against
+    * the per-doc tf rows; only query-term postings survive the
+    * explode, so the shuffle carries |query| terms × matching docs,
+    * never the corpus vocabulary.
+    */
+  def bm25Search(s: SparkSession, dir: String): DataFrame = {
+    val query = Seq("merge", "join", "stream")
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), round(avg("dl"), 6).as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
+      .withColumn("contrib",
+        col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** q16: substring text search + per-source hit counts (the
     * search-indexer / pg_trgm ILIKE surface of alt-backend's feed
     * search drivers).
