@@ -38,6 +38,7 @@ object SparkEntry {
     "q18_grouping_sets"             -> (Relational.groupingSets _),
     "q19_revenue_quartiles"         -> (Relational.revenueQuartiles _),
     "q20_unpivot_measures"          -> (Relational.unpivotMeasures _),
+    "q21_latest_orders_enriched"    -> (Relational.latestOrdersEnriched _),
     // Event / log analytics
     "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
     "ev02_error_rate"               -> (Events.errorRate _),
@@ -197,6 +198,16 @@ object SparkEntry {
          WHERE o_orderdate > TIMESTAMP '1997-06-01'
             OR (o_orderdate = TIMESTAMP '1997-06-01' AND o_orderkey > 1000)
          ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 20""",
+    "q21_latest_orders_enriched" ->
+      """WITH page AS (SELECT o_orderkey, o_orderdate, round(o_totalprice,2) AS totalprice
+                       FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20),
+         li AS (SELECT l_orderkey, count(*) AS li_count,
+                       string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS li_parts
+                FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM page)
+                GROUP BY l_orderkey)
+         SELECT o_orderkey, o_orderdate, totalprice,
+                coalesce(li_count, 0) AS n_items, coalesce(li_parts, '') AS part_list
+         FROM page LEFT JOIN li ON o_orderkey = l_orderkey""",
     "q16_text_search" ->
       """SELECT source, count(*) AS n_hits FROM documents
          WHERE text LIKE '%merge join%' GROUP BY source""",

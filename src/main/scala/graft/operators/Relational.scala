@@ -172,6 +172,35 @@ object Relational {
       .select(col("o_orderkey"), col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"))
   }
 
+  /** q21: cursor page enriched with aggregated children — alt-backend's
+    * article-list shape (fetch_articles_cursor_driver.go:75: a LIMIT'd
+    * keyset page LEFT JOIN LATERAL an ARRAY_AGG of the page rows' tags;
+    * feed_link_export_driver.go:21 is the same lateral pattern). In
+    * Spark the lateral inverts: broadcast the 20-row page INTO the
+    * child scan (so only the page's lineitems are ever aggregated —
+    * the whole point of LATERAL vs aggregating the world), aggregate
+    * per parent, left-join back. Child lists are sorted for
+    * deterministic string assembly, empty-coalesced like the
+    * reference's COALESCE(tags, '{}').
+    */
+  def latestOrdersEnriched(s: SparkSession, dir: String): DataFrame = {
+    val page = Tables.orders(s, dir)
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      .limit(20)
+      .select(col("o_orderkey"), col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"))
+    val children = Tables.lineitem(s, dir)
+      .join(broadcast(page.select("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey")
+      .agg(
+        count(lit(1)).as("li_count"),
+        array_join(transform(array_sort(collect_list(col("l_partkey"))),
+          p => p.cast("string")), ",").as("li_parts"))
+    page.join(children, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(col("o_orderkey"), col("o_orderdate"), col("totalprice"),
+        coalesce(col("li_count"), lit(0L)).as("n_items"),
+        coalesce(col("li_parts"), lit("")).as("part_list"))
+  }
+
   /** q18: GROUPING SETS — simultaneous independent rollups (status and
     * priority marginals in one pass), the multi-panel dashboard shape.
     */
