@@ -115,6 +115,34 @@ object StreamOps {
       ()
     }.start()
 
+  /** st08: stream-stream interval join — each purchase matched to the
+    * same user's views from the preceding `joinWindowSec`, the
+    * streaming form of AsOf.purchaseAfterView (and the "correlate a
+    * log line with its trace within a window" join the reference's
+    * observability stack performs between log and trace streams). Both
+    * sides are watermarked and the join condition bounds view_ts to a
+    * purchase-relative interval, so the state store provably drops
+    * view state older than watermark + window — without the time bound
+    * the state grows forever and the query is rejected at analysis.
+    */
+  def purchaseAfterViewStream(views: DataFrame, purchases: DataFrame,
+                              joinWindowSec: Long = 1800,
+                              watermark: String = "2 hours"): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", watermark)
+    val p = purchases
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermark)
+    p.join(v,
+      col("user_id") === col("v_user") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr(s"INTERVAL $joinWindowSec SECONDS"))
+      .select("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+  }
+
   case class SessionInput(user_id: Long, ts: Timestamp)
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)

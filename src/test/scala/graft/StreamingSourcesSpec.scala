@@ -29,6 +29,28 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st08 stream-stream interval join matches views within the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(Long, Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Long, Timestamp)]
+    val df = StreamOps.purchaseAfterViewStream(
+      views.toDF.toDF("user_id", "event_id", "ts"),
+      purchases.toDF.toDF("user_id", "event_id", "ts"),
+      joinWindowSec = 600, watermark = "30 minutes")
+    val q = df.writeStream.format("memory").queryName("st08").outputMode("append").start()
+    try {
+      // user 1: purchase at t9 matches views at t0 and t8 (<= 10 min
+      // back); purchase at t20 matches neither (12 and 20 min back);
+      // user 2: view AFTER the purchase never matches
+      views.addData((1L, 100L, ts(0)), (1L, 101L, ts(8)), (2L, 200L, ts(15)))
+      purchases.addData((1L, 900L, ts(9)), (1L, 901L, ts(20)), (2L, 902L, ts(10)))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT purchase_id, view_id FROM st08").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows == Set((900L, 100L), (900L, 101L)), rows.toString)
+    } finally q.stop()
+  }
+
   test("st07 streaming error rate emits closed windows with correct ratios") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
