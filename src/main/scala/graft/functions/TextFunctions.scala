@@ -137,6 +137,14 @@ object TextFunctions {
         org.apache.spark.sql.graft.ColumnBridge.expression(tokens(text)),
         langMarkers.map(_._1), langMarkers.map(_._2)))
 
+  /** Token-set Jaccard of two (distinct-element) arrays, unrounded —
+    * the verify metric of tx09/tx17 and the lexical half of rag02's
+    * rerank blend. One definition so rounding/null semantics can never
+    * drift between the exact baseline and its sketch-blocked path.
+    */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)) / size(array_union(a, b))
+
   /** Longest-common-subsequence length of two token arrays — the
     * ROUGE-L kernel (native codegen'd DP; see LcsLength).
     */

@@ -61,7 +61,9 @@ object Graph {
       .withColumn("winner",
         array_min(filter(
           transform(col("hist"), h => struct(
-            (when(h.getField("lang") === col("lang"), 1).otherwise(0) - h.getField("cnt")).as("nv"),
+            // null-SAFE equality: a null-lang doc must still subtract
+            // its own vote from the null bucket, like the edge-join did
+            (when(h.getField("lang") <=> col("lang"), 1).otherwise(0) - h.getField("cnt")).as("nv"),
             h.getField("lang").as("label"))),
           x => x.getField("nv") < 0)).getField("label"))
       .select(coalesce(col("winner"), col("lang")).as("label"))

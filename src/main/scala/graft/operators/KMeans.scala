@@ -41,7 +41,11 @@ object KMeans {
       i += 1
     }
     corpus.unpersist(blocking = false)
+    // persisted: callers typically run several actions on the fitted
+    // assignment (sizes, cost, purity) — without this each one re-scans
+    // the source and re-runs k cosine kernels per row
     assigned.withColumnRenamed("cell", "cluster")
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** Mean cosine of vectors to their assigned centroid — the
@@ -68,13 +72,11 @@ object KMeans {
   def fitMiniBatch(e: DataFrame, epochs: Int, fraction: Double, seed: Long = 42L): DataFrame = {
     require(epochs >= 1 && fraction > 0 && fraction <= 1)
     val corpus = e.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
-    val init = Similarity.centroidsFor(e, "label").select("cell", "centroid").collect()
-      .sortBy(_.getInt(0))
-    val cells = init.map(_.getInt(0))
-    val cellIdx = cells.zipWithIndex.toMap
+    val (init, cellLit) = Similarity.sortedCellsAndLit(
+      Similarity.centroidsFor(e, "label").select("cell", "centroid").collect())
+    val cellIdx: Map[Any, Int] = init.map(_.get(0)).zipWithIndex.toMap
     val cents = init.map(_.getSeq[Double](1).toArray)
-    val counts = Array.fill(cells.length)(0L)
-    val cellLit = typedlit(cells.toSeq)
+    val counts = Array.fill(init.length)(0L)
     var ep = 0
     while (ep < epochs) {
       val batch = corpus.sample(withReplacement = false, fraction, seed + ep)
@@ -86,9 +88,9 @@ object KMeans {
         .groupBy("cell", "pos")
         .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
         .collect()
-      val batchN = Array.fill(cells.length)(0L)
+      val batchN = Array.fill(init.length)(0L)
       stats.foreach { r =>
-        val j = cellIdx(r.getInt(0)); val pos = r.getInt(1)
+        val j = cellIdx(r.get(0)); val pos = r.getInt(1)
         val b = r.getLong(3)
         cents(j)(pos) = (counts(j) * cents(j)(pos) + r.getDouble(2)) / (counts(j) + b)
         batchN(j) = b
@@ -100,6 +102,7 @@ object KMeans {
     corpus.unpersist(blocking = false)
     Similarity.assignToCentroidLiterals(e, cellLit, cents.map(_.toSeq).toSeq)
       .withColumnRenamed("cell", "cluster")
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** km02 adapter: cluster sizes + mean in-cluster cosine after 3

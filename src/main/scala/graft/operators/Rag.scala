@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.TextFunctions.tokens
+import graft.functions.TextFunctions.{jaccard, tokens}
 
 /** RAG retrieval + context assembly.
   *
@@ -59,9 +59,7 @@ object Rag {
       .join(broadcast(hits), "query_id")
     val enriched = toks.select(col("doc_id").as("neighbor_id"), col("toks").as("c_toks"))
       .join(broadcast(withQuery), "neighbor_id")
-      .withColumn("lex",
-        round(size(array_intersect(col("q_toks"), col("c_toks"))) /
-              size(array_union(col("q_toks"), col("c_toks"))), 6))
+      .withColumn("lex", round(jaccard(col("q_toks"), col("c_toks")), 6))
       .withColumn("rerank_score", round(lit(0.7) * col("cos") + lit(0.3) * col("lex"), 6))
     val w = Window.partitionBy("query_id")
       .orderBy(col("rerank_score").desc, col("neighbor_id").asc)

@@ -184,10 +184,13 @@ object Relational {
     * reference's COALESCE(tags, '{}').
     */
   def latestOrdersEnriched(s: SparkSession, dir: String): DataFrame = {
+    // persisted: the page drives both the child filter and the final
+    // join — uncached it would run the orders top-20 twice
     val page = Tables.orders(s, dir)
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
       .limit(20)
       .select(col("o_orderkey"), col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val children = Tables.lineitem(s, dir)
       .join(broadcast(page.select("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey")

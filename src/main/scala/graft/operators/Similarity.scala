@@ -71,9 +71,18 @@ object Similarity {
     * `orderBy(cc desc, cell asc)` window.
     */
   private[operators] def assignToCentroids(e: DataFrame, centroids: DataFrame): DataFrame = {
-    val rows = centroids.select("cell", "centroid").collect()
-    require(rows.nonEmpty, "assignToCentroids: empty centroid table")
-    val (ordered, cellLit) = rows(0).get(0) match {
+    val (ordered, cellLit) = sortedCellsAndLit(centroids.select("cell", "centroid").collect())
+    assignToCentroidLiterals(e, cellLit, ordered.map(_.getSeq[Double](1)))
+  }
+
+  /** Sort a collected (cell, centroid) table ascending by cell and
+    * build the matching cell-literal array — the Int/Long/String
+    * dispatch shared by every literal-centroid caller.
+    */
+  private[operators] def sortedCellsAndLit(
+      rows: Array[org.apache.spark.sql.Row]): (Array[org.apache.spark.sql.Row], Column) = {
+    require(rows.nonEmpty, "empty centroid table")
+    rows(0).get(0) match {
       case _: Int =>
         val o = rows.sortBy(_.getInt(0)); (o, typedlit(o.map(_.getInt(0)).toSeq))
       case _: Long =>
@@ -81,9 +90,8 @@ object Similarity {
       case _: String =>
         val o = rows.sortBy(_.getString(0)); (o, typedlit(o.map(_.getString(0)).toSeq))
       case other => throw new IllegalArgumentException(
-        s"assignToCentroids: unsupported cell type ${other.getClass}")
+        s"unsupported centroid cell type ${other.getClass}")
     }
-    assignToCentroidLiterals(e, cellLit, ordered.map(_.getSeq[Double](1)))
   }
 
   /** The literal-centroid core of the assignment: callers that already
@@ -231,12 +239,14 @@ object Similarity {
           .select(col("cell"), col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       else {
         val ccsArr = array(cents.map(c => cosineSim(col("embedding"), typedlit(c))): _*)
+        // negated cosine + ascending sort = (cc desc, cell asc): ties
+        // resolve to the SMALLEST cell, matching the probes=1 argmax
         val probeStructs = transform(sequence(lit(0), lit(cells - 1)),
-          i => struct(element_at(col("ccs"), i + 1).as("cc"), i.as("cell")))
+          i => struct((element_at(col("ccs"), i + 1) * -1).as("ncc"), i.as("cell")))
         v.filter(queryPred)
           .withColumn("ccs", ccsArr)
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-            explode(slice(reverse(array_sort(probeStructs)), 1, probes)).as("probe"))
+            explode(slice(array_sort(probeStructs), 1, probes)).as("probe"))
           .select(col("probe.cell").as("cell"), col("query_id"), col("q_emb"))
       }
     val wTop = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)

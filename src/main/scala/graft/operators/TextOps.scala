@@ -245,9 +245,7 @@ object TextOps {
     val b = d.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     a.join(b, "source")
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))))
-      .withColumn("uni", size(array_union(col("toks_a"), col("toks_b"))))
-      .withColumn("jaccard", round(col("inter") / col("uni"), 4))
+      .withColumn("jaccard", round(jaccard(col("toks_a"), col("toks_b")), 4))
       .filter(col("jaccard") >= 0.6)
       .select("source", "doc_a", "doc_b", "jaccard")
   }
@@ -280,9 +278,7 @@ object TextOps {
       .join(d.select(col("doc_id").as("doc_a"), col("source"), col("toks").as("toks_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("toks").as("toks_b")), "doc_b")
       .filter(col("source") === col("source_b"))
-      .withColumn("jaccard",
-        round(size(array_intersect(col("toks_a"), col("toks_b"))) /
-              size(array_union(col("toks_a"), col("toks_b"))), 4))
+      .withColumn("jaccard", round(jaccard(col("toks_a"), col("toks_b")), 4))
       .filter(col("jaccard") >= 0.6)
       .select("source", "doc_a", "doc_b", "jaccard")
   }
