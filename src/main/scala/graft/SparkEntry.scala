@@ -83,6 +83,7 @@ object SparkEntry {
     "tx15_rouge_l"                  -> (TextOps.rougeLPairs _),
     "tx16_cjk_token_stats"          -> (TextOps.cjkTokenStats _),
     "tx18_bm25_search"              -> (TextOps.bm25Search _),
+    "tx19_cjk_tfidf"                -> (TextOps.tfidfTopKMixed _),
     // Graph / label propagation
     "lp01_label_propagation"        -> (Graph.lp01 _),
     // Data quality
@@ -478,6 +479,21 @@ object SparkEntry {
       """WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
          nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
          terms AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM docs),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
+         scored AS (SELECT tf.doc_id, tf.term,
+                    round(tf.tf * round(ln(nd.n_docs * 1.0 / df.df), 6), 4) AS score
+                    FROM tf JOIN df USING (term) CROSS JOIN nd)
+         SELECT doc_id, term, score, rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+               FROM scored)
+         WHERE rank <= 3 AND score > 0""",
+    "tx19_cjk_tfidf" ->
+      """WITH docs AS (SELECT * FROM documents WHERE doc_id < 100),
+         nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM docs),
+         terms AS (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^\x00-\x7F]')) AS term
+                   FROM docs),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
          df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
          scored AS (SELECT tf.doc_id, tf.term,

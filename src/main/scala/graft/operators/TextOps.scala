@@ -51,10 +51,23 @@ object TextOps {
     * ln() of both engines agrees bit-for-bit after rounding; ranking
     * uses the rounded score with a term tie-break.
     */
-  def tfidfTopK(s: SparkSession, dir: String): DataFrame = {
+  def tfidfTopK(s: SparkSession, dir: String): DataFrame =
+    tfidfTopKOn(s, dir, tokens)
+
+  /** tx19: tx03 over the CJK-aware mixed tokenizer — tag-generator's
+    * japanese_extractor.py runs exactly this pipeline (tokenize
+    * Japanese text, score terms by TF-IDF, keep the top keywords);
+    * with the whitespace tokenizer every Japanese doc is one giant
+    * term and the scores are meaningless. Oracle mirrors the regex.
+    */
+  def tfidfTopKMixed(s: SparkSession, dir: String): DataFrame =
+    tfidfTopKOn(s, dir, tokensMixed)
+
+  private def tfidfTopKOn(s: SparkSession, dir: String,
+                          toksOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 100)
     val nDocs = docs.select(countDistinct("doc_id").as("n_docs"))
-    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val terms = docs.select(col("doc_id"), explode(toksOf(col("text"))).as("term"))
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))

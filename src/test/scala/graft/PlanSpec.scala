@@ -70,6 +70,24 @@ class PlanSpec extends SparkSpec {
     assert(codegenSpans("sim01_knn_brute").nonEmpty) // CosineSimilarity stays in codegen
   }
 
+  test("q19 quartile banding plans no Window at all") {
+    // the round-1 ntile ran a single-partition global sort; the
+    // cut-point rewrite must keep every row operation windowless
+    val nodes = allNodes(finalPlan("q19_revenue_quartiles"))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "WindowExec in q19")
+  }
+
+  test("tx18 BM25 joins index stats by broadcast only") {
+    val f = formatted("tx18_bm25_search")
+    assert(!f.contains("SortMergeJoin"), "BM25 df/avgdl joins must broadcast")
+  }
+
+  test("q21 page join broadcasts — the lateral never shuffles lineitem by itself") {
+    val f = formatted("q21_latest_orders_enriched")
+    assert(!f.contains("SortMergeJoin"), "page joins must broadcast")
+  }
+
   test("k-means assignment is one projection over the corpus — no Exchange, no Window") {
     // Centroids are driver-collected literals, so a Lloyd iteration's
     // lineage must be exactly scan → project: any Exchange or Window
