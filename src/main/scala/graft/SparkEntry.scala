@@ -58,6 +58,8 @@ object SparkEntry {
     "ev16_sketch_dau"               -> (Events.sketchDau _),
     "ot01_trace_spans"              -> (Events.traceSpans _),
     "ev17_window_funnel"            -> (Events.windowFunnel _),
+    "ev18_decay_ranking"            -> (Events.decayRanking _),
+    "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     // Event sourcing / CQRS
@@ -399,6 +401,49 @@ object SparkEntry {
                      WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS level,
                 count(*) AS n_users
          FROM u GROUP BY 1""",
+    "ev18_decay_ranking" ->
+      """WITH e AS (SELECT event_id, event_type,
+                    coalesce(value, 0) AS v,
+                    epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS ep,
+                    coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         st AS (SELECT max(ep) AS now_ep, max(v) AS max_v FROM e)
+         SELECT event_id, event_type, score FROM (
+           SELECT event_id, event_type,
+             round(0.5 * round(v / max_v, 6)
+                 + 0.3 * round(exp(-0.005 * coalesce((now_ep - ep) / 3600.0, 24.0)), 6)
+                 + 0.2 * least(k / 5.0, 1.0), 4) AS score
+           FROM e CROSS JOIN st)
+         ORDER BY score DESC, event_id ASC LIMIT 20""",
+    "tx20_classification_metrics" ->
+      """WITH sc AS (
+           SELECT lang,
+             len(list_filter(toks, t -> t IN ('the','a','fast','slow'))) AS c_en,
+             len(list_filter(toks, t -> t IN ('data','row','table'))) AS c_es,
+             len(list_filter(toks, t -> t IN ('key','hash','merge'))) AS c_de,
+             len(list_filter(toks, t -> t IN ('query','filter','join'))) AS c_fr,
+             len(list_filter(toks, t -> t IN ('stream','batch','window'))) AS c_zh
+           FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+         p AS (SELECT lang AS actual,
+           CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                WHEN c_fr >= c_en AND c_fr >= c_es AND c_fr >= c_de AND c_fr >= c_zh THEN 'fr'
+                ELSE 'zh' END AS predicted
+           FROM sc),
+         sup AS (SELECT actual AS label, count(*) AS support FROM p GROUP BY 1),
+         np AS (SELECT predicted AS label, count(*) AS n_predicted FROM p GROUP BY 1),
+         tpt AS (SELECT actual AS label, count(*) AS tp FROM p WHERE actual = predicted GROUP BY 1)
+         SELECT label, support, tp, precision, recall,
+           CASE WHEN precision + recall > 0
+                THEN round(2 * precision * recall / (precision + recall), 4)
+                ELSE 0.0 END AS f1
+         FROM (
+           SELECT label, support,
+             coalesce(tp, 0) AS tp,
+             round(coalesce(tp, 0) * 1.0 / coalesce(n_predicted, 1), 4) AS precision,
+             round(coalesce(tp, 0) * 1.0 / support, 4) AS recall
+           FROM sup LEFT JOIN np USING (label) LEFT JOIN tpt USING (label))""",
     "ev05_top_purchasers" ->
       """SELECT user_id, round(sum(value),2) AS revenue, count(*) AS n_purchases
          FROM events WHERE event_type = 'purchase' GROUP BY user_id

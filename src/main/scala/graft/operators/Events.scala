@@ -177,6 +177,35 @@ object Events {
       .groupBy("level").agg(count(lit(1)).as("n_users"))
   }
 
+  /** ev18: recency-decayed composite ranking — recap-worker's select
+    * stage scores each candidate 0.5·confidence + 0.3·exp(−0.005·age_h)
+    * + 0.2·min(tags/5, 1) (recap-worker/recap-worker/src/pipeline/
+    * select/scoring.rs:7 calculate_score, including its "unknown
+    * published_at ⇒ assume 24 h" rule). Mapped onto events: confidence
+    * = value normalized by the corpus max, freshness decays from the
+    * corpus max timestamp (deterministic — no wall clock in a query),
+    * tag overlap = the props JSON's k. Global stats are a broadcast
+    * singleton; the ranking is a top-20 with id tie-break.
+    */
+  def decayRanking(s: SparkSession, dir: String): DataFrame = {
+    val e = ev(s, dir).select(
+      col("event_id"), col("event_type"),
+      coalesce(col("value"), lit(0.0)).as("v"),
+      unix_timestamp(date_trunc("second", col("ts"))).as("ep"),
+      coalesce(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"), lit(0)).as("k"))
+    val stats = e.agg(max("ep").as("now_ep"), max("v").as("max_v"))
+    e.crossJoin(broadcast(stats))
+      .withColumn("confidence", round(col("v") / col("max_v"), 6))
+      .withColumn("age_h", coalesce((col("now_ep") - col("ep")) / 3600.0, lit(24.0)))
+      .withColumn("freshness", round(exp(lit(-0.005) * col("age_h")), 6))
+      .withColumn("tag_score", least(col("k") / 5.0, lit(1.0)))
+      .withColumn("score",
+        round(lit(0.5) * col("confidence") + lit(0.3) * col("freshness") + lit(0.2) * col("tag_score"), 4))
+      .orderBy(col("score").desc, col("event_id").asc)
+      .limit(20)
+      .select("event_id", "event_type", "score")
+  }
+
   /** ev07: daily active users. */
   def dailyActiveUsers(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)

@@ -99,6 +99,35 @@ object TextOps {
       .groupBy(col("lang"), col("predicted"))
       .agg(count(lit(1)).as("n"))
 
+  /** tx20: per-label classification metrics over the lang-ID
+    * predictions — precision, recall, F1, support from the tx05
+    * confusion pairs, exactly what recap-worker's golden-set evaluator
+    * computes per genre label (recap-worker/recap-worker/src/
+    * evaluation/metrics.rs:13 LabelStats → precision/recall/F1).
+    * The confusion matrix is a tiny aggregate; the metric arithmetic
+    * is a broadcast-side projection.
+    */
+  def classificationMetrics(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.documents(s, dir)
+      .select(col("lang").as("actual"), langId(col("text")).as("predicted"))
+    val support = pairs.groupBy("actual").agg(count(lit(1)).as("support"))
+    val predicted = pairs.groupBy("predicted").agg(count(lit(1)).as("n_predicted"))
+    val tp = pairs.filter(col("actual") === col("predicted"))
+      .groupBy(col("actual").as("label")).agg(count(lit(1)).as("tp"))
+    support.withColumnRenamed("actual", "label")
+      .join(predicted.withColumnRenamed("predicted", "label"), Seq("label"), "left")
+      .join(tp, Seq("label"), "left")
+      .select(
+        col("label"), col("support"),
+        coalesce(col("tp"), lit(0L)).as("tp"),
+        round(coalesce(col("tp"), lit(0L)) / coalesce(col("n_predicted"), lit(1L)), 4).as("precision"),
+        round(coalesce(col("tp"), lit(0L)) / col("support"), 4).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          round(lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")), 4))
+          .otherwise(lit(0.0)))
+  }
+
   /** tx06: exact dedup groups via content hash (md5 on both engines). */
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
