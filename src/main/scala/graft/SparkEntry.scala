@@ -60,6 +60,7 @@ object SparkEntry {
     "ev17_window_funnel"            -> (Events.windowFunnel _),
     "ev18_decay_ranking"            -> (Events.decayRanking _),
     "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
+    "tx21_term_entropy"             -> (TextOps.termEntropy _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     // Event sourcing / CQRS
@@ -548,6 +549,15 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
                FROM scored)
          WHERE rank <= 3 AND score > 0""",
+    "tx21_term_entropy" ->
+      """WITH tf AS (
+           SELECT doc_id, term, count(*) AS tf
+           FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
+           GROUP BY 1, 2),
+         p AS (SELECT doc_id, tf * 1.0 / sum(tf) OVER (PARTITION BY doc_id) AS p FROM tf)
+         SELECT doc_id, count(*) AS n_terms,
+                round(-sum(p * ln(p) / ln(2.0)), 4) AS entropy_bits
+         FROM p GROUP BY doc_id""",
     "tx04_quality_score" ->
       """SELECT * FROM (
            SELECT doc_id, n_tokens,

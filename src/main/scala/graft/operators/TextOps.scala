@@ -128,6 +128,28 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
+  /** tx21: per-document term-distribution Shannon entropy (bits) —
+    * recap-worker's tag-profile summary computes exactly this over tag
+    * confidences (recap-worker/recap-worker/src/pipeline/genre_refine/
+    * scoring.rs:17 compute_entropy: p = w/Σw, −Σ p·ln(p)/ln 2); over
+    * token frequencies it is the classic lexical-diversity signal a
+    * quality gate reads next to stopword ratio. The per-doc total is a
+    * window sum over the tf rows (same shuffle as the tf groupBy key
+    * prefix — no second join).
+    */
+  def termEntropy(s: SparkSession, dir: String): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("p", col("tf") / sum("tf").over(byDoc))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(-sum(col("p") * log(col("p")) / log(lit(2.0))), 4).as("entropy_bits"))
+  }
+
   /** tx06: exact dedup groups via content hash (md5 on both engines). */
   def exactDedup(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)

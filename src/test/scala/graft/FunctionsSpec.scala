@@ -140,6 +140,31 @@ class FunctionsSpec extends SparkSpec {
     assert(fps(1L).intersect(fps(2L)).nonEmpty)
   }
 
+  test("LcsLength and RpSignBands: codegen/interpreted agreement") {
+    import graft.functions.TextFunctions.lcsLen
+    val toks = Seq(
+      (Seq("a", "b", "c", "a"), Seq("b", "a", "c")),
+      (Seq.empty[String], Seq("x")),
+      (Seq("猫", "犬"), Seq("犬", "猫"))).toDF("a", "b")
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.fill(6)(Array.fill(16)(rnd.nextGaussian().toFloat)).map(Tuple1(_)).toDF("v")
+    def lcsVals = toks.select(lcsLen(col("a"), col("b"))).collect().map(_.getInt(0)).toSeq
+    def bandVals = vecs.select(rpSignBands(col("v"), 4, 8)).collect().map(_.getSeq[Long](0)).toSeq
+    val (lcsGen, bandsGen) = (lcsVals, bandVals)
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      assert(lcsVals == lcsGen)
+      assert(bandVals == bandsGen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // band values embed the band index → values from different bands
+    // can never collide across bands
+    bandsGen.foreach(bs => assert(bs.map(_ >>> 32).toSeq == Seq(0L, 1L, 2L, 3L), bs.toString))
+  }
+
   test("cosineSim: exact values, nulls, and codegen/interpreted agreement") {
     val df = Seq(
       (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
