@@ -12,6 +12,33 @@ class StreamingSourcesSpec extends SparkSpec {
 
   private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
 
+  test("src05 OTLP envelope flattening inherits resource/scope context per record") {
+    import graft.sources.OtlpEnvelope
+    def rec(sev: Int, body: String) = (ts(0), sev, body, Map("k" -> "v"))
+    def scope(name: String, recs: Seq[(Timestamp, Int, String, Map[String, String])]) = (name, recs)
+    val env = Seq(Tuple1(Seq(
+      (Map("service.name" -> "alt-backend"),
+        Seq(scope("scopeA", Seq(rec(9, "ok"), rec(17, "boom"))),
+            scope("scopeB", Seq(rec(21, "fatal"))))),
+      (Map("service.name" -> "pre-processor"),
+        Seq(scope("scopeC", Seq(rec(5, "debug")))))
+    ))).toDF("resource_logs")
+      .select(col("resource_logs").cast(
+        "array<struct<resource_attrs:map<string,string>,scope_logs:array<struct<scope_name:string," +
+        "log_records:array<struct<ts:timestamp,severity_number:int,body:string,attrs:map<string,string>>>>>>>"))
+    val flat = OtlpEnvelope.flattenLogs(env)
+    assert(flat.count() == 4)
+    val byBody = flat.collect().map(r => r.getAs[String]("body") ->
+      (r.getAs[Map[String, String]]("resource_attrs")("service.name"), r.getAs[String]("scope_name"))).toMap
+    assert(byBody("boom") == ("alt-backend", "scopeA"))
+    assert(byBody("fatal") == ("alt-backend", "scopeB"))
+    assert(byBody("debug") == ("pre-processor", "scopeC"))
+    val roll = OtlpEnvelope.severityRollup(flat).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(roll("alt-backend") == (3L, 2L)) // sev 17 and 21 are errors
+    assert(roll("pre-processor") == (1L, 0L))
+  }
+
   test("st01 windowed counts aggregate by tumbling window") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
