@@ -52,6 +52,24 @@ object Scale {
       .partitionBy("__day")
       .parquet(path)
 
+  /** Compact a many-small-files dataset into ~`rowsPerFile`-sized
+    * parquet files — the maintenance pass ClickHouse gets for free
+    * from MergeTree part merges and a streaming-ingest lake must run
+    * itself (every micro-batch of st06/rask ingestion leaves one file
+    * per partition per trigger; a year of that is millions of tiny
+    * files and a scheduler-bound scan). One count to size the target,
+    * one round-robin repartition, `maxRecordsPerFile` as the cap so a
+    * future append can't silently exceed it.
+    */
+  def compact(df: DataFrame, dest: String, rowsPerFile: Long): Unit = {
+    require(rowsPerFile >= 1)
+    val n = math.max(1L, math.ceil(df.count().toDouble / rowsPerFile).toLong).toInt
+    df.repartition(n)
+      .write.mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", rowsPerFile)
+      .parquet(dest)
+  }
+
   /** Write a DataFrame as a bucketed+sorted table: joins and
     * aggregations on `key` between tables bucketed the same way run
     * with NO shuffle exchange — the physical plan reads co-located

@@ -19,6 +19,25 @@ class ScaleSpec extends SparkSpec {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("compaction collapses a many-small-files layout, preserving rows") {
+    val small = "/tmp/graft-compact-src"
+    val dest = "/tmp/graft-compact-dst"
+    val e = Tables.events(spark, sfDir)
+    e.repartition(32).write.mode("overwrite").parquet(small) // streaming-ingest shape
+    val src = spark.read.parquet(small)
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(small) == 32)
+    val total = src.count()
+    Scale.compact(src, dest, rowsPerFile = total / 2 + 1) // expect ~2 files
+    val out = spark.read.parquet(dest)
+    assert(out.count() == total)
+    val nOut = parquetFiles(dest)
+    assert(nOut <= 3 && nOut >= 1, s"expected ~2 compacted files, got $nOut")
+    // byte-identical content, not just counts
+    assert(out.exceptAll(src).isEmpty && src.exceptAll(out).isEmpty)
+  }
+
   test("day-partitioned writes prune partitions at planning time") {
     val path = "/tmp/graft-events-by-day"
     Scale.writePartitionedByDay(Tables.events(spark, sfDir), "ts", path)
