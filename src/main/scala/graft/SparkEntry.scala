@@ -556,7 +556,7 @@ object SparkEntry {
            GROUP BY 1, 2),
          p AS (SELECT doc_id, tf * 1.0 / sum(tf) OVER (PARTITION BY doc_id) AS p FROM tf)
          SELECT doc_id, count(*) AS n_terms,
-                round(-sum(p * ln(p) / ln(2.0)), 4) AS entropy_bits
+                round(-sum(p * round(ln(p) / ln(2.0), 6)), 4) AS entropy_bits
          FROM p GROUP BY doc_id""",
     "tx04_quality_score" ->
       """SELECT * FROM (

@@ -61,13 +61,30 @@ object Scale {
     * one round-robin repartition, `maxRecordsPerFile` as the cap so a
     * future append can't silently exceed it.
     */
-  def compact(df: DataFrame, dest: String, rowsPerFile: Long): Unit = {
+  def compact(df: DataFrame, dest: String, rowsPerFile: Long,
+              partitionCols: Seq[String] = Nil): Unit = {
     require(rowsPerFile >= 1)
-    val n = math.max(1L, math.ceil(df.count().toDouble / rowsPerFile).toLong).toInt
-    df.repartition(n)
-      .write.mode(SaveMode.Overwrite)
-      .option("maxRecordsPerFile", rowsPerFile)
-      .parquet(dest)
+    if (partitionCols.nonEmpty) {
+      // partitioned lake: compact WITHIN each partition directory and
+      // keep the layout (round-robin mixing would silently drop the
+      // planning-time pruning the layout exists for). Hash-clustering
+      // on the partition cols writes one file per partition value,
+      // split by maxRecordsPerFile; a single huge partition value is
+      // the caller's skew signal, not this function's to fix.
+      df.repartition(partitionCols.map(col): _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*)
+        .option("maxRecordsPerFile", rowsPerFile)
+        .parquet(dest)
+    } else {
+      val n = math.min(
+        math.max(1L, math.ceil(df.count().toDouble / rowsPerFile).toLong),
+        Int.MaxValue.toLong).toInt
+      df.repartition(n)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", rowsPerFile)
+        .parquet(dest)
+    }
   }
 
   /** Write a DataFrame as a bucketed+sorted table: joins and

@@ -108,12 +108,17 @@ object TextOps {
     * is a broadcast-side projection.
     */
   def classificationMetrics(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Tables.documents(s, dir)
+    // ONE scan: the (actual, predicted) confusion matrix is ≤ labels²
+    // rows; support / per-prediction counts / true positives are all
+    // re-aggregations of it, never of the corpus
+    val confusion = Tables.documents(s, dir)
       .select(col("lang").as("actual"), langId(col("text")).as("predicted"))
-    val support = pairs.groupBy("actual").agg(count(lit(1)).as("support"))
-    val predicted = pairs.groupBy("predicted").agg(count(lit(1)).as("n_predicted"))
-    val tp = pairs.filter(col("actual") === col("predicted"))
-      .groupBy(col("actual").as("label")).agg(count(lit(1)).as("tp"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val support = confusion.groupBy("actual").agg(sum("n").as("support"))
+    val predicted = confusion.groupBy("predicted").agg(sum("n").as("n_predicted"))
+    val tp = confusion.filter(col("actual") === col("predicted"))
+      .select(col("actual").as("label"), col("n").as("tp"))
     support.withColumnRenamed("actual", "label")
       .join(predicted.withColumnRenamed("predicted", "label"), Seq("label"), "left")
       .join(tp, Seq("label"), "left")
@@ -144,10 +149,14 @@ object TextOps {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
       .withColumn("p", col("tf") / sum("tf").over(byDoc))
+      // log term rounded to 6 dp BEFORE the sum — the repo's
+      // cross-engine discipline (JVM log and libm ln can differ a ulp;
+      // summed over hundreds of terms that could straddle the final
+      // 4 dp rounding boundary)
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_terms"),
-        round(-sum(col("p") * log(col("p")) / log(lit(2.0))), 4).as("entropy_bits"))
+        round(-sum(col("p") * round(log(col("p")) / log(lit(2.0)), 6)), 4).as("entropy_bits"))
   }
 
   /** tx06: exact dedup groups via content hash (md5 on both engines). */

@@ -60,6 +60,6 @@ object OtlpEnvelope {
       .groupBy(col("resource_attrs").getItem("service.name").as("service"))
       .agg(
         count(lit(1)).as("n_records"),
-        count(when(col("severity_number") >= 17, 1)).as("n_errors"),
-        round(count(when(col("severity_number") >= 17, 1)) / count(lit(1)), 4).as("error_share"))
+        count(when(col("severity_number") >= 17, 1)).as("n_errors"))
+      .withColumn("error_share", round(col("n_errors") / col("n_records"), 4))
 }

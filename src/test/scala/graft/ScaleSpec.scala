@@ -36,6 +36,14 @@ class ScaleSpec extends SparkSpec {
     assert(nOut <= 3 && nOut >= 1, s"expected ~2 compacted files, got $nOut")
     // byte-identical content, not just counts
     assert(out.exceptAll(src).isEmpty && src.exceptAll(out).isEmpty)
+    // partitioned compaction keeps the directory layout (and with it,
+    // planning-time pruning) instead of round-robin mixing days
+    val destP = "/tmp/graft-compact-part"
+    val byDay = src.withColumn("__day", date_format(col("ts"), "yyyy-MM-dd"))
+    Scale.compact(byDay, destP, rowsPerFile = total, partitionCols = Seq("__day"))
+    val dayDirs = new java.io.File(destP).listFiles().count(_.getName.startsWith("__day="))
+    assert(dayDirs >= 2, s"expected day directories, got $dayDirs")
+    assert(spark.read.parquet(destP).count() == total)
   }
 
   test("day-partitioned writes prune partitions at planning time") {
