@@ -48,6 +48,34 @@ object BinaryMeta {
     }
   }
 
+  case class FrameRow(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** Deterministic stride frame sampling for video payloads: every
+    * `everyN`-th frame up to `maxFrames` per asset — the
+    * one-row-to-many-frames fan-out a video pipeline runs before
+    * per-frame feature extraction. The frame SLICING is stubbed (fixed
+    * 64-byte stride standing in for a container demuxer); the shape —
+    * flatMap inside mapPartitions so a real demuxer can hold its codec
+    * context across the partition, bounded output per asset so one
+    * long video cannot blow up a task — is the contract.
+    */
+  def sampleFrames(media: Dataset[MediaRow], everyN: Int = 10,
+                   maxFrames: Int = 8): Dataset[FrameRow] = {
+    require(everyN >= 1 && maxFrames >= 1)
+    implicit val enc = Encoders.product[FrameRow]
+    media.filter(col("kind") === "video").mapPartitions { rows =>
+      // per-partition demuxer init would go here
+      rows.flatMap { r =>
+        val frameBytes = 64 // stub frame size; a demuxer reads real frame boundaries
+        val nFrames = math.max(1, r.payload.length / frameBytes)
+        (0 until nFrames by everyN).take(maxFrames).iterator.map { i =>
+          FrameRow(r.media_id, i,
+            r.payload.slice(i * frameBytes, math.min((i + 1) * frameBytes, r.payload.length)))
+        }
+      }
+    }
+  }
+
   /** Metadata rollup over extracted features — the queryable side. */
   def featureStats(features: Dataset[MediaFeatures]): DataFrame =
     features.groupBy("kind")

@@ -68,6 +68,8 @@ class PlanSpec extends SparkSpec {
   test("native sketch expressions do not break codegen") {
     assert(codegenSpans("tx07_minhash_lsh_dedup").nonEmpty)
     assert(codegenSpans("sim01_knn_brute").nonEmpty) // CosineSimilarity stays in codegen
+    assert(codegenSpans("tx15_rouge_l").nonEmpty)    // LcsLength DP
+    assert(codegenSpans("sim05_rp_neardup").nonEmpty) // RpSignBands
   }
 
   test("q19 quartile banding plans no Window at all") {

@@ -298,4 +298,24 @@ class StreamingSourcesSpec extends SparkSpec {
     val stats = BinaryMeta.featureStats(BinaryMeta.extractFeatures(media)).collect()
     assert(stats.map(_.getString(0)).toSet == Set("image", "audio"))
   }
+
+  test("mm02 video frame sampling bounds output per asset and skips non-video") {
+    val vid = Array.tabulate(64 * 30)(i => (i % 127).toByte) // 30 stub frames
+    val media = Seq(
+      BinaryMeta.MediaRow(1L, "video", vid),
+      BinaryMeta.MediaRow(2L, "image", Array[Byte](1, 2, 3)),
+      BinaryMeta.MediaRow(3L, "video", Array.tabulate(64 * 200)(_.toByte)) // long video
+    ).toDS()
+    val frames = BinaryMeta.sampleFrames(media, everyN = 10, maxFrames = 4)
+      .collect().groupBy(_.media_id)
+    assert(!frames.contains(2L)) // non-video skipped
+    // 30 frames @ stride 10 -> indices 0,10,20
+    assert(frames(1L).map(_.frame_idx).sorted.sameElements(Array(0, 10, 20)))
+    // 200 frames capped at maxFrames
+    assert(frames(3L).length == 4)
+    // deterministic slices, 64 bytes each
+    assert(frames(1L).forall(_.frame_bytes.length == 64))
+    assert(frames(1L).find(_.frame_idx == 10).get.frame_bytes
+      .sameElements(vid.slice(640, 704)))
+  }
 }
