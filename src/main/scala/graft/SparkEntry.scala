@@ -61,6 +61,7 @@ object SparkEntry {
     "ev18_decay_ranking"            -> (Events.decayRanking _),
     "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
     "tx21_term_entropy"             -> (TextOps.termEntropy _),
+    "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     // Event sourcing / CQRS
@@ -549,6 +550,42 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
                FROM scored)
          WHERE rank <= 3 AND score > 0""",
+    "tx22_macro_metrics" ->
+      """WITH sc AS (
+           SELECT lang,
+             len(list_filter(toks, t -> t IN ('the','a','fast','slow'))) AS c_en,
+             len(list_filter(toks, t -> t IN ('data','row','table'))) AS c_es,
+             len(list_filter(toks, t -> t IN ('key','hash','merge'))) AS c_de,
+             len(list_filter(toks, t -> t IN ('query','filter','join'))) AS c_fr,
+             len(list_filter(toks, t -> t IN ('stream','batch','window'))) AS c_zh
+           FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+         p AS (SELECT lang AS actual,
+           CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                WHEN c_fr >= c_en AND c_fr >= c_es AND c_fr >= c_de AND c_fr >= c_zh THEN 'fr'
+                ELSE 'zh' END AS predicted
+           FROM sc),
+         sup AS (SELECT actual AS label, count(*) AS support FROM p GROUP BY 1),
+         np AS (SELECT predicted AS label, count(*) AS n_predicted FROM p GROUP BY 1),
+         tpt AS (SELECT actual AS label, count(*) AS tp FROM p WHERE actual = predicted GROUP BY 1),
+         m AS (
+           SELECT label, support, tp, precision, recall,
+             CASE WHEN precision + recall > 0
+                  THEN round(2 * precision * recall / (precision + recall), 4)
+                  ELSE 0.0 END AS f1
+           FROM (
+             SELECT label, support,
+               coalesce(tp, 0) AS tp,
+               round(coalesce(tp, 0) * 1.0 / coalesce(n_predicted, 1), 4) AS precision,
+               round(coalesce(tp, 0) * 1.0 / support, 4) AS recall
+             FROM sup LEFT JOIN np USING (label) LEFT JOIN tpt USING (label)))
+         SELECT round(avg(precision), 4) AS macro_precision,
+                round(avg(recall), 4) AS macro_recall,
+                round(avg(f1), 4) AS macro_f1,
+                round(sum(f1 * support) / sum(support), 4) AS weighted_f1,
+                round(sum(tp) * 1.0 / sum(support), 4) AS accuracy
+         FROM m""",
     "tx21_term_entropy" ->
       """WITH tf AS (
            SELECT doc_id, term, count(*) AS tf

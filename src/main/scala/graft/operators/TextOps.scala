@@ -133,6 +133,21 @@ object TextOps {
           .otherwise(lit(0.0)))
   }
 
+  /** tx22: corpus-level classification summary — macro
+    * precision/recall/F1 (unweighted label average), support-weighted
+    * F1, and accuracy, the exact field set of recap-worker's
+    * ClassificationMetrics (evaluation/metrics.rs:12). Derived from
+    * the tx20 per-label table, so the two stay consistent by
+    * construction.
+    */
+  def macroMetrics(s: SparkSession, dir: String): DataFrame =
+    classificationMetrics(s, dir).agg(
+      round(avg("precision"), 4).as("macro_precision"),
+      round(avg("recall"), 4).as("macro_recall"),
+      round(avg("f1"), 4).as("macro_f1"),
+      round(sum(col("f1") * col("support")) / sum("support"), 4).as("weighted_f1"),
+      round(sum("tp") / sum("support"), 4).as("accuracy"))
+
   /** tx21: per-document term-distribution Shannon entropy (bits) —
     * recap-worker's tag-profile summary computes exactly this over tag
     * confidences (recap-worker/recap-worker/src/pipeline/genre_refine/
