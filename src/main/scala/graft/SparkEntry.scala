@@ -59,6 +59,7 @@ object SparkEntry {
     "ot01_trace_spans"              -> (Events.traceSpans _),
     "ev17_window_funnel"            -> (Events.windowFunnel _),
     "ev18_decay_ranking"            -> (Events.decayRanking _),
+    "ev19_cohort_retention"         -> (Events.cohortRetention _),
     "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
     "tx21_term_entropy"             -> (TextOps.termEntropy _),
     "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
@@ -446,6 +447,18 @@ object SparkEntry {
              round(coalesce(tp, 0) * 1.0 / coalesce(n_predicted, 1), 4) AS precision,
              round(coalesce(tp, 0) * 1.0 / support, 4) AS recall
            FROM sup LEFT JOIN np USING (label) LEFT JOIN tpt USING (label))""",
+    "ev19_cohort_retention" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+                     CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week FROM events),
+         c AS (SELECT user_id, min(week) AS cohort_week FROM uw GROUP BY user_id),
+         sz AS (SELECT cohort_week, count(*) AS cohort_size FROM c GROUP BY cohort_week),
+         j AS (SELECT uw.user_id, c.cohort_week,
+                      CAST(floor(date_diff('day', c.cohort_week, uw.week) / 7.0) AS INTEGER) AS offset_w
+               FROM uw JOIN c USING (user_id))
+         SELECT cohort_week, offset_w, count(DISTINCT user_id) AS n_active, cohort_size,
+                round(count(DISTINCT user_id) * 1.0 / cohort_size, 4) AS retention
+         FROM j JOIN sz USING (cohort_week)
+         GROUP BY cohort_week, offset_w, cohort_size""",
     "ev05_top_purchasers" ->
       """SELECT user_id, round(sum(value),2) AS revenue, count(*) AS n_purchases
          FROM events WHERE event_type = 'purchase' GROUP BY user_id

@@ -206,6 +206,31 @@ object Events {
       .select("event_id", "event_type", "score")
   }
 
+  /** ev19: weekly cohort retention matrix — users grouped by
+    * first-active week, tracked by week offset (the engagement-cohort
+    * grid behind every retention dashboard; the reference's weekly
+    * recap cadence (es04) implies exactly this user view). ev08 is the
+    * day-over-day special case; this is the full (cohort × offset)
+    * matrix. Input collapses to distinct (user, week) pairs before any
+    * join, so the join volume is users×weeks, never raw events; cohort
+    * sizes are a tiny broadcast.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val uw = ev(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    val cohort = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+    val sz = cohort.groupBy("cohort_week").agg(count(lit(1)).as("cohort_size"))
+    uw.join(cohort, "user_id")
+      .withColumn("offset_w",
+        floor(datediff(col("week"), col("cohort_week")) / 7.0).cast("int"))
+      .groupBy("cohort_week", "offset_w")
+      .agg(countDistinct("user_id").as("n_active"))
+      .join(broadcast(sz), "cohort_week")
+      .withColumn("retention", round(col("n_active") / col("cohort_size"), 4))
+      .select("cohort_week", "offset_w", "n_active", "cohort_size", "retention")
+  }
+
   /** ev07: daily active users. */
   def dailyActiveUsers(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
