@@ -106,6 +106,44 @@ object SparkEntry {
     "tx17_lsh_jaccard"              -> (TextOps.lshJaccardPairs _),
   )
 
+  /** Shared DuckDB CTE chain for the classification-metrics oracles:
+    * lang-ID predictions → per-label confusion → per-label
+    * precision/recall/F1 as table `m`. tx20 selects the rows, tx22
+    * aggregates them — ONE definition so the two oracles can never
+    * test different classifiers (the Spark side is consistent by
+    * construction: macroMetrics calls classificationMetrics).
+    */
+  private val classificationMetricsCte: String =
+    """sc AS (
+           SELECT lang,
+             len(list_filter(toks, t -> t IN ('the','a','fast','slow'))) AS c_en,
+             len(list_filter(toks, t -> t IN ('data','row','table'))) AS c_es,
+             len(list_filter(toks, t -> t IN ('key','hash','merge'))) AS c_de,
+             len(list_filter(toks, t -> t IN ('query','filter','join'))) AS c_fr,
+             len(list_filter(toks, t -> t IN ('stream','batch','window'))) AS c_zh
+           FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
+         p AS (SELECT lang AS actual,
+           CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
+                WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
+                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
+                WHEN c_fr >= c_en AND c_fr >= c_es AND c_fr >= c_de AND c_fr >= c_zh THEN 'fr'
+                ELSE 'zh' END AS predicted
+           FROM sc),
+         sup AS (SELECT actual AS label, count(*) AS support FROM p GROUP BY 1),
+         np AS (SELECT predicted AS label, count(*) AS n_predicted FROM p GROUP BY 1),
+         tpt AS (SELECT actual AS label, count(*) AS tp FROM p WHERE actual = predicted GROUP BY 1),
+         m AS (
+           SELECT label, support, tp, precision, recall,
+             CASE WHEN precision + recall > 0
+                  THEN round(2 * precision * recall / (precision + recall), 4)
+                  ELSE 0.0 END AS f1
+           FROM (
+             SELECT label, support,
+               coalesce(tp, 0) AS tp,
+               round(coalesce(tp, 0) * 1.0 / coalesce(n_predicted, 1), 4) AS precision,
+               round(coalesce(tp, 0) * 1.0 / support, 4) AS recall
+             FROM sup LEFT JOIN np USING (label) LEFT JOIN tpt USING (label)))"""
+
   /** Sequential double-precision cosine, written out so DuckDB evaluates
     * the same ordered sum as the codegen'd CosineSimilarity expression.
     */
@@ -419,34 +457,8 @@ object SparkEntry {
            FROM e CROSS JOIN st)
          ORDER BY score DESC, event_id ASC LIMIT 20""",
     "tx20_classification_metrics" ->
-      """WITH sc AS (
-           SELECT lang,
-             len(list_filter(toks, t -> t IN ('the','a','fast','slow'))) AS c_en,
-             len(list_filter(toks, t -> t IN ('data','row','table'))) AS c_es,
-             len(list_filter(toks, t -> t IN ('key','hash','merge'))) AS c_de,
-             len(list_filter(toks, t -> t IN ('query','filter','join'))) AS c_fr,
-             len(list_filter(toks, t -> t IN ('stream','batch','window'))) AS c_zh
-           FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
-         p AS (SELECT lang AS actual,
-           CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
-                WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
-                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
-                WHEN c_fr >= c_en AND c_fr >= c_es AND c_fr >= c_de AND c_fr >= c_zh THEN 'fr'
-                ELSE 'zh' END AS predicted
-           FROM sc),
-         sup AS (SELECT actual AS label, count(*) AS support FROM p GROUP BY 1),
-         np AS (SELECT predicted AS label, count(*) AS n_predicted FROM p GROUP BY 1),
-         tpt AS (SELECT actual AS label, count(*) AS tp FROM p WHERE actual = predicted GROUP BY 1)
-         SELECT label, support, tp, precision, recall,
-           CASE WHEN precision + recall > 0
-                THEN round(2 * precision * recall / (precision + recall), 4)
-                ELSE 0.0 END AS f1
-         FROM (
-           SELECT label, support,
-             coalesce(tp, 0) AS tp,
-             round(coalesce(tp, 0) * 1.0 / coalesce(n_predicted, 1), 4) AS precision,
-             round(coalesce(tp, 0) * 1.0 / support, 4) AS recall
-           FROM sup LEFT JOIN np USING (label) LEFT JOIN tpt USING (label))""",
+      s"""WITH $classificationMetricsCte
+         SELECT label, support, tp, precision, recall, f1 FROM m""",
     "ev19_cohort_retention" ->
       """WITH uw AS (SELECT DISTINCT user_id,
                      CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week FROM events),
@@ -564,35 +576,7 @@ object SparkEntry {
                FROM scored)
          WHERE rank <= 3 AND score > 0""",
     "tx22_macro_metrics" ->
-      """WITH sc AS (
-           SELECT lang,
-             len(list_filter(toks, t -> t IN ('the','a','fast','slow'))) AS c_en,
-             len(list_filter(toks, t -> t IN ('data','row','table'))) AS c_es,
-             len(list_filter(toks, t -> t IN ('key','hash','merge'))) AS c_de,
-             len(list_filter(toks, t -> t IN ('query','filter','join'))) AS c_fr,
-             len(list_filter(toks, t -> t IN ('stream','batch','window'))) AS c_zh
-           FROM (SELECT lang, string_split_regex(trim(text), '\s+') AS toks FROM documents)),
-         p AS (SELECT lang AS actual,
-           CASE WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
-                WHEN c_es >= c_en AND c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
-                WHEN c_de >= c_en AND c_de >= c_es AND c_de >= c_fr AND c_de >= c_zh THEN 'de'
-                WHEN c_fr >= c_en AND c_fr >= c_es AND c_fr >= c_de AND c_fr >= c_zh THEN 'fr'
-                ELSE 'zh' END AS predicted
-           FROM sc),
-         sup AS (SELECT actual AS label, count(*) AS support FROM p GROUP BY 1),
-         np AS (SELECT predicted AS label, count(*) AS n_predicted FROM p GROUP BY 1),
-         tpt AS (SELECT actual AS label, count(*) AS tp FROM p WHERE actual = predicted GROUP BY 1),
-         m AS (
-           SELECT label, support, tp, precision, recall,
-             CASE WHEN precision + recall > 0
-                  THEN round(2 * precision * recall / (precision + recall), 4)
-                  ELSE 0.0 END AS f1
-           FROM (
-             SELECT label, support,
-               coalesce(tp, 0) AS tp,
-               round(coalesce(tp, 0) * 1.0 / coalesce(n_predicted, 1), 4) AS precision,
-               round(coalesce(tp, 0) * 1.0 / support, 4) AS recall
-             FROM sup LEFT JOIN np USING (label) LEFT JOIN tpt USING (label)))
+      s"""WITH $classificationMetricsCte
          SELECT round(avg(precision), 4) AS macro_precision,
                 round(avg(recall), 4) AS macro_recall,
                 round(avg(f1), 4) AS macro_f1,

@@ -63,7 +63,8 @@ object BinaryMeta {
                    maxFrames: Int = 8): Dataset[FrameRow] = {
     require(everyN >= 1 && maxFrames >= 1)
     implicit val enc = Encoders.product[FrameRow]
-    media.filter(col("kind") === "video").mapPartitions { rows =>
+    media.filter(col("kind") === "video" && length(col("payload")) > 0)
+      .mapPartitions { rows =>
       // per-partition demuxer init would go here
       rows.flatMap { r =>
         val frameBytes = 64 // stub frame size; a demuxer reads real frame boundaries

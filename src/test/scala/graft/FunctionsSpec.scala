@@ -218,7 +218,10 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_simhash_agg(t) FROM (SELECT explode(array('a','b','c')) AS t)").head.getLong(0)
     val arr = spark.sql("SELECT graft_simhash(array('a','b','c'))").head.getLong(0)
     assert(agg == arr)
-    // round-2 expressions: LCS and RP bands
+  }
+
+  test("round-2 SQL functions (graft_lcs, graft_rp_bands) are registered") {
+    VectorFunctions.register(spark)
     assert(spark.sql("SELECT graft_lcs(array('a','b','c'), array('b','c','d'))").head.getInt(0) == 2)
     assert(spark.sql("SELECT size(graft_rp_bands(array(1.0F, -2.0F), 8, 4))").head.getInt(0) == 8)
   }
