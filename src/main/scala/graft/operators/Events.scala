@@ -170,7 +170,12 @@ object Events {
         col("ep") > col("t1") && col("ep") <= col("t1") + w, col("ep"))).over(byUser))
       .withColumn("t3", min(when(col("event_type") === "purchase" &&
         col("ep") > col("t2") && col("ep") <= col("t1") + w, col("ep"))).over(byUser))
-      .select("user_id", "t1", "t2", "t3").distinct()
+      // t1/t2/t3 are per-user constants: a groupBy on user_id reuses
+      // the windows' hash(user_id) partitioning with zero extra
+      // exchange, where distinct() would reshuffle every event row on
+      // all four columns
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
       .withColumn("level",
         when(col("t3").isNotNull, 3).when(col("t2").isNotNull, 2)
           .when(col("t1").isNotNull, 1).otherwise(0))
