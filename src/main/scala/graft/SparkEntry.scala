@@ -60,6 +60,7 @@ object SparkEntry {
     "ev17_window_funnel"            -> (Events.windowFunnel _),
     "ev18_decay_ranking"            -> (Events.decayRanking _),
     "ev19_cohort_retention"         -> (Events.cohortRetention _),
+    "ev20_value_histogram"          -> ((s: SparkSession, dir: String) => Events.valueHistogram(s, dir)),
     "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
     "tx21_term_entropy"             -> (TextOps.termEntropy _),
     "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
@@ -471,6 +472,11 @@ object SparkEntry {
                 round(count(DISTINCT user_id) * 1.0 / cohort_size, 4) AS retention
          FROM j JOIN sz USING (cohort_week)
          GROUP BY cohort_week, offset_w, cohort_size""",
+    "ev20_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+         count(*) AS n, round(min(value), 2) AS bin_min, round(max(value), 2) AS bin_max
+         FROM events WHERE value IS NOT NULL
+         GROUP BY 1, 2""",
     "ev05_top_purchasers" ->
       """SELECT user_id, round(sum(value),2) AS revenue, count(*) AS n_purchases
          FROM events WHERE event_type = 'purchase' GROUP BY user_id

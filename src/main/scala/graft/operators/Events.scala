@@ -236,6 +236,23 @@ object Events {
       .select("cohort_week", "offset_w", "n_active", "cohort_size", "retention")
   }
 
+  /** ev20: fixed-width value histogram per event type — the
+    * distribution panel next to ev03's percentiles (ClickHouse's
+    * histogram()/Grafana heatmap surface). Fixed bin width keeps the
+    * query one shuffle with map-side combine (a min/max-scaled
+    * histogram needs a pre-pass; fixed bins don't) and bins are
+    * directly comparable across days/services. Null values excluded,
+    * negative values land in negative bins via floor.
+    */
+  def valueHistogram(s: SparkSession, dir: String, binWidth: Double = 50.0): DataFrame =
+    ev(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("bin", floor(col("value") / binWidth).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"),
+           round(min("value"), 2).as("bin_min"),
+           round(max("value"), 2).as("bin_max"))
+
   /** ev07: daily active users. */
   def dailyActiveUsers(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
