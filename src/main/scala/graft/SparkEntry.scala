@@ -39,6 +39,7 @@ object SparkEntry {
     "q19_revenue_quartiles"         -> (Relational.revenueQuartiles _),
     "q20_unpivot_measures"          -> (Relational.unpivotMeasures _),
     "q21_latest_orders_enriched"    -> (Relational.latestOrdersEnriched _),
+    "q22_market_share"              -> ((s: SparkSession, dir: String) => Relational.marketShare(s, dir)),
     // Event / log analytics
     "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
     "ev02_error_rate"               -> (Events.errorRate _),
@@ -61,6 +62,7 @@ object SparkEntry {
     "ev18_decay_ranking"            -> (Events.decayRanking _),
     "ev19_cohort_retention"         -> (Events.cohortRetention _),
     "ev20_value_histogram"          -> ((s: SparkSession, dir: String) => Events.valueHistogram(s, dir)),
+    "ev21_slo_burn"                 -> ((s: SparkSession, dir: String) => Events.sloBurn(s, dir)),
     "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
     "tx21_term_entropy"             -> (TextOps.termEntropy _),
     "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
@@ -90,6 +92,10 @@ object SparkEntry {
     "tx16_cjk_token_stats"          -> (TextOps.cjkTokenStats _),
     "tx18_bm25_search"              -> (TextOps.bm25Search _),
     "tx19_cjk_tfidf"                -> (TextOps.tfidfTopKMixed _),
+    "tx23_sequence_packing"         -> ((s: SparkSession, dir: String) => TextOps.sequencePacking(s, dir)),
+    "tx24_pii_scrub"                -> (TextOps.piiScrub _),
+    "tx25_unigram_loglik"           -> (TextOps.unigramLogLik _),
+    "smp01_stratified_sample"       -> (Sampling.smp01 _),
     // Graph / label propagation
     "lp01_label_propagation"        -> (Graph.lp01 _),
     // Data quality
@@ -253,6 +259,25 @@ object SparkEntry {
          SELECT o_orderkey, o_orderdate, totalprice,
                 coalesce(li_count, 0) AS n_items, coalesce(li_parts, '') AS part_list
          FROM page LEFT JOIN li ON o_orderkey = l_orderkey""",
+    "q22_market_share" ->
+      """WITH ac AS (SELECT c_custkey FROM customer
+                     JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+                     WHERE r_name = 'ASIA'),
+         sn AS (SELECT s_suppkey, n_name AS s_nation FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey)
+         SELECT year(o_orderdate) AS o_year,
+                round(sum(CASE WHEN s_nation = 'NATION_7'
+                               THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS nation_revenue,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+                round(sum(CASE WHEN s_nation = 'NATION_7'
+                               THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                      / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN ac ON o_custkey = c_custkey
+         JOIN sn ON l_suppkey = s_suppkey
+         GROUP BY 1""",
     "q16_text_search" ->
       """SELECT source, count(*) AS n_hits FROM documents
          WHERE text LIKE '%merge join%' GROUP BY source""",
@@ -477,6 +502,22 @@ object SparkEntry {
          count(*) AS n, round(min(value), 2) AS bin_min, round(max(value), 2) AS bin_max
          FROM events WHERE value IS NOT NULL
          GROUP BY 1, 2""",
+    "ev21_slo_burn" ->
+      """WITH hourly AS (
+           SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+                  count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+                  count(*) AS n_total
+           FROM events GROUP BY 1),
+         w AS (SELECT *, epoch(bucket) AS epoch_s FROM hourly),
+         r AS (SELECT bucket, n_errors, n_total,
+                      round(n_errors * 1.0 / n_total / 0.01, 4) AS burn_1h,
+                      round(sum(n_errors) OVER (ORDER BY epoch_s RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) * 1.0
+                            / sum(n_total) OVER (ORDER BY epoch_s RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
+                            / 0.01, 4) AS burn_6h
+               FROM w)
+         SELECT bucket, n_errors, n_total, burn_1h, burn_6h,
+                CASE WHEN burn_1h >= 2 AND burn_6h >= 2 THEN 1 ELSE 0 END AS alert
+         FROM r""",
     "ev05_top_purchasers" ->
       """SELECT user_id, round(sum(value),2) AS revenue, count(*) AS n_purchases
          FROM events WHERE event_type = 'purchase' GROUP BY user_id
@@ -581,6 +622,50 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
                FROM scored)
          WHERE rank <= 3 AND score > 0""",
+    "tx23_sequence_packing" ->
+      """WITH d AS (SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+         c AS (SELECT doc_id, n_tokens,
+                      sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM d)
+         SELECT CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS seq_id,
+                count(*) AS n_docs,
+                CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+                min(doc_id) AS first_doc,
+                max(doc_id) AS last_doc
+         FROM c GROUP BY 1""",
+    "tx24_pii_scrub" ->
+      """WITH l AS (SELECT event_type,
+                    'user=' || CAST(user_id AS VARCHAR) || ' type=' || event_type
+                      || ' props=' || props AS line
+             FROM events),
+         h AS (SELECT event_type, line,
+                      len(regexp_extract_all(line, '\d{2,}')) AS n_hits,
+                      regexp_replace(regexp_replace(regexp_replace(line,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        'https?://\S+', '<URL>', 'g'),
+                        '\d{2,}', '<NUM>', 'g') AS scrubbed
+               FROM l)
+         SELECT event_type, count(*) AS n_rows,
+                CAST(sum(n_hits) AS BIGINT) AS n_num_hits,
+                count(CASE WHEN n_hits = 0 THEN 1 END) AS n_clean_rows,
+                min(scrubbed) AS sample_scrubbed
+         FROM h GROUP BY event_type""",
+    "smp01_stratified_sample" ->
+      """SELECT doc_id, lang, bucket FROM (
+           SELECT doc_id, lang,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS bucket
+           FROM documents)
+         WHERE bucket < CASE lang WHEN 'en' THEN 200 WHEN 'es' THEN 500
+                                  WHEN 'de' THEN 800 ELSE 100 END""",
+    "tx25_unigram_loglik" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY term),
+         tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM tc),
+         sc AS (SELECT tf.doc_id, tf.tf, round(log2(tc.ctf * 1.0 / tot.total), 6) AS logp
+                FROM tf JOIN tc USING (term) CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+                round(sum(tf * logp) / sum(tf), 4) AS avg_log2_lik
+         FROM sc GROUP BY doc_id""",
     "tx22_macro_metrics" ->
       s"""WITH $classificationMetricsCte
          SELECT round(avg(precision), 4) AS macro_precision,

