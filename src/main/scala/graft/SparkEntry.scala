@@ -110,6 +110,8 @@ object SparkEntry {
     "sim04_ivf_ann"                 -> (Similarity.ivfAnn _),
     "sim05_rp_neardup"              -> (Similarity.rpNearDup _),
     "sim06_ivf_kmeans"              -> (Similarity.ivfAnnKmeansEntry _),
+    "sim07_quantized_knn"           -> ((s: SparkSession, dir: String) => Similarity.quantizedKnn(s, dir)),
+    "dd01_dup_clusters"             -> (Dedup.dd01 _),
     "tx17_lsh_jaccard"              -> (TextOps.lshJaccardPairs _),
   )
 
@@ -725,6 +727,23 @@ object SparkEntry {
                  FROM documents WHERE doc_id < 1000) b
              ON a.source = b.source AND a.doc_id < b.doc_id)
          WHERE jaccard >= 0.6""",
+    "dd01_dup_clusters" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                              FROM documents WHERE doc_id < 1000),
+         p AS (SELECT doc_a, doc_b FROM (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                              len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+                 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+               WHERE jaccard >= 0.6),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         reach(node, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+         lab AS (SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node)
+         SELECT cluster_rep, count(*) AS n_members FROM lab GROUP BY cluster_rep""",
     "sim01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
          c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, ShortType}
 
 /** Cosine similarity over two float/double array columns as a native
   * Catalyst expression with whole-stage codegen — the hot inner loop of
@@ -31,46 +31,61 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType | DoubleType, _) => true
+      case ArrayType(FloatType | DoubleType | ByteType | ShortType | IntegerType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType))
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"graft_cosine expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
+        s"graft_cosine expects array<numeric> inputs, got ${left.dataType} / ${right.dataType}")
   }
 
-  private def isFloat(dt: DataType): Boolean = dt match {
-    case ArrayType(FloatType, _) => true
-    case _ => false
+  /** ArrayData accessor for the element type — ByteType and friends
+    * support quantized (int8) embeddings scored without dequantizing
+    * to a float array first.
+    */
+  private def getter(dt: DataType): String = dt match {
+    case ArrayType(FloatType, _) => "getFloat"
+    case ArrayType(ByteType, _) => "getByte"
+    case ArrayType(ShortType, _) => "getShort"
+    case ArrayType(IntegerType, _) => "getInt"
+    case _ => "getDouble"
+  }
+
+  private def read(x: ArrayData, i: Int, get: String): Double = get match {
+    case "getFloat" => x.getFloat(i).toDouble
+    case "getByte" => x.getByte(i).toDouble
+    case "getShort" => x.getShort(i).toDouble
+    case "getInt" => x.getInt(i).toDouble
+    case _ => x.getDouble(i)
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val lf = isFloat(left.dataType); val rf = isFloat(right.dataType)
+    val lg = getter(left.dataType); val rg = getter(right.dataType)
     val nx = x.numElements(); val ny = y.numElements()
     val n = math.min(nx, ny)
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xi = read(x, i, lg)
+      val yi = read(y, i, rg)
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
     // norms run over the FULL arrays — a truncated embedding must score
     // lower, not silently renormalize to 1 (and the DuckDB oracle's
     // self-zips are full-length)
-    while (i < nx) { val xi = if (lf) x.getFloat(i).toDouble else x.getDouble(i); na += xi * xi; i += 1 }
+    while (i < nx) { val xi = read(x, i, lg); na += xi * xi; i += 1 }
     i = n
-    while (i < ny) { val yi = if (rf) y.getFloat(i).toDouble else y.getDouble(i); nb += yi * yi; i += 1 }
+    while (i < ny) { val yi = read(y, i, rg); nb += yi * yi; i += 1 }
     val denom = math.sqrt(na) * math.sqrt(nb)
     if (denom == 0.0) null else dot / denom
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val lGet = if (isFloat(left.dataType)) "getFloat" else "getDouble"
-    val rGet = if (isFloat(right.dataType)) "getFloat" else "getDouble"
+    val lGet = getter(left.dataType)
+    val rGet = getter(right.dataType)
     nullSafeCodeGen(ctx, ev, (x, y) => {
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")

@@ -264,6 +264,45 @@ object Similarity {
     ivfAnnKmeans(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
       .orderBy("query_id", "rank")
 
+  /** Per-vector symmetric int8 quantization: q_i = round(127 · v_i /
+    * max|v|). Cosine is invariant under per-vector positive scaling, so
+    * quantized cosine approximates the float cosine with only rounding
+    * noise (≤ ~1/254 per element) and needs NO scale bookkeeping at
+    * query time. The point at 100 TB is the memory wall: a 4×-smaller
+    * corpus means 4× fewer scan bytes and 4× more vectors per executor
+    * before spilling — int8 is the standard serving layout (FAISS SQ8).
+    * The max|v| is materialized as its own column first so the
+    * quantize lambda reads a plain attribute (an inlined array_max
+    * would re-run per element under interpreted HOF evaluation).
+    */
+  def quantize8(e: DataFrame): DataFrame =
+    e.withColumn("vmax", array_max(transform(col("embedding"), v => abs(v))))
+      .withColumn("q_emb",
+        transform(col("embedding"),
+          v => round(v * lit(127.0) / col("vmax")).cast("tinyint")))
+      .drop("vmax")
+
+  /** sim07: brute-force top-k over the int8-quantized corpus — the
+    * quantized serving path measured against sim01's float baseline
+    * (recall spec pins ≥0.9 @5). Same broadcast-queries/no-corpus-
+    * shuffle plan as sim01; the cosine kernel reads bytes natively
+    * (CosineSimilarity handles integral arrays — no dequantized float
+    * array is ever materialized). Rows-only: DuckDB has no int8
+    * array type to mirror the rounding.
+    */
+  def quantizedKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val q8 = quantize8(Tables.embeddings(s, dir))
+    val queries = q8.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("q_emb").as("q_q"))
+    val corpus = q8.select(col("vec_id").as("neighbor_id"), col("q_emb").as("c_q"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosineSim(col("q_q"), col("c_q")), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos", "rank")
+  }
+
   /** Generic IVF over any (vec_id, embedding, label) corpus; `label`
     * seeds the coarse cells (one Lloyd update from the labeled
     * partition — KMeans.fit for proper iterations). `probes` > 1

@@ -112,6 +112,66 @@ class Round3OpsSpec extends SparkSpec {
     assert(got(1) == "no pii here")
   }
 
+  test("connectedComponents resolves transitive chains and keeps components apart") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs, "a", "b").collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L), got.toString)
+  }
+
+  test("dd01 dup clusters: reps are cluster minima, members cover exactly the paired docs") {
+    val pairs = operators.TextOps.tokenJaccard(spark, sfDir).select("doc_a", "doc_b").collect()
+    val nodes = pairs.flatMap(r => Seq(r.getLong(0), r.getLong(1))).toSet
+    val r = Dedup.dd01(spark, sfDir).collect()
+    assert(r.map(_.getAs[Long]("n_members")).sum == nodes.size)
+    r.foreach(row => assert(row.getAs[Long]("n_members") >= 2))
+    assert(r.map(_.getAs[Long]("cluster_rep")).toSet.subsetOf(nodes))
+  }
+
+  test("cosineSim reads int8 arrays natively and quantized cosine tracks the float cosine") {
+    val df = Seq(
+      (Seq(3.toByte, 4.toByte), Seq(3.toByte, 4.toByte)),
+      (Seq(1.toByte, 0.toByte), Seq(0.toByte, 1.toByte)),
+      (Seq(127.toByte, -127.toByte), Seq(127.toByte, -127.toByte)))
+      .toDF("a", "b")
+      .select(graft.functions.VectorFunctions.cosineSim(col("a"), col("b")).as("cos"))
+    val got = df.as[Double].collect()
+    assert(math.abs(got(0) - 1.0) < 1e-12)
+    assert(math.abs(got(1)) < 1e-12)
+    assert(math.abs(got(2) - 1.0) < 1e-12)
+  }
+
+  test("sim07 quantized knn: recall@5 vs the float baseline stays high") {
+    val exact = Similarity.knnBrute(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val quant = Similarity.quantizedKnn(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(quant.keySet == exact.keySet)
+    val recalls = exact.map { case (q, nbrs) => (quant(q) & nbrs).size.toDouble / nbrs.size }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall >= 0.9, s"mean recall@5 $meanRecall")
+    // quantized scores sit within rounding noise of the float scores
+    val floatCos = Similarity.knnBrute(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) -> r.getAs[Double]("cos")).toMap
+    Similarity.quantizedKnn(spark, sfDir).collect().foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      floatCos.get(key).foreach { fc =>
+        assert(math.abs(fc - r.getAs[Double]("cos")) < 0.02, s"$key drifted")
+      }
+    }
+  }
+
+  test("quantize8 emits int8 in [-127,127] with the max element at full scale") {
+    val q = Similarity.quantize8(Tables.embeddings(spark, sfDir)).select("q_emb").collect()
+    q.foreach { row =>
+      val arr = row.getSeq[Byte](0)
+      assert(arr.forall(b => b >= -127 && b <= 127))
+      assert(arr.exists(b => b == 127 || b == -127))
+    }
+  }
+
   test("tx24 pii scrub audit: scrubbed samples carry no digit runs, totals add up") {
     val r = TextOps.piiScrub(spark, sfDir).collect()
     assert(r.nonEmpty)
