@@ -95,7 +95,10 @@ object SparkEntry {
     "tx23_sequence_packing"         -> ((s: SparkSession, dir: String) => TextOps.sequencePacking(s, dir)),
     "tx24_pii_scrub"                -> (TextOps.piiScrub _),
     "tx25_unigram_loglik"           -> (TextOps.unigramLogLik _),
+    "tx26_decontamination"          -> ((s: SparkSession, dir: String) => TextOps.decontamination(s, dir)),
+    "tx27_repetition_filter"        -> ((s: SparkSession, dir: String) => TextOps.repetitionFilter(s, dir)),
     "smp01_stratified_sample"       -> (Sampling.smp01 _),
+    "smp02_mixture_weights"         -> (Sampling.mixtureWeights _),
     // Graph / label propagation
     "lp01_label_propagation"        -> (Graph.lp01 _),
     // Data quality
@@ -658,6 +661,17 @@ object SparkEntry {
            FROM documents)
          WHERE bucket < CASE lang WHEN 'en' THEN 200 WHEN 'es' THEN 500
                                   WHEN 'de' THEN 800 ELSE 100 END""",
+    "smp02_mixture_weights" ->
+      """WITH bs AS (SELECT source, count(*) AS n_docs,
+                            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+                     FROM documents GROUP BY source),
+         sh AS (SELECT *, tokens * 1.0 / sum(tokens) OVER () AS cur_share,
+                       (1.0 / count(*) OVER ()) / (tokens * 1.0 / sum(tokens) OVER ()) AS raw_w
+                FROM bs)
+         SELECT source, n_docs, tokens,
+                round(cur_share, 4) AS cur_share,
+                round(raw_w / max(raw_w) OVER (), 4) AS accept_rate
+         FROM sh""",
     "tx25_unigram_loglik" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
@@ -668,6 +682,29 @@ object SparkEntry {
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
                 round(sum(tf * logp) / sum(tf), 4) AS avg_log2_lik
          FROM sc GROUP BY doc_id""",
+    "tx26_decontamination" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id,
+                       list_distinct(list_transform(generate_series(1, len(toks) - 7),
+                                     i -> array_to_string(toks[i:i+7], ' '))) AS shingles
+                FROM d),
+         ev AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE doc_id % 100 = 0),
+         tr AS (SELECT doc_id, unnest(shingles) AS sh FROM sh WHERE doc_id % 100 <> 0)
+         SELECT doc_id, count(*) AS n_shared_shingles
+         FROM tr JOIN ev USING (sh)
+         GROUP BY doc_id""",
+    "tx27_repetition_filter" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         g AS (SELECT doc_id,
+                      list_transform(generate_series(1, len(toks) - 2),
+                                     i -> array_to_string(toks[i:i+2], ' ')) AS sh
+               FROM d),
+         c AS (SELECT doc_id, len(sh) AS n_grams, len(list_distinct(sh)) AS n_distinct FROM g)
+         SELECT doc_id, n_grams,
+                round((n_grams - n_distinct) * 1.0 / n_grams, 4) AS dup_ratio,
+                CASE WHEN round((n_grams - n_distinct) * 1.0 / n_grams, 4) > 0.2
+                     THEN 1 ELSE 0 END AS flagged
+         FROM c WHERE n_grams > 0""",
     "tx22_macro_metrics" ->
       s"""WITH $classificationMetricsCte
          SELECT round(avg(precision), 4) AS macro_precision,

@@ -41,6 +41,29 @@ object Sampling {
       .filter(col("bucket") < rate)
   }
 
+  /** smp02: domain-mixture rebalancing weights — per-source acceptance
+    * rates that flatten the token distribution to a uniform target
+    * mixture (the Pile-style domain weighting step: compute how hard
+    * each source must be downsampled so no domain dominates the
+    * training token budget). Downsample-only: rates normalize so the
+    * scarcest source keeps 100% of its tokens. One aggregation over
+    * the corpus; the share/normalize windows run on the per-source
+    * frame (|sources| rows at any data scale).
+    */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val bySource = Tables.documents(s, dir)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    bySource
+      .withColumn("cur_share", col("tokens") / sum("tokens").over())
+      .withColumn("raw_w", (lit(1.0) / count(lit(1)).over()) / col("cur_share"))
+      .withColumn("accept_rate", round(col("raw_w") / max("raw_w").over(), 4))
+      .select(col("source"), col("n_docs"), col("tokens"),
+              round(col("cur_share"), 4).as("cur_share"), col("accept_rate"))
+  }
+
   /** smp01: language-stratified document sample — oversample the rare
     * strata, downsample the dominant one (the class-balance step ahead
     * of fine-tuning / evaluation set builds).

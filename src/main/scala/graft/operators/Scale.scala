@@ -87,6 +87,27 @@ object Scale {
     }
   }
 
+  /** Range-clustered layout: repartition by range on `sortCols` and
+    * sort within partitions before writing, so every parquet file
+    * covers a narrow `sortCols` interval and its row-group min/max
+    * statistics actually prune. This is the MergeTree ORDER BY
+    * (timestamp) analog (clickhouse/migrations/001 orders logs by
+    * time): a day-partitioned lake prunes to the day, but a range-
+    * clustered file layout prunes WITHIN the day — a 1-hour predicate
+    * over a 100 TB day touches ~1/24th of the files instead of all of
+    * them. Z-order generalizes this to multiple dimensions; for the
+    * time-dominant log/event workloads here, plain range clustering
+    * on ts is the observed access pattern.
+    */
+  def writeRangeClustered(df: DataFrame, dest: String, files: Int,
+                          sortCols: Seq[String]): Unit = {
+    require(files >= 1 && sortCols.nonEmpty)
+    df.repartitionByRange(files, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(dest)
+  }
+
   /** Write a DataFrame as a bucketed+sorted table: joins and
     * aggregations on `key` between tables bucketed the same way run
     * with NO shuffle exchange — the physical plan reads co-located

@@ -411,6 +411,52 @@ object TextOps {
         round(sum(col("tf") * col("logp")) / sum("tf"), 4).as("avg_log2_lik"))
   }
 
+  /** tx26: benchmark decontamination — flag training documents that
+    * share any word n-gram with a held-out evaluation set (the GPT-3/
+    * PaLM-style 8-gram contamination check; the data-prep gate every
+    * LLM pipeline needs before training on scraped corpora). The eval
+    * set's distinct shingles are the small side (benchmarks are
+    * ~10⁵-10⁶ docs vs a 100 TB corpus) and broadcast into the train
+    * scan, so the check is one corpus pass + a per-doc rollup; swap the
+    * join key to xxhash64(shingle) when shingle strings dominate the
+    * broadcast budget — same plan, 8-byte keys.
+    */
+  def decontaminationOn(docs: DataFrame, isEval: org.apache.spark.sql.Column,
+                        n: Int): DataFrame = {
+    val evalShingles = docs.filter(isEval)
+      .select(explode(array_distinct(shingles(col("text"), n))).as("sh"))
+      .distinct()
+    docs.filter(!isEval)
+      .select(col("doc_id"), explode(array_distinct(shingles(col("text"), n))).as("sh"))
+      .join(broadcast(evalShingles), "sh")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared_shingles"))
+  }
+
+  def decontamination(s: SparkSession, dir: String, n: Int = 8): DataFrame =
+    decontaminationOn(Tables.documents(s, dir), col("doc_id") % 100 === 0, n)
+
+  /** tx27: n-gram repetition quality filter — fraction of duplicated
+    * word trigrams per document (the Gopher/RefinedWeb repetition
+    * rule: templated/boilerplate text repeats its own n-grams and gets
+    * gated before training). Stateless per-row projection; one scan,
+    * no shuffle at any scale.
+    */
+  def repetitionFilterOn(docs: DataFrame, n: Int, maxDupRatio: Double): DataFrame =
+    docs
+      .select(col("doc_id"), shingles(col("text"), n).as("sh"))
+      .select(col("doc_id"), size(col("sh")).as("n_grams"),
+              size(array_distinct(col("sh"))).as("n_distinct"))
+      .filter(col("n_grams") > 0)
+      .withColumn("dup_ratio",
+        round((col("n_grams") - col("n_distinct")) / col("n_grams").cast("double"), 4))
+      .select(col("doc_id"), col("n_grams"), col("dup_ratio"),
+              when(col("dup_ratio") > maxDupRatio, 1).otherwise(0).as("flagged"))
+
+  def repetitionFilter(s: SparkSession, dir: String,
+                       n: Int = 3, maxDupRatio: Double = 0.2): DataFrame =
+    repetitionFilterOn(Tables.documents(s, dir), n, maxDupRatio)
+
   /** tx24: PII scrub audit over composed log lines — redact IDs/emails/
     * URLs from the event stream and roll up how much was redacted per
     * type (the sanitization gate + its audit metric in one pass). The

@@ -172,6 +172,48 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("tx26 decontamination flags exactly the train docs sharing an n-gram with the eval set") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog today"),   // eval
+      (1L, "intro words then the quick brown fox jumps over the lazy dog and more"), // contaminated
+      (2L, "completely different text with no overlap at all here friend"),          // clean
+      (3L, "the quick brown fox jumps over a sleepy dog today"))   // 7-gram overlap only → clean at n=8
+      .toDF("doc_id", "text")
+    val got = operators.TextOps.decontaminationOn(docs, col("doc_id") === 0, n = 8)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared_shingles")).toMap
+    assert(got.keySet == Set(1L), got.toString)
+    assert(got(1L) >= 1)
+  }
+
+  test("tx26 over the corpus: flagged docs are train-side with positive overlap") {
+    val r = operators.TextOps.decontamination(spark, sfDir).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("doc_id") % 100 != 0)
+      assert(row.getAs[Long]("n_shared_shingles") >= 1)
+    }
+  }
+
+  test("tx27 repetition filter: templated text flagged, varied text passes") {
+    val docs = Seq(
+      (1L, "buy now click here buy now click here buy now click here buy now click here"),
+      (2L, "each word in this sentence appears exactly once without any repeats whatsoever"))
+      .toDF("doc_id", "text")
+    val got = operators.TextOps.repetitionFilterOn(docs, n = 3, maxDupRatio = 0.2)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("flagged")).toMap
+    assert(got == Map(1L -> 1, 2L -> 0), got.toString)
+  }
+
+  test("smp02 mixture weights: scarcest source keeps everything, weighted shares flatten") {
+    val r = Sampling.mixtureWeights(spark, sfDir).collect()
+    assert(r.length >= 2)
+    assert(r.forall(row => row.getAs[Double]("accept_rate") > 0 && row.getAs[Double]("accept_rate") <= 1.0))
+    assert(r.exists(row => row.getAs[Double]("accept_rate") == 1.0))
+    // after weighting, every source contributes ~the same token mass
+    val weighted = r.map(row => row.getAs[Long]("tokens") * row.getAs[Double]("accept_rate"))
+    val mean = weighted.sum / weighted.length
+    weighted.foreach(wt => assert(math.abs(wt - mean) / mean < 0.01, s"$wt vs $mean"))
+  }
+
   test("tx24 pii scrub audit: scrubbed samples carry no digit runs, totals add up") {
     val r = TextOps.piiScrub(spark, sfDir).collect()
     assert(r.nonEmpty)

@@ -46,6 +46,29 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(destP).count() == total)
   }
 
+  test("range-clustered writes yield disjoint per-file time ranges") {
+    val dest = "/tmp/graft-range-clustered"
+    val e = Tables.events(spark, sfDir).select("event_id", "ts")
+    val total = e.count()
+    Scale.writeRangeClustered(e, dest, files = 6, sortCols = Seq("ts"))
+    val out = spark.read.parquet(dest)
+    assert(out.count() == total)
+    // each file must cover a narrow, non-overlapping ts interval —
+    // that's what makes parquet min/max stats prune within a partition
+    val files = new java.io.File(dest).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length >= 4, s"expected ~6 files, got ${files.length}")
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("ts").cast("long").as("lo"), max("ts").cast("long").as("hi")).head
+      (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hiA), (loB, _)) => assert(hiA <= loB, "file time ranges overlap")
+      case _ =>
+    }
+  }
+
   test("day-partitioned writes prune partitions at planning time") {
     val path = "/tmp/graft-events-by-day"
     Scale.writePartitionedByDay(Tables.events(spark, sfDir), "ts", path)
