@@ -27,7 +27,9 @@ object Scratch {
       "q05_latest_order_per_customer", "ev04_sessionize",
       "tx07_minhash_lsh_dedup", "sim01_knn_brute", "asof01_purchase_after_view",
       "q19_revenue_quartiles", "lp01_label_propagation", "km01_spherical_kmeans",
-      "tx18_bm25_search", "sim05_rp_neardup", "q21_latest_orders_enriched")
+      "tx18_bm25_search", "sim05_rp_neardup", "q21_latest_orders_enriched",
+      "q22_market_share", "tx23_sequence_packing", "tx26_decontamination",
+      "smp01_stratified_sample", "sim07_quantized_knn", "ev21_slo_burn")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

@@ -90,6 +90,43 @@ class PlanSpec extends SparkSpec {
     assert(!f.contains("SortMergeJoin"), "page joins must broadcast")
   }
 
+  test("smp01 sampling is one scan: no Exchange, no Window, filter at the source") {
+    val nodes = allNodes(finalPlan("smp01_stratified_sample"))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "Exchange in the sampling plan — hash-threshold sampling must not shuffle")
+  }
+
+  test("q22 market share: dims broadcast, exactly one fact shuffle pair") {
+    val f = formatted("q22_market_share")
+    assert(f.split("BroadcastHashJoin").length - 1 >= 2,
+      "customer-region and supplier-nation sides must broadcast")
+    // the only sort-merge allowed is lineitem⋈orders (two facts)
+    assert(f.split("SortMergeJoin").length - 1 <= 1, "more than one non-broadcast join")
+  }
+
+  test("tx23 packing windows partition by bucket — never one global corpus window") {
+    val nodes = allNodes(finalPlan("tx23_sequence_packing"))
+    val windows = nodes.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+    assert(windows.nonEmpty)
+    // the corpus-side cumulative sum must be partitioned (by bucket);
+    // only the tiny bucket-offset window may be global
+    val globalWindows = windows.count(_.partitionSpec.isEmpty)
+    assert(globalWindows <= 1, s"$globalWindows unpartitioned windows — corpus cumsum went global")
+  }
+
+  test("tx26 decontamination joins eval shingles by broadcast") {
+    val f = formatted("tx26_decontamination")
+    assert(f.contains("BroadcastHashJoin"), "eval shingles must broadcast into the train scan")
+    assert(!f.contains("SortMergeJoin"), "decontamination must not shuffle the corpus for the probe join")
+  }
+
+  test("sim07 quantized knn never shuffles the corpus") {
+    val f = formatted("sim07_quantized_knn")
+    assert(f.contains("BroadcastNestedLoopJoin") || f.contains("BroadcastHashJoin"),
+      "queries must broadcast against the corpus scan")
+    assert(!f.contains("SortMergeJoin"))
+  }
+
   test("k-means assignment is one projection over the corpus — no Exchange, no Window") {
     // Centroids are driver-collected literals, so a Lloyd iteration's
     // lineage must be exactly scan → project: any Exchange or Window
