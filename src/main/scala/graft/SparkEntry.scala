@@ -63,6 +63,7 @@ object SparkEntry {
     "ev19_cohort_retention"         -> (Events.cohortRetention _),
     "ev20_value_histogram"          -> ((s: SparkSession, dir: String) => Events.valueHistogram(s, dir)),
     "ev21_slo_burn"                 -> ((s: SparkSession, dir: String) => Events.sloBurn(s, dir)),
+    "ev22_heavy_hitters"            -> ((s: SparkSession, dir: String) => Events.heavyHitters(s, dir)),
     "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
     "tx21_term_entropy"             -> (TextOps.termEntropy _),
     "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
@@ -523,6 +524,13 @@ object SparkEntry {
          SELECT bucket, n_errors, n_total, burn_1h, burn_6h,
                 CASE WHEN burn_1h >= 2 AND burn_6h >= 2 THEN 1 ELSE 0 END AS alert
          FROM r""",
+    "ev22_heavy_hitters" ->
+      """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, count(*) AS est_events
+                    FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)
+         SELECT event_type, rank, user_id, est_events, CAST(0 AS BIGINT) AS max_overcount
+         FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                         ORDER BY est_events DESC, user_id ASC) AS rank FROM c)
+         WHERE rank <= 10""",
     "ev05_top_purchasers" ->
       """SELECT user_id, round(sum(value),2) AS revenue, count(*) AS n_purchases
          FROM events WHERE event_type = 'purchase' GROUP BY user_id

@@ -153,6 +153,9 @@ object GraftExtensions {
     "graft_lang_id" -> (es => LangIdExpr(es(0),
       TextFunctions.langMarkers.map(_._1), TextFunctions.langMarkers.map(_._2))),
     "graft_simhash_agg" -> (es => SimHashAgg(es(0)).toAggregateExpression()),
+    "graft_topk_agg" -> (es => SpaceSavingAgg(es(0),
+      if (es.length > 1) intArg(es(1), "k") else 10,
+      if (es.length > 2) intArg(es(2), "capacity") else 256).toAggregateExpression()),
     "graft_lcs" -> (es => LcsLength(es(0), es(1))),
     "graft_rp_bands" -> (es => RpSignBands(es(0),
       if (es.length > 1) intArg(es(1), "bands") else 16,

@@ -337,6 +337,27 @@ object Events {
               when(col("burn_1h") >= 2 && col("burn_6h") >= 2, 1).otherwise(0).as("alert"))
   }
 
+  /** ev22: heavy hitters per event type via the mergeable SpaceSaving
+    * aggregate (ClickHouse `topK()`; the 100 TB path for top-N over
+    * HIGH-cardinality keys, where q04/ev05's exact groupBy would
+    * shuffle one row per distinct key). Each group keeps a bounded
+    * `capacity`-entry summary, merged across partitions. At test SF
+    * the capacity covers the user space, so estimates are exact and
+    * the DuckDB oracle mirrors them with a plain count — the same
+    * "exact below the buffer" contract ev11's percentile sketch has.
+    */
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 10, capacity: Int = 256): DataFrame = {
+    import graft.functions.SpaceSavingAgg.spaceSavingTopK
+    ev(s, dir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type")
+      .agg(spaceSavingTopK(col("user_id").cast("string"), k, capacity).as("hh"))
+      .select(col("event_type"), posexplode(col("hh")).as(Seq("i", "e")))
+      .select(col("event_type"), (col("i") + 1).as("rank"),
+              col("e.item").as("user_id"), col("e.est").as("est_events"),
+              col("e.err").as("max_overcount"))
+  }
+
   /** ev13: trailing 7-day moving average of daily revenue — the
     * Grafana smoothing window, computed over the per-day aggregate
     * (tiny frame), not raw events.

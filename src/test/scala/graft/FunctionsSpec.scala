@@ -218,6 +218,11 @@ class FunctionsSpec extends SparkSpec {
       "SELECT graft_simhash_agg(t) FROM (SELECT explode(array('a','b','c')) AS t)").head.getLong(0)
     val arr = spark.sql("SELECT graft_simhash(array('a','b','c'))").head.getLong(0)
     assert(agg == arr)
+    // SpaceSaving top-k over SQL: exact in the under-capacity regime
+    val hh = spark.sql(
+      "SELECT graft_topk_agg(t, 2, 16) FROM (SELECT explode(array('x','x','y','x','z')) AS t)")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(hh.map(r => (r.getString(0), r.getLong(1))) == Seq(("x", 3L), ("y", 1L)))
   }
 
   test("round-2 SQL functions (graft_lcs, graft_rp_bands) are registered") {

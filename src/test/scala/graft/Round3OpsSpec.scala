@@ -214,6 +214,47 @@ class Round3OpsSpec extends SparkSpec {
     weighted.foreach(wt => assert(math.abs(wt - mean) / mean < 0.01, s"$wt vs $mean"))
   }
 
+  test("ev22 heavy hitters: exact when capacity covers the key space") {
+    import graft.functions.SpaceSavingAgg.spaceSavingTopK
+    val exact = Tables.events(spark, sfDir)
+      .filter(col("user_id").isNotNull)
+      .groupBy("event_type", "user_id").count()
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+          .orderBy(col("count").desc, col("user_id").cast("string").asc)))
+      .filter(col("rank") <= 10)
+      .select(col("event_type"), col("rank"), col("user_id").cast("string").as("user_id"),
+              col("count").as("est_events"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getLong(3))).toMap
+    val got = operators.Events.heavyHitters(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      assert(r.getAs[Long]("max_overcount") == 0L, "capacity covers keys — err must be 0")
+      val key = (r.getAs[String]("event_type"), r.getAs[Int]("rank"))
+      assert(exact(key) == (r.getAs[String]("user_id"), r.getAs[Long]("est_events")), s"$key")
+    }
+  }
+
+  test("space saving under pressure: finds the heavy hitter, bounds hold, merge-stable") {
+    import graft.functions.SpaceSavingAgg.spaceSavingTopK
+    // zipf-ish stream: item "hot" appears 500 times, 100 rare items 1-2 times
+    val rows = Seq.fill(500)("hot") ++ (1 to 100).flatMap(i => Seq.fill(1 + i % 2)(s"rare$i"))
+    val trueCounts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    for (parts <- Seq(1, 16)) {
+      val df = spark.createDataFrame(rows.map(Tuple1(_))).toDF("item").repartition(parts)
+      val hh = df.agg(spaceSavingTopK(col("item"), 3, 8).as("hh"))
+        .select(explode(col("hh")).as("e"))
+        .select(col("e.item").as("item"), col("e.est").as("est"), col("e.err").as("err"))
+        .collect()
+      assert(hh.head.getAs[String]("item") == "hot", s"parts=$parts: missed the heavy hitter")
+      hh.foreach { r =>
+        val t = trueCounts(r.getAs[String]("item"))
+        assert(r.getAs[Long]("est") >= t, s"underestimate at parts=$parts")
+        assert(r.getAs[Long]("est") - r.getAs[Long]("err") <= t, s"bound broken at parts=$parts")
+      }
+    }
+  }
+
   test("tx24 pii scrub audit: scrubbed samples carry no digit runs, totals add up") {
     val r = TextOps.piiScrub(spark, sfDir).collect()
     assert(r.nonEmpty)
