@@ -46,6 +46,28 @@ object StreamOps {
       .select(col("window.start").as("bucket"), col("n_errors"), col("n_total"),
               round(col("n_errors") / col("n_total"), 4).as("error_rate"))
 
+  /** st09: streaming heavy hitters — approximate top-k keys per
+    * tumbling window via the mergeable SpaceSaving aggregate (ev22's
+    * streaming form; ClickHouse topK over a live SLI window). The
+    * TypedImperativeAggregate's serialized buffer IS the state-store
+    * value, so state per (window) group is a bounded capacity-entry
+    * summary — never one state row per distinct key, which is what a
+    * naive streaming groupBy(key).count() top-N would keep.
+    */
+  def windowedTopK(events: DataFrame, keyCol: String,
+                   k: Int = 5, capacity: Int = 64,
+                   windowLen: String = "1 hour",
+                   watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.SpaceSavingAgg.spaceSavingTopK
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(spaceSavingTopK(col(keyCol).cast("string"), k, capacity).as("hh"))
+      .select(col("window.start").as("bucket"), posexplode(col("hh")).as(Seq("i", "e")))
+      .select(col("bucket"), (col("i") + 1).as("rank"),
+              col("e.item").as("item"), col("e.est").as("est"), col("e.err").as("err"))
+  }
+
   /** st03: watermarked streaming dedup on event_id — the at-least-once →
     * exactly-once compaction mq-hub performs on redelivery.
     */

@@ -46,6 +46,28 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(destP).count() == total)
   }
 
+  test("bloom pre-filter keeps every true match and the downstream join stays exact") {
+    import graft.functions.BloomFunctions
+    val orders = Tables.orders(spark, sfDir)
+    val dim = Tables.customer(spark, sfDir).filter(col("c_custkey") % 10 === 0)
+    val pre = BloomFunctions.bloomPreFilter(orders, "o_custkey", dim, "c_custkey", fpp = 0.01)
+    val trueMatches = orders.join(dim, col("o_custkey") === col("c_custkey")).count()
+    // superset of the semi-join…
+    assert(pre.join(dim, col("o_custkey") === col("c_custkey")).count() == trueMatches)
+    // …that actually prunes (90% of keys are absent; fpp 1%)
+    val total = orders.count()
+    val kept = pre.count()
+    assert(kept < total / 2, s"kept $kept of $total — bloom pruned nothing")
+    assert(kept >= trueMatches)
+    // string keys go through the UTF8 binary path (different hash
+    // input → different false positives, same guarantees)
+    val dimS = dim.select(col("c_custkey").cast("string").as("k"))
+    val preS = BloomFunctions.bloomPreFilter(
+      orders.withColumn("ks", col("o_custkey").cast("string")), "ks", dimS, "k")
+    assert(preS.join(dimS, col("ks") === col("k")).count() == trueMatches)
+    assert(preS.count() < total / 2)
+  }
+
   test("range-clustered writes yield disjoint per-file time ranges") {
     val dest = "/tmp/graft-range-clustered"
     val e = Tables.events(spark, sfDir).select("event_id", "ts")

@@ -56,6 +56,25 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st09 streaming top-k emits bounded summaries per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val df = StreamOps.windowedTopK(
+      mem.toDF.toDF("ts", "user"), "user", k = 2, capacity = 16,
+      windowLen = "10 minutes", watermark = "30 minutes")
+    val q = df.writeStream.format("memory").queryName("st09").outputMode("append").start()
+    try {
+      mem.addData((ts(0), "u1"), (ts(1), "u1"), (ts(2), "u1"), (ts(3), "u2"), (ts(4), "u3"))
+      q.processAllAvailable()
+      mem.addData((ts(120), "u9")) // advances watermark past the first window
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT rank, item, est, err FROM st09 ORDER BY rank").collect()
+      assert(rows.length == 2)
+      assert(rows(0).getString(1) == "u1" && rows(0).getLong(2) == 3L && rows(0).getLong(3) == 0L)
+      assert(rows(1).getInt(0) == 2 && rows(1).getLong(2) == 1L)
+    } finally q.stop()
+  }
+
   test("st08 stream-stream interval join matches views within the window only") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Long, Long, Timestamp)]
