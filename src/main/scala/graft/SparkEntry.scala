@@ -75,6 +75,8 @@ object SparkEntry {
     "es03_retention_ttl"            -> (Events.retentionTtl _),
     "es04_weekly_recap_rollup"      -> (Events.weeklyRecapRollup _),
     "asof01_purchase_after_view"    -> (AsOf.purchaseAfterView _),
+    "asof02_tolerance"              -> (AsOf.purchaseAfterRecentView _),
+    "dd02_dedup_decision"           -> (Dedup.dd02 _),
     // Text analysis
     "tx01_token_stats"              -> (TextOps.tokenStats _),
     "tx02_term_freq"                -> (TextOps.termFreq _),
@@ -377,6 +379,53 @@ object SparkEntry {
            FROM u)
          SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, view_id, view_ts
          FROM w WHERE is_left = 1""",
+    "asof02_tolerance" ->
+      """WITH u AS (
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 1 AS is_left
+           FROM events WHERE event_type = 'purchase'
+           UNION ALL
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, 0 AS is_left
+           FROM events WHERE event_type = 'view'),
+         w AS (
+           SELECT *,
+             last_value(CASE WHEN is_left = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id ROWS UNBOUNDED PRECEDING) AS view_id,
+             last_value(CASE WHEN is_left = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, is_left, event_id ROWS UNBOUNDED PRECEDING) AS view_ts
+           FROM u),
+         base AS (SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, view_id, view_ts
+                  FROM w WHERE is_left = 1),
+         tol AS (SELECT *,
+                   view_ts IS NOT NULL AND
+                   epoch(date_trunc('second', purchase_ts)) - epoch(date_trunc('second', view_ts)) <= 3600 AS ok
+                 FROM base)
+         SELECT user_id, purchase_id, purchase_ts,
+                CASE WHEN ok THEN view_id END AS view_id,
+                CASE WHEN ok THEN view_ts END AS view_ts
+         FROM tol""",
+    "dd02_dedup_decision" ->
+      """WITH RECURSIVE d AS (SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                              FROM documents WHERE doc_id < 1000),
+         p AS (SELECT doc_a, doc_b FROM (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                              len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+                 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+               WHERE jaccard >= 0.6),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         reach(node, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+         lab AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+         dropped AS (SELECT node AS doc_id FROM lab WHERE node <> rep)
+         SELECT source, count(*) AS n_docs,
+                count(dr.doc_id) AS n_removed,
+                count(*) - count(dr.doc_id) AS n_kept
+         FROM (SELECT doc_id, source FROM documents WHERE doc_id < 1000) dd
+         LEFT JOIN dropped dr USING (doc_id)
+         GROUP BY source""",
     "tx11_term_cooccurrence" ->
       """WITH f AS (
            SELECT doc_id, term

@@ -41,6 +41,38 @@ object AsOf {
               col("__asof_id").as(s"asof_$idCol"), col("__asof_ts").as(s"asof_$tsCol"))
   }
 
+  /** As-of join with a staleness tolerance: like `joinAsOf`, but a
+    * matched right row older than `toleranceSec` is rejected (matches
+    * become NULL). The real-world contract of every as-of read — a
+    * price/state snapshot from last week is usually worse than no
+    * snapshot. Same single-shuffle union+window plan; the tolerance is
+    * a post-window projection, so the cost is identical to the
+    * untolerated join.
+    */
+  def joinAsOfTolerance(left: DataFrame, right: DataFrame, key: String,
+                        tsCol: String, idCol: String, toleranceSec: Long): DataFrame = {
+    val within = col(s"asof_$tsCol").isNotNull &&
+      unix_timestamp(col(tsCol)) - unix_timestamp(col(s"asof_$tsCol")) <= toleranceSec
+    joinAsOf(left, right, key, tsCol, idCol)
+      .withColumn(s"asof_$idCol", when(within, col(s"asof_$idCol")))
+      .withColumn(s"asof_$tsCol", when(within, col(s"asof_$tsCol")))
+  }
+
+  /** asof02 adapter: purchases matched to the user's most recent view
+    * only when it happened within the last hour — stale attributions
+    * fall out as NULL.
+    */
+  def purchaseAfterRecentView(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    joinAsOfTolerance(
+      ev.filter(col("event_type") === "purchase"),
+      ev.filter(col("event_type") === "view"),
+      "user_id", "ts", "event_id", toleranceSec = 3600)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+              col("ts").as("purchase_ts"),
+              col("asof_event_id").as("view_id"), col("asof_ts").as("view_ts"))
+  }
+
   /** asof01 adapter: each purchase matched to the user's most recent
     * view at or before it.
     */

@@ -214,6 +214,42 @@ class Round3OpsSpec extends SparkSpec {
     weighted.foreach(wt => assert(math.abs(wt - mean) / mean < 0.01, s"$wt vs $mean"))
   }
 
+  test("asof02 tolerance: matches within the hour survive, stale ones go null, base rows unchanged") {
+    val base = AsOf.purchaseAfterView(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("purchase_id") -> r).toMap
+    val tol = AsOf.purchaseAfterRecentView(spark, sfDir).collect()
+    assert(tol.length == base.size)
+    tol.foreach { r =>
+      val b = base(r.getAs[Long]("purchase_id"))
+      val vid = r.getAs[java.lang.Long]("view_id")
+      if (vid != null) {
+        assert(vid == b.getAs[java.lang.Long]("view_id"))
+        val gap = r.getAs[java.sql.Timestamp]("purchase_ts").getTime / 1000 -
+                  r.getAs[java.sql.Timestamp]("view_ts").getTime / 1000
+        assert(gap >= 0 && gap <= 3600, s"gap $gap out of tolerance")
+      } else if (b.getAs[java.lang.Long]("view_id") != null) {
+        val gap = b.getAs[java.sql.Timestamp]("purchase_ts").getTime / 1000 -
+                  b.getAs[java.sql.Timestamp]("view_ts").getTime / 1000
+        assert(gap > 3600, "match nulled although within tolerance")
+      }
+    }
+    assert(tol.exists(_.getAs[java.lang.Long]("view_id") != null))
+  }
+
+  test("dd02 dedup decision: kept + removed = corpus, removed = non-canonical members") {
+    val labels = Dedup.connectedComponents(
+      operators.TextOps.tokenJaccard(spark, sfDir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+      .collect()
+    val expectedRemoved = labels.count(r => r.getAs[Long]("node") != r.getAs[Long]("label"))
+    val r = Dedup.dd02(spark, sfDir).collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_kept") + row.getAs[Long]("n_removed") == row.getAs[Long]("n_docs"))
+    }
+    assert(r.map(_.getAs[Long]("n_removed")).sum == expectedRemoved)
+    val corpus = Tables.documents(spark, sfDir).filter(col("doc_id") < 1000).count()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == corpus)
+  }
+
   test("ev22 heavy hitters: exact when capacity covers the key space") {
     import graft.functions.SpaceSavingAgg.spaceSavingTopK
     val exact = Tables.events(spark, sfDir)
