@@ -106,6 +106,7 @@ object SparkEntry {
     "lp01_label_propagation"        -> (Graph.lp01 _),
     // Data quality
     "dq01_events_profile"           -> (DataQuality.eventsProfile _),
+    "dq02_volume_anomalies"         -> ((s: SparkSession, dir: String) => DataQuality.volumeAnomalies(s, dir)),
     "tx14_source_signature"         -> (DataQuality.sourceSignatures _),
     // Similarity / vectors
     "sim01_knn_brute"               -> (Similarity.knnBrute _),
@@ -321,6 +322,18 @@ object SparkEntry {
          count(CASE WHEN ts IS NULL THEN 1 END) AS null_ts,
          count(CASE WHEN user_id IS NULL THEN 1 END) AS null_users
          FROM events""",
+    "dq02_volume_anomalies" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                               count(*) AS n_events
+                        FROM events GROUP BY 1),
+         w AS (SELECT *, round(avg(n_events) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 2) AS trailing_avg
+               FROM daily),
+         r AS (SELECT *, CASE WHEN trailing_avg > 0
+                              THEN round(n_events * 1.0 / trailing_avg, 4) END AS ratio
+               FROM w)
+         SELECT day, n_events, trailing_avg, ratio,
+                CASE WHEN ratio < 0.5 THEN 1 ELSE 0 END AS flagged
+         FROM r""",
     "q18_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS revenue
          FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",

@@ -27,6 +27,29 @@ object DataQuality {
       count(when(col("ts").isNull, 1)).as("null_ts"),
       count(when(col("user_id").isNull, 1)).as("null_users"))
 
+  /** dq02: partition freshness/completeness gate — flag days whose
+    * event volume collapses below half the trailing-7-day average (a
+    * silently-dead forwarder or a missing ingest partition; the check
+    * the reference's feed-validator/monitoring implies but ClickHouse
+    * leaves to Grafana). One shuffle builds the daily frame; the
+    * trailing window runs over ≤ days-in-retention rows at any scale,
+    * and the average is rounded before the boundary test so both
+    * engines flag identical days.
+    */
+  def volumeAnomalies(s: SparkSession, dir: String, minRatio: Double = 0.5): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("day").rowsBetween(-7, -1)
+    daily
+      .withColumn("trailing_avg", round(avg("n_events").over(w), 2))
+      .withColumn("ratio",
+        when(col("trailing_avg") > 0, round(col("n_events") / col("trailing_avg"), 4)))
+      .select(col("day"), col("n_events"), col("trailing_avg"), col("ratio"),
+              when(col("ratio") < minRatio, 1).otherwise(0).as("flagged"))
+  }
+
   /** tx14: per-source SimHash signature via the mergeable AGGREGATE
     * form — one 256-byte buffer per group shuffles instead of the
     * group's rows (rows-only check; grouped-vs-array equivalence is

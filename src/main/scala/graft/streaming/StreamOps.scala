@@ -68,6 +68,25 @@ object StreamOps {
               col("e.item").as("item"), col("e.est").as("est"), col("e.err").as("err"))
   }
 
+  /** st10: gap-based session aggregation via the NATIVE session_window —
+    * the declarative form of st02's flatMapGroupsWithState. Sessions
+    * merge in the state store as mergeable window state (Spark unions
+    * overlapping session windows per key), so this is the version to
+    * prefer when per-session logic is pure aggregation: no user state
+    * class, watermark bounds state, and the planner understands the
+    * window column. Keep st02 for logic that must emit mid-session.
+    */
+  def sessionWindowCounts(events: DataFrame, gap: String = "30 minutes",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+              col("session_window.start").as("session_start"),
+              col("session_window.end").as("session_end"),
+              col("n_events"))
+
   /** st03: watermarked streaming dedup on event_id — the at-least-once →
     * exactly-once compaction mq-hub performs on redelivery.
     */

@@ -250,6 +250,18 @@ class Round3OpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_docs")).sum == corpus)
   }
 
+  test("dq02 volume anomalies: early days unflagged (no baseline), flags only sub-half days") {
+    val r = DataQuality.volumeAnomalies(spark, sfDir).collect().sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+    assert(r.nonEmpty)
+    assert(r.head.getAs[Int]("flagged") == 0, "first day has no trailing baseline")
+    r.foreach { row =>
+      val ratio = row.getAs[java.lang.Double]("ratio")
+      val flagged = row.getAs[Int]("flagged")
+      if (ratio == null) assert(flagged == 0)
+      else assert((flagged == 1) == (ratio < 0.5))
+    }
+  }
+
   test("ev22 heavy hitters: exact when capacity covers the key space") {
     import graft.functions.SpaceSavingAgg.spaceSavingTopK
     val exact = Tables.events(spark, sfDir)

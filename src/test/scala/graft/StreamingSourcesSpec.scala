@@ -75,6 +75,26 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st10 native session_window merges events within the gap and splits across it") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long)]
+    val df = StreamOps.sessionWindowCounts(
+      mem.toDF.toDF("ts", "user_id"), gap = "10 minutes", watermark = "30 minutes")
+    val q = df.writeStream.format("memory").queryName("st10").outputMode("append").start()
+    try {
+      // u1: two events 5 min apart (one session), a third 40 min later (new session)
+      mem.addData((ts(0), 1L), (ts(5), 1L), (ts(45), 1L), (ts(3), 2L))
+      q.processAllAvailable()
+      mem.addData((ts(240), 9L)) // push watermark past all sessions
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events FROM st10 WHERE user_id = 1 ORDER BY session_start")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(rows.toSeq == Seq((1L, 2L), (1L, 1L)), rows.mkString(","))
+      val u2 = spark.sql("SELECT n_events FROM st10 WHERE user_id = 2").collect()
+      assert(u2.map(_.getLong(0)).toSeq == Seq(1L))
+    } finally q.stop()
+  }
+
   test("st08 stream-stream interval join matches views within the window only") {
     implicit val sqlCtx = spark.sqlContext
     val views = MemoryStream[(Long, Long, Timestamp)]
