@@ -11,6 +11,9 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val explain = args.contains("--explain")
     val names = args.filterNot(_.startsWith("--"))
+    val unknown = names.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — valid names: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()

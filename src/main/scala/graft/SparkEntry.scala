@@ -160,6 +160,30 @@ object SparkEntry {
                round(coalesce(tp, 0) * 1.0 / support, 4) AS recall
              FROM sup LEFT JOIN np USING (label) LEFT JOIN tpt USING (label)))"""
 
+  /** Shared DuckDB CTE chain for the dup-cluster oracles: tx09's
+    * jaccard pairs → symmetric edges → recursive transitive closure →
+    * min-reachable label per node as table `lab(node, rep)`. dd01
+    * aggregates clusters from it, dd02 applies the drop decision —
+    * ONE definition so a threshold or tokenization change can never
+    * desynchronize the two oracles.
+    */
+  private val dupClustersCte: String =
+    """d AS (SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+            FROM documents WHERE doc_id < 1000),
+         p AS (SELECT doc_a, doc_b FROM (
+                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+                              len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+                 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
+               WHERE jaccard >= 0.6),
+         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
+               UNION SELECT doc_b AS src, doc_a AS dst FROM p),
+         reach(node, r) AS (
+           SELECT src, src FROM e
+           UNION
+           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
+         lab AS (SELECT node, min(r) AS rep FROM reach GROUP BY node)"""
+
   /** Sequential double-precision cosine, written out so DuckDB evaluates
     * the same ordered sum as the codegen'd CosineSimilarity expression.
     */
@@ -417,21 +441,7 @@ object SparkEntry {
                 CASE WHEN ok THEN view_ts END AS view_ts
          FROM tol""",
     "dd02_dedup_decision" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
-                              FROM documents WHERE doc_id < 1000),
-         p AS (SELECT doc_a, doc_b FROM (
-                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-                              len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-                 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-               WHERE jaccard >= 0.6),
-         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-               UNION SELECT doc_b AS src, doc_a AS dst FROM p),
-         reach(node, r) AS (
-           SELECT src, src FROM e
-           UNION
-           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
-         lab AS (SELECT node, min(r) AS rep FROM reach GROUP BY node),
+      s"""WITH RECURSIVE $dupClustersCte,
          dropped AS (SELECT node AS doc_id FROM lab WHERE node <> rep)
          SELECT source, count(*) AS n_docs,
                 count(dr.doc_id) AS n_removed,
@@ -835,22 +845,8 @@ object SparkEntry {
              ON a.source = b.source AND a.doc_id < b.doc_id)
          WHERE jaccard >= 0.6""",
     "dd01_dup_clusters" ->
-      """WITH RECURSIVE d AS (SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
-                              FROM documents WHERE doc_id < 1000),
-         p AS (SELECT doc_a, doc_b FROM (
-                 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                        round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-                              len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-                 FROM d a JOIN d b ON a.source = b.source AND a.doc_id < b.doc_id)
-               WHERE jaccard >= 0.6),
-         e AS (SELECT doc_a AS src, doc_b AS dst FROM p
-               UNION SELECT doc_b AS src, doc_a AS dst FROM p),
-         reach(node, r) AS (
-           SELECT src, src FROM e
-           UNION
-           SELECT e.src, reach.r FROM e JOIN reach ON e.dst = reach.node),
-         lab AS (SELECT node, min(r) AS cluster_rep FROM reach GROUP BY node)
-         SELECT cluster_rep, count(*) AS n_members FROM lab GROUP BY cluster_rep""",
+      s"""WITH RECURSIVE $dupClustersCte
+         SELECT rep AS cluster_rep, count(*) AS n_members FROM lab GROUP BY rep""",
     "sim01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
          c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),

@@ -68,7 +68,13 @@ object BloomFunctions {
     * over the key side) and return the membership-test column for it.
     */
   def bloomOf(keySide: DataFrame, keyCol: String, fpp: Double = 0.01): Column => Column = {
-    val n = math.max(1L, keySide.select(keyCol).distinct().count())
+    // sizing only needs an estimate — approx_count_distinct is one
+    // cheap agg, not the full distinct shuffle; 10% headroom keeps the
+    // realized fpp at or under the requested one
+    val est = keySide.agg(
+      org.apache.spark.sql.functions.approx_count_distinct(keyCol).as("n"))
+      .head.getLong(0)
+    val n = math.max(1L, (est * 1.1).toLong)
     val filter = keySide.stat.bloomFilter(keyCol, n, fpp)
     (key: Column) => ColumnBridge.column(
       BloomMightContain(ColumnBridge.expression(key), filter))

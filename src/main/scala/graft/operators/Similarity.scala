@@ -277,9 +277,13 @@ object Similarity {
     */
   def quantize8(e: DataFrame): DataFrame =
     e.withColumn("vmax", array_max(transform(col("embedding"), v => abs(v))))
+      // an all-zero vector has vmax=0; dividing by 1 instead quantizes
+      // it to all zeros (cosine then nulls out, matching the float
+      // path) rather than NaN — whose tinyint cast THROWS under ANSI
       .withColumn("q_emb",
         transform(col("embedding"),
-          v => round(v * lit(127.0) / col("vmax")).cast("tinyint")))
+          v => round(v * lit(127.0) / when(col("vmax") === 0, lit(1.0)).otherwise(col("vmax")))
+            .cast("tinyint")))
       .drop("vmax")
 
   /** sim07: brute-force top-k over the int8-quantized corpus — the

@@ -57,11 +57,12 @@ object StreamOps {
   def windowedTopK(events: DataFrame, keyCol: String,
                    k: Int = 5, capacity: Int = 64,
                    windowLen: String = "1 hour",
-                   watermark: String = "2 hours"): DataFrame = {
+                   watermark: String = "2 hours",
+                   tsCol: String = "ts"): DataFrame = {
     import graft.functions.SpaceSavingAgg.spaceSavingTopK
     events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
       .agg(spaceSavingTopK(col(keyCol).cast("string"), k, capacity).as("hh"))
       .select(col("window.start").as("bucket"), posexplode(col("hh")).as(Seq("i", "e")))
       .select(col("bucket"), (col("i") + 1).as("rank"),

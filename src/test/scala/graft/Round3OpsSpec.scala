@@ -163,6 +163,20 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantize8 survives an all-zero embedding (ANSI NaN-cast regression)") {
+    val df = Seq((1L, Seq(0.0f, 0.0f)), (2L, Seq(1.0f, -2.0f))).toDF("vec_id", "embedding")
+    val q = Similarity.quantize8(df).orderBy("vec_id").select("q_emb").collect()
+    assert(q(0).getSeq[Byte](0) == Seq(0.toByte, 0.toByte))
+    assert(q(1).getSeq[Byte](0) == Seq(64.toByte, -127.toByte))
+  }
+
+  test("connectedComponents on an empty pair list terminates immediately and empty") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val t0 = System.nanoTime()
+    assert(Dedup.connectedComponents(empty, "a", "b").collect().isEmpty)
+    assert((System.nanoTime() - t0) / 1e9 < 60, "empty graph should not iterate to maxIter")
+  }
+
   test("quantize8 emits int8 in [-127,127] with the max element at full scale") {
     val q = Similarity.quantize8(Tables.embeddings(spark, sfDir)).select("q_emb").collect()
     q.foreach { row =>
