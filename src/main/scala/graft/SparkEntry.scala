@@ -40,6 +40,8 @@ object SparkEntry {
     "q20_unpivot_measures"          -> (Relational.unpivotMeasures _),
     "q21_latest_orders_enriched"    -> (Relational.latestOrdersEnriched _),
     "q22_market_share"              -> ((s: SparkSession, dir: String) => Relational.marketShare(s, dir)),
+    "q23_segment_set_ops"           -> (Relational.segmentSetOps _),
+    "q24_priority_status_pivot"     -> (Relational.priorityStatusPivot _),
     // Event / log analytics
     "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
     "ev02_error_rate"               -> (Events.errorRate _),
@@ -311,6 +313,26 @@ object SparkEntry {
          JOIN ac ON o_custkey = c_custkey
          JOIN sn ON l_suppkey = s_suppkey
          GROUP BY 1""",
+    "q23_segment_set_ops" ->
+      """WITH hb AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
+         bs AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 300000),
+         tagged AS (
+           SELECT c_custkey, 'high_balance_and_big_spender' AS segment
+           FROM (SELECT c_custkey FROM hb INTERSECT SELECT c_custkey FROM bs)
+           UNION ALL
+           SELECT c_custkey, 'high_balance_only'
+           FROM (SELECT c_custkey FROM hb EXCEPT SELECT c_custkey FROM bs)
+           UNION ALL
+           SELECT c_custkey, 'big_spender_only'
+           FROM (SELECT c_custkey FROM bs EXCEPT SELECT c_custkey FROM hb))
+         SELECT segment, count(*) AS n_customers, min(c_custkey) AS min_custkey
+         FROM tagged GROUP BY segment""",
+    "q24_priority_status_pivot" ->
+      """SELECT o_orderpriority,
+         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
+         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
+         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
+         FROM orders GROUP BY o_orderpriority""",
     "q16_text_search" ->
       """SELECT source, count(*) AS n_hits FROM documents
          WHERE text LIKE '%merge join%' GROUP BY source""",

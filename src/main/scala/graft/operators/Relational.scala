@@ -286,6 +286,41 @@ object Relational {
       .select(col("c_mktsegment"), round(col("seg_rev"), 2).as("revenue"), col("share"))
   }
 
+  /** q23: INTERSECT / EXCEPT set algebra over customer segments — the
+    * audience-overlap reads the reference's tag/segment pages imply
+    * (feeds in tag A but not tag B). Both set ops compile to
+    * aggregate/join shapes that shuffle each side once on the full
+    * row; the summary keeps the result small.
+    */
+  def segmentSetOps(s: SparkSession, dir: String): DataFrame = {
+    val highBalance = Tables.customer(s, dir)
+      .filter(col("c_acctbal") > 5000).select("c_custkey")
+    val bigSpenders = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 300000).select(col("o_custkey").as("c_custkey")).distinct()
+    val both = highBalance.intersect(bigSpenders)
+      .withColumn("segment", lit("high_balance_and_big_spender"))
+    val onlyBalance = highBalance.except(bigSpenders)
+      .withColumn("segment", lit("high_balance_only"))
+    val onlySpend = bigSpenders.except(highBalance)
+      .withColumn("segment", lit("big_spender_only"))
+    both.union(onlyBalance).union(onlySpend)
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"), min("c_custkey").as("min_custkey"))
+  }
+
+  /** q24: PIVOT — revenue matrix of order priority × status (the
+    * inverse of q20's unpivot; ClickHouse dashboards pivot status
+    * columns the same way). `pivot` with EXPLICIT values keeps the
+    * plan a single one-shuffle conditional aggregation — the
+    * values-discovering overload adds a distinct scan first.
+    */
+  def priorityStatusPivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 2))
+      .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+
   /** q22: market share per order year (TPC-H Q8 pattern) — within one
     * customer region, the revenue share supplied by one supplier nation.
     * Mirrors the per-source share panels the reference builds over

@@ -20,6 +20,29 @@ class Round3OpsSpec extends SparkSpec {
     }
   }
 
+  test("q23 set ops partition the union of both segments") {
+    val r = Relational.segmentSetOps(spark, sfDir).collect()
+      .map(row => row.getAs[String]("segment") -> row.getAs[Long]("n_customers")).toMap
+    val hb = Tables.customer(spark, sfDir).filter(col("c_acctbal") > 5000)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val bs = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 300000)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(r.getOrElse("high_balance_and_big_spender", 0L) == (hb & bs).size)
+    assert(r.getOrElse("high_balance_only", 0L) == (hb -- bs).size)
+    assert(r.getOrElse("big_spender_only", 0L) == (bs -- hb).size)
+  }
+
+  test("q24 pivot matches the conditional-aggregation formulation") {
+    val piv = Relational.priorityStatusPivot(spark, sfDir).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r).toMap
+    val cond = Tables.orders(spark, sfDir)
+      .groupBy("o_orderpriority")
+      .agg(round(sum(when(col("o_orderstatus") === "F", col("o_totalprice"))), 2).as("rev_f"))
+      .collect().map(r => r.getAs[String]("o_orderpriority") -> r.getAs[java.lang.Double]("rev_f")).toMap
+    assert(piv.nonEmpty && piv.keySet == cond.keySet)
+    piv.foreach { case (k, row) => assert(row.getAs[java.lang.Double]("rev_f") == cond(k)) }
+  }
+
   test("ev21 SLO burn: alert only when BOTH windows burn >= 2x budget") {
     val r = Events.sloBurn(spark, sfDir).collect()
     assert(r.nonEmpty)
