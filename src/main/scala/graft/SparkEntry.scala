@@ -101,6 +101,9 @@ object SparkEntry {
     "tx24_pii_scrub"                -> (TextOps.piiScrub _),
     "tx25_unigram_loglik"           -> (TextOps.unigramLogLik _),
     "tx26_decontamination"          -> ((s: SparkSession, dir: String) => TextOps.decontamination(s, dir)),
+    "tx28_sentence_dedup"           -> (TextOps.sentenceDedup _),
+    "ev23_latency_buckets"          -> (Events.latencyBuckets _),
+    "ml02_doc_classifier"           -> (MLClassifier.ml02 _),
     "tx27_repetition_filter"        -> ((s: SparkSession, dir: String) => TextOps.repetitionFilter(s, dir)),
     "smp01_stratified_sample"       -> (Sampling.smp01 _),
     "smp02_mixture_weights"         -> (Sampling.mixtureWeights _),
@@ -618,6 +621,13 @@ object SparkEntry {
          SELECT bucket, n_errors, n_total, burn_1h, burn_6h,
                 CASE WHEN burn_1h >= 2 AND burn_6h >= 2 THEN 1 ELSE 0 END AS alert
          FROM r""",
+    "ev23_latency_buckets" ->
+      """SELECT event_type, CAST(floor(log2(value)) AS BIGINT) AS bucket,
+         count(*) AS n,
+         round(min(value), 2) AS bucket_min,
+         round(max(value), 2) AS bucket_max
+         FROM events WHERE value > 0
+         GROUP BY 1, 2""",
     "ev22_heavy_hitters" ->
       """WITH c AS (SELECT event_type, CAST(user_id AS VARCHAR) AS user_id, count(*) AS est_events
                     FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2)

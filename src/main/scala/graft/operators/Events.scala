@@ -337,6 +337,22 @@ object Events {
               when(col("burn_1h") >= 2 && col("burn_6h") >= 2, 1).otherwise(0).as("alert"))
   }
 
+  /** ev23: exponential (log2) latency buckets per event type — the
+    * Prometheus/OTel-style histogram whose bucket widths grow with the
+    * value (a 1 ms and a 2 s request should not share a fixed-width
+    * bin; clickhouse dashboards bucket span durations the same way;
+    * ev20 is the fixed-width sibling). Still one map-side-combined
+    * shuffle: the bucket id is floor(log2(value)) computed in the
+    * scan projection.
+    */
+  def latencyBuckets(s: SparkSession, dir: String): DataFrame =
+    ev(s, dir)
+      .filter(col("value") > 0)
+      .groupBy(col("event_type"), floor(log2(col("value"))).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+           round(min("value"), 2).as("bucket_min"),
+           round(max("value"), 2).as("bucket_max"))
+
   /** ev22: heavy hitters per event type via the mergeable SpaceSaving
     * aggregate (ClickHouse `topK()`; the 100 TB path for top-N over
     * HIGH-cardinality keys, where q04/ev05's exact groupBy would

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.LogisticRegression
+import org.apache.spark.ml.feature.VectorAssembler
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions
+
+/** MLlib document classifier — distilling a rule gate into a trained
+  * model.
+  *
+  * Mirrors the migration the reference's extractor stack took
+  * (tag-generator grew ML/ONNX extractors next to its rule lists):
+  * fit a VectorAssembler → LogisticRegression Pipeline to reproduce
+  * the tx04 quality gate from the gate's raw signals, then verify it
+  * matches the rule on held-out docs. The point is the ESTIMATOR
+  * path — fit distributes over the corpus, the fitted model is a
+  * broadcastable transformer a production pipeline persists and
+  * reuses across batches, and scoring is one scan — with a spec that
+  * actually has ground truth (the synthetic corpus's lang label is
+  * random wrt its text, so a "real" classification target would just
+  * measure noise).
+  */
+object MLClassifier {
+
+  /** Feature frame: label = the rule gate's verdict, features = the
+    * gate's raw inputs (token count, stopword ratio) — a few
+    * coefficients, not a vocab matrix.
+    */
+  private def features(docs: DataFrame): DataFrame = {
+    val nTokens = greatest(TextFunctions.tokenCount(col("text")), lit(1)).cast("double")
+    docs.select(
+      col("doc_id"),
+      (TextFunctions.qualityScore(col("text"), TextOps.stopwords) >= 0.5)
+        .cast("double").as("label"),
+      TextFunctions.tokenCount(col("text")).cast("double").as("f_tokens"),
+      (TextFunctions.tokenCountIn(col("text"), TextOps.stopwords) / nTokens).as("f_stop_ratio"))
+  }
+
+  /** Fit on hash-split train rows, score the rest; returns per-doc
+    * (doc_id, label, prediction, probability of English).
+    */
+  def fitAndScore(s: SparkSession, dir: String): DataFrame = {
+    val f = features(Tables.documents(s, dir))
+      .withColumn("is_train", col("doc_id") % 5 =!= 0)
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("f_tokens", "f_stop_ratio"))
+      .setOutputCol("features")
+    val lr = new LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01).setLabelCol("label").setFeaturesCol("features")
+    val model = new Pipeline().setStages(Array(assembler, lr))
+      .fit(f.filter(col("is_train")))
+    model.transform(f.filter(!col("is_train")))
+      .select(col("doc_id"), col("label"), col("prediction"),
+              round(element_at(vector_to_array(col("probability")), 2), 4).as("p_pass"))
+  }
+
+  /** ml02 adapter: held-out agreement with the rule gate. */
+  def ml02(s: SparkSession, dir: String): DataFrame =
+    fitAndScore(s, dir)
+      .agg(
+        count(lit(1)).as("n_scored"),
+        round(avg(when(col("label") === col("prediction"), 1.0).otherwise(0.0)), 4).as("accuracy"),
+        round(avg("p_pass"), 4).as("mean_p_pass"))
+}

@@ -457,6 +457,39 @@ object TextOps {
                        n: Int = 3, maxDupRatio: Double = 0.2): DataFrame =
     repetitionFilterOn(Tables.documents(s, dir), n, maxDupRatio)
 
+  /** tx28: sentence-level exact dedup — the reference's actual dedup
+    * granularity (recap-worker hashes SENTENCES with XXH3 and keeps
+    * first occurrences, text.rs hash_text + the near-dup filter; a
+    * recap must not repeat a sentence two articles share). Explode to
+    * sentences, hash, keep the (doc_id, idx)-earliest occurrence per
+    * hash, report per-doc survival. One shuffle keyed by sentence
+    * hash — 8-byte keys, never sentence strings; the min-struct
+    * aggregation IS the keeper election, no window needed.
+    * Rows-only: the sentence splitter uses lookbehind, which DuckDB's
+    * RE2 cannot mirror.
+    */
+  def sentenceDedupOn(docs: DataFrame): DataFrame = {
+    val sent = docs
+      .select(col("doc_id"),
+              posexplode(graft.functions.TextFunctions.sentences(col("text"))).as(Seq("idx", "sentence")))
+      .withColumn("h", xxhash64(col("sentence")))
+      .select("doc_id", "idx", "h")
+    val keepers = sent.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
+    sent.join(keepers, "h")
+      .withColumn("kept",
+        (col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx")).cast("int"))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_sentences"),
+        sum("kept").as("n_kept"),
+        (count(lit(1)) - sum("kept")).as("n_dropped"))
+      .orderBy("doc_id")
+  }
+
+  def sentenceDedup(s: SparkSession, dir: String): DataFrame =
+    sentenceDedupOn(Tables.documents(s, dir))
+
   /** tx24: PII scrub audit over composed log lines — redact IDs/emails/
     * URLs from the event stream and roll up how much was redacted per
     * type (the sanitization gate + its audit metric in one pass). The

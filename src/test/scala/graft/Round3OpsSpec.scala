@@ -287,6 +287,35 @@ class Round3OpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("n_docs")).sum == corpus)
   }
 
+  test("tx28 sentence dedup keeps first occurrences only, across and within docs") {
+    val docs = Seq(
+      (1L, "Alpha beta gamma. Shared sentence here. Alpha beta gamma."),
+      (2L, "Shared sentence here. Unique to two."))
+      .toDF("doc_id", "text")
+    val r = operators.TextOps.sentenceDedupOn(docs).collect()
+      .map(row => row.getAs[Long]("doc_id") ->
+        (row.getAs[Long]("n_sentences"), row.getAs[Long]("n_kept"), row.getAs[Long]("n_dropped"))).toMap
+    // doc 1: 3 sentences, its own repeat dropped; doc 2: shared one dropped
+    assert(r(1L) == ((3L, 2L, 1L)), r.toString)
+    assert(r(2L) == ((2L, 1L, 1L)), r.toString)
+  }
+
+  test("ev23 exponential buckets: values sit inside their power-of-two bin") {
+    val r = operators.Events.latencyBuckets(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      val b = row.getAs[Long]("bucket")
+      assert(row.getAs[Double]("bucket_min") >= math.pow(2, b) - 0.01)
+      assert(row.getAs[Double]("bucket_max") < math.pow(2, b + 1) + 0.01)
+    }
+  }
+
+  test("ml02 distilled classifier reproduces the rule gate on held-out docs") {
+    val r = MLClassifier.ml02(spark, sfDir).head()
+    assert(r.getAs[Long]("n_scored") > 0)
+    assert(r.getAs[Double]("accuracy") >= 0.9, s"accuracy ${r.getAs[Double]("accuracy")}")
+  }
+
   test("dq02 volume anomalies: early days unflagged (no baseline), flags only sub-half days") {
     val r = DataQuality.volumeAnomalies(spark, sfDir).collect().sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
     assert(r.nonEmpty)
