@@ -123,6 +123,7 @@ object SparkEntry {
     "sim05_rp_neardup"              -> (Similarity.rpNearDup _),
     "sim06_ivf_kmeans"              -> (Similarity.ivfAnnKmeansEntry _),
     "sim07_quantized_knn"           -> ((s: SparkSession, dir: String) => Similarity.quantizedKnn(s, dir)),
+    "sim08_pq_candidates"           -> (Similarity.pqCandidates _),
     "dd01_dup_clusters"             -> (Dedup.dd01 _),
     "tx17_lsh_jaccard"              -> (TextOps.lshJaccardPairs _),
   )

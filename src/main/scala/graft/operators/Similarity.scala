@@ -307,6 +307,141 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos", "rank")
   }
 
+  /** Product quantization (PQ) — the memory-wall endgame of the ANN
+    * family (FAISS PQ/IVFPQ): split each unit-normalized vector into
+    * `m` subvectors, k-means a 16-codeword codebook per subspace on a
+    * driver-side SAMPLE (codebook training is sample-based in
+    * production PQ too — the codebook is m×16×(D/m) doubles, the
+    * sample a few thousand rows), then encode every corpus vector as
+    * m byte codes: D floats become m bytes (16× smaller than sim07's
+    * int8). Encoding is ONE projection over the corpus with the
+    * codebooks baked in as literals — the same no-shuffle shape as
+    * the literal-centroid k-means assignment.
+    *
+    * Queries score by asymmetric distance: each query precomputes its
+    * dot product with every codeword (a flat m×16 lookup table on the
+    * broadcast query row), and a corpus row's score is the sum of m
+    * table lookups — written as an UNROLLED chain of element_at
+    * terms, not a higher-order aggregate, so the hot loop stays in
+    * codegen. PQ is a candidate generator: the spec pins
+    * candidate-recall (exact top-k ⊂ PQ top-candidates), with exact
+    * re-ranking as the downstream step (rag02's shape).
+    */
+  def pqTopCandidates(e: DataFrame, queryPred: Column,
+                      m: Int = 8, codebookBits: Int = 4,
+                      candidates: Int = 50, sampleRows: Int = 2048,
+                      seed: Int = 7): DataFrame = {
+    val k = 1 << codebookBits
+    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+
+    // unit-normalize so asymmetric dot == cosine; the norm materializes
+    // as its own column first — inlined into the transform lambda it
+    // would re-evaluate per element under interpreted HOF evaluation
+    val unit = e
+      .withColumn("n", sqrt(aggregate(transform(col("embedding"), v => v * v),
+        lit(0.0d), (acc, x) => acc + x)))
+      .select(col("vec_id"),
+        transform(col("embedding"), v => v / greatest(col("n"), lit(1e-12))).as("u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // per-subspace codebooks from a deterministic hash-ordered sample
+    val sample = unit.orderBy(pmod(hash(col("vec_id")), lit(1000003)).asc, col("vec_id").asc)
+      .limit(sampleRows).collect()
+      .map(_.getSeq[Double](1).toArray)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val subvecs = sample.map(v => v.slice(s * sub, (s + 1) * sub))
+      kmeansOnDriver(subvecs, k, iters = 8, seed = seed + s)
+    }
+
+    // encode: per subspace, argmin L2 over the 16 codewords — unrolled
+    // literal expressions, one projection, no shuffle
+    def code(s: Int): Column = {
+      val subv = slice(col("u"), s * sub + 1, sub)
+      val dists = array(codebooks(s).map { cw =>
+        aggregate(zip_with(subv, typedlit(cw.toSeq), (a, b) => (a - b) * (a - b)),
+          lit(0.0d), (acc, x) => acc + x)
+      }: _*)
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    val coded = unit
+      .withColumn("codes", array((0 until m).map(code): _*))
+      .select("vec_id", "codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // queries: flat m*16 LUT of subquery·codeword dots
+    val lut = {
+      val terms = (0 until m).flatMap { s =>
+        val subv = slice(col("u"), s * sub + 1, sub)
+        codebooks(s).map { cw =>
+          aggregate(zip_with(subv, typedlit(cw.toSeq), (a, b) => a * b),
+            lit(0.0d), (acc, x) => acc + x)
+        }
+      }
+      array(terms: _*)
+    }
+    val queries = unit.filter(queryPred)
+      .select(col("vec_id").as("query_id"), lut.as("lut"))
+
+    // asymmetric score: unrolled sum of m table lookups (codegen)
+    val score = (0 until m).map { s =>
+      element_at(col("lut"), element_at(col("codes"), s + 1) + lit(s * k) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id").orderBy(col("pq_score").desc, col("neighbor_id").asc)
+    coded.select(col("vec_id").as("neighbor_id"), col("codes"))
+      .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("pq_score", round(score, 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= candidates)
+      .select("query_id", "neighbor_id", "pq_score", "rank")
+  }
+
+  /** Plain Lloyd k-means over a driver-side sample (codebook training
+    * only — never corpus-sized data). Deterministic seeding.
+    */
+  private[operators] def kmeansOnDriver(points: Array[Array[Double]], k: Int,
+                                        iters: Int, seed: Int): Array[Array[Double]] = {
+    require(points.nonEmpty)
+    val d = points(0).length
+    val rnd = new scala.util.Random(seed)
+    var cents = rnd.shuffle(points.indices.toList).take(k).map(points(_).clone).toArray
+    if (cents.length < k) cents = Array.tabulate(k)(i => cents(i % cents.length).clone)
+    def nearest(p: Array[Double]): Int = {
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cents.length) {
+        var dd = 0.0; var i = 0
+        while (i < d) { val x = p(i) - cents(c)(i); dd += x * x; i += 1 }
+        if (dd < bestD) { bestD = dd; best = c }
+        c += 1
+      }
+      best
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        val c = nearest(p); counts(c) += 1
+        var i = 0; while (i < d) { sums(c)(i) += p(i); i += 1 }
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0; while (i < d) { cents(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** sim08 adapter: PQ candidates over the test corpus. */
+  def pqCandidates(s: SparkSession, dir: String): DataFrame =
+    pqTopCandidates(Tables.embeddings(s, dir), col("vec_id") % 50 === 0)
+      .orderBy("query_id", "rank")
+
   /** Generic IVF over any (vec_id, embedding, label) corpus; `label`
     * seeds the coarse cells (one Lloyd update from the labeled
     * partition — KMeans.fit for proper iterations). `probes` > 1

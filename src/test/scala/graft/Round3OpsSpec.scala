@@ -200,6 +200,25 @@ class Round3OpsSpec extends SparkSpec {
     assert((System.nanoTime() - t0) / 1e9 < 60, "empty graph should not iterate to maxIter")
   }
 
+  test("sim08 PQ candidates: exact top-k survives into the candidate set, codes are deterministic") {
+    val exact = Similarity.knnBrute(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    val pq = Similarity.pqCandidates(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(pq.keySet == exact.keySet)
+    // candidate-recall: the 50 PQ candidates carry most of the exact top-5
+    val recalls = exact.map { case (q, top) => (pq(q) & top).size.toDouble / top.size }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.6, s"candidate recall@50 $mean")
+    // determinism: a second run yields identical candidates
+    val pq2 = Similarity.pqCandidates(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("neighbor_id")).toSet).toMap
+    assert(pq2 == pq.toMap)
+  }
+
   test("quantize8 emits int8 in [-127,127] with the max element at full scale") {
     val q = Similarity.quantize8(Tables.embeddings(spark, sfDir)).select("q_emb").collect()
     q.foreach { row =>

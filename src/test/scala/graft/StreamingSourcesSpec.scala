@@ -75,6 +75,26 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("src06 jsonl parse quarantines malformed lines with the raw text intact") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("service", StringType), StructField("level", StringType),
+      StructField("ms", LongType)))
+    val lines = Seq(
+      """{"service":"api","level":"info","ms":12}""",
+      """{"service":"db","level":"error","ms":40}""",
+      """not json at all""",
+      """{"service":"api","level":""", // truncated
+      """{"service":"worker","level":"info","ms":7}""")
+      .toDF("value")
+    val good = graft.sources.JsonLines.parsed(lines, schema).collect()
+    assert(good.length == 3)
+    assert(good.map(_.getAs[String]("service")).sorted.toSeq == Seq("api", "db", "worker"))
+    val bad = graft.sources.JsonLines.quarantine(lines, schema).collect()
+      .map(_.getAs[String]("raw_line"))
+    assert(bad.toSet == Set("not json at all", """{"service":"api","level":"""))
+  }
+
   test("st10 native session_window merges events within the gap and splits across it") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long)]
