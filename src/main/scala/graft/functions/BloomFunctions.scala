@@ -68,11 +68,13 @@ object BloomFunctions {
     * over the key side) and return the membership-test column for it.
     */
   def bloomOf(keySide: DataFrame, keyCol: String, fpp: Double = 0.01): Column => Column = {
-    // sizing only needs an estimate — approx_count_distinct is one
-    // cheap agg, not the full distinct shuffle; 10% headroom keeps the
-    // realized fpp at or under the requested one
+    // sizing only needs an estimate — approx_count_distinct at a tight
+    // rsd is one cheap agg, not a full distinct shuffle; the headroom
+    // covers the estimator's tail so an undersized filter (realized
+    // fpp above the requested one) stays a rare-percentile event, not
+    // a few-percent-of-runs one
     val est = keySide.agg(
-      org.apache.spark.sql.functions.approx_count_distinct(keyCol).as("n"))
+      org.apache.spark.sql.functions.approx_count_distinct(keyCol, 0.02).as("n"))
       .head.getLong(0)
     val n = math.max(1L, (est * 1.1).toLong)
     val filter = keySide.stat.bloomFilter(keyCol, n, fpp)

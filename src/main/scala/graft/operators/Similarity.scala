@@ -356,7 +356,8 @@ object Similarity {
     }
 
     // encode: per subspace, argmin L2 over the 16 codewords — unrolled
-    // literal expressions, one projection, no shuffle
+    // literal expressions, one projection, no shuffle. Not persisted:
+    // the scoring join reads it exactly once, off the cached unit frame
     def code(s: Int): Column = {
       val subv = slice(col("u"), s * sub + 1, sub)
       val dists = array(codebooks(s).map { cw =>
@@ -368,7 +369,6 @@ object Similarity {
     val coded = unit
       .withColumn("codes", array((0 until m).map(code): _*))
       .select("vec_id", "codes")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // queries: flat m*16 LUT of subquery·codeword dots
     val lut = {
@@ -389,12 +389,18 @@ object Similarity {
       element_at(col("lut"), element_at(col("codes"), s + 1) + lit(s * k) + 1)
     }.reduce(_ + _)
     val w = Window.partitionBy("query_id").orderBy(col("pq_score").desc, col("neighbor_id").asc)
-    coded.select(col("vec_id").as("neighbor_id"), col("codes"))
+    val result = coded.select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("pq_score", round(score, 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= candidates)
       .select("query_id", "neighbor_id", "pq_score", "rank")
+    // the result is bounded (|queries| × candidates): materialize it
+    // eagerly so the cached unit frame can be released instead of
+    // leaking for the session's lifetime
+    val rows = result.collect()
+    unit.unpersist()
+    e.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
   /** Plain Lloyd k-means over a driver-side sample (codebook training

@@ -463,22 +463,21 @@ object TextOps {
     * recap must not repeat a sentence two articles share). Explode to
     * sentences, hash, keep the (doc_id, idx)-earliest occurrence per
     * hash, report per-doc survival. One shuffle keyed by sentence
-    * hash — 8-byte keys, never sentence strings; the min-struct
-    * aggregation IS the keeper election, no window needed.
+    * hash — 8-byte keys, never sentence strings; a row_number over the
+    * hash partition elects the keeper in the SAME shuffle (a
+    * groupBy-keepers-then-join formulation would evaluate and shuffle
+    * the split+hash subtree twice).
     * Rows-only: the sentence splitter uses lookbehind, which DuckDB's
     * RE2 cannot mirror.
     */
   def sentenceDedupOn(docs: DataFrame): DataFrame = {
-    val sent = docs
+    val wFirst = Window.partitionBy("h").orderBy(col("doc_id").asc, col("idx").asc)
+    docs
       .select(col("doc_id"),
               posexplode(graft.functions.TextFunctions.sentences(col("text"))).as(Seq("idx", "sentence")))
       .withColumn("h", xxhash64(col("sentence")))
       .select("doc_id", "idx", "h")
-    val keepers = sent.groupBy("h")
-      .agg(min(struct(col("doc_id"), col("idx"))).as("first"))
-    sent.join(keepers, "h")
-      .withColumn("kept",
-        (col("doc_id") === col("first.doc_id") && col("idx") === col("first.idx")).cast("int"))
+      .withColumn("kept", (row_number().over(wFirst) === 1).cast("int"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_sentences"),

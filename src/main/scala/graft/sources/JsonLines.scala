@@ -32,17 +32,24 @@ object JsonLines {
         Map("columnNameOfCorruptRecord" -> corruptCol)))
   }
 
+  /** Blank/whitespace-only input makes from_json return a NULL struct
+    * (not a corrupt-tagged row) — those lines are junk too and must
+    * land in the quarantine, not surface as all-null "good" rows.
+    */
+  private def isGood(c: org.apache.spark.sql.Column) =
+    c.isNotNull && c.getField(corruptCol).isNull
+
   /** Parsed good rows, record fields flattened. */
   def parsed(lines: DataFrame, schema: StructType, lineCol: String = "value"): DataFrame =
     tagged(lines, schema, lineCol)
-      .filter(col(s"rec.$corruptCol").isNull)
+      .filter(isGood(col("rec")))
       .select(col("rec.*")).drop(corruptCol)
 
-  /** The dead-letter side: raw lines that failed to parse, kept
-    * verbatim for replay after a parser fix.
+  /** The dead-letter side: raw lines that failed to parse (including
+    * blank lines), kept verbatim for replay after a parser fix.
     */
   def quarantine(lines: DataFrame, schema: StructType, lineCol: String = "value"): DataFrame =
     tagged(lines, schema, lineCol)
-      .filter(col(s"rec.$corruptCol").isNotNull)
+      .filter(!isGood(col("rec")))
       .select(col(lineCol).as("raw_line"))
 }

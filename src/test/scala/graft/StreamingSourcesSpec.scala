@@ -85,6 +85,8 @@ class StreamingSourcesSpec extends SparkSpec {
       """{"service":"db","level":"error","ms":40}""",
       """not json at all""",
       """{"service":"api","level":""", // truncated
+      "", // blank lines must quarantine, not surface as all-null rows
+      "   ",
       """{"service":"worker","level":"info","ms":7}""")
       .toDF("value")
     val good = graft.sources.JsonLines.parsed(lines, schema).collect()
@@ -92,7 +94,7 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(good.map(_.getAs[String]("service")).sorted.toSeq == Seq("api", "db", "worker"))
     val bad = graft.sources.JsonLines.quarantine(lines, schema).collect()
       .map(_.getAs[String]("raw_line"))
-    assert(bad.toSet == Set("not json at all", """{"service":"api","level":"""))
+    assert(bad.toSet == Set("not json at all", """{"service":"api","level":""", "", "   "))
   }
 
   test("st10 native session_window merges events within the gap and splits across it") {
