@@ -107,4 +107,70 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("scrubPii is idempotent and digit-free on random text with planted PII") {
+    import graft.functions.TextFunctions
+    val word = Gen.oneOf("alpha", "beta", "x7", "nine9", "bob@example.com",
+      "https://a.example/p?id=9911", "4481", "ok", "12", "1")
+    val gen = Gen.listOfN(12, word).map(_.mkString(" "))
+    val texts = samples(gen, 40)
+    val df = texts.toDF("t")
+      .select(col("t"), TextFunctions.scrubPii(col("t")).as("s1"))
+      .select(col("s1"), TextFunctions.scrubPii(col("s1")).as("s2"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getString(0) == r.getString(1), "scrub must be idempotent")
+      assert(!r.getString(0).matches(".*\\d{2,}.*"), s"digit run survived: ${r.getString(0)}")
+    }
+  }
+
+  test("connectedComponents labels match brute-force union-find on random graphs") {
+    import graft.operators.Dedup
+    val edgeGen = Gen.listOfN(40, Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 25L)))
+      .map(_.filter { case (a, b) => a != b })
+    samples(edgeGen, 4).foreach { edges =>
+      if (edges.nonEmpty) {
+        // brute-force union-find reference
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        // canonicalize: component = set partition, compare as min-rooted groups
+        val expected = nodes.groupBy(find).map { case (_, ns) => ns.toSet }.toSet
+        val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1))
+          .groupBy(_._2).map { case (_, ns) => ns.map(_._1).toSet }.toSet
+        assert(got == expected, s"components differ on $edges")
+      }
+    }
+  }
+
+  test("SpaceSaving bounds hold on random zipf-ish streams at any capacity") {
+    import graft.functions.SpaceSavingAgg.spaceSavingTopK
+    val itemGen = Gen.frequency(
+      8 -> Gen.const("hot"), 4 -> Gen.const("warm"),
+      3 -> Gen.oneOf("a", "b", "c"), 2 -> Gen.chooseNum(0, 50).map("rare" + _))
+    samples(Gen.listOfN(400, itemGen), 3).foreach { items =>
+      if (items.nonEmpty) {
+        val trueCounts = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val hh = items.toDF("item").repartition(7)
+          .agg(spaceSavingTopK(col("item"), 3, 6).as("hh"))
+          .select(explode(col("hh")).as("e"))
+          .select(col("e.item"), col("e.est"), col("e.err")).collect()
+        hh.foreach { r =>
+          val t = trueCounts(r.getString(0))
+          assert(r.getLong(1) >= t, s"underestimate for ${r.getString(0)}")
+          assert(r.getLong(1) - r.getLong(2) <= t, s"error bound broken for ${r.getString(0)}")
+        }
+        // the dominant item must always surface first
+        assert(hh.head.getString(0) == "hot")
+      }
+    }
+  }
 }
