@@ -102,6 +102,7 @@ object SparkEntry {
     "tx25_unigram_loglik"           -> (TextOps.unigramLogLik _),
     "tx26_decontamination"          -> ((s: SparkSession, dir: String) => TextOps.decontamination(s, dir)),
     "tx28_sentence_dedup"           -> (TextOps.sentenceDedup _),
+    "tx29_topic_coherence"          -> ((s: SparkSession, dir: String) => TextOps.topicCoherence(s, dir)),
     "ev23_latency_buckets"          -> (Events.latencyBuckets _),
     "ml02_doc_classifier"           -> (MLClassifier.ml02 _),
     "tx27_repetition_filter"        -> ((s: SparkSession, dir: String) => TextOps.repetitionFilter(s, dir)),
@@ -818,6 +819,37 @@ object SparkEntry {
                 CASE WHEN round((n_grams - n_distinct) * 1.0 / n_grams, 4) > 0.2
                      THEN 1 ELSE 0 END AS flagged
          FROM c WHERE n_grams > 0""",
+    "tx29_topic_coherence" ->
+      """WITH dt AS (SELECT doc_id, source, term FROM (
+                       SELECT doc_id, source,
+                              unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+                       FROM documents)
+                     WHERE len(term) >= 5),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM dt GROUP BY term),
+         st AS (SELECT source, term, count(DISTINCT doc_id) AS sdf FROM dt GROUP BY 1, 2),
+         top AS (SELECT source, term FROM (
+                   SELECT *, row_number() OVER (PARTITION BY source ORDER BY sdf DESC, term ASC) AS rk
+                   FROM st)
+                 WHERE rk <= 5),
+         vocab AS (SELECT DISTINCT term FROM top),
+         dtt AS (SELECT DISTINCT doc_id, term FROM dt WHERE term IN (SELECT term FROM vocab)),
+         joint AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS joint
+                   FROM dtt a JOIN dtt b ON a.doc_id = b.doc_id AND a.term < b.term
+                   GROUP BY 1, 2),
+         pairs AS (SELECT t1.source, t1.term AS term_a, t2.term AS term_b
+                   FROM top t1 JOIN top t2 ON t1.source = t2.source AND t1.term < t2.term),
+         sc AS (SELECT p.source,
+                  round(ln(((coalesce(j.joint, 0) + 1) * 1.0 / n.n_docs) * n.n_docs * n.n_docs
+                           / (da.df * db.df))
+                        / -ln((coalesce(j.joint, 0) + 1) * 1.0 / n.n_docs), 6) AS npmi
+                FROM pairs p
+                LEFT JOIN joint j ON p.term_a = j.term_a AND p.term_b = j.term_b
+                JOIN dfreq da ON p.term_a = da.term
+                JOIN dfreq db ON p.term_b = db.term
+                CROSS JOIN n)
+         SELECT source, count(*) AS n_pairs, round(avg(npmi), 4) AS coherence
+         FROM sc GROUP BY source""",
     "tx22_macro_metrics" ->
       s"""WITH $classificationMetricsCte
          SELECT round(avg(precision), 4) AS macro_precision,

@@ -489,6 +489,61 @@ object TextOps {
   def sentenceDedup(s: SparkSession, dir: String): DataFrame =
     sentenceDedupOn(Tables.documents(s, dir))
 
+  /** tx29: topic coherence (NPMI) — treat each source's top document-
+    * frequency terms as its "topic" and score the topic's quality as
+    * the mean normalized PMI of its term pairs over corpus document
+    * co-occurrence (recap-subworker/services/coherence.py evaluates
+    * clusters with exactly this family; NPMI is its C_NPMI measure
+    * with the standard +1 joint smoothing). The expensive-looking
+    * part — pairwise joint document counts — only ever runs on the
+    * |sources|×topK topic terms (broadcast-filtered before the
+    * self-join), never on the full vocabulary.
+    */
+  def topicCoherence(s: SparkSession, dir: String, topK: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // (doc, term) incidence for informative terms — reused by all
+    // three counting passes, so compute/persist once
+    val dt = docs
+      .select(col("doc_id"), col("source"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(length(col("term")) >= 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val docFreq = dt.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    // per-source topic = top-K terms by in-source document frequency
+    val wTop = Window.partitionBy("source").orderBy(col("sdf").desc, col("term").asc)
+    val topTerms = dt.distinct()
+      .groupBy("source", "term").agg(count(lit(1)).as("sdf"))
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= topK)
+      .select("source", "term")
+    val topicVocab = topTerms.select("term").distinct()
+    // joint document counts, restricted to topic vocabulary
+    val dtt = dt.select("doc_id", "term").distinct()
+      .join(broadcast(topicVocab), "term")
+    val joint = dtt.select(col("doc_id"), col("term").as("term_a"))
+      .join(dtt.select(col("doc_id"), col("term").as("term_b")), "doc_id")
+      .filter(col("term_a") < col("term_b"))
+      .groupBy("term_a", "term_b").agg(count(lit(1)).as("joint"))
+    // topic term pairs scored by smoothed NPMI
+    val pairs = topTerms.select(col("source"), col("term").as("term_a"))
+      .join(topTerms.select(col("source"), col("term").as("term_b")), "source")
+      .filter(col("term_a") < col("term_b"))
+      .join(joint, Seq("term_a", "term_b"), "left")
+      .join(broadcast(docFreq.select(col("term").as("term_a"), col("df").as("df_a"))), "term_a")
+      .join(broadcast(docFreq.select(col("term").as("term_b"), col("df").as("df_b"))), "term_b")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("p_ab", (coalesce(col("joint"), lit(0L)) + 1) / col("n_docs"))
+      .withColumn("npmi",
+        round(log(col("p_ab") * col("n_docs") * col("n_docs") / (col("df_a") * col("df_b"))) /
+              -log(col("p_ab")), 6))
+    val result = pairs.groupBy("source")
+      .agg(count(lit(1)).as("n_pairs"), round(avg("npmi"), 4).as("coherence"))
+    val rows = result.collect()
+    dt.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+  }
+
   /** tx24: PII scrub audit over composed log lines — redact IDs/emails/
     * URLs from the event stream and roll up how much was redacted per
     * type (the sanitization gate + its audit metric in one pass). The

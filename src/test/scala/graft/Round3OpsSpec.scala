@@ -335,6 +335,16 @@ class Round3OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("accuracy") >= 0.9, s"accuracy ${r.getAs[Double]("accuracy")}")
   }
 
+  test("tx29 topic coherence: NPMI stays in [-1,1], pair counts match topK choose 2") {
+    val r = operators.TextOps.topicCoherence(spark, sfDir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_pairs") <= 10) // C(5,2)
+      val c = row.getAs[Double]("coherence")
+      assert(c >= -1.0001 && c <= 1.0001, s"coherence $c out of NPMI range")
+    }
+  }
+
   test("dq02 volume anomalies: early days unflagged (no baseline), flags only sub-half days") {
     val r = DataQuality.volumeAnomalies(spark, sfDir).collect().sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
     assert(r.nonEmpty)
