@@ -71,6 +71,7 @@ object SparkEntry {
     "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
+    "km03_density_clusters"         -> (Density.km03 _),
     // Event sourcing / CQRS
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),

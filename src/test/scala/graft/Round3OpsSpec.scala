@@ -335,6 +335,26 @@ class Round3OpsSpec extends SparkSpec {
     assert(r.getAs[Double]("accuracy") >= 0.9, s"accuracy ${r.getAs[Double]("accuracy")}")
   }
 
+  test("km03 dbscan recovers planted dense clusters and drops isolated noise") {
+    val rnd = new scala.util.Random(13)
+    val planted = for (c <- 0 until 3; i <- 0 until 20) yield {
+      val v = Array.tabulate(8)(j => (if (j == c) 1.0f else 0.0f) + rnd.nextFloat() * 0.1f)
+      (c * 100L + i, v)
+    }
+    // isolated noise points: alternating-sign vectors nowhere near the axes
+    val noise = for (i <- 0 until 3) yield
+      (900L + i, Array.tabulate(8)(j => (if (j % 2 == 0) 1.0f else -1.0f) * (1.0f + i)))
+    val e = (planted ++ noise).toDF("vec_id", "embedding")
+    val got = Density.dbscan(e, eps = 0.9, minPts = 3).collect()
+    val byCluster = got.groupBy(_.getAs[Long]("cluster"))
+      .view.mapValues(_.map(_.getAs[Long]("vec_id") / 100).toSet).toMap
+    // three clusters, each pure in one planted axis, no noise ids
+    assert(byCluster.size == 3, s"expected 3 clusters, got ${byCluster.keySet}")
+    assert(byCluster.values.forall(_.size == 1), "a cluster mixes planted axes")
+    assert(!got.exists(_.getAs[Long]("vec_id") >= 900L), "noise was clustered")
+    assert(got.count(_.getAs[Long]("vec_id") < 300L) == 60, "planted points went missing")
+  }
+
   test("tx29 topic coherence: NPMI stays in [-1,1], pair counts match topK choose 2") {
     val r = operators.TextOps.topicCoherence(spark, sfDir).collect()
     assert(r.nonEmpty)
