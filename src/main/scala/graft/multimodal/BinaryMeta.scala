@@ -77,6 +77,39 @@ object BinaryMeta {
     }
   }
 
+  /** mm03: perceptual-hash near-dup pairs over binary payloads — the
+    * image-dedup step a multimodal training pipeline runs (same role
+    * as tx07/tx08 for text; CLIP-dedup/pHash in LAION-style curation).
+    * The HASH is stubbed (a deterministic 64-bit fold of the payload
+    * standing in for a real pHash over decoded pixels — no codecs in
+    * this container); everything downstream is the REAL scale
+    * machinery: 16-bit-chunk pigeonhole blocking over the 64-bit
+    * signature, candidate equi-join on chunk, exact hamming verify on
+    * candidates only — identical plan shape to Dedup.simhashPairs, so
+    * swapping in a real pHash changes zero lines of the distribution
+    * strategy.
+    */
+  def phashPairs(media: Dataset[MediaRow], maxHamming: Int = 8): DataFrame = {
+    implicit val enc = Encoders.product[(Long, Long)]
+    val sigs = media.mapPartitions { rows =>
+      // per-partition codec init would go here; stub pHash: stable
+      // 64-bit FNV-style fold of the payload
+      rows.map { r =>
+        (r.media_id, r.payload.foldLeft(1469598103934665603L)((acc, b) => (acc ^ b) * 1099511628211L))
+      }
+    }.toDF("media_id", "sig")
+    val chunked = sigs.select(col("media_id"), col("sig"),
+      explode(graft.functions.HashFunctions.simhashChunks(col("sig"))).as("chunk"))
+    val a = chunked.select(col("chunk"), col("media_id").as("media_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("media_id").as("media_b"), col("sig").as("sig_b"))
+    a.join(b, "chunk")
+      .filter(col("media_a") < col("media_b"))
+      .select("media_a", "media_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("media_a", "media_b", "hamming")
+  }
+
   /** Metadata rollup over extracted features — the queryable side. */
   def featureStats(features: Dataset[MediaFeatures]): DataFrame =
     features.groupBy("kind")

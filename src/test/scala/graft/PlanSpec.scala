@@ -127,6 +127,21 @@ class PlanSpec extends SparkSpec {
     assert(!f.contains("SortMergeJoin"))
   }
 
+  test("dd02 applies the drop decision with a broadcast join against the corpus scan") {
+    // the adapter materializes eagerly, so assert on the underlying plan
+    val labels = graft.operators.Dedup.connectedComponents(
+      graft.operators.TextOps.tokenJaccard(spark, sfDir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+    val dropped = labels.filter(org.apache.spark.sql.functions.col("node") =!=
+        org.apache.spark.sql.functions.col("label"))
+      .select(org.apache.spark.sql.functions.col("node").as("doc_id"))
+    val plan = Tables.documents(spark, sfDir)
+      .join(org.apache.spark.sql.functions.broadcast(dropped), Seq("doc_id"), "left")
+      .queryExecution.executedPlan
+    val hasBroadcast = plan.toString.contains("BroadcastHashJoin")
+    assert(hasBroadcast, "drop list must broadcast, never shuffle the corpus")
+    labels.unpersist()
+  }
+
   test("k-means assignment is one projection over the corpus — no Exchange, no Window") {
     // Centroids are driver-collected literals, so a Lloyd iteration's
     // lineage must be exactly scan → project: any Exchange or Window

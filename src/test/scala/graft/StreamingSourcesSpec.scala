@@ -360,6 +360,19 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(stats.map(_.getString(0)).toSet == Set("image", "audio"))
   }
 
+  test("mm03 phash near-dup pairs: duplicate payloads pair at hamming 0, unrelated ones don't") {
+    val payloadA = Array.tabulate(128)(i => (i * 7 % 127).toByte)
+    val payloadB = Array.tabulate(128)(i => (i * 13 % 127).toByte)
+    val media = Seq(
+      BinaryMeta.MediaRow(1L, "image", payloadA),
+      BinaryMeta.MediaRow(2L, "image", payloadA.clone), // exact duplicate
+      BinaryMeta.MediaRow(3L, "image", payloadB),
+      BinaryMeta.MediaRow(4L, "image", payloadB.reverse)).toDS()
+    val pairs = BinaryMeta.phashPairs(media).collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"), r.getAs[Int]("hamming")))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)), pairs.mkString(","))
+  }
+
   test("mm02 video frame sampling bounds output per asset and skips non-video") {
     val vid = Array.tabulate(64 * 30)(i => (i % 127).toByte) // 30 stub frames
     val media = Seq(
