@@ -841,9 +841,10 @@ object SparkEntry {
          pairs AS (SELECT t1.source, t1.term AS term_a, t2.term AS term_b
                    FROM top t1 JOIN top t2 ON t1.source = t2.source AND t1.term < t2.term),
          sc AS (SELECT p.source,
-                  round(ln(((coalesce(j.joint, 0) + 1) * 1.0 / n.n_docs) * n.n_docs * n.n_docs
-                           / (da.df * db.df))
-                        / -ln((coalesce(j.joint, 0) + 1) * 1.0 / n.n_docs), 6) AS npmi
+                  round(ln(((coalesce(j.joint, 0) + 1) * 1.0 / (n.n_docs + 2))
+                           * (n.n_docs + 2) * (n.n_docs + 2)
+                           / ((da.df + 1) * (db.df + 1)))
+                        / -ln((coalesce(j.joint, 0) + 1) * 1.0 / (n.n_docs + 2)), 6) AS npmi
                 FROM pairs p
                 LEFT JOIN joint j ON p.term_a = j.term_a AND p.term_b = j.term_b
                 JOIN dfreq da ON p.term_a = da.term

@@ -88,8 +88,13 @@ object BinaryMeta {
     * candidates only — identical plan shape to Dedup.simhashPairs, so
     * swapping in a real pHash changes zero lines of the distribution
     * strategy.
+    *
+    * maxHamming defaults to 3 because the 4×16-bit chunk blocking only
+    * GUARANTEES recall for hamming ≤ 3 (pigeonhole: 4+ differing bits
+    * can straddle all four chunks and share none). Raising maxHamming
+    * without narrowing the chunks makes recall above 3 best-effort.
     */
-  def phashPairs(media: Dataset[MediaRow], maxHamming: Int = 8): DataFrame = {
+  def phashPairs(media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
     implicit val enc = Encoders.product[(Long, Long)]
     val sigs = media.mapPartitions { rows =>
       // per-partition codec init would go here; stub pHash: stable

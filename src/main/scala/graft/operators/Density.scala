@@ -23,21 +23,46 @@ object Density {
   /** Cluster (vec_id, embedding) rows: ε = cosine ≥ `eps`, core =
     * ≥ `minPts` neighbors. Returns (vec_id, cluster, role) for
     * clustered points — noise rows are absent by construction.
+    *
+    * Pair source: RP-LSH banding by default (the 100 TB shape — full
+    * recall at high eps). At LOW eps banding undercounts degrees (see
+    * rpNearDupOn's τ ≤ 0.5 note), so `exactPairs = true` switches to a
+    * broadcast all-pairs ε-scan for BOUNDED inputs where exact DBSCAN
+    * semantics matter more than sketch volume.
+    *
+    * The result is persisted and materialized DISTRIBUTED (never
+    * collected to the driver) so the intermediate caches can be
+    * released here; callers that keep the session alive should
+    * unpersist() the returned frame.
     */
   def dbscan(e: DataFrame, eps: Double, minPts: Int,
-             bands: Int = 16, rowsPerBand: Int = 6): DataFrame = {
-    val pairs = Similarity.rpNearDupOn(e, threshold = eps, bands, rowsPerBand)
-      .select("vec_a", "vec_b")
+             bands: Int = 16, rowsPerBand: Int = 6,
+             exactPairs: Boolean = false): DataFrame = {
+    val v = e.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val minedPairs =
+      if (exactPairs)
+        v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+          .join(broadcast(v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))),
+                col("vec_a") < col("vec_b"))
+          .filter(graft.functions.VectorFunctions.cosineSim(col("emb_a"), col("emb_b")) >= eps)
+      else Similarity.rpNearDupPairsOn(v, threshold = eps, bands, rowsPerBand)
+    val pairs = minedPairs.select("vec_a", "vec_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sym = pairs.union(pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
     val degrees = sym.groupBy(col("vec_a").as("vec_id"))
       .agg(count(lit(1)).as("n_neighbors"))
     val core = degrees.filter(col("n_neighbors") >= minPts).select("vec_id")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // clusters = connected components of the core-core subgraph
+    // clusters = connected components of the core-core subgraph, plus a
+    // self-edge per core point: a core with no CORE neighbor still owns
+    // a cluster (its borders attach to it), and without the self-edge
+    // it would fall out of the label set entirely
     val coreEdges = pairs
       .join(core.withColumnRenamed("vec_id", "vec_a"), "vec_a")
       .join(core.withColumnRenamed("vec_id", "vec_b"), "vec_b")
+      .select("vec_a", "vec_b")
+      .union(core.select(col("vec_id").as("vec_a"), col("vec_id").as("vec_b")))
     val ccLabels = Dedup.connectedComponents(coreEdges, "vec_a", "vec_b")
     val coreLabels = ccLabels.select(col("node").as("vec_id"), col("label").as("cluster"))
     // border points: non-core with a core neighbor — take the minimum
@@ -50,25 +75,29 @@ object Density {
       .agg(min("cluster").as("cluster"))
     val result = coreLabels.withColumn("role", lit("core"))
       .union(borderLabels.withColumn("role", lit("border")))
-    val rows = result.collect()
-    pairs.unpersist(); core.unpersist(); ccLabels.unpersist()
-    e.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize before releasing the upstream caches
+    pairs.unpersist(); core.unpersist(); ccLabels.unpersist(); v.unpersist()
+    result
   }
 
   /** km03 adapter: density-cluster summary over the test embeddings —
-    * per cluster: size, core/border split. Rows-only (LSH band hashes
-    * are not oracle-expressible); planted-cluster recovery is
+    * per cluster: size, core/border split. Rows-only (the cluster
+    * labels are not oracle-expressible); planted-cluster recovery is
     * spec-pinned. eps sits at the knee of this corpus's pair-density
     * curve (0.3 merges everything into one blob whose CC diameter
     * dominates runtime; 0.5 is empty) — DBSCAN cost ∝ ε-pair volume,
     * and choosing eps from the pair-count curve is the standard knob.
-    * The adapter clusters a bounded id slice (the tx09 convention):
-    * this corpus's pair density at a fixed eps grows quadratically
-    * with the slice, and an unbounded slice buys only a deeper CC
-    * diameter, not more cluster structure.
+    * eps = 0.4 is the low-threshold regime where RP banding has
+    * partial recall (rpNearDupOn's τ ≤ 0.5 note) and would undercount
+    * degrees, so the adapter uses the EXACT pair scan over a bounded
+    * id slice (the tx09 convention): bounded slice → broadcastable
+    * side, and an unbounded slice buys only a deeper CC diameter, not
+    * more cluster structure. At high eps the LSH default applies.
     */
   def km03(s: SparkSession, dir: String): DataFrame =
-    dbscan(Tables.embeddings(s, dir).filter(col("vec_id") < 500), eps = 0.4, minPts = 3)
+    dbscan(Tables.embeddings(s, dir).filter(col("vec_id") < 500), eps = 0.4, minPts = 3,
+           exactPairs = true)
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_points"),
            count(when(col("role") === "core", 1)).as("n_core"),

@@ -155,9 +155,22 @@ object Similarity {
     */
   def rpNearDupOn(e: DataFrame, threshold: Double,
                   bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
-    import graft.functions.HashFunctions.rpSignBands
+    // caches the (vec_id, embedding) projection internally and cannot
+    // release it (the result is lazy); fine under Verify/Bench which
+    // clearCache between queries — long-lived sessions should persist
+    // their own projection and call rpNearDupPairsOn instead
     val v = e.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rpNearDupPairsOn(v, threshold, bands, rowsPerBand)
+  }
+
+  /** Core of rpNearDupOn over a caller-managed (vec_id, embedding)
+    * frame: the caller persists `v` (it is referenced three times —
+    * banding plus both verify joins) and owns its unpersist.
+    */
+  def rpNearDupPairsOn(v: DataFrame, threshold: Double,
+                       bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    import graft.functions.HashFunctions.rpSignBands
     val banded = v.select(col("vec_id"),
         explode(rpSignBands(col("embedding"), bands, rowsPerBand)).as("band"))
     val cand = banded.select(col("band"), col("vec_id").as("vec_a"))

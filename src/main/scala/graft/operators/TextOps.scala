@@ -494,7 +494,9 @@ object TextOps {
     * the mean normalized PMI of its term pairs over corpus document
     * co-occurrence (recap-subworker/services/coherence.py evaluates
     * clusters with exactly this family; NPMI is its C_NPMI measure
-    * with the standard +1 joint smoothing). The expensive-looking
+    * with add-one smoothing applied to ALL probabilities — smoothing
+    * only the joint leaves p_ab = 1 reachable, where the -ln(p_ab)
+    * denominator is 0 and an all-document pair scores NaN). The expensive-looking
     * part — pairwise joint document counts — only ever runs on the
     * |sources|×topK topic terms (broadcast-filtered before the
     * self-join), never on the full vocabulary.
@@ -512,20 +514,31 @@ object TextOps {
       .groupBy("term").agg(count(lit(1)).as("df"))
     // per-source topic = top-K terms by in-source document frequency
     val wTop = Window.partitionBy("source").orderBy(col("sdf").desc, col("term").asc)
+    // topTerms feeds three consumers (vocab + both pair sides): persist
+    // so the window-over-aggregation pipeline runs once
     val topTerms = dt.distinct()
       .groupBy("source", "term").agg(count(lit(1)).as("sdf"))
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= topK)
       .select("source", "term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val topicVocab = topTerms.select("term").distinct()
-    // joint document counts, restricted to topic vocabulary
+    // joint document counts, restricted to topic vocabulary; persisted
+    // because the pair self-join references it twice
     val dtt = dt.select("doc_id", "term").distinct()
       .join(broadcast(topicVocab), "term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val joint = dtt.select(col("doc_id"), col("term").as("term_a"))
       .join(dtt.select(col("doc_id"), col("term").as("term_b")), "doc_id")
       .filter(col("term_a") < col("term_b"))
       .groupBy("term_a", "term_b").agg(count(lit(1)).as("joint"))
-    // topic term pairs scored by smoothed NPMI
+    // topic term pairs scored by NPMI under add-one smoothing of ALL
+    // probabilities: p_ab = (joint+1)/(n+2), p_x = (df_x+1)/(n+2).
+    // Smoothing only the joint lets p_ab reach 1 (joint = n-1 → the
+    // -ln(p_ab) denominator is 0) or pass it (joint = n → the sign
+    // flips and a perfectly co-occurring pair scores -1); consistent
+    // smoothing keeps p_ab ≤ min(p_a, p_b) < 1, so NPMI is finite,
+    // lands in [-1, 1], and an all-document pair scores exactly +1.
     val pairs = topTerms.select(col("source"), col("term").as("term_a"))
       .join(topTerms.select(col("source"), col("term").as("term_b")), "source")
       .filter(col("term_a") < col("term_b"))
@@ -533,14 +546,15 @@ object TextOps {
       .join(broadcast(docFreq.select(col("term").as("term_a"), col("df").as("df_a"))), "term_a")
       .join(broadcast(docFreq.select(col("term").as("term_b"), col("df").as("df_b"))), "term_b")
       .crossJoin(broadcast(nDocs))
-      .withColumn("p_ab", (coalesce(col("joint"), lit(0L)) + 1) / col("n_docs"))
+      .withColumn("n2", col("n_docs") + lit(2))
+      .withColumn("p_ab", (coalesce(col("joint"), lit(0L)) + 1) / col("n2"))
       .withColumn("npmi",
-        round(log(col("p_ab") * col("n_docs") * col("n_docs") / (col("df_a") * col("df_b"))) /
+        round(log(col("p_ab") * col("n2") * col("n2") / ((col("df_a") + 1) * (col("df_b") + 1))) /
               -log(col("p_ab")), 6))
     val result = pairs.groupBy("source")
       .agg(count(lit(1)).as("n_pairs"), round(avg("npmi"), 4).as("coherence"))
     val rows = result.collect()
-    dt.unpersist()
+    dt.unpersist(); topTerms.unpersist(); dtt.unpersist()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 

@@ -143,9 +143,10 @@ class PropertiesSpec extends SparkSpec {
         val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
         // canonicalize: component = set partition, compare as min-rooted groups
         val expected = nodes.groupBy(find).map { case (_, ns) => ns.toSet }.toSet
-        val got = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
-          .collect().map(r => r.getLong(0) -> r.getLong(1))
+        val labels = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
           .groupBy(_._2).map { case (_, ns) => ns.map(_._1).toSet }.toSet
+        labels.unpersist()
         assert(got == expected, s"components differ on $edges")
       }
     }

@@ -345,7 +345,9 @@ class Round3OpsSpec extends SparkSpec {
     val noise = for (i <- 0 until 3) yield
       (900L + i, Array.tabulate(8)(j => (if (j % 2 == 0) 1.0f else -1.0f) * (1.0f + i)))
     val e = (planted ++ noise).toDF("vec_id", "embedding")
-    val got = Density.dbscan(e, eps = 0.9, minPts = 3).collect()
+    val labelsDf = Density.dbscan(e, eps = 0.9, minPts = 3)
+    val got = labelsDf.collect()
+    labelsDf.unpersist()
     val byCluster = got.groupBy(_.getAs[Long]("cluster"))
       .view.mapValues(_.map(_.getAs[Long]("vec_id") / 100).toSet).toMap
     // three clusters, each pure in one planted axis, no noise ids
