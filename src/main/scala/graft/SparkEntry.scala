@@ -104,16 +104,19 @@ object SparkEntry {
     "tx26_decontamination"          -> ((s: SparkSession, dir: String) => TextOps.decontamination(s, dir)),
     "tx28_sentence_dedup"           -> (TextOps.sentenceDedup _),
     "tx29_topic_coherence"          -> ((s: SparkSession, dir: String) => TextOps.topicCoherence(s, dir)),
+    "tx30_textrank_keywords"        -> ((s: SparkSession, dir: String) => TextOps.textrankKeywords(s, dir)),
     "ev23_latency_buckets"          -> (Events.latencyBuckets _),
     "ml02_doc_classifier"           -> (MLClassifier.ml02 _),
     "tx27_repetition_filter"        -> ((s: SparkSession, dir: String) => TextOps.repetitionFilter(s, dir)),
     "smp01_stratified_sample"       -> (Sampling.smp01 _),
     "smp02_mixture_weights"         -> (Sampling.mixtureWeights _),
+    "smp03_weighted_sample"         -> ((s: SparkSession, dir: String) => Sampling.weightedSample(s, dir)),
     // Graph / label propagation
     "lp01_label_propagation"        -> (Graph.lp01 _),
     // Data quality
     "dq01_events_profile"           -> (DataQuality.eventsProfile _),
     "dq02_volume_anomalies"         -> ((s: SparkSession, dir: String) => DataQuality.volumeAnomalies(s, dir)),
+    "dq03_join_key_skew"            -> (DataQuality.joinKeySkew _),
     "tx14_source_signature"         -> (DataQuality.sourceSignatures _),
     // Similarity / vectors
     "sim01_knn_brute"               -> (Similarity.knnBrute _),
@@ -776,6 +779,24 @@ object SparkEntry {
            FROM documents)
          WHERE bucket < CASE lang WHEN 'en' THEN 200 WHEN 'es' THEN 500
                                   WHEN 'de' THEN 800 ELSE 100 END""",
+    "smp03_weighted_sample" ->
+      """WITH sc AS (SELECT doc_id, source, n_chars,
+                ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1.0)::DOUBLE
+                   / 4294967297.0::DOUBLE) / n_chars AS skey
+              FROM documents WHERE n_chars > 0),
+         rk AS (SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id ASC) AS rn FROM sc)
+         SELECT doc_id, source, n_chars, round(skey, 9) AS skey
+         FROM rk WHERE rn <= 50""",
+    "dq03_join_key_skew" ->
+      """WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)
+         SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(cnt) AS BIGINT) AS n_rows,
+                CAST(max(cnt) AS BIGINT) AS max_rows,
+                round(avg(cnt), 4) AS avg_rows,
+                round(quantile_cont(cnt, 0.99), 4) AS p99_rows,
+                round(max(cnt) * 1.0 / avg(cnt), 4) AS skew_factor,
+                round(max(cnt) * 1.0 / sum(cnt), 9) AS top_share
+         FROM c""",
     "smp02_mixture_weights" ->
       """WITH bs AS (SELECT source, count(*) AS n_docs,
                             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
@@ -852,6 +873,37 @@ object SparkEntry {
                 CROSS JOIN n)
          SELECT source, count(*) AS n_pairs, round(avg(npmi), 4) AS coherence
          FROM sc GROUP BY source""",
+    "tx30_textrank_keywords" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, term FROM (
+                       SELECT doc_id,
+                              unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+                       FROM documents)
+                     WHERE len(term) >= 3),
+         pe AS (SELECT a.term AS ta, b.term AS tb, count(*) AS w
+                FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+         e AS (SELECT ta AS src, tb AS dst, w FROM pe
+               UNION ALL SELECT tb, ta, w FROM pe),
+         ow AS (SELECT src, sum(w) AS wout FROM e GROUP BY src),
+         sh AS (SELECT e.src, e.dst, e.w * 1.0 / ow.wout AS share FROM e JOIN ow USING (src)),
+         nodes AS (SELECT DISTINCT src AS node FROM e),
+         nn AS (SELECT count(*) AS n FROM nodes),
+         r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn),
+         c1 AS (SELECT sh.dst AS node, sum(sh.share * r0.rank) AS contrib
+                FROM sh JOIN r0 ON sh.src = r0.node GROUP BY 1),
+         r1 AS (SELECT nodes.node, 0.15::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(c1.contrib, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN c1 ON nodes.node = c1.node),
+         c2 AS (SELECT sh.dst AS node, sum(sh.share * r1.rank) AS contrib
+                FROM sh JOIN r1 ON sh.src = r1.node GROUP BY 1),
+         r2 AS (SELECT nodes.node, 0.15::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(c2.contrib, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN c2 ON nodes.node = c2.node),
+         c3 AS (SELECT sh.dst AS node, sum(sh.share * r2.rank) AS contrib
+                FROM sh JOIN r2 ON sh.src = r2.node GROUP BY 1),
+         r3 AS (SELECT nodes.node, 0.15::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(c3.contrib, 0) AS rank
+                FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
+         SELECT node AS term, round(rank, 6) AS rank FROM (
+           SELECT node, rank, row_number() OVER (ORDER BY rank DESC, node ASC) AS rk FROM r3)
+         WHERE rk <= 20""",
     "tx22_macro_metrics" ->
       s"""WITH $classificationMetricsCte
          SELECT round(avg(precision), 4) AS macro_precision,

@@ -50,6 +50,28 @@ object DataQuality {
               when(col("ratio") < minRatio, 1).otherwise(0).as("flagged"))
   }
 
+  /** dq03: join-key skew profile of the lineitem fact's shuffle key —
+    * the pre-join diagnostic that decides whether a key needs salting
+    * or AQE skew splitting (Scale.saltedJoin is the cure; this is the
+    * thermometer). Per-key counts partial-aggregate map-side, then a
+    * one-row summary over the |keys| frame: max/avg/top-share are all
+    * partial-aggregable, so the whole profile is two shuffles at any
+    * scale. p99 uses exact `percentile` for oracle parity at test SF —
+    * at 100 TB swap in percentile_approx (the ev03 → ev11 precedent);
+    * the headline skew_factor/top_share never need the sort.
+    */
+  def joinKeySkew(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum("cnt").as("n_rows"),
+        max("cnt").as("max_rows"),
+        round(avg("cnt"), 4).as("avg_rows"),
+        round(expr("percentile(cnt, 0.99)"), 4).as("p99_rows"),
+        round(max("cnt") / avg("cnt"), 4).as("skew_factor"),
+        round(max("cnt") / sum("cnt"), 9).as("top_share"))
+
   /** tx14: per-source SimHash signature via the mergeable AGGREGATE
     * form — one 256-byte buffer per group shuffles instead of the
     * group's rows (rows-only check; grouped-vs-array equivalence is

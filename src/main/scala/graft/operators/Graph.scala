@@ -51,6 +51,51 @@ object Graph {
     * label asc) tie-break. Empty vote set (singleton source) keeps the
     * doc's own label, matching `propagate` on isolated nodes.
     */
+  /** Weighted PageRank over a directed edge list (src, dst, w):
+    * r ← (1-d)/N + d · Σ_{(j,i)∈E} (w_ji / W_j) · r_j, fixed iteration
+    * count (the power method; Page et al. 1999, public). Per iteration:
+    * ONE shuffle — contributions equi-joined edge⋈rank on src, summed
+    * by dst; the (small) rank table rides the edge partitioning. Edge
+    * shares and the node list are computed once and persisted; at
+    * 100 TB the edge list is the big side and would be bucketed by src
+    * so every iteration reuses its partitioning (the lp01 note).
+    *
+    * No dangling-mass redistribution: callers with dangling nodes
+    * (out-degree 0) get the leaked-mass variant; symmetrized graphs
+    * (every node has out-edges) conserve Σr = 1 exactly.
+    *
+    * The result is materialized DISTRIBUTED (persist + count) so the
+    * internal caches can be released here; callers that keep the
+    * session alive should unpersist() the returned (node, rank) frame.
+    */
+  def weightedPagerank(edges: DataFrame, damping: Double = 0.85,
+                       iters: Int = 3): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val outW = e.groupBy("src").agg(sum("w").as("wout"))
+    val share = e.join(outW, "src")
+      .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
+      .persist(lvl)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(lvl)
+    val n = nodes.count() // one scalar for the teleport constant
+    var ranks = nodes.select(col("node"), lit(1.0 / n).as("rank"))
+    for (_ <- 1 to iters) {
+      val contrib = share.join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("share") * col("rank")).as("contrib"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit((1.0 - damping) / n) +
+           lit(damping) * coalesce(col("contrib"), lit(0.0))).as("rank"))
+    }
+    val out = ranks.persist(lvl)
+    out.count()
+    share.unpersist(); nodes.unpersist()
+    out
+  }
+
   def lp01(s: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(s, dir).filter(col("doc_id") < 500)
       .select(col("doc_id"), col("source"), col("lang"))

@@ -75,4 +75,26 @@ object Sampling {
       permille = Map("en" -> 200, "es" -> 500, "de" -> 800),
       defaultPermille = 100)
       .select("doc_id", "lang", "bucket")
+
+  /** smp03: deterministic weighted sample without replacement
+    * (Efraimidis–Spirakis 2006, public): score each row
+    * skey = ln(u)/w with u a uniform (0,1] hash of the id and w the
+    * weight — here n_chars, a token-budget-proportional pick — and
+    * keep the top-k rows by skey. Exactly the reservoir-sampling
+    * weighting, but with the hash AS the randomness: reproducible,
+    * retry-safe, and mirrorable by any engine (the object doc's case
+    * against rand()). One scan + TakeOrdered top-k — the per-row score
+    * never shuffles the corpus.
+    */
+  def weightedSample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+               .cast("double") + lit(1.0)) / lit(4294967297.0)
+    Tables.documents(s, dir)
+      .filter(col("n_chars") > 0)
+      .withColumn("skey", log(u) / col("n_chars"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+              round(col("skey"), 9).as("skey"))
+  }
 }

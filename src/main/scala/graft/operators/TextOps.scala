@@ -558,6 +558,40 @@ object TextOps {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** tx30: TextRank keyword extraction — weighted PageRank over the
+    * term co-occurrence graph, top-K terms by rank (Mihalcea & Tarau
+    * 2004, public; the reference's tag-generator extracts article
+    * keywords — tag-generator/app/tag_extractor/ — and TextRank is the
+    * classic graph formulation of that task; Tag Verse renders the
+    * same co-occurrence graph tx11 builds). Edges are document-level
+    * co-occurrence counts (the tx11 convention, len ≥ 3 terms, floor 5
+    * to cut the noise tail), symmetrized; ranks from
+    * Graph.weightedPagerank. The corpus-sized work is the one edge
+    * aggregation; the iteration joins run over the (vocabulary-sized)
+    * edge list, and top-K is TakeOrdered — never a global window.
+    */
+  def textrankKeywords(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val dt = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(length(col("term")) >= 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pe = dt.as("a").join(dt.as("b"), "doc_id")
+      .filter(col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("ta"), col("b.term").as("tb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 5)
+    val edges = pe.select(col("ta").as("src"), col("tb").as("dst"), col("w"))
+      .union(pe.select(col("tb").as("src"), col("ta").as("dst"), col("w")))
+    val ranks = Graph.weightedPagerank(edges, damping = 0.85, iters = 3)
+    dt.unpersist() // edge aggregation materialized inside weightedPagerank
+    val top = ranks
+      .orderBy(col("rank").desc, col("node").asc).limit(topK)
+      .select(col("node").as("term"), round(col("rank"), 6).as("rank"))
+    val rows = top.collect()
+    ranks.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
+  }
+
   /** tx24: PII scrub audit over composed log lines — redact IDs/emails/
     * URLs from the event stream and roll up how much was redacted per
     * type (the sanitization gate + its audit metric in one pass). The

@@ -357,6 +357,30 @@ class Round3OpsSpec extends SparkSpec {
     assert(got.count(_.getAs[Long]("vec_id") < 300L) == 60, "planted points went missing")
   }
 
+  test("weightedPagerank: star center outranks leaves, symmetric graph conserves mass") {
+    // undirected star: center 0 — leaves 1..5, symmetrized, unit weights
+    val pe = (1L to 5L).map(l => (0L, l, 1L))
+    val edges = (pe ++ pe.map { case (a, b, w) => (b, a, w) }).toDF("src", "dst", "w")
+    val ranks = Graph.weightedPagerank(edges, damping = 0.85, iters = 3)
+    val byNode = ranks.collect().map(r => r.getAs[Long]("node") -> r.getAs[Double]("rank")).toMap
+    ranks.unpersist()
+    assert(byNode.size == 6)
+    val leaves = (1L to 5L).map(byNode)
+    assert(leaves.forall(l => byNode(0L) > l), s"center must outrank leaves: $byNode")
+    assert(leaves.distinct.size == 1, "symmetric leaves must tie")
+    // symmetrized graph has no dangling nodes: Σr = 1 each iteration
+    assert(math.abs(byNode.values.sum - 1.0) < 1e-9)
+  }
+
+  test("tx30 textrank: topK rows, ranks positive and descending") {
+    val r = operators.TextOps.textrankKeywords(spark, sfDir).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    val ranks = r.map(_.getAs[Double]("rank")).toSeq
+    assert(ranks.forall(_ > 0.0))
+    assert(ranks == ranks.sorted.reverse, "rows must come out rank-descending")
+    assert(r.map(_.getAs[String]("term")).distinct.length == r.length)
+  }
+
   test("tx29 topic coherence: NPMI stays in [-1,1], pair counts match topK choose 2") {
     val r = operators.TextOps.topicCoherence(spark, sfDir).collect()
     assert(r.nonEmpty)
@@ -365,6 +389,29 @@ class Round3OpsSpec extends SparkSpec {
       val c = row.getAs[Double]("coherence")
       assert(c >= -1.0001 && c <= 1.0001, s"coherence $c out of NPMI range")
     }
+  }
+
+  test("smp03 weighted sample: k rows, valid scores, sample biased toward heavy docs") {
+    val r = Sampling.weightedSample(spark, sfDir).collect()
+    assert(r.length == 50)
+    assert(r.map(_.getAs[Long]("doc_id")).distinct.length == 50)
+    assert(r.forall(_.getAs[Double]("skey") <= 0.0), "ln(u)/w must be non-positive")
+    val sampleMean = r.map(_.getAs[Long]("n_chars")).sum.toDouble / r.length
+    val corpusMean = Tables.documents(spark, sfDir).filter(col("n_chars") > 0)
+      .agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"n_chars-weighted sample must skew heavy: sample $sampleMean vs corpus $corpusMean")
+  }
+
+  test("dq03 join-key skew: internally consistent profile") {
+    val r = DataQuality.joinKeySkew(spark, sfDir).head()
+    val nRows = Tables.lineitem(spark, sfDir).count()
+    assert(r.getAs[Long]("n_rows") == nRows)
+    assert(r.getAs[Long]("max_rows") >= r.getAs[Double]("avg_rows").ceil.toLong - 1)
+    assert(r.getAs[Double]("skew_factor") >= 1.0)
+    val ts = r.getAs[Double]("top_share")
+    assert(ts > 0.0 && ts <= 1.0)
+    assert(r.getAs[Double]("p99_rows") <= r.getAs[Long]("max_rows").toDouble)
   }
 
   test("dq02 volume anomalies: early days unflagged (no baseline), flags only sub-half days") {
