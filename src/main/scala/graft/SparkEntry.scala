@@ -66,6 +66,10 @@ object SparkEntry {
     "ev20_value_histogram"          -> ((s: SparkSession, dir: String) => Events.valueHistogram(s, dir)),
     "ev21_slo_burn"                 -> ((s: SparkSession, dir: String) => Events.sloBurn(s, dir)),
     "ev22_heavy_hitters"            -> ((s: SparkSession, dir: String) => Events.heavyHitters(s, dir)),
+    "ev24_gap_islands"              -> ((s: SparkSession, dir: String) => Events.gapIslands(s, dir)),
+    "ot02_service_graph"            -> (Events.serviceGraph _),
+    "es05_scd2_intervals"           -> (Events.scd2Intervals _),
+    "lt01_log_templates"            -> (LogMining.logTemplates _),
     "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
     "tx21_term_entropy"             -> (TextOps.termEntropy _),
     "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
@@ -130,7 +134,9 @@ object SparkEntry {
     "sim07_quantized_knn"           -> ((s: SparkSession, dir: String) => Similarity.quantizedKnn(s, dir)),
     "sim08_pq_candidates"           -> (Similarity.pqCandidates _),
     "dd01_dup_clusters"             -> (Dedup.dd01 _),
+    "dd03_incremental_dedup"        -> ((s: SparkSession, dir: String) => Dedup.dd03(s, dir)),
     "tx17_lsh_jaccard"              -> (TextOps.lshJaccardPairs _),
+    "tx31_phrase_search"            -> ((s: SparkSession, dir: String) => TextOps.phraseSearch(s, dir)),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:
@@ -1022,5 +1028,90 @@ object SparkEntry {
                   round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
          WHERE cos >= 0.3""",
+    "ev24_gap_islands" ->
+      """WITH e AS (SELECT event_id,
+                    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s,
+                    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day
+                    FROM events WHERE event_type = 'error'),
+         g AS (SELECT *, epoch(ts_s) - epoch(lag(ts_s) OVER (PARTITION BY day ORDER BY ts_s, event_id)) AS gap_s
+               FROM e),
+         i AS (SELECT *, CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 600 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY day ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+               FROM g)
+         SELECT day, island, count(*) AS n_errors,
+                min(ts_s) AS start_ts, max(ts_s) AS end_ts,
+                CAST(epoch(max(ts_s)) - epoch(min(ts_s)) AS BIGINT) AS duration_s
+         FROM i GROUP BY day, island""",
+    "ot02_service_graph" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    coalesce(value, 0) AS dur_ms,
+                    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
+         g AS (SELECT *,
+                 epoch(ts_s) - epoch(lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap_s,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_type
+               FROM e),
+         edges AS (SELECT prev_type AS src_service, event_type AS dst_service, dur_ms
+                   FROM g WHERE gap_s IS NOT NULL AND gap_s <= 1800)
+         SELECT src_service, dst_service, count(*) AS n_calls,
+                round(count(CASE WHEN dst_service = 'error' THEN 1 END) * 1.0 / count(*), 4) AS error_rate,
+                round(quantile_cont(dur_ms, 0.95), 2) AS p95_ms
+         FROM edges GROUP BY src_service, dst_service""",
+    "es05_scd2_intervals" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
+         c AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_type
+               FROM e),
+         f AS (SELECT user_id, event_type, ts_s, event_id FROM c
+               WHERE prev_type IS NULL OR prev_type <> event_type),
+         v AS (SELECT *, lead(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS valid_to
+               FROM f)
+         SELECT user_id, event_type AS state, count(*) AS n_versions,
+                CAST(sum(epoch(valid_to) - epoch(ts_s)) AS BIGINT) AS closed_dwell_s,
+                max(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS is_current
+         FROM v GROUP BY user_id, event_type""",
+    "lt01_log_templates" ->
+      """WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                    'user=' || CAST(user_id AS VARCHAR) || ' type=' || event_type ||
+                    ' value=' || CASE WHEN value IS NULL THEN 'null'
+                                      ELSE CAST(round(value, 2) AS VARCHAR) END ||
+                    ' props=' || props AS line
+                    FROM events),
+         t AS (SELECT *, array_to_string(
+                 list_transform(string_split_regex(trim(line), '\s+'),
+                   x -> CASE WHEN regexp_matches(x, '\d') THEN '<*>' ELSE x END), ' ') AS template
+               FROM l)
+         SELECT template, count(*) AS n_lines, count(DISTINCT user_id) AS n_users,
+                date_trunc('second', min(ts)) AS first_seen,
+                date_trunc('second', max(ts)) AS last_seen
+         FROM t GROUP BY template""",
+    "dd03_incremental_dedup" ->
+      """WITH d AS (SELECT doc_id, source, doc_id % 5 = 0 AS is_batch,
+                    string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         sh AS (SELECT doc_id, source, is_batch,
+                       list_distinct(list_transform(generate_series(1, len(toks) - 7),
+                                     i -> array_to_string(toks[i:i+7], ' '))) AS shingles
+                FROM d),
+         hist AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE NOT is_batch),
+         bs AS (SELECT doc_id, source, unnest(shingles) AS sh FROM sh WHERE is_batch),
+         b AS (SELECT doc_id, source, count(*) AS n_shingles,
+                      count(CASE WHEN sh IN (SELECT sh FROM hist) THEN 1 END) AS n_seen
+               FROM bs GROUP BY doc_id, source),
+         v AS (SELECT source, n_seen * 1.0 / n_shingles AS containment,
+                      CASE WHEN n_seen * 1.0 / n_shingles >= 0.5 THEN 1 ELSE 0 END AS dropped
+               FROM b)
+         SELECT source, count(*) AS n_new,
+                CAST(sum(dropped) AS BIGINT) AS n_dropped,
+                CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept,
+                round(avg(containment), 4) AS avg_containment
+         FROM v GROUP BY source""",
+    "tx31_phrase_search" ->
+      """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents),
+         h AS (SELECT doc_id, source,
+                      len(list_filter(range(1, len(toks)),
+                          i -> toks[i] = 'table' AND toks[i+1] = 'scan')) AS n_hits
+               FROM d)
+         SELECT doc_id, source, n_hits FROM h WHERE n_hits > 0
+         ORDER BY n_hits DESC, doc_id ASC LIMIT 20""",
   )
 }

@@ -483,4 +483,99 @@ object Events {
       .agg(
         count(when(col("ts") < lit("2024-01-15").cast("timestamp"), 1)).as("n_expired"),
         count(when(col("ts") >= lit("2024-01-15").cast("timestamp"), 1)).as("n_retained"))
+
+  /** ev24: gaps-and-islands outage merge — consecutive error events
+    * closer than `gapS` seconds fuse into one outage island; per island
+    * report error volume and duration (the Grafana alert-duration /
+    * uptime panel over clickhouse sli_error_rate_mv, and the incident
+    * timeline the reference's alert rules imply).
+    *
+    * Scale: errors are filtered FIRST (a few % of the stream, with the
+    * predicate at the parquet scan), then islands are built per (day)
+    * partition so the window never exceeds one day of sparse error
+    * rows; island aggregation reuses the day hash partitioning (day ⊆
+    * (day, island) clustering), so the whole query is one shuffle. An
+    * error storm that overwhelms a single day-partition would move the
+    * partition key to (day, hour) — same plan, finer key.
+    */
+  def gapIslands(s: SparkSession, dir: String, gapS: Long = 600L): DataFrame = {
+    val byDay = Window.partitionBy("day").orderBy(col("ts_s"), col("event_id"))
+    ev(s, dir)
+      .filter(col("event_type") === "error")
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .withColumn("day", date_trunc("day", col("ts")))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byDay)))
+      .withColumn("island",
+        sum(when(col("gap_s").isNull || col("gap_s") > gapS, 1).otherwise(0))
+          .over(byDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("day", "island")
+      .agg(
+        count(lit(1)).as("n_errors"),
+        min("ts_s").as("start_ts"),
+        max("ts_s").as("end_ts"),
+        (max(unix_timestamp(col("ts_s"))) - min(unix_timestamp(col("ts_s")))).as("duration_s"))
+  }
+
+  /** ot02: service dependency graph over ot01's trace view — each
+    * consecutive span pair inside a trace is a caller→callee edge
+    * (the Jaeger/Grafana service-graph panel ClickHouse builds from
+    * otel_traces parent links; with no explicit ParentSpanId in the
+    * synthetic stream, trace adjacency stands in for the parent edge).
+    * Per edge: call count, callee error rate, exact p95 callee
+    * duration (percentile_approx is the 100 TB swap, the ev03→ev11
+    * precedent).
+    *
+    * Scale: one window shuffle partitioned by high-cardinality
+    * user_id (sessionize + lag share the same sort, so Spark plans
+    * ONE exchange + sort), then an aggregation whose key space is
+    * bounded by |services|² — tiny output, map-side combine.
+    */
+  def serviceGraph(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    ev(s, dir)
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .withColumn("dur_ms", coalesce(col("value"), lit(0.0)))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byUser)))
+      .withColumn("is_break", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .withColumn("src_service",
+        when(col("is_break") === 0, lag("event_type", 1).over(byUser)))
+      .filter(col("src_service").isNotNull)
+      .groupBy(col("src_service"), col("event_type").as("dst_service"))
+      .agg(
+        count(lit(1)).as("n_calls"),
+        round(count(when(col("event_type") === "error", 1)) / count(lit(1)), 4).as("error_rate"),
+        round(expr("percentile(dur_ms, 0.95)"), 2).as("p95_ms"))
+  }
+
+  /** es05: SCD2 interval build from the event log — collapse each
+    * user's consecutive same-type runs into validity intervals
+    * (valid_from = first ts of the run, valid_to = next state change),
+    * then account per (user, state): version count, total closed-
+    * interval dwell seconds, and whether the state is the user's
+    * current one. This is the slowly-changing-dimension/CDC compaction
+    * the knowledge-sovereign projector implies (es01 is its
+    * latest-version special case).
+    *
+    * Scale: one shuffle on user_id — the change-detection window, the
+    * valid_to lead window, and the final (user, state) aggregation all
+    * reuse the same hash(user_id) partitioning (Spark plans one
+    * Exchange; the second window adds only a sort, and user ⊆
+    * (user, state) satisfies the aggregation's clustering).
+    */
+  def scd2Intervals(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    val changes = ev(s, dir)
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .withColumn("prev_type", lag("event_type", 1).over(byUser))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .withColumn("valid_to", lead("ts_s", 1).over(byUser))
+    changes
+      .groupBy(col("user_id"), col("event_type").as("state"))
+      .agg(
+        count(lit(1)).as("n_versions"),
+        sum(unix_timestamp(col("valid_to")) - unix_timestamp(col("ts_s"))).as("closed_dwell_s"),
+        max(when(col("valid_to").isNull, 1).otherwise(0)).as("is_current"))
+  }
 }

@@ -634,4 +634,35 @@ object TextOps {
       .filter(col("jaccard") >= 0.6)
       .select("source", "doc_a", "doc_b", "jaccard")
   }
+
+  /** tx31: exact phrase search over positional postings — the
+    * phrase-query half of the search surface tx18's BM25 ranks single
+    * terms for (search-indexer feeds Meilisearch, whose exactness
+    * ranking rule needs adjacent-position matches; classic positional
+    * inverted index, Zobel & Moffat 2006).
+    *
+    * Plan: posexplode to (doc, pos, token) postings, keep ONLY the
+    * phrase's two terms (the filter sits before the generator output
+    * is shuffled, so postings volume is the phrase terms' document
+    * frequency, not the corpus token count), then a positional
+    * equi-join on (doc_id, pos+1 = pos) counts adjacent occurrences
+    * per doc. Top-20 by hit count via TakeOrdered. At 100 TB this is
+    * exactly a phrase query against a sharded inverted index: only
+    * two postings lists move, co-partitioned by doc.
+    */
+  def phraseSearch(s: SparkSession, dir: String,
+                   first: String = "table", second: String = "scan"): DataFrame = {
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), posexplode(tokens(col("text"))).as(Seq("pos", "tok")))
+      .filter(col("tok").isin(first, second))
+    val p1 = postings.filter(col("tok") === first)
+      .select(col("doc_id"), col("source"), (col("pos") + 1).as("next_pos"))
+    val p2 = postings.filter(col("tok") === second)
+      .select(col("doc_id"), col("pos").as("next_pos"))
+    p1.join(p2, Seq("doc_id", "next_pos"))
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy(col("n_hits").desc, col("doc_id").asc)
+      .limit(20)
+  }
 }
