@@ -67,6 +67,7 @@ object SparkEntry {
     "ev21_slo_burn"                 -> ((s: SparkSession, dir: String) => Events.sloBurn(s, dir)),
     "ev22_heavy_hitters"            -> ((s: SparkSession, dir: String) => Events.heavyHitters(s, dir)),
     "ev24_gap_islands"              -> ((s: SparkSession, dir: String) => Events.gapIslands(s, dir)),
+    "ev25_cusum_drift"              -> ((s: SparkSession, dir: String) => Events.cusumDrift(s, dir)),
     "ot02_service_graph"            -> (Events.serviceGraph _),
     "es05_scd2_intervals"           -> (Events.scd2Intervals _),
     "lt01_log_templates"            -> (LogMining.logTemplates _),
@@ -115,17 +116,20 @@ object SparkEntry {
     "smp01_stratified_sample"       -> (Sampling.smp01 _),
     "smp02_mixture_weights"         -> (Sampling.mixtureWeights _),
     "smp03_weighted_sample"         -> ((s: SparkSession, dir: String) => Sampling.weightedSample(s, dir)),
+    "smp04_cluster_balanced"        -> ((s: SparkSession, dir: String) => Sampling.clusterBalanced(s, dir)),
     // Graph / label propagation
     "lp01_label_propagation"        -> (Graph.lp01 _),
     // Data quality
     "dq01_events_profile"           -> (DataQuality.eventsProfile _),
     "dq02_volume_anomalies"         -> ((s: SparkSession, dir: String) => DataQuality.volumeAnomalies(s, dir)),
     "dq03_join_key_skew"            -> (DataQuality.joinKeySkew _),
+    "dq04_distribution_drift"       -> ((s: SparkSession, dir: String) => DataQuality.distributionDrift(s, dir)),
     "tx14_source_signature"         -> (DataQuality.sourceSignatures _),
     // Similarity / vectors
     "sim01_knn_brute"               -> (Similarity.knnBrute _),
     "rag01_context_assembly"        -> (Rag.contextAssembly _),
     "rag02_reranked_retrieval"      -> (Rag.rerankedRetrieval _),
+    "rag03_mmr_retrieval"           -> ((s: SparkSession, dir: String) => Rag.mmrRetrieval(s, dir)),
     "sim02_label_centroids"         -> (Similarity.labelCentroids _),
     "sim03_cosine_neardup"          -> (Similarity.cosineNearDup _),
     "sim04_ivf_ann"                 -> (Similarity.ivfAnn _),
@@ -1104,6 +1108,84 @@ object SparkEntry {
                 CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept,
                 round(avg(containment), 4) AS avg_containment
          FROM v GROUP BY source""",
+    "ev25_cusum_drift" ->
+      """WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                    count(CASE WHEN event_type = 'error' THEN 1 END) * 1.0 / count(*) AS rate
+                    FROM events GROUP BY 1),
+         m AS (SELECT *, avg(rate) OVER () AS mu FROM d),
+         p AS (SELECT *, sum(rate - mu - 0.002) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p FROM m),
+         c AS (SELECT day, rate,
+                      round(p - least(0, min(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6) AS cusum
+               FROM p)
+         SELECT day, round(rate, 6) AS rate, cusum,
+                CASE WHEN cusum > 0.01 THEN 1 ELSE 0 END AS alarm
+         FROM c""",
+    "dq04_distribution_drift" ->
+      """WITH b AS (SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                    count(CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16' THEN 1 END) AS n_a,
+                    count(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-16' THEN 1 END) AS n_b
+                    FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         w AS (SELECT *, sum(n_a) OVER (PARTITION BY event_type) AS tot_a,
+                         sum(n_b) OVER (PARTITION BY event_type) AS tot_b,
+                         count(*) OVER (PARTITION BY event_type) AS n_bins
+               FROM b),
+         pr AS (SELECT event_type, n_bins,
+                       (n_a + 0.5) / (tot_a + 0.5 * n_bins) AS p_a,
+                       (n_b + 0.5) / (tot_b + 0.5 * n_bins) AS p_b
+                FROM w)
+         SELECT event_type, max(n_bins) AS n_bins,
+                round(sum((p_a - p_b) * ln(p_a / p_b)), 6) AS psi,
+                CASE WHEN round(sum((p_a - p_b) * ln(p_a / p_b)), 6) > 0.2 THEN 1 ELSE 0 END AS drifted
+         FROM pr GROUP BY event_type""",
+    "smp04_cluster_balanced" ->
+      """SELECT vec_id, label, samp_rank FROM (
+           SELECT vec_id, label,
+                  row_number() OVER (PARTITION BY label
+                    ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) AS samp_rank
+           FROM embeddings)
+         WHERE samp_rank <= 10""",
+    "rag03_mmr_retrieval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, round(${duckCos("q_emb", "c_emb")}, 6) AS cos
+                    FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         topk AS (SELECT query_id, neighbor_id, cos
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                        FROM scored)
+                  WHERE rank <= 10),
+         pair AS (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
+                         round(${duckCos("ea.embedding", "eb.embedding")}, 6) AS sim
+                  FROM topk a
+                  JOIN topk b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+                  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+                  JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
+         s1 AS (SELECT query_id, neighbor_id, cos, round(0.7 * cos, 4) AS mmr_score FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY round(0.7 * cos, 4) DESC, neighbor_id ASC) AS rn
+                  FROM topk) WHERE rn = 1),
+         r2 AS (SELECT t.query_id, t.neighbor_id, t.cos,
+                       round(0.7 * t.cos - 0.3 * p1.sim, 4) AS mmr_score
+                FROM topk t
+                JOIN s1 ON s1.query_id = t.query_id AND t.neighbor_id <> s1.neighbor_id
+                JOIN pair p1 ON p1.query_id = t.query_id AND p1.na = t.neighbor_id AND p1.nb = s1.neighbor_id),
+         s2 AS (SELECT query_id, neighbor_id, cos, mmr_score FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY mmr_score DESC, neighbor_id ASC) AS rn
+                  FROM r2) WHERE rn = 1),
+         r3 AS (SELECT t.query_id, t.neighbor_id, t.cos,
+                       round(0.7 * t.cos - 0.3 * greatest(p1.sim, p2.sim), 4) AS mmr_score
+                FROM topk t
+                JOIN s1 ON s1.query_id = t.query_id AND t.neighbor_id <> s1.neighbor_id
+                JOIN s2 ON s2.query_id = t.query_id AND t.neighbor_id <> s2.neighbor_id
+                JOIN pair p1 ON p1.query_id = t.query_id AND p1.na = t.neighbor_id AND p1.nb = s1.neighbor_id
+                JOIN pair p2 ON p2.query_id = t.query_id AND p2.na = t.neighbor_id AND p2.nb = s2.neighbor_id),
+         s3 AS (SELECT query_id, neighbor_id, cos, mmr_score FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY mmr_score DESC, neighbor_id ASC) AS rn
+                  FROM r3) WHERE rn = 1)
+         SELECT query_id, neighbor_id, cos, 1 AS mmr_rank, mmr_score FROM s1
+         UNION ALL SELECT query_id, neighbor_id, cos, 2 AS mmr_rank, mmr_score FROM s2
+         UNION ALL SELECT query_id, neighbor_id, cos, 3 AS mmr_rank, mmr_score FROM s3""",
     "tx31_phrase_search" ->
       """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
                     FROM documents),

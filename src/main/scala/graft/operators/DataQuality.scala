@@ -77,6 +77,42 @@ object DataQuality {
     * group's rows (rows-only check; grouped-vs-array equivalence is
     * spec-verified).
     */
+  /** dq04: distribution drift between two halves of the stream —
+    * Population Stability Index of the per-type `value` distribution
+    * over ev20's fixed bins, PSI = Σ (p_a − p_b)·ln(p_a/p_b). The
+    * training-data distribution-shift monitor (is this week's feed
+    * shaped like last week's?) next to dq02's volume gate; PSI > 0.2
+    * is the conventional "significant shift" flag. Laplace-smoothed
+    * bin probabilities keep the log finite on bins one side misses.
+    *
+    * Scale: BOTH halves' bin counts come from ONE conditional-
+    * aggregate scan (no self-join of the stream); everything after
+    * runs on the (types × bins) frame, which is bounded by the bin
+    * width, not the data. One shuffle, map-side combined.
+    */
+  def distributionDrift(s: SparkSession, dir: String,
+                        binWidth: Double = 50.0): DataFrame = {
+    val split = lit("2024-01-16").cast("timestamp")
+    val binned = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .groupBy(col("event_type"), floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(
+        count(when(col("ts") < split, 1)).as("n_a"),
+        count(when(col("ts") >= split, 1)).as("n_b"))
+    val wType = org.apache.spark.sql.expressions.Window.partitionBy("event_type")
+    binned
+      .withColumn("tot_a", sum("n_a").over(wType))
+      .withColumn("tot_b", sum("n_b").over(wType))
+      .withColumn("n_bins", count(lit(1)).over(wType))
+      .withColumn("p_a", (col("n_a") + lit(0.5)) / (col("tot_a") + lit(0.5) * col("n_bins")))
+      .withColumn("p_b", (col("n_b") + lit(0.5)) / (col("tot_b") + lit(0.5) * col("n_bins")))
+      .groupBy("event_type")
+      .agg(
+        max("n_bins").as("n_bins"),
+        round(sum((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b"))), 6).as("psi"))
+      .withColumn("drifted", when(col("psi") > 0.2, 1).otherwise(0))
+  }
+
   def sourceSignatures(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("token"))

@@ -578,4 +578,34 @@ object Events {
         sum(unix_timestamp(col("valid_to")) - unix_timestamp(col("ts_s"))).as("closed_dwell_s"),
         max(when(col("valid_to").isNull, 1).otherwise(0)).as("is_current"))
   }
+
+  /** ev25: CUSUM change-point detection on the daily error rate — the
+    * sustained-drift alarm that complements ev14's per-point z-score
+    * and ev21's fixed-window burn (Page 1954; the "error rate has been
+    * creeping above baseline for days" alert a Grafana SLO panel
+    * can't express). The one-sided CUSUM recursion
+    * S_t = max(0, S_{t−1} + (x_t − μ − κ)) is not a SQL window
+    * function, but its prefix identity IS:
+    * S_t = P_t − min(0, min_{j≤t} P_j) over the deviation prefix sums
+    * P (the 0 term is the empty prefix P_0) — two cumulative windows,
+    * no recursion, no UDAF.
+    *
+    * Scale: raw events reduce to the daily frame first (one shuffle,
+    * map-side combined); μ and every window then run over ≤ days
+    * rows — global single-partition windows over a frame that stays
+    * tiny at any corpus scale, the ev10/ev13 precedent.
+    */
+  def cusumDrift(s: SparkSession, dir: String, slack: Double = 0.002,
+                 threshold: Double = 0.01): DataFrame = {
+    val daily = ev(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((count(when(col("event_type") === "error", 1)) / count(lit(1))).as("rate"))
+    val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("mu", avg("rate").over(Window.partitionBy()))
+      .withColumn("p", sum(col("rate") - col("mu") - lit(slack)).over(wCum))
+      .withColumn("cusum", round(col("p") - least(lit(0.0), min("p").over(wCum)), 6))
+      .withColumn("alarm", when(col("cusum") > threshold, 1).otherwise(0))
+      .select(col("day"), round(col("rate"), 6).as("rate"), col("cusum"), col("alarm"))
+  }
 }

@@ -67,4 +67,61 @@ object Rag {
       .filter(col("rerank") <= 3)
       .select("query_id", "neighbor_id", "cos", "lex", "rerank_score", "rerank")
   }
+
+  /** rag03: MMR-diversified selection — retrieve top-k by cosine, then
+    * pick m context docs greedily by Maximal Marginal Relevance
+    * (Carbonell & Goldstein 1998): each pick maximizes
+    * λ·rel(q,c) − (1−λ)·max sim(c, already-selected). The diversity
+    * step the reference's context assembly implies (a recap/answer
+    * must not ground in three near-identical articles; rag02 reranks
+    * for relevance only).
+    *
+    * Scale: the greedy recursion runs entirely on the |queries|·k
+    * candidate frame — candidate-candidate similarities are
+    * |queries|·k² rows, all joins broadcast; the corpus is touched
+    * exactly twice (retrieval scan + candidate embedding fetch), and m
+    * is a small constant so the unrolled m−1 selection rounds add no
+    * shuffles of anything corpus-sized.
+    */
+  def mmrRetrieval(s: SparkSession, dir: String, k: Int = 10, lam: Double = 0.7): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    val e = Tables.embeddings(s, dir)
+    val hits = Similarity.knnBruteOn(e, col("vec_id") % 100 === 0, k)
+    val cand = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(hits), "neighbor_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pair = cand.select(col("query_id"), col("neighbor_id").as("a"), col("c_emb").as("a_emb"))
+      .join(cand.select(col("query_id"), col("neighbor_id").as("b"), col("c_emb").as("b_emb")), Seq("query_id"))
+      .filter(col("a") =!= col("b"))
+      .select(col("query_id"), col("a"), col("b"),
+        round(cosineSim(col("a_emb"), col("b_emb")), 6).as("sim"))
+    val base = cand.select("query_id", "neighbor_id", "cos")
+    def pick(scored: DataFrame): DataFrame = {
+      val w = Window.partitionBy("query_id").orderBy(col("mmr_score").desc, col("neighbor_id").asc)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    }
+    val s1 = pick(base.withColumn("mmr_score", round(lit(lam) * col("cos"), 4)))
+    val r2 = base
+      .join(s1.select(col("query_id"), col("neighbor_id").as("sel1")), Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("sel1"))
+      .join(pair.select(col("query_id"), col("a").as("neighbor_id"), col("b").as("sel1"), col("sim").as("sim1")),
+        Seq("query_id", "neighbor_id", "sel1"))
+      .withColumn("mmr_score", round(lit(lam) * col("cos") - lit(1 - lam) * col("sim1"), 4))
+    val s2 = pick(r2)
+    val r3 = base
+      .join(s1.select(col("query_id"), col("neighbor_id").as("sel1")), Seq("query_id"))
+      .join(s2.select(col("query_id"), col("neighbor_id").as("sel2")), Seq("query_id"))
+      .filter(col("neighbor_id") =!= col("sel1") && col("neighbor_id") =!= col("sel2"))
+      .join(pair.select(col("query_id"), col("a").as("neighbor_id"), col("b").as("sel1"), col("sim").as("sim1")),
+        Seq("query_id", "neighbor_id", "sel1"))
+      .join(pair.select(col("query_id"), col("a").as("neighbor_id"), col("b").as("sel2"), col("sim").as("sim2")),
+        Seq("query_id", "neighbor_id", "sel2"))
+      .withColumn("mmr_score",
+        round(lit(lam) * col("cos") - lit(1 - lam) * greatest(col("sim1"), col("sim2")), 4))
+    val s3 = pick(r3)
+    val sel = (rank: Int, df: DataFrame) =>
+      df.select(col("query_id"), col("neighbor_id"), col("cos"),
+        lit(rank).as("mmr_rank"), col("mmr_score"))
+    sel(1, s1).union(sel(2, s2)).union(sel(3, s3))
+  }
 }

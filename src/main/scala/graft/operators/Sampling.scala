@@ -97,4 +97,26 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_chars"),
               round(col("skey"), 9).as("skey"))
   }
+
+  /** smp04: cluster-balanced curation — cap every embedding cluster at
+    * m members, ranked by a deterministic per-row hash (the diversity
+    * counterweight to frequency: a dominant cluster contributes m
+    * vectors, a rare one keeps everything — the cluster-cap step of
+    * SemDeDup/DataComp-style curation, and recap-worker's per-cluster
+    * input cap). Cells here are the stored labels for oracle parity;
+    * at scale they are sim06's k-means cells (⌈√N⌉ of them), so the
+    * per-cell window input shrinks relative to the corpus as it grows.
+    *
+    * The rank hash is the same md5 trick as smp01/smp03: reproducible,
+    * retry-safe, engine-mirrorable — never rand().
+    */
+  def clusterBalanced(s: SparkSession, dir: String, m: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("label")
+      .orderBy(md5(col("vec_id").cast("string")).asc, col("vec_id").asc)
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"))
+      .withColumn("samp_rank", row_number().over(w))
+      .filter(col("samp_rank") <= m)
+  }
 }
