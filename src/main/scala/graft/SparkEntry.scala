@@ -68,6 +68,7 @@ object SparkEntry {
     "ev22_heavy_hitters"            -> ((s: SparkSession, dir: String) => Events.heavyHitters(s, dir)),
     "ev24_gap_islands"              -> ((s: SparkSession, dir: String) => Events.gapIslands(s, dir)),
     "ev25_cusum_drift"              -> ((s: SparkSession, dir: String) => Events.cusumDrift(s, dir)),
+    "ev26_attribution"              -> (Events.firstTouchAttribution _),
     "ot02_service_graph"            -> (Events.serviceGraph _),
     "es05_scd2_intervals"           -> (Events.scd2Intervals _),
     "lt01_log_templates"            -> (LogMining.logTemplates _),
@@ -141,6 +142,7 @@ object SparkEntry {
     "dd03_incremental_dedup"        -> ((s: SparkSession, dir: String) => Dedup.dd03(s, dir)),
     "tx17_lsh_jaccard"              -> (TextOps.lshJaccardPairs _),
     "tx31_phrase_search"            -> ((s: SparkSession, dir: String) => TextOps.phraseSearch(s, dir)),
+    "tx32_zipf_fit"                 -> ((s: SparkSession, dir: String) => TextOps.zipfFit(s, dir)),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:
@@ -1108,6 +1110,36 @@ object SparkEntry {
                 CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept,
                 round(avg(containment), 4) AS avg_containment
          FROM v GROUP BY source""",
+    "ev26_attribution" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, value,
+                    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
+         g AS (SELECT *, epoch(ts_s) - epoch(lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap_s
+               FROM e),
+         b AS (SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_break FROM g),
+         t AS (SELECT *,
+                 CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trace_seq,
+                 last_value(CASE WHEN is_break = 1 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS first_touch
+               FROM b),
+         a AS (SELECT first_touch,
+                      count(DISTINCT (user_id, trace_seq)) AS converted_sessions,
+                      count(*) AS n_purchases,
+                      round(sum(value), 2) AS attributed_revenue
+               FROM t WHERE event_type = 'purchase' GROUP BY first_touch)
+         SELECT first_touch, converted_sessions, n_purchases, attributed_revenue,
+                round(attributed_revenue / sum(attributed_revenue) OVER (), 4) AS revenue_share
+         FROM a""",
+    "tx32_zipf_fit" ->
+      """WITH f AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         c AS (SELECT term, count(*) AS freq FROM f GROUP BY term),
+         top AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
+                 FROM c ORDER BY freq DESC, term ASC LIMIT 100),
+         fit AS (SELECT count(*) AS n_ranked,
+                        round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+                        round(regr_r2(ln(freq), ln(rank)), 6) AS zipf_r2
+                 FROM top),
+         tot AS (SELECT count(*) AS vocab_size, CAST(sum(freq) AS BIGINT) AS total_tokens FROM c)
+         SELECT * FROM fit CROSS JOIN tot""",
     "ev25_cusum_drift" ->
       """WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
                     count(CASE WHEN event_type = 'error' THEN 1 END) * 1.0 / count(*) AS rate

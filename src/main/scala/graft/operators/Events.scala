@@ -608,4 +608,41 @@ object Events {
       .withColumn("alarm", when(col("cusum") > threshold, 1).otherwise(0))
       .select(col("day"), round(col("rate"), 6).as("rate"), col("cusum"), col("alarm"))
   }
+
+  /** ev26: first-touch conversion attribution — every purchase's
+    * revenue is credited to the entry event type of its session (ev04's
+    * 30-min-gap session; "which entry path converts" is the funnel
+    * panel's attribution sibling, ev06/ev17 ask whether, this asks
+    * from where). Per entry type: converted sessions, purchases,
+    * attributed revenue, and revenue share.
+    *
+    * Scale: the sessionize + first_value windows share ONE
+    * user-partitioned sort (one shuffle over raw events); the
+    * aggregation output is bounded by |event types|, and the share
+    * window runs over that tiny frame.
+    */
+  def firstTouchAttribution(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = ev(s, dir)
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byUser)))
+      .withColumn("is_break", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .withColumn("trace_seq", sum("is_break").over(run))
+      // the break row IS the session's first event, so the entry type is
+      // a running last-non-null over the SAME window sort — no second
+      // (user, session)-keyed sort pass
+      .withColumn("first_touch",
+        last(when(col("is_break") === 1, col("event_type")), ignoreNulls = true).over(run))
+    val out = sessions
+      .filter(col("event_type") === "purchase")
+      .groupBy("first_touch")
+      .agg(
+        countDistinct(col("user_id"), col("trace_seq")).as("converted_sessions"),
+        count(lit(1)).as("n_purchases"),
+        round(sum("value"), 2).as("attributed_revenue"))
+    out.withColumn("revenue_share",
+      round(col("attributed_revenue") / sum("attributed_revenue").over(Window.partitionBy()), 4))
+  }
 }

@@ -665,4 +665,37 @@ object TextOps {
       .orderBy(col("n_hits").desc, col("doc_id").asc)
       .limit(20)
   }
+
+  /** tx32: corpus statistics fit — Zipf slope/R² of the top-K term
+    * frequencies (regr over ln rank vs ln freq; natural text ≈ −1,
+    * and a corpus whose slope drifts is a corpus whose composition
+    * changed — the vocabulary-level sibling of dq04's value-level
+    * PSI), plus vocabulary size and token volume. The
+    * Zipf/Heaps-shape gate a training-data pipeline runs per crawl
+    * snapshot.
+    *
+    * Scale: one inverted-index shuffle (term counts, map-side
+    * combined), a TakeOrdered top-K, and the regression runs on K
+    * rows; vocab/token totals partial-aggregate in the same pass
+    * shape. Output is one row.
+    */
+  def zipfFit(s: SparkSession, dir: String, topK: Int = 100): DataFrame = {
+    val freqs = Tables.documents(s, dir)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val top = freqs
+      .orderBy(col("freq").desc, col("term").asc)
+      .limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("freq").desc, col("term").asc)))
+    val fit = top.agg(
+      count(lit(1)).as("n_ranked"),
+      round(expr("regr_slope(ln(freq), ln(rank))"), 6).as("zipf_slope"),
+      round(expr("regr_r2(ln(freq), ln(rank))"), 6).as("zipf_r2"))
+    val totals = freqs.agg(
+      count(lit(1)).as("vocab_size"),
+      sum("freq").as("total_tokens"))
+    fit.crossJoin(broadcast(totals))
+  }
 }

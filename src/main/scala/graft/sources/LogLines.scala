@@ -38,4 +38,41 @@ object LogLines {
   def levelCounts(parsed: DataFrame): DataFrame =
     parsed.filter(col("level").isNotNull)
       .groupBy("service", "level").agg(count(lit(1)).as("n"))
+
+  /** src07: multiline record reassembly — stack-trace continuation
+    * lines (leading whitespace, `at …`, `Caused by:`, `... N more`)
+    * fold into their nearest preceding header line, the one parse
+    * problem a per-line forwarder cannot solve line-locally (a Java
+    * trace arrives as 1 header + N continuations; shipping them as N+1
+    * records shreds the error). Parent assignment is a running
+    * last-non-null over (file, line_no) — one window, one shuffle —
+    * then one grouped reassembly whose in-group order is made explicit
+    * by sorting (line_no, text) structs (collect_list alone has no
+    * order guarantee).
+    *
+    * Orphan continuations (a file starting mid-trace, e.g. a rotated
+    * chunk) have no parent and are dropped — the rotation boundary
+    * carry-over is the ingest scheduler's job, not the reassembler's.
+    * At scale the partition key is (file, rotation chunk): files are
+    * bounded by rotation, so no window ever exceeds one chunk.
+    */
+  def reassembleMultiline(lines: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("file").orderBy("line_no")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lines
+      .withColumn("is_cont",
+        col("text").rlike("^(\\s+|at |Caused by:|\\.\\.\\. )"))
+      .withColumn("parent_no",
+        last(when(!col("is_cont"), col("line_no")), ignoreNulls = true).over(w))
+      .filter(col("parent_no").isNotNull)
+      .groupBy(col("file"), col("parent_no"))
+      .agg(
+        min(when(!col("is_cont"), col("text"))).as("message"),
+        (count(lit(1)) - 1).as("n_continuation"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("line_no"), col("text")))),
+            p => p.getField("text")),
+          "\n").as("full_text"))
+  }
 }

@@ -259,4 +259,64 @@ object StreamOps {
           }
       }
   }
+
+  /** st11 (stateful half): watermarked per-window value-distribution
+    * bin counts — the streaming form of dq04's binned profile (ev20's
+    * histogram, emitted per closed window). State per (window, type,
+    * bin) is one count; watermark bounds the live windows.
+    */
+  def windowedBinCounts(events: DataFrame, binWidth: Double = 50.0,
+                        windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), windowLen), col("event_type"),
+               floor(col("value") / binWidth).cast("long").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("event_type"), col("bin"), col("n"))
+
+  /** st11 (stateless half): PSI of each closed window's bin profile
+    * against a static baseline histogram (event_type, bin, n_b) — the
+    * live drift monitor over windowedBinCounts, run inside foreachBatch
+    * or as a downstream batch job over the sink (the st06 pattern).
+    * PSI terms are scored on the baseline's bin support (a reference
+    * histogram is a fixed yardstick), but the window's TOTAL count
+    * includes its out-of-support bins — mass that moved off the
+    * support must read as depletion of the support bins, or a fully
+    * shifted window would smooth to zero drift. Laplace smoothing
+    * keeps the log finite on support bins the window missed.
+    * Baseline is bounded by (types × bins) and broadcasts; per-window
+    * math runs on that same tiny frame.
+    */
+  def psiVsBaseline(binCounts: DataFrame, baseline: DataFrame,
+                    threshold: Double = 0.2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the (bucket, type) support list is bounded (live windows × types)
+    // and must not stay a self-join of binCounts' plan — a memory-sink
+    // View on both sides of a join trips reference dedup; collecting
+    // the tiny distinct list is the centroid-collect pattern
+    val proj = binCounts.select("bucket", "event_type").distinct()
+    val buckets = binCounts.sparkSession.createDataFrame(
+      java.util.Arrays.asList(proj.collect(): _*), proj.schema)
+    val obs = binCounts.select(col("bucket"), col("event_type"), col("bin"),
+      col("n"), lit(null).cast("long").as("n_b"))
+    val base = buckets.join(broadcast(baseline), Seq("event_type"))
+      .select(col("bucket"), col("event_type"), col("bin"),
+        lit(null).cast("long").as("n"), col("n_b"))
+    val wG = Window.partitionBy("bucket", "event_type")
+    obs.unionByName(base)
+      .groupBy("bucket", "event_type", "bin")
+      .agg(max("n").as("n"), max("n_b").as("n_b"))
+      .withColumn("tot_a", sum(coalesce(col("n"), lit(0L))).over(wG))
+      .withColumn("tot_b", sum(coalesce(col("n_b"), lit(0L))).over(wG))
+      .withColumn("n_bins", count(col("n_b")).over(wG))
+      .filter(col("n_b").isNotNull)
+      .withColumn("p_a",
+        (coalesce(col("n"), lit(0L)) + lit(0.5)) / (col("tot_a") + lit(0.5) * col("n_bins")))
+      .withColumn("p_b", (col("n_b") + lit(0.5)) / (col("tot_b") + lit(0.5) * col("n_bins")))
+      .groupBy("bucket", "event_type")
+      .agg(round(sum((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b"))), 6).as("psi"))
+      .withColumn("drifted", when(col("psi") > threshold, 1).otherwise(0))
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.operators._
+import graft.streaming.StreamOps
+import graft.sources.LogLines
+
+/** Specs for the attribution/statistics/stream-drift batch (ev26,
+  * tx32, st11, src07) — invariants on sf0.001 plus handcrafted
+  * streaming/multiline fixtures.
+  */
+class MonitoringOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("ev26 attribution: revenue conserved, shares sum to 1, purchases partitioned by entry type") {
+    val out = Events.firstTouchAttribution(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val totalPurchases = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.map(_.getAs[Long]("n_purchases")).sum == totalPurchases)
+    val shares = out.map(_.getAs[Double]("revenue_share")).sum
+    assert(math.abs(shares - 1.0) < 0.01)
+    out.foreach { r =>
+      assert(r.getAs[Long]("converted_sessions") <= r.getAs[Long]("n_purchases"))
+    }
+  }
+
+  test("tx32 zipf fit: slope is negative, r2 in [0,1], totals conserved") {
+    val r = TextOps.zipfFit(spark, sfDir).head()
+    assert(r.getAs[Long]("n_ranked") > 10)
+    assert(r.getAs[Double]("zipf_slope") < 0.0) // freq decreases with rank by construction
+    val r2 = r.getAs[Double]("zipf_r2")
+    assert(r2 >= 0.0 && r2 <= 1.0)
+    val totalTokens = Tables.documents(spark, sfDir)
+      .select(sum(graft.functions.TextFunctions.tokenCount(col("text")).cast("long")))
+      .head.getLong(0)
+    assert(r.getAs[Long]("total_tokens") == totalTokens)
+    assert(r.getAs[Long]("vocab_size") >= r.getAs[Long]("n_ranked"))
+  }
+
+  test("st11 streaming bin counts + PSI vs baseline: self-comparison is no-drift, shifted window flags") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String, Double)]
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    // window 1: values near 10; window 2 (shifted distribution): near 210
+    mem.addData((1 to 40).map(i => (t(i % 30), "api", 10.0 + (i % 5))): _*)
+    mem.addData((1 to 40).map(i => (t(60 + (i % 30)), "api", 210.0 + (i % 5))): _*)
+    mem.addData((t(300), "api", 10.0)) // advance watermark far past both windows
+    val counts = StreamOps.windowedBinCounts(
+      mem.toDF.toDF("ts", "event_type", "value"))
+    val q = counts.writeStream.format("memory").queryName("st11_bins")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val bins = spark.table("st11_bins")
+    assert(bins.count() >= 2)
+    // baseline = window 1's own profile → window 1 no-drift, window 2 drifts
+    val w1 = bins.orderBy("bucket").head.getAs[Timestamp]("bucket")
+    // materialize the baseline: deriving it from the same memory-sink
+    // plan as binCounts would self-join one View (reference conflict)
+    val baseline = bins.filter(col("bucket") === w1)
+      .select(col("event_type"), col("bin"), col("n").as("n_b"))
+      .collect().toSeq
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("bin"), r.getAs[Long]("n_b")))
+      .toDF("event_type", "bin", "n_b")
+    val psi = StreamOps.psiVsBaseline(bins, baseline).collect()
+      .map(r => r.getAs[Timestamp]("bucket") -> r).toMap
+    assert(psi(w1).getAs[Double]("psi") == 0.0)
+    assert(psi(w1).getAs[Int]("drifted") == 0)
+    val shifted = psi.filter(_._1 != w1)
+    assert(shifted.nonEmpty)
+    // the shifted window shares no bins with the baseline support → max drift
+    shifted.values.foreach { r =>
+      assert(r.getAs[Double]("psi") > 0.2 && r.getAs[Int]("drifted") == 1)
+    }
+  }
+
+  test("src07 multiline reassembly folds stack traces into their header line") {
+    val lines = Seq(
+      ("app.log", 1L, "2026-01-15T10:00:00Z ERROR api request failed"),
+      ("app.log", 2L, "  java.lang.IllegalStateException: boom"),
+      ("app.log", 3L, "at com.example.Api.handle(Api.java:42)"),
+      ("app.log", 4L, "Caused by: java.io.IOException: socket closed"),
+      ("app.log", 5L, "... 12 more"),
+      ("app.log", 6L, "2026-01-15T10:00:01Z INFO api recovered"),
+      ("other.log", 1L, "at orphan.continuation(NoHeader.java:1)"),
+      ("other.log", 2L, "2026-01-15T10:00:02Z WARN worker slow")
+    ).toDF("file", "line_no", "text")
+    val out = LogLines.reassembleMultiline(lines).collect()
+      .map(r => (r.getAs[String]("file"), r.getAs[Long]("parent_no")) -> r).toMap
+    assert(out.size == 3) // orphan continuation dropped
+    val trace = out(("app.log", 1L))
+    assert(trace.getAs[Long]("n_continuation") == 4)
+    assert(trace.getAs[String]("message").endsWith("request failed"))
+    assert(trace.getAs[String]("full_text").split("\n").length == 5)
+    assert(trace.getAs[String]("full_text").contains("Caused by"))
+    assert(out(("app.log", 6L)).getAs[Long]("n_continuation") == 0)
+    assert(out(("other.log", 2L)).getAs[Long]("n_continuation") == 0)
+  }
+}
