@@ -144,10 +144,18 @@ class PropertiesSpec extends SparkSpec {
         // canonicalize: component = set partition, compare as min-rooted groups
         val expected = nodes.groupBy(find).map { case (_, ns) => ns.toSet }.toSet
         val labels = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b")
-        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
-          .groupBy(_._2).map { case (_, ns) => ns.map(_._1).toSet }.toSet
+        val gotPairs = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+        val got = gotPairs.groupBy(_._2).map { case (_, ns) => ns.map(_._1).toSet }.toSet
         labels.unpersist()
         assert(got == expected, s"components differ on $edges")
+        // the size gate must not change results: the distributed
+        // min-label loop (forced via smallGraphMax = 0) and the driver
+        // union-find agree label-for-label, not just partition-wise
+        val dist = Dedup.connectedComponents(edges.toDF("a", "b"), "a", "b", smallGraphMax = 0L)
+        val distPairs = dist.collect().map(r =>
+          r.getAs[Long]("node") -> r.getAs[Long]("label"))
+        dist.unpersist()
+        assert(distPairs.toMap == gotPairs.toMap, s"paths disagree on $edges")
       }
     }
   }
