@@ -143,6 +143,7 @@ object SparkEntry {
     "tx17_lsh_jaccard"              -> (TextOps.lshJaccardPairs _),
     "tx31_phrase_search"            -> ((s: SparkSession, dir: String) => TextOps.phraseSearch(s, dir)),
     "tx32_zipf_fit"                 -> ((s: SparkSession, dir: String) => TextOps.zipfFit(s, dir)),
+    "tx33_source_divergence"        -> (TextOps.sourceDivergence _),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:
@@ -1140,6 +1141,19 @@ object SparkEntry {
                  FROM top),
          tot AS (SELECT count(*) AS vocab_size, CAST(sum(freq) AS BIGINT) AS total_tokens FROM c)
          SELECT * FROM fit CROSS JOIN tot""",
+    "tx33_source_divergence" ->
+      """WITH u AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
+         c AS (SELECT source, term, count(*) AS n FROM u GROUP BY source, term),
+         w AS (SELECT *, sum(n) OVER (PARTITION BY term) AS n_term,
+                         sum(n) OVER (PARTITION BY source) AS n_source,
+                         sum(n) OVER () AS n_corpus
+               FROM c),
+         s AS (SELECT source, n * 1.0 / n_source AS p, n_term * 1.0 / n_corpus AS q FROM w),
+         mm AS (SELECT source, p, q, (p + q) / 2 AS m FROM s)
+         SELECT source, count(*) AS n_terms,
+                round((sum(p * ln(p / m)) + sum(q * ln(q / m))) / 2 +
+                      (1.0 - sum(q)) * ln(2) / 2, 6) AS jsd
+         FROM mm GROUP BY source""",
     "ev25_cusum_drift" ->
       """WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
                     count(CASE WHEN event_type = 'error' THEN 1 END) * 1.0 / count(*) AS rate

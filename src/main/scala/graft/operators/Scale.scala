@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 
 /** Scale-out utilities: skew salting and bucketed co-location.
@@ -120,4 +120,52 @@ object Scale {
       .bucketBy(buckets, key)
       .sortBy(key)
       .saveAsTable(table)
+
+  /** Morton (Z-order) interleave of two non-negative keys, `bits` low
+    * bits each → one locality-preserving long. The classic
+    * magic-number bit spread (public domain "Bit Twiddling Hacks"),
+    * expressed as plain shift/and/or column arithmetic so the whole
+    * thing stays inside whole-stage codegen — no UDF.
+    */
+  def mortonInterleave(a: Column, b: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 16)
+    def spread(x: Column): Column = {
+      // confine to `bits` low bits, then spread: abcd → 0a0b0c0d
+      val masked = x.bitwiseAND(lit((1L << bits) - 1))
+      val s1 = masked.bitwiseOR(shiftleft(masked, 8)).bitwiseAND(lit(0x00FF00FFL))
+      val s2 = s1.bitwiseOR(shiftleft(s1, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+      val s3 = s2.bitwiseOR(shiftleft(s2, 2)).bitwiseAND(lit(0x33333333L))
+      s3.bitwiseOR(shiftleft(s3, 1)).bitwiseAND(lit(0x55555555L))
+    }
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+  }
+
+  /** Z-order-clustered write — writeRangeClustered's multi-dimensional
+    * form (the Delta/Iceberg OPTIMIZE ZORDER BY analog, built from
+    * primitives): range-partition + sort on the Morton code of two
+    * filter columns, so per-file min/max boxes are tight in BOTH
+    * dimensions and row-group stats prune selective predicates on
+    * either one. Keys are rank-compressed to the Morton domain with
+    * ntile so skewed raw values still interleave evenly.
+    */
+  def writeZOrdered(df: DataFrame, dest: String, files: Int,
+                    colA: String, colB: String, bits: Int = 16): Unit = {
+    require(files >= 1)
+    val n = 1 << bits
+    val wA = org.apache.spark.sql.expressions.Window.orderBy(col(colA))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col(colB))
+    // ntile is a global window — acceptable for layout JOBS (they run
+    // once, offline); swap in approx-quantile cut points for a purely
+    // scan-shaped variant at extreme scale
+    val coded = df
+      .withColumn("__za", ntile(n).over(wA) - 1)
+      .withColumn("__zb", ntile(n).over(wB) - 1)
+      .withColumn("__z", mortonInterleave(col("__za"), col("__zb"), bits))
+    coded
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__za", "__zb", "__z")
+      .write.mode(SaveMode.Overwrite)
+      .parquet(dest)
+  }
 }

@@ -698,4 +698,47 @@ object TextOps {
       sum("freq").as("total_tokens"))
     fit.crossJoin(broadcast(totals))
   }
+
+  /** tx33: per-source lexical divergence — Jensen–Shannon divergence of
+    * each source's term distribution from the corpus distribution
+    * (which feed "sounds different" — the token-space sibling of dq04's
+    * value-space PSI and tx32's shape fit; bounded in [0, ln 2],
+    * symmetric, finite without smoothing).
+    *
+    * Scale: JSD normally needs every source × vocabulary pair (terms
+    * the source LACKS still contribute to the q-side KL). The absent
+    * terms' contribution has a closed form: when p_t = 0, the term's
+    * JSD part is 0.5·q_t·ln 2, so Σ_absent = 0.5·ln 2·(1 − Σ_present
+    * q_t) — the whole statistic is computable from the (source, term)
+    * PRESENT rows only, no vocabulary × sources expansion. One
+    * inverted-index shuffle on (source, term), corpus marginals via a
+    * term-partitioned window over that same bounded frame, one rollup.
+    */
+  def sourceDivergence(s: SparkSession, dir: String): DataFrame = {
+    val byTerm = Window.partitionBy("term")
+    val base = Tables.documents(s, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the corpus token total is one scalar — broadcast it rather than
+    // running a single-partition window over the whole (source, term)
+    // frame (vocabulary is NOT small at web scale)
+    val tot = base.agg(sum("n").as("n_corpus"))
+    val counts = base
+      .withColumn("n_term", sum("n").over(byTerm))
+      .withColumn("n_source", sum("n").over(Window.partitionBy("source")))
+      .crossJoin(broadcast(tot))
+    val scored = counts
+      .withColumn("p", col("n") / col("n_source"))
+      .withColumn("q", col("n_term") / col("n_corpus"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+    scored
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_terms"),
+        round(
+          (sum(col("p") * log(col("p") / col("m"))) +
+           sum(col("q") * log(col("q") / col("m")))) / 2 +
+          (lit(1.0) - sum(col("q"))) * lit(math.log(2.0) / 2), 6).as("jsd"))
+  }
 }

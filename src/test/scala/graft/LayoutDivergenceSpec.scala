@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Specs for tx33 (JSD source divergence) and the Z-order layout
+  * utilities.
+  */
+class LayoutDivergenceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tx33 JSD: absent-term identity matches the full-vocabulary formula, bounded by ln 2") {
+    val out = TextOps.sourceDivergence(spark, sfDir).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Double]("jsd")).toMap
+    assert(out.nonEmpty)
+    out.values.foreach { j => assert(j >= 0.0 && j <= math.log(2.0) + 1e-9) }
+    // reference: full-vocab JSD computed locally (absent terms scored
+    // explicitly with p=0 → 0.5·q·ln2), must equal the closed form
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(graft.functions.TextFunctions.tokens(col("text"))).as("term"))
+      .groupBy("source", "term").count()
+      .collect().map(r => (r.getAs[String]("source"), r.getAs[String]("term"), r.getAs[Long]("count")))
+    val vocab = counts.map(_._2).distinct
+    val termTot = counts.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val srcTot = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val corpusTot = counts.map(_._3).sum.toDouble
+    counts.groupBy(_._1).foreach { case (src, rows) =>
+      val p = rows.map(r => r._2 -> r._3.toDouble / srcTot(src)).toMap
+      var jsd = 0.0
+      vocab.foreach { t =>
+        val pt = p.getOrElse(t, 0.0)
+        val qt = termTot(t) / corpusTot
+        val mt = (pt + qt) / 2
+        if (pt > 0) jsd += 0.5 * pt * math.log(pt / mt)
+        if (qt > 0) jsd += 0.5 * qt * math.log(qt / mt)
+      }
+      assert(math.abs(out(src) - BigDecimal(jsd).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 2e-6,
+        s"closed form diverges from full-vocab JSD for $src")
+    }
+  }
+
+  test("morton interleave matches the reference bit interleave") {
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      (0 until 16).foreach { i =>
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val cases = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 2L), (12345L, 54321L),
+      (65535L, 65535L), (40000L, 7L))
+    val got = cases.toDF("a", "b")
+      .select(Scale.mortonInterleave(col("a"), col("b")).as("z"))
+      .collect().map(_.getLong(0))
+    got.zip(cases).foreach { case (z, (a, b)) => assert(z == ref(a, b), s"($a,$b)") }
+  }
+
+  test("z-ordered layout keeps per-file min/max boxes tight in BOTH dimensions") {
+    val dir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val df = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey", "l_quantity")
+    Scale.writeZOrdered(df, s"$dir/z", files = 8, "l_partkey", "l_suppkey")
+    val withFile = spark.read.parquet(s"$dir/z")
+      .withColumn("f", input_file_name())
+    val spans = withFile.groupBy("f").agg(
+      (max("l_partkey") - min("l_partkey")).as("span_a"),
+      (max("l_suppkey") - min("l_suppkey")).as("span_b"))
+      .collect()
+    assert(spans.length == 8)
+    val fullA = df.agg(max("l_partkey") - min("l_partkey")).head.getLong(0).toDouble
+    val fullB = df.agg(max("l_suppkey") - min("l_suppkey")).head.getLong(0).toDouble
+    val avgA = spans.map(_.getAs[Long]("span_a")).sum / spans.length / fullA
+    val avgB = spans.map(_.getAs[Long]("span_b")).sum / spans.length / fullB
+    // a lexicographic sort on A leaves B's per-file span at ~1.0; the
+    // interleave must bound BOTH well below that
+    assert(avgA < 0.8, s"span_a fraction $avgA")
+    assert(avgB < 0.8, s"span_b fraction $avgB")
+  }
+}
