@@ -42,6 +42,7 @@ object SparkEntry {
     "q22_market_share"              -> ((s: SparkSession, dir: String) => Relational.marketShare(s, dir)),
     "q23_segment_set_ops"           -> (Relational.segmentSetOps _),
     "q24_priority_status_pivot"     -> (Relational.priorityStatusPivot _),
+    "q25_topn_per_group"            -> (Relational.topOrdersPerPriority _),
     // Event / log analytics
     "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
     "ev02_error_rate"               -> (Events.errorRate _),
@@ -85,6 +86,7 @@ object SparkEntry {
     "es04_weekly_recap_rollup"      -> (Events.weeklyRecapRollup _),
     "asof01_purchase_after_view"    -> (AsOf.purchaseAfterView _),
     "asof02_tolerance"              -> (AsOf.purchaseAfterRecentView _),
+    "asof03_nearest"                -> ((s: SparkSession, dir: String) => AsOf.nearestViewWithin(s, dir)),
     "dd02_dedup_decision"           -> (Dedup.dd02 _),
     // Text analysis
     "tx01_token_stats"              -> (TextOps.tokenStats _),
@@ -125,6 +127,7 @@ object SparkEntry {
     "dq02_volume_anomalies"         -> ((s: SparkSession, dir: String) => DataQuality.volumeAnomalies(s, dir)),
     "dq03_join_key_skew"            -> (DataQuality.joinKeySkew _),
     "dq04_distribution_drift"       -> ((s: SparkSession, dir: String) => DataQuality.distributionDrift(s, dir)),
+    "dq05_referential_integrity"    -> (DataQuality.referentialIntegrity _),
     "tx14_source_signature"         -> (DataQuality.sourceSignatures _),
     // Similarity / vectors
     "sim01_knn_brute"               -> (Similarity.knnBrute _),
@@ -144,6 +147,7 @@ object SparkEntry {
     "tx31_phrase_search"            -> ((s: SparkSession, dir: String) => TextOps.phraseSearch(s, dir)),
     "tx32_zipf_fit"                 -> ((s: SparkSession, dir: String) => TextOps.zipfFit(s, dir)),
     "tx33_source_divergence"        -> (TextOps.sourceDivergence _),
+    "tx34_containment_pairs"        -> ((s: SparkSession, dir: String) => TextOps.containmentPairs(s, dir)),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:
@@ -1141,6 +1145,75 @@ object SparkEntry {
                  FROM top),
          tot AS (SELECT count(*) AS vocab_size, CAST(sum(freq) AS BIGINT) AS total_tokens FROM c)
          SELECT * FROM fit CROSS JOIN tot""",
+    "q25_topn_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_group FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_group
+           FROM orders)
+         WHERE rank_in_group <= 3""",
+    "dq05_referential_integrity" ->
+      """WITH li AS (SELECT 'lineitem->orders' AS relation, count(*) AS n_child,
+                     count(CASE WHEN o.k IS NULL AND l.l_orderkey IS NOT NULL THEN 1 END) AS n_orphans,
+                     count(CASE WHEN l.l_orderkey IS NULL THEN 1 END) AS n_null_fk
+              FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) o
+                ON l.l_orderkey = o.k),
+         lid AS (SELECT count(*) - count(DISTINCT o_orderkey) AS n_dup_parent_keys FROM orders),
+         oc AS (SELECT 'orders->customer' AS relation, count(*) AS n_child,
+                     count(CASE WHEN c.k IS NULL AND o.o_custkey IS NOT NULL THEN 1 END) AS n_orphans,
+                     count(CASE WHEN o.o_custkey IS NULL THEN 1 END) AS n_null_fk
+              FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) c
+                ON o.o_custkey = c.k),
+         ocd AS (SELECT count(*) - count(DISTINCT c_custkey) AS n_dup_parent_keys FROM customer),
+         ec AS (SELECT 'events->customer' AS relation, count(*) AS n_child,
+                     count(CASE WHEN c.k IS NULL AND e.user_id IS NOT NULL THEN 1 END) AS n_orphans,
+                     count(CASE WHEN e.user_id IS NULL THEN 1 END) AS n_null_fk
+              FROM events e LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) c
+                ON e.user_id = c.k)
+         SELECT relation, n_child, n_orphans,
+                round(n_orphans * 1.0 / n_child, 6) AS orphan_rate, n_null_fk, n_dup_parent_keys
+         FROM (SELECT li.*, lid.n_dup_parent_keys FROM li CROSS JOIN lid
+               UNION ALL SELECT oc.*, ocd.n_dup_parent_keys FROM oc CROSS JOIN ocd
+               UNION ALL SELECT ec.*, ocd.n_dup_parent_keys FROM ec CROSS JOIN ocd)""",
+    "asof03_nearest" ->
+      """WITH f AS (SELECT user_id, event_id, event_type,
+                    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s,
+                    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_view
+                    FROM events WHERE event_type IN ('view', 'purchase')),
+         w AS (SELECT *,
+                 last_value(CASE WHEN is_view = 1 THEN ts_s END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_s ASC, is_view DESC, event_id ASC
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_view_ts,
+                 first_value(CASE WHEN is_view = 1 THEN ts_s END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_s ASC, is_view DESC, event_id ASC
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_view_ts
+               FROM f),
+         p AS (SELECT user_id, event_id, ts_s, prev_view_ts, next_view_ts,
+                      epoch(ts_s) - epoch(prev_view_ts) AS d_prev,
+                      epoch(next_view_ts) - epoch(ts_s) AS d_next
+               FROM w WHERE event_type = 'purchase'),
+         m AS (SELECT *,
+                 (prev_view_ts IS NOT NULL AND d_prev <= 3600 AND
+                  (next_view_ts IS NULL OR d_next > 3600 OR d_prev <= d_next)) AS take_prev,
+                 (next_view_ts IS NOT NULL AND d_next <= 3600) AS take_next
+               FROM p)
+         SELECT user_id, event_id AS purchase_id, ts_s AS purchase_ts,
+                CASE WHEN take_prev THEN prev_view_ts
+                     WHEN take_next THEN next_view_ts END AS nearest_view_ts,
+                CAST(CASE WHEN take_prev THEN -d_prev
+                          WHEN take_next THEN d_next END AS BIGINT) AS delta_s,
+                CASE WHEN take_prev THEN 'backward'
+                     WHEN take_next THEN 'forward' END AS direction
+         FROM m""",
+    "tx34_containment_pairs" ->
+      """WITH d AS (SELECT doc_id, source,
+                    list_distinct(string_split_regex(trim(text), '\s+')) AS toks
+                    FROM documents WHERE doc_id < 1000)
+         SELECT a.source AS source, a.doc_id AS doc_contained, b.doc_id AS doc_container,
+                round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 4) AS containment
+         FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
+         WHERE (len(a.toks) < len(b.toks) OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
+           AND round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 4) >= 0.95""",
     "tx33_source_divergence" ->
       """WITH u AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
          c AS (SELECT source, term, count(*) AS n FROM u GROUP BY source, term),

@@ -86,4 +86,44 @@ object AsOf {
               col("ts").as("purchase_ts"),
               col("asof_event_id").as("view_id"), col("asof_ts").as("view_ts"))
   }
+
+  /** asof03: NEAREST-within as-of — match each purchase to the closest
+    * view in either direction within a tolerance, preferring the
+    * earlier (backward) view on exact ties. asof01 is the pure
+    * backward-looking form; sensor/trace alignment usually wants
+    * nearest-in-time (pandas merge_asof direction='nearest').
+    *
+    * Same linear shape, still one shuffle: both sides share ONE
+    * user-partitioned time sort, the backward candidate is a running
+    * last-non-null and the forward candidate a first-non-null over the
+    * tail frame of the SAME sort — never a range cross-join. Views
+    * order before purchases at equal timestamps so a same-second view
+    * matches at Δ=0.
+    */
+  def nearestViewWithin(s: SparkSession, dir: String,
+                        tolSec: Long = 3600L): DataFrame = {
+    val f = Tables.events(s, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .withColumn("is_view", (col("event_type") === "view").cast("int"))
+    val ord = Window.partitionBy("user_id")
+      .orderBy(col("ts_s").asc, col("is_view").desc, col("event_id").asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val viewTs = when(col("is_view") === 1, col("ts_s"))
+    val cand = f
+      .withColumn("prev_view_ts", last(viewTs, ignoreNulls = true).over(back))
+      .withColumn("next_view_ts", first(viewTs, ignoreNulls = true).over(fwd))
+      .filter(col("event_type") === "purchase")
+      .withColumn("d_prev", unix_timestamp(col("ts_s")) - unix_timestamp(col("prev_view_ts")))
+      .withColumn("d_next", unix_timestamp(col("next_view_ts")) - unix_timestamp(col("ts_s")))
+    val takePrev = col("prev_view_ts").isNotNull && col("d_prev") <= tolSec &&
+      (col("next_view_ts").isNull || col("d_next") > tolSec || col("d_prev") <= col("d_next"))
+    val takeNext = !takePrev && col("next_view_ts").isNotNull && col("d_next") <= tolSec
+    cand.select(
+      col("user_id"), col("event_id").as("purchase_id"), col("ts_s").as("purchase_ts"),
+      when(takePrev, col("prev_view_ts")).when(takeNext, col("next_view_ts")).as("nearest_view_ts"),
+      when(takePrev, -col("d_prev")).when(takeNext, col("d_next")).as("delta_s"),
+      when(takePrev, lit("backward")).when(takeNext, lit("forward")).as("direction"))
+  }
 }

@@ -113,6 +113,44 @@ object DataQuality {
       .withColumn("drifted", when(col("psi") > 0.2, 1).otherwise(0))
   }
 
+  /** dq05: referential-integrity gate over the star schema's FK edges
+    * (lineitem→orders, orders→customer, events→customer): orphan and
+    * null-FK counts per relation plus parent-side duplicate-key
+    * counts — the constraint checks a lake has no engine to enforce
+    * (feed-validator's cross-table gate; dbt-style relationship
+    * tests).
+    *
+    * Scale: each relation is one left join keyed on the FK (the scan
+    * projects ONLY the key) + one conditional aggregate; the dup-key
+    * probe is a one-row aggregate of the parent. At 100 TB put
+    * Scale.bloomPreFilter in front of each join so only
+    * might-be-orphan keys shuffle.
+    */
+  def referentialIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def rel(name: String, child: DataFrame, ck: String,
+            parent: DataFrame, pk: String): DataFrame = {
+      val hits = parent.select(col(pk).as("k")).distinct().withColumn("__hit", lit(1))
+      val stats = child.select(col(ck).as("k"))
+        .join(hits, Seq("k"), "left")
+        .agg(
+          count(lit(1)).as("n_child"),
+          count(when(col("__hit").isNull && col("k").isNotNull, 1)).as("n_orphans"),
+          count(when(col("k").isNull, 1)).as("n_null_fk"))
+      val dups = parent.agg(
+        (count(lit(1)) - countDistinct(col(pk))).as("n_dup_parent_keys"))
+      stats.crossJoin(broadcast(dups))
+        .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
+          round(col("n_orphans") / col("n_child"), 6).as("orphan_rate"),
+          col("n_null_fk"), col("n_dup_parent_keys"))
+    }
+    rel("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",
+        Tables.orders(s, dir), "o_orderkey")
+      .unionByName(rel("orders->customer", Tables.orders(s, dir), "o_custkey",
+        Tables.customer(s, dir), "c_custkey"))
+      .unionByName(rel("events->customer", Tables.events(s, dir), "user_id",
+        Tables.customer(s, dir), "c_custkey"))
+  }
+
   def sourceSignatures(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("token"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -330,6 +330,41 @@ object Relational {
     * the share is a conditional-sum ratio inside the same single
     * aggregation — no second pass over the fact at any scale.
     */
+  /** Exact top-N per group without sorting whole groups on one task:
+    * phase 1 takes a local top-N inside each (group, salt) slice —
+    * every slice is 1/salts of the group, sorted in parallel — and
+    * phase 2 re-ranks only the surviving N·salts rows per group. Any
+    * true top-N row is top-N within its slice, so no row is lost; this
+    * is the map-side-combine idea applied to ranking, and the reason a
+    * hot group (one priority holding half the table) cannot stall a
+    * single window task at 100 TB. The salt is a content hash —
+    * deterministic, retry-safe (Scale.saltedJoin's rule).
+    */
+  def topNPerGroup(df: DataFrame, grpCol: String, n: Int,
+                   order: Seq[Column], saltOn: Column,
+                   salts: Int = 16): DataFrame = {
+    require(n >= 1 && salts >= 1)
+    val w1 = Window.partitionBy(col(grpCol), col("__salt")).orderBy(order: _*)
+    val w2 = Window.partitionBy(col(grpCol)).orderBy(order: _*)
+    df.withColumn("__salt", pmod(saltOn, lit(salts)))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= n)
+      .withColumn("rank_in_group", row_number().over(w2))
+      .filter(col("rank_in_group") <= n)
+      .drop("__salt", "__rn")
+  }
+
+  /** q25: top-3 orders per priority by price — the per-group ranking
+    * read (every "top items per category" panel) in the salted
+    * two-phase shape above.
+    */
+  def topOrdersPerPriority(s: SparkSession, dir: String): DataFrame =
+    topNPerGroup(
+      Tables.orders(s, dir), "o_orderpriority", 3,
+      Seq(col("o_totalprice").desc, col("o_orderkey").asc),
+      xxhash64(col("o_orderkey")))
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank_in_group")
+
   def marketShare(s: SparkSession, dir: String,
                   region: String = "ASIA", supplierNation: String = "NATION_7"): DataFrame = {
     val asiaCustomers = Tables.customer(s, dir)

@@ -699,6 +699,31 @@ object TextOps {
     fit.crossJoin(broadcast(totals))
   }
 
+  /** tx34: directed containment pairs — |A∩B|/|A| ≥ τ means doc A is
+    * (lexically) contained in doc B: the asymmetric near-dup relation
+    * Jaccard misses (a snippet inside a full article scores low
+    * symmetric overlap but high containment; dedup should drop the
+    * snippet, not treat the pair as unrelated). Same source-blocked
+    * candidate shape as tx09, directed output, container must strictly
+    * be the longer set on equal-size ties (equal sets are tx06's exact
+    * job).
+    */
+  def containmentPairs(s: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .filter(col("doc_id") < 1000)
+      .select(col("doc_id"), col("source"), array_distinct(tokens(col("text"))).as("toks"))
+    val a = d.select(col("source"), col("doc_id").as("doc_contained"), col("toks").as("toks_a"))
+    val b = d.select(col("source"), col("doc_id").as("doc_container"), col("toks").as("toks_b"))
+    a.join(b, Seq("source"))
+      .filter(col("doc_contained") =!= col("doc_container"))
+      .filter(size(col("toks_a")) < size(col("toks_b")) ||
+              (size(col("toks_a")) === size(col("toks_b")) && col("doc_contained") < col("doc_container")))
+      .withColumn("containment",
+        round(size(array_intersect(col("toks_a"), col("toks_b"))) / size(col("toks_a")).cast("double"), 4))
+      .filter(col("containment") >= tau)
+      .select("source", "doc_contained", "doc_container", "containment")
+  }
+
   /** tx33: per-source lexical divergence — Jensen–Shannon divergence of
     * each source's term distribution from the corpus distribution
     * (which feed "sounds different" — the token-space sibling of dq04's
