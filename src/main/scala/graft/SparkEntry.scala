@@ -70,6 +70,7 @@ object SparkEntry {
     "ev24_gap_islands"              -> ((s: SparkSession, dir: String) => Events.gapIslands(s, dir)),
     "ev25_cusum_drift"              -> ((s: SparkSession, dir: String) => Events.cusumDrift(s, dir)),
     "ev26_attribution"              -> (Events.firstTouchAttribution _),
+    "ev27_sliding_dau"              -> ((s: SparkSession, dir: String) => Events.slidingDau(s, dir)),
     "ot02_service_graph"            -> (Events.serviceGraph _),
     "es05_scd2_intervals"           -> (Events.scd2Intervals _),
     "lt01_log_templates"            -> (LogMining.logTemplates _),

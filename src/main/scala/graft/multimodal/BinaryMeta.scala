@@ -77,6 +77,46 @@ object BinaryMeta {
     }
   }
 
+  case class AudioWindow(media_id: Long, window_idx: Int,
+                         start_sample: Long, n_samples: Int,
+                         window_bytes: Array[Byte])
+
+  /** mm04: overlapping audio window chunking — the fixed-length,
+    * strided windowing every audio model front-end needs (Whisper-style
+    * 30 s windows with overlap; VAD/embedding chunkers): window of
+    * `windowSamples` advancing by `hopSamples` (consecutive windows
+    * share windowSamples − hopSamples samples), bounded at
+    * `maxWindows` per asset so one long recording cannot blow up a
+    * task. The DECODE is stubbed (raw bytes read as 16-bit PCM — no
+    * audio codecs in this container); the flatMap-inside-mapPartitions
+    * shape, the overlap arithmetic, and the bounded fan-out are the
+    * real contract a resampling decoder drops into.
+    */
+  def chunkAudio(media: Dataset[MediaRow], windowSamples: Int = 480,
+                 hopSamples: Int = 320, maxWindows: Int = 16): Dataset[AudioWindow] = {
+    require(windowSamples >= 1 && hopSamples >= 1 && maxWindows >= 1)
+    implicit val enc = Encoders.product[AudioWindow]
+    val bytesPerSample = 2 // stub: PCM16 mono; a real decoder resamples
+    media.filter(col("kind") === "audio" && length(col("payload")) >= bytesPerSample)
+      .mapPartitions { rows =>
+        // per-partition decoder init would go here
+        rows.flatMap { r =>
+          val totalSamples = r.payload.length / bytesPerSample
+          Iterator.from(0)
+            .map(_.toLong * hopSamples)
+            .takeWhile(start => start < totalSamples)
+            .take(maxWindows)
+            .zipWithIndex
+            .map { case (start, idx) =>
+              val n = math.min(windowSamples.toLong, totalSamples - start).toInt
+              AudioWindow(r.media_id, idx, start, n,
+                r.payload.slice((start * bytesPerSample).toInt,
+                  ((start + n) * bytesPerSample).toInt))
+            }
+        }
+      }
+  }
+
   /** mm03: perceptual-hash near-dup pairs over binary payloads — the
     * image-dedup step a multimodal training pipeline runs (same role
     * as tx07/tx08 for text; CLIP-dedup/pHash in LAION-style curation).

@@ -609,6 +609,29 @@ object Events {
       .select(col("day"), round(col("rate"), 6).as("rate"), col("cusum"), col("alarm"))
   }
 
+  /** ev27: sliding-window distinct users from re-aggregatable HLL
+    * sketches — the trailing-24h DAU panel computed WITHOUT ever
+    * re-scanning raw events per window: hourly sketches (ev16's MV
+    * pattern) union over a 24-row sliding frame. This is the whole
+    * point of mergeable sketch state: the raw stream is touched once,
+    * every derived window is sketch algebra on the tiny hourly frame.
+    * Rows-only (estimates are engine-specific); the spec pins the
+    * estimate between max(hourly) and Σ(hourly).
+    */
+  def slidingDau(s: SparkSession, dir: String, hours: Int = 24): DataFrame = {
+    val hourly = ev(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"))
+    // RANGE frame over epoch seconds, not ROWS: with sparse traffic a
+    // 24-ROW frame would reach arbitrarily far back in time
+    val w = Window.orderBy(col("epoch_h")).rangeBetween(-(hours - 1) * 3600L, 0L)
+    hourly
+      .withColumn("epoch_h", unix_timestamp(col("hour")))
+      .withColumn("users_sliding", hll_sketch_estimate(hll_union_agg(col("sk")).over(w)))
+      .select("hour", "users_sliding")
+      .orderBy("hour")
+  }
+
   /** ev26: first-touch conversion attribution — every purchase's
     * revenue is credited to the entry event type of its session (ev04's
     * 30-min-gap session; "which entry path converts" is the funnel

@@ -76,6 +76,25 @@ class MonitoringOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev27 sliding DAU tracks the exact trailing-24h distinct count within HLL error") {
+    val est = Events.slidingDau(spark, sfDir).collect()
+      .map(r => r.getAs[java.sql.Timestamp]("hour") -> r.getAs[Long]("users_sliding").toDouble)
+    assert(est.nonEmpty)
+    val byHour = Tables.events(spark, sfDir)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("user_id"))
+      .collect()
+      .groupBy(_.getAs[java.sql.Timestamp]("hour"))
+      .view.mapValues(_.map(_.getAs[Long]("user_id")).toSet).toMap
+    val hours = byHour.keys.toSeq.sortBy(_.getTime)
+    est.foreach { case (h, e) =>
+      val frame = hours.filter(x =>
+        x.getTime <= h.getTime && x.getTime > h.getTime - 24L * 3600 * 1000)
+      val exact = frame.flatMap(byHour).toSet.size
+      assert(math.abs(e - exact) <= math.max(2.0, exact * 0.05),
+        s"hour $h estimate $e vs exact $exact")
+    }
+  }
+
   test("src07 multiline reassembly folds stack traces into their header line") {
     val lines = Seq(
       ("app.log", 1L, "2026-01-15T10:00:00Z ERROR api request failed"),

@@ -392,4 +392,30 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(frames(1L).find(_.frame_idx == 10).get.frame_bytes
       .sameElements(vid.slice(640, 704)))
   }
+
+  test("mm04 audio chunking overlaps by window minus hop, bounds fan-out, keeps a short tail") {
+    // 1000 samples of PCM16 (2000 bytes)
+    val pcm = Array.tabulate(2000)(i => (i % 101).toByte)
+    val media = Seq(
+      BinaryMeta.MediaRow(1L, "audio", pcm),
+      BinaryMeta.MediaRow(2L, "video", pcm),                    // non-audio skipped
+      BinaryMeta.MediaRow(3L, "audio", Array.tabulate(2 * 100000)(_.toByte)) // long recording
+    ).toDS()
+    val wins = BinaryMeta.chunkAudio(media, windowSamples = 480, hopSamples = 320, maxWindows = 16)
+      .collect().groupBy(_.media_id)
+    assert(!wins.contains(2L))
+    val w1 = wins(1L).sortBy(_.window_idx)
+    // starts at 0, 320, 640, 960 (tail); 1000-sample asset -> 4 windows
+    assert(w1.map(_.start_sample).sameElements(Array(0L, 320L, 640L, 960L)))
+    assert(w1.map(_.n_samples).sameElements(Array(480, 480, 360, 40))) // tails truncate
+    // consecutive windows share window-hop samples: window k's bytes from
+    // offset hop must equal window k+1's head (sample overlap = 160)
+    val shared = 480 - 320
+    assert(w1(0).window_bytes.slice(320 * 2, 480 * 2)
+      .sameElements(w1(1).window_bytes.slice(0, shared * 2)))
+    // long recording capped
+    assert(wins(3L).length == 16)
+    // bytes round-trip: window 1 of asset 1 is pcm[640, 1600)
+    assert(w1(1).window_bytes.sameElements(pcm.slice(640, 1600)))
+  }
 }
