@@ -142,6 +142,56 @@ class PlanSpec extends SparkSpec {
     labels.unpersist()
   }
 
+  private def shuffleCount(name: String): Int =
+    allNodes(finalPlan(name)).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+
+  test("islands/SCD2 reuse one hash partitioning end to end") {
+    // window + downstream aggregation must share a single Exchange
+    // (day ⊆ (day, island); user ⊆ (user, state) clustering)
+    assert(shuffleCount("ev24_gap_islands") == 1,
+      s"ev24 shuffles ${shuffleCount("ev24_gap_islands")}×")
+    assert(shuffleCount("es05_scd2_intervals") == 1,
+      s"es05 shuffles ${shuffleCount("es05_scd2_intervals")}×")
+  }
+
+  test("attribution and trace edges shuffle raw events exactly once") {
+    // one user-partitioned window over raw events; everything after
+    // runs on the |types|-bounded frame (its exchanges are tiny)
+    // chained window functions stack as several WindowExec nodes, but
+    // they must all ride the SAME user partitioning over ONE exchange
+    val ev26 = allNodes(finalPlan("ev26_attribution"))
+    val partSpecs = ev26.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.nonEmpty =>
+        w.partitionSpec.map(_.sql)
+    }
+    assert(partSpecs.nonEmpty && partSpecs.distinct.size == 1,
+      s"ev26 partitioned windows disagree: $partSpecs")
+    // exchanges beyond the first move only the |types|-bounded rollup
+    // (agg re-key + the share window's single-partition pass)
+    assert(shuffleCount("ev26_attribution") <= 3)
+    assert(shuffleCount("ot02_service_graph") <= 2)
+  }
+
+  test("dd03 gates the batch scan with the bloom expression before the confirm join") {
+    // the adapter materializes eagerly (LocalTableScan), so inspect the
+    // unmaterialized frame
+    val (frame, history) = graft.operators.Dedup.dd03Plan(spark, sfDir)
+    val f = frame.queryExecution.explainString(FormattedMode)
+    history.unpersist()
+    assert(f.toLowerCase.contains("bloom"),
+      "bloom membership test missing from the batch scan filter")
+  }
+
+  test("q25 ranks inside salted slices — no unsalted window over the raw table") {
+    val windows = allNodes(finalPlan("q25_topn_per_group")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 2, s"expected 2 windows, got ${windows.size}")
+    // phase 1 must partition by (group, salt): 2 partition expressions
+    assert(windows.exists(_.partitionSpec.size == 2), "no salted phase-1 window")
+  }
+
   test("k-means assignment is one projection over the corpus — no Exchange, no Window") {
     // Centroids are driver-collected literals, so a Lloyd iteration's
     // lineage must be exactly scan → project: any Exchange or Window
