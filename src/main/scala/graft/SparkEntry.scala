@@ -144,6 +144,7 @@ object SparkEntry {
     "sim08_pq_candidates"           -> (Similarity.pqCandidates _),
     "dd01_dup_clusters"             -> (Dedup.dd01 _),
     "dd03_incremental_dedup"        -> ((s: SparkSession, dir: String) => Dedup.dd03(s, dir)),
+    "dd04_span_dedup"               -> ((s: SparkSession, dir: String) => Dedup.dd04(s, dir)),
     "tx17_lsh_jaccard"              -> (TextOps.lshJaccardPairs _),
     "tx31_phrase_search"            -> ((s: SparkSession, dir: String) => TextOps.phraseSearch(s, dir)),
     "tx32_zipf_fit"                 -> ((s: SparkSession, dir: String) => TextOps.zipfFit(s, dir)),
@@ -1306,6 +1307,18 @@ object SparkEntry {
          SELECT query_id, neighbor_id, cos, 1 AS mmr_rank, mmr_score FROM s1
          UNION ALL SELECT query_id, neighbor_id, cos, 2 AS mmr_rank, mmr_score FROM s2
          UNION ALL SELECT query_id, neighbor_id, cos, 3 AS mmr_rank, mmr_score FROM s3""",
+    "dd04_span_dedup" ->
+      """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         s AS (SELECT doc_id, source, array_to_string(toks[i:i+15], ' ') AS sh
+               FROM d, UNNEST(range(1, len(toks) - 14)) AS t(i)),
+         c AS (SELECT *, count(*) OVER (PARTITION BY sh) AS cnt FROM s),
+         p AS (SELECT doc_id, source, count(*) AS n_spans,
+                      count(CASE WHEN cnt > 1 THEN 1 END) AS n_dup_spans
+               FROM c GROUP BY doc_id, source)
+         SELECT doc_id, source, n_spans, n_dup_spans,
+                round(n_dup_spans * 1.0 / n_spans, 4) AS dup_fraction,
+                CASE WHEN round(n_dup_spans * 1.0 / n_spans, 4) >= 0.2 THEN 1 ELSE 0 END AS dropped
+         FROM p""",
     "tx31_phrase_search" ->
       """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
                     FROM documents),

@@ -81,6 +81,23 @@ class RankingIntegritySpec extends SparkSpec {
     }
   }
 
+  test("dd04 span dedup: span counts exact, fractions bounded, flags docs sharing long runs") {
+    val out = Dedup.dd04(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val tokCounts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Long]("n_spans") == tokCounts(id) - 15, s"doc $id span count")
+      val f = r.getAs[Double]("dup_fraction")
+      assert(f >= 0.0 && f <= 1.0)
+      assert((r.getAs[Int]("dropped") == 1) == (f >= 0.2))
+    }
+    // only docs with >= 16 tokens appear
+    assert(out.length == tokCounts.count(_._2 >= 16))
+  }
+
   test("tx34 containment: directed, strict-size, and detects a planted snippet") {
     val out = TextOps.containmentPairs(spark, sfDir).collect()
     val sizes = Tables.documents(spark, sfDir).filter(col("doc_id") < 1000)
