@@ -94,6 +94,19 @@ object StreamOps {
   def dedupStream(events: DataFrame, watermark: String = "2 hours"): DataFrame =
     events.withWatermark("ts", watermark).dropDuplicates("event_id", "ts")
 
+  /** st12: keyed streaming dedup with bounded state —
+    * `dropDuplicatesWithinWatermark` dedups on the KEY ALONE while the
+    * watermark still expires state. st03's classic form must include
+    * the event-time column in the key, so a redelivery whose timestamp
+    * was re-stamped (an mq-hub retry after a broker failover stamps a
+    * new ingest time) slips through as a "new" row; this form catches
+    * any redelivery arriving within the watermark window, which is the
+    * delivery-system guarantee actually on offer.
+    */
+  def dedupStreamKeyed(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** st04: stream-static enrichment — a stream joined against a
     * (broadcastable) dimension table, the streaming form of the
     * ingestion pipeline enriching events with feed/user metadata.

@@ -168,6 +168,20 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st12 keyed dedup drops a re-stamped redelivery that st03's form would keep") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    // event 1 delivered, then redelivered 5 min later with a NEW timestamp
+    mem.addData((1L, ts(0)), (2L, ts(1)))
+    mem.addData((1L, ts(5)))
+    val out = StreamOps.dedupStreamKeyed(mem.toDF.toDF("event_id", "ts"))
+    val q = out.writeStream.format("memory").queryName("st12_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val ids = spark.table("st12_out").collect().map(_.getAs[Long]("event_id"))
+    assert(ids.sorted.sameElements(Array(1L, 2L)), ids.mkString(","))
+  }
+
   test("st02 stateful sessionization closes sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StreamOps.SessionInput]
