@@ -1064,11 +1064,13 @@ object SparkEntry {
                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_type
                FROM e),
          edges AS (SELECT prev_type AS src_service, event_type AS dst_service, dur_ms
-                   FROM g WHERE gap_s IS NOT NULL AND gap_s <= 1800)
-         SELECT src_service, dst_service, count(*) AS n_calls,
-                round(count(CASE WHEN dst_service = 'error' THEN 1 END) * 1.0 / count(*), 4) AS error_rate,
-                round(quantile_cont(dur_ms, 0.95), 2) AS p95_ms
-         FROM edges GROUP BY src_service, dst_service""",
+                   FROM g WHERE gap_s IS NOT NULL AND gap_s <= 1800),
+         agged AS (SELECT src_service, dst_service, count(*) AS n_calls,
+                          round(quantile_cont(dur_ms, 0.95), 2) AS p95_ms
+                   FROM edges GROUP BY src_service, dst_service)
+         SELECT src_service, dst_service, n_calls, p95_ms,
+                round(n_calls * 1.0 / sum(n_calls) OVER (PARTITION BY src_service), 4) AS out_share
+         FROM agged""",
     "es05_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
@@ -1105,12 +1107,20 @@ object SparkEntry {
                                      i -> array_to_string(toks[i:i+7], ' '))) AS shingles
                 FROM d),
          hist AS (SELECT DISTINCT unnest(shingles) AS sh FROM sh WHERE NOT is_batch),
-         bs AS (SELECT doc_id, source, unnest(shingles) AS sh FROM sh WHERE is_batch),
-         b AS (SELECT doc_id, source, count(*) AS n_shingles,
-                      count(CASE WHEN sh IN (SELECT sh FROM hist) THEN 1 END) AS n_seen
-               FROM bs GROUP BY doc_id, source),
-         v AS (SELECT source, n_seen * 1.0 / n_shingles AS containment,
-                      CASE WHEN n_seen * 1.0 / n_shingles >= 0.5 THEN 1 ELSE 0 END AS dropped
+         b0 AS (SELECT doc_id, source, shingles FROM sh WHERE is_batch),
+         bs AS (SELECT doc_id, unnest(shingles) AS sh FROM b0),
+         cnt AS (SELECT doc_id, count(*) AS n_shingles,
+                        count(CASE WHEN sh IN (SELECT sh FROM hist) THEN 1 END) AS n_seen
+                 FROM bs GROUP BY doc_id),
+         b AS (SELECT b0.doc_id, b0.source,
+                      coalesce(cnt.n_shingles, 0) AS n_shingles,
+                      coalesce(cnt.n_seen, 0) AS n_seen
+               FROM b0 LEFT JOIN cnt USING (doc_id)),
+         v AS (SELECT source,
+                      CASE WHEN n_shingles = 0 THEN 0.0
+                           ELSE n_seen * 1.0 / n_shingles END AS containment,
+                      CASE WHEN n_shingles > 0 AND n_seen * 1.0 / n_shingles >= 0.5
+                           THEN 1 ELSE 0 END AS dropped
                FROM b)
          SELECT source, count(*) AS n_new,
                 CAST(sum(dropped) AS BIGINT) AS n_dropped,

@@ -490,6 +490,14 @@ object Events {
     * uptime panel over clickhouse sli_error_rate_mv, and the incident
     * timeline the reference's alert rules imply).
     *
+    * Islands are scoped WITHIN a calendar day by construction: an
+    * outage spanning midnight reports as two islands, one per day.
+    * That is the deliberate trade the partitioning buys — it is how
+    * day-bucketed incident dashboards count anyway, and it is what
+    * keeps the window bounded (see below); callers needing cross-
+    * midnight fusion re-merge the first/last islands of adjacent days,
+    * a |days|-sized post-pass.
+    *
     * Scale: errors are filtered FIRST (a few % of the stream, with the
     * predicate at the parquet scan), then islands are built per (day)
     * partition so the window never exceeds one day of sparse error
@@ -522,9 +530,13 @@ object Events {
     * (the Jaeger/Grafana service-graph panel ClickHouse builds from
     * otel_traces parent links; with no explicit ParentSpanId in the
     * synthetic stream, trace adjacency stands in for the parent edge).
-    * Per edge: call count, callee error rate, exact p95 callee
-    * duration (percentile_approx is the 100 TB swap, the ev03→ev11
-    * precedent).
+    * Per edge: call count, the edge's share of its caller's outgoing
+    * calls (the service-graph edge weight — NOT a per-edge error rate,
+    * which would be a constant 0/1 here because the callee type IS the
+    * group key), and exact p95 callee duration (percentile_approx is
+    * the 100 TB swap, the ev03→ev11 precedent). Error-path volume is
+    * still visible: the edges whose dst_service = 'error' are the
+    * error transitions, weighted by out_share.
     *
     * Scale: one window shuffle partitioned by high-cardinality
     * user_id (sessionize + lag share the same sort, so Spark plans
@@ -545,8 +557,9 @@ object Events {
       .groupBy(col("src_service"), col("event_type").as("dst_service"))
       .agg(
         count(lit(1)).as("n_calls"),
-        round(count(when(col("event_type") === "error", 1)) / count(lit(1)), 4).as("error_rate"),
         round(expr("percentile(dur_ms, 0.95)"), 2).as("p95_ms"))
+      .withColumn("out_share",
+        round(col("n_calls") / sum("n_calls").over(Window.partitionBy("src_service")), 4))
   }
 
   /** es05: SCD2 interval build from the event log — collapse each

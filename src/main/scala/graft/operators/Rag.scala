@@ -122,6 +122,10 @@ object Rag {
     val sel = (rank: Int, df: DataFrame) =>
       df.select(col("query_id"), col("neighbor_id"), col("cos"),
         lit(rank).as("mmr_rank"), col("mmr_score"))
-    sel(1, s1).union(sel(2, s2)).union(sel(3, s3))
+    // 3·|queries| rows — materialize eagerly so the candidate cache is
+    // released instead of accumulating across a bench session
+    Dedup.materialized(sel(1, s1).union(sel(2, s2)).union(sel(3, s3))) {
+      cand.unpersist()
+    }
   }
 }

@@ -696,7 +696,8 @@ object TextOps {
     val totals = freqs.agg(
       count(lit(1)).as("vocab_size"),
       sum("freq").as("total_tokens"))
-    fit.crossJoin(broadcast(totals))
+    // one-row output — materialize eagerly to release the vocab cache
+    Dedup.materialized(fit.crossJoin(broadcast(totals))) { freqs.unpersist() }
   }
 
   /** tx34: directed containment pairs — |A∩B|/|A| ≥ τ means doc A is
@@ -757,7 +758,7 @@ object TextOps {
       .withColumn("p", col("n") / col("n_source"))
       .withColumn("q", col("n_term") / col("n_corpus"))
       .withColumn("m", (col("p") + col("q")) / 2)
-    scored
+    val out = scored
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_terms"),
@@ -765,5 +766,7 @@ object TextOps {
           (sum(col("p") * log(col("p") / col("m"))) +
            sum(col("q") * log(col("q") / col("m")))) / 2 +
           (lit(1.0) - sum(col("q"))) * lit(math.log(2.0) / 2), 6).as("jsd"))
+    // |sources| rows — materialize eagerly to release the counts cache
+    Dedup.materialized(out) { base.unpersist() }
   }
 }

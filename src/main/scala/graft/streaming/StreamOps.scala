@@ -298,9 +298,12 @@ object StreamOps {
     * includes its out-of-support bins — mass that moved off the
     * support must read as depletion of the support bins, or a fully
     * shifted window would smooth to zero drift. Laplace smoothing
-    * keeps the log finite on support bins the window missed.
-    * Baseline is bounded by (types × bins) and broadcasts; per-window
-    * math runs on that same tiny frame.
+    * keeps the log finite on support bins the window missed. A
+    * (window, type) with NO baseline support at all — a brand-new
+    * event type — cannot be scored numerically but is the maximally
+    * drifted case: it emits psi NULL with drifted = 1, never a silent
+    * absence. Baseline is bounded by (types × bins) and broadcasts;
+    * per-window math runs on that same tiny frame.
     */
   def psiVsBaseline(binCounts: DataFrame, baseline: DataFrame,
                     threshold: Double = 0.2): DataFrame = {
@@ -324,12 +327,15 @@ object StreamOps {
       .withColumn("tot_a", sum(coalesce(col("n"), lit(0L))).over(wG))
       .withColumn("tot_b", sum(coalesce(col("n_b"), lit(0L))).over(wG))
       .withColumn("n_bins", count(col("n_b")).over(wG))
-      .filter(col("n_b").isNotNull)
-      .withColumn("p_a",
-        (coalesce(col("n"), lit(0L)) + lit(0.5)) / (col("tot_a") + lit(0.5) * col("n_bins")))
-      .withColumn("p_b", (col("n_b") + lit(0.5)) / (col("tot_b") + lit(0.5) * col("n_bins")))
+      // terms exist only on support bins; a support-less group keeps its
+      // rows (null terms) so it still aggregates to a (psi NULL) row
+      .withColumn("p_a", when(col("n_b").isNotNull,
+        (coalesce(col("n"), lit(0L)) + lit(0.5)) / (col("tot_a") + lit(0.5) * col("n_bins"))))
+      .withColumn("p_b", when(col("n_b").isNotNull,
+        (col("n_b") + lit(0.5)) / (col("tot_b") + lit(0.5) * col("n_bins"))))
       .groupBy("bucket", "event_type")
       .agg(round(sum((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b"))), 6).as("psi"))
-      .withColumn("drifted", when(col("psi") > threshold, 1).otherwise(0))
+      .withColumn("drifted",
+        when(col("psi").isNull || col("psi") > threshold, 1).otherwise(0))
   }
 }

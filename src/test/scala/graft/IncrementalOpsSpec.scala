@@ -37,9 +37,13 @@ class IncrementalOpsSpec extends SparkSpec {
     val edges = Events.serviceGraph(spark, sfDir).collect()
     assert(edges.nonEmpty)
     edges.foreach { r =>
-      val rate = r.getAs[Double]("error_rate")
-      assert(rate >= 0.0 && rate <= 1.0)
+      val share = r.getAs[Double]("out_share")
+      assert(share > 0.0 && share <= 1.0)
       assert(r.getAs[Long]("n_calls") >= 1L)
+    }
+    // each caller's outgoing shares partition its calls
+    edges.groupBy(_.getAs[String]("src_service")).foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_.getAs[Double]("out_share")).sum - 1.0) < 0.01)
     }
     // every event except each trace's first is the target of exactly one edge
     val totalEvents = Tables.events(spark, sfDir).count()
@@ -76,7 +80,7 @@ class IncrementalOpsSpec extends SparkSpec {
     val expected = batch.groupBy(_.getAs[String]("source")).map { case (src, docs) =>
       val verdicts = docs.map { d =>
         val ss = d.getAs[scala.collection.Seq[String]]("sh")
-        ss.count(hist.contains).toDouble / ss.size
+        if (ss.isEmpty) 0.0 else ss.count(hist.contains).toDouble / ss.size
       }
       src -> (docs.length.toLong, verdicts.count(_ >= 0.5).toLong)
     }

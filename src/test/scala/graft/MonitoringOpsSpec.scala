@@ -74,6 +74,14 @@ class MonitoringOpsSpec extends SparkSpec {
     shifted.values.foreach { r =>
       assert(r.getAs[Double]("psi") > 0.2 && r.getAs[Int]("drifted") == 1)
     }
+    // a type unknown to the baseline must surface as drifted (psi NULL),
+    // never vanish from the monitor
+    val unknownType = bins.withColumn("event_type", lit("brand_new"))
+    val flagged = StreamOps.psiVsBaseline(unknownType, baseline).collect()
+    assert(flagged.nonEmpty)
+    flagged.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("psi")) && r.getAs[Int]("drifted") == 1)
+    }
   }
 
   test("ev27 sliding DAU tracks the exact trailing-24h distinct count within HLL error") {
