@@ -135,6 +135,7 @@ object SparkEntry {
     "rag01_context_assembly"        -> (Rag.contextAssembly _),
     "rag02_reranked_retrieval"      -> (Rag.rerankedRetrieval _),
     "rag03_mmr_retrieval"           -> ((s: SparkSession, dir: String) => Rag.mmrRetrieval(s, dir)),
+    "rag04_token_chunks"            -> ((s: SparkSession, dir: String) => Rag.tokenChunks(s, dir)),
     "sim02_label_centroids"         -> (Similarity.labelCentroids _),
     "sim03_cosine_neardup"          -> (Similarity.cosineNearDup _),
     "sim04_ivf_ann"                 -> (Similarity.ivfAnn _),
@@ -1329,6 +1330,16 @@ object SparkEntry {
                 round(n_dup_spans * 1.0 / n_spans, 4) AS dup_fraction,
                 CASE WHEN round(n_dup_spans * 1.0 / n_spans, 4) >= 0.2 THEN 1 ELSE 0 END AS dropped
          FROM p""",
+    "rag04_token_chunks" ->
+      """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents WHERE doc_id < 100),
+         n AS (SELECT *, len(toks) AS n_toks,
+                      least(8, greatest(1, CAST(ceil((len(toks) - 64) / 48.0) AS INT) + 1)) AS n_chunks
+               FROM d WHERE len(toks) > 0)
+         SELECT doc_id, source, i AS chunk_idx, i * 48 AS start_token,
+                len(toks[i*48+1 : i*48+64]) AS n_chunk_tokens,
+                array_to_string(toks[i*48+1 : i*48+64], ' ') AS chunk_text
+         FROM n, UNNEST(range(0, n_chunks)) AS t(i)""",
     "tx31_phrase_search" ->
       """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
                     FROM documents),

@@ -68,6 +68,41 @@ object Rag {
       .select("query_id", "neighbor_id", "cos", "lex", "rerank_score", "rerank")
   }
 
+  /** rag04: overlapping token-window chunking — split documents into
+    * fixed-size token windows advancing by a stride (window − stride
+    * tokens of overlap), the chunking step every RAG index build runs
+    * before embedding (a retriever serves CHUNKS, not whole articles;
+    * rag01–03 retrieve whole docs only because the synthetic corpus is
+    * single-"sentence"). mm04 is the audio form of the same windowing.
+    *
+    * The fan-out is a pure codegen HOF — sequence → transform →
+    * explode — so chunking is a stateless projection of the scan: no
+    * shuffle, no UDF, bounded at maxChunks per doc so one huge
+    * document cannot blow up a task.
+    */
+  def tokenChunks(s: SparkSession, dir: String, win: Int = 64,
+                  stride: Int = 48, maxChunks: Int = 8): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("n_toks", size(col("toks")))
+      .filter(col("n_toks") > 0)
+      .withColumn("n_chunks",
+        least(lit(maxChunks),
+          greatest(lit(1),
+            ceil((col("n_toks") - lit(win)) / lit(stride.toDouble)).cast("int") + 1)))
+      .withColumn("chunk", explode(expr(
+        s"""transform(sequence(0, n_chunks - 1), i -> struct(
+              i as chunk_idx,
+              i * $stride as start_token,
+              size(slice(toks, i * $stride + 1, $win)) as n_chunk_tokens,
+              array_join(slice(toks, i * $stride + 1, $win), ' ') as chunk_text))""")))
+      .select(col("doc_id"), col("source"),
+        col("chunk.chunk_idx").as("chunk_idx"),
+        col("chunk.start_token").as("start_token"),
+        col("chunk.n_chunk_tokens").as("n_chunk_tokens"),
+        col("chunk.chunk_text").as("chunk_text"))
+
   /** rag03: MMR-diversified selection — retrieve top-k by cosine, then
     * pick m context docs greedily by Maximal Marginal Relevance
     * (Carbonell & Goldstein 1998): each pick maximizes

@@ -78,6 +78,36 @@ class CurationOpsSpec extends SparkSpec {
     assert(again == out.map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("samp_rank"))).toSet)
   }
 
+  test("rag04 token chunks: stride arithmetic, overlap, and full coverage up to the cap") {
+    val out = Rag.tokenChunks(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val toks = Tables.documents(spark, sfDir).filter(col("doc_id") < 100)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[scala.collection.Seq[String]]("t")).toMap
+    out.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      val chunks = rs.sortBy(_.getAs[Int]("chunk_idx"))
+      val t = toks(id)
+      chunks.foreach { c =>
+        val start = c.getAs[Int]("start_token")
+        val words = c.getAs[String]("chunk_text").split(" ").toSeq
+        assert(words == t.slice(start, start + 64), s"doc $id chunk at $start")
+        assert(c.getAs[Int]("n_chunk_tokens") == words.length)
+      }
+      // chunks overlap by window − stride while both are full
+      chunks.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("start_token") - a.getAs[Int]("start_token") == 48)
+        case _ =>
+      }
+      // uncapped docs are fully covered: last chunk reaches the end
+      if (chunks.length < 8) {
+        val last = chunks.last
+        assert(last.getAs[Int]("start_token") + last.getAs[Int]("n_chunk_tokens") == t.length)
+      }
+    }
+  }
+
   test("ev25 CUSUM: matches the direct max(0, S+d) recursion on the daily series") {
     val out = Events.cusumDrift(spark, sfDir).collect().sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
     assert(out.nonEmpty)
