@@ -71,6 +71,7 @@ object SparkEntry {
     "ev25_cusum_drift"              -> ((s: SparkSession, dir: String) => Events.cusumDrift(s, dir)),
     "ev26_attribution"              -> (Events.firstTouchAttribution _),
     "ev27_sliding_dau"              -> ((s: SparkSession, dir: String) => Events.slidingDau(s, dir)),
+    "ev28_top_paths"                -> ((s: SparkSession, dir: String) => Events.topPaths(s, dir)),
     "ot02_service_graph"            -> (Events.serviceGraph _),
     "es05_scd2_intervals"           -> (Events.scd2Intervals _),
     "lt01_log_templates"            -> (LogMining.logTemplates _),
@@ -1240,6 +1241,20 @@ object SparkEntry {
                 round((sum(p * ln(p / m)) + sum(q * ln(q / m))) / 2 +
                       (1.0 - sum(q)) * ln(2) / 2, 6) AS jsd
          FROM mm GROUP BY source""",
+    "ev28_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
+         g AS (SELECT *, epoch(ts_s) - epoch(lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap_s
+               FROM e),
+         b AS (SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_break FROM g),
+         t AS (SELECT *,
+                 lag(is_break) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_break,
+                 lag(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS t2,
+                 lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS t1
+               FROM b)
+         SELECT t2 || '>' || t1 || '>' || event_type AS path, count(*) AS n
+         FROM t WHERE is_break = 0 AND prev_break = 0 AND t2 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""",
     "ev25_cusum_drift" ->
       """WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
                     count(CASE WHEN event_type = 'error' THEN 1 END) * 1.0 / count(*) AS rate

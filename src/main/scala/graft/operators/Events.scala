@@ -645,6 +645,36 @@ object Events {
       .orderBy("hour")
   }
 
+  /** ev28: top in-session event paths — the most frequent 3-step
+    * event-type sequences with no session break inside them (the
+    * behavior-flow / "top paths" panel; ev06/ev17 test ONE fixed
+    * funnel, this mines which flows actually happen). A trigram is
+    * valid when neither of its two transitions crosses the 30-min
+    * session gap: the current row's break flag covers (prev → cur)
+    * and the lagged flag covers (prev2 → prev).
+    *
+    * Scale: the same single user-partitioned window sort as ev04/ot02
+    * (lags and the break flags share it), then a path rollup bounded
+    * by \|types\|³ with map-side combine, then TakeOrdered top-k.
+    */
+  def topPaths(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    ev(s, dir)
+      .withColumn("ts_s", date_trunc("second", col("ts")))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byUser)))
+      .withColumn("is_break", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+      .withColumn("prev_break", lag("is_break", 1).over(byUser))
+      .withColumn("t2", lag("event_type", 2).over(byUser))
+      .withColumn("t1", lag("event_type", 1).over(byUser))
+      .filter(col("is_break") === 0 && col("prev_break") === 0 && col("t2").isNotNull)
+      .select(concat_ws(">", col("t2"), col("t1"), col("event_type")).as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** ev26: first-touch conversion attribution — every purchase's
     * revenue is credited to the entry event type of its session (ev04's
     * 30-min-gap session; "which entry path converts" is the funnel

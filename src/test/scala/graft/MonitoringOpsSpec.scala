@@ -84,6 +84,19 @@ class MonitoringOpsSpec extends SparkSpec {
     }
   }
 
+  test("ev28 top paths: trigram counts bounded by in-session transitions, sorted, capped") {
+    val out = Events.topPaths(spark, sfDir).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    out.foreach { r => assert(r.getAs[String]("path").split(">").length == 3) }
+    val ns = out.map(_.getAs[Long]("n"))
+    assert(ns.sameElements(ns.sortBy(-_)), "paths must sort by count desc")
+    // trigrams with no break inside can never outnumber in-session
+    // bigram transitions (edges counted by ot02's service graph)
+    val edges = Events.serviceGraph(spark, sfDir)
+      .agg(sum("n_calls")).head.getLong(0)
+    assert(ns.sum <= edges)
+  }
+
   test("ev27 sliding DAU tracks the exact trailing-24h distinct count within HLL error") {
     val est = Events.slidingDau(spark, sfDir).collect()
       .map(r => r.getAs[java.sql.Timestamp]("hour") -> r.getAs[Long]("users_sliding").toDouble)
