@@ -152,6 +152,7 @@ object SparkEntry {
     "tx32_zipf_fit"                 -> ((s: SparkSession, dir: String) => TextOps.zipfFit(s, dir)),
     "tx33_source_divergence"        -> (TextOps.sourceDivergence _),
     "tx34_containment_pairs"        -> ((s: SparkSession, dir: String) => TextOps.containmentPairs(s, dir)),
+    "tx36_search_snippets"          -> ((s: SparkSession, dir: String) => TextOps.searchSnippets(s, dir)),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:
@@ -1228,6 +1229,17 @@ object SparkEntry {
          FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
          WHERE (len(a.toks) < len(b.toks) OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
            AND round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 4) >= 0.95""",
+    "tx36_search_snippets" ->
+      """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents),
+         h AS (SELECT doc_id, source, toks,
+                      list_position(toks, 'spark') AS pos,
+                      len(list_filter(toks, x -> x = 'spark')) AS n_hits
+               FROM d)
+         SELECT doc_id, source, n_hits, CAST(pos AS BIGINT) AS pos,
+                array_to_string(toks[greatest(1, pos - 3) : greatest(1, pos - 3) + 6], ' ') AS snippet
+         FROM h WHERE pos IS NOT NULL AND pos > 0
+         ORDER BY n_hits DESC, doc_id ASC LIMIT 20""",
     "tx33_source_divergence" ->
       """WITH u AS (SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
          c AS (SELECT source, term, count(*) AS n FROM u GROUP BY source, term),

@@ -725,6 +725,27 @@ object TextOps {
       .select("source", "doc_contained", "doc_container", "containment")
   }
 
+  /** tx36: search snippets (keyword-in-context) — for docs matching a
+    * query term, the hit count and a ±3-token window around the FIRST
+    * hit (the highlighted-snippet half of the search surface next to
+    * tx18's ranking and tx31's phrase matching; Meilisearch returns
+    * exactly this `_formatted` context). Pure per-row array ops
+    * (array_position / filter / slice) — a stateless codegen
+    * projection, the snippet never re-scans the document text.
+    */
+  def searchSnippets(s: SparkSession, dir: String, term: String = "spark",
+                     k: Int = 20): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("pos", array_position(col("toks"), term))
+      .filter(col("pos") > 0)
+      .withColumn("n_hits", size(filter(col("toks"), t => t === term)))
+      .withColumn("snippet",
+        array_join(slice(col("toks"), greatest(lit(1), col("pos") - 3).cast("int"), lit(7)), " "))
+      .select("doc_id", "source", "n_hits", "pos", "snippet")
+      .orderBy(col("n_hits").desc, col("doc_id").asc)
+      .limit(k)
+
   /** tx33: per-source lexical divergence — Jensen–Shannon divergence of
     * each source's term distribution from the corpus distribution
     * (which feed "sounds different" — the token-space sibling of dq04's

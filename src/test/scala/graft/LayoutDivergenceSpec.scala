@@ -39,6 +39,23 @@ class LayoutDivergenceSpec extends SparkSpec {
     }
   }
 
+  test("tx36 snippets: window brackets the first hit, counts exact") {
+    val out = TextOps.searchSnippets(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    out.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id")).trim.split("\\s+")
+      val first = toks.indexOf("spark")
+      assert(first >= 0 && r.getAs[Long]("pos") == first + 1)
+      assert(r.getAs[Int]("n_hits") == toks.count(_ == "spark"))
+      val snip = r.getAs[String]("snippet").split(" ")
+      assert(snip.contains("spark") && snip.length <= 7)
+      val start = math.max(0, first - 3)
+      assert(snip.sameElements(toks.slice(start, start + 7)))
+    }
+  }
+
   test("morton interleave matches the reference bit interleave") {
     def ref(a: Long, b: Long): Long = {
       var z = 0L
