@@ -43,6 +43,7 @@ object SparkEntry {
     "q23_segment_set_ops"           -> (Relational.segmentSetOps _),
     "q24_priority_status_pivot"     -> (Relational.priorityStatusPivot _),
     "q25_topn_per_group"            -> (Relational.topOrdersPerPriority _),
+    "q26_topn_agg"                  -> (Relational.topOrdersPerPriorityAgg _),
     // Event / log analytics
     "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
     "ev02_error_rate"               -> (Events.errorRate _),
@@ -1161,6 +1162,13 @@ object SparkEntry {
          tot AS (SELECT count(*) AS vocab_size, CAST(sum(freq) AS BIGINT) AS total_tokens FROM c)
          SELECT * FROM fit CROSS JOIN tot""",
     "q25_topn_per_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_group FROM (
+           SELECT o_orderpriority, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_orderpriority
+                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_group
+           FROM orders)
+         WHERE rank_in_group <= 3""",
+    "q26_topn_agg" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_group FROM (
            SELECT o_orderpriority, o_orderkey, o_totalprice,
                   row_number() OVER (PARTITION BY o_orderpriority

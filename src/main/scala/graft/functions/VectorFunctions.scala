@@ -157,6 +157,8 @@ object GraftExtensions {
       if (es.length > 1) intArg(es(1), "k") else 10,
       if (es.length > 2) intArg(es(2), "capacity") else 256).toAggregateExpression()),
     "graft_lcs" -> (es => LcsLength(es(0), es(1))),
+    "graft_top_by" -> (es => TopKByAgg(es(0), es(1),
+      if (es.length > 2) intArg(es(2), "k") else 10).toAggregateExpression()),
     "graft_rp_bands" -> (es => RpSignBands(es(0),
       if (es.length > 1) intArg(es(1), "bands") else 16,
       if (es.length > 2) intArg(es(2), "rowsPerBand") else 8)))

@@ -365,6 +365,25 @@ object Relational {
       xxhash64(col("o_orderkey")))
       .select("o_orderpriority", "o_orderkey", "o_totalprice", "rank_in_group")
 
+  /** q26: the same per-group ranking as q25, computed by the EXACT
+    * bounded-heap aggregate instead of windows — one shuffle moving at
+    * most k entries per (group, partition), no sort of group members
+    * anywhere (functions.TopKByAgg; identical output, identical
+    * oracle). This is the form that survives a single group holding
+    * half the table.
+    */
+  def topOrdersPerPriorityAgg(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKByAgg.topKBy
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(topKBy(col("o_totalprice"), col("o_orderkey"), 3).as("top"))
+      .select(col("o_orderpriority"), posexplode(col("top")).as(Seq("rk0", "e")))
+      .select(col("o_orderpriority"),
+        col("e.id").as("o_orderkey"),
+        col("e.value").as("o_totalprice"),
+        (col("rk0") + 1).cast("int").as("rank_in_group"))
+  }
+
   def marketShare(s: SparkSession, dir: String,
                   region: String = "ASIA", supplierNation: String = "NATION_7"): DataFrame = {
     val asiaCustomers = Tables.customer(s, dir)

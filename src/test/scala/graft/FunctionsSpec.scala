@@ -230,4 +230,13 @@ class FunctionsSpec extends SparkSpec {
     assert(spark.sql("SELECT graft_lcs(array('a','b','c'), array('b','c','d'))").head.getInt(0) == 2)
     assert(spark.sql("SELECT size(graft_rp_bands(array(1.0F, -2.0F), 8, 4))").head.getInt(0) == 8)
   }
+
+  test("graft_top_by SQL aggregate returns exact rank-ordered (value, id) pairs") {
+    VectorFunctions.register(spark)
+    val top = spark.sql(
+      """SELECT graft_top_by(v, id, 2) FROM (
+           SELECT * FROM VALUES (1.0D, 10L), (3.0D, 7L), (3.0D, 5L), (2.0D, 1L) AS t(v, id))""")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+    assert(top.map(r => (r.getDouble(0), r.getLong(1))) == Seq((3.0, 5L), (3.0, 7L)))
+  }
 }

@@ -192,6 +192,14 @@ class PlanSpec extends SparkSpec {
     assert(windows.exists(_.partitionSpec.size == 2), "no salted phase-1 window")
   }
 
+  test("q26 bounded-heap ranking plans no Window and no per-group Sort") {
+    val nodes = allNodes(finalPlan("q26_topn_agg"))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "WindowExec in q26 — the aggregate form must not sort groups")
+    assert(shuffleCount("q26_topn_agg") == 1,
+      s"q26 shuffles ${shuffleCount("q26_topn_agg")}× — partial agg must combine map-side")
+  }
+
   test("k-means assignment is one projection over the corpus — no Exchange, no Window") {
     // Centroids are driver-collected literals, so a Lloyd iteration's
     // lineage must be exactly scan → project: any Exchange or Window

@@ -26,6 +26,31 @@ class RankingIntegritySpec extends SparkSpec {
     }
   }
 
+  test("q26 bounded-heap aggregate equals the window and salted formulations exactly") {
+    val agg = Relational.topOrdersPerPriorityAgg(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Int]("rank_in_group")) ->
+        (r.getAs[Long]("o_orderkey"), r.getAs[Double]("o_totalprice"))).toMap
+    val salted = Relational.topOrdersPerPriority(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Int]("rank_in_group")) ->
+        (r.getAs[Long]("o_orderkey"), r.getAs[Double]("o_totalprice"))).toMap
+    assert(agg == salted)
+  }
+
+  test("topKBy keeps exact winners under adversarial partitioning and ties") {
+    import graft.functions.TopKByAgg.topKBy
+    // ties on value resolve to the smaller id; single partition vs many
+    // partitions must agree (merge associativity)
+    val rows = Seq((1.0, 1L), (1.0, 2L), (2.0, 3L), (2.0, 4L), (0.5, 5L), (2.0, 6L))
+    def run(parts: Int) = rows.toDF("v", "id").repartition(parts)
+      .agg(topKBy(col("v"), col("id"), 3).as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.value"), col("e.id")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+    val expect = Seq((2.0, 3L), (2.0, 4L), (2.0, 6L))
+    assert(run(1) == expect)
+    assert(run(7) == expect)
+  }
+
   test("dq05 referential integrity: clean star schema reports zero violations with full counts") {
     val rows = DataQuality.referentialIntegrity(spark, sfDir).collect()
       .map(r => r.getAs[String]("relation") -> r).toMap
