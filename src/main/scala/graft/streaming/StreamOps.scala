@@ -273,6 +273,27 @@ object StreamOps {
       }
   }
 
+  /** st13: streaming exact top-k by VALUE per window — the live
+    * leaderboard (largest purchases this hour) via the bounded-heap
+    * TopKByAgg: the aggregate's k-entry buffer IS the state-store
+    * value, so state per window is k entries regardless of event
+    * volume, and it stays EXACT (st09's SpaceSaving counterpart is
+    * for counted frequency, approximate above capacity).
+    */
+  def windowedTopValues(events: DataFrame, k: Int = 3,
+                        windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame = {
+    import graft.functions.TopKByAgg.topKBy
+    events
+      .withWatermark("ts", watermark)
+      .filter(col("value").isNotNull)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(topKBy(col("value"), col("event_id"), k).as("top"))
+      .select(col("window.start").as("bucket"), posexplode(col("top")).as(Seq("rk0", "e")))
+      .select(col("bucket"), (col("rk0") + 1).as("rank"),
+        col("e.id").as("event_id"), col("e.value").as("value"))
+  }
+
   /** st11 (stateful half): watermarked per-window value-distribution
     * bin counts — the streaming form of dq04's binned profile (ev20's
     * histogram, emitted per closed window). State per (window, type,

@@ -116,6 +116,27 @@ class MonitoringOpsSpec extends SparkSpec {
     }
   }
 
+  test("st13 streaming top values: exact per-window winners from bounded heap state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    def t(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    mem.addData((1L, t(1), 10.0), (2L, t(2), 99.0), (3L, t(3), 50.0), (4L, t(4), 99.0))
+    mem.addData((5L, t(70), 1.0), (6L, t(300), 1.0)) // next window + watermark push
+    val out = StreamOps.windowedTopValues(
+      mem.toDF.toDF("event_id", "ts", "value"), k = 2)
+    val q = out.writeStream.format("memory").queryName("st13_out")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val rows = spark.table("st13_out").collect()
+    val firstBucket = rows.map(_.getAs[java.sql.Timestamp]("bucket").getTime).min
+    val w1 = rows
+      .filter(_.getAs[java.sql.Timestamp]("bucket").getTime == firstBucket)
+      .sortBy(_.getAs[Int]("rank"))
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("event_id"), r.getAs[Double]("value")))
+    // ties on value resolve to the smaller event id
+    assert(w1.toSeq == Seq((1, 2L, 99.0), (2, 4L, 99.0)), w1.mkString(","))
+  }
+
   test("src07 multiline reassembly folds stack traces into their header line") {
     val lines = Seq(
       ("app.log", 1L, "2026-01-15T10:00:00Z ERROR api request failed"),
