@@ -226,6 +226,14 @@ object SparkEntry {
         (sqrt(list_sum(list_transform(list_zip($a, $a), x -> CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE)))) *
          sqrt(list_sum(list_transform(list_zip($b, $b), x -> CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE))))))"""
 
+  private def topnOracle(source: String): String =
+    s"""SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_group FROM (
+         SELECT o_orderpriority, o_orderkey, o_totalprice,
+                row_number() OVER (PARTITION BY o_orderpriority
+                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_group
+         FROM $source AS o)
+       WHERE rank_in_group <= 3"""
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
@@ -1161,20 +1169,12 @@ object SparkEntry {
                  FROM top),
          tot AS (SELECT count(*) AS vocab_size, CAST(sum(freq) AS BIGINT) AS total_tokens FROM c)
          SELECT * FROM fit CROSS JOIN tot""",
-    "q25_topn_per_group" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_group FROM (
-           SELECT o_orderpriority, o_orderkey, o_totalprice,
-                  row_number() OVER (PARTITION BY o_orderpriority
-                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_group
-           FROM orders)
-         WHERE rank_in_group <= 3""",
-    "q26_topn_agg" ->
-      """SELECT o_orderpriority, o_orderkey, o_totalprice, rank_in_group FROM (
-           SELECT o_orderpriority, o_orderkey, o_totalprice,
-                  row_number() OVER (PARTITION BY o_orderpriority
-                    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_group
-           FROM orders)
-         WHERE rank_in_group <= 3""",
+    "q25_topn_per_group" -> topnOracle("orders"),
+    // same ranking contract as q25, ONE shared string builder — the only
+    // divergence is NULL handling: the aggregate ignores NULL-valued
+    // rows (SQL aggregate convention), a window ranks them last, so the
+    // aggregate's oracle filters them explicitly
+    "q26_topn_agg" -> topnOracle("(SELECT * FROM orders WHERE o_totalprice IS NOT NULL)"),
     "dq05_referential_integrity" ->
       """WITH li AS (SELECT 'lineitem->orders' AS relation, count(*) AS n_child,
                      count(CASE WHEN o.k IS NULL AND l.l_orderkey IS NOT NULL THEN 1 END) AS n_orphans,

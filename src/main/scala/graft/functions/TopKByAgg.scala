@@ -28,6 +28,13 @@ import org.apache.spark.sql.types._
   *
   * Ordering: value descending, id ascending on ties — the repo's
   * deterministic tie-break convention (q04/q25).
+  *
+  * NULL semantics are the SQL AGGREGATE convention: rows with a NULL
+  * value or id are ignored, like sum/avg ignore NULL inputs. A window
+  * formulation ranks NULL-valued rows last instead — the two agree
+  * whenever a group has ≥ k non-null rows; callers mirroring a window
+  * oracle on NULL-bearing data must filter NULLs on the window side
+  * (q26's oracle does).
   */
 case class TopKByAgg(
     value: Expression,
@@ -54,9 +61,20 @@ case class TopKByAgg(
           s"graft_top_by expects (double, long), got $other")
     }
 
-  /** true iff a ranks strictly better than b (value desc, id asc). */
-  private def better(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+  /** true iff a ranks strictly better than b (value desc, id asc).
+    * Comparison is the IEEE-754 TOTAL order (java.lang.Double.compare):
+    * plain `>` returns false for every NaN comparison, which would pin
+    * the worst-scan on a NaN entry and silently drop all later rows,
+    * and makes sortWith non-transitive. Total order ranks NaN above
+    * +Inf — the same convention Spark's sort uses, so this agrees with
+    * the window/salted formulations on NaN-bearing data. -0.0 is
+    * normalized to 0.0 on entry so the total order's -0.0 < 0.0
+    * distinction can never flip a tie-break against SQL equality.
+    */
+  private def better(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c > 0 || (c == 0 && a._2 < b._2)
+  }
 
   override def createAggregationBuffer(): mutable.ArrayBuffer[(Double, Long)] =
     mutable.ArrayBuffer.empty
@@ -78,7 +96,10 @@ case class TopKByAgg(
                       input: InternalRow): mutable.ArrayBuffer[(Double, Long)] = {
     val v = value.eval(input)
     val i = id.eval(input)
-    if (v != null && i != null) add(buf, (v.asInstanceOf[Double], i.asInstanceOf[Long]))
+    if (v != null && i != null) {
+      val vd = v.asInstanceOf[Double]
+      add(buf, (if (vd == 0.0) 0.0 else vd, i.asInstanceOf[Long]))
+    }
     buf
   }
 

@@ -29,6 +29,21 @@ object Events {
     */
   private def ev(s: SparkSession, dir: String): DataFrame = Tables.events(s, dir)
 
+  /** The ONE sessionize prelude every session-scoped operator builds
+    * on (ev04 sessions, ot01 traces, ot02 edges, ev26 attribution,
+    * ev28 paths): second-truncated event time, per-user gap to the
+    * previous event, and the session-break flag at the standard
+    * 30-minute gap. The gap definition and its oracle mirrors must
+    * never drift apart per call site.
+    */
+  private def withSessionBreaks(df: DataFrame, gapS: Long = 1800L): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    df.withColumn("ts_s", date_trunc("second", col("ts")))
+      .withColumn("gap_s",
+        unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byUser)))
+      .withColumn("is_break", when(col("gap_s").isNull || col("gap_s") > gapS, 1).otherwise(0))
+  }
+
   /** ev01: time-bucketed throughput (toStartOfMinute/Hour analog). */
   def hourlyThroughput(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
@@ -74,15 +89,10 @@ object Events {
     * lag + cumulative-sum-of-breaks over a per-user window; second
     * granularity so both engines agree on the gap comparison.
     */
-  def sessionize(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
-    ev(s, dir)
-      .withColumn("ts_s", date_trunc("second", col("ts")))
-      .withColumn("gap_s", unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byUser)))
-      .withColumn("is_break", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+  def sessionize(s: SparkSession, dir: String): DataFrame =
+    withSessionBreaks(ev(s, dir))
       .groupBy("user_id")
       .agg(sum("is_break").as("n_sessions"), count(lit(1)).as("n_events"))
-  }
 
   /** ot01: OTel-style trace reassembly + critical-path attribution over
     * a trace-shaped view of the event stream (clickhouse/migrations/
@@ -101,12 +111,8 @@ object Events {
   def traceSpans(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val byUserLag = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
-    val spans = ev(s, dir)
-      .withColumn("ts_s", date_trunc("second", col("ts")))
+    val spans = withSessionBreaks(ev(s, dir))
       .withColumn("dur_ms", coalesce(col("value"), lit(0.0)))
-      .withColumn("gap_s", unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byUserLag)))
-      .withColumn("is_break", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
       .withColumn("trace_seq", sum("is_break").over(byUser))
     val wTop = Window.partitionBy("user_id", "trace_seq")
       .orderBy(col("dur_ms").desc, col("event_id").asc)
@@ -545,12 +551,8 @@ object Events {
     */
   def serviceGraph(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
-    ev(s, dir)
-      .withColumn("ts_s", date_trunc("second", col("ts")))
+    withSessionBreaks(ev(s, dir))
       .withColumn("dur_ms", coalesce(col("value"), lit(0.0)))
-      .withColumn("gap_s",
-        unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byUser)))
-      .withColumn("is_break", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
       .withColumn("src_service",
         when(col("is_break") === 0, lag("event_type", 1).over(byUser)))
       .filter(col("src_service").isNotNull)
@@ -659,11 +661,7 @@ object Events {
     */
   def topPaths(s: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
-    ev(s, dir)
-      .withColumn("ts_s", date_trunc("second", col("ts")))
-      .withColumn("gap_s",
-        unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byUser)))
-      .withColumn("is_break", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+    withSessionBreaks(ev(s, dir))
       .withColumn("prev_break", lag("is_break", 1).over(byUser))
       .withColumn("t2", lag("event_type", 2).over(byUser))
       .withColumn("t1", lag("event_type", 1).over(byUser))
@@ -690,11 +688,7 @@ object Events {
   def firstTouchAttribution(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
     val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val sessions = ev(s, dir)
-      .withColumn("ts_s", date_trunc("second", col("ts")))
-      .withColumn("gap_s",
-        unix_timestamp(col("ts_s")) - unix_timestamp(lag("ts_s", 1).over(byUser)))
-      .withColumn("is_break", when(col("gap_s").isNull || col("gap_s") > 1800, 1).otherwise(0))
+    val sessions = withSessionBreaks(ev(s, dir))
       .withColumn("trace_seq", sum("is_break").over(run))
       // the break row IS the session's first event, so the entry type is
       // a running last-non-null over the SAME window sort — no second
