@@ -29,7 +29,9 @@ object Scratch {
       "q19_revenue_quartiles", "lp01_label_propagation", "km01_spherical_kmeans",
       "tx18_bm25_search", "sim05_rp_neardup", "q21_latest_orders_enriched",
       "q22_market_share", "tx23_sequence_packing", "tx26_decontamination",
-      "smp01_stratified_sample", "sim07_quantized_knn", "ev21_slo_burn")
+      "smp01_stratified_sample", "sim07_quantized_knn", "ev21_slo_burn",
+      "q26_topn_agg", "ev24_gap_islands", "ev26_attribution",
+      "tx31_phrase_search", "rag04_token_chunks")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
