@@ -182,4 +182,71 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("CUSUM prefix identity equals the max(0, S+d) recursion on random series") {
+    val seriesGen = Gen.listOfN(40, Gen.chooseNum(-1.0, 1.0))
+    samples(seriesGen, 8).foreach { ds =>
+      // identity: S_t = P_t − min(0, min_{j≤t} P_j) over prefix sums P
+      var p = 0.0
+      var minP = 0.0
+      var sRec = 0.0
+      ds.foreach { d =>
+        sRec = math.max(0.0, sRec + d)
+        p += d
+        val sId = p - math.min(0.0, { minP = math.min(minP, p); minP })
+        assert(math.abs(sRec - sId) < 1e-9, s"identity diverges on $ds")
+      }
+    }
+  }
+
+  test("topKBy equals sort-and-take on random data under random partitioning") {
+    import graft.functions.TopKByAgg.topKBy
+    val rowGen = Gen.listOfN(30,
+      Gen.zip(Gen.oneOf(Gen.chooseNum(-5.0, 5.0), Gen.const(Double.NaN)),
+              Gen.chooseNum(0L, 50L)))
+    samples(Gen.zip(rowGen, Gen.chooseNum(1, 9)), 6).foreach { case (rows, parts) =>
+      if (rows.nonEmpty) {
+        val got = rows.toDF("v", "id").repartition(parts)
+          .agg(topKBy(col("v"), col("id"), 4).as("top"))
+          .select(explode(col("top")).as("e"))
+          .select(col("e.value"), col("e.id")).collect()
+          .map(r => (r.getDouble(0), r.getLong(1))).toSeq
+        // reference: IEEE total order desc (NaN largest), id asc — the
+        // ordering Spark's own sort uses
+        val expect = rows
+          .sortWith { (a, b) =>
+            val c = java.lang.Double.compare(a._1, b._1)
+            c > 0 || (c == 0 && a._2 < b._2)
+          }.take(4)
+        assert(got.map { case (v, i) => (java.lang.Double.doubleToLongBits(v), i) } ==
+          expect.map { case (v, i) => (java.lang.Double.doubleToLongBits(v), i) },
+          s"mismatch on $rows parts=$parts")
+      }
+    }
+  }
+
+  test("morton interleave matches the reference on random coordinates and preserves prefix blocks") {
+    val coordGen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L)))
+    def ref(a: Long, b: Long): Long = {
+      var z = 0L
+      (0 until 16).foreach { i =>
+        z |= ((a >> i) & 1L) << (2 * i)
+        z |= ((b >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    samples(coordGen, 5).foreach { cs =>
+      if (cs.nonEmpty) {
+        val got = cs.toDF("a", "b")
+          .select(Scale.mortonInterleave(col("a"), col("b")).as("z"))
+          .collect().map(_.getLong(0))
+        got.zip(cs).foreach { case (z, (a, b)) =>
+          assert(z == ref(a, b), s"($a,$b)")
+          // locality: points sharing the top 8 bits of both coordinates
+          // share the top 16 bits of the code (quadtree block nesting)
+          assert(z >> 16 == ref(a >> 8 << 8, b >> 8 << 8) >> 16)
+        }
+      }
+    }
+  }
 }
