@@ -140,32 +140,69 @@ object Scale {
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
   }
 
+  /** Quantile band of `value` against a sorted broadcast cut-point
+    * array: the count of cuts <= value, computed as a two-level
+    * counting fold (√n super-cuts to pick the chunk, then one chunk) —
+    * O(2·√|cuts|) comparisons per row, pure codegen'd expression, no
+    * window, no shuffle. Exact: chunks before the picked one are
+    * wholly <= value (their last element is), chunks after are wholly
+    * greater (their elements dominate the picked chunk's last), so
+    * counting one chunk element-wise recovers the full count.
+    */
+  private[graft] def quantileBand(value: Column, cuts: Array[Double]): Column = {
+    require(cuts.nonEmpty)
+    val chunk = math.max(1, math.ceil(math.sqrt(cuts.length)).toInt)
+    // super-cut j = last element of chunk j: if it is <= v, every
+    // element of that chunk is <= v (sortedness), so only ONE chunk
+    // needs element-wise counting
+    val superCuts = (chunk - 1 until cuts.length by chunk).map(cuts).toArray
+    val v = value.cast("double")
+    def countLe(arr: Column, x: Column): Column =
+      aggregate(arr, lit(0), (acc, c) => acc + when(c <= x, 1).otherwise(0))
+    val coarse = countLe(typedLit(superCuts), v)
+    val fine = countLe(slice(typedLit(cuts), coarse * chunk + 1, lit(chunk)), v)
+    coarse * chunk + fine
+  }
+
+  /** Z-order layout plan: the frame range-partitioned + sorted on the
+    * Morton code of two numeric filter columns, ready to write. Keys
+    * are rank-compressed to the Morton domain with broadcast
+    * approx-quantile cut points (the q19 pattern) so skewed raw values
+    * still interleave evenly — ONE stat pass for both columns plus the
+    * banding projection inside the scan; no global window anywhere
+    * (the previous ntile form serialized the whole write set through
+    * a single task, which at the 100 TB scale this utility exists for
+    * does not finish).
+    */
+  def zOrderedLayout(df: DataFrame, files: Int,
+                     colA: String, colB: String, bits: Int = 16): DataFrame = {
+    require(files >= 1 && bits >= 1)
+    // 2^bandBits bands per dimension; 1024 is >= 10x any realistic
+    // file count per write and keeps the cut array broadcast-small
+    val bandBits = math.min(bits, 10)
+    val nb = 1 << bandBits
+    val probs = (1 until nb).map(_.toDouble / nb).toArray
+    val Array(cutsA, cutsB) =
+      df.stat.approxQuantile(Array(colA, colB), probs, 1.0 / (4 * nb))
+    df
+      .withColumn("__z", mortonInterleave(
+        quantileBand(col(colA), cutsA),
+        quantileBand(col(colB), cutsB), bandBits))
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+  }
+
   /** Z-order-clustered write — writeRangeClustered's multi-dimensional
     * form (the Delta/Iceberg OPTIMIZE ZORDER BY analog, built from
     * primitives): range-partition + sort on the Morton code of two
     * filter columns, so per-file min/max boxes are tight in BOTH
     * dimensions and row-group stats prune selective predicates on
-    * either one. Keys are rank-compressed to the Morton domain with
-    * ntile so skewed raw values still interleave evenly.
+    * either one.
     */
   def writeZOrdered(df: DataFrame, dest: String, files: Int,
-                    colA: String, colB: String, bits: Int = 16): Unit = {
-    require(files >= 1)
-    val n = 1 << bits
-    val wA = org.apache.spark.sql.expressions.Window.orderBy(col(colA))
-    val wB = org.apache.spark.sql.expressions.Window.orderBy(col(colB))
-    // ntile is a global window — acceptable for layout JOBS (they run
-    // once, offline); swap in approx-quantile cut points for a purely
-    // scan-shaped variant at extreme scale
-    val coded = df
-      .withColumn("__za", ntile(n).over(wA) - 1)
-      .withColumn("__zb", ntile(n).over(wB) - 1)
-      .withColumn("__z", mortonInterleave(col("__za"), col("__zb"), bits))
-    coded
-      .repartitionByRange(files, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__za", "__zb", "__z")
+                    colA: String, colB: String, bits: Int = 16): Unit =
+    zOrderedLayout(df, files, colA, colB, bits)
       .write.mode(SaveMode.Overwrite)
       .parquet(dest)
-  }
 }

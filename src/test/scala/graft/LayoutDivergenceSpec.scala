@@ -73,6 +73,35 @@ class LayoutDivergenceSpec extends SparkSpec {
     got.zip(cases).foreach { case (z, (a, b)) => assert(z == ref(a, b), s"($a,$b)") }
   }
 
+  test("quantileBand is the exact count of cuts <= value, duplicates and range ends included") {
+    // duplicate-heavy sorted cuts with a partial final chunk
+    val cuts = (Seq.fill(40)(5.0) ++ (1 to 983).map(i => (i % 97).toDouble)).sorted.toArray
+    val values = Seq(-1.0, 0.0, 0.5, 4.9, 5.0, 5.1, 50.0, 96.0, 96.5, 1e9)
+    val got = values.toDF("v")
+      .select(col("v"), Scale.quantileBand(col("v"), cuts).as("band"))
+      .collect().map(r => r.getDouble(0) -> r.getInt(1)).toMap
+    values.foreach { v =>
+      assert(got(v) == cuts.count(_ <= v), s"band($v)")
+    }
+  }
+
+  test("z-ordered layout plan has no WindowExec and no single-partition exchange") {
+    val df = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey", "l_quantity")
+    val plan = Scale.zOrderedLayout(df, files = 8, "l_partkey", "l_suppkey")
+      .queryExecution.executedPlan
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(all)) ++ p.subqueries.flatMap(all)
+    val nodes = all(plan)
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "WindowExec in z-order layout plan — the global-ntile shape must not come back")
+    nodes.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }.foreach { e =>
+      assert(e.outputPartitioning.numPartitions > 1,
+        "single-partition exchange in z-order layout plan")
+    }
+  }
+
   test("z-ordered layout keeps per-file min/max boxes tight in BOTH dimensions") {
     val dir = java.nio.file.Files.createTempDirectory("zorder").toString
     val df = Tables.lineitem(spark, sfDir).select("l_partkey", "l_suppkey", "l_quantity")
