@@ -84,6 +84,7 @@ object SparkEntry {
     "km03_density_clusters"         -> (Density.km03 _),
     // Event sourcing / CQRS
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
+    "es06_state_as_of"              -> ((s: SparkSession, dir: String) => Events.stateAsOf(s, dir)),
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),
     "es03_retention_ttl"            -> (Events.retentionTtl _),
     "es04_weekly_recap_rollup"      -> (Events.weeklyRecapRollup _),
@@ -154,6 +155,7 @@ object SparkEntry {
     "tx33_source_divergence"        -> (TextOps.sourceDivergence _),
     "tx34_containment_pairs"        -> ((s: SparkSession, dir: String) => TextOps.containmentPairs(s, dir)),
     "tx36_search_snippets"          -> ((s: SparkSession, dir: String) => TextOps.searchSnippets(s, dir)),
+    "tx37_fuzzy_search"             -> ((s: SparkSession, dir: String) => TextOps.fuzzySearch(s, dir)),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:
@@ -712,6 +714,13 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY user_id
                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events)
          WHERE rn = 1""",
+    "es06_state_as_of" ->
+      """SELECT user_id, event_type AS last_event_type,
+         round(value,2) AS last_value, CAST(ts AS TIMESTAMP) AS last_ts
+         FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events
+               WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15')
+         WHERE rn = 1""",
     "es02_event_type_daily" ->
       """SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
          count(*) AS n, round(sum(value),2) AS total_value
@@ -905,13 +914,17 @@ object SparkEntry {
          SELECT source, count(*) AS n_pairs, round(avg(npmi), 4) AS coherence
          FROM sc GROUP BY source""",
     "tx30_textrank_keywords" ->
-      """WITH dt AS (SELECT DISTINCT doc_id, term FROM (
+      """WITH toks AS (SELECT doc_id, term, pos FROM (
                        SELECT doc_id,
-                              unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+                              unnest(string_split_regex(trim(text), '\s+')) AS term,
+                              generate_subscripts(string_split_regex(trim(text), '\s+'), 1) AS pos
                        FROM documents)
                      WHERE len(term) >= 3),
-         pe AS (SELECT a.term AS ta, b.term AS tb, count(*) AS w
-                FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+         pd AS (SELECT DISTINCT a.doc_id, least(a.term, b.term) AS ta, greatest(a.term, b.term) AS tb
+                FROM toks a JOIN toks b
+                  ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 15
+                WHERE a.term <> b.term),
+         pe AS (SELECT ta, tb, count(*) AS w FROM pd
                 GROUP BY 1, 2 HAVING count(*) >= 5),
          e AS (SELECT ta AS src, tb AS dst, w FROM pe
                UNION ALL SELECT tb, ta, w FROM pe),
@@ -1237,6 +1250,28 @@ object SparkEntry {
          FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
          WHERE (len(a.toks) < len(b.toks) OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
            AND round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 4) >= 0.95""",
+    "tx37_fuzzy_search" ->
+      """WITH q AS (SELECT query, '  ' || lower(query) || ' ' AS p
+                    FROM (VALUES ('sparc'), ('custmer'), ('windoow')) AS t(query)),
+         qt AS (SELECT query, list_distinct([p[i:i+2] FOR i IN range(1, len(p)-1)]) AS qtg FROM q),
+         postings AS (SELECT DISTINCT doc_id, term FROM (
+                        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+                        FROM documents)
+                      WHERE len(term) >= 3),
+         vocab AS (SELECT term, '  ' || lower(term) || ' ' AS p FROM (SELECT DISTINCT term FROM postings)),
+         tt AS (SELECT term, list_distinct([p[i:i+2] FOR i IN range(1, len(p)-1)]) AS tg FROM vocab),
+         scored AS (SELECT qt.query, tt.term,
+                           len(list_intersect(tt.tg, qt.qtg)) * 1.0 /
+                           (len(tt.tg) + len(qt.qtg) - len(list_intersect(tt.tg, qt.qtg))) AS sim
+                    FROM tt CROSS JOIN qt),
+         matched AS (SELECT query, term, sim FROM scored WHERE sim >= 0.3),
+         perdoc AS (SELECT m.query, p.doc_id, max(m.sim) AS sim
+                    FROM matched m JOIN postings p ON m.term = p.term
+                    GROUP BY 1, 2)
+         SELECT query, doc_id, round(sim, 4) AS sim FROM (
+           SELECT *, row_number() OVER (PARTITION BY query ORDER BY sim DESC, doc_id ASC) AS rk
+           FROM perdoc)
+         WHERE rk <= 10""",
     "tx36_search_snippets" ->
       """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
                     FROM documents),

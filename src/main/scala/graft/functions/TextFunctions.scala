@@ -86,14 +86,31 @@ object TextFunctions {
     round(lit(0.5) * lenScore + lit(0.5) * density, 4)
   }
 
-  /** Sentence segmentation: split on terminal punctuation followed by
-    * whitespace (recap-worker/recap-worker/src/util/text.rs:19
-    * split_sentences — the granularity its XXH3 near-dup filter hashes
-    * at). Compose with HashFunctions for sentence-level dedup:
-    * explode(sentences) → xxhash64 → groupBy.
+  /** Sentence segmentation: split on terminal punctuation
+    * (recap-worker/recap-worker/src/util/text.rs:19 unicode_sentences
+    * — the granularity its XXH3 near-dup filter hashes at; that
+    * reference segments with full UAX#29 rules). Two rules:
+    *
+    *  - ASCII terminators [.!?] followed by whitespace (whitespace
+    *    consumed);
+    *  - CJK terminators 。．！？… — which Japanese text does NOT
+    *    follow with whitespace — optionally trailed by up to two
+    *    closing quotes/brackets (the break lands AFTER 」』etc., per
+    *    UAX#29), with a guard so a ！！ run or 。」 sequence splits
+    *    once at its end, not inside.
+    *
+    * Without the CJK rule a Japanese corpus never splits and sentence
+    * dedup silently degenerates to whole-document dedup. Compose with
+    * HashFunctions for sentence-level dedup: explode(sentences) →
+    * xxhash64 → groupBy.
     */
   def sentences(text: Column): Column =
-    filter(split(trim(text), "(?<=[.!?])\\s+"), s => length(trim(s)) > 0)
+    filter(
+      split(trim(text),
+        "(?<=[.!?])\\s+|" +
+        "(?<=[。．！？…][」』）】〉》\"']{0,2})" +
+        "(?![。．！？…」』）】〉》\"'])\\s*"),
+      s => length(trim(s)) > 0)
 
   /** Strip HTML to text: remove script/style subtrees, drop tags,
     * decode the common entities, collapse whitespace — the article-body

@@ -139,27 +139,43 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
   }
 
+  /** Arity guard: a clean, named error instead of the raw
+    * IndexOutOfBoundsException `es(1)` would throw when a SQL caller
+    * passes too few arguments.
+    */
+  private def arity(name: String, min: Int, max: Int)(
+      b: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    es => {
+      if (es.length < min || es.length > max)
+        throw new IllegalArgumentException(
+          s"$name expects " +
+          (if (min == max) s"$min argument(s)" else s"between $min and $max arguments") +
+          s", got ${es.length}")
+      b(es)
+    }
+
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
-    "graft_minhash" -> (es =>
+    "graft_cosine" -> arity("graft_cosine", 2, 2)(es => CosineSimilarity(es(0), es(1))),
+    "graft_minhash" -> arity("graft_minhash", 1, 2)(es =>
       MinHashSignature(es(0), if (es.length > 1) intArg(es(1), "k") else 64)),
-    "graft_minhash_bands" -> (es => MinHashBands(es(0),
+    "graft_minhash_bands" -> arity("graft_minhash_bands", 1, 3)(es => MinHashBands(es(0),
       if (es.length > 1) intArg(es(1), "k") else 64,
       if (es.length > 2) intArg(es(2), "bands") else 16)),
-    "graft_shingles" -> (es => WordShingles(es(0), intArg(es(1), "n"))),
-    "graft_simhash" -> (es => SimHash64(es(0))),
-    "graft_winnow" -> (es =>
+    "graft_shingles" -> arity("graft_shingles", 2, 2)(es => WordShingles(es(0), intArg(es(1), "n"))),
+    "graft_simhash" -> arity("graft_simhash", 1, 1)(es => SimHash64(es(0))),
+    "graft_winnow" -> arity("graft_winnow", 1, 2)(es =>
       WinnowFingerprints(es(0), if (es.length > 1) intArg(es(1), "w") else 4)),
-    "graft_lang_id" -> (es => LangIdExpr(es(0),
+    "graft_lang_id" -> arity("graft_lang_id", 1, 1)(es => LangIdExpr(es(0),
       TextFunctions.langMarkers.map(_._1), TextFunctions.langMarkers.map(_._2))),
-    "graft_simhash_agg" -> (es => SimHashAgg(es(0)).toAggregateExpression()),
-    "graft_topk_agg" -> (es => SpaceSavingAgg(es(0),
+    "graft_simhash_agg" -> arity("graft_simhash_agg", 1, 1)(es =>
+      SimHashAgg(es(0)).toAggregateExpression()),
+    "graft_topk_agg" -> arity("graft_topk_agg", 1, 3)(es => SpaceSavingAgg(es(0),
       if (es.length > 1) intArg(es(1), "k") else 10,
       if (es.length > 2) intArg(es(2), "capacity") else 256).toAggregateExpression()),
-    "graft_lcs" -> (es => LcsLength(es(0), es(1))),
-    "graft_top_by" -> (es => TopKByAgg(es(0), es(1),
+    "graft_lcs" -> arity("graft_lcs", 2, 2)(es => LcsLength(es(0), es(1))),
+    "graft_top_by" -> arity("graft_top_by", 2, 3)(es => TopKByAgg(es(0), es(1),
       if (es.length > 2) intArg(es(2), "k") else 10).toAggregateExpression()),
-    "graft_rp_bands" -> (es => RpSignBands(es(0),
+    "graft_rp_bands" -> arity("graft_rp_bands", 1, 3)(es => RpSignBands(es(0),
       if (es.length > 1) intArg(es(1), "bands") else 16,
       if (es.length > 2) intArg(es(2), "rowsPerBand") else 8)))
 }

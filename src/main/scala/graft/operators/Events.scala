@@ -457,6 +457,25 @@ object Events {
               round(col("value"), 2).as("last_value"), col("ts").as("last_ts"))
   }
 
+  /** es06: point-in-time replay — es01's latest-state projection AS OF
+    * a cutoff T: the read model rebuilt from only events ≤ T
+    * (knowledge-sovereign's replayable backfill — its migrations keep
+    * events append-only precisely so any historical state can be
+    * reconstructed). At scale the cutoff is a partition-pruning
+    * predicate: replaying to T scans only time partitions ≤ T, never
+    * the whole log.
+    */
+  def stateAsOf(s: SparkSession, dir: String,
+                asOf: String = "2024-01-15"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+    ev(s, dir)
+      .filter(col("ts") <= lit(asOf).cast("timestamp"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("last_event_type"),
+              round(col("value"), 2).as("last_value"), col("ts").as("last_ts"))
+  }
+
   /** es02: full-replay aggregation by (type, day) — the backfill path of
     * the CQRS projector.
     */

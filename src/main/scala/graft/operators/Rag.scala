@@ -80,10 +80,9 @@ object Rag {
     * shuffle, no UDF, bounded at maxChunks per doc so one huge
     * document cannot blow up a task.
     */
-  def tokenChunks(s: SparkSession, dir: String, win: Int = 64,
-                  stride: Int = 48, maxChunks: Int = 8): DataFrame =
-    Tables.documents(s, dir)
-      .filter(col("doc_id") < 100)
+  def tokenChunksOn(docs: DataFrame, win: Int = 64,
+                    stride: Int = 48, maxChunks: Int = 8): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .withColumn("n_toks", size(col("toks")))
       .filter(col("n_toks") > 0)
@@ -102,6 +101,16 @@ object Rag {
         col("chunk.start_token").as("start_token"),
         col("chunk.n_chunk_tokens").as("n_chunk_tokens"),
         col("chunk.chunk_text").as("chunk_text"))
+
+  /** Driver adapter for rag04: the doc_id < 100 sample keeps the
+    * dumped/benched result small — it is a harness choice, NOT part of
+    * the operator. Library callers chunk the full corpus with
+    * [[tokenChunksOn]].
+    */
+  def tokenChunks(s: SparkSession, dir: String, win: Int = 64,
+                  stride: Int = 48, maxChunks: Int = 8): DataFrame =
+    tokenChunksOn(Tables.documents(s, dir).filter(col("doc_id") < 100),
+      win, stride, maxChunks)
 
   /** rag03: MMR-diversified selection — retrieve top-k by cosine, then
     * pick m context docs greedily by Maximal Marginal Relevance

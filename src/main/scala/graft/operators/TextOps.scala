@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -558,32 +558,58 @@ object TextOps {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
+  /** Sliding-window co-occurrence edges over positioned tokens
+    * (doc_id, pos, term): one undirected weighted edge per unordered
+    * term pair that co-occurs within `window` positions in some
+    * document, weight = the number of DOCUMENTS where it does
+    * (window → ∞ recovers the document-level co-occurrence convention
+    * exactly, so edge weights stay comparable to it). Pair generation
+    * is LINEAR — Σ|tokens|·window rows via offset-explode + equi-join
+    * on (doc_id, pos), never a per-document all-pairs join (which is
+    * quadratic in document length: one 10k-term document would
+    * materialize 10⁸ pair rows before any weight floor prunes).
+    */
+  private[graft] def windowCooccurrenceEdges(toks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1)
+    val probes = toks.select(col("doc_id"),
+      explode(sequence(col("pos") + 1, col("pos") + window)).as("pos2"),
+      col("term").as("ta"))
+    probes.join(
+      toks.select(col("doc_id"), col("pos").as("pos2"), col("term").as("tb")),
+      Seq("doc_id", "pos2"))
+      .filter(col("ta") =!= col("tb")) // no self-loops
+      .select(col("doc_id"),
+              least(col("ta"), col("tb")).as("ta"),
+              greatest(col("ta"), col("tb")).as("tb"))
+      .distinct() // doc-frequency weighting: each doc votes once per pair
+      .groupBy("ta", "tb")
+      .agg(count(lit(1)).as("w"))
+  }
+
   /** tx30: TextRank keyword extraction — weighted PageRank over the
     * term co-occurrence graph, top-K terms by rank (Mihalcea & Tarau
     * 2004, public; the reference's tag-generator extracts article
     * keywords — tag-generator/app/tag_extractor/ — and TextRank is the
     * classic graph formulation of that task; Tag Verse renders the
-    * same co-occurrence graph tx11 builds). Edges are document-level
-    * co-occurrence counts (the tx11 convention, len ≥ 3 terms, floor 5
-    * to cut the noise tail), symmetrized; ranks from
-    * Graph.weightedPagerank. The corpus-sized work is the one edge
-    * aggregation; the iteration joins run over the (vocabulary-sized)
-    * edge list, and top-K is TakeOrdered — never a global window.
+    * same co-occurrence graph tx11 builds). Edges follow the paper's
+    * §3.1 sliding-window convention (len ≥ 3 terms, positions within
+    * `window`, doc-frequency weights, floor 5 to cut the noise tail),
+    * symmetrized; ranks from Graph.weightedPagerank. The corpus-sized
+    * work is the one linear pair generation + edge aggregation; the
+    * iteration joins run over the (vocabulary-sized) edge list, and
+    * top-K is TakeOrdered — never a global window.
     */
-  def textrankKeywords(s: SparkSession, dir: String, topK: Int = 20): DataFrame = {
-    val dt = Tables.documents(s, dir)
-      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+  def textrankKeywords(s: SparkSession, dir: String, topK: Int = 20,
+                       window: Int = 15): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
       .filter(length(col("term")) >= 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pe = dt.as("a").join(dt.as("b"), "doc_id")
-      .filter(col("a.term") < col("b.term"))
-      .groupBy(col("a.term").as("ta"), col("b.term").as("tb"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 5)
+    val pe = windowCooccurrenceEdges(toks, window).filter(col("w") >= 5)
     val edges = pe.select(col("ta").as("src"), col("tb").as("dst"), col("w"))
       .union(pe.select(col("tb").as("src"), col("ta").as("dst"), col("w")))
     val ranks = Graph.weightedPagerank(edges, damping = 0.85, iters = 3)
-    dt.unpersist() // edge aggregation materialized inside weightedPagerank
+    toks.unpersist() // edge aggregation materialized inside weightedPagerank
     val top = ranks
       .orderBy(col("rank").desc, col("node").asc).limit(topK)
       .select(col("node").as("term"), round(col("rank"), 6).as("rank"))
@@ -709,9 +735,8 @@ object TextOps {
     * be the longer set on equal-size ties (equal sets are tx06's exact
     * job).
     */
-  def containmentPairs(s: SparkSession, dir: String, tau: Double = 0.95): DataFrame = {
-    val d = Tables.documents(s, dir)
-      .filter(col("doc_id") < 1000)
+  def containmentPairsOn(docs: DataFrame, tau: Double = 0.95): DataFrame = {
+    val d = docs
       .select(col("doc_id"), col("source"), array_distinct(tokens(col("text"))).as("toks"))
     val a = d.select(col("source"), col("doc_id").as("doc_contained"), col("toks").as("toks_a"))
     val b = d.select(col("source"), col("doc_id").as("doc_container"), col("toks").as("toks_b"))
@@ -724,6 +749,13 @@ object TextOps {
       .filter(col("containment") >= tau)
       .select("source", "doc_contained", "doc_container", "containment")
   }
+
+  /** Driver adapter for tx34: the doc_id < 1000 sample is a harness
+    * choice, NOT part of the operator — library callers run
+    * [[containmentPairsOn]] over the full corpus.
+    */
+  def containmentPairs(s: SparkSession, dir: String, tau: Double = 0.95): DataFrame =
+    containmentPairsOn(Tables.documents(s, dir).filter(col("doc_id") < 1000), tau)
 
   /** tx36: search snippets (keyword-in-context) — for docs matching a
     * query term, the hit count and a ±3-token window around the FIRST
@@ -745,6 +777,63 @@ object TextOps {
       .select("doc_id", "source", "n_hits", "pos", "snippet")
       .orderBy(col("n_hits").desc, col("doc_id").asc)
       .limit(k)
+
+  /** Distinct char trigrams of a (lowercased) token, pg_trgm-padded:
+    * two leading + one trailing space, so word starts and ends carry
+    * weight. Pure codegen array ops — no UDF.
+    */
+  private def charTrigrams(t: Column): Column = {
+    val p = concat(lit("  "), lower(t), lit(" "))
+    array_distinct(transform(sequence(lit(1), length(p) - 2), i => p.substr(i, lit(3))))
+  }
+
+  /** tx37: typo-tolerant (fuzzy) token search — pg_trgm semantics:
+    * char-trigram Jaccard between query and vocabulary tokens, match
+    * threshold 0.3, documents ranked by their best-matching token
+    * (the typo-tolerance core of the reference's Meilisearch surface,
+    * search-indexer/app/driver/meilisearch_driver.go; q16/tx18/tx31
+    * all require exact tokens, this survives a misspelled query).
+    *
+    * Scale shape: trigram sets are computed once per DISTINCT
+    * vocabulary token (vocab-sized, not corpus-sized); the candidate
+    * set comes from a blocked equi-join on shared trigrams (the tx09
+    * blocking shape transposed to char trigrams) so only tokens
+    * sharing >= 1 trigram with a query are ever scored; the corpus
+    * postings join then runs against the tiny matched-token set
+    * (broadcast semi-join prunes at the scan). The final per-query
+    * top-k window partitions by query — never global.
+    */
+  def fuzzySearch(s: SparkSession, dir: String,
+                  queries: Seq[String] = Seq("sparc", "custmer", "windoow"),
+                  k: Int = 10): DataFrame = {
+    import s.implicits._
+    val q = queries.toDF("query").withColumn("qtg", charTrigrams(col("query")))
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(length(col("term")) >= 3)
+    val vocab = postings.select("term").distinct()
+      .withColumn("tg", charTrigrams(col("term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = vocab.select(col("term"), explode(col("tg")).as("tgm"))
+      .join(broadcast(q.select(col("query"), explode(col("qtg")).as("tgm"))), "tgm")
+      .select("query", "term").distinct()
+    val matched = cand
+      .join(vocab, "term").join(broadcast(q), "query")
+      .withColumn("inter", size(array_intersect(col("tg"), col("qtg"))))
+      .withColumn("sim",
+        col("inter") / (size(col("tg")) + size(col("qtg")) - col("inter")))
+      .filter(col("sim") >= 0.3)
+      .select("query", "term", "sim")
+    val perDoc = postings.join(broadcast(matched), "term")
+      .groupBy("query", "doc_id").agg(max("sim").as("sim"))
+    val w = Window.partitionBy("query").orderBy(col("sim").desc, col("doc_id").asc)
+    val out = perDoc
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("query"), col("doc_id"), round(col("sim"), 4).as("sim"))
+    val rows = out.collect() // |queries|·k rows — materialize, then drop the cache
+    vocab.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
 
   /** tx33: per-source lexical divergence — Jensen–Shannon divergence of
     * each source's term distribution from the corpus distribution

@@ -1,0 +1,155 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Round-4 operator specs: tx30's linear sliding-window co-occurrence
+  * edge build (replacing the per-document all-pairs join).
+  */
+class Round4OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planNodes(df: org.apache.spark.sql.DataFrame) = {
+    def all(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(all)) ++ p.subqueries.flatMap(all)
+    all(df.queryExecution.executedPlan)
+  }
+
+  test("window co-occurrence: exact doc-frequency weights on planted token sequences") {
+    // doc1: a b c a (window 2 reaches ab, ac, bc, ba, ca — one doc-vote
+    // each for {ab, ac, bc}); doc2: a b x → {ab, ax, bx}. d is at the
+    // far end of doc1 only with window 2 from c — NOT reachable from a.
+    val toks = Seq(
+      (1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c"), (1L, 3, "a"),
+      (2L, 0, "a"), (2L, 1, "b"), (2L, 2, "x"))
+      .toDF("doc_id", "pos", "term")
+    val got = TextOps.windowCooccurrenceEdges(toks, window = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("a", "b") -> 2L, ("a", "c") -> 1L, ("b", "c") -> 1L,
+      ("a", "x") -> 1L, ("b", "x") -> 1L))
+    // window 3 reaches pos0->pos3 in doc1: 'a'-'a' is a self-loop and
+    // must NOT appear; 'a b' still counts doc1 ONCE despite both a's
+    val w3 = TextOps.windowCooccurrenceEdges(toks, window = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(!w3.contains(("a", "a")) && w3(("a", "b")) == 2L && w3(("a", "c")) == 1L)
+  }
+
+  test("tx30 edge build is an equi-join — no nested-loop or cartesian pair generation") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), posexplode(graft.functions.TextFunctions.tokens(col("text"))).as(Seq("pos", "term")))
+      .filter(length(col("term")) >= 3)
+    val nodes = planNodes(TextOps.windowCooccurrenceEdges(toks, 10))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "nested-loop join in window co-occurrence")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.CartesianProductExec]),
+      "cartesian product in window co-occurrence")
+  }
+
+  test("es06 as-of replay: every state is frozen at T, and equals es01 on the truncated log") {
+    val cut = java.sql.Timestamp.valueOf("2024-01-15 00:00:00")
+    val asOf = Events.stateAsOf(spark, sfDir).collect()
+    assert(asOf.nonEmpty)
+    asOf.foreach(r => assert(!r.getAs[java.sql.Timestamp]("last_ts").after(cut)))
+    // replaying a pre-truncated log through the full projector must
+    // give the identical read model (the backfill-equivalence contract)
+    val truncated = Events.latestStateProjection(spark, sfDir)
+      .filter(col("last_ts") <= lit("2024-01-15").cast("timestamp"))
+    // es01 rows whose LATEST event is ≤ T are exactly the as-of states
+    // of users with no post-T activity — they must agree row-for-row
+    val agree = truncated.join(
+      Events.stateAsOf(spark, sfDir).withColumnRenamed("last_event_type", "t2")
+        .withColumnRenamed("last_value", "v2").withColumnRenamed("last_ts", "ts2"),
+      "user_id")
+    agree.collect().foreach { r =>
+      assert(r.getAs[String]("last_event_type") == r.getAs[String]("t2"))
+      assert(r.getAs[java.sql.Timestamp]("last_ts") == r.getAs[java.sql.Timestamp]("ts2"))
+    }
+    // and users WITH post-T activity still appear, with an older state
+    val es01Users = Events.latestStateProjection(spark, sfDir).count()
+    assert(asOf.length <= es01Users)
+  }
+
+  test("tx37 fuzzy search: a typo'd query still finds docs containing the intended token") {
+    val out = TextOps.fuzzySearch(spark, sfDir, queries = Seq("sparc"), k = 10).collect()
+    assert(out.nonEmpty, "typo'd query found nothing")
+    // every doc the typo'd probe ranks must actually contain 'spark'
+    // as its best fuzzy hit at this corpus (sim('sparc','spark')=0.5)
+    val sparkDocs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      .filter(array_contains(col("toks"), "spark"))
+      .select("doc_id").as[Long].collect().toSet
+    val top = out.filter(_.getAs[Double]("sim") >= 0.5).map(_.getAs[Long]("doc_id"))
+    assert(top.nonEmpty && top.forall(sparkDocs.contains),
+      s"docs ranked at sim>=0.5 must contain 'spark': ${top.toSeq}")
+    // exact-match control: querying the true token ranks it at sim 1.0
+    val exact = TextOps.fuzzySearch(spark, sfDir, queries = Seq("spark"), k = 5).collect()
+    assert(exact.forall(_.getAs[Double]("sim") == 1.0))
+  }
+
+  test("sentences: CJK terminators split without whitespace, quote-closers glue, runs split once") {
+    def seg(t: String): Seq[String] =
+      Seq(t).toDF("text")
+        .select(graft.functions.TextFunctions.sentences(col("text")).as("s"))
+        .collect().head.getSeq[String](0)
+    // Japanese: no whitespace after 。！ — must still split
+    assert(seg("これは一文です。これは二文目です！最後の文。") ==
+      Seq("これは一文です。", "これは二文目です！", "最後の文。"))
+    // closing quote glues to its sentence (the UAX#29 break is AFTER 」)
+    assert(seg("「引用です。」と言った。") == Seq("「引用です。」", "と言った。"))
+    // a terminator run splits once at its end, never inside
+    assert(seg("すごい！！本当？はい。") == Seq("すごい！！", "本当？", "はい。"))
+    // ASCII behavior unchanged
+    assert(seg("First one. Second two! Third?") ==
+      Seq("First one.", "Second two!", "Third?"))
+  }
+
+  test("tx28 on a Japanese corpus dedups at SENTENCE granularity, not whole-doc") {
+    // two docs share one sentence out of two — sentence-level dedup
+    // must drop exactly the shared one from the later doc
+    val docs = Seq(
+      (1L, "共通の文です。固有の文イチ。"),
+      (2L, "共通の文です。固有の文ニ。"))
+      .toDF("doc_id", "text")
+    val out = TextOps.sentenceDedupOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_sentences"), r.getAs[Long]("n_kept"), r.getAs[Long]("n_dropped"))).toMap
+    assert(out(1L) == ((2L, 2L, 0L)), s"doc1: ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 1L)), s"doc2: ${out(2L)}")
+  }
+
+  test("graft SQL functions raise a clean arity error, not IndexOutOfBounds") {
+    graft.functions.VectorFunctions.register(spark)
+    def rootMessages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).toSeq
+    val tooFew = intercept[Throwable] { spark.sql("SELECT graft_top_by(1)").collect() }
+    assert(rootMessages(tooFew).exists(_.contains("graft_top_by expects")), s"got: $tooFew")
+    assert(!Iterator.iterate(tooFew)(_.getCause).takeWhile(_ != null)
+      .exists(_.isInstanceOf[IndexOutOfBoundsException]))
+    val cosine = intercept[Throwable] { spark.sql("SELECT graft_cosine(array(1.0))").collect() }
+    assert(rootMessages(cosine).exists(_.contains("graft_cosine expects")), s"got: $cosine")
+  }
+
+  test("tx30 window convention keeps >= 0.9 top-20 overlap with the doc-level convention") {
+    // the previous (quadratic) document-level convention, reproduced
+    // here as the reference ranking
+    val dt = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+      .filter(length(col("term")) >= 3)
+    val pe = dt.as("a").join(dt.as("b"), "doc_id")
+      .filter(col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("ta"), col("b.term").as("tb"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 5)
+    val edges = pe.select(col("ta").as("src"), col("tb").as("dst"), col("w"))
+      .union(pe.select(col("tb").as("src"), col("ta").as("dst"), col("w")))
+    val ranks = Graph.weightedPagerank(edges, damping = 0.85, iters = 3)
+    val docLevel = ranks.orderBy(col("rank").desc, col("node").asc).limit(20)
+      .collect().map(_.getAs[String]("node")).toSet
+    ranks.unpersist()
+    val windowed = TextOps.textrankKeywords(spark, sfDir)
+      .collect().map(_.getAs[String]("term")).toSet
+    val overlap = (docLevel intersect windowed).size.toDouble / 20
+    assert(overlap >= 0.9, s"top-20 overlap $overlap: doc=$docLevel window=$windowed")
+  }
+}
