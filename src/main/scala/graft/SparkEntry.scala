@@ -82,6 +82,7 @@ object SparkEntry {
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     "km03_density_clusters"         -> (Density.km03 _),
+    "km04_density_ladder"           -> (Density.km04 _),
     // Event sourcing / CQRS
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es06_state_as_of"              -> ((s: SparkSession, dir: String) => Events.stateAsOf(s, dir)),
@@ -156,6 +157,7 @@ object SparkEntry {
     "tx34_containment_pairs"        -> ((s: SparkSession, dir: String) => TextOps.containmentPairs(s, dir)),
     "tx36_search_snippets"          -> ((s: SparkSession, dir: String) => TextOps.searchSnippets(s, dir)),
     "tx37_fuzzy_search"             -> ((s: SparkSession, dir: String) => TextOps.fuzzySearch(s, dir)),
+    "tx38_dict_tokens_ja"           -> (TextOps.dictTokensJa _),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:
@@ -1250,6 +1252,20 @@ object SparkEntry {
          FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
          WHERE (len(a.toks) < len(b.toks) OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
            AND round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 4) >= 0.95""",
+    "tx38_dict_tokens_ja" -> {
+      // fixture + segmentation pattern shared with the Spark side by
+      // construction — the oracle IS the same longest-first alternation
+      val vals = graft.operators.TextOps.jaFixture
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      val pat = graft.functions.TextFunctions.jaDictPattern
+      s"""WITH planted AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                           FROM (VALUES $vals) AS t(doc_id, text))
+         SELECT doc_id,
+                array_to_string(regexp_extract_all(lower(trim(text)), '$pat'), '|') AS tokens,
+                CAST(len(regexp_extract_all(lower(trim(text)), '$pat')) AS BIGINT) AS n_dict_tokens,
+                CAST(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^\\x00-\\x7F]')) AS BIGINT) AS n_char_tokens
+         FROM planted"""
+    },
     "tx37_fuzzy_search" ->
       """WITH q AS (SELECT query, '  ' || lower(query) || ' ' AS p
                     FROM (VALUES ('sparc'), ('custmer'), ('windoow')) AS t(query)),

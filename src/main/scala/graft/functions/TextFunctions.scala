@@ -45,6 +45,52 @@ object TextFunctions {
   def asciiWordCount(text: Column): Column =
     size(regexp_extract_all(lower(trim(text)), lit("[a-z0-9]+"), lit(0)))
 
+  /** Embedded Japanese lexicon for dictionary-assisted tokenization —
+    * the small-footprint stand-in for the reference's morphological
+    * dictionaries (kagome IPA dict, search-indexer/app/tokenize/
+    * tokenizer.go:10; ginza/janome extractors, tag-generator/app/
+    * tag_extractor/japanese_extractor.py). ~100 common nouns/compounds
+    * (public everyday vocabulary); anything not covered falls back to
+    * tokensMixed's per-char convention, so recall never drops below
+    * the dictionary-less baseline.
+    */
+  val jaLexicon: Seq[String] = Seq(
+    "自然言語処理", "機械学習", "深層学習", "人工知能", "全文検索",
+    "重複排除", "分散処理", "大規模", "可視化", "高速化",
+    "東京都", "日本語", "検索", "索引", "構築", "文書", "処理", "学習",
+    "言語", "自然", "機械", "深層", "人工", "知能", "東京", "大阪",
+    "京都", "日本", "分散", "計算", "高速", "重複", "排除", "解析",
+    "分析", "結果", "情報", "技術", "開発", "研究", "論文", "記事",
+    "要約", "翻訳", "辞書", "単語", "形態素", "品詞", "文章", "文字",
+    "入力", "出力", "保存", "削除", "更新", "追加", "取得", "送信",
+    "受信", "接続", "設定", "管理", "運用", "監視", "障害", "復旧",
+    "性能", "評価", "指標", "基準", "手法", "方式", "設計", "実装",
+    "試験", "検証", "環境", "構成", "配置", "配信", "収集", "抽出",
+    "変換", "圧縮", "展開", "統計", "確率", "推定", "予測", "分類",
+    "回帰", "学会", "会議", "発表", "質問", "回答", "説明", "理解",
+    "データ", "テキスト", "システム", "サーバ", "クラスタ", "ベクトル",
+    "インデックス", "ストリーム", "モデル", "グラフ")
+
+  /** Dictionary-assisted Japanese tokenization: longest-match against
+    * [[jaLexicon]] with tokensMixed's per-char fallback for everything
+    * else. The longest-match is encoded as a LENGTH-DESCENDING regex
+    * alternation — both Java regex and RE2 take the first matching
+    * alternative at each position, so ordering the dictionary longest
+    * first makes one regexp_extract_all pass a greedy longest-match
+    * segmenter in BOTH engines (oracle-parity by construction), still
+    * zero UDFs and fully codegen'd. 東京都 tokenizes as 東京都, never
+    * 東京+都; 機械学習 stays one term instead of four chars.
+    */
+  def tokensDictJa(text: Column): Column =
+    regexp_extract_all(lower(trim(text)), lit(jaDictPattern), lit(0))
+
+  /** The shared segmentation pattern (also embedded in tx38's DuckDB
+    * oracle): dictionary entries longest-first, then ASCII word runs,
+    * then the per-char CJK fallback.
+    */
+  val jaDictPattern: String =
+    jaLexicon.sortBy(w => -w.length).mkString("|") + "|[a-z0-9]+|[^\\x00-\\x7F]"
+
   /** Word n-gram shingles, e.g. n=2 → ["a b", "b c", ...], via the
     * native WordShingles expression (a higher-order-function version
     * re-evaluates the token split per shingle element). For n=1 this is

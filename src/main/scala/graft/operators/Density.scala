@@ -35,18 +35,41 @@ object Density {
     * released here; callers that keep the session alive should
     * unpersist() the returned frame.
     */
+  /** ε-pair mining shared by [[dbscan]] and [[densityLadder]]: emits
+    * (vec_a, vec_b, cos) for every pair with cosine ≥ eps — RP-LSH
+    * banded by default, exact broadcast scan for bounded low-eps
+    * inputs. Keeping the cosine on each pair is what lets a ladder of
+    * tighter thresholds reuse ONE mining pass.
+    */
+  private def minePairs(v: DataFrame, eps: Double, bands: Int,
+                        rowsPerBand: Int, exactPairs: Boolean): DataFrame =
+    if (exactPairs)
+      v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+        .join(broadcast(v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))),
+              col("vec_a") < col("vec_b"))
+        .withColumn("cos", round(
+          graft.functions.VectorFunctions.cosineSim(col("emb_a"), col("emb_b")), 6))
+        .filter(col("cos") >= eps)
+        .select("vec_a", "vec_b", "cos")
+    else Similarity.rpNearDupPairsOn(v, threshold = eps, bands, rowsPerBand)
+
   def dbscan(e: DataFrame, eps: Double, minPts: Int,
              bands: Int = 16, rowsPerBand: Int = 6,
              exactPairs: Boolean = false): DataFrame = {
     val v = e.select(col("vec_id"), col("embedding"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val minedPairs =
-      if (exactPairs)
-        v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-          .join(broadcast(v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))),
-                col("vec_a") < col("vec_b"))
-          .filter(graft.functions.VectorFunctions.cosineSim(col("emb_a"), col("emb_b")) >= eps)
-      else Similarity.rpNearDupPairsOn(v, threshold = eps, bands, rowsPerBand)
+    val result = clusterFromPairs(
+      minePairs(v, eps, bands, rowsPerBand, exactPairs), minPts)
+    v.unpersist()
+    result
+  }
+
+  /** DBSCAN label assignment from a mined ε-pair list: degrees →
+    * core filter → CC over the core-core subgraph → border
+    * attachment. The result is persisted and materialized DISTRIBUTED
+    * (never collected); callers unpersist() it when done.
+    */
+  private[operators] def clusterFromPairs(minedPairs: DataFrame, minPts: Int): DataFrame = {
     val pairs = minedPairs.select("vec_a", "vec_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sym = pairs.union(pairs.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
@@ -77,9 +100,58 @@ object Density {
       .union(borderLabels.withColumn("role", lit("border")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     result.count() // materialize before releasing the upstream caches
-    pairs.unpersist(); core.unpersist(); ccLabels.unpersist(); v.unpersist()
+    pairs.unpersist(); core.unpersist(); ccLabels.unpersist()
     result
   }
+
+  /** km04: eps-ladder density hierarchy — the HDBSCAN "clusters at
+    * every density" read (recap-subworker/recap_subworker/gateway/
+    * hdbscan_clusterer.py handles clusters of DIFFERING density, which
+    * one fixed eps cannot) approximated on a single pair pass: mine
+    * ε-pairs once at the LOOSEST rung keeping each pair's cosine, then
+    * every tighter rung clusters a pure FILTER of that same pair list
+    * — cosine thresholds nest (pairs at eps' ⊇ pairs at eps for
+    * eps' ≤ eps), so the corpus-sized work (the mining scan) runs once
+    * regardless of ladder depth; each rung adds only degree/CC work
+    * over its shrinking pair subset. A dense subcluster that one loose
+    * eps would blur into its surroundings separates at the tighter
+    * rungs; sparse-but-real structure survives at the loose ones.
+    */
+  def densityLadder(e: DataFrame, ladder: Seq[Double], minPts: Int,
+                    bands: Int = 16, rowsPerBand: Int = 6,
+                    exactPairs: Boolean = false): DataFrame = {
+    require(ladder.nonEmpty && ladder.forall(x => x > -1.0 && x < 1.0))
+    val v = e.select(col("vec_id"), col("embedding"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val mined = minePairs(v, ladder.min, bands, rowsPerBand, exactPairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    mined.count() // one mining pass, shared by every rung
+    val perRung = ladder.sorted.map { eps =>
+      val labels = clusterFromPairs(mined.filter(col("cos") >= eps), minPts)
+      (labels, labels.withColumn("eps", lit(eps))
+        .select("eps", "vec_id", "cluster", "role"))
+    }
+    val result = perRung.map(_._2).reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    result.count() // materialize the whole ladder, then drop rung caches
+    perRung.foreach(_._1.unpersist())
+    mined.unpersist(); v.unpersist()
+    result
+  }
+
+  /** km04 adapter: two-rung ladder summary over the test embeddings —
+    * per (eps, cluster): size and core/border split. Same bounded
+    * exact-pair slice and eps-knee reasoning as km03 (its loose rung
+    * IS km03's eps), tighter rung 0.45. Rows-only like km03.
+    */
+  def km04(s: SparkSession, dir: String): DataFrame =
+    densityLadder(Tables.embeddings(s, dir).filter(col("vec_id") < 500),
+                  ladder = Seq(0.4, 0.45), minPts = 3, exactPairs = true)
+      .groupBy("eps", "cluster")
+      .agg(count(lit(1)).as("n_points"),
+           count(when(col("role") === "core", 1)).as("n_core"),
+           count(when(col("role") === "border", 1)).as("n_border"))
+      .orderBy("eps", "cluster")
 
   /** km03 adapter: density-cluster summary over the test embeddings —
     * per cluster: size, core/border split. Rows-only (the cluster

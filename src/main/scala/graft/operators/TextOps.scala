@@ -757,6 +757,39 @@ object TextOps {
   def containmentPairs(s: SparkSession, dir: String, tau: Double = 0.95): DataFrame =
     containmentPairsOn(Tables.documents(s, dir).filter(col("doc_id") < 1000), tau)
 
+  /** tx38: dictionary-assisted Japanese tokenization — longest-match
+    * against the embedded lexicon (TextFunctions.jaLexicon) with the
+    * per-char fallback, demonstrated on a planted Japanese fixture:
+    * the synthetic corpus carries no real CJK text (its "zh" docs are
+    * ASCII), so the compounds that exercise segmentation are planted
+    * VALUES, identical in the DuckDB oracle. Per doc: the segmented
+    * token stream, its token count, and the per-char baseline count —
+    * segmentation "beats" per-char when compounds collapse to single
+    * meaningful terms (n_dict_tokens < n_char_tokens).
+    * Mirrors search-indexer's kagome tokenization
+    * (search-indexer/app/tokenize/tokenizer.go:10) and tag-generator's
+    * Japanese extractor (tag_extractor/japanese_extractor.py).
+    */
+  def dictTokensJa(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val planted = jaFixture.toDF("doc_id", "text")
+    planted.select(col("doc_id"),
+      array_join(graft.functions.TextFunctions.tokensDictJa(col("text")), "|").as("tokens"),
+      size(graft.functions.TextFunctions.tokensDictJa(col("text"))).cast("long").as("n_dict_tokens"),
+      size(graft.functions.TextFunctions.tokensMixed(col("text"))).cast("long").as("n_char_tokens"))
+  }
+
+  /** The planted Japanese sentences tx38 segments (public everyday
+    * phrasing; compounds all covered by jaLexicon so the intended
+    * longest matches are unambiguous).
+    */
+  private[graft] val jaFixture: Seq[(Long, String)] = Seq(
+    (1L, "東京都で機械学習と自然言語処理を学ぶ"),
+    (2L, "大規模な分散処理で文書の重複排除を高速化する"),
+    (3L, "人工知能と深層学習による日本語の全文検索と索引の構築"),
+    (4L, "データ分析の結果を可視化する"),
+    (5L, "spark で日本語テキストを処理する"))
+
   /** tx36: search snippets (keyword-in-context) — for docs matching a
     * query term, the hit count and a ±3-token window around the FIRST
     * hit (the highlighted-snippet half of the search surface next to

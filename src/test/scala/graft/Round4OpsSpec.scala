@@ -118,6 +118,57 @@ class Round4OpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1L, 1L)), s"doc2: ${out(2L)}")
   }
 
+  test("km04 ladder: dense-inside-sparse nested clusters resolve across two rungs") {
+    val rnd = new scala.util.Random(29)
+    def around(dir: Array[Double], id: Long, n: Int): Seq[(Long, Array[Float])] =
+      (0 until n).map { i =>
+        (id + i, dir.map(x => (x + rnd.nextGaussian() * 0.02).toFloat).toArray)
+      }
+    // A1 and A2: two TIGHT subclusters ~0.8 cosine apart (one loose
+    // cluster); B: a third cluster orthogonal to both; no noise needed
+    val a1 = around(Array(1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), 100L, 10)
+    val a2 = around(Array(0.8, 0.6, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0), 200L, 10)
+    val b  = around(Array(0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0), 300L, 10)
+    val e = (a1 ++ a2 ++ b).toDF("vec_id", "embedding")
+    val out = Density.densityLadder(e, ladder = Seq(0.7, 0.95), minPts = 3,
+      exactPairs = true)
+    val got = out.collect()
+    out.unpersist()
+    def clustersAt(eps: Double): Map[Long, Set[Long]] =
+      got.filter(_.getAs[Double]("eps") == eps)
+        .groupBy(_.getAs[Long]("cluster"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val loose = clustersAt(0.7)
+    assert(loose.size == 2, s"loose rung: expected A1+A2 merged and B, got ${loose.keySet}")
+    val aMerged = loose.values.find(_.contains(100L)).get
+    assert((100L until 110L).forall(aMerged) && (200L until 210L).forall(aMerged),
+      "loose rung must blur A1 and A2 into one cluster")
+    val tight = clustersAt(0.95)
+    assert(tight.size == 3, s"tight rung: expected A1, A2, B separate, got ${tight.keySet}")
+    val a1Tight = tight.values.find(_.contains(100L)).get
+    assert((100L until 110L).forall(a1Tight) && !a1Tight.exists(_ >= 200L),
+      "tight rung must separate A1 from A2")
+  }
+
+  test("tx38 dictionary tokens: compounds collapse, longest match wins, per-char is the fallback") {
+    val out = TextOps.dictTokensJa(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // segmentation beats per-char on every compound-bearing sentence
+    Seq(1L, 2L, 3L, 4L).foreach { id =>
+      assert(out(id).getAs[Long]("n_dict_tokens") < out(id).getAs[Long]("n_char_tokens"),
+        s"doc $id: dictionary must beat per-char")
+    }
+    val toks1 = out(1L).getAs[String]("tokens").split("\\|").toSeq
+    // longest match: 東京都 (not 東京+都), 自然言語処理 (not 自然+言語+処理)
+    assert(toks1.contains("東京都") && !toks1.contains("東京"))
+    assert(toks1.contains("自然言語処理") && !toks1.contains("言語"))
+    assert(toks1.contains("機械学習"))
+    // uncovered hiragana falls back to per-char, ASCII words survive
+    assert(toks1.contains("で") && toks1.contains("を"))
+    val toks5 = out(5L).getAs[String]("tokens").split("\\|").toSeq
+    assert(toks5.contains("spark") && toks5.contains("日本語") && toks5.contains("テキスト"))
+  }
+
   test("graft SQL functions raise a clean arity error, not IndexOutOfBounds") {
     graft.functions.VectorFunctions.register(spark)
     def rootMessages(t: Throwable): Seq[String] =
