@@ -158,6 +158,12 @@ object SparkEntry {
     "tx36_search_snippets"          -> ((s: SparkSession, dir: String) => TextOps.searchSnippets(s, dir)),
     "tx37_fuzzy_search"             -> ((s: SparkSession, dir: String) => TextOps.fuzzySearch(s, dir)),
     "tx38_dict_tokens_ja"           -> (TextOps.dictTokensJa _),
+    "tx39_gopher_rules"             -> (TextOps.gopherRules _),
+    "tx41_bigram_loglik"            -> ((s: SparkSession, dir: String) => TextOps.bigramLogLik(s, dir)),
+    "tx40_prefix_search"            -> ((s: SparkSession, dir: String) => TextOps.prefixSearch(s, dir)),
+    "smp05_temperature_mixture"     -> ((s: SparkSession, dir: String) => Sampling.temperatureMixture(s, dir)),
+    "dq06_snapshot_diff"            -> ((s: SparkSession, dir: String) => DataQuality.snapshotDiff(s, dir)),
+    "sim09_semdedup"                -> (Similarity.semDedup _),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:
@@ -1288,6 +1294,104 @@ object SparkEntry {
            SELECT *, row_number() OVER (PARTITION BY query ORDER BY sim DESC, doc_id ASC) AS rk
            FROM perdoc)
          WHERE rk <= 10""",
+    "tx41_bigram_loglik" ->
+      // interpolation weights stamped from the SAME doubles the Spark
+      // side uses (1.0 - 0.9 is NOT the double 0.1 — a 1-ulp mismatch
+      // here shifts the 6-decimal log rounding on boundary values)
+      s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         b AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+               FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
+               WHERE len(toks) >= 2),
+         bf AS (SELECT doc_id, prev, cur, count(*) AS bf FROM b GROUP BY 1, 2, 3),
+         big AS (SELECT prev, cur, sum(bf) AS cbg FROM bf GROUP BY 1, 2),
+         pc AS (SELECT prev, sum(cbg) AS cprev FROM big GROUP BY 1),
+         uni AS (SELECT term, count(*) AS cuni
+                 FROM (SELECT unnest(toks) AS term FROM d) GROUP BY 1),
+         tot AS (SELECT CAST(sum(cuni) AS BIGINT) AS total FROM uni),
+         sc AS (SELECT bf.doc_id, bf.bf,
+                       round(log2(${0.9} * big.cbg / pc.cprev
+                                  + ${1.0 - 0.9} * uni.cuni / tot.total), 6) AS logp
+                FROM bf JOIN big USING (prev, cur) JOIN pc USING (prev)
+                     JOIN uni ON uni.term = bf.cur CROSS JOIN tot)
+         SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
+                round(sum(bf * logp) / sum(bf), 4) AS avg_log2_lik
+         FROM sc GROUP BY doc_id""",
+    "tx40_prefix_search" ->
+      """WITH p AS (SELECT prefix FROM (VALUES ('sp'), ('cu'), ('wi')) AS t(prefix)),
+         u AS (SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS term
+               FROM documents),
+         v AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM u WHERE len(term) >= 3 GROUP BY term),
+         m AS (SELECT p.prefix, v.term, v.df FROM v JOIN p
+                 ON substr(v.term, 1, len(p.prefix)) = p.prefix)
+         SELECT prefix, term, df FROM (
+           SELECT *, row_number() OVER (PARTITION BY prefix ORDER BY df DESC, term ASC) AS rk
+           FROM m)
+         WHERE rk <= 10""",
+    "tx39_gopher_rules" ->
+      """WITH d AS (SELECT doc_id, source, text,
+                           string_split_regex(trim(text), '\s+') AS toks,
+                           string_split(text, chr(10)) AS lines
+                    FROM documents),
+         m AS (SELECT doc_id, source, len(toks) AS n_words,
+                      CAST(list_sum(list_transform(toks, w -> len(w))) AS DOUBLE) / len(toks) AS mean_word_len,
+                      len(text) - len(replace(text, '#', '')) AS n_hash,
+                      CAST((len(text) - len(replace(text, '...', ''))) / 3 AS BIGINT)
+                        + (len(text) - len(replace(text, '…', ''))) AS n_ellipsis,
+                      CAST(len(list_filter(lines, l -> regexp_matches(ltrim(l), '^[-*•]'))) AS DOUBLE)
+                        / len(lines) AS bullet_frac,
+                      CAST(len(list_filter(lines, l -> regexp_matches(rtrim(l), '(\.\.\.|…)$'))) AS DOUBLE)
+                        / len(lines) AS ellipsis_frac,
+                      CAST(len(list_filter(toks, w -> regexp_matches(w, '[A-Za-z]'))) AS DOUBLE)
+                        / len(toks) AS alpha_frac,
+                      CAST(len(list_filter(toks, w -> regexp_matches(lower(w),
+                        '^(the|be|to|of|and|that|have|with)$'))) AS BIGINT) AS n_stop
+               FROM d WHERE len(toks) > 0)
+         SELECT doc_id, source, n_words,
+                round(mean_word_len, 4) AS mean_word_len,
+                round((n_hash + n_ellipsis) * 1.0 / n_words, 6) AS symbol_ratio,
+                round(bullet_frac, 4) AS bullet_frac,
+                round(ellipsis_frac, 4) AS ellipsis_frac,
+                round(alpha_frac, 4) AS alpha_frac,
+                n_stop,
+                (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
+                  AND (n_hash + n_ellipsis) * 1.0 / n_words <= 0.1
+                  AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
+                  AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
+         FROM m""",
+    "smp05_temperature_mixture" ->
+      """WITH bs AS (SELECT source, count(*) AS n_docs,
+                            CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
+                     FROM documents GROUP BY source),
+         sh AS (SELECT *, tokens * 1.0 / sum(tokens) OVER () AS cur_share FROM bs),
+         tp AS (SELECT *, pow(cur_share, 0.3) AS pa FROM sh),
+         ts AS (SELECT *, pa / sum(pa) OVER () AS temp_share FROM tp)
+         SELECT source, n_docs, tokens,
+                round(cur_share, 6) AS cur_share,
+                round(temp_share, 6) AS temp_share,
+                round(temp_share / cur_share, 4) AS boost
+         FROM ts""",
+    "dq06_snapshot_diff" ->
+      """WITH st1 AS (SELECT user_id, event_type AS old_event_type,
+                             round(value, 2) AS old_value, CAST(ts AS TIMESTAMP) AS old_ts
+                      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                            ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events
+                            WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-10')
+                      WHERE rn = 1),
+         st2 AS (SELECT user_id, event_type AS new_event_type,
+                        round(value, 2) AS new_value, CAST(ts AS TIMESTAMP) AS new_ts
+                 FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                       ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events
+                       WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20')
+                 WHERE rn = 1)
+         SELECT COALESCE(st1.user_id, st2.user_id) AS user_id,
+                CASE WHEN st1.user_id IS NULL THEN 'added'
+                     WHEN st2.user_id IS NULL THEN 'removed'
+                     WHEN st1.old_ts = st2.new_ts
+                          AND st1.old_event_type = st2.new_event_type THEN 'unchanged'
+                     ELSE 'changed' END AS status,
+                old_event_type, old_value, old_ts,
+                new_event_type, new_value, new_ts
+         FROM st1 FULL OUTER JOIN st2 ON st1.user_id = st2.user_id""",
     "tx36_search_snippets" ->
       """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
                     FROM documents),

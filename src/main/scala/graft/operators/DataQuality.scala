@@ -157,4 +157,39 @@ object DataQuality {
       .groupBy("source")
       .agg(simhashAgg(col("token")).as("signature"), count(lit(1)).as("n_tokens"))
       .orderBy("source")
+
+  /** dq06: snapshot diff — entity-level change classification between
+    * the projected state as of T1 and as of T2 (the CDC / audit view
+    * over knowledge-sovereign's append-only event log: "what changed
+    * between the Monday and the Friday backfill?"). Reuses es06's
+    * as-of projection on both sides; a full outer join on the entity
+    * key classifies each entity as added (absent at T1), changed
+    * (present at both, different last event), or unchanged. Removal
+    * cannot occur under append-only semantics but the branch is kept
+    * so the operator works on genuinely mutable snapshots too.
+    *
+    * Scale: both sides shuffle once on the entity key (the same
+    * argmax-per-key plan as es01), the diff join co-partitions on that
+    * key, and the output is one row per entity — never per event.
+    */
+  def snapshotDiff(s: SparkSession, dir: String,
+                   t1: String = "2024-01-10",
+                   t2: String = "2024-01-20"): DataFrame = {
+    def st(t: String, tag: String): DataFrame =
+      Events.stateAsOf(s, dir, t).select(
+        col("user_id"),
+        col("last_event_type").as(s"${tag}_event_type"),
+        col("last_value").as(s"${tag}_value"),
+        col("last_ts").as(s"${tag}_ts"))
+    st(t1, "old").join(st(t2, "new"), Seq("user_id"), "full_outer")
+      .withColumn("status",
+        when(col("old_ts").isNull, lit("added"))
+          .when(col("new_ts").isNull, lit("removed"))
+          .when(col("old_ts") === col("new_ts") &&
+                col("old_event_type") === col("new_event_type"), lit("unchanged"))
+          .otherwise(lit("changed")))
+      .select(col("user_id"), col("status"),
+              col("old_event_type"), col("old_value"), col("old_ts"),
+              col("new_event_type"), col("new_value"), col("new_ts"))
+  }
 }

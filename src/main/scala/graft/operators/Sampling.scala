@@ -119,4 +119,34 @@ object Sampling {
       .withColumn("samp_rank", row_number().over(w))
       .filter(col("samp_rank") <= m)
   }
+
+  /** smp05: temperature-scaled mixture shares — the multilingual /
+    * multi-source upsampling rule q_s ∝ p_s^α (α < 1 flattens the
+    * head, α = 1 is proportional, α → 0 is uniform; the exponent-
+    * smoothed sampling introduced for cross-lingual pretraining and
+    * standard for training-mix design since). Where smp02 flattens to
+    * an exactly uniform target by downsampling only, smp05 keeps a
+    * tunable interpolation between natural and uniform and reports the
+    * per-source boost factor q_s / p_s that a sampler must apply.
+    *
+    * Scale: one map-side-combined aggregation over the corpus produces
+    * the |sources|-row frame; every window below runs on that frame,
+    * so cost is independent of corpus size beyond the single scan.
+    */
+  def temperatureMixture(s: SparkSession, dir: String,
+                         alpha: Double = 0.3): DataFrame = {
+    import graft.functions.TextFunctions.tokenCount
+    val bySource = Tables.documents(s, dir)
+      .select(col("source"), tokenCount(col("text")).cast("long").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    bySource
+      .withColumn("cur_share", col("tokens") / sum("tokens").over())
+      .withColumn("pa", pow(col("cur_share"), lit(alpha)))
+      .withColumn("temp_share", col("pa") / sum("pa").over())
+      .select(col("source"), col("n_docs"), col("tokens"),
+              round(col("cur_share"), 6).as("cur_share"),
+              round(col("temp_share"), 6).as("temp_share"),
+              round(col("temp_share") / col("cur_share"), 4).as("boost"))
+  }
 }

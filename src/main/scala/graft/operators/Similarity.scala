@@ -108,6 +108,33 @@ object Similarity {
         element_at(col("ccs"), col("idx")).as("cc"))
   }
 
+  /** Train `cells` centroids with `iters` Lloyd rounds from hash-seeded
+    * deterministic starts — the IVF training loop shared by sim06 and
+    * sim09. Cell c is index c; cells that capture no vectors keep
+    * their previous centroid. Each round is one cache scan + one
+    * bounded (cells × dim) aggregation; only cells × dim numbers ever
+    * reach the driver.
+    */
+  private[operators] def trainCentroids(
+      v: DataFrame, cells: Int, iters: Int): Seq[Seq[Double]] = {
+    val seeds = v.orderBy(pmod(hash(col("vec_id")), lit(1000003)).asc, col("vec_id").asc)
+      .limit(cells).collect()
+    var cents: Seq[Seq[Double]] = seeds.map(_.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }.toSeq).toSeq
+    val cellLit = typedlit((0 until cells).toList)
+    var i = 0
+    while (i < iters) {
+      val assigned = assignToCentroidLiterals(v, cellLit, cents)
+      val updated = centroidsFor(assigned, "cell").collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+      cents = cents.indices.map(c => updated.getOrElse(c, cents(c)))
+      i += 1
+    }
+    cents
+  }
+
   /** sim02: per-label centroid (one k-means assignment step's "update"
     * half) — elementwise mean via posexplode, centroid norm as the
     * oracle-checkable scalar summary.
@@ -224,22 +251,8 @@ object Similarity {
     val v = e.select("vec_id", "embedding")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = if (nCells > 0) nCells else math.ceil(math.sqrt(v.count().toDouble)).toInt
-    val seeds = v.orderBy(pmod(hash(col("vec_id")), lit(1000003)).asc, col("vec_id").asc)
-      .limit(cells).collect()
-    var cents: Seq[Seq[Double]] = seeds.map(_.getSeq[Any](1).map {
-      case f: Float => f.toDouble
-      case d: Double => d
-    }.toSeq).toSeq
+    val cents = trainCentroids(v, cells, iters)
     val cellLit = typedlit((0 until cells).toList)
-    var i = 0
-    while (i < iters) {
-      val assigned = assignToCentroidLiterals(v, cellLit, cents)
-      val updated = centroidsFor(assigned, "cell").collect()
-        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-      // cells that captured no vectors keep their previous centroid
-      cents = cents.indices.map(c => updated.getOrElse(c, cents(c)))
-      i += 1
-    }
     val assigned = assignToCentroidLiterals(v, cellLit, cents)
       .select("vec_id", "embedding", "cell")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -496,4 +509,55 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "cell", "neighbor_id", "cos", "rank")
   }
+
+  /** sim09: semantic deduplication (SemDeDup — Abbas et al. 2023,
+    * arXiv:2303.09540, public): k-means the embedding space, compare
+    * pairs WITHIN each cluster only, and drop all but one
+    * representative from every group of vectors with cosine ≥ tau.
+    * The within-cluster restriction is the whole trick — the corpus
+    * never sees an all-pairs join, only Σ_cells |cell|² comparisons,
+    * which with ⌈√N⌉ cells is ~N expected pairs. Groups form via
+    * connected components over the ≥ tau pair graph; the kept
+    * representative is the min vec_id (deterministic, the SemDeDup
+    * "keep one per group" rule with an engine-mirrorable tie-break).
+    *
+    * Returns only the duplicate-group membership (vec_id, group_id,
+    * keep) — bounded by the duplicate population, not the corpus; the
+    * caller applies the drop with a broadcast anti-join exactly like
+    * dd02.
+    */
+  def semDedupOn(e: DataFrame, tau: Double,
+                 nCells: Int = 0, iters: Int = 2): DataFrame = {
+    val v = e.select("vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cells = if (nCells > 0) nCells else math.ceil(math.sqrt(v.count().toDouble)).toInt
+    val cents = trainCentroids(v, cells, iters)
+    // assignment is one literal-centroid projection over the cache —
+    // recomputing it per consumer below is cheaper than a second
+    // corpus-sized cache
+    val assigned = assignToCentroidLiterals(v, typedlit((0 until cells).toList), cents)
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    val a = assigned.select(col("cell"), col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+    val b = assigned.select(col("cell"), col("vec_id").as("b_id"), col("embedding").as("b_emb"))
+    val pairs = a.join(b, "cell")
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosineSim(col("a_emb"), col("b_emb")) >= tau)
+      .select("a_id", "b_id")
+    val comps = Dedup.connectedComponents(pairs, "a_id", "b_id")
+    val out = comps
+      .select(col("node").as("vec_id"), col("label").as("group_id"))
+      .withColumn("keep", col("vec_id") === col("group_id"))
+      .orderBy("group_id", "vec_id")
+    // dup-group membership only — safe to materialize, releasing both
+    // the corpus cache and the component labels
+    Dedup.materialized(out) { comps.unpersist(); v.unpersist(blocking = false) }
+  }
+
+  /** sim09 adapter: tau tuned to the test corpus's cosine range (max
+    * pairwise cosine ≈ 0.51 at sf0.01 — synthetic embeddings carry no
+    * true clones, so the demonstration threshold sits inside the
+    * observed tail; production SemDeDup uses 0.9+).
+    */
+  def semDedup(s: SparkSession, dir: String): DataFrame =
+    semDedupOn(Tables.embeddings(s, dir), tau = 0.4)
 }

@@ -411,6 +411,53 @@ object TextOps {
         round(sum(col("tf") * col("logp")) / sum("tf"), 4).as("avg_log2_lik"))
   }
 
+  /** tx41: per-doc INTERPOLATED BIGRAM log-likelihood — the CCNet-style
+    * LM perplexity filter (Wenzek et al. 2020 scores CommonCrawl with a
+    * corpus LM and drops the tail; tx25 is the unigram version, this
+    * adds the order-2 signal that catches shuffled-word salad tx25
+    * scores as fluent). p(cur|prev) = λ·c(prev,cur)/c(prev) +
+    * (1−λ)·c(cur)/total — Jelinek–Mercer interpolation, so unseen
+    * bigrams back off to the unigram floor and the log never hits −∞.
+    *
+    * Scale: the bigram frame is exactly the corpus token count (one row
+    * per adjacent pair, built by a stateless array transform — no
+    * self-join, no window over token positions); all three count
+    * tables shuffle map-side-combined on their keys, the token total
+    * rides as a broadcast scalar, and log-probs round before the
+    * per-doc sum so both engines aggregate identical addends.
+    */
+  def bigramLogLik(s: SparkSession, dir: String,
+                   lambda: Double = 0.9): DataFrame =
+    bigramLogLikOn(Tables.documents(s, dir), lambda)
+
+  /** Bigram LM scoring over any (doc_id, text) frame. */
+  def bigramLogLikOn(docs: DataFrame, lambda: Double = 0.9): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bf = d.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+             i -> struct(toks[i-1] AS prev, toks[i] AS cur))""")).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+      .groupBy("doc_id", "prev", "cur").agg(count(lit(1)).as("bf"))
+    val big = bf.groupBy("prev", "cur").agg(sum("bf").as("cbg"))
+    val prevCounts = big.groupBy("prev").agg(sum("cbg").as("cprev"))
+    val uni = d.select(explode(col("toks")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cuni"))
+    val total = uni.agg(sum("cuni").as("total"))
+    bf.join(big, Seq("prev", "cur"))
+      .join(prevCounts, Seq("prev"))
+      .join(uni.withColumnRenamed("term", "cur"), Seq("cur"))
+      .crossJoin(broadcast(total))
+      .withColumn("logp", round(log2(
+        lit(lambda) * col("cbg") / col("cprev") +
+        lit(1.0 - lambda) * col("cuni") / col("total")), 6))
+      .groupBy("doc_id")
+      .agg(
+        sum("bf").as("n_bigrams"),
+        round(sum(col("bf") * col("logp")) / sum("bf"), 4).as("avg_log2_lik"))
+  }
+
   /** tx26: benchmark decontamination — flag training documents that
     * share any word n-gram with a held-out evaluation set (the GPT-3/
     * PaLM-style 8-gram contamination check; the data-prep gate every
@@ -911,5 +958,101 @@ object TextOps {
           (lit(1.0) - sum(col("q"))) * lit(math.log(2.0) / 2), 6).as("jsd"))
     // |sources| rows — materialize eagerly to release the counts cache
     Dedup.materialized(out) { base.unpersist() }
+  }
+
+  /** tx40: prefix search / autocomplete — rank vocabulary terms that
+    * start with each query prefix by document frequency (the other
+    * half of the reference's typo-tolerant search surface: Meilisearch
+    * matches the final query word as a prefix while the user is still
+    * typing — search-indexer/app/driver/meilisearch_driver.go; tx37
+    * covers the typo side, this covers the prefix side).
+    *
+    * Scale: the vocabulary frame is the inverted-index term list (one
+    * map-side-combined shuffle on term). The prefix probe is an
+    * EQUI-join on the first two characters — a hash join against a
+    * broadcast |prefixes|-row table, never a LIKE theta-join over the
+    * vocabulary — with the full startswith check as a post-filter.
+    * Top-k per prefix runs on the matched slice only.
+    */
+  def prefixSearch(s: SparkSession, dir: String,
+                   prefixes: Seq[String] = Seq("sp", "cu", "wi"),
+                   k: Int = 10): DataFrame = {
+    import s.implicits._
+    require(prefixes.forall(_.length >= 2), "prefixes must be >= 2 chars")
+    val p = prefixes.toDF("prefix")
+      .withColumn("blk", substring(col("prefix"), 1, 2))
+    val vocab = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
+      .filter(length(col("term")) >= 3)
+      .groupBy("term").agg(count(lit(1)).as("df"))
+      .withColumn("blk", substring(col("term"), 1, 2))
+    val matched = vocab.join(broadcast(p), "blk")
+      .filter(expr("substr(term, 1, length(prefix)) = prefix"))
+    val w = Window.partitionBy("prefix").orderBy(col("df").desc, col("term").asc)
+    matched
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col("prefix"), col("term"), col("df"))
+  }
+
+  /** tx39: Gopher-style document quality rules (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", appendix A1.1 — public) —
+    * the standard pretraining heuristic filter battery: word count
+    * bounds, mean word length bounds, symbol-to-word ratios (# and
+    * ellipsis), bullet-point and ellipsis-ending line fractions,
+    * fraction of words containing an alphabetic character, and a
+    * minimum stop-word count. Emits every metric plus the composite
+    * keep verdict so downstream curation can re-weight individual
+    * rules (complements tx04's score-style quality gate with the
+    * rule-battery form the published pipelines use).
+    *
+    * Scale: a stateless per-document projection — higher-order array
+    * functions inside whole-stage codegen, no shuffle, no UDF; the
+    * filter runs at the scan.
+    */
+  def gopherRules(s: SparkSession, dir: String): DataFrame =
+    gopherRulesOn(Tables.documents(s, dir))
+
+  /** Rule battery over any (doc_id, source, text) frame. */
+  def gopherRulesOn(docs: DataFrame): DataFrame = {
+    val stopRe = "^(the|be|to|of|and|that|have|with)$"
+    docs
+      .select(col("doc_id"), col("source"), col("text"))
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_words", size(col("toks")))
+      .filter(col("n_words") > 0)
+      .withColumn("lines", split(col("text"), "\n"))
+      .withColumn("mean_word_len",
+        expr("aggregate(toks, 0L, (a, w) -> a + length(w))") / col("n_words"))
+      .withColumn("n_hash",
+        length(col("text")) - length(regexp_replace(col("text"), "#", "")))
+      .withColumn("n_ellipsis",
+        ((length(col("text")) -
+          length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3)).cast("long") +
+        (length(col("text")) - length(regexp_replace(col("text"), "…", ""))))
+      .withColumn("symbol_ratio", (col("n_hash") + col("n_ellipsis")) / col("n_words"))
+      .withColumn("bullet_frac",
+        expr("size(filter(lines, l -> ltrim(l) rlike '^[-*•]'))") / size(col("lines")))
+      .withColumn("ellipsis_frac",
+        expr("size(filter(lines, l -> rtrim(l) rlike '(\\\\.\\\\.\\\\.|…)$'))") /
+          size(col("lines")))
+      .withColumn("alpha_frac",
+        expr("size(filter(toks, w -> w rlike '[A-Za-z]'))") / col("n_words"))
+      .withColumn("n_stop",
+        expr(s"size(filter(toks, w -> lower(w) rlike '$stopRe'))").cast("long"))
+      .withColumn("keep",
+        col("n_words").between(50, 100000) &&
+        col("mean_word_len").between(3, 10) &&
+        col("symbol_ratio") <= 0.1 &&
+        col("bullet_frac") <= 0.9 &&
+        col("ellipsis_frac") <= 0.3 &&
+        col("alpha_frac") >= 0.8 &&
+        col("n_stop") >= 2)
+      .select(col("doc_id"), col("source"), col("n_words"),
+              round(col("mean_word_len"), 4).as("mean_word_len"),
+              round(col("symbol_ratio"), 6).as("symbol_ratio"),
+              round(col("bullet_frac"), 4).as("bullet_frac"),
+              round(col("ellipsis_frac"), 4).as("ellipsis_frac"),
+              round(col("alpha_frac"), 4).as("alpha_frac"),
+              col("n_stop"), col("keep"))
   }
 }

@@ -211,4 +211,27 @@ class PlanSpec extends SparkSpec {
     assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
       "Window in the assignment plan")
   }
+
+  test("tx39 gopher rules plan no shuffle and no window — a stateless scan projection") {
+    val nodes = allNodes(finalPlan("tx39_gopher_rules"))
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "Exchange in tx39 — the rule battery must stay a per-row projection")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "Window in tx39")
+  }
+
+  test("tx40 prefix probe is a broadcast equi-join, never a LIKE theta-join over the vocabulary") {
+    val nodes = allNodes(finalPlan("tx40_prefix_search"))
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "expected a BroadcastHashJoin on the 2-char block key")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      "nested-loop join in tx40 — the block key must make the probe an equi-join")
+  }
+
+  test("dq06 diff joins the two as-of states on their shared key partitioning") {
+    // both sides shuffle once on user_id for their argmax window; the
+    // full outer join must reuse that partitioning, not re-exchange
+    val n = shuffleCount("dq06_snapshot_diff")
+    assert(n <= 2, s"dq06 shuffles $n× — the diff join must co-partition with the windows")
+  }
 }

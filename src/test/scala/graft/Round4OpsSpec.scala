@@ -203,4 +203,137 @@ class Round4OpsSpec extends SparkSpec {
     val overlap = (docLevel intersect windowed).size.toDouble / 20
     assert(overlap >= 0.9, s"top-20 overlap $overlap: doc=$docLevel window=$windowed")
   }
+
+  test("smp05 temperature mixture: shares normalize, alpha=1 is proportional, alpha<1 flattens") {
+    val m = Sampling.temperatureMixture(spark, sfDir, alpha = 0.3).collect()
+    assert(m.nonEmpty)
+    val cur = m.map(_.getAs[Double]("cur_share"))
+    val tmp = m.map(_.getAs[Double]("temp_share"))
+    assert(math.abs(cur.sum - 1.0) < 1e-3 && math.abs(tmp.sum - 1.0) < 1e-3)
+    // alpha < 1 compresses the spread toward uniform
+    assert(tmp.max - tmp.min < cur.max - cur.min,
+      s"temperature did not flatten: cur=${cur.toSeq} tmp=${tmp.toSeq}")
+    // rare sources are boosted, dominant ones damped
+    m.foreach { r =>
+      val boost = r.getAs[Double]("boost")
+      if (r.getAs[Double]("cur_share") < 1.0 / m.length) assert(boost >= 1.0)
+    }
+    // alpha = 1 must be the identity mixture
+    Sampling.temperatureMixture(spark, sfDir, alpha = 1.0).collect().foreach { r =>
+      assert(math.abs(r.getAs[Double]("boost") - 1.0) < 1e-3)
+    }
+  }
+
+  test("tx40 prefix search: every hit extends its prefix, ranked by exact doc frequency") {
+    val hits = TextOps.prefixSearch(spark, sfDir, Seq("sp", "th"), k = 5).collect()
+    assert(hits.nonEmpty)
+    hits.foreach(r => assert(r.getAs[String]("term").startsWith(r.getAs[String]("prefix"))))
+    // df of a returned term must equal the direct count of documents
+    // containing it as a whitespace token
+    val byPrefix = hits.groupBy(_.getAs[String]("prefix"))
+    byPrefix.values.foreach { rs =>
+      val dfs = rs.map(_.getAs[Long]("df"))
+      assert(dfs.sameElements(dfs.sortBy(-_)), "not ranked by df desc")
+    }
+    val some = hits.head
+    val direct = Tables.documents(spark, sfDir)
+      .select(explode(array_distinct(graft.functions.TextFunctions.tokens(col("text")))).as("term"))
+      .filter(col("term") === some.getAs[String]("term")).count()
+    assert(direct == some.getAs[Long]("df"), s"df mismatch for ${some.getAs[String]("term")}")
+  }
+
+  test("tx39 gopher rules: planted documents hit exactly the rule each violates") {
+    val good = (Seq("the", "quick", "brown", "fox", "jumps", "over", "the", "lazy", "dog",
+      "and", "that", "runs", "with", "great", "speed") ++
+      (1 to 45).map(i => s"word$i")).mkString(" ")
+    val bullets = (1 to 60).map(i => s"- item$i the of and that with be to have").mkString("\n")
+    val symbols = (1 to 60).map(i => s"##tag$i the of and").mkString(" ")
+    val short = "the small and that with doc"
+    val docs = Seq((1L, "a", good), (2L, "a", bullets), (3L, "a", symbols), (4L, "a", short))
+      .toDF("doc_id", "source", "text")
+    val out = TextOps.gopherRulesOn(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"), s"good doc dropped: ${out(1L)}")
+    assert(!out(2L).getAs[Boolean]("keep") && out(2L).getAs[Double]("bullet_frac") > 0.9)
+    assert(!out(3L).getAs[Boolean]("keep") && out(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(!out(4L).getAs[Boolean]("keep") && out(4L).getAs[Int]("n_words") < 50)
+    // metric spot-check: the short doc's mean word length is exact
+    assert(math.abs(out(4L).getAs[Double]("mean_word_len") - (22.0 / 6)) < 1e-3)
+  }
+
+  test("dq06 snapshot diff agrees with per-user event-time classification") {
+    val t1 = "2024-01-10"; val t2 = "2024-01-20"
+    val diff = DataQuality.snapshotDiff(spark, sfDir, t1, t2).collect()
+    assert(diff.nonEmpty)
+    val statuses = diff.map(r => r.getAs[Long]("user_id") -> r.getAs[String]("status")).toMap
+    assert(statuses.values.toSet.subsetOf(Set("added", "changed", "unchanged")))
+    // direct classification from the raw event log
+    val firstLast = Tables.events(spark, sfDir)
+      .groupBy("user_id")
+      .agg(min("ts").as("first_ts"), max("ts").as("last_ts"))
+      .filter(col("first_ts") <= lit(t2).cast("timestamp"))
+      .collect()
+    assert(firstLast.length == diff.length, "one diff row per entity present at T2")
+    firstLast.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val first = r.getAs[java.sql.Timestamp]("first_ts")
+      val last = r.getAs[java.sql.Timestamp]("last_ts")
+      val c1 = java.sql.Timestamp.valueOf(s"$t1 00:00:00")
+      val expected =
+        if (first.after(c1)) "added"
+        else if (!last.after(c1)) "unchanged"
+        else "changed"
+      assert(statuses(uid) == expected, s"user $uid: got ${statuses(uid)}, want $expected")
+    }
+  }
+
+  test("tx41 bigram LM: exact interpolated scores on a planted corpus, word salad scores lower") {
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val out = TextOps.bigramLogLikOn(docs, lambda = 0.9).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_log2_lik"))).toMap
+    // corpus: bigrams (a,b)×2 (a,c)×1, cprev(a)=3; unigrams a:3 b:2 c:1, total 6
+    // Spark's round(): BigDecimal.valueOf + HALF_UP
+    def r(x: Double, s: Int): Double =
+      java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
+    def score(cbg: Double, cprev: Double, cuni: Double): Double =
+      r(r(math.log(0.9 * cbg / cprev + (1.0 - 0.9) * cuni / 6) / math.log(2.0), 6), 4)
+    assert(out(1L) == (1L, score(2, 3, 2)) && out(2L) == out(1L))
+    assert(out(3L) == (1L, score(1, 3, 1)))
+    // the frequent continuation scores strictly higher than the rare one
+    assert(out(1L)._2 > out(3L)._2)
+    // order-2 discrimination: same unigrams, scrambled order — the
+    // shuffled doc's bigrams are rarer, so the bigram LM ranks it
+    // below the natural doc (tx25's unigram LM cannot see this)
+    val natural = (1 to 20).map(_ => "the cat sat on the mat").mkString(" ")
+    val salad = (1 to 20).map(_ => "mat the on sat cat the").mkString(" ")
+    val pair = Seq((10L, natural), (11L, salad), (12L, natural), (13L, natural))
+      .toDF("doc_id", "text")
+    val scored = TextOps.bigramLogLikOn(pair).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_log2_lik")).toMap
+    assert(scored(10L) > scored(11L),
+      s"bigram LM did not separate word salad: $scored")
+  }
+
+  test("sim09 semdedup: planted clone groups collapse to min-id representatives") {
+    def vec(base: Array[Double], eps: Double): Seq[Double] =
+      base.zipWithIndex.map { case (v, i) => v + (if (i == 0) eps else 0.0) }.toSeq
+    val a = Array(1.0, 0.0, 0.0, 0.0); val b = Array(0.0, 1.0, 0.0, 0.0)
+    val c = Array(0.0, 0.0, 1.0, 0.0)
+    val e = Seq(
+      (1L, vec(a, 0.0)), (2L, vec(a, 0.001)), (3L, vec(a, 0.002)), // clone group {1,2,3}
+      (4L, vec(b, 0.0)), (5L, vec(b, 0.001)),                      // clone group {4,5}
+      (6L, vec(c, 0.0))                                            // singleton
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDedupOn(e, tau = 0.999, nCells = 3, iters = 2).collect()
+    val groups = out.groupBy(_.getAs[Long]("group_id"))
+      .map { case (g, rs) => g -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    assert(groups == Map(1L -> Set(1L, 2L, 3L), 4L -> Set(4L, 5L)), s"got $groups")
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("vec_id") == r.getAs[Long]("group_id")))
+    }
+    // the singleton never appears — output is bounded by the duplicate
+    // population, not the corpus
+    assert(!out.exists(_.getAs[Long]("vec_id") == 6L))
+  }
 }
