@@ -164,6 +164,7 @@ object SparkEntry {
     "smp05_temperature_mixture"     -> ((s: SparkSession, dir: String) => Sampling.temperatureMixture(s, dir)),
     "dq06_snapshot_diff"            -> ((s: SparkSession, dir: String) => DataQuality.snapshotDiff(s, dir)),
     "sim09_semdedup"                -> (Similarity.semDedup _),
+    "sim10_ann_recall"              -> ((s: SparkSession, dir: String) => Similarity.annRecall(s, dir)),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:

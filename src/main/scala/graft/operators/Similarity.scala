@@ -560,4 +560,42 @@ object Similarity {
     */
   def semDedup(s: SparkSession, dir: String): DataFrame =
     semDedupOn(Tables.embeddings(s, dir), tau = 0.4)
+
+  /** sim10: ANN recall harness — recall@k of every approximate serving
+    * path against the sim01 brute-force ground truth on the shared
+    * query set, as one table. "Measure, don't guess" made first-class:
+    * this is the number a user checks BEFORE switching the serving
+    * path from brute to IVF/SQ8/PQ, and the per-method rows make the
+    * accuracy/cost trade explicit (PQ reports CANDIDATE recall — did
+    * the truth survive into the re-rank set — since exact re-rank is
+    * its downstream step).
+    *
+    * Scale: ground truth and every variant emit |queries|·k(or
+    * candidate) rows; the recall joins run on those bounded frames —
+    * the corpus is touched only inside each variant's own
+    * already-audited plan.
+    */
+  def annRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val pred = col("vec_id") % 50 === 0
+    val truth = knnBruteOn(e, pred, k)
+      .select("query_id", "neighbor_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def recallOf(name: String, approx: DataFrame): DataFrame =
+      truth.join(approx.select("query_id", "neighbor_id").withColumn("hit", lit(1L)),
+                 Seq("query_id", "neighbor_id"), "left")
+        .agg(countDistinct("query_id").as("n_queries"),
+             count(lit(1)).as("n_truth"),
+             sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .select(lit(name).as("method"), col("n_queries"), lit(k).as("k"),
+                round(col("n_hit") / col("n_truth"), 4).as("recall"))
+    val out = Seq(
+      recallOf("brute", knnBruteOn(e, pred, k)),
+      recallOf("ivf_label", ivfAnnOn(e, pred, k)),
+      recallOf("ivf_kmeans", ivfAnnKmeans(e, pred, k)),
+      recallOf("sq8", quantizedKnn(s, dir, k)),
+      recallOf("pq_candidates", pqTopCandidates(e, pred))
+    ).reduce(_ unionByName _)
+    Dedup.materialized(out) { truth.unpersist() }
+  }
 }

@@ -618,12 +618,22 @@ object TextOps {
     */
   private[graft] def windowCooccurrenceEdges(toks: DataFrame, window: Int): DataFrame = {
     require(window >= 1)
-    val probes = toks.select(col("doc_id"),
-      explode(sequence(col("pos") + 1, col("pos") + window)).as("pos2"),
-      col("term").as("ta"))
-    probes.join(
-      toks.select(col("doc_id"), col("pos").as("pos2"), col("term").as("tb")),
-      Seq("doc_id", "pos2"))
+    // position-bucket banding instead of exploding every token to its
+    // `window` probe positions: a forward partner at pos2 ∈ (pos,
+    // pos+w] sits in bucket ⌊pos2/w⌋ ∈ {⌊pos/w⌋, ⌊pos/w⌋+1}, so
+    // registering the RIGHT side under its own and previous bucket
+    // makes the window an equi-join on (doc, bucket) that shuffles
+    // ≤ 3× the token count — the probe-explosion form shuffles
+    // (window+1)×. Exactly one of the two registrations matches a
+    // given left row (the two carry distinct bucket values), so no
+    // pair double-counts.
+    val a = toks.select(col("doc_id"), col("pos"), col("term").as("ta"))
+      .withColumn("b", floor(col("pos") / window))
+    val bSide = toks.select(col("doc_id"), col("pos").as("pos_b"), col("term").as("tb"))
+      .withColumn("b", explode(array(floor(col("pos_b") / window),
+                                     floor(col("pos_b") / window) - 1)))
+    a.join(bSide, Seq("doc_id", "b"))
+      .filter(col("pos_b") > col("pos") && col("pos_b") <= col("pos") + window)
       .filter(col("ta") =!= col("tb")) // no self-loops
       .select(col("doc_id"),
               least(col("ta"), col("tb")).as("ta"),
@@ -651,12 +661,18 @@ object TextOps {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
       .filter(length(col("term")) >= 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the floored edge list is vocabulary-sized — persist it so the
+    // corpus-sized pair-generation join runs exactly ONCE.
+    // weightedPagerank references its edge input from several actions
+    // (node count, share materialization, each iteration); unpersisted,
+    // every one of them replays the generation (measured: the replay
+    // was 3x the whole query's useful work at sf0.1)
     val pe = windowCooccurrenceEdges(toks, window).filter(col("w") >= 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val edges = pe.select(col("ta").as("src"), col("tb").as("dst"), col("w"))
       .union(pe.select(col("tb").as("src"), col("ta").as("dst"), col("w")))
     val ranks = Graph.weightedPagerank(edges, damping = 0.85, iters = 3)
-    toks.unpersist() // edge aggregation materialized inside weightedPagerank
+    pe.unpersist() // ranks are materialized inside weightedPagerank
     val top = ranks
       .orderBy(col("rank").desc, col("node").asc).limit(topK)
       .select(col("node").as("term"), round(col("rank"), 6).as("rank"))

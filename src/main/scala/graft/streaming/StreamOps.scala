@@ -359,4 +359,16 @@ object StreamOps {
       .withColumn("drifted",
         when(col("psi").isNull || col("psi") > threshold, 1).otherwise(0))
   }
+
+  /** st14: streaming document quality gate — tx39's Gopher rule battery
+    * applied in the ingest path. The battery is a stateless per-row
+    * projection (no aggregation, no watermark, no state store), so the
+    * IDENTICAL operator body runs unchanged under Structured Streaming:
+    * low-quality documents are dropped at ingestion, before they ever
+    * land in the lake — the shape the reference's pre-processor gate
+    * implies, and the cheapest place to spend the filter at 100 TB/day
+    * (a dropped doc is never written, compacted, or re-read).
+    */
+  def qualityGate(docs: DataFrame): DataFrame =
+    graft.operators.TextOps.gopherRulesOn(docs).filter(col("keep"))
 }

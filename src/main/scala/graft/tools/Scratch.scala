@@ -31,7 +31,9 @@ object Scratch {
       "q22_market_share", "tx23_sequence_packing", "tx26_decontamination",
       "smp01_stratified_sample", "sim07_quantized_knn", "ev21_slo_burn",
       "q26_topn_agg", "ev24_gap_islands", "ev26_attribution",
-      "tx31_phrase_search", "rag04_token_chunks")
+      "tx31_phrase_search", "rag04_token_chunks",
+      "tx37_fuzzy_search", "tx39_gopher_rules", "tx40_prefix_search",
+      "tx41_bigram_loglik", "dq06_snapshot_diff")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

@@ -432,4 +432,25 @@ class StreamingSourcesSpec extends SparkSpec {
     // bytes round-trip: window 1 of asset 1 is pcm[640, 1600)
     assert(w1(1).window_bytes.sameElements(pcm.slice(640, 1600)))
   }
+
+  test("st14 streaming quality gate drops rule violators at ingest, parity with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val good = (Seq("the", "of", "and", "that", "with", "words", "flow", "cleanly") ++
+      (1 to 50).map(i => s"token$i")).mkString(" ")
+    val bullets = (1 to 60).map(i => s"- item$i the of and that with be to have").mkString("\n")
+    val mem = MemoryStream[(Long, String, String)]
+    val gated = StreamOps.qualityGate(mem.toDF.toDF("doc_id", "source", "text"))
+    val q = gated.writeStream.format("memory").queryName("st14").outputMode("append").start()
+    try {
+      mem.addData((1L, "a", good), (2L, "a", bullets))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id FROM st14").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(1L), s"gate kept $kept")
+      // batch/stream parity: the same rows through the batch battery
+      val batch = graft.operators.TextOps.gopherRulesOn(
+        Seq((1L, "a", good), (2L, "a", bullets)).toDF("doc_id", "source", "text"))
+        .filter(col("keep")).collect().map(_.getAs[Long]("doc_id")).toSet
+      assert(batch == kept)
+    } finally q.stop()
+  }
 }
