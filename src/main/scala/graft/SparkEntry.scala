@@ -83,6 +83,7 @@ object SparkEntry {
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     "km03_density_clusters"         -> (Density.km03 _),
     "km04_density_ladder"           -> (Density.km04 _),
+    "km05_cluster_metrics"          -> (KMeans.km05 _),
     // Event sourcing / CQRS
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es06_state_as_of"              -> ((s: SparkSession, dir: String) => Events.stateAsOf(s, dir)),
@@ -165,6 +166,7 @@ object SparkEntry {
     "dq06_snapshot_diff"            -> ((s: SparkSession, dir: String) => DataQuality.snapshotDiff(s, dir)),
     "sim09_semdedup"                -> (Similarity.semDedup _),
     "sim10_ann_recall"              -> ((s: SparkSession, dir: String) => Similarity.annRecall(s, dir)),
+    "dd05_dedup_recall"             -> ((s: SparkSession, dir: String) => Dedup.dedupRecall(s, dir)),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:

@@ -123,4 +123,50 @@ object KMeans {
       .groupBy("cluster")
       .agg(count(lit(1)).as("n_vecs"), round(avg("cc"), 4).as("mean_cos"))
       .orderBy("cluster")
+
+  /** km05: clustering quality metrics over a fitted assignment — the
+    * numbers read before trusting cluster labels downstream (sampling
+    * caps, SemDeDup cells, recap grouping): per-cluster COHESION (mean
+    * and min cosine of members to their own centroid — the spherical
+    * analogue of within-cluster scatter) and SEPARATION (cosine of the
+    * centroid to its nearest OTHER centroid — the Davies–Bouldin-style
+    * between-cluster term; lower = better separated). `separation` =
+    * mean_cc − nn_cos: positive means members sit closer to their own
+    * centroid than the nearest rival centroid does.
+    *
+    * Scale: cohesion re-aggregates the already-computed per-member cc
+    * (one map-side-combined pass over the assignment); the
+    * centroid×centroid table is k² rows of driver-size k — broadcast
+    * arithmetic, never a corpus join.
+    */
+  def clusterMetrics(assigned: DataFrame): DataFrame = {
+    val cohesion = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("n_members"),
+           round(avg("cc"), 4).as("mean_cc"),
+           round(min("cc"), 4).as("min_cc"))
+    val cents = Similarity.centroidsFor(assigned, "cluster")
+    val cc = cents.select(col("cell").as("cluster"), col("centroid").as("c_a"))
+      .join(broadcast(cents.select(col("cell").as("other"), col("centroid").as("c_b"))),
+            col("cluster") =!= col("other"))
+      .withColumn("cos", graft.functions.VectorFunctions.cosineSim(col("c_a"), col("c_b")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster").orderBy(col("cos").desc, col("other").asc)
+    val nearest = cc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("cluster"), col("other").as("nn_cluster"),
+              round(col("cos"), 4).as("nn_cos"))
+    cohesion.join(nearest, Seq("cluster"), "left")
+      .withColumn("separation", round(col("mean_cc") - col("nn_cos"), 4))
+      .orderBy("cluster")
+  }
+
+  /** km05 adapter: metrics of the km01 fit — k rows, materialized so
+    * the fitted assignment cache releases (rows-only).
+    */
+  def km05(s: SparkSession, dir: String): DataFrame = {
+    val fitted = fit(Tables.embeddings(s, dir), 3)
+    val m = clusterMetrics(fitted)
+    val rows = m.collect()
+    fitted.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), m.schema)
+  }
 }

@@ -590,7 +590,10 @@ object Similarity {
         .select(lit(name).as("method"), col("n_queries"), lit(k).as("k"),
                 round(col("n_hit") / col("n_truth"), 4).as("recall"))
     val out = Seq(
-      recallOf("brute", knnBruteOn(e, pred, k)),
+      // self-check against the SAME persisted frame: validates the
+      // metric plumbing (must print exactly 1.0) without paying a
+      // second brute-force corpus pass
+      recallOf("brute", truth),
       recallOf("ivf_label", ivfAnnOn(e, pred, k)),
       recallOf("ivf_kmeans", ivfAnnKmeans(e, pred, k)),
       recallOf("sq8", quantizedKnn(s, dir, k)),

@@ -327,6 +327,55 @@ class Round4OpsSpec extends SparkSpec {
     r.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 
+  test("dd05 dedup harness: minhash precision is 1.0 and planted clones are recalled") {
+    // three clone pairs (one-word edits on 40-word docs -> shingle
+    // jaccard well above 0.5) + unrelated fillers
+    def doc(seed: Int, edit: Boolean): String =
+      (1 to 40).map(i => if (edit && i == 20) "EDITED" else s"w${seed}_$i").mkString(" ")
+    val rows = Seq(
+      (1L, doc(1, false)), (2L, doc(1, true)),
+      (3L, doc(2, false)), (4L, doc(2, true)),
+      (5L, doc(3, false)), (6L, doc(3, true))) ++
+      (7L to 12L).map(i => (i, doc(i.toInt * 10, false)))
+    val out = Dedup.dedupRecallOn(rows.toDF("doc_id", "text"), tau = 0.5).collect()
+      .map(r => r.getAs[String]("method") -> r).toMap
+    assert(out.keySet == Set("minhash_lsh", "simhash_h3", "winnow_shared_fp"))
+    // ground truth found exactly the three planted pairs
+    out.values.foreach(r => assert(r.getAs[Long]("n_truth") == 3L, r.toString))
+    // minhash verifies with the SAME jaccard as the truth: precision
+    // exactly 1.0, and one-word edits collide in nearly every band
+    val mh = out("minhash_lsh")
+    assert(mh.getAs[Double]("precision") == 1.0 && mh.getAs[Double]("recall") == 1.0, mh.toString)
+    out.values.foreach { r =>
+      assert(r.getAs[Double]("precision") >= 0.0 && r.getAs[Double]("precision") <= 1.0)
+      assert(r.getAs[Double]("recall") >= 0.0 && r.getAs[Double]("recall") <= 1.0)
+    }
+    // winnowing shares fingerprints on clones: full recall, and the
+    // candidate set is a superset (precision <= minhash's)
+    assert(out("winnow_shared_fp").getAs[Double]("recall") == 1.0)
+  }
+
+  test("km05 cluster metrics: planted orthogonal clusters are cohesive and separated") {
+    // two tight clusters along orthogonal axes, seeded by label
+    def near(axis: Int, eps: Double) =
+      Seq.tabulate(4)(i => if (i == axis) 1.0 else if (i == (axis + 1) % 4) eps else 0.0)
+    val e = Seq(
+      (1L, near(0, 0.00), 0), (2L, near(0, 0.01), 0), (3L, near(0, 0.02), 0),
+      (4L, near(2, 0.00), 1), (5L, near(2, 0.01), 1), (6L, near(2, 0.02), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val fitted = KMeans.fit(e, 2)
+    val m = KMeans.clusterMetrics(fitted).collect()
+    fitted.unpersist()
+    assert(m.length == 2)
+    m.foreach { r =>
+      assert(r.getAs[Long]("n_members") == 3L)
+      assert(r.getAs[Double]("mean_cc") > 0.99, s"cohesion: $r")
+      assert(r.getAs[Double]("nn_cos") < 0.05, s"separation: $r") // orthogonal rival
+      assert(r.getAs[Double]("separation") > 0.9, s"margin: $r")
+      assert(r.getAs[Double]("min_cc") <= r.getAs[Double]("mean_cc"))
+    }
+  }
+
   test("sim09 semdedup: planted clone groups collapse to min-id representatives") {
     def vec(base: Array[Double], eps: Double): Seq[Double] =
       base.zipWithIndex.map { case (v, i) => v + (if (i == 0) eps else 0.0) }.toSeq

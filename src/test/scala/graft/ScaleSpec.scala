@@ -8,6 +8,54 @@ import graft.operators.Scale
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("ix01 materialized search index: query parity with inline operators, co-located joins") {
+    import graft.operators.{SearchIndex, TextOps}
+    SearchIndex.buildIndex(spark, Tables.documents(spark, sfDir), "ix", buckets = 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // BM25 over the index == tx18 over the raw corpus, score for score
+      val fromIndex = SearchIndex.bm25Query(spark, "ix", Seq("merge", "join", "stream"))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+      val inline = TextOps.bm25Search(spark, sfDir)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+      assert(fromIndex == inline, s"index=$fromIndex inline=$inline")
+      // phrase hits over the index == tx31 over the raw corpus
+      val phr = SearchIndex.phraseQuery(spark, "ix", "table", "scan")
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_phrase_hits")).toMap
+      val inlinePhr = TextOps.phraseSearch(spark, sfDir)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_hits")).toMap
+      inlinePhr.foreach { case (d, n) => assert(phr.get(d).map(_.toLong).contains(n), s"doc $d") }
+      if (inlinePhr.size < 20) assert(phr.keySet == inlinePhr.keySet)
+      // the phrase join is bucket-co-located: force the SMJ path and
+      // demand ZERO exchanges anywhere in the plan
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val q = SearchIndex.phraseQuery(spark, "ix", "table", "scan")
+      q.collect()
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      assert(plan.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        s"expected shuffle-free bucketed phrase join:\n$plan")
+      // BM25's only exchange is the single-row corpus-stats scalar
+      val q2 = SearchIndex.bm25Query(spark, "ix", Seq("merge", "join", "stream"))
+      q2.collect()
+      val plan2 = q2.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val bigShuffles = plan2.collect {
+        case s: ShuffleExchangeExec if s.outputPartitioning.numPartitions > 1 => s
+      }
+      assert(bigShuffles.isEmpty,
+        s"expected only the scalar-stats exchange in bm25:\n$plan2")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("ix_postings", "ix_docstats", "ix_termstats")
+        .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     val left = (1 to 1000).map(i => (i % 7L, i)).toDF("k", "v")      // key 0..6, skewed-ish
     val right = (0 to 6).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
