@@ -175,22 +175,48 @@ object Scale {
     * does not finish).
     */
   def zOrderedLayout(df: DataFrame, files: Int,
-                     colA: String, colB: String, bits: Int = 16): DataFrame = {
-    require(files >= 1 && bits >= 1)
-    // 2^bandBits bands per dimension; 1024 is >= 10x any realistic
-    // file count per write and keeps the cut array broadcast-small
-    val bandBits = math.min(bits, 10)
-    val nb = 1 << bandBits
+                     colA: String, colB: String, bits: Int = 10): DataFrame = {
+    // bits > 10 would only grow the broadcast cut arrays (1024 bands
+    // per dimension is already >= 10x any realistic per-write file
+    // count) — reject rather than silently cap, so callers know the
+    // knob's real range
+    require(files >= 1, s"files must be >= 1, got $files")
+    require(bits >= 1 && bits <= 10, s"bits must be in [1, 10], got $bits")
+    val nb = 1 << bits
     val probs = (1 until nb).map(_.toDouble / nb).toArray
+    // approxQuantile is numeric-only: band timestamps/dates through
+    // their numeric image (the band is order-determined, so any
+    // monotone cast gives the same boxes the old sort-based form did)
+    def numeric(name: String): (String, Column, DataFrame => DataFrame) = {
+      val dt = df.schema(name).dataType
+      dt match {
+        case _: org.apache.spark.sql.types.NumericType =>
+          (name, col(name), identity)
+        case _: org.apache.spark.sql.types.TimestampType |
+             _: org.apache.spark.sql.types.DateType =>
+          val surrogate = s"__zq_$name"
+          (surrogate, col(surrogate),
+            (d: DataFrame) => d.withColumn(surrogate, col(name).cast("double")))
+        case other => throw new IllegalArgumentException(
+          s"zOrderedLayout: column $name has type ${other.simpleString}; " +
+          "z-order banding needs a numeric, timestamp, or date column")
+      }
+    }
+    val (nameA, valA, prepA) = numeric(colA)
+    val (nameB, valB, prepB) = numeric(colB)
+    val prepped = prepB(prepA(df))
     val Array(cutsA, cutsB) =
-      df.stat.approxQuantile(Array(colA, colB), probs, 1.0 / (4 * nb))
-    df
+      prepped.stat.approxQuantile(Array(nameA, nameB), probs, 1.0 / (4 * nb))
+    // empty frame or all-null column → no cut points; a single band
+    // (code 0) keeps the write valid instead of failing the layout job
+    def bandOf(v: Column, cuts: Array[Double]): Column =
+      if (cuts.isEmpty) lit(0) else quantileBand(v, cuts)
+    prepped
       .withColumn("__z", mortonInterleave(
-        quantileBand(col(colA), cutsA),
-        quantileBand(col(colB), cutsB), bandBits))
+        bandOf(valA, cutsA), bandOf(valB, cutsB), bits))
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z")
+      .drop("__z", s"__zq_$colA", s"__zq_$colB")
   }
 
   /** Z-order-clustered write — writeRangeClustered's multi-dimensional
@@ -201,7 +227,7 @@ object Scale {
     * either one.
     */
   def writeZOrdered(df: DataFrame, dest: String, files: Int,
-                    colA: String, colB: String, bits: Int = 16): Unit =
+                    colA: String, colB: String, bits: Int = 10): Unit =
     zOrderedLayout(df, files, colA, colB, bits)
       .write.mode(SaveMode.Overwrite)
       .parquet(dest)

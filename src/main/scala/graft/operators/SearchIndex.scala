@@ -40,7 +40,10 @@ object SearchIndex {
     Scale.writeBucketed(
       docs.select(col("doc_id"), tokenCount(col("text")).as("dl")),
       s"${prefix}_docstats", "doc_id", buckets)
-    postings.groupBy("term").agg(count(lit(1)).as("df"))
+    // term stats derive from the just-written postings table — the
+    // corpus-scale tokenize+aggregate shuffle runs ONCE, not again
+    s.table(s"${prefix}_postings")
+      .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${prefix}_termstats")
   }

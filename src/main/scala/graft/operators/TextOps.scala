@@ -904,9 +904,13 @@ object TextOps {
                   k: Int = 10): DataFrame = {
     import s.implicits._
     val q = queries.toDF("query").withColumn("qtg", charTrigrams(col("query")))
+    // persisted: the corpus tokenize+explode feeds BOTH the vocab
+    // lineage and the final per-doc scoring join — unpersisted it
+    // would scan the documents twice
     val postings = Tables.documents(s, dir)
       .select(col("doc_id"), explode(array_distinct(tokens(col("text")))).as("term"))
       .filter(length(col("term")) >= 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = postings.select("term").distinct()
       .withColumn("tg", charTrigrams(col("term")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -926,8 +930,8 @@ object TextOps {
     val out = perDoc
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col("query"), col("doc_id"), round(col("sim"), 4).as("sim"))
-    val rows = out.collect() // |queries|·k rows — materialize, then drop the cache
-    vocab.unpersist()
+    val rows = out.collect() // |queries|·k rows — materialize, then drop the caches
+    vocab.unpersist(); postings.unpersist()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 

@@ -56,6 +56,26 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("z-order layout handles timestamp columns, empty frames, and all-null columns") {
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val df = (1 to 100).map(i =>
+      (new java.sql.Timestamp(ts.getTime + i * 60000L), i.toDouble % 7))
+      .toDF("t", "v")
+    // timestamps band through their numeric image instead of throwing
+    val out = Scale.zOrderedLayout(df, files = 2, "t", "v")
+    assert(out.count() == 100 && out.columns.toSeq == Seq("t", "v"))
+    // empty frame: no cut points -> single band, still writes
+    assert(Scale.zOrderedLayout(df.filter(lit(false)), 2, "t", "v").count() == 0)
+    // all-null column: same degenerate path
+    val withNull = df.withColumn("v", lit(null).cast("double"))
+    assert(Scale.zOrderedLayout(withNull, 2, "t", "v").count() == 100)
+    // out-of-range bits and non-orderable types fail loudly, not silently
+    intercept[IllegalArgumentException] { Scale.zOrderedLayout(df, 2, "t", "v", bits = 16) }
+    intercept[IllegalArgumentException] {
+      Scale.zOrderedLayout(df.withColumn("s", lit("x")), 2, "s", "v")
+    }
+  }
+
   test("salted join returns exactly the plain join result") {
     val left = (1 to 1000).map(i => (i % 7L, i)).toDF("k", "v")      // key 0..6, skewed-ish
     val right = (0 to 6).map(i => (i.toLong, s"dim$i")).toDF("k", "name")
