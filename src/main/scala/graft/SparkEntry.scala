@@ -167,6 +167,7 @@ object SparkEntry {
     "sim09_semdedup"                -> (Similarity.semDedup _),
     "sim10_ann_recall"              -> ((s: SparkSession, dir: String) => Similarity.annRecall(s, dir)),
     "dd05_dedup_recall"             -> ((s: SparkSession, dir: String) => Dedup.dedupRecall(s, dir)),
+    "pp01_curation_pipeline"        -> (Curation.pp01 _),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:

@@ -249,4 +249,39 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("bigram LM scores are invariant under corpus duplication on random corpora") {
+    // the LM is built from ratios (cbg/cprev, cuni/total), so cloning
+    // every document scales every count equally and no score may move —
+    // the distribution-soundness check for tx41
+    val wordGen = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")
+    val docGen = Gen.chooseNum(2, 12).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(8, docGen), 3).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val doubled = docs ++ docs.map { case (i, t) => (i + 1000L, t) }
+      val base = graft.operators.TextOps.bigramLogLikOn(docs.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      val dup = graft.operators.TextOps.bigramLogLikOn(doubled.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      base.foreach { case (id, v) =>
+        assert(dup(id) == v, s"doc $id moved under duplication: ${dup(id)} vs $v")
+        assert(dup(id + 1000L) == v, s"clone of $id differs")
+      }
+    }
+  }
+
+  test("temperature mixture: alpha=0 is uniform, shares are monotone in the source shares") {
+    import graft.operators.Sampling
+    val m0 = Sampling.temperatureMixture(spark, sfDir, alpha = 0.0).collect()
+    val uniform = 1.0 / m0.length
+    m0.foreach(r => assert(math.abs(r.getAs[Double]("temp_share") - uniform) < 1e-4,
+      s"alpha=0 must be uniform: $r"))
+    // order preservation: temperature rescales but never reorders
+    val m = Sampling.temperatureMixture(spark, sfDir, alpha = 0.3).collect()
+      .sortBy(_.getAs[Double]("cur_share"))
+    val tempSorted = m.map(_.getAs[Double]("temp_share"))
+    assert(tempSorted.zip(tempSorted.tail).forall { case (a, b) => a <= b + 1e-12 },
+      s"temperature reordered the mixture: ${tempSorted.toSeq}")
+  }
 }

@@ -376,6 +376,45 @@ class Round4OpsSpec extends SparkSpec {
     }
   }
 
+  test("pp01 curation pipeline: every gate fires on its planted violator with full lineage") {
+    def longDoc(seed: String, edit: Boolean = false): String =
+      (Seq("the", "of", "and", "that", "with") ++
+        (1 to 55).map(i => if (edit && i == 30) "EDITED" else s"${seed}_$i")).mkString(" ")
+    val evalText = longDoc("eval")
+    // contaminated doc embeds an 8-token run from the eval doc
+    val contaminated = (Seq("the", "of", "and", "that", "with") ++
+      (1 to 30).map(i => s"cont_$i") ++
+      evalText.split(" ").slice(20, 28) ++
+      (31 to 50).map(i => s"cont_$i")).mkString(" ")
+    val bullets = (1 to 60).map(i => s"- item$i the of and that with be to have").mkString("\n")
+    val docs = Seq(
+      (1L, "a", longDoc("good")),                      // survives everything
+      (2L, "a", longDoc("clone")), (3L, "a", longDoc("clone")),   // exact pair
+      (4L, "a", longDoc("near")), (5L, "a", longDoc("near", edit = true)), // near pair
+      (6L, "a", bullets),                              // quality violator
+      (7L, "a", contaminated),                         // decontamination hit
+      (100L, "a", evalText)                            // eval doc (excluded)
+    ).toDF("doc_id", "source", "text")
+    val v = graft.operators.Curation.curateOn(docs, col("doc_id") === 100L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(!v.contains(100L), "eval docs carry no verdict row")
+    def flags(id: Long) = {
+      val r = v(id)
+      (r.getAs[Boolean]("quality_keep"), r.getAs[Boolean]("exact_keep"),
+       r.getAs[Boolean]("neardup_keep"), r.getAs[Boolean]("decontam_keep"),
+       r.getAs[Boolean]("keep"))
+    }
+    assert(flags(1L) == ((true, true, true, true, true)), s"good: ${flags(1L)}")
+    // exact clones are also trivially near-dups; the min id survives both
+    assert(flags(2L) == ((true, true, true, true, true)), s"clone keeper: ${flags(2L)}")
+    assert(flags(3L) == ((true, false, false, true, false)), s"clone victim: ${flags(3L)}")
+    assert(flags(4L) == ((true, true, true, true, true)), s"near keeper: ${flags(4L)}")
+    assert(flags(5L)._3 == false && flags(5L)._2 == true && !flags(5L)._5,
+      s"near victim: ${flags(5L)}")
+    assert(!flags(6L)._1 && !flags(6L)._5, s"quality violator: ${flags(6L)}")
+    assert(!flags(7L)._4 && !flags(7L)._5, s"contaminated: ${flags(7L)}")
+  }
+
   test("sim09 semdedup: planted clone groups collapse to min-id representatives") {
     def vec(base: Array[Double], eps: Double): Seq[Double] =
       base.zipWithIndex.map { case (v, i) => v + (if (i == 0) eps else 0.0) }.toSeq
