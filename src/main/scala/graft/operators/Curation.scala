@@ -40,11 +40,15 @@ object Curation {
     val quality = TextOps.gopherRulesOn(corpus)
       .select(col("doc_id"), col("source"), col("keep").as("quality_keep"))
 
-    // gate 2: exact dedup — the min doc_id per text hash survives
-    val exactKeep = corpus
-      .select(col("doc_id"), md5(col("text")).as("h"))
-      .withColumn("keeper", min("doc_id").over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    // gate 2: exact dedup — the min doc_id per text hash survives.
+    // groupBy + join back, NOT min().over(partitionBy(h)): a window
+    // buffers each hash group on one task, and a crawl's degenerate
+    // exact-dup group (same boilerplate × millions) is exactly the
+    // group that must not single-task; the aggregate form map-side
+    // combines it away (the dd04 lesson)
+    val hashed = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+    val exactKeep = hashed
+      .join(hashed.groupBy("h").agg(min("doc_id").as("keeper")), "h")
       .select(col("doc_id"), (col("doc_id") === col("keeper")).as("exact_keep"))
 
     // gate 3: near-dup clusters — banded LSH pairs, connected

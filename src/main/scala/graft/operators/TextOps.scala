@@ -509,27 +509,34 @@ object TextOps {
     * first occurrences, text.rs hash_text + the near-dup filter; a
     * recap must not repeat a sentence two articles share). Explode to
     * sentences, hash, keep the (doc_id, idx)-earliest occurrence per
-    * hash, report per-doc survival. One shuffle keyed by sentence
-    * hash — 8-byte keys, never sentence strings; a row_number over the
-    * hash partition elects the keeper in the SAME shuffle (a
-    * groupBy-keepers-then-join formulation would evaluate and shuffle
-    * the split+hash subtree twice).
+    * hash, report per-doc survival. The keeper election is
+    * min(struct(doc_id, idx)) per hash — struct ordering IS the
+    * (doc asc, idx asc) election — via groupBy, NOT row_number over a
+    * hash-partitioned window: a window buffers each hash group on one
+    * task, and a web corpus's boilerplate sentence ("thanks for
+    * reading" × 10⁷ docs) is exactly the hot group that must
+    * map-side-combine away instead. Both aggregations read the
+    * persisted 20-byte (doc, idx, h) frame — sentence strings never
+    * shuffle.
     * Rows-only: the sentence splitter uses lookbehind, which DuckDB's
     * RE2 cannot mirror.
     */
   def sentenceDedupOn(docs: DataFrame): DataFrame = {
-    val wFirst = Window.partitionBy("h").orderBy(col("doc_id").asc, col("idx").asc)
-    docs
+    // persisted: feeds both the per-doc totals and the keeper election
+    // (the precedent of minhashLshPairs' shingle frame)
+    val sent = docs
       .select(col("doc_id"),
               posexplode(graft.functions.TextFunctions.sentences(col("text"))).as(Seq("idx", "sentence")))
-      .withColumn("h", xxhash64(col("sentence")))
-      .select("doc_id", "idx", "h")
-      .withColumn("kept", (row_number().over(wFirst) === 1).cast("int"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_sentences"),
-        sum("kept").as("n_kept"),
-        (count(lit(1)) - sum("kept")).as("n_dropped"))
+      .select(col("doc_id"), col("idx"), xxhash64(col("sentence")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perDoc = sent.groupBy("doc_id").agg(count(lit(1)).as("n_sentences"))
+    val keptPerDoc = sent
+      .groupBy("h").agg(min(struct(col("doc_id"), col("idx"))).as("k"))
+      .groupBy(col("k.doc_id").as("doc_id")).agg(count(lit(1)).as("n_kept"))
+    perDoc.join(keptPerDoc, Seq("doc_id"), "left")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .withColumn("n_dropped", col("n_sentences") - col("n_kept"))
+      .select("doc_id", "n_sentences", "n_kept", "n_dropped")
       .orderBy("doc_id")
   }
 
