@@ -75,7 +75,7 @@ object BloomFunctions {
     // a few-percent-of-runs one
     val est = keySide.agg(
       org.apache.spark.sql.functions.approx_count_distinct(keyCol, 0.02).as("n"))
-      .head.getLong(0)
+      .head().getLong(0)
     val n = math.max(1L, (est * 1.1).toLong)
     val filter = keySide.stat.bloomFilter(keyCol, n, fpp)
     (key: Column) => ColumnBridge.column(

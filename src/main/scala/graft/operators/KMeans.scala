@@ -52,7 +52,7 @@ object KMeans {
     * monotonicity witness (must not decrease across iterations).
     */
   def cost(assigned: DataFrame): Double =
-    assigned.agg(avg("cc")).head.getDouble(0)
+    assigned.agg(avg("cc")).head().getDouble(0)
 
   /** Mini-batch (spherical) k-means: per epoch, sample a fraction of
     * the corpus, assign it against the frozen driver-side centroids,

@@ -358,7 +358,7 @@ object Similarity {
                       candidates: Int = 50, sampleRows: Int = 2048,
                       seed: Int = 7): DataFrame = {
     val k = 1 << codebookBits
-    val dim = e.select(size(col("embedding"))).head.getInt(0)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
 

@@ -371,4 +371,27 @@ object StreamOps {
     */
   def qualityGate(docs: DataFrame): DataFrame =
     graft.operators.TextOps.gopherRulesOn(docs).filter(col("keep"))
+
+  /** st15: streaming sentence-level dedup — tx28's semantics running
+    * continuously (recap-worker's ACTUAL behavior: it hashes sentences
+    * and keeps first occurrences as articles ARRIVE, not in nightly
+    * batches). Documents explode to (doc, idx, sentence-hash) rows;
+    * `dropDuplicatesWithinWatermark` on the 8-byte hash keeps the
+    * first-seen occurrence of each sentence and expires state with the
+    * watermark — cross-batch exact dedup with provably bounded state
+    * (one hash per distinct sentence inside the window, vs unbounded
+    * in the naive dropDuplicates form). Output is the surviving
+    * sentence stream; re-assembly or per-doc survival stats are a
+    * downstream aggregation.
+    */
+  def sentenceDedupStream(docs: DataFrame,
+                          watermark: String = "2 hours"): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"),
+        posexplode(graft.functions.TextFunctions.sentences(col("text")))
+          .as(Seq("idx", "sentence")))
+      .withColumn("h", xxhash64(col("sentence")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("h")
+      .select("doc_id", "ts", "idx", "sentence")
 }

@@ -433,6 +433,27 @@ class StreamingSourcesSpec extends SparkSpec {
     assert(w1(1).window_bytes.sameElements(pcm.slice(640, 1600)))
   }
 
+  test("st15 streaming sentence dedup keeps first occurrences across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val out = StreamOps.sentenceDedupStream(mem.toDF.toDF("doc_id", "ts", "text"))
+    val q = out.writeStream.format("memory").queryName("st15").outputMode("append").start()
+    try {
+      mem.addData((1L, ts(0), "First point. Shared point."))
+      q.processAllAvailable()
+      // second doc repeats a sentence from batch 1 AND within itself
+      mem.addData((2L, ts(1), "Shared point. New point. New point."))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id, sentence FROM st15").collect()
+        .map(r => (r.getLong(0), r.getString(1).trim))
+      assert(kept.count(_._2 == "Shared point.") == 1, s"cross-batch dup kept: ${kept.toSeq}")
+      assert(kept.count(_._2 == "New point.") == 1, s"in-batch dup kept: ${kept.toSeq}")
+      assert(kept.filter(_._1 == 1L).map(_._2).toSet ==
+        Set("First point.", "Shared point."))
+      assert(kept.filter(_._1 == 2L).map(_._2).toSet == Set("New point."))
+    } finally q.stop()
+  }
+
   test("st14 streaming quality gate drops rule violators at ingest, parity with batch") {
     implicit val sqlCtx = spark.sqlContext
     val good = (Seq("the", "of", "and", "that", "with", "words", "flow", "cleanly") ++
