@@ -865,10 +865,11 @@ object SparkEntry {
          tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
          tc AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ctf FROM tf GROUP BY term),
          tot AS (SELECT CAST(sum(ctf) AS BIGINT) AS total FROM tc),
-         sc AS (SELECT tf.doc_id, tf.tf, round(log2(tc.ctf * 1.0 / tot.total), 6) AS logp
+         sc AS (SELECT tf.doc_id, tf.tf,
+                       CAST(round(log2(tc.ctf * 1.0 / tot.total) * 1000000) AS BIGINT) AS logp_u
                 FROM tf JOIN tc USING (term) CROSS JOIN tot)
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-                round(sum(tf * logp) / sum(tf), 4) AS avg_log2_lik
+                round(sum(tf * logp_u) * 1.0 / sum(tf) / 1000000, 4) AS avg_log2_lik
          FROM sc GROUP BY doc_id""",
     "tx26_decontamination" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -1059,7 +1060,8 @@ object SparkEntry {
                       round(len(list_intersect(qt.toks, ct.toks)) * 1.0 /
                             len(list_distinct(list_concat(qt.toks, ct.toks))), 6) AS lex
                FROM topk JOIN t qt ON qt.doc_id = query_id JOIN t ct ON ct.doc_id = neighbor_id),
-         r AS (SELECT *, round(0.7 * cos + 0.3 * lex, 6) AS rerank_score FROM e)
+         r AS (SELECT *, (CAST(round(cos * 1e6) AS BIGINT) * 7 +
+                          CAST(round(lex * 1e6) AS BIGINT) * 3) / 1e7 AS rerank_score FROM e)
          SELECT query_id, neighbor_id, cos, lex, rerank_score, rerank
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, neighbor_id ASC) AS rerank
                FROM r)
@@ -1313,12 +1315,12 @@ object SparkEntry {
                  FROM (SELECT unnest(toks) AS term FROM d) GROUP BY 1),
          tot AS (SELECT CAST(sum(cuni) AS BIGINT) AS total FROM uni),
          sc AS (SELECT bf.doc_id, bf.bf,
-                       round(log2(${0.9} * big.cbg / pc.cprev
-                                  + ${1.0 - 0.9} * uni.cuni / tot.total), 6) AS logp
+                       CAST(round(log2(${0.9} * big.cbg / pc.cprev
+                                  + ${1.0 - 0.9} * uni.cuni / tot.total) * 1000000) AS BIGINT) AS logp_u
                 FROM bf JOIN big USING (prev, cur) JOIN pc USING (prev)
                      JOIN uni ON uni.term = bf.cur CROSS JOIN tot)
          SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
-                round(sum(bf * logp) / sum(bf), 4) AS avg_log2_lik
+                round(sum(bf * logp_u) * 1.0 / sum(bf) / 1000000, 4) AS avg_log2_lik
          FROM sc GROUP BY doc_id""",
     "tx40_prefix_search" ->
       """WITH p AS (SELECT prefix FROM (VALUES ('sp'), ('cu'), ('wi')) AS t(prefix)),

@@ -363,12 +363,17 @@ object Events {
     * aggregate (ClickHouse `topK()`; the 100 TB path for top-N over
     * HIGH-cardinality keys, where q04/ev05's exact groupBy would
     * shuffle one row per distinct key). Each group keeps a bounded
-    * `capacity`-entry summary, merged across partitions. At test SF
-    * the capacity covers the user space, so estimates are exact and
-    * the DuckDB oracle mirrors them with a plain count — the same
-    * "exact below the buffer" contract ev11's percentile sketch has.
+    * `capacity`-entry summary, merged across partitions. The default
+    * capacity covers the test-SF user space (1.5k distinct/type at
+    * sf0.1), so estimates are exact and the DuckDB oracle mirrors
+    * them with a plain count — the same "exact below the buffer"
+    * contract ev11's percentile sketch has. Above the buffer the
+    * SpaceSaving guarantee degrades gracefully (any key with
+    * frequency > N/capacity is retained; `max_overcount` bounds the
+    * error per entry) — callers at real cardinality size `capacity`
+    * to the heavy-hitter threshold they need, not to the key space.
     */
-  def heavyHitters(s: SparkSession, dir: String, k: Int = 10, capacity: Int = 256): DataFrame = {
+  def heavyHitters(s: SparkSession, dir: String, k: Int = 10, capacity: Int = 4096): DataFrame = {
     import graft.functions.SpaceSavingAgg.spaceSavingTopK
     ev(s, dir)
       .filter(col("user_id").isNotNull)

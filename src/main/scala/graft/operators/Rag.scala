@@ -60,7 +60,15 @@ object Rag {
     val enriched = toks.select(col("doc_id").as("neighbor_id"), col("toks").as("c_toks"))
       .join(broadcast(withQuery), "neighbor_id")
       .withColumn("lex", round(jaccard(col("q_toks"), col("c_toks")), 6))
-      .withColumn("rerank_score", round(lit(0.7) * col("cos") + lit(0.3) * col("lex"), 6))
+      // blend in exact integer micro-units (cos/lex are 6-dp doubles →
+      // within 1 ulp of an integer×1e-6): 7·cos_u + 3·lex_u is exact
+      // integer arithmetic, so the blended score is bit-identical in
+      // every engine — a double 0.7·cos+0.3·lex can land on a half-way
+      // rounding boundary where summation ulps flip the 6-dp round
+      // (observed at sf0.1)
+      .withColumn("rerank_score",
+        (round(col("cos") * 1e6, 0).cast("long") * 7 +
+         round(col("lex") * 1e6, 0).cast("long") * 3) / 1e7)
     val w = Window.partitionBy("query_id")
       .orderBy(col("rerank_score").desc, col("neighbor_id").asc)
     enriched.withColumn("rerank", row_number().over(w))

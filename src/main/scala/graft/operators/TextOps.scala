@@ -402,13 +402,19 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val termCounts = tf.groupBy("term").agg(sum("tf").as("ctf"))
     val total = termCounts.agg(sum("ctf").as("total"))
+    // log-probs aggregate as exact integer MICRO-units (round(log2·1e6)
+    // as long): double sums of rounded values can land on a half-way
+    // 4-decimal boundary where the two engines' summation ORDER flips
+    // the rounding (observed at sf0.1); integer addends make the sum
+    // order-independent and bit-identical everywhere
     tf.join(termCounts, "term")
       .crossJoin(broadcast(total))
-      .withColumn("logp", round(log2(col("ctf") / col("total")), 6))
+      .withColumn("logp_u",
+        round(log2(col("ctf") / col("total")) * 1e6, 0).cast("long"))
       .groupBy("doc_id")
       .agg(
         sum("tf").as("n_tokens"),
-        round(sum(col("tf") * col("logp")) / sum("tf"), 4).as("avg_log2_lik"))
+        round(sum(col("tf") * col("logp_u")) / sum("tf") / 1e6, 4).as("avg_log2_lik"))
   }
 
   /** tx41: per-doc INTERPOLATED BIGRAM log-likelihood — the CCNet-style
@@ -445,17 +451,19 @@ object TextOps {
     val uni = d.select(explode(col("toks")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cuni"))
     val total = uni.agg(sum("cuni").as("total"))
+    // integer micro-unit log-probs for order-independent sums (the
+    // tx25 boundary lesson)
     bf.join(big, Seq("prev", "cur"))
       .join(prevCounts, Seq("prev"))
       .join(uni.withColumnRenamed("term", "cur"), Seq("cur"))
       .crossJoin(broadcast(total))
-      .withColumn("logp", round(log2(
+      .withColumn("logp_u", round(log2(
         lit(lambda) * col("cbg") / col("cprev") +
-        lit(1.0 - lambda) * col("cuni") / col("total")), 6))
+        lit(1.0 - lambda) * col("cuni") / col("total")) * 1e6, 0).cast("long"))
       .groupBy("doc_id")
       .agg(
         sum("bf").as("n_bigrams"),
-        round(sum(col("bf") * col("logp")) / sum("bf"), 4).as("avg_log2_lik"))
+        round(sum(col("bf") * col("logp_u")) / sum("bf") / 1e6, 4).as("avg_log2_lik"))
   }
 
   /** tx26: benchmark decontamination — flag training documents that

@@ -293,11 +293,14 @@ class Round4OpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Long]("n_bigrams"), r.getAs[Double]("avg_log2_lik"))).toMap
     // corpus: bigrams (a,b)×2 (a,c)×1, cprev(a)=3; unigrams a:3 b:2 c:1, total 6
-    // Spark's round(): BigDecimal.valueOf + HALF_UP
+    // Spark's round(): BigDecimal.valueOf + HALF_UP; log-probs aggregate
+    // as integer micro-units (see bigramLogLikOn)
     def r(x: Double, s: Int): Double =
       java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
-    def score(cbg: Double, cprev: Double, cuni: Double): Double =
-      r(r(math.log(0.9 * cbg / cprev + (1.0 - 0.9) * cuni / 6) / math.log(2.0), 6), 4)
+    def score(cbg: Double, cprev: Double, cuni: Double): Double = {
+      val u = r((math.log(0.9 * cbg / cprev + (1.0 - 0.9) * cuni / 6) / math.log(2.0)) * 1e6, 0)
+      r(u / 1e6, 4)
+    }
     assert(out(1L) == (1L, score(2, 3, 2)) && out(2L) == out(1L))
     assert(out(3L) == (1L, score(1, 3, 1)))
     // the frequent continuation scores strictly higher than the rare one
