@@ -44,6 +44,7 @@ object SparkEntry {
     "q24_priority_status_pivot"     -> (Relational.priorityStatusPivot _),
     "q25_topn_per_group"            -> (Relational.topOrdersPerPriority _),
     "q26_topn_agg"                  -> (Relational.topOrdersPerPriorityAgg _),
+    "q27_trailing_spend"            -> ((s: SparkSession, dir: String) => Relational.trailingSpend(s, dir)),
     // Event / log analytics
     "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
     "ev02_error_rate"               -> (Events.errorRate _),
@@ -76,6 +77,7 @@ object SparkEntry {
     "ot02_service_graph"            -> (Events.serviceGraph _),
     "es05_scd2_intervals"           -> (Events.scd2Intervals _),
     "lt01_log_templates"            -> (LogMining.logTemplates _),
+    "lt02_novel_templates"          -> (LogMining.novelTemplates _),
     "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
     "tx21_term_entropy"             -> (TextOps.termEntropy _),
     "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
@@ -141,6 +143,7 @@ object SparkEntry {
     "rag02_reranked_retrieval"      -> (Rag.rerankedRetrieval _),
     "rag03_mmr_retrieval"           -> ((s: SparkSession, dir: String) => Rag.mmrRetrieval(s, dir)),
     "rag04_token_chunks"            -> ((s: SparkSession, dir: String) => Rag.tokenChunks(s, dir)),
+    "rag05_hybrid_rrf"              -> ((s: SparkSession, dir: String) => Rag.hybridRrf(s, dir)),
     "sim02_label_centroids"         -> (Similarity.labelCentroids _),
     "sim03_cosine_neardup"          -> (Similarity.cosineNearDup _),
     "sim04_ivf_ann"                 -> (Similarity.ivfAnn _),
@@ -164,6 +167,7 @@ object SparkEntry {
     "tx40_prefix_search"            -> ((s: SparkSession, dir: String) => TextOps.prefixSearch(s, dir)),
     "smp05_temperature_mixture"     -> ((s: SparkSession, dir: String) => Sampling.temperatureMixture(s, dir)),
     "dq06_snapshot_diff"            -> ((s: SparkSession, dir: String) => DataQuality.snapshotDiff(s, dir)),
+    "dq07_null_drift"               -> (DataQuality.nullDrift _),
     "sim09_semdedup"                -> (Similarity.semDedup _),
     "sim10_ann_recall"              -> ((s: SparkSession, dir: String) => Similarity.annRecall(s, dir)),
     "dd05_dedup_recall"             -> ((s: SparkSession, dir: String) => Dedup.dedupRecall(s, dir)),
@@ -869,7 +873,7 @@ object SparkEntry {
                        CAST(round(log2(tc.ctf * 1.0 / tot.total) * 1000000) AS BIGINT) AS logp_u
                 FROM tf JOIN tc USING (term) CROSS JOIN tot)
          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
-                round(sum(tf * logp_u) * 1.0 / sum(tf) / 1000000, 4) AS avg_log2_lik
+                CAST(round(sum(tf * logp_u) * 1.0 / sum(tf) / 100) AS BIGINT) / 1e4 AS avg_log2_lik
          FROM sc GROUP BY doc_id""",
     "tx26_decontamination" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -974,9 +978,11 @@ object SparkEntry {
            SELECT doc_id, term, count(*) AS tf
            FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
            GROUP BY 1, 2),
-         p AS (SELECT doc_id, tf * 1.0 / sum(tf) OVER (PARTITION BY doc_id) AS p FROM tf)
+         p AS (SELECT doc_id, tf,
+                      CAST(round(ln(tf * 1.0 / sum(tf) OVER (PARTITION BY doc_id)) / ln(2.0) * 1000000) AS BIGINT) AS logp_u
+               FROM tf)
          SELECT doc_id, count(*) AS n_terms,
-                round(-sum(p * round(ln(p) / ln(2.0), 6)), 4) AS entropy_bits
+                CAST(round(-sum(tf * logp_u) * 1.0 / sum(tf) / 100) AS BIGINT) / 1e4 AS entropy_bits
          FROM p GROUP BY doc_id""",
     "tx04_quality_score" ->
       """SELECT * FROM (
@@ -1066,6 +1072,29 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, neighbor_id ASC) AS rerank
                FROM r)
          WHERE rerank <= 3""",
+    "rag05_hybrid_rrf" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, round(${duckCos("q_emb", "c_emb")}, 6) AS cos
+                    FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         topk AS (SELECT query_id, neighbor_id, cos
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                        FROM scored)
+                  WHERE rank <= 10),
+         t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents),
+         e AS (SELECT query_id, neighbor_id, cos,
+                      round(len(list_intersect(qt.toks, ct.toks)) * 1.0 /
+                            len(list_distinct(list_concat(qt.toks, ct.toks))), 6) AS lex
+               FROM topk JOIN t qt ON qt.doc_id = query_id JOIN t ct ON ct.doc_id = neighbor_id),
+         rk AS (SELECT *,
+                       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS r_cos,
+                       row_number() OVER (PARTITION BY query_id ORDER BY lex DESC, neighbor_id ASC) AS r_lex
+                FROM e),
+         f AS (SELECT *, 1.0 / (60 + r_cos) + 1.0 / (60 + r_lex) AS rrf_score FROM rk)
+         SELECT query_id, neighbor_id, r_cos, r_lex, rrf_score, fused_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id ASC) AS fused_rank
+               FROM f)
+         WHERE fused_rank <= 5""",
     "sim02_label_centroids" ->
       """SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
          FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c
@@ -1138,6 +1167,26 @@ object SparkEntry {
                 date_trunc('second', min(ts)) AS first_seen,
                 date_trunc('second', max(ts)) AS last_seen
          FROM t GROUP BY template""",
+    "lt02_novel_templates" ->
+      """WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+                    'user=' || CAST(user_id AS VARCHAR) || ' type=' || event_type ||
+                    ' value=' || CASE WHEN value IS NULL THEN 'null'
+                                      ELSE CAST(round(value, 2) AS VARCHAR) END ||
+                    ' props=' || props AS line
+                    FROM events),
+         t AS (SELECT *, array_to_string(
+                 list_transform(string_split_regex(trim(line), '\s+'),
+                   x -> CASE WHEN regexp_matches(x, '\d') THEN '<*>' ELSE x END), ' ') AS template
+               FROM l),
+         pd AS (SELECT template, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       count(*) AS n_lines
+                FROM t GROUP BY 1, 2),
+         fd AS (SELECT template, min(day) AS first_day FROM pd GROUP BY 1)
+         SELECT day, count(DISTINCT template) AS n_templates,
+                count(CASE WHEN day = first_day THEN 1 END) AS n_novel,
+                CAST(sum(n_lines) AS BIGINT) AS n_lines
+         FROM pd JOIN fd USING (template)
+         GROUP BY day""",
     "dd03_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, source, doc_id % 5 = 0 AS is_batch,
                     string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -1198,10 +1247,37 @@ object SparkEntry {
          SELECT * FROM fit CROSS JOIN tot""",
     "q25_topn_per_group" -> topnOracle("orders"),
     // same ranking contract as q25, ONE shared string builder — the only
+    "q27_trailing_spend" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_orderdate,
+                           CAST(epoch(o_orderdate) AS BIGINT) AS epoch,
+                           CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders)
+         SELECT o_orderkey, o_custkey, o_orderdate,
+                sum(cents) OVER w / 1e2 AS trailing_spend,
+                count(*) OVER w AS trailing_orders
+         FROM o
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch
+                      RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""",
     // divergence is NULL handling: the aggregate ignores NULL-valued
     // rows (SQL aggregate convention), a window ranks them last, so the
     // aggregate's oracle filters them explicitly
     "q26_topn_agg" -> topnOracle("(SELECT * FROM orders WHERE o_totalprice IS NOT NULL)"),
+    "dq07_null_drift" ->
+      """WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                               count(*) AS n_events,
+                               count(CASE WHEN user_id IS NULL THEN 1 END) AS null_users,
+                               count(CASE WHEN value IS NULL THEN 1 END) AS null_values
+                        FROM events GROUP BY 1),
+         o AS (SELECT count(*) AS t_n,
+                      count(CASE WHEN user_id IS NULL THEN 1 END) AS t_nu,
+                      count(CASE WHEN value IS NULL THEN 1 END) AS t_nv
+               FROM events)
+         SELECT day, n_events, null_users, null_values,
+                round(null_users * 1.0 / n_events, 6) AS user_null_rate,
+                round(null_values * 1.0 / n_events, 6) AS value_null_rate,
+                CASE WHEN null_users * t_n * 2 > n_events * t_nu * 3 THEN 1 ELSE 0 END AS user_drift,
+                CASE WHEN null_values * t_n * 2 > n_events * t_nv * 3 THEN 1 ELSE 0 END AS value_drift
+         FROM daily CROSS JOIN o""",
     "dq05_referential_integrity" ->
       """WITH li AS (SELECT 'lineitem->orders' AS relation, count(*) AS n_child,
                      count(CASE WHEN o.k IS NULL AND l.l_orderkey IS NOT NULL THEN 1 END) AS n_orphans,
@@ -1320,7 +1396,7 @@ object SparkEntry {
                 FROM bf JOIN big USING (prev, cur) JOIN pc USING (prev)
                      JOIN uni ON uni.term = bf.cur CROSS JOIN tot)
          SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
-                round(sum(bf * logp_u) * 1.0 / sum(bf) / 1000000, 4) AS avg_log2_lik
+                CAST(round(sum(bf * logp_u) * 1.0 / sum(bf) / 100) AS BIGINT) / 1e4 AS avg_log2_lik
          FROM sc GROUP BY doc_id""",
     "tx40_prefix_search" ->
       """WITH p AS (SELECT prefix FROM (VALUES ('sp'), ('cu'), ('wi')) AS t(prefix)),

@@ -151,6 +151,46 @@ object DataQuality {
         Tables.customer(s, dir), "c_custkey"))
   }
 
+  /** dq07: per-day null-rate drift for the event fact's nullable
+    * columns — the column-completeness monitor next to dq02's volume
+    * gate (a schema change or a broken enrichment job shows up as a
+    * null-rate step, not a volume drop; Great-Expectations-style
+    * `expect_column_values_to_not_be_null` tracked over time).
+    *
+    * A day is flagged when its null rate exceeds 1.5× the whole-table
+    * baseline. The comparison is cross-multiplied into exact integer
+    * arithmetic (2·nulls_day·n_total > 3·n_day·nulls_total), so the
+    * flag never sits on a floating-point boundary — both engines
+    * classify identically from the same counts.
+    *
+    * Scale: one shuffle to the daily frame (conditional counts are
+    * map-side partial), baseline is a broadcast one-row aggregate;
+    * |days| rows of state at any volume.
+    */
+  def nullDrift(s: SparkSession, dir: String): DataFrame =
+    nullDriftOn(Tables.events(s, dir))
+
+  /** Null-rate drift over any events-shaped frame. */
+  def nullDriftOn(ev: DataFrame): DataFrame = {
+    val daily = ev.groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        count(when(col("user_id").isNull, 1)).as("null_users"),
+        count(when(col("value").isNull, 1)).as("null_values"))
+    val overall = ev.agg(
+      count(lit(1)).as("t_n"),
+      count(when(col("user_id").isNull, 1)).as("t_nu"),
+      count(when(col("value").isNull, 1)).as("t_nv"))
+    daily.crossJoin(broadcast(overall))
+      .select(col("day"), col("n_events"), col("null_users"), col("null_values"),
+        round(col("null_users") / col("n_events"), 6).as("user_null_rate"),
+        round(col("null_values") / col("n_events"), 6).as("value_null_rate"),
+        when(col("null_users") * col("t_n") * 2 > col("n_events") * col("t_nu") * 3, 1)
+          .otherwise(0).as("user_drift"),
+        when(col("null_values") * col("t_n") * 2 > col("n_events") * col("t_nv") * 3, 1)
+          .otherwise(0).as("value_drift"))
+  }
+
   def sourceSignatures(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("token"))

@@ -56,4 +56,41 @@ object LogMining {
         countDistinct("user_id").as("n_users"),
         date_trunc("second", min(col("ts"))).as("first_seen"),
         date_trunc("second", max(col("ts"))).as("last_seen"))
+
+  /** lt02: novel-template detection — per day, how many DISTINCT
+    * templates were observed and how many appeared for the FIRST time
+    * (a deploy that introduces a new log site, or an error class never
+    * seen before, shows up as a novelty spike; the "new error
+    * template" alert every log platform builds on top of template
+    * mining — Drain's online use case, reread as a batch rollup).
+    *
+    * Scale: template cardinality is bounded by emitting code sites,
+    * so after the first per-(template, day) aggregation (map-side
+    * combined over the raw volume) everything downstream operates on
+    * a tiny frame: global first-day per template is a second bounded
+    * aggregation, and the day rollup is a third. No windows, no joins
+    * against raw volume.
+    */
+  def novelTemplates(s: SparkSession, dir: String): DataFrame =
+    novelTemplatesOn(Tables.events(s, dir))
+
+  /** Novel-template rollup over any events-shaped frame. */
+  def novelTemplatesOn(events: DataFrame): DataFrame = {
+    val perDay = events
+      .withColumn("line", concat(
+        lit("user="), col("user_id").cast("string"),
+        lit(" type="), col("event_type"),
+        lit(" value="), coalesce(round(col("value"), 2).cast("string"), lit("null")),
+        lit(" props="), col("props")))
+      .withColumn("template", template(col("line")))
+      .groupBy(col("template"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_lines"))
+    val firstDay = perDay.groupBy("template").agg(min("day").as("first_day"))
+    perDay.join(firstDay, "template")
+      .groupBy("day")
+      .agg(
+        countDistinct("template").as("n_templates"),
+        count(when(col("day") === col("first_day"), 1)).as("n_novel"),
+        sum("n_lines").as("n_lines"))
+  }
 }

@@ -76,6 +76,52 @@ object Rag {
       .select("query_id", "neighbor_id", "cos", "lex", "rerank_score", "rerank")
   }
 
+  /** rag05: hybrid retrieval via Reciprocal Rank Fusion — fuse the
+    * dense (embedding cosine) and lexical (token-set Jaccard) rankings
+    * of the same candidate set with RRF(d) = Σ_r 1/(k₀ + rank_r(d))
+    * (Cormack et al. 2009, k₀ = 60), the fusion every hybrid search
+    * engine ships (Meilisearch hybrid search, Elasticsearch RRF
+    * retriever): no score normalization across heterogeneous scales,
+    * only ranks. rag02's weighted blend needs calibrated weights; RRF
+    * is the calibration-free sibling — two rank windows + an exact
+    * per-row fusion.
+    *
+    * Every arithmetic step is engine-exact: ranks are integers from
+    * deterministically tie-broken row_numbers, and 1/(60+r) sums two
+    * IEEE doubles in a fixed order, so the fused score is bit-identical
+    * in Spark and DuckDB with no rounding at all.
+    *
+    * Scale: identical to rag02 — the corpus is scanned twice (dense
+    * retrieval + token fetch), everything downstream lives on the
+    * |queries|·k candidate frame; both rank windows partition by
+    * query over ≤ k rows.
+    */
+  def hybridRrf(s: SparkSession, dir: String, k0: Int = 60): DataFrame = {
+    val hits = Similarity.knnBruteOn(
+      Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = 10)
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+    val withQuery = toks.select(col("doc_id").as("query_id"), col("toks").as("q_toks"))
+      .join(broadcast(hits), "query_id")
+    val enriched = toks.select(col("doc_id").as("neighbor_id"), col("toks").as("c_toks"))
+      .join(broadcast(withQuery), "neighbor_id")
+      .withColumn("lex", round(jaccard(col("q_toks"), col("c_toks")), 6))
+    val byCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val byLex = Window.partitionBy("query_id")
+      .orderBy(col("lex").desc, col("neighbor_id").asc)
+    val fused = enriched
+      .withColumn("r_cos", row_number().over(byCos))
+      .withColumn("r_lex", row_number().over(byLex))
+      .withColumn("rrf_score",
+        lit(1.0) / (lit(k0) + col("r_cos")) + lit(1.0) / (lit(k0) + col("r_lex")))
+    val byRrf = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("neighbor_id").asc)
+    fused.withColumn("fused_rank", row_number().over(byRrf))
+      .filter(col("fused_rank") <= 5)
+      .select("query_id", "neighbor_id", "r_cos", "r_lex", "rrf_score", "fused_rank")
+  }
+
   /** rag04: overlapping token-window chunking — split documents into
     * fixed-size token windows advancing by a stride (window − stride
     * tokens of overlap), the chunking step every RAG index build runs

@@ -384,6 +384,41 @@ object Relational {
         (col("rk0") + 1).cast("int").as("rank_in_group"))
   }
 
+  /** q27: trailing 30-day customer spend at every order — a time-RANGE
+    * window frame (`RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND
+    * CURRENT ROW`), the capability row-frames (ev13's moving average)
+    * cannot express: the frame is defined by VALUE distance on the
+    * order timestamp, so sparse/bursty customers get correct windows
+    * regardless of how many rows fall inside. ClickHouse exposes the
+    * same via `RANGE` window frames over toUnixTimestamp; the alt
+    * backend's "spend velocity" read uses this shape.
+    *
+    * Scale: one shuffle partitioned by customer; per-partition sort by
+    * time is the windowing sort Spark would need for ANY per-customer
+    * sequence op. Frame sums aggregate in CENTS (exact integers) so
+    * the result is identical regardless of the engine's in-frame
+    * summation order — window sums via segment trees (DuckDB) and
+    * running accumulation (Spark) order doubles differently.
+    */
+  def trailingSpend(s: SparkSession, dir: String, days: Int = 30): DataFrame =
+    trailingSpendOn(Tables.orders(s, dir), days)
+
+  /** Trailing-window spend over any orders-shaped frame. */
+  def trailingSpendOn(orders: DataFrame, days: Int = 30): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("epoch"))
+      .rangeBetween(-days.toLong * 86400L, 0L)
+    orders
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        col("o_orderdate").cast("timestamp").cast("long").as("epoch"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      .withColumn("trailing_cents", sum("cents").over(w))
+      .withColumn("trailing_orders", count(lit(1)).over(w))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        (col("trailing_cents") / 1e2).as("trailing_spend"),
+        col("trailing_orders"))
+  }
+
   def marketShare(s: SparkSession, dir: String,
                   region: String = "ASIA", supplierNation: String = "NATION_7"): DataFrame = {
     val asiaCustomers = Tables.customer(s, dir)

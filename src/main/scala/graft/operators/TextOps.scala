@@ -164,14 +164,21 @@ object TextOps {
       .groupBy("doc_id", "term")
       .agg(count(lit(1)).as("tf"))
       .withColumn("p", col("tf") / sum("tf").over(byDoc))
-      // log term rounded to 6 dp BEFORE the sum — the repo's
-      // cross-engine discipline (JVM log and libm ln can differ a ulp;
-      // summed over hundreds of terms that could straddle the final
-      // 4 dp rounding boundary)
+      // −Σ p·log₂p in exact integer arithmetic: the log factors to
+      // MICRO-unit longs (round(log₂p·1e6)), the p = tf/T denominator
+      // factors out of the sum, so the addends are tf·logp_u longs —
+      // the sum is order-independent across partitions AND engines
+      // (a double Σ p·logp₆ flipped tx21's 4-dp round between two
+      // sf0.1 runs of the SAME build). Final round at scale 0 in 1e-4
+      // units: half-integers are exact doubles, so Spark's
+      // shortest-string rounding and DuckDB's binary round agree.
+      .withColumn("logp_u",
+        round(log(col("p")) / log(lit(2.0)) * 1e6, 0).cast("long"))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_terms"),
-        round(-sum(col("p") * round(log(col("p")) / log(lit(2.0)), 6)), 4).as("entropy_bits"))
+        (round(-sum(col("tf") * col("logp_u")) / sum("tf") / 100, 0).cast("long") / 1e4)
+          .as("entropy_bits"))
   }
 
   /** tx06: exact dedup groups via content hash (md5 on both engines). */
@@ -406,7 +413,13 @@ object TextOps {
     // as long): double sums of rounded values can land on a half-way
     // 4-decimal boundary where the two engines' summation ORDER flips
     // the rounding (observed at sf0.1); integer addends make the sum
-    // order-independent and bit-identical everywhere
+    // order-independent and bit-identical everywhere. The final round
+    // happens at scale 0 (micro-units/100 → 1e-4 units): half-INTEGERS
+    // are exactly representable doubles, so Spark's shortest-string
+    // BigDecimal rounding and DuckDB's binary std::round agree — a
+    // 4-decimal round of the double quotient does not (doc hit at
+    // sf0.1 where the quotient's shortest repr was "…5" but its binary
+    // value sat below the boundary)
     tf.join(termCounts, "term")
       .crossJoin(broadcast(total))
       .withColumn("logp_u",
@@ -414,7 +427,8 @@ object TextOps {
       .groupBy("doc_id")
       .agg(
         sum("tf").as("n_tokens"),
-        round(sum(col("tf") * col("logp_u")) / sum("tf") / 1e6, 4).as("avg_log2_lik"))
+        (round(sum(col("tf") * col("logp_u")) / sum("tf") / 100, 0).cast("long") / 1e4)
+          .as("avg_log2_lik"))
   }
 
   /** tx41: per-doc INTERPOLATED BIGRAM log-likelihood — the CCNet-style
@@ -451,8 +465,8 @@ object TextOps {
     val uni = d.select(explode(col("toks")).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cuni"))
     val total = uni.agg(sum("cuni").as("total"))
-    // integer micro-unit log-probs for order-independent sums (the
-    // tx25 boundary lesson)
+    // integer micro-unit log-probs for order-independent sums, final
+    // round at scale 0 in 1e-4 units (the tx25 boundary lessons)
     bf.join(big, Seq("prev", "cur"))
       .join(prevCounts, Seq("prev"))
       .join(uni.withColumnRenamed("term", "cur"), Seq("cur"))
@@ -463,7 +477,8 @@ object TextOps {
       .groupBy("doc_id")
       .agg(
         sum("bf").as("n_bigrams"),
-        round(sum(col("bf") * col("logp_u")) / sum("bf") / 1e6, 4).as("avg_log2_lik"))
+        (round(sum(col("bf") * col("logp_u")) / sum("bf") / 100, 0).cast("long") / 1e4)
+          .as("avg_log2_lik"))
   }
 
   /** tx26: benchmark decontamination — flag training documents that

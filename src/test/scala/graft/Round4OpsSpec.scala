@@ -299,7 +299,7 @@ class Round4OpsSpec extends SparkSpec {
       java.math.BigDecimal.valueOf(x).setScale(s, java.math.RoundingMode.HALF_UP).doubleValue()
     def score(cbg: Double, cprev: Double, cuni: Double): Double = {
       val u = r((math.log(0.9 * cbg / cprev + (1.0 - 0.9) * cuni / 6) / math.log(2.0)) * 1e6, 0)
-      r(u / 1e6, 4)
+      r(u / 100, 0) / 1e4
     }
     assert(out(1L) == (1L, score(2, 3, 2)) && out(2L) == out(1L))
     assert(out(3L) == (1L, score(1, 3, 1)))

@@ -1,0 +1,115 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Specs for the round-4 widening batch: time-RANGE window frames
+  * (q27), novel-template detection (lt02), null-rate drift (dq07),
+  * and reciprocal-rank-fusion hybrid retrieval (rag05).
+  */
+class Round4cOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("q27 trailing spend: RANGE frame is value-based — sparse and bursty customers both correct") {
+    val orders = Seq(
+      // customer 1: 2024-01-01, 2024-01-20, 2024-01-31, 2024-03-05
+      (1L, 1L, ts("2024-01-01 00:00:00"), 100.00),
+      (2L, 1L, ts("2024-01-20 00:00:00"), 50.25),
+      (3L, 1L, ts("2024-01-31 00:00:00"), 25.00),
+      (4L, 1L, ts("2024-03-05 00:00:00"), 10.10),
+      // customer 2: a single order
+      (5L, 2L, ts("2024-01-05 00:00:00"), 7.77))
+      .toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val out = Relational.trailingSpendOn(orders, days = 30).collect()
+      .map(r => r.getAs[Long]("o_orderkey") ->
+        (r.getAs[Double]("trailing_spend"), r.getAs[Long]("trailing_orders"))).toMap
+    assert(out(1L) == (100.00, 1L))
+    assert(out(2L) == (150.25, 2L))
+    // 2024-01-01 is EXACTLY 30 days before 2024-01-31 — the RANGE
+    // frame is inclusive at the lower bound, so all three are in
+    assert(out(3L) == (175.25, 3L))
+    // a row-frame would have seen the previous 3 orders here; the
+    // value frame correctly sees none of them (29+ day gap)
+    assert(out(4L) == (10.10, 1L))
+    assert(out(5L) == (7.77, 1L))
+  }
+
+  private def ev(rows: Seq[(Long, Timestamp, java.lang.Long, String, java.lang.Double, String)]) =
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("lt02 novel templates: first-seen day counts the template as novel exactly once") {
+    val events = ev(Seq(
+      (1L, ts("2024-01-01 01:00:00"), 1L, "alpha", 1.0, "{}"),
+      (2L, ts("2024-01-01 02:00:00"), 2L, "beta", 2.0, "{}"),
+      (3L, ts("2024-01-02 01:00:00"), 3L, "alpha", 3.0, "{}"),
+      (4L, ts("2024-01-02 02:00:00"), 4L, "gamma", 4.0, "{}"),
+      (5L, ts("2024-01-03 01:00:00"), 5L, "gamma", 5.0, "{}")))
+    val out = LogMining.novelTemplatesOn(events).collect()
+      .map(r => r.getAs[Timestamp]("day").toString.take(10) ->
+        (r.getAs[Long]("n_templates"), r.getAs[Long]("n_novel"), r.getAs[Long]("n_lines"))).toMap
+    // day1 introduces alpha+beta (both novel); day2 re-sees alpha and
+    // introduces gamma; day3 re-sees gamma only
+    assert(out("2024-01-01") == (2L, 2L, 2L))
+    assert(out("2024-01-02") == (2L, 1L, 2L))
+    assert(out("2024-01-03") == (1L, 0L, 1L))
+  }
+
+  test("dq07 null drift: integer cross-multiplied flag — no FP boundary, exact 1.5x threshold") {
+    val events = ev(Seq(
+      // day1: 4 rows, 1 null user (25% vs 62.5% baseline -> clean)
+      (1L, ts("2024-01-01 01:00:00"), null, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 02:00:00"), 1L, "a", 1.0, "{}"),
+      (3L, ts("2024-01-01 03:00:00"), 2L, "a", 1.0, "{}"),
+      (4L, ts("2024-01-01 04:00:00"), 3L, "a", 1.0, "{}"),
+      // day2: 4 rows, all user_id null (100% > 1.5 x 62.5% -> drift)
+      (5L, ts("2024-01-02 01:00:00"), null, "a", 1.0, "{}"),
+      (6L, ts("2024-01-02 02:00:00"), null, "a", 1.0, "{}"),
+      (7L, ts("2024-01-02 03:00:00"), null, "a", 1.0, "{}"),
+      (8L, ts("2024-01-02 04:00:00"), null, "a", 1.0, "{}")))
+    val out = DataQuality.nullDriftOn(events).collect()
+      .map(r => r.getAs[Timestamp]("day").toString.take(10) ->
+        (r.getAs[Int]("user_drift"), r.getAs[Int]("value_drift"))).toMap
+    assert(out("2024-01-01") == (0, 0))
+    assert(out("2024-01-02") == (1, 0))
+    // exact-boundary case: day rate exactly 1.5x baseline must NOT
+    // flag (strict >): one day 3/4 null, other day 1/4 null ->
+    // baseline 1/2, threshold 3/4 — equality, not excess
+    val boundary = ev(Seq(
+      (1L, ts("2024-01-01 01:00:00"), null, "a", 1.0, "{}"),
+      (2L, ts("2024-01-01 02:00:00"), null, "a", 1.0, "{}"),
+      (3L, ts("2024-01-01 03:00:00"), null, "a", 1.0, "{}"),
+      (4L, ts("2024-01-01 04:00:00"), 1L, "a", 1.0, "{}"),
+      (5L, ts("2024-01-02 01:00:00"), null, "a", 1.0, "{}"),
+      (6L, ts("2024-01-02 02:00:00"), 2L, "a", 1.0, "{}"),
+      (7L, ts("2024-01-02 03:00:00"), 3L, "a", 1.0, "{}"),
+      (8L, ts("2024-01-02 04:00:00"), 4L, "a", 1.0, "{}")))
+    val b = DataQuality.nullDriftOn(boundary).collect()
+      .map(r => r.getAs[Timestamp]("day").toString.take(10) -> r.getAs[Int]("user_drift")).toMap
+    assert(b("2024-01-01") == 0 && b("2024-01-02") == 0)
+  }
+
+  test("rag05 RRF: fused score is exactly 1/(60+r_cos)+1/(60+r_lex), ranked and bounded per query") {
+    val rows = Rag.hybridRrf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"query $q returned ${rs.length} rows")
+      val ranks = rs.map(_.getAs[Int]("fused_rank")).sorted
+      assert(ranks.toSeq == (1 to rs.length), s"query $q ranks: ${ranks.toSeq}")
+      rs.foreach { r =>
+        val expect = 1.0 / (60 + r.getAs[Int]("r_cos")) + 1.0 / (60 + r.getAs[Int]("r_lex"))
+        assert(r.getAs[Double]("rrf_score") == expect,
+          s"query $q neighbor ${r.getAs[Long]("neighbor_id")}: rrf not bit-exact")
+      }
+      // fused order follows rrf desc
+      val inOrder = rs.sortBy(_.getAs[Int]("fused_rank")).map(_.getAs[Double]("rrf_score"))
+      assert(inOrder.zip(inOrder.tail).forall { case (a, b) => a >= b })
+      // both underlying rankers contributed a rank-1 candidate to the pool
+      assert(rs.exists(r => r.getAs[Int]("r_cos") == 1 || r.getAs[Int]("r_lex") == 1),
+        s"query $q: no ranker winner survived fusion")
+    }
+  }
+}
