@@ -89,6 +89,7 @@ object SparkEntry {
     // Event sourcing / CQRS
     "es01_latest_state_projection"  -> (Events.latestStateProjection _),
     "es06_state_as_of"              -> ((s: SparkSession, dir: String) => Events.stateAsOf(s, dir)),
+    "es07_incremental_rollup"       -> ((s: SparkSession, dir: String) => Events.incrementalRollup(s, dir)),
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),
     "es03_retention_ttl"            -> (Events.retentionTtl _),
     "es04_weekly_recap_rollup"      -> (Events.weeklyRecapRollup _),
@@ -737,6 +738,12 @@ object SparkEntry {
                ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn FROM events
                WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-15')
          WHERE rn = 1""",
+    "es07_incremental_rollup" ->
+      """SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                count(*) AS n,
+                CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 1e2 AS total_value
+         FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20'
+         GROUP BY 1, 2""",
     "es02_event_type_daily" ->
       """SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
          count(*) AS n, round(sum(value),2) AS total_value

@@ -481,6 +481,43 @@ object Events {
               round(col("value"), 2).as("last_value"), col("ts").as("last_ts"))
   }
 
+  /** es07: incremental projection refresh — merge a new time slice's
+    * PARTIAL aggregates into the running (type, day) state instead of
+    * recomputing from the full log (the materialized-view refresh
+    * pattern: ClickHouse AggregatingMergeTree merges, Spark MV
+    * refresh; knowledge-sovereign's projector applies exactly this on
+    * every batch of new events). The driver oracle is the FULL batch
+    * recompute over events ≤ T2 — the hash match is the proof that
+    * refresh ≡ recompute.
+    *
+    * Counts and value sums are both mergeable; values aggregate in
+    * exact CENTS (long) so partial-merge order cannot perturb a
+    * double sum — the same property that makes the state mergeable on
+    * a real cluster makes it bit-stable here.
+    *
+    * Scale: the state side scans only partitions ≤ T1 (on a real
+    * deployment it IS the stored state table — no scan at all); the
+    * delta side prunes to (T1, T2]. The merge shuffles the bounded
+    * (type, day) frame, never raw volume.
+    */
+  def incrementalRollup(s: SparkSession, dir: String,
+                        t1: String = "2024-01-15",
+                        t2: String = "2024-01-20"): DataFrame = {
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("cents"))
+    val state = partials(ev(s, dir).filter(col("ts") <= lit(t1).cast("timestamp")))
+    val delta = partials(ev(s, dir).filter(
+      col("ts") > lit(t1).cast("timestamp") && col("ts") <= lit(t2).cast("timestamp")))
+    state.unionByName(delta)
+      .groupBy("event_type", "day")
+      .agg(sum("n").as("n"), sum("cents").as("cents"))
+      .select(col("event_type"), col("day"), col("n"),
+        (col("cents") / 1e2).as("total_value"))
+  }
+
   /** es02: full-replay aggregation by (type, day) — the backfill path of
     * the CQRS projector.
     */

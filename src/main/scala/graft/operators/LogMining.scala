@@ -65,18 +65,19 @@ object LogMining {
     * mining — Drain's online use case, reread as a batch rollup).
     *
     * Scale: template cardinality is bounded by emitting code sites,
-    * so after the first per-(template, day) aggregation (map-side
-    * combined over the raw volume) everything downstream operates on
-    * a tiny frame: global first-day per template is a second bounded
-    * aggregation, and the day rollup is a third. No windows, no joins
-    * against raw volume.
+    * so after the per-(template, day) aggregation (map-side combined
+    * over the raw volume — the ONLY pass over raw events) everything
+    * downstream operates on a tiny frame: first-day is a window over
+    * ≤ |days| rows per template (not a join that would re-derive the
+    * raw aggregation), and the day rollup is a third bounded shuffle.
     */
   def novelTemplates(s: SparkSession, dir: String): DataFrame =
     novelTemplatesOn(Tables.events(s, dir))
 
   /** Novel-template rollup over any events-shaped frame. */
   def novelTemplatesOn(events: DataFrame): DataFrame = {
-    val perDay = events
+    val byTemplate = org.apache.spark.sql.expressions.Window.partitionBy("template")
+    events
       .withColumn("line", concat(
         lit("user="), col("user_id").cast("string"),
         lit(" type="), col("event_type"),
@@ -85,8 +86,7 @@ object LogMining {
       .withColumn("template", template(col("line")))
       .groupBy(col("template"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n_lines"))
-    val firstDay = perDay.groupBy("template").agg(min("day").as("first_day"))
-    perDay.join(firstDay, "template")
+      .withColumn("first_day", min("day").over(byTemplate))
       .groupBy("day")
       .agg(
         countDistinct("template").as("n_templates"),

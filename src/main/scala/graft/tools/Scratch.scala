@@ -33,7 +33,9 @@ object Scratch {
       "q26_topn_agg", "ev24_gap_islands", "ev26_attribution",
       "tx31_phrase_search", "rag04_token_chunks",
       "tx37_fuzzy_search", "tx39_gopher_rules", "tx40_prefix_search",
-      "tx41_bigram_loglik", "dq06_snapshot_diff")
+      "tx41_bigram_loglik", "dq06_snapshot_diff",
+      "q27_trailing_spend", "lt02_novel_templates", "rag05_hybrid_rrf",
+      "es07_incremental_rollup")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

@@ -234,4 +234,35 @@ class PlanSpec extends SparkSpec {
     val n = shuffleCount("dq06_snapshot_diff")
     assert(n <= 2, s"dq06 shuffles $n× — the diff join must co-partition with the windows")
   }
+
+  test("q27 RANGE window partitions by customer — never a global time sort") {
+    val f = formatted("q27_trailing_spend")
+    assert(!f.contains("Window Definition: []"),
+      "unpartitioned window in the trailing-spend plan")
+    // exactly one shuffle: the customer hash partitioning the window runs in
+    val n = shuffleCount("q27_trailing_spend")
+    assert(n <= 1, s"q27 shuffles $n× — one customer partitioning should feed the frame")
+  }
+
+  test("lt02 novelty rollup aggregates raw volume exactly once") {
+    // the (template, day) aggregation is the only pass over raw events;
+    // first-day and the day rollup shuffle the bounded template frame
+    // FormattedMode prints each scan twice (tree + detail); count the
+    // per-scan detail blocks instead
+    val f = formatted("lt02_novel_templates")
+    assert(f.split("Location: InMemoryFileIndex").length - 1 == 1,
+      "raw events must be scanned exactly once")
+  }
+
+  test("rag05 fusion joins candidates by broadcast, windows stay on the candidate frame") {
+    val f = formatted("rag05_hybrid_rrf")
+    assert(!f.contains("SortMergeJoin"),
+      "candidate joins must broadcast — a sort-merge means a corpus-sized shuffle")
+  }
+
+  test("dq07 baseline rides as a broadcast one-row aggregate") {
+    val f = formatted("dq07_null_drift")
+    assert(f.contains("BroadcastNestedLoopJoin") || f.contains("BroadcastExchange"),
+      "the whole-table baseline must broadcast, not shuffle-join the daily frame")
+  }
 }

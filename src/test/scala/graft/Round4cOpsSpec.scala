@@ -91,6 +91,24 @@ class Round4cOpsSpec extends SparkSpec {
     assert(b("2024-01-01") == 0 && b("2024-01-02") == 0)
   }
 
+  test("es07 incremental rollup: partial-merge refresh equals full batch recompute, bit for bit") {
+    val inc = Events.incrementalRollup(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Timestamp]("day")) ->
+        (r.getAs[Long]("n"), r.getAs[Any]("total_value"))).toMap
+    // full recompute over events <= t2 with the same cents aggregation
+    val batch = graft.Tables.events(spark, sfDir)
+      .filter(col("ts") <= lit("2024-01-20").cast("timestamp"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(round(col("value") * 100, 0).cast("long")) / 1e2).as("total_value"))
+      .collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Timestamp]("day")) ->
+        (r.getAs[Long]("n"), r.getAs[Any]("total_value"))).toMap
+    assert(inc.nonEmpty && inc == batch)
+    // nothing past the delta cutoff leaks into the refreshed state
+    assert(inc.keys.forall(!_._2.after(ts("2024-01-20 00:00:00"))))
+  }
+
   test("rag05 RRF: fused score is exactly 1/(60+r_cos)+1/(60+r_lex), ranked and bounded per query") {
     val rows = Rag.hybridRrf(spark, sfDir).collect()
     assert(rows.nonEmpty)
