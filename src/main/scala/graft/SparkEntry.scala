@@ -64,6 +64,7 @@ object SparkEntry {
     "ev16_sketch_dau"               -> (Events.sketchDau _),
     "ot01_trace_spans"              -> (Events.traceSpans _),
     "ev17_window_funnel"            -> (Events.windowFunnel _),
+    "ev29_sequence_count"           -> ((s: SparkSession, dir: String) => Events.sequenceCount(s, dir)),
     "ev18_decay_ranking"            -> (Events.decayRanking _),
     "ev19_cohort_retention"         -> (Events.cohortRetention _),
     "ev20_value_histogram"          -> ((s: SparkSession, dir: String) => Events.valueHistogram(s, dir)),
@@ -613,6 +614,16 @@ object SparkEntry {
                      THEN round(round(max(CASE WHEN rn = 1 THEN dur_ms END),2) / round(sum(dur_ms),2), 4)
                 END AS top_share
          FROM r GROUP BY user_id, trace_seq""",
+    "ev29_sequence_count" ->
+      """WITH ab AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+                     FROM events
+                     WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL),
+         l AS (SELECT *, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+               FROM ab)
+         SELECT user_id,
+                count(CASE WHEN event_type = 'purchase' AND prev = 'view' THEN 1 END) AS n_matches
+         FROM l GROUP BY user_id
+         HAVING n_matches >= 1""",
     "ev17_window_funnel" ->
       """WITH e AS (SELECT user_id, event_type,
                     epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS ep FROM events),

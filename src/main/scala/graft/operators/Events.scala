@@ -165,6 +165,40 @@ object Events {
     * same partitioning), then a per-user distinct and a tiny level
     * rollup.
     */
+  /** ev29: greedy non-overlapping sequence counting — how many
+    * complete A→…→B conversions did each user make (ClickHouse
+    * `sequenceCount('(?1).*(?2)')`: restart matching after every
+    * completion; ev06/ev17 only detect whether ONE conversion exists).
+    *
+    * The greedy automaton collapses to a closed windowed form: in the
+    * per-user time-ordered subsequence of A/B events, every maximal
+    * A-run followed by a B-run yields exactly one match (the matcher
+    * consumes one A from the run, ignores the rest while seeking B,
+    * counts the first B, ignores extra Bs while seeking A). So the
+    * count is simply the number of B events whose PREVIOUS A/B event
+    * is an A — one `lag` over a user-partitioned window, no iterative
+    * state machine.
+    *
+    * Scale: the type filter pushes to the scan, so only A/B rows
+    * shuffle (once, keyed by user); lag + conditional count reuse the
+    * same partitioning.
+    */
+  def sequenceCount(s: SparkSession, dir: String,
+                    a: String = "view", b: String = "purchase"): DataFrame =
+    sequenceCountOn(ev(s, dir), a, b)
+
+  /** Greedy sequence counting over any events-shaped frame. */
+  def sequenceCountOn(events: DataFrame,
+                      a: String = "view", b: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .filter(col("event_type").isin(a, b) && col("user_id").isNotNull)
+      .withColumn("prev", lag("event_type", 1).over(w))
+      .groupBy("user_id")
+      .agg(count(when(col("event_type") === b && col("prev") === a, 1)).as("n_matches"))
+      .filter(col("n_matches") >= 1)
+  }
+
   def windowFunnel(s: SparkSession, dir: String): DataFrame = {
     val w = 604800L // 7 days in seconds
     val byUser = Window.partitionBy("user_id")

@@ -394,4 +394,22 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("h")
       .select("doc_id", "ts", "idx", "sentence")
+
+  /** st16: streaming novel-template alert — lt02's first-seen
+    * detection running continuously: mask each log line to its
+    * Drain-style template and emit ONLY templates never seen before
+    * (a deploy that introduces a new error class pages immediately,
+    * instead of surfacing in the nightly rollup). `dropDuplicates` on
+    * the template alone keeps one state row per DISTINCT template —
+    * bounded by emitting code sites, not log volume, which is the
+    * rare case where watermark-free dedup state is the correct
+    * choice (the "seen" set must live forever or novelty is wrong).
+    * The emitted row carries the triggering line as the alert sample.
+    */
+  def novelTemplateStream(lines: DataFrame): DataFrame =
+    lines
+      .withColumn("template",
+        graft.operators.LogMining.template(col("line")))
+      .dropDuplicates("template")
+      .select("ts", "template", "line")
 }

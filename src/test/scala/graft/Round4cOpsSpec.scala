@@ -91,6 +91,31 @@ class Round4cOpsSpec extends SparkSpec {
     assert(b("2024-01-01") == 0 && b("2024-01-02") == 0)
   }
 
+  test("ev29 sequence count: greedy non-overlapping matching via the run-boundary identity") {
+    def e(id: Long, t: String, u: Long, typ: String) =
+      (id, ts(t), (u: java.lang.Long), typ, (1.0: java.lang.Double), "{}")
+    val events = ev(Seq(
+      // user 1: V V P P V P -> greedy matches (V,P) then (V,P) = 2
+      e(1, "2024-01-01 01:00:00", 1L, "view"),
+      e(2, "2024-01-01 02:00:00", 1L, "view"),
+      e(3, "2024-01-01 03:00:00", 1L, "purchase"),
+      e(4, "2024-01-01 04:00:00", 1L, "purchase"),
+      e(5, "2024-01-01 05:00:00", 1L, "view"),
+      e(6, "2024-01-01 06:00:00", 1L, "purchase"),
+      // user 2: P V -> purchase before any view never matches
+      e(7, "2024-01-01 01:00:00", 2L, "purchase"),
+      e(8, "2024-01-01 02:00:00", 2L, "view"),
+      // user 3: interleaved with ignored event types
+      e(9, "2024-01-01 01:00:00", 3L, "view"),
+      e(10, "2024-01-01 01:30:00", 3L, "click"),
+      e(11, "2024-01-01 02:00:00", 3L, "purchase"),
+      e(12, "2024-01-01 03:00:00", 3L, "view"),
+      e(13, "2024-01-01 04:00:00", 3L, "purchase")))
+    val out = Events.sequenceCountOn(events).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_matches")).toMap
+    assert(out == Map(1L -> 2L, 3L -> 2L), s"got $out")
+  }
+
   test("es07 incremental rollup: partial-merge refresh equals full batch recompute, bit for bit") {
     val inc = Events.incrementalRollup(spark, sfDir).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Timestamp]("day")) ->

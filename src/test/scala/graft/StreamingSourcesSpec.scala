@@ -454,6 +454,32 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st16 novel-template alert fires once per template across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, String)]
+    val out = StreamOps.novelTemplateStream(mem.toDF.toDF("ts", "line"))
+    val q = out.writeStream.format("memory").queryName("st16").outputMode("append").start()
+    try {
+      mem.addData(
+        (ts(0), "error id=1 failed"),
+        (ts(1), "ok user=5 served"))
+      q.processAllAvailable()
+      // same template as "error id=1 failed" (digits masked) — no alert;
+      // a genuinely new template — alert
+      mem.addData(
+        (ts(2), "error id=2 failed"),
+        (ts(3), "warn limit=9 exceeded"))
+      q.processAllAvailable()
+      val alerts = spark.sql("SELECT template, line FROM st16").collect()
+        .map(r => r.getString(0) -> r.getString(1))
+      assert(alerts.length == 3, s"got ${alerts.toSeq}")
+      assert(alerts.count(_._1 == "error <*> failed") == 1)
+      // the alert sample is the FIRST line that minted the template
+      assert(alerts.collect { case ("error <*> failed", l) => l }.head == "error id=1 failed")
+      assert(alerts.exists(_._1 == "warn <*> exceeded"))
+    } finally q.stop()
+  }
+
   test("st14 streaming quality gate drops rule violators at ingest, parity with batch") {
     implicit val sqlCtx = spark.sqlContext
     val good = (Seq("the", "of", "and", "that", "with", "words", "flow", "cleanly") ++
