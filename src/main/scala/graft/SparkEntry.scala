@@ -65,6 +65,7 @@ object SparkEntry {
     "ot01_trace_spans"              -> (Events.traceSpans _),
     "ev17_window_funnel"            -> (Events.windowFunnel _),
     "ev29_sequence_count"           -> ((s: SparkSession, dir: String) => Events.sequenceCount(s, dir)),
+    "ev30_sli_metrics"              -> (Events.sliProjection _),
     "ev18_decay_ranking"            -> (Events.decayRanking _),
     "ev19_cohort_retention"         -> (Events.cohortRetention _),
     "ev20_value_histogram"          -> ((s: SparkSession, dir: String) => Events.valueHistogram(s, dir)),
@@ -614,6 +615,17 @@ object SparkEntry {
                      THEN round(round(max(CASE WHEN rn = 1 THEN dur_ms END),2) / round(sum(dur_ms),2), 4)
                 END AS top_share
          FROM r GROUP BY user_id, trace_seq""",
+    "ev30_sli_metrics" ->
+      """WITH m AS (SELECT CAST(date_trunc('minute', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+                           count(*) AS n,
+                           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
+                           count(DISTINCT user_id) AS n_users
+                    FROM events GROUP BY 1)
+         SELECT bucket, 'log_throughput' AS metric, CAST(n AS DOUBLE) AS value FROM m
+         UNION ALL
+         SELECT bucket, 'error_rate', round(n_err * 1.0 / n, 4) FROM m
+         UNION ALL
+         SELECT bucket, 'active_users', CAST(n_users AS DOUBLE) FROM m""",
     "ev29_sequence_count" ->
       """WITH ab AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
                      FROM events

@@ -59,6 +59,36 @@ object Events {
         count(lit(1)).as("n_total"),
         round(count(when(col("event_type") === "error", 1)) / count(lit(1)), 4).as("error_rate"))
 
+  /** ev30: long-format SLI projection — ONE aggregation pass emits
+    * every minute-granularity SLI as (bucket, metric, value) rows,
+    * the exact shape of the reference's `sli_metrics` table that its
+    * error-rate and throughput materialized views both write into
+    * (clickhouse/migrations/009_create_sli_metrics.sql: a shared
+    * long-format metric store, one MV per metric). Spark computes all
+    * metrics in one scan + one shuffle, then `stack`s the wide row
+    * into long form — a stateless post-aggregation projection, so
+    * adding a metric costs a column, never another pass over the log.
+    *
+    * error_rate guards the empty-bucket division the way the MV's
+    * `countIf/count` does implicitly (count() > 0 per group).
+    */
+  def sliProjection(s: SparkSession, dir: String): DataFrame =
+    sliProjectionOn(ev(s, dir))
+
+  /** Long-format SLI projection over any events-shaped frame. */
+  def sliProjectionOn(events: DataFrame): DataFrame =
+    events
+      .groupBy(date_trunc("minute", col("ts")).as("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", 1)).as("n_err"),
+        countDistinct("user_id").as("n_users"))
+      .select(col("bucket"), expr(
+        """stack(3,
+             'log_throughput', CAST(n AS DOUBLE),
+             'error_rate', ROUND(n_err / n, 4),
+             'active_users', CAST(n_users AS DOUBLE)) AS (metric, value)"""))
+
   /** ev03: exact p50/p95/p99 per group (latency SLO pattern). Exact
     * percentile for oracle parity; at 100 TB swap to percentile_approx
     * (same plan shape, sketch-mergeable, no sort-per-group blowup).

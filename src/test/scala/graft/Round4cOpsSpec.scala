@@ -116,6 +116,25 @@ class Round4cOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 3L -> 2L), s"got $out")
   }
 
+  test("ev30 SLI projection: one pass emits the long-format metric table with exact values") {
+    val events = ev(Seq(
+      (1L, ts("2024-01-01 00:00:10"), 1L, "view", 1.0, "{}"),
+      (2L, ts("2024-01-01 00:00:20"), 1L, "error", 1.0, "{}"),
+      (3L, ts("2024-01-01 00:00:30"), 2L, "view", 1.0, "{}"),
+      (4L, ts("2024-01-01 00:00:40"), 2L, "error", 1.0, "{}"),
+      (5L, ts("2024-01-01 00:01:10"), 3L, "view", 1.0, "{}")))
+    val out = Events.sliProjectionOn(events).collect()
+      .map(r => (r.getAs[Timestamp]("bucket").toString.take(16), r.getAs[String]("metric")) ->
+        r.getAs[Double]("value")).toMap
+    assert(out(("2024-01-01 00:00", "log_throughput")) == 4.0)
+    assert(out(("2024-01-01 00:00", "error_rate")) == 0.5)
+    assert(out(("2024-01-01 00:00", "active_users")) == 2.0)
+    assert(out(("2024-01-01 00:01", "log_throughput")) == 1.0)
+    assert(out(("2024-01-01 00:01", "error_rate")) == 0.0)
+    // every bucket carries every metric — the long-format contract
+    assert(out.keys.map(_._1).toSet.size * 3 == out.size)
+  }
+
   test("es07 incremental rollup: partial-merge refresh equals full batch recompute, bit for bit") {
     val inc = Events.incrementalRollup(spark, sfDir).collect()
       .map(r => (r.getAs[String]("event_type"), r.getAs[Timestamp]("day")) ->
