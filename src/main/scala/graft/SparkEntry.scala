@@ -1305,8 +1305,8 @@ object SparkEntry {
          SELECT day, n_events, null_users, null_values,
                 round(null_users * 1.0 / n_events, 6) AS user_null_rate,
                 round(null_values * 1.0 / n_events, 6) AS value_null_rate,
-                CASE WHEN null_users * t_n * 2 > n_events * t_nu * 3 THEN 1 ELSE 0 END AS user_drift,
-                CASE WHEN null_values * t_n * 2 > n_events * t_nv * 3 THEN 1 ELSE 0 END AS value_drift
+                CASE WHEN CAST(null_users AS HUGEINT) * t_n * 2 > CAST(n_events AS HUGEINT) * t_nu * 3 THEN 1 ELSE 0 END AS user_drift,
+                CASE WHEN CAST(null_values AS HUGEINT) * t_n * 2 > CAST(n_events AS HUGEINT) * t_nv * 3 THEN 1 ELSE 0 END AS value_drift
          FROM daily CROSS JOIN o""",
     "dq05_referential_integrity" ->
       """WITH li AS (SELECT 'lineitem->orders' AS relation, count(*) AS n_child,

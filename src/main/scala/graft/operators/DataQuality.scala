@@ -161,7 +161,10 @@ object DataQuality {
     * baseline. The comparison is cross-multiplied into exact integer
     * arithmetic (2·nulls_day·n_total > 3·n_day·nulls_total), so the
     * flag never sits on a floating-point boundary — both engines
-    * classify identically from the same counts.
+    * classify identically from the same counts. The products run in
+    * decimal(38,0) (HUGEINT on the oracle side): two 100 TB-scale
+    * counts multiplied would overflow a 64-bit long (1e10 · 1e12 · 3),
+    * and a silent wraparound would invert flags.
     *
     * Scale: one shuffle to the daily frame (conditional counts are
     * map-side partial), baseline is a broadcast one-row aggregate;
@@ -185,9 +188,11 @@ object DataQuality {
       .select(col("day"), col("n_events"), col("null_users"), col("null_values"),
         round(col("null_users") / col("n_events"), 6).as("user_null_rate"),
         round(col("null_values") / col("n_events"), 6).as("value_null_rate"),
-        when(col("null_users") * col("t_n") * 2 > col("n_events") * col("t_nu") * 3, 1)
+        when(col("null_users").cast("decimal(38,0)") * col("t_n") * 2 >
+             col("n_events").cast("decimal(38,0)") * col("t_nu") * 3, 1)
           .otherwise(0).as("user_drift"),
-        when(col("null_values") * col("t_n") * 2 > col("n_events") * col("t_nv") * 3, 1)
+        when(col("null_values").cast("decimal(38,0)") * col("t_n") * 2 >
+             col("n_events").cast("decimal(38,0)") * col("t_nv") * 3, 1)
           .otherwise(0).as("value_drift"))
   }
 
