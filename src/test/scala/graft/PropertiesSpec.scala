@@ -271,6 +271,65 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ev29 run-boundary identity matches the greedy DFA on random event sequences") {
+    import graft.operators.Events
+    // reference: the literal two-state greedy matcher over a user's
+    // time-ordered A/B subsequence (seek A -> consume one -> seek B ->
+    // count on first B -> back to seek A)
+    def dfa(seq: Seq[String]): Long = {
+      var seekingB = false; var n = 0L
+      seq.foreach {
+        case "view" if !seekingB => seekingB = true
+        case "purchase" if seekingB => n += 1; seekingB = false
+        case _ => ()
+      }
+      n
+    }
+    val typeGen = Gen.oneOf("view", "purchase", "click", "error")
+    val seqGen = Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, typeGen))
+    samples(Gen.listOfN(12, seqGen), 6).foreach { users =>
+      val rows = users.zipWithIndex.flatMap { case (types, u) =>
+        types.zipWithIndex.map { case (t, i) =>
+          ((u.toLong * 1000 + i), new java.sql.Timestamp(86400000L + i * 1000L),
+            (u.toLong: java.lang.Long), t, (1.0: java.lang.Double), "{}")
+        }
+      }
+      if (rows.nonEmpty) {
+        val got = Events.sequenceCountOn(
+          rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+          .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n_matches")).toMap
+        users.zipWithIndex.foreach { case (types, u) =>
+          val want = dfa(types.filter(t => t == "view" || t == "purchase"))
+          assert(got.getOrElse(u.toLong, 0L) == want,
+            s"user $u seq=${types.mkString(",")}: got ${got.get(u.toLong)}, want $want")
+        }
+      }
+    }
+  }
+
+  test("q27 RANGE frame matches brute-force trailing-window sums on random order histories") {
+    import graft.operators.Relational
+    val orderGen = Gen.zip(Gen.chooseNum(1, 4), Gen.chooseNum(0, 90), Gen.chooseNum(1, 99999))
+    samples(Gen.chooseNum(5, 30).flatMap(n => Gen.listOfN(n, orderGen)), 6).foreach { raw =>
+      val orders = raw.zipWithIndex.map { case ((cust, day, centsRaw), i) =>
+        (i.toLong, cust.toLong,
+          new java.sql.Timestamp(86400000L * (100 + day)), centsRaw / 100.0)
+      }
+      val got = Relational.trailingSpendOn(
+        orders.toDF("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"), days = 30)
+        .collect().map(r => r.getAs[Long]("o_orderkey") ->
+          (r.getAs[Double]("trailing_spend"), r.getAs[Long]("trailing_orders"))).toMap
+      orders.foreach { case (k, cust, ts, _) =>
+        val inFrame = orders.filter { case (_, c, t, _) =>
+          c == cust && t.getTime <= ts.getTime && t.getTime >= ts.getTime - 30L * 86400000L
+        }
+        val cents = inFrame.map { case (_, _, _, p) => math.round(p * 100) }.sum
+        assert(got(k) == (cents / 100.0, inFrame.length.toLong),
+          s"order $k cust $cust: got ${got(k)}, want ($cents cents, ${inFrame.length})")
+      }
+    }
+  }
+
   test("temperature mixture: alpha=0 is uniform, shares are monotone in the source shares") {
     import graft.operators.Sampling
     val m0 = Sampling.temperatureMixture(spark, sfDir, alpha = 0.0).collect()
