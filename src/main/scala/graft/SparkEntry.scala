@@ -45,6 +45,7 @@ object SparkEntry {
     "q25_topn_per_group"            -> (Relational.topOrdersPerPriority _),
     "q26_topn_agg"                  -> (Relational.topOrdersPerPriorityAgg _),
     "q27_trailing_spend"            -> ((s: SparkSession, dir: String) => Relational.trailingSpend(s, dir)),
+    "q28_trend_dashboard"           -> (Relational.trendDashboard _),
     // Event / log analytics
     "ev01_hourly_throughput"        -> (Events.hourlyThroughput _),
     "ev02_error_rate"               -> (Events.errorRate _),
@@ -1288,6 +1289,25 @@ object SparkEntry {
          FROM o
          WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch
                       RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)""",
+    "q28_trend_dashboard" ->
+      """WITH o AS (SELECT CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS bucket,
+                           count(*) AS n_orders,
+                           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+                    FROM orders GROUP BY 1),
+         l AS (SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS bucket,
+                      count(*) AS n_shipped
+               FROM lineitem GROUP BY 1),
+         e AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
+                      count(*) AS n_events
+               FROM events GROUP BY 1)
+         SELECT COALESCE(o.bucket, l.bucket, e.bucket) AS bucket,
+                COALESCE(n_orders, 0) AS n_orders,
+                CAST(COALESCE(cents, 0) AS BIGINT) / 1e2 AS revenue,
+                COALESCE(n_shipped, 0) AS n_shipped,
+                COALESCE(n_events, 0) AS n_events
+         FROM o
+         FULL OUTER JOIN l ON o.bucket = l.bucket
+         FULL OUTER JOIN e ON COALESCE(o.bucket, l.bucket) = e.bucket""",
     // divergence is NULL handling: the aggregate ignores NULL-valued
     // rows (SQL aggregate convention), a window ranks them last, so the
     // aggregate's oracle filters them explicitly

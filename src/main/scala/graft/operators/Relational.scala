@@ -419,6 +419,39 @@ object Relational {
         col("trailing_orders"))
   }
 
+  /** q28: multi-source trend dashboard — three independently
+    * aggregated daily series (order volume + revenue, line items
+    * shipped, event activity) FULL OUTER merged onto one bucket axis
+    * with COALESCE-zero gap filling (alt-backend's trend-stats read:
+    * `fetch_trend_stats_driver.go:142` builds per-bucket article /
+    * summary / feed-activity CTEs and full-outer-joins them on the
+    * bucket — the shape every activity dashboard needs when the
+    * series come from DIFFERENT fact tables with different gaps).
+    *
+    * Scale: each fact aggregates independently with map-side partials
+    * (no cross-table shuffle of raw rows); the outer joins run on
+    * |days|-sized frames. Revenue merges in exact cents.
+    */
+  def trendDashboard(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100, 0).cast("long")).as("cents"))
+    val shipped = Tables.lineitem(s, dir)
+      .groupBy(date_trunc("day", col("l_shipdate")).as("bucket"))
+      .agg(count(lit(1)).as("n_shipped"))
+    val activity = Tables.events(s, dir)
+      .groupBy(date_trunc("day", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n_events"))
+    orders.join(shipped, Seq("bucket"), "full_outer")
+      .join(activity, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        (coalesce(col("cents"), lit(0L)) / 1e2).as("revenue"),
+        coalesce(col("n_shipped"), lit(0L)).as("n_shipped"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
   def marketShare(s: SparkSession, dir: String,
                   region: String = "ASIA", supplierNation: String = "NATION_7"): DataFrame = {
     val asiaCustomers = Tables.customer(s, dir)

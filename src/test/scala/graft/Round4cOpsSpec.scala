@@ -116,6 +116,30 @@ class Round4cOpsSpec extends SparkSpec {
     assert(out == Map(1L -> 2L, 3L -> 2L), s"got $out")
   }
 
+  test("q28 trend dashboard: bucket axis is the union of all sources, gaps fill with zero") {
+    val out = Relational.trendDashboard(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    // no nulls anywhere — COALESCE guarantees a dense frame
+    out.foreach { r => (0 until r.length).foreach(i =>
+      assert(!r.isNullAt(i), s"null at ${r.schema.fieldNames(i)} in $r")) }
+    val buckets = out.map(_.getAs[Timestamp]("bucket")).toSet
+    // every source's buckets are present in the merged axis
+    def srcBuckets(df: org.apache.spark.sql.DataFrame, c: String) =
+      df.select(date_trunc("day", col(c)).as("b")).distinct()
+        .collect().map(_.getAs[Timestamp]("b")).toSet
+    val ob = srcBuckets(graft.Tables.orders(spark, sfDir), "o_orderdate")
+    val eb = srcBuckets(graft.Tables.events(spark, sfDir), "ts")
+    assert(ob.subsetOf(buckets) && eb.subsetOf(buckets))
+    // orders and events barely overlap in time — the outer join is
+    // doing real gap work: event-only buckets carry zero orders
+    val eventOnly = (eb -- ob)
+    if (eventOnly.nonEmpty) {
+      val zeroed = out.filter(r => eventOnly.contains(r.getAs[Timestamp]("bucket")))
+      assert(zeroed.forall(_.getAs[Long]("n_orders") == 0L))
+      assert(zeroed.forall(_.getAs[Double]("revenue") == 0.0))
+    }
+  }
+
   test("ev30 SLI projection: one pass emits the long-format metric table with exact values") {
     val events = ev(Seq(
       (1L, ts("2024-01-01 00:00:10"), 1L, "view", 1.0, "{}"),
