@@ -173,6 +173,7 @@ object SparkEntry {
     "dq06_snapshot_diff"            -> ((s: SparkSession, dir: String) => DataQuality.snapshotDiff(s, dir)),
     "dq07_null_drift"               -> (DataQuality.nullDrift _),
     "sim09_semdedup"                -> (Similarity.semDedup _),
+    "sim11_binary_ann"              -> ((s: SparkSession, dir: String) => Similarity.binaryKnn(s, dir)),
     "sim10_ann_recall"              -> ((s: SparkSession, dir: String) => Similarity.annRecall(s, dir)),
     "dd05_dedup_recall"             -> ((s: SparkSession, dir: String) => Dedup.dedupRecall(s, dir)),
     "pp01_curation_pipeline"        -> (Curation.pp01 _),

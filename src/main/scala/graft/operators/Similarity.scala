@@ -575,6 +575,71 @@ object Similarity {
     * the corpus is touched only inside each variant's own
     * already-audited plan.
     */
+  /** Binary quantization: pack each dimension's SIGN bit into
+    * ⌈dim/64⌉ longs — 32× smaller than fp32, the compression endgame
+    * past sim07's int8 and sim08's PQ (the 1-bit serving tier every
+    * vector store has shipped: Elasticsearch BBQ, pgvector bit
+    * quantization, FAISS binary indexes). For unit-ish random vectors
+    * the Hamming distance between sign patterns is a monotone proxy
+    * for angle (Goemans–Williamson: P[sign differs] = θ/π — the same
+    * hyperplane identity behind sim05's RP-LSH, with the coordinate
+    * axes as the planes), so low-Hamming candidates are high-cosine
+    * candidates.
+    *
+    * Encoding is a stateless projection (nested codegen HOFs, no
+    * shuffle, no UDF); the word-array form keeps the operator honest
+    * for production dims (768 → 12 longs), not just the test corpus.
+    */
+  def binarize(e: DataFrame): DataFrame = {
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val words = (dim + 63) / 64
+    e.withColumn("bcode", expr(
+      s"""transform(sequence(0, ${words - 1}), w ->
+            aggregate(sequence(0, 63),
+              0L,
+              (acc, b) -> CASE
+                WHEN w * 64 + b < $dim
+                     AND element_at(embedding, w * 64 + b + 1) > 0
+                THEN acc | shiftleft(1L, b) ELSE acc END))"""))
+  }
+
+  /** sim11: binary-quantized ANN — Hamming-distance candidate
+    * generation over the 1-bit codes (popcount of XOR per word, a
+    * pure-codegen kernel over longs), exact-cosine re-rank of the
+    * bounded candidate set (rag02's cheap-wide/expensive-narrow
+    * shape). Same broadcast-queries/no-corpus-shuffle plan as
+    * sim01/sim07; the corpus-sized scan reads 8 bytes per vector
+    * instead of 256. Rows-only (bit packing has no DuckDB mirror);
+    * recall vs the float baseline is spec-pinned.
+    */
+  def binaryKnn(s: SparkSession, dir: String, k: Int = 5,
+                candidates: Int = 50): DataFrame =
+    binaryKnnOn(Tables.embeddings(s, dir), col("vec_id") % 50 === 0, k, candidates)
+
+  def binaryKnnOn(e: DataFrame, queryPred: Column, k: Int = 5,
+                  candidates: Int = 50): DataFrame = {
+    val b = binarize(e)
+    val queries = b.filter(queryPred)
+      .select(col("vec_id").as("query_id"), col("bcode").as("q_code"),
+        col("embedding").as("q_emb"))
+    val corpus = b.select(col("vec_id").as("neighbor_id"), col("bcode").as("c_code"),
+      col("embedding").as("c_emb"))
+    val byHamming = Window.partitionBy("query_id")
+      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    val cand = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", expr(
+        "aggregate(zip_with(q_code, c_code, (a, b) -> bit_count(a ^ b)), 0, (acc, v) -> acc + v)"))
+      .withColumn("cand_rank", row_number().over(byHamming))
+      .filter(col("cand_rank") <= candidates)
+    val byCos = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    cand
+      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("rank", row_number().over(byCos))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "hamming", "cos", "rank")
+  }
+
   def annRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(s, dir)
     val pred = col("vec_id") % 50 === 0
@@ -597,7 +662,8 @@ object Similarity {
       recallOf("ivf_label", ivfAnnOn(e, pred, k)),
       recallOf("ivf_kmeans", ivfAnnKmeans(e, pred, k)),
       recallOf("sq8", quantizedKnn(s, dir, k)),
-      recallOf("pq_candidates", pqTopCandidates(e, pred))
+      recallOf("pq_candidates", pqTopCandidates(e, pred)),
+      recallOf("binary", binaryKnnOn(e, pred, k))
     ).reduce(_ unionByName _)
     Dedup.materialized(out) { truth.unpersist() }
   }

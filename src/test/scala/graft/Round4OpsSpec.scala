@@ -321,12 +321,13 @@ class Round4OpsSpec extends SparkSpec {
   test("sim10 recall harness: brute is exactly 1.0, every serving path clears its floor") {
     val r = Similarity.annRecall(spark, sfDir).collect()
       .map(x => x.getAs[String]("method") -> x.getAs[Double]("recall")).toMap
-    assert(r.keySet == Set("brute", "ivf_label", "ivf_kmeans", "sq8", "pq_candidates"))
+    assert(r.keySet == Set("brute", "ivf_label", "ivf_kmeans", "sq8", "pq_candidates", "binary"))
     assert(r("brute") == 1.0, s"self-recall must be exact: $r")
     // floors match the per-method recall specs elsewhere in the suite
     assert(r("sq8") >= 0.9, s"sq8 recall ${r("sq8")}")
     assert(r("pq_candidates") >= 0.5, s"pq candidate recall ${r("pq_candidates")}")
     assert(r("ivf_label") >= 0.2 && r("ivf_kmeans") >= 0.2, s"ivf recall: $r")
+    assert(r("binary") >= 0.4, s"binary-quantized recall ${r("binary")}")
     r.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
   }
 

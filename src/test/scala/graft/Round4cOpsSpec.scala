@@ -177,6 +177,27 @@ class Round4cOpsSpec extends SparkSpec {
     assert(inc.keys.forall(!_._2.after(ts("2024-01-20 00:00:00"))))
   }
 
+  test("sim11 binary ANN: sign-bit packing round-trips, Hamming is exact, identical vectors rank first") {
+    import graft.operators.Similarity
+    // hand-checkable 3-dim corpus: bcode packs sign bits little-endian
+    val vecs = Seq(
+      (0L, Array(1.0f, -1.0f, 1.0f)),   // bits 101 -> 5
+      (1L, Array(1.0f, -1.0f, 1.0f)),   // clone of 0 -> hamming 0
+      (2L, Array(-1.0f, 1.0f, -1.0f)),  // antipodal -> hamming 3
+      (3L, Array(1.0f, 1.0f, 1.0f)))    // bits 111 -> 7, hamming 1
+      .toDF("vec_id", "embedding")
+    val codes = Similarity.binarize(vecs).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Long]]("bcode").toSeq).toMap
+    assert(codes(0L) == Seq(5L) && codes(2L) == Seq(2L) && codes(3L) == Seq(7L))
+    val out = Similarity.binaryKnnOn(vecs, col("vec_id") === 0, k = 3).collect()
+      .map(r => r.getAs[Long]("neighbor_id") ->
+        (r.getAs[Int]("hamming"), r.getAs[Int]("rank"))).toMap
+    assert(out(1L)._1 == 0 && out(2L)._1 == 3 && out(3L)._1 == 1)
+    // exact-cosine rerank puts the clone first
+    assert(out(1L)._2 == 1)
+  }
+
   test("rag05 RRF: fused score is exactly 1/(60+r_cos)+1/(60+r_lex), ranked and bounded per query") {
     val rows = Rag.hybridRrf(spark, sfDir).collect()
     assert(rows.nonEmpty)
