@@ -35,7 +35,8 @@ object Scratch {
       "tx37_fuzzy_search", "tx39_gopher_rules", "tx40_prefix_search",
       "tx41_bigram_loglik", "dq06_snapshot_diff",
       "q27_trailing_spend", "lt02_novel_templates", "rag05_hybrid_rrf",
-      "es07_incremental_rollup", "ev29_sequence_count", "ev30_sli_metrics")
+      "es07_incremental_rollup", "ev29_sequence_count", "ev30_sli_metrics",
+      "q28_trend_dashboard", "sim11_binary_ann")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
