@@ -625,7 +625,7 @@ object SparkEntry {
                     FROM events GROUP BY 1)
          SELECT bucket, 'log_throughput' AS metric, CAST(n AS DOUBLE) AS value FROM m
          UNION ALL
-         SELECT bucket, 'error_rate', round(n_err * 1.0 / n, 4) FROM m
+         SELECT bucket, 'error_rate', CAST(round(n_err * 1e4 / n) AS BIGINT) / 1e4 FROM m
          UNION ALL
          SELECT bucket, 'active_users', CAST(n_users AS DOUBLE) FROM m""",
     "ev29_sequence_count" ->
@@ -1186,10 +1186,10 @@ object SparkEntry {
          FROM v GROUP BY user_id, event_type""",
     "lt01_log_templates" ->
       """WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                    'user=' || CAST(user_id AS VARCHAR) || ' type=' || event_type ||
+                    'user=' || COALESCE(CAST(user_id AS VARCHAR), 'null') || ' type=' || event_type ||
                     ' value=' || CASE WHEN value IS NULL THEN 'null'
                                       ELSE CAST(round(value, 2) AS VARCHAR) END ||
-                    ' props=' || props AS line
+                    ' props=' || COALESCE(props, 'null') AS line
                     FROM events),
          t AS (SELECT *, array_to_string(
                  list_transform(string_split_regex(trim(line), '\s+'),
@@ -1201,10 +1201,10 @@ object SparkEntry {
          FROM t GROUP BY template""",
     "lt02_novel_templates" ->
       """WITH l AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
-                    'user=' || CAST(user_id AS VARCHAR) || ' type=' || event_type ||
+                    'user=' || COALESCE(CAST(user_id AS VARCHAR), 'null') || ' type=' || event_type ||
                     ' value=' || CASE WHEN value IS NULL THEN 'null'
                                       ELSE CAST(round(value, 2) AS VARCHAR) END ||
-                    ' props=' || props AS line
+                    ' props=' || COALESCE(props, 'null') AS line
                     FROM events),
          t AS (SELECT *, array_to_string(
                  list_transform(string_split_regex(trim(line), '\s+'),
@@ -1324,8 +1324,8 @@ object SparkEntry {
                       count(CASE WHEN value IS NULL THEN 1 END) AS t_nv
                FROM events)
          SELECT day, n_events, null_users, null_values,
-                round(null_users * 1.0 / n_events, 6) AS user_null_rate,
-                round(null_values * 1.0 / n_events, 6) AS value_null_rate,
+                CAST(round(null_users * 1e6 / n_events) AS BIGINT) / 1e6 AS user_null_rate,
+                CAST(round(null_values * 1e6 / n_events) AS BIGINT) / 1e6 AS value_null_rate,
                 CASE WHEN CAST(null_users AS HUGEINT) * t_n * 2 > CAST(n_events AS HUGEINT) * t_nu * 3 THEN 1 ELSE 0 END AS user_drift,
                 CASE WHEN CAST(null_values AS HUGEINT) * t_n * 2 > CAST(n_events AS HUGEINT) * t_nv * 3 THEN 1 ELSE 0 END AS value_drift
          FROM daily CROSS JOIN o""",

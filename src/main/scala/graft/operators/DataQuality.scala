@@ -184,10 +184,17 @@ object DataQuality {
       count(lit(1)).as("t_n"),
       count(when(col("user_id").isNull, 1)).as("t_nu"),
       count(when(col("value").isNull, 1)).as("t_nv"))
+    // rates round at SCALE 0 in micro-units (the tx21/tx25 boundary
+    // discipline): round(x, 6) of a double quotient diverges between
+    // Spark's shortest-string rounding and DuckDB's binary round when
+    // the quotient's shortest repr ends in "…5" (e.g. 41/640) —
+    // half-INTEGERS are exact doubles, so scale-0 rounds agree
     daily.crossJoin(broadcast(overall))
       .select(col("day"), col("n_events"), col("null_users"), col("null_values"),
-        round(col("null_users") / col("n_events"), 6).as("user_null_rate"),
-        round(col("null_values") / col("n_events"), 6).as("value_null_rate"),
+        (round(col("null_users") * 1e6 / col("n_events"), 0).cast("long") / 1e6)
+          .as("user_null_rate"),
+        (round(col("null_values") * 1e6 / col("n_events"), 0).cast("long") / 1e6)
+          .as("value_null_rate"),
         when(col("null_users").cast("decimal(38,0)") * col("t_n") * 2 >
              col("n_events").cast("decimal(38,0)") * col("t_nu") * 3, 1)
           .otherwise(0).as("user_drift"),

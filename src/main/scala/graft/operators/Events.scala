@@ -83,10 +83,13 @@ object Events {
         count(lit(1)).as("n"),
         count(when(col("event_type") === "error", 1)).as("n_err"),
         countDistinct("user_id").as("n_users"))
+      // error_rate rounds at scale 0 in 1e-4 units — a ROUND(x, 4) of
+      // the double quotient sits on engine-divergent half-way
+      // boundaries (57/800 = 0.07125); see the tx21/tx25 discipline
       .select(col("bucket"), expr(
         """stack(3,
              'log_throughput', CAST(n AS DOUBLE),
-             'error_rate', ROUND(n_err / n, 4),
+             'error_rate', CAST(ROUND(n_err * 1e4 / n) AS BIGINT) / 1e4,
              'active_users', CAST(n_users AS DOUBLE)) AS (metric, value)"""))
 
   /** ev03: exact p50/p95/p99 per group (latency SLO pattern). Exact
@@ -184,17 +187,6 @@ object Events {
               col("first_signup") < col("first_purchase"))
       .select("user_id", "first_signup", "first_purchase")
 
-  /** ev17: multi-step in-window funnel — ClickHouse's windowFunnel
-    * shape (the generalization of ev06's two-step min-based funnel):
-    * per user, earliest view, then earliest click AFTER it, then
-    * earliest purchase after THAT, all within 7 days of the view;
-    * report user counts per reached level. Earliest-entry semantics
-    * keep it deterministic and SQL-mirrorable. Three stacked
-    * whole-partition window aggregates share ONE shuffle on user_id
-    * (no orderBy → no sort, each is a running conditional min over the
-    * same partitioning), then a per-user distinct and a tiny level
-    * rollup.
-    */
   /** ev29: greedy non-overlapping sequence counting — how many
     * complete A→…→B conversions did each user make (ClickHouse
     * `sequenceCount('(?1).*(?2)')`: restart matching after every
@@ -229,6 +221,17 @@ object Events {
       .filter(col("n_matches") >= 1)
   }
 
+  /** ev17: multi-step in-window funnel — ClickHouse's windowFunnel
+    * shape (the generalization of ev06's two-step min-based funnel):
+    * per user, earliest view, then earliest click AFTER it, then
+    * earliest purchase after THAT, all within 7 days of the view;
+    * report user counts per reached level. Earliest-entry semantics
+    * keep it deterministic and SQL-mirrorable. Three stacked
+    * whole-partition window aggregates share ONE shuffle on user_id
+    * (no orderBy → no sort, each is a running conditional min over the
+    * same partitioning), then a per-user distinct and a tiny level
+    * rollup.
+    */
   def windowFunnel(s: SparkSession, dir: String): DataFrame = {
     val w = 604800L // 7 days in seconds
     val byUser = Window.partitionBy("user_id")

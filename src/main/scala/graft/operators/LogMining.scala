@@ -35,6 +35,20 @@ object LogMining {
         t => when(t.rlike("\\d"), lit("<*>")).otherwise(t)),
       " ")
 
+  /** The composed event log line lt01/lt02 both mine — every nullable
+    * field is coalesce-guarded to the literal 'null' (no digits, so it
+    * survives masking as a constant token): an unguarded NULL would
+    * null out the whole concat, making the template itself NULL —
+    * Spark's groupBy keeps a NULL key but joins and countDistinct
+    * silently drop it, so NULL-user rows would desynchronize the two
+    * engines' template universes.
+    */
+  private[graft] def composedLine: Column = concat(
+    lit("user="), coalesce(col("user_id").cast("string"), lit("null")),
+    lit(" type="), col("event_type"),
+    lit(" value="), coalesce(round(col("value"), 2).cast("string"), lit("null")),
+    lit(" props="), coalesce(col("props"), lit("null")))
+
   /** lt01: per-template rollup over composed event log lines — volume,
     * distinct emitting users, and observation span. Lines are composed
     * from the events table the same way tx24's scrub audit does
@@ -44,11 +58,7 @@ object LogMining {
     */
   def logTemplates(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .withColumn("line", concat(
-        lit("user="), col("user_id").cast("string"),
-        lit(" type="), col("event_type"),
-        lit(" value="), coalesce(round(col("value"), 2).cast("string"), lit("null")),
-        lit(" props="), col("props")))
+      .withColumn("line", composedLine)
       .withColumn("template", template(col("line")))
       .groupBy("template")
       .agg(
@@ -78,11 +88,7 @@ object LogMining {
   def novelTemplatesOn(events: DataFrame): DataFrame = {
     val byTemplate = org.apache.spark.sql.expressions.Window.partitionBy("template")
     events
-      .withColumn("line", concat(
-        lit("user="), col("user_id").cast("string"),
-        lit(" type="), col("event_type"),
-        lit(" value="), coalesce(round(col("value"), 2).cast("string"), lit("null")),
-        lit(" props="), col("props")))
+      .withColumn("line", composedLine)
       .withColumn("template", template(col("line")))
       .groupBy(col("template"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("n_lines"))

@@ -48,18 +48,26 @@ object Rag {
     * k·|queries| rows only, re-rank window per query) is exactly what a
     * model-backed scorer plugs into. Oracle-checked end to end.
     */
-  def rerankedRetrieval(s: SparkSession, dir: String): DataFrame = {
+  /** Shared retrieve-then-enrich prelude for rag02/rag05: dense top-k
+    * candidates per query with the query↔candidate token-set Jaccard
+    * attached. Candidates are |queries|·k rows — kept the broadcast
+    * side of both joins against the (large) document table.
+    */
+  private def lexEnrichedCandidates(s: SparkSession, dir: String,
+                                    k: Int = 10): DataFrame = {
     val hits = Similarity.knnBruteOn(
-      Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = 10)
+      Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k)
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-    // candidates are |queries|·k rows — keep them the broadcast side of
-    // both joins against the (large) document table
     val withQuery = toks.select(col("doc_id").as("query_id"), col("toks").as("q_toks"))
       .join(broadcast(hits), "query_id")
-    val enriched = toks.select(col("doc_id").as("neighbor_id"), col("toks").as("c_toks"))
+    toks.select(col("doc_id").as("neighbor_id"), col("toks").as("c_toks"))
       .join(broadcast(withQuery), "neighbor_id")
       .withColumn("lex", round(jaccard(col("q_toks"), col("c_toks")), 6))
+  }
+
+  def rerankedRetrieval(s: SparkSession, dir: String): DataFrame = {
+    val enriched = lexEnrichedCandidates(s, dir)
       // blend in exact integer micro-units (cos/lex are 6-dp doubles →
       // within 1 ulp of an integer×1e-6): 7·cos_u + 3·lex_u is exact
       // integer arithmetic, so the blended score is bit-identical in
@@ -97,15 +105,7 @@ object Rag {
     * query over ≤ k rows.
     */
   def hybridRrf(s: SparkSession, dir: String, k0: Int = 60): DataFrame = {
-    val hits = Similarity.knnBruteOn(
-      Tables.embeddings(s, dir), col("vec_id") % 100 === 0, k = 10)
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
-    val withQuery = toks.select(col("doc_id").as("query_id"), col("toks").as("q_toks"))
-      .join(broadcast(hits), "query_id")
-    val enriched = toks.select(col("doc_id").as("neighbor_id"), col("toks").as("c_toks"))
-      .join(broadcast(withQuery), "neighbor_id")
-      .withColumn("lex", round(jaccard(col("q_toks"), col("c_toks")), 6))
+    val enriched = lexEnrichedCandidates(s, dir)
     val byCos = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
     val byLex = Window.partitionBy("query_id")

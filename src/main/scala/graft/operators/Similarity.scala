@@ -619,11 +619,14 @@ object Similarity {
   def binaryKnnOn(e: DataFrame, queryPred: Column, k: Int = 5,
                   candidates: Int = 50): DataFrame = {
     val b = binarize(e)
+    // the wide (corpus × queries) Hamming stage streams CODES ONLY —
+    // 8 bytes/vector at dim 64 — so the 32× compression actually
+    // reaches the scan; float embeddings re-enter just for the
+    // ≤ |queries|·candidates re-rank rows (rag02's cheap-wide /
+    // expensive-narrow shape, with the candidate keys broadcast)
     val queries = b.filter(queryPred)
-      .select(col("vec_id").as("query_id"), col("bcode").as("q_code"),
-        col("embedding").as("q_emb"))
-    val corpus = b.select(col("vec_id").as("neighbor_id"), col("bcode").as("c_code"),
-      col("embedding").as("c_emb"))
+      .select(col("vec_id").as("query_id"), col("bcode").as("q_code"))
+    val corpus = b.select(col("vec_id").as("neighbor_id"), col("bcode").as("c_code"))
     val byHamming = Window.partitionBy("query_id")
       .orderBy(col("hamming").asc, col("neighbor_id").asc)
     val cand = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
@@ -631,10 +634,16 @@ object Similarity {
         "aggregate(zip_with(q_code, c_code, (a, b) -> bit_count(a ^ b)), 0, (acc, v) -> acc + v)"))
       .withColumn("cand_rank", row_number().over(byHamming))
       .filter(col("cand_rank") <= candidates)
+      .select("query_id", "neighbor_id", "hamming")
+    val emb = e.select(col("vec_id"), col("embedding"))
     val byCos = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    cand
-      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")), 6))
+    emb.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+      .drop("vec_id")
+      .join(broadcast(emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+        "query_id")
+      .withColumn("cos", round(cosineSim(col("q_emb"), col("embedding")), 6))
       .withColumn("rank", row_number().over(byCos))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "hamming", "cos", "rank")

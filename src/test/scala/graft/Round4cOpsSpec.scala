@@ -57,6 +57,25 @@ class Round4cOpsSpec extends SparkSpec {
     assert(out("2024-01-03") == (1L, 0L, 1L))
   }
 
+  test("lt02 null-safe lines: NULL user/props rows mine a real template, never a NULL group") {
+    val events = ev(Seq(
+      (1L, ts("2024-01-01 01:00:00"), null, "alpha", 1.0, "{}"),
+      (2L, ts("2024-01-01 02:00:00"), 1L, "alpha", null, "{}"),
+      (3L, ts("2024-01-02 01:00:00"), null, "alpha", 1.0, "{}")))
+    val out = LogMining.novelTemplatesOn(events).collect()
+      .map(r => r.getAs[Timestamp]("day").toString.take(10) ->
+        (r.getAs[Long]("n_templates"), r.getAs[Long]("n_novel"), r.getAs[Long]("n_lines"))).toMap
+    // the coalesce guard keeps NULL-field lines alive: 'user=null'
+    // (no digits) is a constant token, 'user=1' masks to <*> — so
+    // day 1 mines TWO templates (null-user vs digit-user), both
+    // novel, and day 2 re-sees the null-user one
+    assert(out("2024-01-01") == (2L, 2L, 2L), s"day1: $out")
+    assert(out("2024-01-02") == (1L, 0L, 1L), s"day2: $out")
+    // novelty never exceeds the distinct-template count — the
+    // inconsistency a NULL template group used to create
+    out.values.foreach { case (nt, nn, _) => assert(nn <= nt, s"n_novel > n_templates: $out") }
+  }
+
   test("dq07 null drift: integer cross-multiplied flag — no FP boundary, exact 1.5x threshold") {
     val events = ev(Seq(
       // day1: 4 rows, 1 null user (25% vs 62.5% baseline -> clean)
