@@ -46,6 +46,33 @@ object StreamOps {
       .select(col("window.start").as("bucket"), col("n_errors"), col("n_total"),
               round(col("n_errors") / col("n_total"), 4).as("error_rate"))
 
+  /** st17: streaming long-format SLI projection — ev30's continuous
+    * form, and the closest mirror of the reference's design: the
+    * sli_metrics store is fed by CONTINUOUS materialized views, one
+    * per metric, all writing (Timestamp, Metric, Value) rows into one
+    * shared table. Here ONE windowed aggregation computes every
+    * metric and a stateless `stack` emits the long-format rows when
+    * the watermark closes the window — adding a metric is a column in
+    * the aggregate, not another streaming query with its own state.
+    * The error_rate rounds at scale 0 in 1e-4 units (the batch ev30
+    * discipline — parity between the streaming and batch projections
+    * is exact, not approximate).
+    */
+  def sliMetricsStream(events: DataFrame, windowLen: String = "1 minute",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("event_type") === "error", 1)).as("n_err"),
+        approx_count_distinct("user_id").as("n_users"))
+      .select(col("window.start").as("bucket"), expr(
+        """stack(3,
+             'log_throughput', CAST(n AS DOUBLE),
+             'error_rate', CAST(ROUND(n_err * 1e4 / n) AS BIGINT) / 1e4,
+             'active_users', CAST(n_users AS DOUBLE)) AS (metric, value)"""))
+
   /** st09: streaming heavy hitters — approximate top-k keys per
     * tumbling window via the mergeable SpaceSaving aggregate (ev22's
     * streaming form; ClickHouse topK over a live SLI window). The

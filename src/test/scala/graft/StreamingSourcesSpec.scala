@@ -454,6 +454,37 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st17 streaming SLI projection emits every metric per closed window, batch-exact rates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, java.lang.Long, String, java.lang.Double, String)]
+    val out = StreamOps.sliMetricsStream(
+      mem.toDF.toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = out.writeStream.format("memory").queryName("st17").outputMode("append").start()
+    def at(s: String) = Timestamp.valueOf(s)
+    try {
+      // minute :00: 4 events, 2 errors, 2 users; minute :01: 1 clean event
+      mem.addData(
+        (1L, at("2024-01-01 00:00:10"), 1L, "view", 1.0, "{}"),
+        (2L, at("2024-01-01 00:00:20"), 1L, "error", 1.0, "{}"),
+        (3L, at("2024-01-01 00:00:30"), 2L, "view", 1.0, "{}"),
+        (4L, at("2024-01-01 00:00:40"), 2L, "error", 1.0, "{}"),
+        (5L, at("2024-01-01 00:01:10"), 3L, "view", 1.0, "{}"))
+      q.processAllAvailable()
+      // advance the watermark past both window ends + 2h to close them
+      mem.addData((6L, at("2024-01-01 05:00:00"), 4L: java.lang.Long,
+        "view", 1.0: java.lang.Double, "{}"))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT bucket, metric, value FROM st17").collect()
+        .map(r => (r.getAs[Timestamp]("bucket").toString.take(16), r.getAs[String]("metric")) ->
+          r.getAs[Double]("value")).toMap
+      assert(rows(("2024-01-01 00:00", "log_throughput")) == 4.0, s"got $rows")
+      assert(rows(("2024-01-01 00:00", "error_rate")) == 0.5)
+      assert(rows(("2024-01-01 00:00", "active_users")) == 2.0)
+      assert(rows(("2024-01-01 00:01", "log_throughput")) == 1.0)
+      assert(rows(("2024-01-01 00:01", "error_rate")) == 0.0)
+    } finally q.stop()
+  }
+
   test("st16 novel-template alert fires once per template across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
