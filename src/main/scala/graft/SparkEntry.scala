@@ -316,7 +316,7 @@ object SparkEntry {
       """SELECT o_orderpriority,
          count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
          count(*) AS n_total,
-         round(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 1.0 / count(*), 4) AS finished_rate
+         CAST(round(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) * 1e4 / count(*)) AS BIGINT) / 1e4 AS finished_rate
          FROM orders GROUP BY o_orderpriority""",
     "q11_big_orders_having" ->
       """SELECT l_orderkey, round(sum(l_quantity),2) AS total_qty, count(*) AS n_lines
@@ -339,7 +339,7 @@ object SparkEntry {
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_mktsegment)
          SELECT c_mktsegment, round(seg_rev,2) AS revenue,
-                round(seg_rev / sum(seg_rev) OVER (), 4) AS share
+                CAST(round(seg_rev * 1e4 / sum(seg_rev) OVER ()) AS BIGINT) / 1e4 AS share
          FROM seg""",
     "q15_keyset_pagination" ->
       """SELECT o_orderkey, o_orderdate, round(o_totalprice,2) AS totalprice
@@ -368,9 +368,9 @@ object SparkEntry {
                 round(sum(CASE WHEN s_nation = 'NATION_7'
                                THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS nation_revenue,
                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-                round(sum(CASE WHEN s_nation = 'NATION_7'
-                               THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-                      / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+                CAST(round(sum(CASE WHEN s_nation = 'NATION_7'
+                                    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                           * 1e4 / sum(l_extendedprice * (1 - l_discount))) AS BIGINT) / 1e4 AS mkt_share
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
          JOIN ac ON o_custkey = c_custkey
@@ -438,7 +438,7 @@ object SparkEntry {
          w AS (SELECT *, round(avg(n_events) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 2) AS trailing_avg
                FROM daily),
          r AS (SELECT *, CASE WHEN trailing_avg > 0
-                              THEN round(n_events * 1.0 / trailing_avg, 4) END AS ratio
+                              THEN CAST(round(n_events * 1e4 / trailing_avg) AS BIGINT) / 1e4 END AS ratio
                FROM w)
          SELECT day, n_events, trailing_avg, ratio,
                 CASE WHEN ratio < 0.5 THEN 1 ELSE 0 END AS flagged
@@ -577,7 +577,7 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
          count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
          count(*) AS n_total,
-         round(count(CASE WHEN event_type = 'error' THEN 1 END) * 1.0 / count(*), 4) AS error_rate
+         CAST(round(count(CASE WHEN event_type = 'error' THEN 1 END) * 1e4 / count(*)) AS BIGINT) / 1e4 AS error_rate
          FROM events GROUP BY 1""",
     "ev03_value_percentiles" ->
       """SELECT event_type,
@@ -614,7 +614,8 @@ object SparkEntry {
                 max(CASE WHEN rn = 1 THEN event_type END) AS top_service,
                 round(max(CASE WHEN rn = 1 THEN dur_ms END),2) AS top_span_ms,
                 CASE WHEN round(sum(dur_ms),2) > 0
-                     THEN round(round(max(CASE WHEN rn = 1 THEN dur_ms END),2) / round(sum(dur_ms),2), 4)
+                     THEN CAST(round(round(max(CASE WHEN rn = 1 THEN dur_ms END),2) * 1e4
+                               / round(sum(dur_ms),2)) AS BIGINT) / 1e4
                 END AS top_share
          FROM r GROUP BY user_id, trace_seq""",
     "ev30_sli_metrics" ->
@@ -658,13 +659,16 @@ object SparkEntry {
                     epoch(date_trunc('second', CAST(ts AS TIMESTAMP))) AS ep,
                     coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
                     FROM events),
-         st AS (SELECT max(ep) AS now_ep, max(v) AS max_v FROM e)
-         SELECT event_id, event_type, score FROM (
-           SELECT event_id, event_type,
-             round(0.5 * round(v / max_v, 6)
-                 + 0.3 * round(exp(-0.005 * coalesce((now_ep - ep) / 3600.0, 24.0)), 6)
-                 + 0.2 * least(k / 5.0, 1.0), 4) AS score
-           FROM e CROSS JOIN st)
+         st AS (SELECT max(ep) AS now_ep, max(v) AS max_v FROM e),
+         u AS (SELECT event_id, event_type,
+                 CAST(round(v * 1e6 / max_v) AS BIGINT) AS conf_u,
+                 CAST(round(exp(CAST(-0.005 AS DOUBLE)
+                       * coalesce((now_ep - ep) / CAST(3600.0 AS DOUBLE), CAST(24.0 AS DOUBLE))) * 1e6) AS BIGINT) AS fresh_u,
+                 CAST(round(least(k / CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * 1e6) AS BIGINT) AS tag_u
+               FROM e CROSS JOIN st)
+         SELECT event_id, event_type,
+                CAST(round((conf_u * 5 + fresh_u * 3 + tag_u * 2) / 1e3) AS BIGINT) / 1e4 AS score
+         FROM u
          ORDER BY score DESC, event_id ASC LIMIT 20""",
     "tx20_classification_metrics" ->
       s"""WITH $classificationMetricsCte
@@ -678,7 +682,7 @@ object SparkEntry {
                       CAST(floor(date_diff('day', c.cohort_week, uw.week) / 7.0) AS INTEGER) AS offset_w
                FROM uw JOIN c USING (user_id))
          SELECT cohort_week, offset_w, count(DISTINCT user_id) AS n_active, cohort_size,
-                round(count(DISTINCT user_id) * 1.0 / cohort_size, 4) AS retention
+                CAST(round(count(DISTINCT user_id) * 1e4 / cohort_size) AS BIGINT) / 1e4 AS retention
          FROM j JOIN sz USING (cohort_week)
          GROUP BY cohort_week, offset_w, cohort_size""",
     "ev20_value_histogram" ->
@@ -694,10 +698,10 @@ object SparkEntry {
            FROM events GROUP BY 1),
          w AS (SELECT *, epoch(bucket) AS epoch_s FROM hourly),
          r AS (SELECT bucket, n_errors, n_total,
-                      round(n_errors * 1.0 / n_total / 0.01, 4) AS burn_1h,
-                      round(sum(n_errors) OVER (ORDER BY epoch_s RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) * 1.0
+                      CAST(round(n_errors * 1e4 / n_total / CAST(0.01 AS DOUBLE)) AS BIGINT) / 1e4 AS burn_1h,
+                      CAST(round(sum(n_errors) OVER (ORDER BY epoch_s RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW) * 1e4
                             / sum(n_total) OVER (ORDER BY epoch_s RANGE BETWEEN 18000 PRECEDING AND CURRENT ROW)
-                            / 0.01, 4) AS burn_6h
+                            / CAST(0.01 AS DOUBLE)) AS BIGINT) / 1e4 AS burn_6h
                FROM w)
          SELECT bucket, n_errors, n_total, burn_1h, burn_6h,
                 CASE WHEN burn_1h >= 2 AND burn_6h >= 2 THEN 1 ELSE 0 END AS alert
@@ -882,8 +886,8 @@ object SparkEntry {
                 CAST(max(cnt) AS BIGINT) AS max_rows,
                 round(avg(cnt), 4) AS avg_rows,
                 round(quantile_cont(cnt, 0.99), 4) AS p99_rows,
-                round(max(cnt) * 1.0 / avg(cnt), 4) AS skew_factor,
-                round(max(cnt) * 1.0 / sum(cnt), 9) AS top_share
+                CAST(round(max(cnt) * 1e4 / avg(cnt)) AS BIGINT) / 1e4 AS skew_factor,
+                CAST(round(max(cnt) * 1e9 / sum(cnt)) AS BIGINT) / 1e9 AS top_share
          FROM c""",
     "smp02_mixture_weights" ->
       """WITH bs AS (SELECT source, count(*) AS n_docs,
@@ -1169,7 +1173,7 @@ object SparkEntry {
                           round(quantile_cont(dur_ms, 0.95), 2) AS p95_ms
                    FROM edges GROUP BY src_service, dst_service)
          SELECT src_service, dst_service, n_calls, p95_ms,
-                round(n_calls * 1.0 / sum(n_calls) OVER (PARTITION BY src_service), 4) AS out_share
+                CAST(round(n_calls * 1e4 / sum(n_calls) OVER (PARTITION BY src_service)) AS BIGINT) / 1e4 AS out_share
          FROM agged""",
     "es05_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
@@ -1264,7 +1268,7 @@ object SparkEntry {
                       round(sum(value), 2) AS attributed_revenue
                FROM t WHERE event_type = 'purchase' GROUP BY first_touch)
          SELECT first_touch, converted_sessions, n_purchases, attributed_revenue,
-                round(attributed_revenue / sum(attributed_revenue) OVER (), 4) AS revenue_share
+                CAST(round(attributed_revenue * 1e4 / sum(attributed_revenue) OVER ()) AS BIGINT) / 1e4 AS revenue_share
          FROM a""",
     "tx32_zipf_fit" ->
       """WITH f AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
@@ -1348,7 +1352,7 @@ object SparkEntry {
               FROM events e LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) c
                 ON e.user_id = c.k)
          SELECT relation, n_child, n_orphans,
-                round(n_orphans * 1.0 / n_child, 6) AS orphan_rate, n_null_fk, n_dup_parent_keys
+                CAST(round(n_orphans * 1e6 / n_child) AS BIGINT) / 1e6 AS orphan_rate, n_null_fk, n_dup_parent_keys
          FROM (SELECT li.*, lid.n_dup_parent_keys FROM li CROSS JOIN lid
                UNION ALL SELECT oc.*, ocd.n_dup_parent_keys FROM oc CROSS JOIN ocd
                UNION ALL SELECT ec.*, ocd.n_dup_parent_keys FROM ec CROSS JOIN ocd)""",
@@ -1587,11 +1591,13 @@ object SparkEntry {
          pr AS (SELECT event_type, n_bins,
                        (n_a + 0.5) / (tot_a + 0.5 * n_bins) AS p_a,
                        (n_b + 0.5) / (tot_b + 0.5 * n_bins) AS p_b
-                FROM w)
-         SELECT event_type, max(n_bins) AS n_bins,
-                round(sum((p_a - p_b) * ln(p_a / p_b)), 6) AS psi,
-                CASE WHEN round(sum((p_a - p_b) * ln(p_a / p_b)), 6) > 0.2 THEN 1 ELSE 0 END AS drifted
-         FROM pr GROUP BY event_type""",
+                FROM w),
+         s AS (SELECT event_type, max(n_bins) AS n_bins,
+                      sum(CAST(round((p_a - p_b) * ln(p_a / p_b) * 1e6) AS BIGINT)) AS psi_u
+               FROM pr GROUP BY event_type)
+         SELECT event_type, n_bins, psi_u / 1e6 AS psi,
+                CASE WHEN psi_u > 200000 THEN 1 ELSE 0 END AS drifted
+         FROM s""",
     "smp04_cluster_balanced" ->
       """SELECT vec_id, label, samp_rank FROM (
            SELECT vec_id, label,

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Numeric.microRatio
 import graft.functions.SimHashAgg.simhashAgg
 import graft.functions.TextFunctions.tokens
 
@@ -45,7 +46,7 @@ object DataQuality {
     daily
       .withColumn("trailing_avg", round(avg("n_events").over(w), 2))
       .withColumn("ratio",
-        when(col("trailing_avg") > 0, round(col("n_events") / col("trailing_avg"), 4)))
+        when(col("trailing_avg") > 0, microRatio(col("n_events"), col("trailing_avg"), 4)))
       .select(col("day"), col("n_events"), col("trailing_avg"), col("ratio"),
               when(col("ratio") < minRatio, 1).otherwise(0).as("flagged"))
   }
@@ -69,8 +70,8 @@ object DataQuality {
         max("cnt").as("max_rows"),
         round(avg("cnt"), 4).as("avg_rows"),
         round(expr("percentile(cnt, 0.99)"), 4).as("p99_rows"),
-        round(max("cnt") / avg("cnt"), 4).as("skew_factor"),
-        round(max("cnt") / sum("cnt"), 9).as("top_share"))
+        microRatio(max("cnt"), avg("cnt"), 4).as("skew_factor"),
+        microRatio(max("cnt"), sum("cnt"), 9).as("top_share"))
 
   /** tx14: per-source SimHash signature via the mergeable AGGREGATE
     * form — one 256-byte buffer per group shuffles instead of the
@@ -106,11 +107,20 @@ object DataQuality {
       .withColumn("n_bins", count(lit(1)).over(wType))
       .withColumn("p_a", (col("n_a") + lit(0.5)) / (col("tot_a") + lit(0.5) * col("n_bins")))
       .withColumn("p_b", (col("n_b") + lit(0.5)) / (col("tot_b") + lit(0.5) * col("n_bins")))
+      // Σ addends in exact integer MICRO-units (the tx21 discipline):
+      // each (p_a−p_b)·ln(p_a/p_b) term rounds to a 1e-6-unit long at
+      // scale 0 (half-integers are exact doubles → both engines' rounds
+      // agree), the long sum is order-independent across partitions AND
+      // engines, and the 0.2 drift gate compares the exact integer.
+      .withColumn("addend_u",
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")) * 1e6, 0).cast("long"))
       .groupBy("event_type")
       .agg(
         max("n_bins").as("n_bins"),
-        round(sum((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b"))), 6).as("psi"))
-      .withColumn("drifted", when(col("psi") > 0.2, 1).otherwise(0))
+        sum("addend_u").as("psi_u"))
+      .select(col("event_type"), col("n_bins"),
+        (col("psi_u") / 1e6).as("psi"),
+        when(col("psi_u") > 200000L, 1).otherwise(0).as("drifted"))
   }
 
   /** dq05: referential-integrity gate over the star schema's FK edges
@@ -140,7 +150,7 @@ object DataQuality {
         (count(lit(1)) - countDistinct(col(pk))).as("n_dup_parent_keys"))
       stats.crossJoin(broadcast(dups))
         .select(lit(name).as("relation"), col("n_child"), col("n_orphans"),
-          round(col("n_orphans") / col("n_child"), 6).as("orphan_rate"),
+          microRatio(col("n_orphans"), col("n_child"), 6).as("orphan_rate"),
           col("n_null_fk"), col("n_dup_parent_keys"))
     }
     rel("lineitem->orders", Tables.lineitem(s, dir), "l_orderkey",

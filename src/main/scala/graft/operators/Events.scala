@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.Numeric.{microRatio, microRound}
 
 /** Event / log analytics over the `events` fact table.
   *
@@ -57,7 +58,8 @@ object Events {
       .agg(
         count(when(col("event_type") === "error", 1)).as("n_errors"),
         count(lit(1)).as("n_total"),
-        round(count(when(col("event_type") === "error", 1)) / count(lit(1)), 4).as("error_rate"))
+        microRatio(count(when(col("event_type") === "error", 1)), count(lit(1)), 4)
+          .as("error_rate"))
 
   /** ev30: long-format SLI projection — ONE aggregation pass emits
     * every minute-granularity SLI as (bucket, metric, value) rows,
@@ -160,7 +162,7 @@ object Events {
         max(when(col("rn") === 1, col("event_type"))).as("top_service"),
         round(max(when(col("rn") === 1, col("dur_ms"))), 2).as("top_span_ms"))
       .withColumn("top_share",
-        when(col("total_span_ms") > 0, round(col("top_span_ms") / col("total_span_ms"), 4)))
+        when(col("total_span_ms") > 0, microRatio(col("top_span_ms"), col("total_span_ms"), 4)))
   }
 
   /** ev05: top-N users by revenue in a time window, deterministic
@@ -273,12 +275,15 @@ object Events {
       coalesce(regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"), lit(0)).as("k"))
     val stats = e.agg(max("ep").as("now_ep"), max("v").as("max_v"))
     e.crossJoin(broadcast(stats))
-      .withColumn("confidence", round(col("v") / col("max_v"), 6))
+      // every component in exact integer 1e-6 units (the tx21 discipline),
+      // so the 0.5/0.3/0.2 blend is pure long arithmetic:
+      // score*1e4 = (5*conf_u + 3*fresh_u + 2*tag_u) / 1e3, one scale-0 round
+      .withColumn("conf_u", round(col("v") * 1e6 / col("max_v"), 0).cast("long"))
       .withColumn("age_h", coalesce((col("now_ep") - col("ep")) / 3600.0, lit(24.0)))
-      .withColumn("freshness", round(exp(lit(-0.005) * col("age_h")), 6))
-      .withColumn("tag_score", least(col("k") / 5.0, lit(1.0)))
+      .withColumn("fresh_u", round(exp(lit(-0.005) * col("age_h")) * 1e6, 0).cast("long"))
+      .withColumn("tag_u", round(least(col("k") / 5.0, lit(1.0)) * 1e6, 0).cast("long"))
       .withColumn("score",
-        round(lit(0.5) * col("confidence") + lit(0.3) * col("freshness") + lit(0.2) * col("tag_score"), 4))
+        round((col("conf_u") * 5 + col("fresh_u") * 3 + col("tag_u") * 2) / 1e3, 0).cast("long") / 1e4)
       .orderBy(col("score").desc, col("event_id").asc)
       .limit(20)
       .select("event_id", "event_type", "score")
@@ -305,7 +310,7 @@ object Events {
       .groupBy("cohort_week", "offset_w")
       .agg(countDistinct("user_id").as("n_active"))
       .join(broadcast(sz), "cohort_week")
-      .withColumn("retention", round(col("n_active") / col("cohort_size"), 4))
+      .withColumn("retention", microRatio(col("n_active"), col("cohort_size"), 4))
       .select("cohort_week", "offset_w", "n_active", "cohort_size", "retention")
   }
 
@@ -404,8 +409,12 @@ object Events {
     hourly
       .withColumn("err_6h", sum("n_errors").over(w6h))
       .withColumn("tot_6h", sum("n_total").over(w6h))
-      .withColumn("burn_1h", round(col("n_errors") / col("n_total") / targetErrRate, 4))
-      .withColumn("burn_6h", round(col("err_6h") / col("tot_6h") / targetErrRate, 4))
+      // two-step quotient: scale the numerator FIRST (the microRatio
+      // discipline extended to num/den/target — same op order in the oracle)
+      .withColumn("burn_1h",
+        round(col("n_errors") * 1e4 / col("n_total") / targetErrRate, 0).cast("long") / 1e4)
+      .withColumn("burn_6h",
+        round(col("err_6h") * 1e4 / col("tot_6h") / targetErrRate, 0).cast("long") / 1e4)
       .select(col("bucket"), col("n_errors"), col("n_total"), col("burn_1h"), col("burn_6h"),
               when(col("burn_1h") >= 2 && col("burn_6h") >= 2, 1).otherwise(0).as("alert"))
   }
@@ -689,7 +698,7 @@ object Events {
         count(lit(1)).as("n_calls"),
         round(expr("percentile(dur_ms, 0.95)"), 2).as("p95_ms"))
       .withColumn("out_share",
-        round(col("n_calls") / sum("n_calls").over(Window.partitionBy("src_service")), 4))
+        microRatio(col("n_calls"), sum("n_calls").over(Window.partitionBy("src_service")), 4))
   }
 
   /** es05: SCD2 interval build from the event log — collapse each
@@ -831,6 +840,6 @@ object Events {
         count(lit(1)).as("n_purchases"),
         round(sum("value"), 2).as("attributed_revenue"))
     out.withColumn("revenue_share",
-      round(col("attributed_revenue") / sum("attributed_revenue").over(Window.partitionBy()), 4))
+      microRatio(col("attributed_revenue"), sum("attributed_revenue").over(Window.partitionBy()), 4))
   }
 }

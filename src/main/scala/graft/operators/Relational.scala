@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.Numeric.microRatio
 
 /** Relational / OLAP query surface.
   *
@@ -128,7 +129,8 @@ object Relational {
       .agg(
         count(when(col("o_orderstatus") === "F", 1)).as("n_finished"),
         count(lit(1)).as("n_total"),
-        round(count(when(col("o_orderstatus") === "F", 1)) / count(lit(1)), 4).as("finished_rate"))
+        microRatio(count(when(col("o_orderstatus") === "F", 1)), count(lit(1)), 4)
+          .as("finished_rate"))
 
   /** q11: GROUP BY + HAVING. */
   def bigOrdersHaving(s: SparkSession, dir: String): DataFrame =
@@ -282,7 +284,7 @@ object Relational {
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
       .agg(sum("o_totalprice").as("seg_rev"))
-    seg.withColumn("share", round(col("seg_rev") / sum("seg_rev").over(), 4))
+    seg.withColumn("share", microRatio(col("seg_rev"), sum("seg_rev").over(), 4))
       .select(col("c_mktsegment"), round(col("seg_rev"), 2).as("revenue"), col("share"))
   }
 
@@ -476,6 +478,6 @@ object Relational {
         col("o_year"),
         round(col("nation_rev_raw"), 2).as("nation_revenue"),
         round(col("total_rev_raw"), 2).as("total_revenue"),
-        round(col("nation_rev_raw") / col("total_rev_raw"), 4).as("mkt_share"))
+        microRatio(col("nation_rev_raw"), col("total_rev_raw"), 4).as("mkt_share"))
   }
 }
