@@ -208,13 +208,13 @@ object SparkEntry {
          m AS (
            SELECT label, support, tp, precision, recall,
              CASE WHEN precision + recall > 0
-                  THEN round(2 * precision * recall / (precision + recall), 4)
+                  THEN CAST(round(2 * precision * recall * 1e4 / (precision + recall)) AS BIGINT) / 1e4
                   ELSE 0.0 END AS f1
            FROM (
              SELECT label, support,
                coalesce(tp, 0) AS tp,
-               round(coalesce(tp, 0) * 1.0 / coalesce(n_predicted, 1), 4) AS precision,
-               round(coalesce(tp, 0) * 1.0 / support, 4) AS recall
+               CAST(round(coalesce(tp, 0) * 1e4 / coalesce(n_predicted, 1)) AS BIGINT) / 1e4 AS precision,
+               CAST(round(coalesce(tp, 0) * 1e4 / support) AS BIGINT) / 1e4 AS recall
              FROM sup LEFT JOIN np USING (label) LEFT JOIN tpt USING (label)))"""
 
   /** Shared DuckDB CTE chain for the dup-cluster oracles: tx09's
@@ -549,9 +549,9 @@ object SparkEntry {
          cand AS (SELECT doc_id AS cand_id, toks AS cand FROM d WHERE doc_id < 50),
          ref AS (SELECT doc_id - 1 AS cand_id, toks AS ref FROM d)
          SELECT cand_id,
-                round(len(list_intersect(cand, ref)) * 1.0 / len(cand), 4) AS rouge_p,
-                round(len(list_intersect(cand, ref)) * 1.0 / len(ref), 4) AS rouge_r,
-                round(2.0 * len(list_intersect(cand, ref)) / (len(cand) + len(ref)), 4) AS rouge_f1
+                CAST(round(len(list_intersect(cand, ref)) * 1e4 / len(cand)) AS BIGINT) / 1e4 AS rouge_p,
+                CAST(round(len(list_intersect(cand, ref)) * 1e4 / len(ref)) AS BIGINT) / 1e4 AS rouge_r,
+                CAST(round(2 * len(list_intersect(cand, ref)) * 1e4 / (len(cand) + len(ref))) AS BIGINT) / 1e4 AS rouge_f1
          FROM cand JOIN ref USING (cand_id)""",
     "tx13_bpe_token_count" ->
       """SELECT CAST(sum(n) AS BIGINT) AS total_tokens, round(avg(n),2) AS avg_tokens, max(n) AS max_tokens
@@ -793,16 +793,17 @@ object SparkEntry {
     "tx18_bm25_search" ->
       """WITH dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
          d2 AS (SELECT doc_id, len(toks) AS dl, toks FROM dd),
-         st AS (SELECT count(*) AS n_docs, round(avg(dl), 6) AS avgdl FROM d2),
+         st AS (SELECT count(*) AS n_docs, CAST(round(avg(dl) * 1e6) AS BIGINT) / 1e6 AS avgdl FROM d2),
          t AS (SELECT doc_id, dl, unnest(toks) AS term FROM d2),
          tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
                 WHERE term IN ('merge', 'join', 'stream') GROUP BY 1, 2, 3),
          df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
          sc AS (SELECT tf.doc_id,
-                  round(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1), 6)
-                    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl / st.avgdl)) AS contrib
+                  CAST(round(CAST(round(ln((CAST(st.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1) * 1e6) AS BIGINT) / 1e6
+                    * (tf.tf * CAST(2.2 AS DOUBLE))
+                    / (tf.tf + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl)) * 1e6) AS BIGINT) AS contrib_u
                 FROM tf JOIN df USING (term) CROSS JOIN st)
-         SELECT doc_id, round(sum(contrib), 4) AS bm25
+         SELECT doc_id, CAST(round(sum(contrib_u) / 1e2) AS BIGINT) / 1e4 AS bm25
          FROM sc GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
     "tx02_term_freq" ->
@@ -816,7 +817,7 @@ object SparkEntry {
          tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
          df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
          scored AS (SELECT tf.doc_id, tf.term,
-                    round(tf.tf * round(ln(nd.n_docs * 1.0 / df.df), 6), 4) AS score
+                    CAST(round(tf.tf * CAST(round(ln(CAST(nd.n_docs AS DOUBLE) / df.df) * 1e6) AS BIGINT) / 1e2) AS BIGINT) / 1e4 AS score
                     FROM tf JOIN df USING (term) CROSS JOIN nd)
          SELECT doc_id, term, score, rank
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
@@ -831,7 +832,7 @@ object SparkEntry {
          tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
          df AS (SELECT term, count(*) AS df FROM (SELECT DISTINCT doc_id, term FROM terms) GROUP BY term),
          scored AS (SELECT tf.doc_id, tf.term,
-                    round(tf.tf * round(ln(nd.n_docs * 1.0 / df.df), 6), 4) AS score
+                    CAST(round(tf.tf * CAST(round(ln(CAST(nd.n_docs AS DOUBLE) / df.df) * 1e6) AS BIGINT) / 1e2) AS BIGINT) / 1e4 AS score
                     FROM tf JOIN df USING (term) CROSS JOIN nd)
          SELECT doc_id, term, score, rank
          FROM (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
@@ -893,12 +894,12 @@ object SparkEntry {
       """WITH bs AS (SELECT source, count(*) AS n_docs,
                             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
                      FROM documents GROUP BY source),
-         sh AS (SELECT *, tokens * 1.0 / sum(tokens) OVER () AS cur_share,
-                       (1.0 / count(*) OVER ()) / (tokens * 1.0 / sum(tokens) OVER ()) AS raw_w
+         sh AS (SELECT *, CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS cur_share,
+                       (CAST(1.0 AS DOUBLE) / count(*) OVER ()) / (CAST(tokens AS DOUBLE) / sum(tokens) OVER ()) AS raw_w
                 FROM bs)
          SELECT source, n_docs, tokens,
-                round(cur_share, 4) AS cur_share,
-                round(raw_w / max(raw_w) OVER (), 4) AS accept_rate
+                CAST(round(cur_share * 1e4) AS BIGINT) / 1e4 AS cur_share,
+                CAST(round(raw_w * 1e4 / max(raw_w) OVER ()) AS BIGINT) / 1e4 AS accept_rate
          FROM sh""",
     "tx25_unigram_loglik" ->
       """WITH t AS (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
@@ -928,12 +929,13 @@ object SparkEntry {
                       list_transform(generate_series(1, len(toks) - 2),
                                      i -> array_to_string(toks[i:i+2], ' ')) AS sh
                FROM d),
-         c AS (SELECT doc_id, len(sh) AS n_grams, len(list_distinct(sh)) AS n_distinct FROM g)
-         SELECT doc_id, n_grams,
-                round((n_grams - n_distinct) * 1.0 / n_grams, 4) AS dup_ratio,
-                CASE WHEN round((n_grams - n_distinct) * 1.0 / n_grams, 4) > 0.2
-                     THEN 1 ELSE 0 END AS flagged
-         FROM c WHERE n_grams > 0""",
+         c AS (SELECT doc_id, len(sh) AS n_grams, len(list_distinct(sh)) AS n_distinct FROM g),
+         cu AS (SELECT doc_id, n_grams,
+                       CAST(round((n_grams - n_distinct) * 1e4 / n_grams) AS BIGINT) AS dup_u
+                FROM c WHERE n_grams > 0)
+         SELECT doc_id, n_grams, dup_u / 1e4 AS dup_ratio,
+                CASE WHEN dup_u > 2000 THEN 1 ELSE 0 END AS flagged
+         FROM cu""",
     "tx29_topic_coherence" ->
       """WITH dt AS (SELECT doc_id, source, term FROM (
                        SELECT doc_id, source,
@@ -1002,13 +1004,18 @@ object SparkEntry {
            SELECT node, rank, row_number() OVER (ORDER BY rank DESC, node ASC) AS rk FROM r3)
          WHERE rk <= 20""",
     "tx22_macro_metrics" ->
-      s"""WITH $classificationMetricsCte
-         SELECT round(avg(precision), 4) AS macro_precision,
-                round(avg(recall), 4) AS macro_recall,
-                round(avg(f1), 4) AS macro_f1,
-                round(sum(f1 * support) / sum(support), 4) AS weighted_f1,
-                round(sum(tp) * 1.0 / sum(support), 4) AS accuracy
-         FROM m""",
+      s"""WITH $classificationMetricsCte,
+         u AS (SELECT support, tp,
+                      CAST(round(precision * 1e4) AS BIGINT) AS p_u,
+                      CAST(round(recall * 1e4) AS BIGINT) AS r_u,
+                      CAST(round(f1 * 1e4) AS BIGINT) AS f_u
+               FROM m)
+         SELECT CAST(round(CAST(sum(p_u) AS DOUBLE) / count(*)) AS BIGINT) / 1e4 AS macro_precision,
+                CAST(round(CAST(sum(r_u) AS DOUBLE) / count(*)) AS BIGINT) / 1e4 AS macro_recall,
+                CAST(round(CAST(sum(f_u) AS DOUBLE) / count(*)) AS BIGINT) / 1e4 AS macro_f1,
+                CAST(round(CAST(sum(f_u * support) AS DOUBLE) / sum(support)) AS BIGINT) / 1e4 AS weighted_f1,
+                CAST(round(sum(tp) * 1e4 / sum(support)) AS BIGINT) / 1e4 AS accuracy
+         FROM u""",
     "tx21_term_entropy" ->
       """WITH tf AS (
            SELECT doc_id, term, count(*) AS tf
@@ -1023,8 +1030,9 @@ object SparkEntry {
     "tx04_quality_score" ->
       """SELECT * FROM (
            SELECT doc_id, n_tokens,
-                  round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
-                  round(0.5 * least(n_tokens / 100.0, 1.0) + 0.5 * (1 - n_stop * 1.0 / n_tokens), 4) AS qscore
+                  CAST(round((CAST(n_stop AS DOUBLE) / n_tokens) * 1e4) AS BIGINT) / 1e4 AS stop_ratio,
+                  CAST(round((0.5 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+                              + 0.5 * (1 - CAST(n_stop AS DOUBLE) / n_tokens)) * 1e4) AS BIGINT) / 1e4 AS qscore
            FROM (SELECT doc_id,
                         len(string_split_regex(trim(text), '\s+')) AS n_tokens,
                         len(list_filter(string_split_regex(trim(text), '\s+'),
@@ -1390,11 +1398,12 @@ object SparkEntry {
       """WITH d AS (SELECT doc_id, source,
                     list_distinct(string_split_regex(trim(text), '\s+')) AS toks
                     FROM documents WHERE doc_id < 1000)
-         SELECT a.source AS source, a.doc_id AS doc_contained, b.doc_id AS doc_container,
-                round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 4) AS containment
-         FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
-         WHERE (len(a.toks) < len(b.toks) OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
-           AND round(len(list_intersect(a.toks, b.toks)) * 1.0 / len(a.toks), 4) >= 0.95""",
+         SELECT source, doc_contained, doc_container, cont_u / 1e4 AS containment FROM (
+           SELECT a.source AS source, a.doc_id AS doc_contained, b.doc_id AS doc_container,
+                  CAST(round(len(list_intersect(a.toks, b.toks)) * 1e4 / len(a.toks)) AS BIGINT) AS cont_u
+           FROM d a JOIN d b ON a.source = b.source AND a.doc_id <> b.doc_id
+           WHERE len(a.toks) < len(b.toks) OR (len(a.toks) = len(b.toks) AND a.doc_id < b.doc_id))
+         WHERE cont_u >= 9500""",
     "tx38_dict_tokens_ja" -> {
       // fixture + segmentation pattern shared with the Spark side by
       // construction — the oracle IS the same longest-first alternation
@@ -1434,7 +1443,9 @@ object SparkEntry {
     "tx41_bigram_loglik" ->
       // interpolation weights stamped from the SAME doubles the Spark
       // side uses (1.0 - 0.9 is NOT the double 0.1 — a 1-ulp mismatch
-      // here shifts the 6-decimal log rounding on boundary values)
+      // here shifts the 6-decimal log rounding on boundary values), and
+      // CAST AS DOUBLE so DuckDB can't parse them as DECIMAL and run
+      // the multiply/divide chain in decimal arithmetic
       s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents),
          b AS (SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
                FROM d, unnest(generate_series(1, len(toks) - 1)) AS t(i)
@@ -1446,8 +1457,8 @@ object SparkEntry {
                  FROM (SELECT unnest(toks) AS term FROM d) GROUP BY 1),
          tot AS (SELECT CAST(sum(cuni) AS BIGINT) AS total FROM uni),
          sc AS (SELECT bf.doc_id, bf.bf,
-                       CAST(round(log2(${0.9} * big.cbg / pc.cprev
-                                  + ${1.0 - 0.9} * uni.cuni / tot.total) * 1000000) AS BIGINT) AS logp_u
+                       CAST(round(log2(CAST(${0.9} AS DOUBLE) * big.cbg / pc.cprev
+                                  + CAST(${1.0 - 0.9} AS DOUBLE) * uni.cuni / tot.total) * 1000000) AS BIGINT) AS logp_u
                 FROM bf JOIN big USING (prev, cur) JOIN pc USING (prev)
                      JOIN uni ON uni.term = bf.cur CROSS JOIN tot)
          SELECT doc_id, CAST(sum(bf) AS BIGINT) AS n_bigrams,
@@ -1484,14 +1495,14 @@ object SparkEntry {
                         '^(the|be|to|of|and|that|have|with)$'))) AS BIGINT) AS n_stop
                FROM d WHERE len(toks) > 0)
          SELECT doc_id, source, n_words,
-                round(mean_word_len, 4) AS mean_word_len,
-                round((n_hash + n_ellipsis) * 1.0 / n_words, 6) AS symbol_ratio,
-                round(bullet_frac, 4) AS bullet_frac,
-                round(ellipsis_frac, 4) AS ellipsis_frac,
-                round(alpha_frac, 4) AS alpha_frac,
+                CAST(round(mean_word_len * 1e4) AS BIGINT) / 1e4 AS mean_word_len,
+                CAST(round((CAST(n_hash + n_ellipsis AS DOUBLE) / n_words) * 1e6) AS BIGINT) / 1e6 AS symbol_ratio,
+                CAST(round(bullet_frac * 1e4) AS BIGINT) / 1e4 AS bullet_frac,
+                CAST(round(ellipsis_frac * 1e4) AS BIGINT) / 1e4 AS ellipsis_frac,
+                CAST(round(alpha_frac * 1e4) AS BIGINT) / 1e4 AS alpha_frac,
                 n_stop,
                 (n_words BETWEEN 50 AND 100000) AND (mean_word_len BETWEEN 3 AND 10)
-                  AND (n_hash + n_ellipsis) * 1.0 / n_words <= 0.1
+                  AND CAST(n_hash + n_ellipsis AS DOUBLE) / n_words <= 0.1
                   AND bullet_frac <= 0.9 AND ellipsis_frac <= 0.3
                   AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
          FROM m""",
@@ -1499,13 +1510,13 @@ object SparkEntry {
       """WITH bs AS (SELECT source, count(*) AS n_docs,
                             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS tokens
                      FROM documents GROUP BY source),
-         sh AS (SELECT *, tokens * 1.0 / sum(tokens) OVER () AS cur_share FROM bs),
+         sh AS (SELECT *, CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS cur_share FROM bs),
          tp AS (SELECT *, pow(cur_share, 0.3) AS pa FROM sh),
          ts AS (SELECT *, pa / sum(pa) OVER () AS temp_share FROM tp)
          SELECT source, n_docs, tokens,
-                round(cur_share, 6) AS cur_share,
-                round(temp_share, 6) AS temp_share,
-                round(temp_share / cur_share, 4) AS boost
+                CAST(round(cur_share * 1e6) AS BIGINT) / 1e6 AS cur_share,
+                CAST(round(temp_share * 1e6) AS BIGINT) / 1e6 AS temp_share,
+                CAST(round(temp_share * 1e4 / cur_share) AS BIGINT) / 1e4 AS boost
          FROM ts""",
     "dq06_snapshot_diff" ->
       """WITH st1 AS (SELECT user_id, event_type AS old_event_type,
@@ -1654,11 +1665,14 @@ object SparkEntry {
          c AS (SELECT *, count(*) OVER (PARTITION BY sh) AS cnt FROM s),
          p AS (SELECT doc_id, source, count(*) AS n_spans,
                       count(CASE WHEN cnt > 1 THEN 1 END) AS n_dup_spans
-               FROM c GROUP BY doc_id, source)
+               FROM c GROUP BY doc_id, source),
+         pu AS (SELECT doc_id, source, n_spans, n_dup_spans,
+                       CAST(round(n_dup_spans * 1e4 / n_spans) AS BIGINT) AS dup_u
+                FROM p)
          SELECT doc_id, source, n_spans, n_dup_spans,
-                round(n_dup_spans * 1.0 / n_spans, 4) AS dup_fraction,
-                CASE WHEN round(n_dup_spans * 1.0 / n_spans, 4) >= 0.2 THEN 1 ELSE 0 END AS dropped
-         FROM p""",
+                dup_u / 1e4 AS dup_fraction,
+                CASE WHEN dup_u >= 2000 THEN 1 ELSE 0 END AS dropped
+         FROM pu""",
     "rag04_token_chunks" ->
       """WITH d AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
                     FROM documents WHERE doc_id < 100),

@@ -129,7 +129,8 @@ object TextFunctions {
   def qualityScore(text: Column, stopwords: Seq[String]): Column = {
     val lenScore = least(tokenCount(text).cast("double") / lit(100.0), lit(1.0))
     val density  = lit(1.0) - stopwordRatio(text, stopwords)
-    round(lit(0.5) * lenScore + lit(0.5) * density, 4)
+    // scale-0 round in 1e-4 units (graft.functions.Numeric discipline)
+    round((lit(0.5) * lenScore + lit(0.5) * density) * 1e4, 0).cast("long") / 1e4
   }
 
   /** Sentence segmentation: split on terminal punctuation

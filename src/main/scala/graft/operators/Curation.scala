@@ -41,15 +41,18 @@ object Curation {
       .select(col("doc_id"), col("source"), col("keep").as("quality_keep"))
 
     // gate 2: exact dedup — the min doc_id per text hash survives.
-    // groupBy + join back, NOT min().over(partitionBy(h)): a window
-    // buffers each hash group on one task, and a crawl's degenerate
-    // exact-dup group (same boilerplate × millions) is exactly the
-    // group that must not single-task; the aggregate form map-side
-    // combines it away (the dd04 lesson)
-    val hashed = corpus.select(col("doc_id"), md5(col("text")).as("h"))
-    val exactKeep = hashed
-      .join(hashed.groupBy("h").agg(min("doc_id").as("keeper")), "h")
-      .select(col("doc_id"), (col("doc_id") === col("keeper")).as("exact_keep"))
+    // groupBy + keeper-list join, NOT min().over(partitionBy(h)): a
+    // window buffers each hash group on one task, and a crawl's
+    // degenerate exact-dup group (same boilerplate × millions) is
+    // exactly the group that must not single-task; the aggregate form
+    // map-side combines it away (the dd04 lesson). The keeper LIST
+    // (one doc_id per distinct text) joins back on doc_id — the md5
+    // projection over the corpus evaluates exactly once, and the join
+    // lands on the same doc_id partitioning the final assembly uses,
+    // instead of a second hash-keyed probe of the corpus.
+    val keepers = corpus.select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy("h").agg(min("doc_id").as("doc_id"))
+      .select(col("doc_id"), lit(true).as("__keeper"))
 
     // gate 3: near-dup clusters — banded LSH pairs, connected
     // components, min-id representative survives (dd02's decision);
@@ -69,7 +72,9 @@ object Curation {
       .select(col("doc_id"), lit(false).as("decontam_keep"))
 
     quality
-      .join(exactKeep, Seq("doc_id"))
+      .join(keepers, Seq("doc_id"), "left")
+      .withColumn("exact_keep", col("__keeper").isNotNull)
+      .drop("__keeper")
       .join(broadcast(victims), Seq("doc_id"), "left")
       .withColumn("neardup_keep", col("__victim").isNull)
       .drop("__victim")

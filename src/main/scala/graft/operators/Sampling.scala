@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.Numeric.{microRatio, microRound}
 
 /** Deterministic sampling operators for training-data curation.
   *
@@ -59,9 +60,9 @@ object Sampling {
     bySource
       .withColumn("cur_share", col("tokens") / sum("tokens").over())
       .withColumn("raw_w", (lit(1.0) / count(lit(1)).over()) / col("cur_share"))
-      .withColumn("accept_rate", round(col("raw_w") / max("raw_w").over(), 4))
+      .withColumn("accept_rate", microRatio(col("raw_w"), max("raw_w").over(), 4))
       .select(col("source"), col("n_docs"), col("tokens"),
-              round(col("cur_share"), 4).as("cur_share"), col("accept_rate"))
+              microRound(col("cur_share"), 4).as("cur_share"), col("accept_rate"))
   }
 
   /** smp01: language-stratified document sample — oversample the rare
@@ -145,8 +146,8 @@ object Sampling {
       .withColumn("pa", pow(col("cur_share"), lit(alpha)))
       .withColumn("temp_share", col("pa") / sum("pa").over())
       .select(col("source"), col("n_docs"), col("tokens"),
-              round(col("cur_share"), 6).as("cur_share"),
-              round(col("temp_share"), 6).as("temp_share"),
-              round(col("temp_share") / col("cur_share"), 4).as("boost"))
+              microRound(col("cur_share"), 6).as("cur_share"),
+              microRound(col("temp_share"), 6).as("temp_share"),
+              microRatio(col("temp_share"), col("cur_share"), 4).as("boost"))
   }
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.{tokenCount, tokens}
+import graft.functions.Numeric.microRound
 
 /** Materialized search-index build — the search-indexer's batch job
   * (search-indexer/app builds the index its search service queries)
@@ -61,16 +62,19 @@ object SearchIndex {
       .select(col("doc_id"), col("term"), col("tf"))
     val ds = s.table(s"${prefix}_docstats")
     val ts = s.table(s"${prefix}_termstats").filter(col("term").isin(query: _*))
-    val stats = ds.agg(count(lit(1)).as("n_docs"), round(avg("dl"), 6).as("avgdl"))
+    val stats = ds.agg(count(lit(1)).as("n_docs"), microRound(avg("dl"), 6).as("avgdl"))
     post.join(ds, "doc_id")
       .join(broadcast(ts), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("idf", round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      // identical micro-unit arithmetic to TextOps.bm25Search — ScaleSpec
+      // pins score-for-score parity between the two paths
+      .withColumn("idf", microRound(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
+      .withColumn("contrib_u",
+        round(col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))) * 1e6,
+          0).cast("long"))
       .groupBy("doc_id")
-      .agg(round(sum("contrib"), 4).as("bm25"))
+      .agg((round(sum("contrib_u") / 1e2, 0).cast("long") / 1e4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(k)
   }

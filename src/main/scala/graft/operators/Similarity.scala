@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.functions.Numeric.microRatio
 import graft.functions.VectorFunctions.cosineSim
 
 /** Vector similarity / ANN operators over the `embeddings` table.
@@ -627,14 +628,20 @@ object Similarity {
     val queries = b.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("bcode").as("q_code"))
     val corpus = b.select(col("vec_id").as("neighbor_id"), col("bcode").as("c_code"))
-    val byHamming = Window.partitionBy("query_id")
-      .orderBy(col("hamming").asc, col("neighbor_id").asc)
+    // candidate selection is the exact bounded-heap aggregate (q26's
+    // graft_top_by, value = −hamming so "closest first"): map-side
+    // partials keep ≤ candidates entries per (query, partition), ONE
+    // shuffle moves only those — never a corpus-sized window sort per
+    // query, which would single-task the whole corpus at serving time
     val cand = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("hamming", expr(
         "aggregate(zip_with(q_code, c_code, (a, b) -> bit_count(a ^ b)), 0, (acc, v) -> acc + v)"))
-      .withColumn("cand_rank", row_number().over(byHamming))
-      .filter(col("cand_rank") <= candidates)
-      .select("query_id", "neighbor_id", "hamming")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByAgg.topKBy(
+        -col("hamming").cast("double"), col("neighbor_id").cast("long"), candidates).as("topk"))
+      .select(col("query_id"), explode(col("topk")).as("e"))
+      .select(col("query_id"), col("e.id").as("neighbor_id"),
+              (-col("e.value")).cast("int").as("hamming"))
     val emb = e.select(col("vec_id"), col("embedding"))
     val byCos = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
@@ -662,7 +669,7 @@ object Similarity {
              count(lit(1)).as("n_truth"),
              sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
         .select(lit(name).as("method"), col("n_queries"), lit(k).as("k"),
-                round(col("n_hit") / col("n_truth"), 4).as("recall"))
+                microRatio(col("n_hit"), col("n_truth"), 4).as("recall"))
     val out = Seq(
       // self-check against the SAME persisted frame: validates the
       // metric plumbing (must print exactly 1.0) without paying a

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.Numeric.{microRatio, microRound, microUnits}
 
 /** Text-analysis operators over the `documents` table.
   *
@@ -73,8 +74,10 @@ object TextOps {
       .groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(df), "term")
       .crossJoin(broadcast(nDocs))
-      .withColumn("idf", round(log(col("n_docs") / col("df")), 6))
-      .withColumn("score", round(col("tf") * col("idf"), 4))
+      // idf in exact 1e-6 units; score*1e4 = tf*idf_u/1e2 is an integer
+      // quotient with representable halves — both engines round alike
+      .withColumn("idf_u", round(log(col("n_docs") / col("df")) * 1e6, 0).cast("long"))
+      .withColumn("score", round(col("tf") * col("idf_u") / 1e2, 0).cast("long") / 1e4)
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -88,7 +91,7 @@ object TextOps {
       .select(
         col("doc_id"),
         tokenCount(col("text")).as("n_tokens"),
-        round(stopwordRatio(col("text"), stopwords), 4).as("stop_ratio"),
+        microRound(stopwordRatio(col("text"), stopwords), 4).as("stop_ratio"),
         qualityScore(col("text"), stopwords).as("qscore"))
       .filter(col("qscore") >= 0.5)
 
@@ -125,11 +128,11 @@ object TextOps {
       .select(
         col("label"), col("support"),
         coalesce(col("tp"), lit(0L)).as("tp"),
-        round(coalesce(col("tp"), lit(0L)) / coalesce(col("n_predicted"), lit(1L)), 4).as("precision"),
-        round(coalesce(col("tp"), lit(0L)) / col("support"), 4).as("recall"))
+        microRatio(coalesce(col("tp"), lit(0L)), coalesce(col("n_predicted"), lit(1L)), 4).as("precision"),
+        microRatio(coalesce(col("tp"), lit(0L)), col("support"), 4).as("recall"))
       .withColumn("f1",
         when(col("precision") + col("recall") > 0,
-          round(lit(2) * col("precision") * col("recall") / (col("precision") + col("recall")), 4))
+          microRatio(lit(2) * col("precision") * col("recall"), col("precision") + col("recall"), 4))
           .otherwise(lit(0.0)))
   }
 
@@ -141,12 +144,25 @@ object TextOps {
     * construction.
     */
   def macroMetrics(s: SparkSession, dir: String): DataFrame =
-    classificationMetrics(s, dir).agg(
-      round(avg("precision"), 4).as("macro_precision"),
-      round(avg("recall"), 4).as("macro_recall"),
-      round(avg("f1"), 4).as("macro_f1"),
-      round(sum(col("f1") * col("support")) / sum("support"), 4).as("weighted_f1"),
-      round(sum("tp") / sum("support"), 4).as("accuracy"))
+    classificationMetrics(s, dir)
+      // recover each metric's exact 1e-4-unit integer (k/1e4 * 1e4 rounds
+      // back to k), so the label averages are exact long sums
+      .select(col("support"), col("tp"),
+        round(col("precision") * 1e4, 0).cast("long").as("p_u"),
+        round(col("recall") * 1e4, 0).cast("long").as("r_u"),
+        round(col("f1") * 1e4, 0).cast("long").as("f_u"))
+      .agg(
+        microRatio(sum("p_u"), count(lit(1)), 0).as("macro_precision_u"),
+        microRatio(sum("r_u"), count(lit(1)), 0).as("macro_recall_u"),
+        microRatio(sum("f_u"), count(lit(1)), 0).as("macro_f1_u"),
+        microRatio(sum(col("f_u") * col("support")), sum("support"), 0).as("weighted_f1_u"),
+        microRatio(sum("tp"), sum("support"), 4).as("accuracy"))
+      .select(
+        (col("macro_precision_u") / 1e4).as("macro_precision"),
+        (col("macro_recall_u") / 1e4).as("macro_recall"),
+        (col("macro_f1_u") / 1e4).as("macro_f1"),
+        (col("weighted_f1_u") / 1e4).as("weighted_f1"),
+        col("accuracy"))
 
   /** tx21: per-document term-distribution Shannon entropy (bits) —
     * recap-worker's tag-profile summary computes exactly this over tag
@@ -217,9 +233,9 @@ object TextOps {
       .withColumn("overlap", size(array_intersect(col("cand"), col("ref"))))
       .select(
         col("cand_id"),
-        round(col("overlap") / size(col("cand")), 4).as("rouge_p"),
-        round(col("overlap") / size(col("ref")), 4).as("rouge_r"),
-        round(lit(2) * col("overlap") / (size(col("cand")) + size(col("ref"))), 4).as("rouge_f1"))
+        microRatio(col("overlap"), size(col("cand")), 4).as("rouge_p"),
+        microRatio(col("overlap"), size(col("ref")), 4).as("rouge_r"),
+        microRatio(lit(2) * col("overlap"), size(col("cand")) + size(col("ref")), 4).as("rouge_f1"))
   }
 
   /** tx15: ROUGE-L precision/recall/F1 over the same candidate/reference
@@ -240,9 +256,9 @@ object TextOps {
       .withColumn("lcs", lcsLen(col("cand"), col("ref")))
       .select(
         col("cand_id"),
-        round(col("lcs") / size(col("cand")), 4).as("rouge_l_p"),
-        round(col("lcs") / size(col("ref")), 4).as("rouge_l_r"),
-        round(lit(2) * col("lcs") / (size(col("cand")) + size(col("ref"))), 4).as("rouge_l_f1"))
+        microRatio(col("lcs"), size(col("cand")), 4).as("rouge_l_p"),
+        microRatio(col("lcs"), size(col("ref")), 4).as("rouge_l_r"),
+        microRatio(lit(2) * col("lcs"), size(col("cand")) + size(col("ref")), 4).as("rouge_l_f1"))
   }
 
   /** tx13: regex token counting — the BPE-style pre-tokenizer split
@@ -295,7 +311,7 @@ object TextOps {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
-    val stats = docs.agg(count(lit(1)).as("n_docs"), round(avg("dl"), 6).as("avgdl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), microRound(avg("dl"), 6).as("avgdl"))
     val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(query: _*))
       .groupBy("doc_id", "dl", "term")
@@ -303,12 +319,15 @@ object TextOps {
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))
-      .withColumn("idf", round(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("idf", microRound(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
+      // per-term contribution snapped to exact 1e-6-unit longs before the
+      // sum, so the per-doc total is order-independent integer addition
+      .withColumn("contrib_u",
+        round(col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))) * 1e6,
+          0).cast("long"))
       .groupBy("doc_id")
-      .agg(round(sum("contrib"), 4).as("bm25"))
+      .agg((round(sum("contrib_u") / 1e2, 0).cast("long") / 1e4).as("bm25"))
       .orderBy(col("bm25").desc, col("doc_id").asc)
       .limit(20)
   }
@@ -518,10 +537,10 @@ object TextOps {
       .select(col("doc_id"), size(col("sh")).as("n_grams"),
               size(array_distinct(col("sh"))).as("n_distinct"))
       .filter(col("n_grams") > 0)
-      .withColumn("dup_ratio",
-        round((col("n_grams") - col("n_distinct")) / col("n_grams").cast("double"), 4))
-      .select(col("doc_id"), col("n_grams"), col("dup_ratio"),
-              when(col("dup_ratio") > maxDupRatio, 1).otherwise(0).as("flagged"))
+      // gate on the exact 1e-4-unit integer, never the re-divided double
+      .withColumn("dup_u", microUnits(col("n_grams") - col("n_distinct"), col("n_grams"), 4))
+      .select(col("doc_id"), col("n_grams"), (col("dup_u") / 1e4).as("dup_ratio"),
+              when(col("dup_u") > math.round(maxDupRatio * 1e4), 1).otherwise(0).as("flagged"))
 
   def repetitionFilter(s: SparkSession, dir: String,
                        n: Int = 3, maxDupRatio: Double = 0.2): DataFrame =
@@ -837,10 +856,11 @@ object TextOps {
       .filter(col("doc_contained") =!= col("doc_container"))
       .filter(size(col("toks_a")) < size(col("toks_b")) ||
               (size(col("toks_a")) === size(col("toks_b")) && col("doc_contained") < col("doc_container")))
-      .withColumn("containment",
-        round(size(array_intersect(col("toks_a"), col("toks_b"))) / size(col("toks_a")).cast("double"), 4))
-      .filter(col("containment") >= tau)
-      .select("source", "doc_contained", "doc_container", "containment")
+      .withColumn("cont_u",
+        microUnits(size(array_intersect(col("toks_a"), col("toks_b"))), size(col("toks_a")), 4))
+      .filter(col("cont_u") >= math.round(tau * 1e4))
+      .select(col("source"), col("doc_contained"), col("doc_container"),
+              (col("cont_u") / 1e4).as("containment"))
   }
 
   /** Driver adapter for tx34: the doc_id < 1000 sample is a harness
@@ -1098,11 +1118,11 @@ object TextOps {
         col("alpha_frac") >= 0.8 &&
         col("n_stop") >= 2)
       .select(col("doc_id"), col("source"), col("n_words"),
-              round(col("mean_word_len"), 4).as("mean_word_len"),
-              round(col("symbol_ratio"), 6).as("symbol_ratio"),
-              round(col("bullet_frac"), 4).as("bullet_frac"),
-              round(col("ellipsis_frac"), 4).as("ellipsis_frac"),
-              round(col("alpha_frac"), 4).as("alpha_frac"),
+              microRound(col("mean_word_len"), 4).as("mean_word_len"),
+              microRound(col("symbol_ratio"), 6).as("symbol_ratio"),
+              microRound(col("bullet_frac"), 4).as("bullet_frac"),
+              microRound(col("ellipsis_frac"), 4).as("ellipsis_frac"),
+              microRound(col("alpha_frac"), 4).as("alpha_frac"),
               col("n_stop"), col("keep"))
   }
 }

@@ -61,5 +61,5 @@ object OtlpEnvelope {
       .agg(
         count(lit(1)).as("n_records"),
         count(when(col("severity_number") >= 17, 1)).as("n_errors"))
-      .withColumn("error_share", round(col("n_errors") / col("n_records"), 4))
+      .withColumn("error_share", graft.functions.Numeric.microRatio(col("n_errors"), col("n_records"), 4))
 }

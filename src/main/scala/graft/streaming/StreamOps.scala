@@ -4,6 +4,7 @@ import java.sql.Timestamp
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+import graft.functions.Numeric.microRatio
 
 /** Structured Streaming operators (SURVEY §2 st01–st03).
   *
@@ -44,7 +45,7 @@ object StreamOps {
         count(when(col("event_type") === "error", 1)).as("n_errors"),
         count(lit(1)).as("n_total"))
       .select(col("window.start").as("bucket"), col("n_errors"), col("n_total"),
-              round(col("n_errors") / col("n_total"), 4).as("error_rate"))
+              microRatio(col("n_errors"), col("n_total"), 4).as("error_rate"))
 
   /** st17: streaming long-format SLI projection — ev30's continuous
     * form, and the closest mirror of the reference's design: the
@@ -55,8 +56,11 @@ object StreamOps {
     * the watermark closes the window — adding a metric is a column in
     * the aggregate, not another streaming query with its own state.
     * The error_rate rounds at scale 0 in 1e-4 units (the batch ev30
-    * discipline — parity between the streaming and batch projections
-    * is exact, not approximate).
+    * discipline). Parity with ev30 is EXACT for log_throughput and
+    * error_rate; active_users is approximate by necessity — streaming
+    * aggregation cannot hold exact countDistinct state, so it uses the
+    * HLL sketch (relative error ~2% above the sparse-exact regime;
+    * ev30 is the exact batch sibling, ev15/ev16 the batch HLL path).
     */
   def sliMetricsStream(events: DataFrame, windowLen: String = "1 minute",
                        watermark: String = "2 hours"): DataFrame =
@@ -381,10 +385,15 @@ object StreamOps {
         (coalesce(col("n"), lit(0L)) + lit(0.5)) / (col("tot_a") + lit(0.5) * col("n_bins"))))
       .withColumn("p_b", when(col("n_b").isNotNull,
         (col("n_b") + lit(0.5)) / (col("tot_b") + lit(0.5) * col("n_bins"))))
+      // Σ addends in exact integer micro-units — the dq04 batch form,
+      // so batch/stream drift verdicts stay aligned
+      .withColumn("addend_u",
+        round((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b")) * 1e6, 0).cast("long"))
       .groupBy("bucket", "event_type")
-      .agg(round(sum((col("p_a") - col("p_b")) * log(col("p_a") / col("p_b"))), 6).as("psi"))
-      .withColumn("drifted",
-        when(col("psi").isNull || col("psi") > threshold, 1).otherwise(0))
+      .agg(sum("addend_u").as("psi_u"))
+      .select(col("bucket"), col("event_type"), (col("psi_u") / 1e6).as("psi"),
+        when(col("psi_u").isNull || col("psi_u") > math.round(threshold * 1e6), 1)
+          .otherwise(0).as("drifted"))
   }
 
   /** st14: streaming document quality gate — tx39's Gopher rule battery
@@ -431,12 +440,34 @@ object StreamOps {
     * bounded by emitting code sites, not log volume, which is the
     * rare case where watermark-free dedup state is the correct
     * choice (the "seen" set must live forever or novelty is wrong).
-    * The emitted row carries the triggering line as the alert sample.
+    * The emitted row carries the FIRST minting line (earliest by
+    * (ts, line)) as the alert sample — `flatMapGroupsWithState`
+    * rather than `dropDuplicates("template")`, because the latter
+    * keeps an ARBITRARY row per template within a multi-partition
+    * micro-batch; the grouped iterator lets us elect the earliest
+    * deterministically while holding the same one-boolean-per-
+    * template state (O(1) memory over the iterator, never buffered).
     */
-  def novelTemplateStream(lines: DataFrame): DataFrame =
+  def novelTemplateStream(lines: DataFrame): DataFrame = {
+    val s = lines.sparkSession
+    import s.implicits._
     lines
       .withColumn("template",
         graft.operators.LogMining.template(col("line")))
-      .dropDuplicates("template")
-      .select("ts", "template", "line")
+      .select(col("ts").as[Timestamp], col("template").as[String],
+              col("line").as[String])
+      .as[(Timestamp, String, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Boolean, (Timestamp, String, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (template: String, rows: Iterator[(Timestamp, String, String)],
+         state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            Iterator.single(rows.minBy(r => (r._1.getTime, r._3)))
+          }
+      }
+      .toDF("ts", "template", "line")
+  }
 }

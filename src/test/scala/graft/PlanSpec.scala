@@ -200,6 +200,21 @@ class PlanSpec extends SparkSpec {
       s"q26 shuffles ${shuffleCount("q26_topn_agg")}× — partial agg must combine map-side")
   }
 
+  test("sim11 candidate stage is the bounded-heap aggregate — no corpus-sized window sort") {
+    // sim11 is the 1-bit SERVING tier: its Hamming candidate stage must
+    // never single-task the corpus. The only WindowExec allowed is the
+    // exact-cosine re-rank over the ≤|queries|·candidates frame.
+    val nodes = allNodes(finalPlan("sim11_binary_ann"))
+    val windows = nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.size == 1,
+      s"expected only the bounded cosine re-rank window, got ${windows.size}")
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
+      "expected the graft_top_by bounded-heap aggregate in the candidate stage")
+  }
+
   test("k-means assignment is one projection over the corpus — no Exchange, no Window") {
     // Centroids are driver-collected literals, so a Lloyd iteration's
     // lineage must be exactly scan → project: any Exchange or Window

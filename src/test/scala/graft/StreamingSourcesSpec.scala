@@ -491,7 +491,11 @@ class StreamingSourcesSpec extends SparkSpec {
     val out = StreamOps.novelTemplateStream(mem.toDF.toDF("ts", "line"))
     val q = out.writeStream.format("memory").queryName("st16").outputMode("append").start()
     try {
+      // two lines minting the SAME template in ONE batch, the later
+      // ts listed first — the elected sample must be the earliest by
+      // (ts, line), not an arbitrary partition's row
       mem.addData(
+        (ts(5), "error id=9 failed"),
         (ts(0), "error id=1 failed"),
         (ts(1), "ok user=5 served"))
       q.processAllAvailable()
