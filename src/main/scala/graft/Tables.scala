@@ -19,16 +19,30 @@ object Tables {
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
   def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
   def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
-  /** events.ts is nanosecond-precision in parquet, which Spark 4 refuses
-    * to read as a timestamp. Read it as raw nanos (legacy conf) and
-    * truncate to microseconds with integral division — bit-identical to
-    * DuckDB's CAST(ts AS TIMESTAMP), which the oracles use.
+  /** events.ts has shipped in two physical encodings across testdata
+    * generations: nanosecond int64 (which Spark 4 refuses to read as a
+    * timestamp — handled via the legacy nanosAsLong conf + integral
+    * division to micros) and plain timestamp[us]. Detect which one this
+    * directory has and normalize to a microsecond TimestampType column;
+    * both paths are bit-identical to DuckDB's CAST(ts AS TIMESTAMP),
+    * which the oracles use.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // parquet written without isAdjustedToUTC reads as TIMESTAMP_NTZ;
+        // sessions run in UTC, so the cast re-tags the same wall-clock
+        // micros as an instant (what every downstream unix_timestamp /
+        // collect-as-java.sql.Timestamp site expects)
+        raw.withColumn("ts",
+          raw.col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
   def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")

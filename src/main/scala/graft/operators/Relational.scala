@@ -200,7 +200,10 @@ object Relational {
         count(lit(1)).as("li_count"),
         array_join(transform(array_sort(collect_list(col("l_partkey"))),
           p => p.cast("string")), ",").as("li_parts"))
-    page.join(children, col("o_orderkey") === col("l_orderkey"), "left")
+    // children is bounded by the 20-row page (≤1 group per page row) —
+    // broadcast it explicitly; file-size statistics must never be allowed
+    // to tip this into a sort-merge join of a 20-row frame
+    page.join(broadcast(children), col("o_orderkey") === col("l_orderkey"), "left")
       .select(col("o_orderkey"), col("o_orderdate"), col("totalprice"),
         coalesce(col("li_count"), lit(0L)).as("n_items"),
         coalesce(col("li_parts"), lit("")).as("part_list"))
