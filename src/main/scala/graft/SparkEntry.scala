@@ -78,6 +78,7 @@ object SparkEntry {
     "ev27_sliding_dau"              -> ((s: SparkSession, dir: String) => Events.slidingDau(s, dir)),
     "ev28_top_paths"                -> ((s: SparkSession, dir: String) => Events.topPaths(s, dir)),
     "ot02_service_graph"            -> (Events.serviceGraph _),
+    "ot03_trace_error_logs"         -> (Events.traceErrorLogs _),
     "es05_scd2_intervals"           -> (Events.scd2Intervals _),
     "lt01_log_templates"            -> (LogMining.logTemplates _),
     "lt02_novel_templates"          -> (LogMining.novelTemplates _),
@@ -117,6 +118,7 @@ object SparkEntry {
     "tx15_rouge_l"                  -> (TextOps.rougeLPairs _),
     "tx16_cjk_token_stats"          -> (TextOps.cjkTokenStats _),
     "tx18_bm25_search"              -> (TextOps.bm25Search _),
+    "tx42_filtered_search"          -> (TextOps.filteredSearch _),
     "tx19_cjk_tfidf"                -> (TextOps.tfidfTopKMixed _),
     "tx23_sequence_packing"         -> ((s: SparkSession, dir: String) => TextOps.sequencePacking(s, dir)),
     "tx24_pii_scrub"                -> (TextOps.piiScrub _),
@@ -134,6 +136,7 @@ object SparkEntry {
     "smp04_cluster_balanced"        -> ((s: SparkSession, dir: String) => Sampling.clusterBalanced(s, dir)),
     // Graph / label propagation
     "lp01_label_propagation"        -> (Graph.lp01 _),
+    "lp02_label_prop_converged"     -> (Graph.lp02 _),
     // Data quality
     "dq01_events_profile"           -> (DataQuality.eventsProfile _),
     "dq02_volume_anomalies"         -> ((s: SparkSession, dir: String) => DataQuality.volumeAnomalies(s, dir)),
@@ -806,6 +809,25 @@ object SparkEntry {
          SELECT doc_id, CAST(round(sum(contrib_u) / 1e2) AS BIGINT) / 1e4 AS bm25
          FROM sc GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
+    "tx42_filtered_search" ->
+      """WITH docs AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks
+                       FROM documents
+                       WHERE lang = 'en' AND source IN ('src3', 'src7', 'src11')
+                         AND n_chars BETWEEN 100 AND 400),
+         d2 AS (SELECT doc_id, source, len(toks) AS dl, toks FROM docs),
+         st AS (SELECT count(*) AS n_docs, CAST(round(avg(dl) * 1e6) AS BIGINT) / 1e6 AS avgdl FROM d2),
+         t AS (SELECT doc_id, source, dl, unnest(toks) AS term FROM d2),
+         tf AS (SELECT doc_id, source, dl, term, count(*) AS tf FROM t
+                WHERE term IN ('merge', 'join', 'stream') GROUP BY 1, 2, 3, 4),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         sc AS (SELECT tf.doc_id, tf.source,
+                  CAST(round(CAST(round(ln((CAST(st.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1) * 1e6) AS BIGINT) / 1e6
+                    * (tf.tf * CAST(2.2 AS DOUBLE))
+                    / (tf.tf + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl)) * 1e6) AS BIGINT) AS contrib_u
+                FROM tf JOIN df USING (term) CROSS JOIN st)
+         SELECT doc_id, source, CAST(round(sum(contrib_u) / 1e2) AS BIGINT) / 1e4 AS bm25
+         FROM sc GROUP BY doc_id, source
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
     "tx02_term_freq" ->
       """SELECT term, count(*) AS freq
          FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents)
@@ -1183,6 +1205,34 @@ object SparkEntry {
          SELECT src_service, dst_service, n_calls, p95_ms,
                 CAST(round(n_calls * 1e4 / sum(n_calls) OVER (PARTITION BY src_service)) AS BIGINT) / 1e4 AS out_share
          FROM agged""",
+    "ot03_trace_error_logs" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    coalesce(value, 0) AS dur_ms,
+                    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s,
+                    'user=' || COALESCE(CAST(user_id AS VARCHAR), 'null') || ' type=' || event_type ||
+                    ' value=' || CASE WHEN value IS NULL THEN 'null'
+                                      ELSE CAST(round(value, 2) AS VARCHAR) END ||
+                    ' props=' || COALESCE(props, 'null') AS line
+               FROM events),
+         g AS (SELECT *, epoch(ts_s) - epoch(lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap_s
+               FROM e),
+         t AS (SELECT *, CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trace_seq
+               FROM g),
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id, trace_seq ORDER BY dur_ms DESC, event_id ASC) AS rn
+               FROM t),
+         tr AS (SELECT user_id, trace_seq, count(*) AS n_spans,
+                       round(sum(dur_ms), 2) AS total_span_ms,
+                       max(CASE WHEN rn = 1 THEN event_type END) AS top_service
+                FROM r GROUP BY user_id, trace_seq),
+         el AS (SELECT user_id, trace_seq, count(*) AS n_error_logs,
+                       min(ts_s) AS first_error_ts,
+                       min_by(line, event_id) AS exemplar_line
+                FROM t WHERE event_type = 'error' GROUP BY user_id, trace_seq)
+         SELECT tr.user_id, tr.trace_seq, n_spans, total_span_ms, top_service,
+                n_error_logs, first_error_ts, exemplar_line
+         FROM tr JOIN el USING (user_id, trace_seq)
+         ORDER BY total_span_ms DESC, user_id ASC, trace_seq ASC LIMIT 10""",
     "es05_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),

@@ -701,6 +701,53 @@ object Events {
         microRatio(col("n_calls"), sum("n_calls").over(Window.partitionBy("src_service")), 4))
   }
 
+  /** ot03: log↔trace correlation — the drilldown the reference wires
+    * its log schema for: clickhouse/migrations/
+    * 011_add_trace_context_to_logs.sql adds trace_id/span_id to the
+    * logs table precisely so error logs join to their enclosing trace
+    * (008_add_business_context_columns.sql materializes the join
+    * keys). Here both views derive from the shared sessionize prelude:
+    * traces are ot01's (user_id, trace_seq) frame, logs are lt01's
+    * composed lines restricted to error events and carrying the same
+    * trace context. The correlation is one equi-join on
+    * (user_id, trace_seq); output = the 10 slowest error-containing
+    * traces (by summed span time) with their error-log rollup and a
+    * deterministic exemplar line (min event_id — the "show me an
+    * actual error from this slow trace" panel).
+    *
+    * Scale: everything shuffles ONCE on user_id — the sessionize
+    * window, both aggregations (user_id ⊆ (user_id, trace_seq)
+    * satisfies their clustering), and the join itself reuse the same
+    * hash(user_id) partitioning, so the correlation adds zero
+    * exchanges over ot01 alone; the top-10 is a TakeOrdered over the
+    * trace-level frame (bounded by traces, never raw events).
+    */
+  def traceErrorLogs(s: SparkSession, dir: String): DataFrame = {
+    val byUserCum = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val spans = withSessionBreaks(ev(s, dir))
+      .withColumn("dur_ms", coalesce(col("value"), lit(0.0)))
+      .withColumn("trace_seq", sum("is_break").over(byUserCum))
+    val wTop = Window.partitionBy("user_id", "trace_seq")
+      .orderBy(col("dur_ms").desc, col("event_id").asc)
+    val traces = spans.withColumn("rn", row_number().over(wTop))
+      .groupBy("user_id", "trace_seq")
+      .agg(
+        count(lit(1)).as("n_spans"),
+        round(sum("dur_ms"), 2).as("total_span_ms"),
+        max(when(col("rn") === 1, col("event_type"))).as("top_service"))
+    val errLogs = spans.filter(col("event_type") === "error")
+      .withColumn("line", LogMining.composedLine)
+      .groupBy("user_id", "trace_seq")
+      .agg(
+        count(lit(1)).as("n_error_logs"),
+        min("ts_s").as("first_error_ts"),
+        min_by(col("line"), col("event_id")).as("exemplar_line"))
+    traces.join(errLogs, Seq("user_id", "trace_seq"))
+      .orderBy(col("total_span_ms").desc, col("user_id").asc, col("trace_seq").asc)
+      .limit(10)
+  }
+
   /** es05: SCD2 interval build from the event log — collapse each
     * user's consecutive same-type runs into validity intervals
     * (valid_from = first ts of the run, valid_to = next state change),

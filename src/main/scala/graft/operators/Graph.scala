@@ -36,6 +36,97 @@ object Graph {
       .select(col("node"), coalesce(col("new_label"), col("label")).as("label"))
   }
 
+  /** lp02: iterated label propagation to a fixpoint — the reference
+    * does not stop at one vote: recap-worker's genre refinement
+    * (recap-worker/recap-worker/src/pipeline/genre_refine/engine.rs)
+    * re-propagates until labels stabilize. Semi-supervised variant:
+    * seed nodes stay CLAMPED to their seed label (the ground-truth
+    * genres), unlabeled nodes take the majority label among their
+    * labeled neighbors each round (ties → smallest label, no labeled
+    * neighbor → keep current), and the loop stops when a round changes
+    * nothing or at `maxIters` (synchronous majority votes can 2-cycle
+    * on bipartite structures — the bound is the correctness guard, not
+    * a tuning knob). Returns the converged (node, label) frame and the
+    * number of rounds run.
+    *
+    * Scale: the symmetrized edge list is persisted ONCE and every
+    * round reuses it — per round one equi-join keyed by src (the label
+    * frame is the small side riding the edge partitioning), one vote
+    * aggregation keyed by node, and one bounded `changed` count; at
+    * 100 TB the edge list would be bucketed by src so no round ever
+    * re-shuffles it (same discipline as weightedPagerank above and the
+    * dedup CC loop). Label state is per-node (|V|, not |E|), persisted
+    * per round and released as soon as the next round materializes.
+    */
+  def propagateToConvergence(edges: DataFrame, seeds: DataFrame,
+                             maxIters: Int = 20): (DataFrame, Int) = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(lvl)
+    val nodes = und.select(col("src").as("node"))
+      .union(seeds.select(col("node"))).distinct()
+    var labels = nodes
+      .join(seeds.withColumnRenamed("label", "seed_label"), Seq("node"), "left")
+      .select(col("node"), col("seed_label").as("label"),
+        col("seed_label").isNotNull.as("is_seed"))
+      .persist(lvl)
+    labels.count()
+    var iters = 0
+    var changed = 1L
+    while (changed > 0 && iters < maxIters) {
+      val votes = und
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = Window.partitionBy("node").orderBy(col("votes").desc, col("label").asc)
+      val winners = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label").as("new_label"))
+      // eager localCheckpoint: each round's state frame references the
+      // previous one THREE times (votes, carry-over, changed-count), so
+      // an un-truncated lineage grows ~3^rounds and the analyzer/explain
+      // blow up long before the data does — checkpointing pins the round
+      // to its materialized blocks and keeps every plan round-sized
+      val next = labels.join(winners, Seq("node"), "left")
+        .select(col("node"),
+          when(col("is_seed"), col("label"))
+            .otherwise(coalesce(col("new_label"), col("label"))).as("label"),
+          col("is_seed"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("node"), col("label").as("old_label")), "node")
+        .filter(!(col("label") <=> col("old_label"))).count()
+      labels.unpersist()
+      labels = next
+      iters += 1
+    }
+    und.unpersist()
+    (labels.select("node", "label"), iters)
+  }
+
+  /** lp02 adapter: semi-supervised genre recovery over the embedding
+    * near-dup graph — edges are sim05's RP-banded cosine ≥ 0.3 pairs
+    * (hash-deterministic), seeds are the true labels of every third
+    * vector, and propagation runs to the fixpoint. Output: converged
+    * label histogram (-1 = never reached by any labeled component)
+    * plus the round count. Rows-only (iterative — not SQL-expressible);
+    * GraphSpec pins exact convergence on a planted two-community graph.
+    */
+  def lp02(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val edges = Similarity.rpNearDupOn(e, threshold = 0.3, bands = 16, rowsPerBand = 6)
+      .select(col("vec_a").as("src"), col("vec_b").as("dst"))
+    val seeds = e.filter(col("vec_id") % 3 === 0)
+      .select(col("vec_id").as("node"), col("label").cast("int").as("label"))
+    val (labels, iters) = propagateToConvergence(edges, seeds, maxIters = 10)
+    labels.groupBy(coalesce(col("label"), lit(-1)).as("label"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .withColumn("n_iters", lit(iters))
+      .orderBy("label")
+  }
+
   /** lp01 adapter: document graph with edges between docs sharing a
     * source (bounded to doc_id < 500), seeded with the lang column;
     * output = label distribution after one propagation step.

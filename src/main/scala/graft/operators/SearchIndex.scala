@@ -24,11 +24,15 @@ import graft.functions.Numeric.microRound
   */
 object SearchIndex {
 
-  /** Build the index tables from a (doc_id, text) corpus:
+  /** Build the index tables from a (doc_id, text, attrs…) corpus:
     * `<prefix>_postings` (doc_id, term, tf, positions) and
-    * `<prefix>_docstats` (doc_id, dl) bucketed+sorted by doc_id;
-    * `<prefix>_termstats` (term, df) plain (vocabulary-sized, the
-    * broadcast side of every query).
+    * `<prefix>_docstats` (doc_id, dl, attrs…) bucketed+sorted by
+    * doc_id; `<prefix>_termstats` (term, df) plain (vocabulary-sized,
+    * the broadcast side of every query). Every non-text column of the
+    * corpus rides along into docstats — that is the filterable-
+    * attribute store Meilisearch keeps next to its postings
+    * (meilisearch_driver.go:274's filter expressions evaluate against
+    * exactly these per-document attributes at query time).
     */
   def buildIndex(s: SparkSession, docs: DataFrame, prefix: String,
                  buckets: Int = 8): Unit = {
@@ -38,15 +42,76 @@ object SearchIndex {
       .agg(count(lit(1)).as("tf"),
            sort_array(collect_list("pos")).as("positions"))
     Scale.writeBucketed(postings, s"${prefix}_postings", "doc_id", buckets)
-    Scale.writeBucketed(
-      docs.select(col("doc_id"), tokenCount(col("text")).as("dl")),
-      s"${prefix}_docstats", "doc_id", buckets)
+    Scale.writeBucketed(docStats(docs), s"${prefix}_docstats", "doc_id", buckets)
     // term stats derive from the just-written postings table — the
     // corpus-scale tokenize+aggregate shuffle runs ONCE, not again
     s.table(s"${prefix}_postings")
       .groupBy("term").agg(count(lit(1)).as("df"))
       .write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${prefix}_termstats")
+  }
+
+  /** (doc_id, dl, attrs…) projection shared by build and update. */
+  private def docStats(docs: DataFrame): DataFrame = {
+    val attrs = docs.columns.filterNot(c => c == "doc_id" || c == "text").map(col)
+    docs.select(Seq(col("doc_id"), tokenCount(col("text")).as("dl")) ++ attrs: _*)
+  }
+
+  /** ix02 (maintenance): incremental index refresh — the reference's
+    * indexer consumes article upserts incrementally
+    * (search-indexer/app/consumer/event_handler.go routes events into
+    * app/usecase/index_articles.go) instead of rebuilding; this is
+    * es07's merge discipline applied to the index tables. The delta
+    * corpus REPLACES its doc_ids (and may introduce new ones): only
+    * the delta is tokenized — the corpus-scale tokenize+shuffle that
+    * makes rebuilds expensive at 100 TB never runs — while retained
+    * rows are carried over with a broadcast anti-join on the (small)
+    * delta id set, and term df adjusts arithmetically
+    * (df′ = df − removed + added, vocabulary-sized throughout). Each
+    * table is staged to `<name>_stage`, then swapped in with
+    * DROP + RENAME — the next-generation/alias-swap pattern of every
+    * production indexer, so readers never see a half-written index.
+    * The staged write rewrites the bucketed files (the segment-merge
+    * cost); the derivation work is delta-sized. ScaleSpec pins
+    * refreshed ≡ rebuilt bit-exact, query parity included.
+    */
+  def updateIndex(s: SparkSession, delta: DataFrame, prefix: String,
+                  buckets: Int = 8): Unit = {
+    val ids = delta.select("doc_id").distinct()
+    val toks = delta.select(col("doc_id"),
+      posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+    val newPost = toks.groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"),
+           sort_array(collect_list("pos")).as("positions"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val oldPost = s.table(s"${prefix}_postings")
+    // df adjustment: a (doc, term) posting row contributes exactly 1 to df
+    val removed = oldPost.join(broadcast(ids), "doc_id")
+      .groupBy("term").agg(count(lit(1)).as("n_removed"))
+    val added = newPost.groupBy("term").agg(count(lit(1)).as("n_added"))
+    val mergedTerm = s.table(s"${prefix}_termstats")
+      .join(removed, Seq("term"), "full_outer")
+      .join(added, Seq("term"), "full_outer")
+      .select(col("term"),
+        (coalesce(col("df"), lit(0L)) - coalesce(col("n_removed"), lit(0L))
+          + coalesce(col("n_added"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+    val mergedPost = oldPost.join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .unionByName(newPost)
+    val mergedDoc = s.table(s"${prefix}_docstats")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .unionByName(docStats(delta))
+    // stage every table BEFORE dropping anything — the merged frames
+    // read the live tables, so the swap must come after materialization
+    Scale.writeBucketed(mergedPost, s"${prefix}_postings_stage", "doc_id", buckets)
+    Scale.writeBucketed(mergedDoc, s"${prefix}_docstats_stage", "doc_id", buckets)
+    mergedTerm.write.mode(SaveMode.Overwrite).format("parquet")
+      .saveAsTable(s"${prefix}_termstats_stage")
+    newPost.unpersist()
+    Seq("postings", "docstats", "termstats").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
+      s.sql(s"ALTER TABLE ${prefix}_${t}_stage RENAME TO ${prefix}_$t")
+    }
   }
 
   /** BM25 top-k over the materialized index — tx18's exact scoring
@@ -68,6 +133,45 @@ object SearchIndex {
       .crossJoin(broadcast(stats))
       // identical micro-unit arithmetic to TextOps.bm25Search — ScaleSpec
       // pins score-for-score parity between the two paths
+      .withColumn("idf", microRound(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
+      .withColumn("contrib_u",
+        round(col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))) * 1e6,
+          0).cast("long"))
+      .groupBy("doc_id")
+      .agg((round(sum("contrib_u") / 1e2, 0).cast("long") / 1e4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** ix02 (query): filter-composed search over the materialized index —
+    * the exact production call shape: meilisearch_driver.go:274
+    * (`SearchWithFilters`) and :314 (`SearchWithDateFilter`) AND an
+    * attribute/range filter into every ranked query. The predicate
+    * evaluates against docstats' attribute columns and Catalyst pushes
+    * it into the docstats parquet scan (PushedFilters — candidates
+    * prune BEFORE any scoring work), while ranking statistics stay
+    * INDEX-WIDE (n_docs, avgdl, df come from the whole index, exactly
+    * as a search engine scores a filtered query), so a document's BM25
+    * score is identical with and without the filter — ScaleSpec pins
+    * that invariant against bm25Query. The filtered docstats side keeps
+    * its bucket layout, so the postings ⋈ candidates join stays
+    * zero-exchange; at 100 TB the filter is what turns "score the
+    * corpus" into "score the match set".
+    */
+  def bm25QueryFiltered(s: SparkSession, prefix: String, query: Seq[String],
+                        docFilter: org.apache.spark.sql.Column,
+                        k: Int = 20): DataFrame = {
+    val post = s.table(s"${prefix}_postings")
+      .filter(col("term").isin(query: _*))
+      .select(col("doc_id"), col("term"), col("tf"))
+    val ds = s.table(s"${prefix}_docstats")
+    val ts = s.table(s"${prefix}_termstats").filter(col("term").isin(query: _*))
+    val stats = ds.agg(count(lit(1)).as("n_docs"), microRound(avg("dl"), 6).as("avgdl"))
+    val candidates = ds.filter(docFilter).select(col("doc_id"), col("dl"))
+    post.join(candidates, "doc_id")
+      .join(broadcast(ts), "term")
+      .crossJoin(broadcast(stats))
       .withColumn("idf", microRound(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
       .withColumn("contrib_u",
         round(col("idf") * (col("tf") * lit(2.2)) /

@@ -332,6 +332,55 @@ object TextOps {
       .limit(20)
   }
 
+  /** tx42: filter-composed search — the production search-call shape.
+    * Every search the reference's indexer actually issues composes
+    * attribute filters with relevance ranking: search-indexer/app/
+    * driver/meilisearch_driver.go:274 (`SearchWithFilters` — attribute
+    * filter expressions ANDed into the query) and :314
+    * (`SearchWithDateFilter` — publishedAfter/publishedBefore range).
+    * Re-expressed lake-side: the attribute predicates (lang, source)
+    * and the range predicate (n_chars, standing in for the published
+    * date — the documents table carries no timestamp) are plain column
+    * filters applied BEFORE tokenization, so Catalyst pushes all three
+    * into the parquet scan (PushedFilters: EqualTo(lang), In(source),
+    * GreaterThanOrEqual/LessThanOrEqual(n_chars)) and the whole BM25
+    * pipeline — tokenize, tf, df, corpus stats, score — runs over only
+    * the filtered slice, never the corpus. Scoring is tx18's exact
+    * micro-unit arithmetic over the filtered collection ("search this
+    * filtered view"; the materialized-index form with index-wide
+    * df/avgdl stats and the same pushed predicate is
+    * SearchIndex.bm25QueryFiltered, spec-pinned). At 100 TB the filter
+    * is the point: a date+attribute predicate over a partitioned lake
+    * prunes partitions/row-groups at the scan, and everything
+    * downstream is proportional to the match set.
+    */
+  def filteredSearch(s: SparkSession, dir: String): DataFrame = {
+    val query = Seq("merge", "join", "stream")
+    val docs = Tables.documents(s, dir)
+      .filter(col("lang") === "en" &&
+              col("source").isin("src3", "src7", "src11") &&
+              col("n_chars").between(100, 400))
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), microRound(avg("dl"), 6).as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("source"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(query: _*))
+      .groupBy("doc_id", "source", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", microRound(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
+      .withColumn("contrib_u",
+        round(col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))) * 1e6,
+          0).cast("long"))
+      .groupBy("doc_id", "source")
+      .agg((round(sum("contrib_u") / 1e2, 0).cast("long") / 1e4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** q16: substring text search + per-source hit counts (the
     * search-indexer / pg_trgm ILIKE surface of alt-backend's feed
     * search drivers).

@@ -36,7 +36,8 @@ object Scratch {
       "tx41_bigram_loglik", "dq06_snapshot_diff",
       "q27_trailing_spend", "lt02_novel_templates", "rag05_hybrid_rrf",
       "es07_incremental_rollup", "ev29_sequence_count", "ev30_sli_metrics",
-      "q28_trend_dashboard", "sim11_binary_ann")
+      "q28_trend_dashboard", "sim11_binary_ann",
+      "tx42_filtered_search", "ot03_trace_error_logs")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

@@ -90,6 +90,17 @@ class PlanSpec extends SparkSpec {
     assert(!f.contains("SortMergeJoin"), "page joins must broadcast")
   }
 
+  test("tx42 filter-composed search: attribute + range predicates reach the documents scan") {
+    val f = formatted("tx42_filtered_search")
+    // the search-with-filters contract: the predicate prunes at the
+    // parquet scan, BEFORE any tokenize/score work — not post-ranking
+    assert(f.contains("EqualTo(lang,en)"), "lang attribute filter must push to the scan")
+    assert(f.contains("In(source, "), "source set filter must push to the scan")
+    assert(f.contains("GreaterThanOrEqual(n_chars,100)") && f.contains("LessThanOrEqual(n_chars,400)"),
+      "n_chars range filter must push to the scan")
+    assert(!f.contains("SortMergeJoin"), "df and corpus-stats sides must broadcast")
+  }
+
   test("smp01 sampling is one scan: no Exchange, no Window, filter at the source") {
     val nodes = allNodes(finalPlan("smp01_stratified_sample"))
     assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
