@@ -143,6 +143,17 @@ object BinaryMeta {
         (r.media_id, r.payload.foldLeft(1469598103934665603L)((acc, b) => (acc ^ b) * 1099511628211L))
       }
     }.toDF("media_id", "sig")
+    phashPairsFromSigs(sigs, maxHamming)
+  }
+
+  /** The candidate machinery behind phashPairs, over a caller-supplied
+    * (media_id, sig) frame — the seam a real pHash plugs into, and the
+    * seam the recall spec drives with PLANTED signatures: the
+    * chunk-blocked path must find exactly the brute-force pair set at
+    * hamming ≤ 3 (the pigeonhole guarantee is exactness there, not
+    * best-effort recall).
+    */
+  def phashPairsFromSigs(sigs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val chunked = sigs.select(col("media_id"), col("sig"),
       explode(graft.functions.HashFunctions.simhashChunks(col("sig"))).as("chunk"))
     val a = chunked.select(col("chunk"), col("media_id").as("media_a"), col("sig").as("sig_a"))

@@ -39,24 +39,32 @@ object Graph {
   /** lp02: iterated label propagation to a fixpoint — the reference
     * does not stop at one vote: recap-worker's genre refinement
     * (recap-worker/recap-worker/src/pipeline/genre_refine/engine.rs)
-    * re-propagates until labels stabilize. Semi-supervised variant:
-    * seed nodes stay CLAMPED to their seed label (the ground-truth
-    * genres), unlabeled nodes take the majority label among their
-    * labeled neighbors each round (ties → smallest label, no labeled
-    * neighbor → keep current), and the loop stops when a round changes
-    * nothing or at `maxIters` (synchronous majority votes can 2-cycle
-    * on bipartite structures — the bound is the correctness guard, not
-    * a tuning knob). Returns the converged (node, label) frame and the
-    * number of rounds run.
+    * re-propagates until labels stabilize. Monotone semi-supervised
+    * variant: seeds are clamped to their ground-truth label, and an
+    * unlabeled node takes the majority label among its LABELED
+    * neighbors at the round it is first reached (ties → smallest
+    * label), then freezes. Freezing is what makes "until stable"
+    * well-defined on arbitrary graphs — synchronous re-vote LP
+    * 2-cycles on bipartite structures and never reaches a fixpoint,
+    * whereas the monotone frontier terminates in ≤ eccentricity(seeds)
+    * rounds, guaranteed (`maxIters` is a backstop, not the stopping
+    * rule). The loop stops on the first round that labels nothing new.
+    * Returns the converged (node, label) frame (null = unreachable
+    * from every seed) and the number of rounds run.
     *
     * Scale: the symmetrized edge list is persisted ONCE and every
-    * round reuses it — per round one equi-join keyed by src (the label
-    * frame is the small side riding the edge partitioning), one vote
-    * aggregation keyed by node, and one bounded `changed` count; at
-    * 100 TB the edge list would be bucketed by src so no round ever
+    * round reuses it — per round one equi-join keyed by src (the
+    * labeled frontier rides the edge partitioning), one vote hash
+    * aggregate keyed by node (map-side partials — no per-round window
+    * sort), and one `changed` count over the just-checkpointed state;
+    * at 100 TB the edge list would be bucketed by src so no round ever
     * re-shuffles it (same discipline as weightedPagerank above and the
-    * dedup CC loop). Label state is per-node (|V|, not |E|), persisted
-    * per round and released as soon as the next round materializes.
+    * dedup CC loop). Votes are computed only for still-unlabeled
+    * TARGETS, so per-round join volume shrinks with the frontier.
+    * Label state is per-node (|V|, not |E|), localCheckpoint'd per
+    * round so lineage stays round-sized (un-truncated it grows
+    * exponentially and the analyzer/explain OOM long before the data
+    * hurts), and released as soon as the next round materializes.
     */
   def propagateToConvergence(edges: DataFrame, seeds: DataFrame,
                              maxIters: Int = 20): (DataFrame, Int) = {
@@ -68,42 +76,36 @@ object Graph {
       .union(seeds.select(col("node"))).distinct()
     var labels = nodes
       .join(seeds.withColumnRenamed("label", "seed_label"), Seq("node"), "left")
-      .select(col("node"), col("seed_label").as("label"),
-        col("seed_label").isNotNull.as("is_seed"))
+      .select(col("node"), col("seed_label").as("label"))
       .persist(lvl)
     labels.count()
     var iters = 0
     var changed = 1L
     while (changed > 0 && iters < maxIters) {
       val votes = und
+        .join(labels.filter(col("label").isNull).select(col("node").as("dst")), "dst")
         .join(labels.filter(col("label").isNotNull)
           .select(col("node").as("src"), col("label")), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("votes"))
-      val w = Window.partitionBy("node").orderBy(col("votes").desc, col("label").asc)
-      val winners = votes.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label").as("new_label"))
-      // eager localCheckpoint: each round's state frame references the
-      // previous one THREE times (votes, carry-over, changed-count), so
-      // an un-truncated lineage grows ~3^rounds and the analyzer/explain
-      // blow up long before the data does — checkpointing pins the round
-      // to its materialized blocks and keeps every plan round-sized
+      // winner = (votes desc, label asc) — encoded as min over a
+      // (-votes, label) struct so the election is a hash aggregate with
+      // map-side partials, not a per-round window sort (lp01's trick)
+      val winners = votes
+        .groupBy("node")
+        .agg(min(struct((-col("votes")).as("nv"), col("label").as("l"))).as("w"))
+        .select(col("node"), col("w.l").as("new_label"))
       val next = labels.join(winners, Seq("node"), "left")
-        .select(col("node"),
-          when(col("is_seed"), col("label"))
-            .otherwise(coalesce(col("new_label"), col("label"))).as("label"),
-          col("is_seed"))
+        .select(col("node"), coalesce(col("label"), col("new_label")).as("label"),
+          col("label").as("prev_label"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("node"), col("label").as("old_label")), "node")
-        .filter(!(col("label") <=> col("old_label"))).count()
+      changed = next.filter(!(col("label") <=> col("prev_label"))).count()
       labels.unpersist()
-      labels = next
+      labels = next.drop("prev_label")
       iters += 1
     }
     und.unpersist()
-    (labels.select("node", "label"), iters)
+    (labels, iters)
   }
 
   /** lp02 adapter: semi-supervised genre recovery over the embedding

@@ -37,6 +37,32 @@ class Round7OpsSpec extends SparkSpec {
     assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1), got.toString)
   }
 
+  test("mm03 recall harness: chunk-blocked candidates find exactly the brute-force pair set at hamming <= 3") {
+    import graft.multimodal.BinaryMeta
+    val rnd = new scala.util.Random(42)
+    // 400 random 64-bit signatures + 100 planted near-dups at hamming 0..3
+    // (the pigeonhole guarantee says the 4×16-bit blocking is EXACT there)
+    val base = (0L until 400L).map(i => (i, rnd.nextLong()))
+    val planted = (0 until 100).map { i =>
+      val (_, sig) = base(rnd.nextInt(base.size))
+      var s = sig
+      (0 until rnd.nextInt(4)).foreach(_ => s = s ^ (1L << rnd.nextInt(64)))
+      (400L + i, s)
+    }
+    val all = base ++ planted
+    val sigs = all.toDF("media_id", "sig")
+    val got = BinaryMeta.phashPairsFromSigs(sigs, maxHamming = 3)
+      .select("media_a", "media_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      i <- all.indices
+      j <- (i + 1) until all.size
+      if java.lang.Long.bitCount(all(i)._2 ^ all(j)._2) <= 3
+    } yield (math.min(all(i)._1, all(j)._1), math.max(all(i)._1, all(j)._1))).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    assert(want.size >= 75, s"fixture too weak: only ${want.size} true pairs")
+  }
+
   test("ix02: incremental refresh equals a full rebuild bit-exact, filtered queries prune without changing scores") {
     val docs = Tables.documents(spark, sfDir)
     val base = docs.filter(col("doc_id") < 400)
