@@ -90,6 +90,17 @@ class PlanSpec extends SparkSpec {
     assert(!f.contains("SortMergeJoin"), "page joins must broadcast")
   }
 
+  test("ot03 trace correlation adds no exchanges beyond the two branch sessionize shuffles") {
+    val nodes = allNodes(finalPlan("ot03_trace_error_logs"))
+    val shuffles = nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    // one user_id shuffle per lineage branch (traces, error logs); the
+    // (user, trace) join and both aggregations must ride those — a
+    // third exchange would mean the correlation re-partitions
+    assert(shuffles.size <= 2, s"expected <=2 shuffles, got ${shuffles.size}")
+  }
+
   test("tx42 filter-composed search: attribute + range predicates reach the documents scan") {
     val f = formatted("tx42_filtered_search")
     // the search-with-filters contract: the predicate prunes at the
