@@ -12,13 +12,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the parquet reader prunes columns).
   */
 object Tables {
+  /** Parquet written without isAdjustedToUTC reads as TIMESTAMP_NTZ,
+    * which collects as java.time.LocalDateTime and refuses numeric
+    * casts — every downstream unix_timestamp / getAs[Timestamp] site
+    * expects an instant. Sessions run in UTC, so re-tagging the same
+    * wall-clock micros as TimestampType is value-identical in both
+    * engines (DuckDB reads the file directly either way). Applied to
+    * every loader so a testdata regeneration that flips the writer's
+    * timestamp flavor (it happened to events.ts in round 6) cannot
+    * silently break the query surface again.
+    */
+  private def ntzToInstant(df: DataFrame): DataFrame =
+    df.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(df)((d, c) =>
+      d.withColumn(c, d.col(c).cast(org.apache.spark.sql.types.TimestampType)))
+
   def region(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/region.parquet")
   def nation(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/nation.parquet")
   def customer(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/customer.parquet")
   def supplier(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/supplier.parquet")
   def part(s: SparkSession, dir: String): DataFrame      = s.read.parquet(s"$dir/part.parquet")
-  def orders(s: SparkSession, dir: String): DataFrame    = s.read.parquet(s"$dir/orders.parquet")
-  def lineitem(s: SparkSession, dir: String): DataFrame  = s.read.parquet(s"$dir/lineitem.parquet")
+  def orders(s: SparkSession, dir: String): DataFrame    = ntzToInstant(s.read.parquet(s"$dir/orders.parquet"))
+  def lineitem(s: SparkSession, dir: String): DataFrame  = ntzToInstant(s.read.parquet(s"$dir/lineitem.parquet"))
   /** events.ts has shipped in two physical encodings across testdata
     * generations: nanosecond int64 (which Spark 4 refuses to read as a
     * timestamp — handled via the legacy nanosAsLong conf + integral
@@ -34,14 +50,7 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
-      case org.apache.spark.sql.types.TimestampNTZType =>
-        // parquet written without isAdjustedToUTC reads as TIMESTAMP_NTZ;
-        // sessions run in UTC, so the cast re-tags the same wall-clock
-        // micros as an instant (what every downstream unix_timestamp /
-        // collect-as-java.sql.Timestamp site expects)
-        raw.withColumn("ts",
-          raw.col("ts").cast(org.apache.spark.sql.types.TimestampType))
-      case _ => raw
+      case _ => ntzToInstant(raw)
     }
   }
   def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")

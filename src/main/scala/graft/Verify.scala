@@ -15,16 +15,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a query that THROWS is simply absent from the driver's comparison
+    // — indistinguishable from "not implemented" (round 6 lost all 53
+    // events-family queries to a testdata schema change exactly this
+    // way, with zero red rows anywhere). Record failures durably so an
+    // absent result is always attributable.
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // operators that persist() intermediates (minhash LSH, IVF) cache
       // for the session; drop between queries so runs stay independent
       spark.catalog.clearCache()
     }
+    System.err.println(
+      s"[verify] ${SparkEntry.queries.size - failures.size}/${SparkEntry.queries.size} dumped" +
+      (if (failures.isEmpty) "" else s", FAILED: ${failures.keys.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -40,6 +50,8 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    Files.writeString(Paths.get(s"$outDir/verify_failures.json"),
+      failures.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
     spark.stop()
   }
 }
