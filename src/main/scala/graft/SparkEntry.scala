@@ -263,24 +263,29 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity),2) AS sum_qty,
-         round(sum(l_extendedprice),2) AS sum_base_price,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
-         round(sum(l_extendedprice*(1-l_discount)*(1+l_tax)),2) AS sum_charge,
-         round(avg(l_quantity),2) AS avg_qty,
-         round(avg(l_extendedprice),2) AS avg_price,
-         round(avg(l_discount),4) AS avg_disc,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+         sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 1e2 AS sum_base_price,
+         CAST(round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e2) AS BIGINT) / 1e2 AS sum_disc_price,
+         CAST(round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))
+                        * (100 + CAST(round(l_tax*100) AS BIGINT))) / 1e4) AS BIGINT) / 1e2 AS sum_charge,
+         CAST(round(sum(CAST(l_quantity AS BIGINT)) * 1e2 / count(*)) AS BIGINT) / 1e2 AS avg_qty,
+         CAST(round(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / count(*)) AS BIGINT) / 1e2 AS avg_price,
+         CAST(round(sum(CAST(round(l_discount*100) AS BIGINT)) * 1e2 / count(*)) AS BIGINT) / 1e4 AS avg_disc,
          count(*) AS count_order
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
          GROUP BY l_returnflag, l_linestatus""",
     "q02_filter_project" ->
-      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+      """SELECT CAST(round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                              * CAST(round(l_discount*100) AS BIGINT)) / 1e2) AS BIGINT) / 1e2 AS revenue
          FROM lineitem
          WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
            AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""",
     "q03_join_nation_revenue" ->
       """SELECT r_name, n_name,
-         round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+         CAST(round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT))) / 1e2) AS BIGINT) / 1e2 AS revenue,
          count(*) AS n_items
          FROM lineitem
          JOIN orders ON l_orderkey = o_orderkey
@@ -290,12 +295,12 @@ object SparkEntry {
          WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
          GROUP BY r_name, n_name""",
     "q04_topn_customers" ->
-      """SELECT o_custkey, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+      """SELECT o_custkey, sum(CAST(round(o_totalprice*100) AS BIGINT)) / 1e2 AS revenue, count(*) AS n_orders
          FROM orders GROUP BY o_custkey
          ORDER BY revenue DESC, o_custkey ASC LIMIT 10""",
     "q05_latest_order_per_customer" ->
       """SELECT o_custkey, o_orderkey AS latest_orderkey,
-         o_orderdate AS latest_orderdate, round(o_totalprice,2) AS latest_totalprice
+         o_orderdate AS latest_orderdate, CAST(round(o_totalprice*100) AS BIGINT) / 1e2 AS latest_totalprice
          FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders)
          WHERE rn = 1""",
@@ -309,7 +314,7 @@ object SparkEntry {
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
          WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
     "q09_rollup_revenue" ->
-      """SELECT r_name, n_name, round(sum(o_totalprice),2) AS revenue, count(*) AS n_orders
+      """SELECT r_name, n_name, sum(CAST(round(o_totalprice*100) AS BIGINT)) / 1e2 AS revenue, count(*) AS n_orders
          FROM orders
          JOIN customer ON o_custkey = c_custkey
          JOIN nation ON c_nationkey = n_nationkey
@@ -331,27 +336,29 @@ object SparkEntry {
            UNION ALL
            SELECT o_custkey AS custkey, 'big_spender' AS segment FROM orders WHERE o_totalprice > 400000)""",
     "q13_above_avg_orders" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS totalprice
+      """SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) / 1e2 AS totalprice
          FROM orders
-         JOIN (SELECT o_custkey AS a_custkey, avg(o_totalprice) AS avg_price
+         JOIN (SELECT o_custkey AS a_custkey,
+                      sum(CAST(round(o_totalprice*100) AS BIGINT)) AS sum_c, count(*) AS n_o
                FROM orders GROUP BY o_custkey) a ON o_custkey = a_custkey
-         WHERE o_totalprice > avg_price * 1.5""",
+         WHERE CAST(round(o_totalprice*100) AS BIGINT) * 2 * n_o > sum_c * 3""",
     "q14_segment_share" ->
       """WITH seg AS (
-           SELECT c_mktsegment, sum(o_totalprice) AS seg_rev
+           SELECT c_mktsegment, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS seg_c
            FROM orders JOIN customer ON o_custkey = c_custkey
            GROUP BY c_mktsegment)
-         SELECT c_mktsegment, round(seg_rev,2) AS revenue,
-                CAST(round(seg_rev * 1e4 / sum(seg_rev) OVER ()) AS BIGINT) / 1e4 AS share
+         SELECT c_mktsegment, seg_c / 1e2 AS revenue,
+                CAST(round(seg_c * 1e4 / sum(seg_c) OVER ()) AS BIGINT) / 1e4 AS share
          FROM seg""",
     "q15_keyset_pagination" ->
-      """SELECT o_orderkey, o_orderdate, round(o_totalprice,2) AS totalprice
+      """SELECT o_orderkey, o_orderdate, CAST(round(o_totalprice*100) AS BIGINT) / 1e2 AS totalprice
          FROM orders
          WHERE o_orderdate > TIMESTAMP '1997-06-01'
             OR (o_orderdate = TIMESTAMP '1997-06-01' AND o_orderkey > 1000)
          ORDER BY o_orderdate ASC, o_orderkey ASC LIMIT 20""",
     "q21_latest_orders_enriched" ->
-      """WITH page AS (SELECT o_orderkey, o_orderdate, round(o_totalprice,2) AS totalprice
+      """WITH page AS (SELECT o_orderkey, o_orderdate,
+                              CAST(round(o_totalprice*100) AS BIGINT) / 1e2 AS totalprice
                        FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 20),
          li AS (SELECT l_orderkey, count(*) AS li_count,
                        string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_partkey) AS li_parts
@@ -368,16 +375,17 @@ object SparkEntry {
          sn AS (SELECT s_suppkey, n_name AS s_nation FROM supplier
                 JOIN nation ON s_nationkey = n_nationkey)
          SELECT year(o_orderdate) AS o_year,
-                round(sum(CASE WHEN s_nation = 'NATION_7'
-                               THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END), 2) AS nation_revenue,
-                round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
-                CAST(round(sum(CASE WHEN s_nation = 'NATION_7'
-                                    THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-                           * 1e4 / sum(l_extendedprice * (1 - l_discount))) AS BIGINT) / 1e4 AS mkt_share
-         FROM lineitem
-         JOIN orders ON l_orderkey = o_orderkey
-         JOIN ac ON o_custkey = c_custkey
-         JOIN sn ON l_suppkey = s_suppkey
+                CAST(round(sum(CASE WHEN s_nation = 'NATION_7' THEN u4 ELSE 0 END) / 1e2) AS BIGINT) / 1e2 AS nation_revenue,
+                CAST(round(sum(u4) / 1e2) AS BIGINT) / 1e2 AS total_revenue,
+                CAST(round(sum(CASE WHEN s_nation = 'NATION_7' THEN u4 ELSE 0 END)
+                           * 1e4 / sum(u4)) AS BIGINT) / 1e4 AS mkt_share
+         FROM (SELECT o_orderdate, s_nation,
+                      CAST(round(l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l_discount*100) AS BIGINT)) AS u4
+               FROM lineitem
+               JOIN orders ON l_orderkey = o_orderkey
+               JOIN ac ON o_custkey = c_custkey
+               JOIN sn ON l_suppkey = s_suppkey)
          GROUP BY 1""",
     "q23_segment_set_ops" ->
       """WITH hb AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000),
@@ -395,10 +403,12 @@ object SparkEntry {
          FROM tagged GROUP BY segment""",
     "q24_priority_status_pivot" ->
       """SELECT o_orderpriority,
-         round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS rev_f,
-         round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS rev_o,
-         round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS rev_p
-         FROM orders GROUP BY o_orderpriority""",
+         sum(CASE WHEN o_orderstatus = 'F' THEN tp_c END) / 1e2 AS rev_f,
+         sum(CASE WHEN o_orderstatus = 'O' THEN tp_c END) / 1e2 AS rev_o,
+         sum(CASE WHEN o_orderstatus = 'P' THEN tp_c END) / 1e2 AS rev_p
+         FROM (SELECT o_orderpriority, o_orderstatus,
+                      CAST(round(o_totalprice*100) AS BIGINT) AS tp_c FROM orders)
+         GROUP BY o_orderpriority""",
     "q16_text_search" ->
       """SELECT source, count(*) AS n_hits FROM documents
          WHERE text LIKE '%merge join%' GROUP BY source""",
@@ -418,12 +428,14 @@ object SparkEntry {
          count(CASE WHEN CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-15' THEN 1 END) AS n_retained
          FROM events GROUP BY event_type""",
     "q20_unpivot_measures" ->
-      """SELECT measure, count(*) AS n, round(avg(value),4) AS avg_value, round(max(value),2) AS max_value
-         FROM (
+      """SELECT measure, count(*) AS n,
+         CAST(round(sum(v_c) * 1e2 / count(*)) AS BIGINT) / 1e4 AS avg_value,
+         max(v_c) / 1e2 AS max_value
+         FROM (SELECT measure, CAST(round(value*100) AS BIGINT) AS v_c FROM (
            SELECT 'l_quantity' AS measure, l_quantity AS value FROM lineitem
            UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
            UNION ALL SELECT 'l_discount', l_discount FROM lineitem
-           UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+           UNION ALL SELECT 'l_tax', l_tax FROM lineitem))
          GROUP BY measure""",
     "dq01_events_profile" ->
       """SELECT count(*) AS n_rows,
@@ -447,19 +459,20 @@ object SparkEntry {
                 CASE WHEN ratio < 0.5 THEN 1 ELSE 0 END AS flagged
          FROM r""",
     "q18_grouping_sets" ->
-      """SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice),2) AS revenue
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+         sum(CAST(round(o_totalprice*100) AS BIGINT)) / 1e2 AS revenue
          FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""",
     "q19_revenue_quartiles" ->
-      """WITH pc AS (SELECT o_custkey, round(sum(o_totalprice),2) AS revenue
+      """WITH pc AS (SELECT o_custkey, sum(CAST(round(o_totalprice*100) AS BIGINT)) AS rev_c
                      FROM orders GROUP BY o_custkey),
-         c AS (SELECT quantile_disc(revenue, 0.25) AS c1, quantile_disc(revenue, 0.5) AS c2,
-                      quantile_disc(revenue, 0.75) AS c3 FROM pc),
-         q AS (SELECT revenue,
-                      CASE WHEN revenue > c3 THEN 1 WHEN revenue > c2 THEN 2
-                           WHEN revenue > c1 THEN 3 ELSE 4 END AS quartile
+         c AS (SELECT quantile_disc(rev_c, 0.25) AS c1, quantile_disc(rev_c, 0.5) AS c2,
+                      quantile_disc(rev_c, 0.75) AS c3 FROM pc),
+         q AS (SELECT rev_c,
+                      CASE WHEN rev_c > c3 THEN 1 WHEN rev_c > c2 THEN 2
+                           WHEN rev_c > c1 THEN 3 ELSE 4 END AS quartile
                FROM pc CROSS JOIN c)
          SELECT quartile, count(*) AS n_customers,
-                round(sum(revenue),2) AS total_revenue, round(min(revenue),2) AS min_revenue
+                sum(rev_c) / 1e2 AS total_revenue, min(rev_c) / 1e2 AS min_revenue
          FROM q GROUP BY quartile""",
     "ev12_error_burst" ->
       """WITH e AS (SELECT event_id, user_id, event_type,

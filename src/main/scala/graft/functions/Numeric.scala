@@ -53,4 +53,25 @@ object Numeric {
   /** SQL-side twin of [[microRound]] for oracle strings. */
   def microRoundSql(x: String, dp: Int): String =
     s"CAST(round(($x) * 1e$dp) AS BIGINT) / 1e$dp"
+
+  /** Per-row exact integer 10^dp units of a double. A per-row double is
+    * bit-identical across engines (same source bytes / same op chain),
+    * and a scale-0 round of identical doubles always agrees — so the
+    * long is identical too, and SUMS of it are exact and independent of
+    * summation order. This is the first step of every migrated
+    * aggregate: sum longs, round once at scale 0 at the end.
+    * Oracle lockstep: `CAST(round(x * 1e{dp}) AS BIGINT)`.
+    */
+  def units(x: Column, dp: Int): Column =
+    round(x * math.pow(10, dp), 0).cast("long")
+
+  /** Money cents — [[units]] at dp=2. Oracle: `CAST(round(x * 100) AS BIGINT)`. */
+  def cents(x: Column): Column = units(x, 2)
+
+  /** SQL-side twin of [[units]] for oracle strings. */
+  def unitsSql(x: String, dp: Int): String =
+    s"CAST(round(($x) * 1e$dp) AS BIGINT)"
+
+  /** SQL-side twin of [[cents]] for oracle strings. */
+  def centsSql(x: String): String = s"CAST(round(($x) * 100) AS BIGINT)"
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.Numeric.microRatio
+import graft.functions.Numeric.{cents, microRatio, units}
 
 /** Relational / OLAP query surface.
   *
@@ -17,24 +17,44 @@ import graft.functions.Numeric.microRatio
   * Scale notes: facts (lineitem/orders) shuffle once on their group/join
   * keys with map-side partial aggregation; dimension tables
   * (region/nation/customer at TPC-H proportions) are explicitly
-  * broadcast. All aggregates are rounded in-plan so results are
-  * FP-stable across engines (the DuckDB oracle rounds identically).
+  * broadcast. Money aggregates follow the Numeric.scala micro-unit
+  * discipline: per-row exact integer units, long sums, at most one
+  * scale-0 round — so results are bit-stable across engines and across
+  * partition orders (the DuckDB oracle mirrors the op sequence).
   */
 object Relational {
 
-  /** q01: grouped multi-aggregate scan (TPC-H Q1 pattern). */
+  /** q01: grouped multi-aggregate scan (TPC-H Q1 pattern).
+    *
+    * Source columns are exact 2 dp, so price/discount/tax become exact
+    * integer units per row (cents; disc/tax percent points) and every
+    * sum is an exact LONG sum — order-independent, identical across
+    * engines. disc_price/charge are products of those integers (1e4 /
+    * 1e6 units), and every averaged or finer-than-source statistic ends
+    * in ONE scale-0 round (the Numeric.scala discipline; a naked
+    * `round(sum(double), 2)` over 4-dp-true products can sit on a .xx5
+    * boundary and flip between engines). Unit sums fit a long to ~SF100
+    * (u6 ≈ 1e11/row); past that the sums move to decimal(38,0).
+    */
   def pricingSummary(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("p_c"),
+        units(col("l_discount"), 2).as("d_c"),
+        units(col("l_tax"), 2).as("t_c"))
+      .withColumn("u4", col("p_c") * (lit(100L) - col("d_c")))
+      .withColumn("u6", col("u4") * (lit(100L) + col("t_c")))
       .groupBy("l_returnflag", "l_linestatus")
       .agg(
-        round(sum("l_quantity"), 2).as("sum_qty"),
-        round(sum("l_extendedprice"), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-        round(avg("l_quantity"), 2).as("avg_qty"),
-        round(avg("l_extendedprice"), 2).as("avg_price"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        (sum("qty") * lit(1.0)).as("sum_qty"),
+        (sum("p_c") / 1e2).as("sum_base_price"),
+        (round(sum("u4") / 1e2, 0).cast("long") / 1e2).as("sum_disc_price"),
+        (round(sum("u6") / 1e4, 0).cast("long") / 1e2).as("sum_charge"),
+        (round(sum("qty") * 1e2 / count(lit(1)), 0).cast("long") / 1e2).as("avg_qty"),
+        (round(sum("p_c") / count(lit(1)), 0).cast("long") / 1e2).as("avg_price"),
+        (round(sum("d_c") * 1e2 / count(lit(1)), 0).cast("long") / 1e4).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** q02: filtered revenue aggregate (TPC-H Q6 pattern) — the predicate and
@@ -47,7 +67,8 @@ object Relational {
         col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) &&
         col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+      .agg((round(sum(cents(col("l_extendedprice")) * units(col("l_discount"), 2)) / 1e2, 0)
+        .cast("long") / 1e2).as("revenue"))
 
   /** q03: multi-way join with broadcast dims (TPC-H Q5 pattern): revenue by
     * nation. lineitem⋈orders shuffles on orderkey; customer/nation/region
@@ -63,7 +84,8 @@ object Relational {
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
-      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+      .agg((round(sum(cents(col("l_extendedprice")) * (lit(100L) - units(col("l_discount"), 2))) / 1e2, 0)
+             .cast("long") / 1e2).as("revenue"),
            count(lit(1)).as("n_items"))
 
   /** q04: top-N by aggregate, deterministic tie-break (mirrors Grafana
@@ -73,7 +95,9 @@ object Relational {
   def topNCustomers(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .groupBy("o_custkey")
-      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      // o_totalprice carries full double precision (unlike the 2 dp fact
+      // columns), so revenue sums go through exact per-row cents
+      .agg((sum(cents(col("o_totalprice"))) / 1e2).as("revenue"), count(lit(1)).as("n_orders"))
       .orderBy(col("revenue").desc, col("o_custkey").asc)
       .limit(10)
 
@@ -88,7 +112,7 @@ object Relational {
       .filter(col("rn") === 1)
       .select(col("o_custkey"), col("o_orderkey").as("latest_orderkey"),
               col("o_orderdate").as("latest_orderdate"),
-              round(col("o_totalprice"), 2).as("latest_totalprice"))
+              (cents(col("o_totalprice")) / 1e2).as("latest_totalprice"))
   }
 
   /** q06: count-distinct per group (unique visitors pattern). */
@@ -118,7 +142,7 @@ object Relational {
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
-      .agg(round(sum("o_totalprice"), 2).as("revenue"), count(lit(1)).as("n_orders"))
+      .agg((sum(cents(col("o_totalprice"))) / 1e2).as("revenue"), count(lit(1)).as("n_orders"))
 
   /** q10: conditional aggregation (countIf pattern,
     * clickhouse sli_error_rate_mv).
@@ -152,12 +176,16 @@ object Relational {
     * orders 50% above their customer's average order value.
     */
   def aboveAvgOrders(s: SparkSession, dir: String): DataFrame = {
-    val o = Tables.orders(s, dir)
+    // The 1.5×-average gate is cross-multiplied into exact integers
+    // (2·n·cents > 3·Σcents): a double `avg` differs between engines in
+    // its last ulps (summation order), so an order sitting exactly at
+    // 1.5× its customer's average could flip in or out of the result.
+    val o = Tables.orders(s, dir).withColumn("tp_c", cents(col("o_totalprice")))
     val avgPer = o.groupBy(col("o_custkey").as("a_custkey"))
-      .agg(avg("o_totalprice").as("avg_price"))
+      .agg(sum("tp_c").as("sum_c"), count(lit(1)).as("n_o"))
     o.join(avgPer, col("o_custkey") === col("a_custkey"))
-      .filter(col("o_totalprice") > col("avg_price") * 1.5)
-      .select(col("o_custkey"), col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+      .filter(col("tp_c") * 2 * col("n_o") > col("sum_c") * 3)
+      .select(col("o_custkey"), col("o_orderkey"), (col("tp_c") / 1e2).as("totalprice"))
   }
 
   /** q15: keyset (cursor) pagination — the alt-backend feed/article
@@ -171,7 +199,7 @@ object Relational {
               (col("o_orderdate") === cDate && col("o_orderkey") > 1000))
       .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
       .limit(20)
-      .select(col("o_orderkey"), col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"))
+      .select(col("o_orderkey"), col("o_orderdate"), (cents(col("o_totalprice")) / 1e2).as("totalprice"))
   }
 
   /** q21: cursor page enriched with aggregated children — alt-backend's
@@ -191,7 +219,7 @@ object Relational {
     val page = Tables.orders(s, dir)
       .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
       .limit(20)
-      .select(col("o_orderkey"), col("o_orderdate"), round(col("o_totalprice"), 2).as("totalprice"))
+      .select(col("o_orderkey"), col("o_orderdate"), (cents(col("o_totalprice")) / 1e2).as("totalprice"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val children = Tables.lineitem(s, dir)
       .join(broadcast(page.select("o_orderkey")), col("l_orderkey") === col("o_orderkey"))
@@ -217,7 +245,7 @@ object Relational {
       .groupingSets(
         Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
         col("o_orderstatus"), col("o_orderpriority"))
-      .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("revenue"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("o_totalprice"))) / 1e2).as("revenue"))
 
   /** q19: revenue quartiles of customers — the cohort-banding step of
     * engagement dashboards.
@@ -232,21 +260,25 @@ object Relational {
     * picks — the DuckDB oracle mirrors that definition.
     */
   def revenueQuartiles(s: SparkSession, dir: String): DataFrame = {
+    // Cents stay exact longs end to end: cut-points are selected
+    // ELEMENTS (percentile_approx below its accuracy buffer), banding
+    // compares longs, and the quartile totals are long sums — nothing
+    // downstream ever rounds an engine-order-dependent double.
     val perCust = Tables.orders(s, dir)
       .groupBy("o_custkey")
-      .agg(round(sum("o_totalprice"), 2).as("revenue"))
+      .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
     val cuts = perCust.agg(percentile_approx(
-      col("revenue"), array(lit(0.25), lit(0.5), lit(0.75)), lit(100000)).as("cuts"))
+      col("rev_c"), array(lit(0.25), lit(0.5), lit(0.75)), lit(100000)).as("cuts"))
     perCust.crossJoin(broadcast(cuts))
       .withColumn("quartile",
-        when(col("revenue") > element_at(col("cuts"), 3), 1)
-          .when(col("revenue") > element_at(col("cuts"), 2), 2)
-          .when(col("revenue") > element_at(col("cuts"), 1), 3)
+        when(col("rev_c") > element_at(col("cuts"), 3), 1)
+          .when(col("rev_c") > element_at(col("cuts"), 2), 2)
+          .when(col("rev_c") > element_at(col("cuts"), 1), 3)
           .otherwise(4))
       .groupBy("quartile")
       .agg(count(lit(1)).as("n_customers"),
-           round(sum("revenue"), 2).as("total_revenue"),
-           round(min("revenue"), 2).as("min_revenue"))
+           (sum("rev_c") / 1e2).as("total_revenue"),
+           (min("rev_c") / 1e2).as("min_revenue"))
   }
 
   /** q20: unpivot/melt — wide measure columns to (measure, value) long
@@ -259,9 +291,11 @@ object Relational {
         Array(col("l_orderkey")),
         Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
         "measure", "value")
+      .withColumn("v_c", cents(col("value")))
       .groupBy("measure")
-      .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_value"),
-           round(max("value"), 2).as("max_value"))
+      .agg(count(lit(1)).as("n"),
+           (round(sum("v_c") * 1e2 / count(lit(1)), 0).cast("long") / 1e4).as("avg_value"),
+           (max("v_c") / 1e2).as("max_value"))
 
   /** q17: part/supplier catalog rollup (TPC-H Q2 shape): cheapest part
     * per brand with supplier-nation context — exercises the remaining
@@ -286,9 +320,9 @@ object Relational {
     val seg = Tables.orders(s, dir)
       .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
       .groupBy("c_mktsegment")
-      .agg(sum("o_totalprice").as("seg_rev"))
-    seg.withColumn("share", microRatio(col("seg_rev"), sum("seg_rev").over(), 4))
-      .select(col("c_mktsegment"), round(col("seg_rev"), 2).as("revenue"), col("share"))
+      .agg(sum(cents(col("o_totalprice"))).as("seg_c"))
+    seg.withColumn("share", microRatio(col("seg_c"), sum("seg_c").over(), 4))
+      .select(col("c_mktsegment"), (col("seg_c") / 1e2).as("revenue"), col("share"))
   }
 
   /** q23: INTERSECT / EXCEPT set algebra over customer segments — the
@@ -321,10 +355,12 @@ object Relational {
     */
   def priorityStatusPivot(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
+      .withColumn("tp_c", cents(col("o_totalprice")))
       .groupBy("o_orderpriority")
       .pivot("o_orderstatus", Seq("F", "O", "P"))
-      .agg(round(sum("o_totalprice"), 2))
-      .withColumnsRenamed(Map("F" -> "rev_f", "O" -> "rev_o", "P" -> "rev_p"))
+      .agg(sum("tp_c"))
+      .select(col("o_orderpriority"),
+        (col("F") / 1e2).as("rev_f"), (col("O") / 1e2).as("rev_o"), (col("P") / 1e2).as("rev_p"))
 
   /** q22: market share per order year (TPC-H Q8 pattern) — within one
     * customer region, the revenue share supplied by one supplier nation.
@@ -472,15 +508,16 @@ object Relational {
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(broadcast(asiaCustomers), col("o_custkey") === col("c_custkey"))
       .join(broadcast(supNation), col("l_suppkey") === col("s_suppkey"))
-      .withColumn("rev", col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .withColumn("rev_u4",
+        cents(col("l_extendedprice")) * (lit(100L) - units(col("l_discount"), 2)))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(
-        sum(when(col("s_nation") === supplierNation, col("rev")).otherwise(lit(0.0))).as("nation_rev_raw"),
-        sum("rev").as("total_rev_raw"))
+        sum(when(col("s_nation") === supplierNation, col("rev_u4")).otherwise(lit(0L))).as("nation_u4"),
+        sum("rev_u4").as("total_u4"))
       .select(
         col("o_year"),
-        round(col("nation_rev_raw"), 2).as("nation_revenue"),
-        round(col("total_rev_raw"), 2).as("total_revenue"),
-        microRatio(col("nation_rev_raw"), col("total_rev_raw"), 4).as("mkt_share"))
+        (round(col("nation_u4") / 1e2, 0).cast("long") / 1e2).as("nation_revenue"),
+        (round(col("total_u4") / 1e2, 0).cast("long") / 1e2).as("total_revenue"),
+        microRatio(col("nation_u4"), col("total_u4"), 4).as("mkt_share"))
   }
 }
