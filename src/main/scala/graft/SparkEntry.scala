@@ -450,8 +450,9 @@ object SparkEntry {
       """WITH daily AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
                                count(*) AS n_events
                         FROM events GROUP BY 1),
-         w AS (SELECT *, round(avg(n_events) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING), 2) AS trailing_avg
-               FROM daily),
+         w AS (SELECT *, CAST(round(sum(n_events) OVER tw * 1e2 / count(n_events) OVER tw) AS BIGINT) / 1e2 AS trailing_avg
+               FROM daily
+               WINDOW tw AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)),
          r AS (SELECT *, CASE WHEN trailing_avg > 0
                               THEN CAST(round(n_events * 1e4 / trailing_avg) AS BIGINT) / 1e4 END AS ratio
                FROM w)
@@ -482,24 +483,30 @@ object SparkEntry {
          SELECT event_id, user_id, n_last_5min FROM w WHERE event_type = 'error'""",
     "ev13_moving_avg_revenue" ->
       """WITH daily AS (
-           SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, sum(value) AS rev
+           SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                  sum(CAST(round(value*100) AS BIGINT)) AS rev_c
            FROM events WHERE event_type = 'purchase' GROUP BY 1)
-         SELECT day, round(rev,2) AS daily_rev,
-                round(avg(rev) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),2) AS ma7
-         FROM daily""",
+         SELECT day, rev_c / 1e2 AS daily_rev,
+                CAST(round(sum(rev_c) OVER w * 1.0 /
+                           count(*) OVER w) AS BIGINT) / 1e2 AS ma7
+         FROM daily
+         WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     "ev14_value_anomalies" ->
-      """WITH st AS (SELECT event_type AS t, round(avg(value),6) AS mu, round(stddev_samp(value),6) AS sigma
-                     FROM events GROUP BY event_type)
+      """WITH ec AS (SELECT event_type, CAST(round(value*100) AS BIGINT) AS c FROM events),
+         st AS (SELECT event_type AS t, sum(c) AS sc, sum(c*c) AS sc2, count(c) AS n
+                FROM ec GROUP BY event_type)
          SELECT event_type,
-                count(CASE WHEN abs(value - mu) > sigma * 3 THEN 1 END) AS n_outliers,
+                count(CASE WHEN (CAST(c AS HUGEINT) * n - sc) * (CAST(c AS HUGEINT) * n - sc) * (n - 1)
+                              > 9 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * sc2 - CAST(sc AS HUGEINT) * sc)
+                           THEN 1 END) AS n_outliers,
                 count(*) AS n_total
-         FROM events JOIN st ON event_type = t
+         FROM ec JOIN st ON event_type = t
          GROUP BY event_type""",
     "es04_weekly_recap_rollup" ->
       """SELECT CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS week,
          count(*) AS n_events,
          count(DISTINCT user_id) AS active_users,
-         round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS revenue
+         sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value*100) AS BIGINT) END) / 1e2 AS revenue
          FROM events GROUP BY 1""",
     "asof01_purchase_after_view" ->
       """WITH u AS (
@@ -570,7 +577,7 @@ object SparkEntry {
                 CAST(round(2 * len(list_intersect(cand, ref)) * 1e4 / (len(cand) + len(ref))) AS BIGINT) / 1e4 AS rouge_f1
          FROM cand JOIN ref USING (cand_id)""",
     "tx13_bpe_token_count" ->
-      """SELECT CAST(sum(n) AS BIGINT) AS total_tokens, round(avg(n),2) AS avg_tokens, max(n) AS max_tokens
+      """SELECT CAST(sum(n) AS BIGINT) AS total_tokens, CAST(round(sum(n) * 1e2 / count(*)) AS BIGINT) / 1e2 AS avg_tokens, max(n) AS max_tokens
          FROM (SELECT len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n
                FROM documents)""",
     "lp01_label_propagation" ->
@@ -597,9 +604,9 @@ object SparkEntry {
          FROM events GROUP BY 1""",
     "ev03_value_percentiles" ->
       """SELECT event_type,
-         round(quantile_cont(value, 0.5), 2) AS p50,
-         round(quantile_cont(value, 0.95), 2) AS p95,
-         round(quantile_cont(value, 0.99), 2) AS p99
+         CAST(round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.5)) AS BIGINT) / 1e2 AS p50,
+         CAST(round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.95)) AS BIGINT) / 1e2 AS p95,
+         CAST(round(quantile_cont(CAST(round(value*100) AS BIGINT), 0.99)) AS BIGINT) / 1e2 AS p99
          FROM events GROUP BY event_type""",
     "ev04_sessionize" ->
       """WITH e AS (SELECT user_id, event_id, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
@@ -612,26 +619,26 @@ object SparkEntry {
          FROM g GROUP BY user_id""",
     "ot01_trace_spans" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
-                    coalesce(value, 0) AS dur_ms,
+                    CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS dur_c,
                     date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
          g AS (SELECT *, epoch(ts_s) - epoch(lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap_s
                FROM e),
          t AS (SELECT *, CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trace_seq
                FROM g),
-         r AS (SELECT *, row_number() OVER (PARTITION BY user_id, trace_seq ORDER BY dur_ms DESC, event_id ASC) AS rn
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id, trace_seq ORDER BY dur_c DESC, event_id ASC) AS rn
                FROM t)
          SELECT user_id, trace_seq,
                 count(*) AS n_spans,
                 min(ts_s) AS trace_start,
                 CAST(epoch(max(ts_s)) - epoch(min(ts_s)) AS BIGINT) AS wall_s,
-                round(sum(dur_ms),2) AS total_span_ms,
+                sum(dur_c) / 1e2 AS total_span_ms,
                 count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
                 max(CASE WHEN rn = 1 THEN event_type END) AS top_service,
-                round(max(CASE WHEN rn = 1 THEN dur_ms END),2) AS top_span_ms,
-                CASE WHEN round(sum(dur_ms),2) > 0
-                     THEN CAST(round(round(max(CASE WHEN rn = 1 THEN dur_ms END),2) * 1e4
-                               / round(sum(dur_ms),2)) AS BIGINT) / 1e4
+                max(CASE WHEN rn = 1 THEN dur_c END) / 1e2 AS top_span_ms,
+                CASE WHEN sum(dur_c) > 0
+                     THEN CAST(round(max(CASE WHEN rn = 1 THEN dur_c END) * 1e4
+                               / sum(dur_c)) AS BIGINT) / 1e4
                 END AS top_share
          FROM r GROUP BY user_id, trace_seq""",
     "ev30_sli_metrics" ->
@@ -737,7 +744,7 @@ object SparkEntry {
                          ORDER BY est_events DESC, user_id ASC) AS rank FROM c)
          WHERE rank <= 10""",
     "ev05_top_purchasers" ->
-      """SELECT user_id, round(sum(value),2) AS revenue, count(*) AS n_purchases
+      """SELECT user_id, sum(CAST(round(value*100) AS BIGINT)) / 1e2 AS revenue, count(*) AS n_purchases
          FROM events WHERE event_type = 'purchase' GROUP BY user_id
          ORDER BY revenue DESC, user_id ASC LIMIT 10""",
     "ev06_funnel" ->
@@ -759,16 +766,18 @@ object SparkEntry {
          GROUP BY a.day""",
     "ev09_json_props" ->
       """SELECT event_type,
-         round(avg(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)), 4) AS avg_k,
+         CAST(round(sum(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) * 1e4
+                    / count(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER))) AS BIGINT) / 1e4 AS avg_k,
          max(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS max_k,
          min(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER)) AS min_k
          FROM events GROUP BY event_type""",
     "ev10_cumulative_revenue" ->
       """WITH daily AS (
-           SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, sum(value) AS rev
+           SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                  sum(CAST(round(value*100) AS BIGINT)) AS rev_c
            FROM events WHERE event_type = 'purchase' GROUP BY 1)
-         SELECT day, round(rev,2) AS daily_rev,
-                round(sum(rev) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS cum_rev
+         SELECT day, rev_c / 1e2 AS daily_rev,
+                sum(rev_c) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1e2 AS cum_rev
          FROM daily""",
     "es01_latest_state_projection" ->
       """SELECT user_id, event_type AS last_event_type,
@@ -791,25 +800,25 @@ object SparkEntry {
          GROUP BY 1, 2""",
     "es02_event_type_daily" ->
       """SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-         count(*) AS n, round(sum(value),2) AS total_value
+         count(*) AS n, sum(CAST(round(value*100) AS BIGINT)) / 1e2 AS total_value
          FROM events GROUP BY 1, 2""",
     "tx01_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens,
-         round(avg(len(string_split_regex(trim(text), '\s+'))), 2) AS avg_tokens,
+         CAST(round(sum(len(string_split_regex(trim(text), '\s+'))) * 1e2 / count(*)) AS BIGINT) / 1e2 AS avg_tokens,
          max(len(string_split_regex(trim(text), '\s+'))) AS max_tokens
          FROM documents GROUP BY lang""",
     "tx16_cjk_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
          CAST(sum(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^\x00-\x7F]'))) AS BIGINT) AS total_tokens,
-         round(avg(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^\x00-\x7F]'))), 2) AS avg_tokens,
+         CAST(round(sum(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^\x00-\x7F]'))) * 1e2 / count(*)) AS BIGINT) / 1e2 AS avg_tokens,
          CAST(sum(len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+|[^\x00-\x7F]'))
                   - len(regexp_extract_all(lower(trim(text)), '[a-z0-9]+'))) AS BIGINT) AS cjk_char_tokens
          FROM documents GROUP BY lang""",
     "tx18_bm25_search" ->
       """WITH dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
          d2 AS (SELECT doc_id, len(toks) AS dl, toks FROM dd),
-         st AS (SELECT count(*) AS n_docs, CAST(round(avg(dl) * 1e6) AS BIGINT) / 1e6 AS avgdl FROM d2),
+         st AS (SELECT count(*) AS n_docs, CAST(round(sum(dl) * 1e6 / count(*)) AS BIGINT) / 1e6 AS avgdl FROM d2),
          t AS (SELECT doc_id, dl, unnest(toks) AS term FROM d2),
          tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM t
                 WHERE term IN ('merge', 'join', 'stream') GROUP BY 1, 2, 3),
@@ -828,7 +837,7 @@ object SparkEntry {
                        WHERE lang = 'en' AND source IN ('src3', 'src7', 'src11')
                          AND n_chars BETWEEN 100 AND 400),
          d2 AS (SELECT doc_id, source, len(toks) AS dl, toks FROM docs),
-         st AS (SELECT count(*) AS n_docs, CAST(round(avg(dl) * 1e6) AS BIGINT) / 1e6 AS avgdl FROM d2),
+         st AS (SELECT count(*) AS n_docs, CAST(round(sum(dl) * 1e6 / count(*)) AS BIGINT) / 1e6 AS avgdl FROM d2),
          t AS (SELECT doc_id, source, dl, unnest(toks) AS term FROM d2),
          tf AS (SELECT doc_id, source, dl, term, count(*) AS tf FROM t
                 WHERE term IN ('merge', 'join', 'stream') GROUP BY 1, 2, 3, 4),
@@ -913,16 +922,16 @@ object SparkEntry {
                    / 4294967297.0::DOUBLE) / n_chars AS skey
               FROM documents WHERE n_chars > 0),
          rk AS (SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id ASC) AS rn FROM sc)
-         SELECT doc_id, source, n_chars, round(skey, 9) AS skey
+         SELECT doc_id, source, n_chars, CAST(round(skey * 1e9) AS BIGINT) / 1e9 AS skey
          FROM rk WHERE rn <= 50""",
     "dq03_join_key_skew" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)
          SELECT CAST(count(*) AS BIGINT) AS n_keys,
                 CAST(sum(cnt) AS BIGINT) AS n_rows,
                 CAST(max(cnt) AS BIGINT) AS max_rows,
-                round(avg(cnt), 4) AS avg_rows,
-                round(quantile_cont(cnt, 0.99), 4) AS p99_rows,
-                CAST(round(max(cnt) * 1e4 / avg(cnt)) AS BIGINT) / 1e4 AS skew_factor,
+                CAST(round(sum(cnt) * 1e4 / count(*)) AS BIGINT) / 1e4 AS avg_rows,
+                CAST(round(quantile_cont(cnt, 0.99) * 1e4) AS BIGINT) / 1e4 AS p99_rows,
+                CAST(round(max(cnt) * count(*) * 1e4 / sum(cnt)) AS BIGINT) / 1e4 AS skew_factor,
                 CAST(round(max(cnt) * 1e9 / sum(cnt)) AS BIGINT) / 1e9 AS top_share
          FROM c""",
     "smp02_mixture_weights" ->
@@ -992,16 +1001,17 @@ object SparkEntry {
          pairs AS (SELECT t1.source, t1.term AS term_a, t2.term AS term_b
                    FROM top t1 JOIN top t2 ON t1.source = t2.source AND t1.term < t2.term),
          sc AS (SELECT p.source,
-                  round(ln(((coalesce(j.joint, 0) + 1) * 1.0 / (n.n_docs + 2))
+                  CAST(round(ln(((coalesce(j.joint, 0) + 1) * 1.0 / (n.n_docs + 2))
                            * (n.n_docs + 2) * (n.n_docs + 2)
                            / ((da.df + 1) * (db.df + 1)))
-                        / -ln((coalesce(j.joint, 0) + 1) * 1.0 / (n.n_docs + 2)), 6) AS npmi
+                        / -ln((coalesce(j.joint, 0) + 1) * 1.0 / (n.n_docs + 2)) * 1e6) AS BIGINT) AS npmi_u
                 FROM pairs p
                 LEFT JOIN joint j ON p.term_a = j.term_a AND p.term_b = j.term_b
                 JOIN dfreq da ON p.term_a = da.term
                 JOIN dfreq db ON p.term_b = db.term
                 CROSS JOIN n)
-         SELECT source, count(*) AS n_pairs, round(avg(npmi), 4) AS coherence
+         SELECT source, count(*) AS n_pairs,
+                CAST(round(sum(npmi_u) / (count(*) * 1e2)) AS BIGINT) / 1e4 AS coherence
          FROM sc GROUP BY source""",
     "tx30_textrank_keywords" ->
       """WITH toks AS (SELECT doc_id, term, pos FROM (
@@ -1035,7 +1045,7 @@ object SparkEntry {
                 FROM sh JOIN r2 ON sh.src = r2.node GROUP BY 1),
          r3 AS (SELECT nodes.node, 0.15::DOUBLE / nn.n + 0.85::DOUBLE * coalesce(c3.contrib, 0) AS rank
                 FROM nodes CROSS JOIN nn LEFT JOIN c3 ON nodes.node = c3.node)
-         SELECT node AS term, round(rank, 6) AS rank FROM (
+         SELECT node AS term, CAST(round(rank * 1e6) AS BIGINT) / 1e6 AS rank FROM (
            SELECT node, rank, row_number() OVER (ORDER BY rank DESC, node ASC) AS rk FROM r3)
          WHERE rk <= 20""",
     "tx22_macro_metrics" ->
@@ -1097,8 +1107,8 @@ object SparkEntry {
     "tx09_ngram_jaccard" ->
       """SELECT * FROM (
            SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
-                  round(len(list_intersect(a.toks, b.toks)) * 1.0 /
-                        len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+                  CAST(round((len(list_intersect(a.toks, b.toks)) * 1.0 /
+                        len(list_distinct(list_concat(a.toks, b.toks)))) * 1e4) AS BIGINT) / 1e4 AS jaccard
            FROM (SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
                  FROM documents WHERE doc_id < 1000) a
            JOIN (SELECT doc_id, source, list_distinct(string_split_regex(trim(text), '\s+')) AS toks
@@ -1111,7 +1121,7 @@ object SparkEntry {
     "sim01_knn_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 50 = 0),
          c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
-         scored AS (SELECT query_id, neighbor_id, round(${duckCos("q_emb", "c_emb")}, 6) AS cos
+         scored AS (SELECT query_id, neighbor_id, CAST(round(${duckCos("q_emb", "c_emb")} * 1e6) AS BIGINT) / 1e6 AS cos
                     FROM c CROSS JOIN q WHERE query_id <> neighbor_id)
          SELECT query_id, neighbor_id, cos, rank
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -1120,7 +1130,7 @@ object SparkEntry {
     "rag01_context_assembly" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
          c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
-         scored AS (SELECT query_id, neighbor_id, round(${duckCos("q_emb", "c_emb")}, 6) AS cos
+         scored AS (SELECT query_id, neighbor_id, CAST(round(${duckCos("q_emb", "c_emb")} * 1e6) AS BIGINT) / 1e6 AS cos
                     FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
          topk AS (SELECT query_id, neighbor_id, cos, rank
                   FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -1134,7 +1144,7 @@ object SparkEntry {
     "rag02_reranked_retrieval" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
          c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
-         scored AS (SELECT query_id, neighbor_id, round(${duckCos("q_emb", "c_emb")}, 6) AS cos
+         scored AS (SELECT query_id, neighbor_id, CAST(round(${duckCos("q_emb", "c_emb")} * 1e6) AS BIGINT) / 1e6 AS cos
                     FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
          topk AS (SELECT query_id, neighbor_id, cos
                   FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -1142,8 +1152,8 @@ object SparkEntry {
                   WHERE rank <= 10),
          t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents),
          e AS (SELECT query_id, neighbor_id, cos,
-                      round(len(list_intersect(qt.toks, ct.toks)) * 1.0 /
-                            len(list_distinct(list_concat(qt.toks, ct.toks))), 6) AS lex
+                      CAST(round((len(list_intersect(qt.toks, ct.toks)) * 1.0 /
+                            len(list_distinct(list_concat(qt.toks, ct.toks)))) * 1e6) AS BIGINT) / 1e6 AS lex
                FROM topk JOIN t qt ON qt.doc_id = query_id JOIN t ct ON ct.doc_id = neighbor_id),
          r AS (SELECT *, (CAST(round(cos * 1e6) AS BIGINT) * 7 +
                           CAST(round(lex * 1e6) AS BIGINT) * 3) / 1e7 AS rerank_score FROM e)
@@ -1154,7 +1164,7 @@ object SparkEntry {
     "rag05_hybrid_rrf" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
          c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
-         scored AS (SELECT query_id, neighbor_id, round(${duckCos("q_emb", "c_emb")}, 6) AS cos
+         scored AS (SELECT query_id, neighbor_id, CAST(round(${duckCos("q_emb", "c_emb")} * 1e6) AS BIGINT) / 1e6 AS cos
                     FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
          topk AS (SELECT query_id, neighbor_id, cos
                   FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
@@ -1162,8 +1172,8 @@ object SparkEntry {
                   WHERE rank <= 10),
          t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents),
          e AS (SELECT query_id, neighbor_id, cos,
-                      round(len(list_intersect(qt.toks, ct.toks)) * 1.0 /
-                            len(list_distinct(list_concat(qt.toks, ct.toks))), 6) AS lex
+                      CAST(round((len(list_intersect(qt.toks, ct.toks)) * 1.0 /
+                            len(list_distinct(list_concat(qt.toks, ct.toks)))) * 1e6) AS BIGINT) / 1e6 AS lex
                FROM topk JOIN t qt ON qt.doc_id = query_id JOIN t ct ON ct.doc_id = neighbor_id),
          rk AS (SELECT *,
                        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS r_cos,
@@ -1175,8 +1185,11 @@ object SparkEntry {
                FROM f)
          WHERE fused_rank <= 5""",
     "sim02_label_centroids" ->
-      """SELECT label, round(sqrt(sum(c * c)), 6) AS centroid_norm
-         FROM (SELECT label, pos, avg(CAST(v AS DOUBLE)) AS c
+      """SELECT label,
+         CAST(round(sqrt(CAST(sum(CAST(s_u AS HUGEINT) * s_u) AS DOUBLE)) / max(n)) AS BIGINT) / 1e6 AS centroid_norm
+         FROM (SELECT label, pos,
+                      sum(CAST(round(CAST(v AS DOUBLE) * 1e6) AS BIGINT)) AS s_u,
+                      count(*) AS n
                FROM (SELECT label, unnest(embedding) AS v,
                             generate_subscripts(embedding, 1) AS pos
                      FROM embeddings)
@@ -1185,7 +1198,7 @@ object SparkEntry {
     "sim03_cosine_neardup" ->
       s"""SELECT label, vec_a, vec_b, cos FROM (
            SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
-                  round(${duckCos("a.embedding", "b.embedding")}, 6) AS cos
+                  CAST(round(${duckCos("a.embedding", "b.embedding")} * 1e6) AS BIGINT) / 1e6 AS cos
            FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id)
          WHERE cos >= 0.3""",
     "ev24_gap_islands" ->
@@ -1204,23 +1217,23 @@ object SparkEntry {
          FROM i GROUP BY day, island""",
     "ot02_service_graph" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
-                    coalesce(value, 0) AS dur_ms,
+                    CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS dur_c,
                     date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
          g AS (SELECT *,
                  epoch(ts_s) - epoch(lag(ts_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id)) AS gap_s,
                  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_s, event_id) AS prev_type
                FROM e),
-         edges AS (SELECT prev_type AS src_service, event_type AS dst_service, dur_ms
+         edges AS (SELECT prev_type AS src_service, event_type AS dst_service, dur_c
                    FROM g WHERE gap_s IS NOT NULL AND gap_s <= 1800),
          agged AS (SELECT src_service, dst_service, count(*) AS n_calls,
-                          round(quantile_cont(dur_ms, 0.95), 2) AS p95_ms
+                          CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_ms
                    FROM edges GROUP BY src_service, dst_service)
          SELECT src_service, dst_service, n_calls, p95_ms,
                 CAST(round(n_calls * 1e4 / sum(n_calls) OVER (PARTITION BY src_service)) AS BIGINT) / 1e4 AS out_share
          FROM agged""",
     "ot03_trace_error_logs" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
-                    coalesce(value, 0) AS dur_ms,
+                    CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS dur_c,
                     date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s,
                     'user=' || COALESCE(CAST(user_id AS VARCHAR), 'null') || ' type=' || event_type ||
                     ' value=' || CASE WHEN value IS NULL THEN 'null'
@@ -1232,20 +1245,20 @@ object SparkEntry {
          t AS (SELECT *, CAST(sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END)
                  OVER (PARTITION BY user_id ORDER BY ts_s, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trace_seq
                FROM g),
-         r AS (SELECT *, row_number() OVER (PARTITION BY user_id, trace_seq ORDER BY dur_ms DESC, event_id ASC) AS rn
+         r AS (SELECT *, row_number() OVER (PARTITION BY user_id, trace_seq ORDER BY dur_c DESC, event_id ASC) AS rn
                FROM t),
          tr AS (SELECT user_id, trace_seq, count(*) AS n_spans,
-                       round(sum(dur_ms), 2) AS total_span_ms,
+                       sum(dur_c) AS total_c,
                        max(CASE WHEN rn = 1 THEN event_type END) AS top_service
                 FROM r GROUP BY user_id, trace_seq),
          el AS (SELECT user_id, trace_seq, count(*) AS n_error_logs,
                        min(ts_s) AS first_error_ts,
                        min_by(line, event_id) AS exemplar_line
                 FROM t WHERE event_type = 'error' GROUP BY user_id, trace_seq)
-         SELECT tr.user_id, tr.trace_seq, n_spans, total_span_ms, top_service,
+         SELECT tr.user_id, tr.trace_seq, n_spans, total_c / 1e2 AS total_span_ms, top_service,
                 n_error_logs, first_error_ts, exemplar_line
          FROM tr JOIN el USING (user_id, trace_seq)
-         ORDER BY total_span_ms DESC, user_id ASC, trace_seq ASC LIMIT 10""",
+         ORDER BY total_c DESC, user_id ASC, trace_seq ASC LIMIT 10""",
     "es05_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
@@ -1320,7 +1333,7 @@ object SparkEntry {
          SELECT source, count(*) AS n_new,
                 CAST(sum(dropped) AS BIGINT) AS n_dropped,
                 CAST(count(*) - sum(dropped) AS BIGINT) AS n_kept,
-                round(avg(containment), 4) AS avg_containment
+                CAST(round(sum(CAST(round(containment * 1e6) AS BIGINT)) / (count(*) * 1e2)) AS BIGINT) / 1e4 AS avg_containment
          FROM v GROUP BY source""",
     "ev26_attribution" ->
       """WITH e AS (SELECT user_id, event_id, event_type, value,
@@ -1336,20 +1349,29 @@ object SparkEntry {
          a AS (SELECT first_touch,
                       count(DISTINCT (user_id, trace_seq)) AS converted_sessions,
                       count(*) AS n_purchases,
-                      round(sum(value), 2) AS attributed_revenue
+                      sum(CAST(round(value * 100) AS BIGINT)) AS rev_c
                FROM t WHERE event_type = 'purchase' GROUP BY first_touch)
-         SELECT first_touch, converted_sessions, n_purchases, attributed_revenue,
-                CAST(round(attributed_revenue * 1e4 / sum(attributed_revenue) OVER ()) AS BIGINT) / 1e4 AS revenue_share
+         SELECT first_touch, converted_sessions, n_purchases,
+                CAST(round(rev_c * 1e4 / sum(rev_c) OVER ()) AS BIGINT) / 1e4 AS revenue_share,
+                rev_c / 1e2 AS attributed_revenue
          FROM a""",
     "tx32_zipf_fit" ->
       """WITH f AS (SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents),
          c AS (SELECT term, count(*) AS freq FROM f GROUP BY term),
          top AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, term ASC) AS rank
                  FROM c ORDER BY freq DESC, term ASC LIMIT 100),
-         fit AS (SELECT count(*) AS n_ranked,
-                        round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
-                        round(regr_r2(ln(freq), ln(rank)), 6) AS zipf_r2
-                 FROM top),
+         uu AS (SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS xu,
+                       CAST(round(ln(freq) * 1e6) AS BIGINT) AS yu FROM top),
+         mo AS (SELECT count(*) AS n, sum(xu) AS sx, sum(yu) AS sy,
+                       sum(xu * xu) AS sxx, sum(yu * yu) AS syy, sum(xu * yu) AS sxy
+                FROM uu),
+         cv AS (SELECT n, n * sxy - sx * sy AS cxy, n * sxx - sx * sx AS cxx,
+                       n * syy - sy * sy AS cyy FROM mo),
+         fit AS (SELECT n AS n_ranked,
+                        CAST(round(cxy * 1e6 / cxx) AS BIGINT) / 1e6 AS zipf_slope,
+                        CAST(round(CAST(cxy * cxy AS DOUBLE) * 1e6 /
+                                   CAST(cxx * cyy AS DOUBLE)) AS BIGINT) / 1e6 AS zipf_r2
+                 FROM cv),
          tot AS (SELECT count(*) AS vocab_size, CAST(sum(freq) AS BIGINT) AS total_tokens FROM c)
          SELECT * FROM fit CROSS JOIN tot""",
     "q25_topn_per_group" -> topnOracle("orders"),
@@ -1499,7 +1521,7 @@ object SparkEntry {
          perdoc AS (SELECT m.query, p.doc_id, max(m.sim) AS sim
                     FROM matched m JOIN postings p ON m.term = p.term
                     GROUP BY 1, 2)
-         SELECT query, doc_id, round(sim, 4) AS sim FROM (
+         SELECT query, doc_id, CAST(round(sim * 1e4) AS BIGINT) / 1e4 AS sim FROM (
            SELECT *, row_number() OVER (PARTITION BY query ORDER BY sim DESC, doc_id ASC) AS rk
            FROM perdoc)
          WHERE rk <= 10""",
@@ -1622,11 +1644,14 @@ object SparkEntry {
                          sum(n) OVER () AS n_corpus
                FROM c),
          s AS (SELECT source, n * 1.0 / n_source AS p, n_term * 1.0 / n_corpus AS q FROM w),
-         mm AS (SELECT source, p, q, (p + q) / 2 AS m FROM s)
+         mm AS (SELECT source, p, q, (p + q) / 2 AS m FROM s),
+         uu AS (SELECT source,
+                       CAST(round((p * ln(p / m) + q * ln(q / m)) * 1e9) AS BIGINT) AS a_u,
+                       CAST(round(q * 1e9) AS BIGINT) AS q_u
+                FROM mm)
          SELECT source, count(*) AS n_terms,
-                round((sum(p * ln(p / m)) + sum(q * ln(q / m))) / 2 +
-                      (1.0 - sum(q)) * ln(2) / 2, 6) AS jsd
-         FROM mm GROUP BY source""",
+                CAST(round((sum(a_u) / 1e9 / 2 + (1.0 - sum(q_u) / 1e9) * (ln(2) / 2)) * 1e6) AS BIGINT) / 1e6 AS jsd
+         FROM uu GROUP BY source""",
     "ev28_top_paths" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
@@ -1643,15 +1668,21 @@ object SparkEntry {
          GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""",
     "ev25_cusum_drift" ->
       """WITH d AS (SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-                    count(CASE WHEN event_type = 'error' THEN 1 END) * 1.0 / count(*) AS rate
+                    CAST(round(count(CASE WHEN event_type = 'error' THEN 1 END) * 1e6 / count(*)) AS BIGINT) AS rate_u
                     FROM events GROUP BY 1),
-         m AS (SELECT *, avg(rate) OVER () AS mu FROM d),
-         p AS (SELECT *, sum(rate - mu - 0.002) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS p FROM m),
-         c AS (SELECT day, rate,
-                      round(p - least(0, min(p) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)), 6) AS cusum
+         m AS (SELECT *, count(*) OVER () AS d_days, sum(rate_u) OVER () AS sum_all FROM d),
+         p AS (SELECT *,
+                      count(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS t,
+                      d_days * sum(rate_u) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                        - count(*) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                          * (sum_all + d_days * 2000) AS pp
+               FROM m),
+         c AS (SELECT day, rate_u, d_days,
+                      CAST(round((pp - least(0, min(pp) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)))
+                                 * 1.0 / d_days) AS BIGINT) AS cusum_u
                FROM p)
-         SELECT day, round(rate, 6) AS rate, cusum,
-                CASE WHEN cusum > 0.01 THEN 1 ELSE 0 END AS alarm
+         SELECT day, rate_u / 1e6 AS rate, cusum_u / 1e6 AS cusum,
+                CASE WHEN cusum_u > 10000 THEN 1 ELSE 0 END AS alarm
          FROM c""",
     "dq04_distribution_drift" ->
       """WITH b AS (SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
@@ -1682,24 +1713,24 @@ object SparkEntry {
     "rag03_mmr_retrieval" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
          c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
-         scored AS (SELECT query_id, neighbor_id, round(${duckCos("q_emb", "c_emb")}, 6) AS cos
+         scored AS (SELECT query_id, neighbor_id, CAST(round(${duckCos("q_emb", "c_emb")} * 1e6) AS BIGINT) / 1e6 AS cos
                     FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
          topk AS (SELECT query_id, neighbor_id, cos
                   FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
                         FROM scored)
                   WHERE rank <= 10),
          pair AS (SELECT a.query_id, a.neighbor_id AS na, b.neighbor_id AS nb,
-                         round(${duckCos("ea.embedding", "eb.embedding")}, 6) AS sim
+                         CAST(round(${duckCos("ea.embedding", "eb.embedding")} * 1e6) AS BIGINT) / 1e6 AS sim
                   FROM topk a
                   JOIN topk b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
                   JOIN embeddings ea ON ea.vec_id = a.neighbor_id
                   JOIN embeddings eb ON eb.vec_id = b.neighbor_id),
-         s1 AS (SELECT query_id, neighbor_id, cos, round(0.7 * cos, 4) AS mmr_score FROM (
+         s1 AS (SELECT query_id, neighbor_id, cos, CAST(round(0.7 * cos * 1e4) AS BIGINT) / 1e4 AS mmr_score FROM (
                   SELECT *, row_number() OVER (PARTITION BY query_id
-                    ORDER BY round(0.7 * cos, 4) DESC, neighbor_id ASC) AS rn
+                    ORDER BY CAST(round(0.7 * cos * 1e4) AS BIGINT) / 1e4 DESC, neighbor_id ASC) AS rn
                   FROM topk) WHERE rn = 1),
          r2 AS (SELECT t.query_id, t.neighbor_id, t.cos,
-                       round(0.7 * t.cos - 0.3 * p1.sim, 4) AS mmr_score
+                       CAST(round((0.7 * t.cos - (1 - 0.7) * p1.sim) * 1e4) AS BIGINT) / 1e4 AS mmr_score
                 FROM topk t
                 JOIN s1 ON s1.query_id = t.query_id AND t.neighbor_id <> s1.neighbor_id
                 JOIN pair p1 ON p1.query_id = t.query_id AND p1.na = t.neighbor_id AND p1.nb = s1.neighbor_id),
@@ -1708,7 +1739,7 @@ object SparkEntry {
                     ORDER BY mmr_score DESC, neighbor_id ASC) AS rn
                   FROM r2) WHERE rn = 1),
          r3 AS (SELECT t.query_id, t.neighbor_id, t.cos,
-                       round(0.7 * t.cos - 0.3 * greatest(p1.sim, p2.sim), 4) AS mmr_score
+                       CAST(round((0.7 * t.cos - (1 - 0.7) * greatest(p1.sim, p2.sim)) * 1e4) AS BIGINT) / 1e4 AS mmr_score
                 FROM topk t
                 JOIN s1 ON s1.query_id = t.query_id AND t.neighbor_id <> s1.neighbor_id
                 JOIN s2 ON s2.query_id = t.query_id AND t.neighbor_id <> s2.neighbor_id

@@ -44,7 +44,10 @@ object DataQuality {
     val w = org.apache.spark.sql.expressions.Window
       .orderBy("day").rowsBetween(-7, -1)
     daily
-      .withColumn("trailing_avg", round(avg("n_events").over(w), 2))
+      // exact ratio of long sums, one scale-0 round (the window avg's
+      // summation order is engine-dependent in its last ulps)
+      .withColumn("trailing_avg",
+        round(sum("n_events").over(w) * 1e2 / count("n_events").over(w), 0).cast("long") / 1e2)
       .withColumn("ratio",
         when(col("trailing_avg") > 0, microRatio(col("n_events"), col("trailing_avg"), 4)))
       .select(col("day"), col("n_events"), col("trailing_avg"), col("ratio"),
@@ -68,9 +71,10 @@ object DataQuality {
         count(lit(1)).as("n_keys"),
         sum("cnt").as("n_rows"),
         max("cnt").as("max_rows"),
-        round(avg("cnt"), 4).as("avg_rows"),
-        round(expr("percentile(cnt, 0.99)"), 4).as("p99_rows"),
-        microRatio(max("cnt"), avg("cnt"), 4).as("skew_factor"),
+        microRatio(sum("cnt"), count(lit(1)), 4).as("avg_rows"),
+        (round(expr("percentile(cnt, 0.99)") * 1e4, 0).cast("long") / 1e4).as("p99_rows"),
+        // max/avg = max·n_keys/n_rows — all exact longs, no double avg
+        microRatio(max("cnt") * count(lit(1)), sum("cnt"), 4).as("skew_factor"),
         microRatio(max("cnt"), sum("cnt"), 9).as("top_share"))
 
   /** tx14: per-source SimHash signature via the mergeable AGGREGATE

@@ -48,7 +48,8 @@ object Density {
         .join(broadcast(v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))),
               col("vec_a") < col("vec_b"))
         .withColumn("cos", round(
-          graft.functions.VectorFunctions.cosineSim(col("emb_a"), col("emb_b")), 6))
+          graft.functions.VectorFunctions.cosineSim(col("emb_a"), col("emb_b")) * 1e6, 0)
+          .cast("long") / 1e6)
         .filter(col("cos") >= eps)
         .select("vec_a", "vec_b", "cos")
     else Similarity.rpNearDupPairsOn(v, threshold = eps, bands, rowsPerBand)

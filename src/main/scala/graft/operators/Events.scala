@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.Numeric.{microRatio, microRound}
+import graft.functions.Numeric.{cents, microRatio, microRound}
 
 /** Event / log analytics over the `events` fact table.
   *
@@ -99,12 +99,17 @@ object Events {
     * (same plan shape, sketch-mergeable, no sort-per-group blowup).
     */
   def valuePercentiles(s: SparkSession, dir: String): DataFrame =
+    // percentile interpolates between exact integer cents: the only
+    // rounding left is scale-0 (a 2-dp round of the interpolated double
+    // can sit where Spark's shortest-repr and DuckDB's binary-value
+    // HALF_UP disagree)
     ev(s, dir)
+      .withColumn("v_c", cents(col("value")))
       .groupBy("event_type")
       .agg(
-        round(expr("percentile(value, 0.5)"), 2).as("p50"),
-        round(expr("percentile(value, 0.95)"), 2).as("p95"),
-        round(expr("percentile(value, 0.99)"), 2).as("p99"))
+        (round(expr("percentile(v_c, 0.5)"), 0).cast("long") / 1e2).as("p50"),
+        (round(expr("percentile(v_c, 0.95)"), 0).cast("long") / 1e2).as("p95"),
+        (round(expr("percentile(v_c, 0.99)"), 0).cast("long") / 1e2).as("p99"))
 
   /** ev11: sketch-based percentiles — the 100 TB form of ev03. Exact
     * percentile sorts every group; percentile_approx merges bounded
@@ -114,11 +119,12 @@ object Events {
     */
   def valuePercentilesApprox(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
+      .withColumn("v_c", cents(col("value")))
       .groupBy("event_type")
       .agg(
-        round(expr("percentile_approx(value, 0.5, 10000)"), 2).as("p50"),
-        round(expr("percentile_approx(value, 0.95, 10000)"), 2).as("p95"),
-        round(expr("percentile_approx(value, 0.99, 10000)"), 2).as("p99"))
+        (expr("percentile_approx(v_c, 0.5, 10000)") / 1e2).as("p50"),
+        (expr("percentile_approx(v_c, 0.95, 10000)") / 1e2).as("p95"),
+        (expr("percentile_approx(v_c, 0.99, 10000)") / 1e2).as("p99"))
 
   /** ev04: gap-based sessionization — a session break is >30 min idle.
     * lag + cumulative-sum-of-breaks over a per-user window; second
@@ -146,23 +152,28 @@ object Events {
   def traceSpans(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // durations carried as exact integer centi-ms: span-time sums are
+    // long sums (order-independent) and the critical-path share is a
+    // ratio of exact integers
     val spans = withSessionBreaks(ev(s, dir))
-      .withColumn("dur_ms", coalesce(col("value"), lit(0.0)))
+      .withColumn("dur_c", cents(coalesce(col("value"), lit(0.0))))
       .withColumn("trace_seq", sum("is_break").over(byUser))
     val wTop = Window.partitionBy("user_id", "trace_seq")
-      .orderBy(col("dur_ms").desc, col("event_id").asc)
+      .orderBy(col("dur_c").desc, col("event_id").asc)
     spans.withColumn("rn", row_number().over(wTop))
       .groupBy("user_id", "trace_seq")
       .agg(
         count(lit(1)).as("n_spans"),
         min("ts_s").as("trace_start"),
         (max(unix_timestamp(col("ts_s"))) - min(unix_timestamp(col("ts_s")))).as("wall_s"),
-        round(sum("dur_ms"), 2).as("total_span_ms"),
+        sum("dur_c").as("total_c"),
         count(when(col("event_type") === "error", 1)).as("n_errors"),
         max(when(col("rn") === 1, col("event_type"))).as("top_service"),
-        round(max(when(col("rn") === 1, col("dur_ms"))), 2).as("top_span_ms"))
-      .withColumn("top_share",
-        when(col("total_span_ms") > 0, microRatio(col("top_span_ms"), col("total_span_ms"), 4)))
+        max(when(col("rn") === 1, col("dur_c"))).as("top_c"))
+      .withColumn("top_share", when(col("total_c") > 0, microRatio(col("top_c"), col("total_c"), 4)))
+      .select(col("user_id"), col("trace_seq"), col("n_spans"), col("trace_start"),
+        col("wall_s"), (col("total_c") / 1e2).as("total_span_ms"), col("n_errors"),
+        col("top_service"), (col("top_c") / 1e2).as("top_span_ms"), col("top_share"))
   }
 
   /** ev05: top-N users by revenue in a time window, deterministic
@@ -172,7 +183,7 @@ object Events {
     ev(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy("user_id")
-      .agg(round(sum("value"), 2).as("revenue"), count(lit(1)).as("n_purchases"))
+      .agg((sum(cents(col("value"))) / 1e2).as("revenue"), count(lit(1)).as("n_purchases"))
       .orderBy(col("revenue").desc, col("user_id").asc)
       .limit(10)
 
@@ -358,7 +369,8 @@ object Events {
     ev(s, dir)
       .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
       .groupBy("event_type")
-      .agg(round(avg("k"), 4).as("avg_k"), max("k").as("max_k"), min("k").as("min_k"))
+      .agg((round(sum("k") * 1e4 / count("k"), 0).cast("long") / 1e4).as("avg_k"),
+           max("k").as("max_k"), min("k").as("min_k"))
 
   /** ev10: running cumulative aggregate over time (bounded: window runs
     * over the per-day aggregate, not raw events).
@@ -367,11 +379,11 @@ object Events {
     val daily = ev(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum("value").as("rev"))
+      .agg(sum(cents(col("value"))).as("rev_c"))
     daily
-      .withColumn("cum_rev", sum("rev").over(Window.orderBy("day")
+      .withColumn("cum_c", sum("rev_c").over(Window.orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .select(col("day"), round(col("rev"), 2).as("daily_rev"), round(col("cum_rev"), 2).as("cum_rev"))
+      .select(col("day"), (col("rev_c") / 1e2).as("daily_rev"), (col("cum_c") / 1e2).as("cum_rev"))
   }
 
   /** ev12: sliding range-frame count — for each error event, how many
@@ -469,10 +481,10 @@ object Events {
     val daily = ev(s, dir)
       .filter(col("event_type") === "purchase")
       .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg(sum("value").as("rev"))
+      .agg(sum(cents(col("value"))).as("rev_c"))
     val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
-    daily.select(col("day"), round(col("rev"), 2).as("daily_rev"),
-                 round(avg("rev").over(w), 2).as("ma7"))
+    daily.select(col("day"), (col("rev_c") / 1e2).as("daily_rev"),
+                 (round(sum("rev_c").over(w) / count(lit(1)).over(w), 0).cast("long") / 1e2).as("ma7"))
   }
 
   /** ev14: z-score anomaly counts — events beyond 3σ of their type's
@@ -481,17 +493,25 @@ object Events {
     * back for the outlier test.
     */
   def valueAnomalies(s: SparkSession, dir: String): DataFrame = {
-    // mu/sigma rounded before the boundary test: partial-aggregation
-    // summation order differs between engines in the last ulps, and an
-    // unrounded 3σ threshold could flip the count for a value sitting
-    // exactly on the boundary
-    val stats = ev(s, dir).groupBy(col("event_type").as("t"))
-      .agg(round(avg("value"), 6).as("mu"), round(stddev_samp("value"), 6).as("sigma"))
-    ev(s, dir)
+    // The 3σ gate is cross-multiplied into EXACT integer moments over
+    // cents (n, Σc, Σc²): |c·n − Σc|² · (n−1) > 9 · n · (n·Σc² − (Σc)²).
+    // A double mu/sigma differs between engines in its last ulps
+    // (summation order), so a value sitting exactly on the boundary
+    // could flip; rounding mu/sigma (the old form) merely moved the
+    // boundary to a representable point. Products go through
+    // decimal(38,0) — dev²·n overflows a long at any realistic SF.
+    val evC = ev(s, dir).withColumn("c", cents(col("value")))
+    val stats = evC.groupBy(col("event_type").as("t"))
+      .agg(sum("c").as("sc"), sum(col("c") * col("c")).as("sc2"), count("c").as("n"))
+    evC
       .join(broadcast(stats), col("event_type") === col("t"))
+      .withColumn("dev", col("c").cast("decimal(38,0)") * col("n") - col("sc"))
+      .withColumn("m2n", col("n").cast("decimal(38,0)") * col("sc2") -
+        col("sc").cast("decimal(38,0)") * col("sc"))
       .groupBy("event_type")
       .agg(
-        count(when(abs(col("value") - col("mu")) > col("sigma") * 3, 1)).as("n_outliers"),
+        count(when(col("dev") * col("dev") * (col("n") - 1) > col("m2n") * 9 * col("n"), 1))
+          .as("n_outliers"),
         count(lit(1)).as("n_total"))
   }
 
@@ -600,7 +620,7 @@ object Events {
   def eventTypeDaily(s: SparkSession, dir: String): DataFrame =
     ev(s, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
-      .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total_value"))
+      .agg(count(lit(1)).as("n"), (sum(cents(col("value"))) / 1e2).as("total_value"))
 
   /** es04: the weekly-recap rollup cadence (recap-worker compiles
     * weekly recaps; this is its input aggregation): per ISO week,
@@ -612,7 +632,7 @@ object Events {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct("user_id").as("active_users"),
-        round(sum(when(col("event_type") === "purchase", col("value"))), 2).as("revenue"))
+        (sum(when(col("event_type") === "purchase", cents(col("value")))) / 1e2).as("revenue"))
 
   /** es03: retention/TTL accounting — rows kept vs expired at a cutoff
     * (ClickHouse `TTL timestamp + INTERVAL 2 DAY DELETE` in
@@ -689,14 +709,14 @@ object Events {
   def serviceGraph(s: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
     withSessionBreaks(ev(s, dir))
-      .withColumn("dur_ms", coalesce(col("value"), lit(0.0)))
+      .withColumn("dur_c", cents(coalesce(col("value"), lit(0.0))))
       .withColumn("src_service",
         when(col("is_break") === 0, lag("event_type", 1).over(byUser)))
       .filter(col("src_service").isNotNull)
       .groupBy(col("src_service"), col("event_type").as("dst_service"))
       .agg(
         count(lit(1)).as("n_calls"),
-        round(expr("percentile(dur_ms, 0.95)"), 2).as("p95_ms"))
+        (round(expr("percentile(dur_c, 0.95)"), 0).cast("long") / 1e2).as("p95_ms"))
       .withColumn("out_share",
         microRatio(col("n_calls"), sum("n_calls").over(Window.partitionBy("src_service")), 4))
   }
@@ -726,15 +746,15 @@ object Events {
     val byUserCum = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val spans = withSessionBreaks(ev(s, dir))
-      .withColumn("dur_ms", coalesce(col("value"), lit(0.0)))
+      .withColumn("dur_c", cents(coalesce(col("value"), lit(0.0))))
       .withColumn("trace_seq", sum("is_break").over(byUserCum))
     val wTop = Window.partitionBy("user_id", "trace_seq")
-      .orderBy(col("dur_ms").desc, col("event_id").asc)
+      .orderBy(col("dur_c").desc, col("event_id").asc)
     val traces = spans.withColumn("rn", row_number().over(wTop))
       .groupBy("user_id", "trace_seq")
       .agg(
         count(lit(1)).as("n_spans"),
-        round(sum("dur_ms"), 2).as("total_span_ms"),
+        sum("dur_c").as("total_c"),
         max(when(col("rn") === 1, col("event_type"))).as("top_service"))
     val errLogs = spans.filter(col("event_type") === "error")
       .withColumn("line", LogMining.composedLine)
@@ -744,8 +764,10 @@ object Events {
         min("ts_s").as("first_error_ts"),
         min_by(col("line"), col("event_id")).as("exemplar_line"))
     traces.join(errLogs, Seq("user_id", "trace_seq"))
-      .orderBy(col("total_span_ms").desc, col("user_id").asc, col("trace_seq").asc)
+      .orderBy(col("total_c").desc, col("user_id").asc, col("trace_seq").asc)
       .limit(10)
+      .withColumn("total_span_ms", col("total_c") / 1e2)
+      .drop("total_c")
   }
 
   /** es05: SCD2 interval build from the event log — collapse each
@@ -796,16 +818,31 @@ object Events {
     */
   def cusumDrift(s: SparkSession, dir: String, slack: Double = 0.002,
                  threshold: Double = 0.01): DataFrame = {
+    // Exact integer pipeline: daily rates become 1e6-unit longs, and the
+    // whole prefix identity is multiplied through by D (the day count)
+    // so μ = Σrates/D never materializes as a double — P'_t =
+    // D·Σ_{j≤t} r_j − t·(Σ_all r + D·slack_u) is an exact long, the
+    // running min and the CUSUM stay exact, and the alarm gate compares
+    // longs. The old form rounded doubles whose ulps depended on the
+    // engine's summation order over the window frame.
+    val slackU = math.round(slack * 1e6)
+    val thrU = math.round(threshold * 1e6)
     val daily = ev(s, dir)
       .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg((count(when(col("event_type") === "error", 1)) / count(lit(1))).as("rate"))
+      .agg(graft.functions.Numeric.microUnits(
+        count(when(col("event_type") === "error", 1)), count(lit(1)), 6).as("rate_u"))
     val wCum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     daily
-      .withColumn("mu", avg("rate").over(Window.partitionBy()))
-      .withColumn("p", sum(col("rate") - col("mu") - lit(slack)).over(wCum))
-      .withColumn("cusum", round(col("p") - least(lit(0.0), min("p").over(wCum)), 6))
-      .withColumn("alarm", when(col("cusum") > threshold, 1).otherwise(0))
-      .select(col("day"), round(col("rate"), 6).as("rate"), col("cusum"), col("alarm"))
+      .withColumn("d_days", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("sum_all", sum("rate_u").over(Window.partitionBy()))
+      .withColumn("t", count(lit(1)).over(wCum))
+      .withColumn("pp", col("d_days") * sum("rate_u").over(wCum) -
+        col("t") * (col("sum_all") + col("d_days") * slackU))
+      .withColumn("cusum_u", round((col("pp") - least(lit(0L), min("pp").over(wCum))) / col("d_days"), 0)
+        .cast("long"))
+      .withColumn("alarm", when(col("cusum_u") > thrU, 1).otherwise(0))
+      .select(col("day"), (col("rate_u") / 1e6).as("rate"),
+        (col("cusum_u") / 1e6).as("cusum"), col("alarm"))
   }
 
   /** ev27: sliding-window distinct users from re-aggregatable HLL
@@ -885,8 +922,10 @@ object Events {
       .agg(
         countDistinct(col("user_id"), col("trace_seq")).as("converted_sessions"),
         count(lit(1)).as("n_purchases"),
-        round(sum("value"), 2).as("attributed_revenue"))
+        sum(cents(col("value"))).as("rev_c"))
     out.withColumn("revenue_share",
-      microRatio(col("attributed_revenue"), sum("attributed_revenue").over(Window.partitionBy()), 4))
+        microRatio(col("rev_c"), sum("rev_c").over(Window.partitionBy()), 4))
+      .withColumn("attributed_revenue", col("rev_c") / 1e2)
+      .drop("rev_c")
   }
 }

@@ -112,7 +112,7 @@ object KMeans {
   def km02(s: SparkSession, dir: String): DataFrame =
     fitMiniBatch(Tables.embeddings(s, dir), epochs = 3, fraction = 0.3)
       .groupBy("cluster")
-      .agg(count(lit(1)).as("n_vecs"), round(avg("cc"), 4).as("mean_cos"))
+      .agg(count(lit(1)).as("n_vecs"), (round(sum(round(col("cc") * 1e6, 0).cast("long")) / (count(lit(1)) * 1e2), 0).cast("long") / 1e4).as("mean_cos"))
       .orderBy("cluster")
 
   /** km01 adapter: cluster sizes + rounded mean in-cluster cosine
@@ -121,7 +121,7 @@ object KMeans {
   def km01(s: SparkSession, dir: String): DataFrame =
     fit(Tables.embeddings(s, dir), 3)
       .groupBy("cluster")
-      .agg(count(lit(1)).as("n_vecs"), round(avg("cc"), 4).as("mean_cos"))
+      .agg(count(lit(1)).as("n_vecs"), (round(sum(round(col("cc") * 1e6, 0).cast("long")) / (count(lit(1)) * 1e2), 0).cast("long") / 1e4).as("mean_cos"))
       .orderBy("cluster")
 
   /** km05: clustering quality metrics over a fitted assignment — the
@@ -142,8 +142,8 @@ object KMeans {
   def clusterMetrics(assigned: DataFrame): DataFrame = {
     val cohesion = assigned.groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
-           round(avg("cc"), 4).as("mean_cc"),
-           round(min("cc"), 4).as("min_cc"))
+           (round(sum(round(col("cc") * 1e6, 0).cast("long")) / (count(lit(1)) * 1e2), 0).cast("long") / 1e4).as("mean_cc"),
+           (round(min("cc") * 1e4, 0).cast("long") / 1e4).as("min_cc"))
     val cents = Similarity.centroidsFor(assigned, "cluster")
     val cc = cents.select(col("cell").as("cluster"), col("centroid").as("c_a"))
       .join(broadcast(cents.select(col("cell").as("other"), col("centroid").as("c_b"))),
@@ -153,9 +153,9 @@ object KMeans {
       .partitionBy("cluster").orderBy(col("cos").desc, col("other").asc)
     val nearest = cc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("cluster"), col("other").as("nn_cluster"),
-              round(col("cos"), 4).as("nn_cos"))
+              (round(col("cos") * 1e4, 0).cast("long") / 1e4).as("nn_cos"))
     cohesion.join(nearest, Seq("cluster"), "left")
-      .withColumn("separation", round(col("mean_cc") - col("nn_cos"), 4))
+      .withColumn("separation", round((col("mean_cc") - col("nn_cos")) * 1e4, 0).cast("long") / 1e4)
       .orderBy("cluster")
   }
 

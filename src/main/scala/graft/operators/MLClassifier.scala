@@ -55,7 +55,7 @@ object MLClassifier {
       .fit(f.filter(col("is_train")))
     model.transform(f.filter(!col("is_train")))
       .select(col("doc_id"), col("label"), col("prediction"),
-              round(element_at(vector_to_array(col("probability")), 2), 4).as("p_pass"))
+              (round(element_at(vector_to_array(col("probability")), 2) * 1e4, 0).cast("long") / 1e4).as("p_pass"))
   }
 
   /** ml02 adapter: held-out agreement with the rule gate. */
@@ -63,6 +63,7 @@ object MLClassifier {
     fitAndScore(s, dir)
       .agg(
         count(lit(1)).as("n_scored"),
-        round(avg(when(col("label") === col("prediction"), 1.0).otherwise(0.0)), 4).as("accuracy"),
-        round(avg("p_pass"), 4).as("mean_p_pass"))
+        graft.functions.Numeric.microRatio(
+          count(when(col("label") === col("prediction"), 1)), count(lit(1)), 4).as("accuracy"),
+        (round(sum(round(col("p_pass") * 1e4, 0).cast("long")) * 1.0 / count(lit(1)), 0).cast("long") / 1e4).as("mean_p_pass"))
 }

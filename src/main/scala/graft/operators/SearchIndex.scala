@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions.{tokenCount, tokens}
-import graft.functions.Numeric.microRound
+import graft.functions.Numeric.{microRatio, microRound}
 
 /** Materialized search-index build — the search-indexer's batch job
   * (search-indexer/app builds the index its search service queries)
@@ -127,7 +127,7 @@ object SearchIndex {
       .select(col("doc_id"), col("term"), col("tf"))
     val ds = s.table(s"${prefix}_docstats")
     val ts = s.table(s"${prefix}_termstats").filter(col("term").isin(query: _*))
-    val stats = ds.agg(count(lit(1)).as("n_docs"), microRound(avg("dl"), 6).as("avgdl"))
+    val stats = ds.agg(count(lit(1)).as("n_docs"), microRatio(sum("dl"), count(lit(1)), 6).as("avgdl"))
     post.join(ds, "doc_id")
       .join(broadcast(ts), "term")
       .crossJoin(broadcast(stats))
@@ -167,7 +167,7 @@ object SearchIndex {
       .select(col("doc_id"), col("term"), col("tf"))
     val ds = s.table(s"${prefix}_docstats")
     val ts = s.table(s"${prefix}_termstats").filter(col("term").isin(query: _*))
-    val stats = ds.agg(count(lit(1)).as("n_docs"), microRound(avg("dl"), 6).as("avgdl"))
+    val stats = ds.agg(count(lit(1)).as("n_docs"), microRatio(sum("dl"), count(lit(1)), 6).as("avgdl"))
     val candidates = ds.filter(docFilter).select(col("doc_id"), col("dl"))
     post.join(candidates, "doc_id")
       .join(broadcast(ts), "term")

@@ -32,7 +32,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")) * 1e6, 0).cast("long") / 1e6)
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -141,12 +141,19 @@ object Similarity {
     * oracle-checkable scalar summary.
     */
   def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    // Exact integer pipeline: components quantize to 1e6-unit longs per
+    // element, per-dim sums are exact longs, squared sums accumulate in
+    // decimal(38,0) (order-independent), and the norm does ONE sqrt +
+    // scale-0 round — norm = sqrt(Σ_d S_d²)/(n·1e6), with no
+    // engine-order-dependent double avg anywhere.
     Tables.embeddings(s, dir)
       .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("v_u", round(col("v").cast("double") * 1e6, 0).cast("long"))
       .groupBy("label", "pos")
-      .agg(avg(col("v").cast("double")).as("c"))
+      .agg(sum("v_u").as("s_u"), count(lit(1)).as("n"))
       .groupBy("label")
-      .agg(round(sqrt(sum(col("c") * col("c"))), 6).as("centroid_norm"))
+      .agg((round(sqrt(sum((col("s_u").cast("decimal(38,0)") * col("s_u"))).cast("double"))
+        / max("n"), 0).cast("long") / 1e6).as("centroid_norm"))
 
   /** sim03: embedding-cosine near-dup pairs, blocked by label.
     *
@@ -165,7 +172,7 @@ object Similarity {
     val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, "label")
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosineSim(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos", round(cosineSim(col("emb_a"), col("emb_b")) * 1e6, 0).cast("long") / 1e6)
       .filter(col("cos") >= 0.3)
       .select("label", "vec_a", "vec_b", "cos")
   }
@@ -208,7 +215,7 @@ object Similarity {
     cand
       .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-      .withColumn("cos", round(cosineSim(col("emb_a"), col("emb_b")), 6))
+      .withColumn("cos", round(cosineSim(col("emb_a"), col("emb_b")) * 1e6, 0).cast("long") / 1e6)
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
@@ -280,7 +287,7 @@ object Similarity {
     assigned.select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
       .join(broadcast(queries), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")) * 1e6, 0).cast("long") / 1e6)
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select("query_id", "cell", "neighbor_id", "cos", "rank")
@@ -328,7 +335,7 @@ object Similarity {
     val corpus = q8.select(col("vec_id").as("neighbor_id"), col("q_emb").as("c_q"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosineSim(col("q_q"), col("c_q")), 6))
+      .withColumn("cos", round(cosineSim(col("q_q"), col("c_q")) * 1e6, 0).cast("long") / 1e6)
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
@@ -418,7 +425,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("pq_score").desc, col("neighbor_id").asc)
     val result = coded.select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("pq_score", round(score, 6))
+      .withColumn("pq_score", (round(score * 1e6, 0).cast("long") / 1e6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= candidates)
       .select("query_id", "neighbor_id", "pq_score", "rank")
@@ -505,7 +512,7 @@ object Similarity {
     assigned.select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
       .join(broadcast(queries), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")), 6))
+      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")) * 1e6, 0).cast("long") / 1e6)
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select("query_id", "cell", "neighbor_id", "cos", "rank")
@@ -650,7 +657,7 @@ object Similarity {
       .join(broadcast(emb.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
         "query_id")
-      .withColumn("cos", round(cosineSim(col("q_emb"), col("embedding")), 6))
+      .withColumn("cos", round(cosineSim(col("q_emb"), col("embedding")) * 1e6, 0).cast("long") / 1e6)
       .withColumn("rank", row_number().over(byCos))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "hamming", "cos", "rank")

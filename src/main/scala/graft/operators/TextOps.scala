@@ -35,7 +35,7 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
-        round(avg("n_tokens"), 2).as("avg_tokens"),
+        (round(sum("n_tokens") * 1e2 / count(lit(1)), 0).cast("long") / 1e2).as("avg_tokens"),
         max("n_tokens").as("max_tokens"))
 
   /** tx02: global top-K term frequency (the inverted-index head). */
@@ -272,7 +272,7 @@ object TextOps {
           .as("n_bpe_tokens"))
       .groupBy()
       .agg(sum("n_bpe_tokens").as("total_tokens"),
-           round(avg("n_bpe_tokens"), 2).as("avg_tokens"),
+           (round(sum("n_bpe_tokens") * 1e2 / count(lit(1)), 0).cast("long") / 1e2).as("avg_tokens"),
            max("n_bpe_tokens").as("max_tokens"))
 
   /** tx16: token stats under the CJK-aware mixed tokenizer — the
@@ -292,7 +292,7 @@ object TextOps {
       .agg(
         count(lit(1)).as("n_docs"),
         sum("n_tokens").as("total_tokens"),
-        round(avg("n_tokens"), 2).as("avg_tokens"),
+        (round(sum("n_tokens") * 1e2 / count(lit(1)), 0).cast("long") / 1e2).as("avg_tokens"),
         sum(col("n_tokens") - col("n_word_tokens")).as("cjk_char_tokens"))
 
   /** tx18: BM25-ranked full-text search — the scoring function behind
@@ -311,7 +311,7 @@ object TextOps {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
-    val stats = docs.agg(count(lit(1)).as("n_docs"), microRound(avg("dl"), 6).as("avgdl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), microRatio(sum("dl"), count(lit(1)), 6).as("avgdl"))
     val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(query: _*))
       .groupBy("doc_id", "dl", "term")
@@ -362,7 +362,7 @@ object TextOps {
               col("n_chars").between(100, 400))
       .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
       .withColumn("dl", size(col("toks")))
-    val stats = docs.agg(count(lit(1)).as("n_docs"), microRound(avg("dl"), 6).as("avgdl"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), microRatio(sum("dl"), count(lit(1)), 6).as("avgdl"))
     val tf = docs.select(col("doc_id"), col("source"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(query: _*))
       .groupBy("doc_id", "source", "dl", "term")
@@ -408,7 +408,7 @@ object TextOps {
     val b = d.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     a.join(b, "source")
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", round(jaccard(col("toks_a"), col("toks_b")), 4))
+      .withColumn("jaccard", round(jaccard(col("toks_a"), col("toks_b")) * 1e4, 0).cast("long") / 1e4)
       .filter(col("jaccard") >= 0.6)
       .select("source", "doc_a", "doc_b", "jaccard")
   }
@@ -693,11 +693,15 @@ object TextOps {
       .crossJoin(broadcast(nDocs))
       .withColumn("n2", col("n_docs") + lit(2))
       .withColumn("p_ab", (coalesce(col("joint"), lit(0L)) + 1) / col("n2"))
-      .withColumn("npmi",
+      // per-pair NPMI in exact 1e6-unit longs (scale-0 round of an
+      // identical-double quotient), so the per-source mean is a ratio
+      // of exact integers — no engine-order-dependent double sum
+      .withColumn("npmi_u",
         round(log(col("p_ab") * col("n2") * col("n2") / ((col("df_a") + 1) * (col("df_b") + 1))) /
-              -log(col("p_ab")), 6))
+              -log(col("p_ab")) * 1e6, 0).cast("long"))
     val result = pairs.groupBy("source")
-      .agg(count(lit(1)).as("n_pairs"), round(avg("npmi"), 4).as("coherence"))
+      .agg(count(lit(1)).as("n_pairs"),
+           (round(sum("npmi_u") / (count(lit(1)) * 1e2), 0).cast("long") / 1e4).as("coherence"))
     val rows = result.collect()
     dt.unpersist(); topTerms.unpersist(); dtt.unpersist()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
@@ -773,7 +777,7 @@ object TextOps {
     pe.unpersist() // ranks are materialized inside weightedPagerank
     val top = ranks
       .orderBy(col("rank").desc, col("node").asc).limit(topK)
-      .select(col("node").as("term"), round(col("rank"), 6).as("rank"))
+      .select(col("node").as("term"), (round(col("rank") * 1e6, 0).cast("long") / 1e6).as("rank"))
     val rows = top.collect()
     ranks.unpersist()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
@@ -817,7 +821,7 @@ object TextOps {
       .join(d.select(col("doc_id").as("doc_a"), col("source"), col("toks").as("toks_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("toks").as("toks_b")), "doc_b")
       .filter(col("source") === col("source_b"))
-      .withColumn("jaccard", round(jaccard(col("toks_a"), col("toks_b")), 4))
+      .withColumn("jaccard", round(jaccard(col("toks_a"), col("toks_b")) * 1e4, 0).cast("long") / 1e4)
       .filter(col("jaccard") >= 0.6)
       .select("source", "doc_a", "doc_b", "jaccard")
   }
@@ -876,10 +880,30 @@ object TextOps {
       .limit(topK)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("freq").desc, col("term").asc)))
-    val fit = top.agg(
-      count(lit(1)).as("n_ranked"),
-      round(expr("regr_slope(ln(freq), ln(rank))"), 6).as("zipf_slope"),
-      round(expr("regr_r2(ln(freq), ln(rank))"), 6).as("zipf_r2"))
+    // The regression runs on exact integer moments of 1e6-unit logs:
+    // regr_slope/regr_r2 sum doubles in engine order, so their 6-dp
+    // rounds could diverge; here Sxy = n·Σxy − Σx·Σy etc. are exact
+    // longs (Σxy products fit: |u| ≤ 2e7, K ≤ 1e4), the slope is one
+    // identical-double quotient, and R² goes through decimal(38,0)
+    // squares.
+    val fit = top
+      .withColumn("xu", round(log(col("rank")) * 1e6, 0).cast("long"))
+      .withColumn("yu", round(log(col("freq")) * 1e6, 0).cast("long"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum("xu").as("sx"), sum("yu").as("sy"),
+        sum(col("xu") * col("xu")).as("sxx"),
+        sum(col("yu") * col("yu")).as("syy"),
+        sum(col("xu") * col("yu")).as("sxy"))
+      .withColumn("cxy", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("cxx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("cyy", col("n") * col("syy") - col("sy") * col("sy"))
+      .select(
+        col("n").as("n_ranked"),
+        (round(col("cxy") * 1e6 / col("cxx"), 0).cast("long") / 1e6).as("zipf_slope"),
+        (round((col("cxy").cast("decimal(38,0)") * col("cxy")).cast("double") * 1e6 /
+               (col("cxx").cast("decimal(38,0)") * col("cyy")).cast("double"), 0)
+          .cast("long") / 1e6).as("zipf_r2"))
     val totals = freqs.agg(
       count(lit(1)).as("vocab_size"),
       sum("freq").as("total_tokens"))
@@ -1028,7 +1052,7 @@ object TextOps {
     val w = Window.partitionBy("query").orderBy(col("sim").desc, col("doc_id").asc)
     val out = perDoc
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("query"), col("doc_id"), round(col("sim"), 4).as("sim"))
+      .select(col("query"), col("doc_id"), (round(col("sim") * 1e4, 0).cast("long") / 1e4).as("sim"))
     val rows = out.collect() // |queries|·k rows — materialize, then drop the caches
     vocab.unpersist(); postings.unpersist()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
@@ -1067,14 +1091,21 @@ object TextOps {
       .withColumn("p", col("n") / col("n_source"))
       .withColumn("q", col("n_term") / col("n_corpus"))
       .withColumn("m", (col("p") + col("q")) / 2)
+    // per-term contributions quantize to exact 1e9-unit longs before the
+    // sums (double sums are engine-order-dependent in their last ulps,
+    // and the old 6-dp round of that sum was the latent flip class);
+    // the closed-form absent-terms tail uses the SAME exact Σq units
     val out = scored
+      .withColumn("a_u",
+        round((col("p") * log(col("p") / col("m")) + col("q") * log(col("q") / col("m"))) * 1e9, 0)
+          .cast("long"))
+      .withColumn("q_u", round(col("q") * 1e9, 0).cast("long"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_terms"),
-        round(
-          (sum(col("p") * log(col("p") / col("m"))) +
-           sum(col("q") * log(col("q") / col("m")))) / 2 +
-          (lit(1.0) - sum(col("q"))) * lit(math.log(2.0) / 2), 6).as("jsd"))
+        (round((sum("a_u") / 1e9 / 2 +
+                (lit(1.0) - sum("q_u") / 1e9) * lit(math.log(2.0) / 2)) * 1e6, 0)
+          .cast("long") / 1e6).as("jsd"))
     // |sources| rows — materialize eagerly to release the counts cache
     Dedup.materialized(out) { base.unpersist() }
   }

@@ -111,16 +111,20 @@ class CurationOpsSpec extends SparkSpec {
   test("ev25 CUSUM: matches the direct max(0, S+d) recursion on the daily series") {
     val out = Events.cusumDrift(spark, sfDir).collect().sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
     assert(out.nonEmpty)
+    // the operator runs the recursion over 1e-6-quantized daily rates
+    // (exact integer pipeline) — mirror that quantization here, and
+    // allow the final scale-0 output round (≤ 0.5e-6)
     val daily = Tables.events(spark, sfDir)
       .groupBy(date_trunc("day", col("ts")).as("day"))
-      .agg((count(when(col("event_type") === "error", 1)) / count(lit(1))).as("rate"))
+      .agg(graft.functions.Numeric.microUnits(
+        count(when(col("event_type") === "error", 1)), count(lit(1)), 6).as("rate_u"))
       .collect().sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
-      .map(_.getAs[Double]("rate"))
+      .map(_.getAs[Long]("rate_u") / 1e6)
     val mu = daily.sum / daily.length
     var sRun = 0.0
     daily.zip(out).foreach { case (x, row) =>
       sRun = math.max(0.0, sRun + (x - mu - 0.002))
-      assert(math.abs(row.getAs[Double]("cusum") - sRun) < 1e-6)
+      assert(math.abs(row.getAs[Double]("cusum") - sRun) < 6e-7)
       assert((row.getAs[Int]("alarm") == 1) == (row.getAs[Double]("cusum") > 0.01))
     }
   }
