@@ -67,6 +67,8 @@ object SparkEntry {
     "ev17_window_funnel"            -> (Events.windowFunnel _),
     "ev29_sequence_count"           -> ((s: SparkSession, dir: String) => Events.sequenceCount(s, dir)),
     "ev30_sli_metrics"              -> (Events.sliProjection _),
+    "ev31_http_golden_signals"      -> (HttpLogs.ev31 _),
+    "ev32_apdex"                    -> ((s: SparkSession, dir: String) => Events.apdexScore(s, dir)),
     "ev18_decay_ranking"            -> (Events.decayRanking _),
     "ev19_cohort_retention"         -> (Events.cohortRetention _),
     "ev20_value_histogram"          -> ((s: SparkSession, dir: String) => Events.valueHistogram(s, dir)),
@@ -79,6 +81,7 @@ object SparkEntry {
     "ev28_top_paths"                -> ((s: SparkSession, dir: String) => Events.topPaths(s, dir)),
     "ot02_service_graph"            -> (Events.serviceGraph _),
     "ot03_trace_error_logs"         -> (Events.traceErrorLogs _),
+    "ot04_span_events"              -> (Events.spanEvents _),
     "es05_scd2_intervals"           -> (Events.scd2Intervals _),
     "lt01_log_templates"            -> (LogMining.logTemplates _),
     "lt02_novel_templates"          -> (LogMining.novelTemplates _),
@@ -645,13 +648,46 @@ object SparkEntry {
       """WITH m AS (SELECT CAST(date_trunc('minute', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS bucket,
                            count(*) AS n,
                            count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
-                           count(DISTINCT user_id) AS n_users
+                           count(DISTINCT user_id) AS n_users,
+                           count(CASE WHEN value < 100 THEN 1 END) AS n_sat,
+                           count(CASE WHEN value >= 100 AND value < 500 THEN 1 END) AS n_tol
                     FROM events GROUP BY 1)
          SELECT bucket, 'log_throughput' AS metric, CAST(n AS DOUBLE) AS value FROM m
          UNION ALL
          SELECT bucket, 'error_rate', CAST(round(n_err * 1e4 / n) AS BIGINT) / 1e4 FROM m
          UNION ALL
-         SELECT bucket, 'active_users', CAST(n_users AS DOUBLE) FROM m""",
+         SELECT bucket, 'active_users', CAST(n_users AS DOUBLE) FROM m
+         UNION ALL
+         SELECT bucket, 'apdex', CAST(round((2 * n_sat + n_tol) * 1e4 / (2 * n)) AS BIGINT) / 1e4 FROM m""",
+    // the oracle shortcuts the map-shape composition: the producer gate
+    // semantics reduce to (nginx bucket AND NOT the key-stripped 'click'
+    // rows) OR plecto bucket — the map plumbing itself is spec-verified
+    "ev31_http_golden_signals" ->
+      """WITH l AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
+                           coalesce(user_id, 0) % 3 AS b, event_type,
+                           coalesce(value, 0) AS v
+                    FROM events),
+         n AS (SELECT CAST(date_trunc('minute', ts) AS TIMESTAMP) AS bucket,
+                      CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+                      CASE WHEN b = 0 THEN CAST(round(v * 10) AS BIGINT) ELSE 0 END AS size,
+                      CASE WHEN b = 1 THEN CAST(round(v * 100) AS BIGINT) ELSE 0 END AS dur_c
+               FROM l
+               WHERE (b = 0 AND event_type <> 'click') OR b = 1)
+         SELECT bucket, count(*) AS n_requests,
+                CAST(sum(is_err) AS BIGINT) AS n_errors,
+                CAST(round(sum(is_err) * 1e4 / count(*)) AS BIGINT) / 1e4 AS error_rate,
+                CAST(sum(size) AS BIGINT) AS total_bytes,
+                CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_latency_ms
+         FROM n GROUP BY bucket""",
+    "ev32_apdex" ->
+      """SELECT event_type AS service,
+         count(*) AS n_requests,
+         count(CASE WHEN value < 100 THEN 1 END) AS n_satisfied,
+         count(CASE WHEN value >= 100 AND value < 500 THEN 1 END) AS n_tolerating,
+         CAST(round((count(CASE WHEN value < 100 THEN 1 END) * 2
+                     + count(CASE WHEN value >= 100 AND value < 500 THEN 1 END)) * 1e4
+                    / (count(*) * 2)) AS BIGINT) / 1e4 AS apdex
+         FROM events GROUP BY ROLLUP (service)""",
     "ev29_sequence_count" ->
       """WITH ab AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type
                      FROM events
@@ -1259,6 +1295,34 @@ object SparkEntry {
                 n_error_logs, first_error_ts, exemplar_line
          FROM tr JOIN el USING (user_id, trace_seq)
          ORDER BY total_c DESC, user_id ASC, trace_seq ASC LIMIT 10""",
+    "ot04_span_events" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                    CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS dur_c,
+                    date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
+         g AS (SELECT *, epoch(ts_s) - epoch(lag(ts_s) OVER uw) AS gap_s,
+                      lag(event_id) OVER uw AS prev_id
+               FROM e WINDOW uw AS (PARTITION BY user_id ORDER BY ts_s, event_id)),
+         b AS (SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END AS is_break FROM g),
+         t AS (SELECT *, CAST(sum(is_break) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS trace_seq,
+                      CASE WHEN is_break = 0 AND prev_id IS NOT NULL THEN 1 ELSE 0 END AS n_links
+               FROM b),
+         tr AS (SELECT user_id, trace_seq, count(*) AS n_spans, sum(dur_c) AS total_c
+                FROM t GROUP BY 1, 2),
+         se AS (SELECT user_id, trace_seq, event_id, n_links, ts_s,
+                       CASE WHEN event_type = 'error' THEN 'exception' ELSE 'commit' END AS event_name
+                FROM t WHERE event_type IN ('error', 'purchase')),
+         ex AS (SELECT user_id, trace_seq,
+                       count(*) AS n_span_events,
+                       count(CASE WHEN event_name = 'exception' THEN 1 END) AS n_exceptions,
+                       min(CASE WHEN event_name = 'exception' THEN ts_s END) AS first_exception_ts,
+                       min(CASE WHEN event_name = 'exception' THEN event_id END) AS exemplar_span,
+                       CAST(sum(CASE WHEN event_name = 'exception' THEN n_links ELSE 0 END) AS BIGINT) AS n_linked
+                FROM se GROUP BY 1, 2
+                HAVING count(CASE WHEN event_name = 'exception' THEN 1 END) > 0)
+         SELECT tr.user_id, tr.trace_seq, n_spans, total_c / 1e2 AS total_span_ms,
+                n_span_events, n_exceptions, first_exception_ts, exemplar_span, n_linked
+         FROM tr JOIN ex USING (user_id, trace_seq)""",
     "es05_scd2_intervals" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
                     date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),

@@ -77,22 +77,59 @@ object Events {
   def sliProjection(s: SparkSession, dir: String): DataFrame =
     sliProjectionOn(ev(s, dir))
 
-  /** Long-format SLI projection over any events-shaped frame. */
+  /** Long-format SLI projection over any events-shaped frame.
+    *
+    * apdex is the per-minute Apdex score the reference's trace-explorer
+    * dashboard computes (observability/grafana/dashboards/
+    * trace-explorer.json: `(countIf(d<100) + 0.5·countIf(100≤d<500)) /
+    * count()`), emitted here as ONE MORE COLUMN in the same aggregation
+    * — the design claim of this projection made concrete: a new SLO
+    * metric never costs another pass over the log. The half-weight is
+    * cross-multiplied into integers ((2·sat + tol)/(2·n)) so the score
+    * is an exact-integer ratio with one scale-0 round.
+    */
   def sliProjectionOn(events: DataFrame): DataFrame =
     events
       .groupBy(date_trunc("minute", col("ts")).as("bucket"))
       .agg(
         count(lit(1)).as("n"),
         count(when(col("event_type") === "error", 1)).as("n_err"),
-        countDistinct("user_id").as("n_users"))
-      // error_rate rounds at scale 0 in 1e-4 units — a ROUND(x, 4) of
-      // the double quotient sits on engine-divergent half-way
-      // boundaries (57/800 = 0.07125); see the tx21/tx25 discipline
+        countDistinct("user_id").as("n_users"),
+        count(when(col("value") < 100, 1)).as("n_sat"),
+        count(when(col("value") >= 100 && col("value") < 500, 1)).as("n_tol"))
+      // ratios round at scale 0 in 1e-4 units — a ROUND(x, 4) of the
+      // double quotient sits on engine-divergent half-way boundaries
+      // (57/800 = 0.07125); see the tx21/tx25 discipline
       .select(col("bucket"), expr(
-        """stack(3,
+        """stack(4,
              'log_throughput', CAST(n AS DOUBLE),
              'error_rate', CAST(ROUND(n_err * 1e4 / n) AS BIGINT) / 1e4,
-             'active_users', CAST(n_users AS DOUBLE)) AS (metric, value)"""))
+             'active_users', CAST(n_users AS DOUBLE),
+             'apdex', CAST(ROUND((2 * n_sat + n_tol) * 1e4 / (2 * n)) AS BIGINT) / 1e4
+           ) AS (metric, value)"""))
+
+  /** ev32: Apdex score per service + the overall rollup row — the
+    * named SLO metric the reference's trace-explorer dashboard derives
+    * from request durations (observability/grafana/dashboards/
+    * trace-explorer.json: satisfied < 100 ms, tolerating < 500 ms,
+    * apdex = (satisfied + 0.5·tolerating)/count, overall and bucketed).
+    * The half-weight is cross-multiplied into exact integers
+    * ((2·sat + tol)/(2·n)) so the score never rounds a double quotient;
+    * one ROLLUP aggregation, map-side combined — q10's conditional-agg
+    * shape with a hierarchical total.
+    */
+  def apdexScore(s: SparkSession, dir: String,
+                 satMs: Double = 100.0, tolMs: Double = 500.0): DataFrame =
+    ev(s, dir)
+      .rollup(col("event_type").as("service"))
+      .agg(
+        count(lit(1)).as("n_requests"),
+        count(when(col("value") < satMs, 1)).as("n_satisfied"),
+        count(when(col("value") >= satMs && col("value") < tolMs, 1)).as("n_tolerating"),
+        microRatio(
+          count(when(col("value") < satMs, 1)) * 2 +
+            count(when(col("value") >= satMs && col("value") < tolMs, 1)),
+          count(lit(1)) * 2, 4).as("apdex"))
 
   /** ev03: exact p50/p95/p99 per group (latency SLO pattern). Exact
     * percentile for oracle parity; at 100 TB swap to percentile_approx
@@ -768,6 +805,68 @@ object Events {
       .limit(10)
       .withColumn("total_span_ms", col("total_c") / 1e2)
       .drop("total_c")
+  }
+
+  /** ot04: span events/links explode — the nested `Events.*`/`Links.*`
+    * array columns the reference adds to its trace table
+    * (clickhouse/migrations/010_alter_otel_traces_nested_events.sql:
+    * Events.Timestamp/Name/Attributes, Links.TraceId/SpanId arrays per
+    * span, the OTel spec shape Grafana's trace panel reads) made
+    * queryable: every span carries a nested array of span-level events
+    * (exception on error spans, commit on purchases — attributes from
+    * props) and a links array (the preceding in-trace span — the trace
+    * context a span links to); `explode` turns them into rows with the
+    * span context kept, and the exception rows join back to ot01's
+    * trace frame for the exception-drilldown panel ("show me the traces
+    * whose spans recorded exceptions, with trace stats and an exemplar
+    * span").
+    *
+    * Scale: the nested arrays are a stateless projection of the
+    * sessionize output and the explode is a bounded fan-out (≤1 event
+    * per span here, ≤ a few in OTel practice) — no shuffle of its own;
+    * the trace aggregation, the exception rollup, and their join ALL
+    * reuse the one hash(user_id) partitioning (user ⊆ (user, trace)),
+    * so the whole query still shuffles once like ot01/ot03.
+    */
+  def spanEvents(s: SparkSession, dir: String): DataFrame = {
+    val byUserCum = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_s"), col("event_id"))
+    val emptyEvents = "array<struct<name:string,ev_ts:timestamp,attrs:string>>"
+    val spans = withSessionBreaks(ev(s, dir))
+      .withColumn("dur_c", cents(coalesce(col("value"), lit(0.0))))
+      .withColumn("trace_seq", sum("is_break").over(byUserCum))
+      .withColumn("prev_span", when(col("is_break") === 0, lag("event_id", 1).over(byUser)))
+      .withColumn("span_events",
+        when(col("event_type") === "error",
+          array(struct(lit("exception").as("name"), col("ts_s").as("ev_ts"),
+            coalesce(col("props"), lit("{}")).as("attrs"))))
+        .when(col("event_type") === "purchase",
+          array(struct(lit("commit").as("name"), col("ts_s").as("ev_ts"),
+            coalesce(col("props"), lit("{}")).as("attrs"))))
+        .otherwise(array().cast(emptyEvents)))
+      .withColumn("links",
+        when(col("prev_span").isNotNull, array(col("prev_span")))
+          .otherwise(array().cast("array<long>")))
+    val evRows = spans
+      .select(col("user_id"), col("trace_seq"), col("event_id"),
+        size(col("links")).as("n_links"), explode(col("span_events")).as("se"))
+      .select(col("user_id"), col("trace_seq"), col("event_id"), col("n_links"),
+        col("se.name").as("event_name"), col("se.ev_ts").as("ev_ts"))
+    val traces = spans.groupBy("user_id", "trace_seq")
+      .agg(count(lit(1)).as("n_spans"), sum("dur_c").as("total_c"))
+    val exc = evRows.groupBy("user_id", "trace_seq")
+      .agg(
+        count(lit(1)).as("n_span_events"),
+        count(when(col("event_name") === "exception", 1)).as("n_exceptions"),
+        min(when(col("event_name") === "exception", col("ev_ts"))).as("first_exception_ts"),
+        min(when(col("event_name") === "exception", col("event_id"))).as("exemplar_span"),
+        sum(when(col("event_name") === "exception", col("n_links")).otherwise(0)).as("n_linked"))
+      .filter(col("n_exceptions") > 0)
+    traces.join(exc, Seq("user_id", "trace_seq"))
+      .select(col("user_id"), col("trace_seq"), col("n_spans"),
+        (col("total_c") / 1e2).as("total_span_ms"), col("n_span_events"),
+        col("n_exceptions"), col("first_exception_ts"), col("exemplar_span"), col("n_linked"))
   }
 
   /** es05: SCD2 interval build from the event log — collapse each

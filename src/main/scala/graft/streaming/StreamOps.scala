@@ -70,12 +70,16 @@ object StreamOps {
       .agg(
         count(lit(1)).as("n"),
         count(when(col("event_type") === "error", 1)).as("n_err"),
-        approx_count_distinct("user_id").as("n_users"))
+        approx_count_distinct("user_id").as("n_users"),
+        count(when(col("value") < 100, 1)).as("n_sat"),
+        count(when(col("value") >= 100 && col("value") < 500, 1)).as("n_tol"))
       .select(col("window.start").as("bucket"), expr(
-        """stack(3,
+        """stack(4,
              'log_throughput', CAST(n AS DOUBLE),
              'error_rate', CAST(ROUND(n_err * 1e4 / n) AS BIGINT) / 1e4,
-             'active_users', CAST(n_users AS DOUBLE)) AS (metric, value)"""))
+             'active_users', CAST(n_users AS DOUBLE),
+             'apdex', CAST(ROUND((2 * n_sat + n_tol) * 1e4 / (2 * n)) AS BIGINT) / 1e4
+           ) AS (metric, value)"""))
 
   /** st09: streaming heavy hitters — approximate top-k keys per
     * tumbling window via the mergeable SpaceSaving aggregate (ev22's

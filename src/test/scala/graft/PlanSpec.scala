@@ -101,6 +101,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 2, s"expected <=2 shuffles, got ${shuffles.size}")
   }
 
+  test("ot04 span-events explode adds no exchanges beyond the two branch sessionize shuffles") {
+    val nodes = allNodes(finalPlan("ot04_span_events"))
+    val shuffles = nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    // the nested-array build and the explode are stateless projections;
+    // the trace agg, the exception rollup, and their join must all ride
+    // the per-branch user_id window shuffle
+    assert(shuffles.size <= 2, s"expected <=2 shuffles, got ${shuffles.size}")
+  }
+
   test("tx42 filter-composed search: attribute + range predicates reach the documents scan") {
     val f = formatted("tx42_filtered_search")
     // the search-with-filters contract: the predicate prunes at the

@@ -174,8 +174,10 @@ class Round4cOpsSpec extends SparkSpec {
     assert(out(("2024-01-01 00:00", "active_users")) == 2.0)
     assert(out(("2024-01-01 00:01", "log_throughput")) == 1.0)
     assert(out(("2024-01-01 00:01", "error_rate")) == 0.0)
+    // every value < 100 ms → all requests satisfied
+    assert(out(("2024-01-01 00:00", "apdex")) == 1.0)
     // every bucket carries every metric — the long-format contract
-    assert(out.keys.map(_._1).toSet.size * 3 == out.size)
+    assert(out.keys.map(_._1).toSet.size * 4 == out.size)
   }
 
   test("es07 incremental rollup: partial-merge refresh equals full batch recompute, bit for bit") {

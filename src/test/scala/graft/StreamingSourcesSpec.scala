@@ -480,6 +480,9 @@ class StreamingSourcesSpec extends SparkSpec {
       assert(rows(("2024-01-01 00:00", "log_throughput")) == 4.0, s"got $rows")
       assert(rows(("2024-01-01 00:00", "error_rate")) == 0.5)
       assert(rows(("2024-01-01 00:00", "active_users")) == 2.0)
+      // all durations < 100 ms → apdex 1.0 (the new-metric-is-a-column
+      // claim holds in the streaming form too)
+      assert(rows(("2024-01-01 00:00", "apdex")) == 1.0)
       assert(rows(("2024-01-01 00:01", "log_throughput")) == 1.0)
       assert(rows(("2024-01-01 00:01", "error_rate")) == 0.0)
     } finally q.stop()
