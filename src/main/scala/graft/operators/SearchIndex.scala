@@ -68,15 +68,35 @@ object SearchIndex {
     * rows are carried over with a broadcast anti-join on the (small)
     * delta id set, and term df adjusts arithmetically
     * (df′ = df − removed + added, vocabulary-sized throughout). Each
-    * table is staged to `<name>_stage`, then swapped in with
-    * DROP + RENAME — the next-generation/alias-swap pattern of every
-    * production indexer, so readers never see a half-written index.
+    * table is staged to `<name>_stage`, then swapped in generation-style:
+    * the live table renames aside to `<name>_old`, the stage renames in,
+    * and `_old` drops last. The swap assumes a SINGLE writer and is
+    * crash-safe in the sense that a complete index generation exists
+    * under SOME name at every step (a crash mid-swap leaves `_old` or
+    * `_stage` intact for manual recovery) — it is NOT atomic for
+    * concurrent readers: a reader resolving the table name in the
+    * instant between the two renames misses it, because a bare
+    * metastore has no atomic rename-swap (production deployments put an
+    * alias/view in front, which IS swapped atomically).
     * The staged write rewrites the bucketed files (the segment-merge
     * cost); the derivation work is delta-sized. ScaleSpec pins
     * refreshed ≡ rebuilt bit-exact, query parity included.
+    *
+    * The delta must carry ONE row per doc_id — the latest version.
+    * An upsert log with several versions of a doc must be compacted
+    * first (es01's latest-state projection is exactly that); merging
+    * two versions' tokens into one posting set would silently corrupt
+    * tf/positions, so duplicate ids fail fast here instead.
     */
   def updateIndex(s: SparkSession, delta: DataFrame, prefix: String,
                   buckets: Int = 8): Unit = {
+    val dupIds = delta.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).select("doc_id").limit(5)
+      .collect().map(_.get(0))
+    require(dupIds.isEmpty,
+      s"delta carries multiple rows for doc_id(s) ${dupIds.mkString(", ")} — " +
+        "compact the upsert log to its latest version per doc_id first " +
+        "(es01 latest-state projection)")
     val ids = delta.select("doc_id").distinct()
     val toks = delta.select(col("doc_id"),
       posexplode(tokens(col("text"))).as(Seq("pos", "term")))
@@ -108,9 +128,15 @@ object SearchIndex {
     mergedTerm.write.mode(SaveMode.Overwrite).format("parquet")
       .saveAsTable(s"${prefix}_termstats_stage")
     newPost.unpersist()
+    // generation swap: live → _old, stage → live, drop _old. A complete
+    // generation exists under some name at every step (crash-safe for a
+    // single writer); see the scaladoc for the concurrent-reader caveat.
     Seq("postings", "docstats", "termstats").foreach { t =>
-      s.sql(s"DROP TABLE IF EXISTS ${prefix}_$t")
-      s.sql(s"ALTER TABLE ${prefix}_${t}_stage RENAME TO ${prefix}_$t")
+      val live = s"${prefix}_$t"
+      s.sql(s"DROP TABLE IF EXISTS ${live}_old")
+      if (s.catalog.tableExists(live)) s.sql(s"ALTER TABLE $live RENAME TO ${live}_old")
+      s.sql(s"ALTER TABLE ${live}_stage RENAME TO $live")
+      s.sql(s"DROP TABLE IF EXISTS ${live}_old")
     }
   }
 

@@ -26,17 +26,31 @@ object Similarity {
 
   /** Brute-force cosine top-k over any (vec_id, embedding) corpus — the
     * exact baseline every ANN variant is measured against.
+    *
+    * Ranking is the bounded-heap `graft_top_by` aggregate (TopKByAgg),
+    * not a row_number window: the window formulation shuffles and sorts
+    * the FULL |corpus|×|queries| scored frame on query_id, while the
+    * aggregate keeps a k-entry buffer per query that combines map-side —
+    * only ≤k entries per (query, partition) ever shuffle. Tie-break is
+    * identical by construction (value desc, id asc — TopKByAgg's
+    * contract matches the old `orderBy(cos desc, neighbor_id asc)`), so
+    * the output is row-for-row the window answer; a spec pins parity.
     */
   def knnBruteOn(e: DataFrame, queryPred: Column, k: Int = 5): DataFrame = {
+    import graft.functions.TopKByAgg.topKBy
     val queries = e.filter(queryPred)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")) * 1e6, 0).cast("long") / 1e6)
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cos", "rank")
+    scored.groupBy("query_id")
+      .agg(topKBy(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(
+        col("query_id"),
+        col("entry.id").as("neighbor_id"),
+        col("entry.value").as("cos"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** sim01 adapter: queries are vec_id % 50 == 0. */

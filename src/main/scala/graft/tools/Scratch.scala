@@ -11,6 +11,9 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      // same session timezone as Verify/Bench/Probe/SparkSpec — the NTZ
+      // timestamp normalization in Tables is session-timezone-sensitive
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -248,6 +248,28 @@ class PlanSpec extends SparkSpec {
       "expected the graft_top_by bounded-heap aggregate in the candidate stage")
   }
 
+  test("no sim-family query windows over a corpus-sized frame") {
+    // sim01 (the brute baseline every ANN path is measured against) now
+    // ranks via graft_top_by: its plan must have NO WindowExec at all.
+    // Every other sim-family window must be partitioned (by query_id /
+    // vec_id over candidate frames) — an unpartitioned window would
+    // single-task whatever frame it sorts.
+    val sim01Nodes = allNodes(finalPlan("sim01_knn_brute"))
+    assert(!sim01Nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "WindowExec in sim01 — the brute baseline must rank via the bounded-heap aggregate")
+    assert(sim01Nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
+      "expected the graft_top_by aggregate in sim01")
+    val simFamily = SparkEntry.queries.keys.filter(_.startsWith("sim")).toSeq.sorted
+    val offenders = simFamily.filter { n =>
+      allNodes(finalPlan(n)).exists {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w.partitionSpec.isEmpty
+        case _ => false
+      }
+    }
+    assert(offenders.isEmpty, s"unpartitioned (single-task) window in: ${offenders.mkString(", ")}")
+  }
+
   test("k-means assignment is one projection over the corpus — no Exchange, no Window") {
     // Centroids are driver-collected literals, so a Lloyd iteration's
     // lineage must be exactly scan → project: any Exchange or Window

@@ -115,6 +115,7 @@ class Round7OpsSpec extends SparkSpec {
         Seq("postings", "docstats", "termstats").foreach { t =>
           spark.sql(s"DROP TABLE IF EXISTS ${p}_$t")
           spark.sql(s"DROP TABLE IF EXISTS ${p}_${t}_stage")
+          spark.sql(s"DROP TABLE IF EXISTS ${p}_${t}_old")
         }
       }
     }

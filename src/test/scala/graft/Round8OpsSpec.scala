@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Events
+import org.apache.spark.sql.expressions.Window
+import graft.operators.{Events, SearchIndex, Similarity}
+import graft.functions.VectorFunctions.cosineSim
 
 /** Round-8 observability machinery checks (the oracle does the
   * end-to-end value verification; these pin cross-operator consistency
@@ -30,5 +32,65 @@ class Round8OpsSpec extends SparkSpec {
     val totalExc = ot04.map(_.getAs[Long]("n_exceptions")).sum
     val totalErr = errTraces.map(_.getAs[Long]("n_errors")).sum
     assert(totalExc == totalErr)
+  }
+
+  test("sim01 bounded-heap ranking is row-for-row the window formulation") {
+    val e = Tables.embeddings(spark, sfDir)
+    val pred = col("vec_id") % 50 === 0
+    // the old row_number formulation, inlined as the reference answer
+    val queries = e.filter(pred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")) * 1e6, 0).cast("long") / 1e6)
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    val win = scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    val agg = Similarity.knnBruteOn(e, pred, 5)
+      .orderBy("query_id", "rank").collect().map(_.toSeq).toSeq
+    assert(agg == win, "graft_top_by ranking diverged from the window formulation")
+  }
+
+  test("sim01 tie-break parity: equal cosines rank by neighbor_id ascending") {
+    import spark.implicits._
+    // 6 copies of one vector + 2 orthogonal distractors: every copy's
+    // cosine to every other copy is exactly 1.0, so ranks 1..5 for the
+    // query must be the five smallest other copy ids in id order.
+    val dup = Seq.fill(6)(Array(1.0f, 0.0f, 0.0f))
+    val other = Seq(Array(0.0f, 1.0f, 0.0f), Array(0.0f, 0.0f, 1.0f))
+    val e = (dup ++ other).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("vec_id", "embedding")
+    val got = Similarity.knnBruteOn(e, col("vec_id") === 0, 5)
+      .orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got.forall(_.getAs[Double]("cos") == 1.0))
+    assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("ix02 rejects a delta carrying two versions of one doc_id") {
+    val docs = Tables.documents(spark, sfDir)
+    try {
+      SearchIndex.buildIndex(spark, docs.filter(col("doc_id") < 50), "ixd", buckets = 2)
+      // an uncompacted upsert stream: doc 55 appears twice (v1 + v2) —
+      // merging both versions' tokens would corrupt tf/positions, so
+      // updateIndex must fail fast instead
+      val doubled = docs.filter(col("doc_id").between(50, 59))
+        .unionByName(docs.filter(col("doc_id") === 55)
+          .withColumn("text", concat(col("text"), lit(" second version"))))
+      val ex = intercept[IllegalArgumentException] {
+        SearchIndex.updateIndex(spark, doubled, "ixd", buckets = 2)
+      }
+      assert(ex.getMessage.contains("55"), ex.getMessage)
+      // the live index generation is untouched by the rejected update
+      assert(spark.table("ixd_docstats").count() == 50)
+    } finally {
+      Seq("postings", "docstats", "termstats").foreach { t =>
+        Seq("", "_stage", "_old").foreach { suf =>
+          spark.sql(s"DROP TABLE IF EXISTS ixd_$t$suf")
+        }
+      }
+    }
   }
 }
