@@ -40,7 +40,8 @@ object Scratch {
       "q27_trailing_spend", "lt02_novel_templates", "rag05_hybrid_rrf",
       "es07_incremental_rollup", "ev29_sequence_count", "ev30_sli_metrics",
       "q28_trend_dashboard", "sim11_binary_ann",
-      "tx42_filtered_search", "ot03_trace_error_logs")
+      "tx42_filtered_search", "ot03_trace_error_logs",
+      "ev31_http_golden_signals", "ev32_apdex", "ot04_span_events")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
