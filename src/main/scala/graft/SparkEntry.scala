@@ -178,6 +178,7 @@ object SparkEntry {
     "smp05_temperature_mixture"     -> ((s: SparkSession, dir: String) => Sampling.temperatureMixture(s, dir)),
     "dq06_snapshot_diff"            -> ((s: SparkSession, dir: String) => DataQuality.snapshotDiff(s, dir)),
     "dq07_null_drift"               -> (DataQuality.nullDrift _),
+    "dq08_field_shape_drift"        -> (DataQuality.fieldShapeDrift _),
     "sim09_semdedup"                -> (Similarity.semDedup _),
     "sim11_binary_ann"              -> ((s: SparkSession, dir: String) => Similarity.binaryKnn(s, dir)),
     "sim10_ann_recall"              -> ((s: SparkSession, dir: String) => Similarity.annRecall(s, dir)),
@@ -1490,6 +1491,34 @@ object SparkEntry {
                 CASE WHEN CAST(null_users AS HUGEINT) * t_n * 2 > CAST(n_events AS HUGEINT) * t_nu * 3 THEN 1 ELSE 0 END AS user_drift,
                 CASE WHEN CAST(null_values AS HUGEINT) * t_n * 2 > CAST(n_events AS HUGEINT) * t_nv * 3 THEN 1 ELSE 0 END AS value_drift
          FROM daily CROSS JOIN o""",
+    // like ev31's oracle, the composed view's key shapes reduce to the
+    // bucket + event_type conditions; the map plumbing is spec-verified
+    "dq08_field_shape_drift" ->
+      """WITH l AS (SELECT CAST(ts AS TIMESTAMP) AS ts, coalesce(user_id, 0) % 3 AS b, event_type
+                    FROM events),
+         r AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                      CASE WHEN b = 0 THEN 'nginx' WHEN b = 1 THEN 'plecto-proxy' ELSE 'other-svc' END AS service_name,
+                      CASE WHEN b = 0 AND event_type <> 'click'
+                           THEN ['http_method','http_path','http_status','http_size','http_ip','http_ua']
+                           WHEN b = 0 THEN ['http_ip']
+                           WHEN b = 1 THEN ['method','path','status','client','duration_ms']
+                           ELSE ['method','path','status'] END AS ks
+               FROM l),
+         rp AS (SELECT service_name, day, count(*) AS n_rows FROM r GROUP BY 1, 2),
+         kd AS (SELECT service_name, u.key AS key, day, count(*) AS n_with_key
+                FROM r, unnest(ks) AS u(key) GROUP BY 1, 2, 3),
+         st AS (SELECT service_name, sum(n_rows) AS svc_total FROM rp GROUP BY 1),
+         kt AS (SELECT service_name, key, sum(n_with_key) AS key_total FROM kd GROUP BY 1, 2)
+         SELECT c.service_name, c.key, c.day, c.n_rows,
+                coalesce(kd.n_with_key, 0) AS n_with_key,
+                CAST(round(coalesce(kd.n_with_key, 0) * 1e4 / c.n_rows) AS BIGINT) / 1e4 AS day_rate,
+                CAST(round(c.key_total * 1e4 / c.svc_total) AS BIGINT) / 1e4 AS base_rate,
+                CASE WHEN CAST(coalesce(kd.n_with_key, 0) AS HUGEINT) * c.svc_total * 2
+                          < CAST(c.key_total AS HUGEINT) * c.n_rows THEN 1 ELSE 0 END AS flagged
+         FROM (SELECT kt.service_name, kt.key, kt.key_total, rp.day, rp.n_rows, st.svc_total
+               FROM kt JOIN rp ON kt.service_name = rp.service_name
+                       JOIN st ON st.service_name = kt.service_name) c
+         LEFT JOIN kd ON kd.service_name = c.service_name AND kd.key = c.key AND kd.day = c.day""",
     "dq05_referential_integrity" ->
       """WITH li AS (SELECT 'lineitem->orders' AS relation, count(*) AS n_child,
                      count(CASE WHEN o.k IS NULL AND l.l_orderkey IS NOT NULL THEN 1 END) AS n_orphans,

@@ -217,6 +217,62 @@ object DataQuality {
           .otherwise(0).as("value_drift"))
   }
 
+  /** dq08: per-producer field-shape drift — the monitor that catches a
+    * producer CHANGING ITS KEY SHAPE, which is precisely the failure
+    * behind the reference's 4-week silent SLO corruption
+    * (003_create_http_logs_mv.sql's comment block: a producer's field
+    * names didn't match the MV's expectations, rows silently fell out
+    * of the http_logs fact, and every downstream SLO read wrong data
+    * until a human noticed). ev31's producer gating makes the mapping
+    * correct; THIS makes the failure visible the day it happens: per
+    * (service, field key, day), the fraction of the service's rows
+    * carrying that key, flagged when it collapses below half the
+    * service's whole-stream baseline for that key — a renamed or
+    * dropped key reads as a presence-rate step to zero.
+    *
+    * The comparison cross-multiplies into exact integer arithmetic
+    * (2·n_with_key·svc_total < key_total·n_rows, in decimal(38,0) —
+    * dq07's discipline, since two 100 TB-scale counts multiplied
+    * overflow a long), and rates round at scale 0 in 1e-4 units.
+    *
+    * Scale: ONE corpus-scale aggregation — each row explodes to its
+    * key set plus a `__row__` sentinel so per-day row counts and
+    * per-key counts fall out of the same map-side-combined shuffle
+    * (bounded fan-out: |keys|+1 ≤ ~7 per row). Everything after runs
+    * on the |services|×|keys|×|days| frame: the candidate grid is
+    * (service, key) × (service, day) — a key that disappears ENTIRELY
+    * on a day (the postmortem case) still produces a flagged row,
+    * which observed counts alone could never emit.
+    */
+  def fieldShapeDrift(s: SparkSession, dir: String): DataFrame =
+    fieldShapeDriftOn(HttpLogs.httpLogsFromEvents(s, dir))
+
+  /** Field-shape drift over any (ts, service_name, fields: map) frame. */
+  def fieldShapeDriftOn(logs: DataFrame): DataFrame = {
+    val counts = logs.select(
+        date_trunc("day", col("ts")).as("day"),
+        col("service_name"),
+        explode(concat(array(lit("__row__")), map_keys(col("fields")))).as("key"))
+      .groupBy("service_name", "key", "day")
+      .agg(count(lit(1)).as("n"))
+    val rowsPerDay = counts.filter(col("key") === "__row__")
+      .select(col("service_name"), col("day"), col("n").as("n_rows"))
+    val keyDay = counts.filter(col("key") =!= "__row__")
+      .select(col("service_name"), col("key"), col("day"), col("n").as("n_with_key"))
+    val svcTotal = rowsPerDay.groupBy("service_name").agg(sum("n_rows").as("svc_total"))
+    val keyTotal = keyDay.groupBy("service_name", "key").agg(sum("n_with_key").as("key_total"))
+    keyTotal.join(rowsPerDay, Seq("service_name"))
+      .join(keyDay, Seq("service_name", "key", "day"), "left")
+      .na.fill(0L, Seq("n_with_key"))
+      .join(broadcast(svcTotal), Seq("service_name"))
+      .select(col("service_name"), col("key"), col("day"), col("n_rows"), col("n_with_key"),
+        (round(col("n_with_key") * 1e4 / col("n_rows"), 0).cast("long") / 1e4).as("day_rate"),
+        (round(col("key_total") * 1e4 / col("svc_total"), 0).cast("long") / 1e4).as("base_rate"),
+        when(col("n_with_key").cast("decimal(38,0)") * col("svc_total") * 2 <
+             col("key_total").cast("decimal(38,0)") * col("n_rows"), 1)
+          .otherwise(0).as("flagged"))
+  }
+
   def sourceSignatures(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("token"))

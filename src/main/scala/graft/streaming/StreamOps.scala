@@ -81,6 +81,38 @@ object StreamOps {
              'apdex', CAST(ROUND((2 * n_sat + n_tol) * 1e4 / (2 * n)) AS BIGINT) / 1e4
            ) AS (metric, value)"""))
 
+  /** st18: ev31's http_logs golden-signals MV running CONTINUOUSLY —
+    * the most literal streaming mirror in the repo, because the
+    * reference artifact IS a continuous materialized view
+    * (clickhouse/migrations/003_create_http_logs_mv.sql transforms
+    * each arriving log row into the http_logs fact as it lands).
+    * The producer-gated normalization is `HttpLogs.normalize`, the
+    * IDENTICAL stateless operator body as batch (the st14 discipline —
+    * filter+projection, no state), so the gating semantics that
+    * prevented the reference's 4-week silent SLO corruption are
+    * batch/stream-identical by construction; the rollup is one
+    * watermarked per-minute windowed aggregation. Latency p95 uses
+    * approx_percentile: a mergeable sketch is the only percentile
+    * whose state a stream can hold (ev31's exact percentile is the
+    * batch/oracle sibling — the ev03→ev11 precedent), and volume,
+    * error count, error rate (scale-0 micro-units), and bytes are
+    * exactly the batch arithmetic.
+    */
+  def goldenSignalsStream(logs: DataFrame, windowLen: String = "1 minute",
+                          watermark: String = "2 hours"): DataFrame =
+    graft.operators.HttpLogs.normalize(logs)
+      .withColumn("dur_c", graft.functions.Numeric.cents(col("duration_ms")))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(
+        count(lit(1)).as("n_requests"),
+        count(when(col("status_code") >= 500, 1)).as("n_errors"),
+        microRatio(count(when(col("status_code") >= 500, 1)), count(lit(1)), 4).as("error_rate"),
+        sum("response_size").as("total_bytes"),
+        (round(expr("approx_percentile(dur_c, 0.95)"), 0).cast("long") / 1e2).as("p95_latency_ms"))
+      .select(col("window.start").as("bucket"), col("n_requests"), col("n_errors"),
+              col("error_rate"), col("total_bytes"), col("p95_latency_ms"))
+
   /** st09: streaming heavy hitters — approximate top-k keys per
     * tumbling window via the mergeable SpaceSaving aggregate (ev22's
     * streaming form; ClickHouse topK over a live SLI window). The

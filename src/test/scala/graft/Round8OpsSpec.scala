@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{Events, SearchIndex, Similarity}
+import graft.operators.{DataQuality, Events, SearchIndex, Similarity}
 import graft.functions.VectorFunctions.cosineSim
 
 /** Round-8 observability machinery checks (the oracle does the
@@ -67,6 +67,43 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
     assert(got.forall(_.getAs[Double]("cos") == 1.0))
     assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("dq08 flags a producer key rename the day it happens") {
+    import spark.implicits._
+    def ts(day: Int) = new java.sql.Timestamp(1700000000000L + day * 86400000L)
+    // days 0-2: producer logs keys k1+k2 (10 rows/day); day 3: the
+    // producer renames k2 -> k2b — the reference's silent-corruption
+    // failure mode, which must read as a presence-rate step
+    val rows = (for {
+      day <- 0 to 3
+      i <- 0 until 10
+    } yield (new java.sql.Timestamp(ts(day).getTime + i * 1000L), "svc",
+      if (day < 3) Map("k1" -> "a", "k2" -> "b") else Map("k1" -> "a", "k2b" -> "b")))
+      .toDF("ts", "service_name", "fields")
+    val out = DataQuality.fieldShapeDriftOn(rows).collect()
+      .map(r => (r.getAs[String]("key"), r.getAs[java.sql.Timestamp]("day").toString.take(10)) -> r)
+      .toMap
+    // k1 is always present: never flagged, rates 1.0
+    (0 to 3).foreach { d =>
+      val r = out(("k1", ts(d).toString.take(10)))
+      assert(r.getAs[Int]("flagged") == 0 && r.getAs[Double]("day_rate") == 1.0)
+    }
+    // k2 disappears entirely on day 3: n_with_key 0, flagged
+    val gone = out(("k2", ts(3).toString.take(10)))
+    assert(gone.getAs[Long]("n_with_key") == 0L)
+    assert(gone.getAs[Double]("day_rate") == 0.0)
+    assert(gone.getAs[Double]("base_rate") == 0.75)
+    assert(gone.getAs[Int]("flagged") == 1)
+    // k2 on earlier days: full presence, not flagged
+    assert(out(("k2", ts(0).toString.take(10))).getAs[Int]("flagged") == 0)
+    // the NEW key reads as absent (rate 0 < half its 0.25 baseline) on
+    // every day before its appearance — shape change visible both ways
+    (0 to 2).foreach { d =>
+      val r = out(("k2b", ts(d).toString.take(10)))
+      assert(r.getAs[Int]("flagged") == 1 && r.getAs[Double]("base_rate") == 0.25)
+    }
+    assert(out(("k2b", ts(3).toString.take(10))).getAs[Int]("flagged") == 0)
   }
 
   test("ix02 rejects a delta carrying two versions of one doc_id") {

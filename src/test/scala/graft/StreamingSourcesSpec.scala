@@ -488,6 +488,50 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st18 streaming golden signals: producer gating and exact columns match the batch MV") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Timestamp, String, Map[String, String])]
+    val out = StreamOps.goldenSignalsStream(
+      mem.toDF.toDF("ts", "service_name", "fields"))
+    val q = out.writeStream.format("memory").queryName("st18").outputMode("append").start()
+    try {
+      mem.addData(
+        (at("2024-01-01 00:00:10"), "plecto-proxy",
+          Map("method" -> "GET", "path" -> "/a", "status" -> "200",
+              "client" -> "c", "duration_ms" -> "10.0")),
+        (at("2024-01-01 00:00:20"), "plecto-proxy",
+          Map("method" -> "GET", "path" -> "/a", "status" -> "500",
+              "client" -> "c", "duration_ms" -> "30.0")),
+        (at("2024-01-01 00:00:30"), "nginx",
+          Map("http_method" -> "GET", "http_path" -> "/a", "http_status" -> "200",
+              "http_size" -> "100", "http_ip" -> "i", "http_ua" -> "u")),
+        // a rogue third producer and a shape-stripped nginx row: the
+        // stream runs the IDENTICAL normalize body, so both must be
+        // gated out before they can corrupt the windowed SLO
+        (at("2024-01-01 00:00:40"), "rogue-proxy",
+          Map("method" -> "GET", "path" -> "/x", "status" -> "500", "client" -> "r")),
+        (at("2024-01-01 00:00:50"), "nginx", Map("http_ip" -> "10.0.0.9")))
+      q.processAllAvailable()
+      mem.addData((at("2024-01-01 05:00:00"), "nginx",
+        Map("http_method" -> "GET", "http_path" -> "/z", "http_status" -> "200",
+            "http_size" -> "1", "http_ip" -> "i", "http_ua" -> "u")))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM st18").collect()
+        .map(r => r.getAs[Timestamp]("bucket").toString.take(16) -> r).toMap
+      val r = rows("2024-01-01 00:00")
+      // exact columns are batch-identical (HttpLogsSpec's fixture values)
+      assert(r.getAs[Long]("n_requests") == 3L)
+      assert(r.getAs[Long]("n_errors") == 1L)
+      assert(r.getAs[Double]("error_rate") == 0.3333)
+      assert(r.getAs[Long]("total_bytes") == 100L)
+      // p95 via the mergeable sketch: the order statistic at rank
+      // ceil(0.95*3) of centi-ms {0, 1000, 3000} = 3000 -> 30.0 ms
+      // (the batch sibling interpolates to 26.0 — documented difference)
+      assert(r.getAs[Double]("p95_latency_ms") == 30.0)
+    } finally q.stop()
+  }
+
   test("st16 novel-template alert fires once per template across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
