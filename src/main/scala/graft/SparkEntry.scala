@@ -85,6 +85,7 @@ object SparkEntry {
     "es05_scd2_intervals"           -> (Events.scd2Intervals _),
     "lt01_log_templates"            -> (LogMining.logTemplates _),
     "lt02_novel_templates"          -> (LogMining.novelTemplates _),
+    "lt03_template_bursts"          -> (LogMining.templateBursts _),
     "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
     "tx21_term_entropy"             -> (TextOps.termEntropy _),
     "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
@@ -1372,6 +1373,30 @@ object SparkEntry {
                 CAST(sum(n_lines) AS BIGINT) AS n_lines
          FROM pd JOIN fd USING (template)
          GROUP BY day""",
+    "lt03_template_bursts" ->
+      """WITH l AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
+                    'user=' || COALESCE(CAST(user_id AS VARCHAR), 'null') || ' type=' || event_type ||
+                    ' value=' || CASE WHEN value IS NULL THEN 'null'
+                                      ELSE CAST(round(value, 2) AS VARCHAR) END ||
+                    ' props=' || COALESCE(props, 'null') AS line
+                    FROM events),
+         t AS (SELECT *, array_to_string(
+                 list_transform(string_split_regex(trim(line), '\s+'),
+                   x -> CASE WHEN regexp_matches(x, '\d') THEN '<*>' ELSE x END), ' ') AS template
+               FROM l),
+         pd AS (SELECT template, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       count(*) AS n_lines
+                FROM t GROUP BY 1, 2),
+         tot AS (SELECT template, sum(n_lines) AS total_lines FROM pd GROUP BY 1),
+         sd AS (SELECT count(DISTINCT day) AS n_stream_days FROM pd)
+         SELECT pd.template, pd.day, pd.n_lines,
+                CAST(tot.total_lines AS BIGINT) AS total_lines,
+                sd.n_stream_days,
+                CASE WHEN CAST(pd.n_lines AS HUGEINT) * sd.n_stream_days
+                          > CAST(tot.total_lines AS HUGEINT) * 2 THEN 1 ELSE 0 END AS burst,
+                CASE WHEN CAST(pd.n_lines AS HUGEINT) * sd.n_stream_days * 2
+                          < CAST(tot.total_lines AS HUGEINT) THEN 1 ELSE 0 END AS quiet
+         FROM pd JOIN tot USING (template) CROSS JOIN sd""",
     "dd03_incremental_dedup" ->
       """WITH d AS (SELECT doc_id, source, doc_id % 5 = 0 AS is_batch,
                     string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -84,6 +84,53 @@ object LogMining {
   def novelTemplates(s: SparkSession, dir: String): DataFrame =
     novelTemplatesOn(Tables.events(s, dir))
 
+  /** lt03: per-template volume-burst detection — the "error storm"
+    * alert next to lt02's novelty alert: a template suddenly logging
+    * at many times its normal rate (a retry loop, a crash-restart
+    * cycle, a misbehaving dependency) pages even though the template
+    * itself is old news. Per (template, day), the day's line count is
+    * compared against the template's stream-wide daily mean
+    * (total_lines / days-in-stream): burst when the day exceeds 2×
+    * the mean, quiet when it falls below half — dq02's volume-gate
+    * semantics applied at the template key, where a single service's
+    * storm is visible long before it moves the global volume.
+    *
+    * Both comparisons cross-multiply into exact integer arithmetic in
+    * decimal(38,0) (n_lines·n_stream_days vs 2·total_lines — dq07's
+    * discipline: two 100 TB-scale counts multiplied overflow a long,
+    * and a quotient's rounding could flip a flag between engines).
+    *
+    * Scale: raw volume collapses in the ONE map-side-combined
+    * (template, day) aggregation — the same first pass lt02 runs;
+    * the per-template totals are a window over ≤ |days| rows per
+    * template on the code-site-bounded frame, and the stream-day
+    * count broadcasts as a one-row scalar.
+    */
+  def templateBursts(s: SparkSession, dir: String): DataFrame =
+    templateBurstsOn(Tables.events(s, dir))
+
+  /** Template volume bursts over any events-shaped frame. */
+  def templateBurstsOn(events: DataFrame): DataFrame = {
+    val byTemplate = org.apache.spark.sql.expressions.Window.partitionBy("template")
+    val perDay = events
+      .withColumn("line", composedLine)
+      .withColumn("template", template(col("line")))
+      .groupBy(col("template"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_lines"))
+    val streamDays = perDay.agg(countDistinct("day").as("n_stream_days"))
+    perDay
+      .withColumn("total_lines", sum("n_lines").over(byTemplate))
+      .crossJoin(broadcast(streamDays))
+      .select(col("template"), col("day"), col("n_lines"), col("total_lines"),
+        col("n_stream_days"),
+        when(col("n_lines").cast("decimal(38,0)") * col("n_stream_days") >
+             col("total_lines").cast("decimal(38,0)") * 2, 1)
+          .otherwise(0).as("burst"),
+        when(col("n_lines").cast("decimal(38,0)") * col("n_stream_days") * 2 <
+             col("total_lines").cast("decimal(38,0)"), 1)
+          .otherwise(0).as("quiet"))
+  }
+
   /** Novel-template rollup over any events-shaped frame. */
   def novelTemplatesOn(events: DataFrame): DataFrame = {
     val byTemplate = org.apache.spark.sql.expressions.Window.partitionBy("template")
