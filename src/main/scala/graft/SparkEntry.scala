@@ -89,6 +89,8 @@ object SparkEntry {
     "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
     "tx21_term_entropy"             -> (TextOps.termEntropy _),
     "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
+    "qe01_output_quality"           -> (OutputQuality.outputQuality _),
+    "qe02_summary_redundancy"       -> (OutputQuality.summaryRedundancy _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     "km03_density_clusters"         -> (Density.km03 _),
@@ -1086,6 +1088,25 @@ object SparkEntry {
          SELECT node AS term, CAST(round(rank * 1e6) AS BIGINT) / 1e6 AS rank FROM (
            SELECT node, rank, row_number() OVER (ORDER BY rank DESC, node ASC) AS rk FROM r3)
          WHERE rk <= 20""",
+    // the oracle recomputes the composed outputs' quality directly from
+    // the deterministic composition rules (the ev31/dq08 shortcut); the
+    // JSON round-trip itself — both bullet shapes included — is
+    // spec-verified against hand-written JSON
+    "qe01_output_quality" ->
+      """WITH t AS (SELECT doc_id, source, doc_id % 4 + 1 AS nb FROM documents),
+         g AS (SELECT doc_id, source, nb,
+                      len(list_filter(range(0, nb), i -> (doc_id + i) % 3 <> 0)) AS n_grounded
+               FROM t),
+         p AS (SELECT source,
+                      CAST(round(n_grounded * 1e4 / nb) AS BIGINT) AS ground_u,
+                      CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS rep,
+                      CASE WHEN doc_id % 11 = 0 OR doc_id % 13 = 0 THEN 1 ELSE 0 END AS fb
+               FROM g)
+         SELECT source, count(*) AS n_outputs,
+                CAST(round(sum(ground_u) * 1.0 / count(*)) AS BIGINT) / 1e4 AS grounding_rate,
+                CAST(round(sum(rep) * 1e4 / count(*)) AS BIGINT) / 1e4 AS repair_rate,
+                CAST(round(sum(fb) * 1e4 / count(*)) AS BIGINT) / 1e4 AS fallback_rate
+         FROM p GROUP BY source""",
     "tx22_macro_metrics" ->
       s"""WITH $classificationMetricsCte,
          u AS (SELECT support, tp,

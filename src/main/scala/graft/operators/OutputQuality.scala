@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextFunctions.{lcsLen, tokens}
+
+/** LLM-output quality evaluation — the recap-evaluator service's
+  * no-model metric battery re-expressed as Spark aggregations (the
+  * reference evaluates every generated weekly-recap output before it
+  * ships: recap-evaluator/src/recap_evaluator/evaluator/).
+  *
+  * The metrics implemented here are the deterministic, data-only ones:
+  *
+  *  - source grounding (source_grounding.py): fraction of a summary's
+  *    bullets carrying at least one `source_sentence_id` — an
+  *    ungrounded bullet is a claim the pipeline could not tie back to
+  *    a representative source sentence. The reference reads the
+  *    structured bullet list from the output's `body_json`, accepting
+  *    BOTH shapes it ships in (top-level `bullets`, else
+  *    `summary.bullets` — `_extract_bullets`'s candidate order), and
+  *    scores an empty output 0.
+  *  - JSON repair rate (json_repair_rate.py): share of outputs whose
+  *    `metadata.json_repair_attempted` is true — how often the
+  *    upstream LLM emitted JSON that needed JSON5-style repair.
+  *  - fallback rate (fallback_rate.py): share of outputs degraded or
+  *    produced by the `low-evidence-extractive` fallback model.
+  *  - redundancy (redundancy.py): mean pairwise ROUGE-L F1 across a
+  *    summary's non-empty bullets — bullets that restate each other
+  *    score high; fewer than two non-empty bullets scores 0.
+  *
+  * The LLM-scored metrics (readability via Ollama, NLI faithfulness,
+  * BERTScore) need a model runtime this container does not have and
+  * are the env-blocked remainder, exactly like the multimodal codecs.
+  *
+  * Scale: quality parsing is a stateless `from_json` projection of the
+  * outputs scan (per-output scores need no shuffle at all); the only
+  * exchange is the per-source rollup. Redundancy's pairwise fan-out is
+  * bounded by construction — a summary has ≤ a handful of bullets, so
+  * pairs-per-output is a constant (≤ C(4,2) here), never corpus².
+  * All ratios are exact integer micro-units rounded at scale 0.
+  */
+object OutputQuality {
+
+  /** The parsed shape of a recap output's body_json — both bullet
+    * locations the reference accepts, plus the generation metadata.
+    */
+  private val bodySchema =
+    "STRUCT<bullets: ARRAY<STRUCT<text: STRING, source_sentence_ids: ARRAY<BIGINT>>>, " +
+      "summary: STRUCT<bullets: ARRAY<STRUCT<text: STRING, source_sentence_ids: ARRAY<BIGINT>>>>, " +
+      "metadata: STRUCT<json_repair_attempted: BOOLEAN, is_degraded: BOOLEAN, model: STRING>>"
+
+  /** Deterministic recap_outputs stand-in composed from `documents`
+    * (the lt01/ev31 composition precedent — the driver tables carry no
+    * LLM-output fact): each doc becomes one output whose body_json is
+    * REAL JSON with 1–4 bullets of the doc's tokens, bullet i grounded
+    * iff (doc_id + i) % 3 != 0, repair/degraded/fallback-model flags
+    * on fixed residues, and the bullet list alternating between the
+    * two shapes the reference's extractor handles.
+    */
+  def composeOutputs(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("toks"))
+    val nb = (col("doc_id") % 4 + 1).cast("int")
+    val bullets = transform(sequence(lit(0), nb - 1), i =>
+      struct(
+        array_join(slice(col("toks"), i * lit(8) + 1, lit(8)), " ").as("text"),
+        when((col("doc_id") + i) % 3 =!= 0, array(col("doc_id") * 10 + i))
+          .otherwise(array().cast("array<long>")).as("source_sentence_ids")))
+    val metadata = struct(
+      (col("doc_id") % 7 === 0).as("json_repair_attempted"),
+      (col("doc_id") % 11 === 0).as("is_degraded"),
+      when(col("doc_id") % 13 === 0, "low-evidence-extractive")
+        .otherwise("news-creator-v2").as("model"))
+    d.select(col("doc_id").as("output_id"), col("source"),
+      when(col("doc_id") % 2 === 0,
+        to_json(struct(bullets.as("bullets"), metadata.as("metadata"))))
+        .otherwise(
+          to_json(struct(struct(bullets.as("bullets")).as("summary"),
+            metadata.as("metadata")))).as("body_json"))
+  }
+
+  /** Parse an outputs frame and resolve the bullet list from either
+    * accepted location (the reference's candidate order: top-level
+    * first, then summary.bullets).
+    */
+  private def parsed(outputs: DataFrame): DataFrame =
+    outputs
+      .withColumn("b", from_json(col("body_json"),
+        org.apache.spark.sql.types.DataType.fromDDL(bodySchema)))
+      .withColumn("bullets", coalesce(col("b.bullets"), col("b.summary.bullets")))
+
+  /** qe01: per-source output-quality rates over a (output_id, source,
+    * body_json) frame — grounding is the mean of per-output grounded
+    * fractions (compute_batch averages per-output scores, it does not
+    * pool bullets), repair/fallback are output-share ratios.
+    */
+  def outputQualityOn(outputs: DataFrame): DataFrame =
+    parsed(outputs)
+      .select(col("source"),
+        // per-output grounding fraction in 1e-4 units; bullet-less
+        // outputs score 0 like the reference
+        when(size(col("bullets")) > 0,
+          round(size(filter(col("bullets"), x => size(x.getField("source_sentence_ids")) > 0))
+            * 1e4 / size(col("bullets")), 0).cast("long"))
+          .otherwise(0L).as("ground_u"),
+        when(col("b.metadata.json_repair_attempted") === true, 1).otherwise(0).as("rep"),
+        when(col("b.metadata.is_degraded") === true ||
+             col("b.metadata.model") === "low-evidence-extractive", 1).otherwise(0).as("fb"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_outputs"),
+        (round(sum("ground_u") / count(lit(1)), 0).cast("long") / 1e4).as("grounding_rate"),
+        (round(sum("rep") * 1e4 / count(lit(1)), 0).cast("long") / 1e4).as("repair_rate"),
+        (round(sum("fb") * 1e4 / count(lit(1)), 0).cast("long") / 1e4).as("fallback_rate"))
+
+  /** qe01 adapter over the composed outputs view. */
+  def outputQuality(s: SparkSession, dir: String): DataFrame =
+    outputQualityOn(composeOutputs(s, dir))
+
+  /** qe02: per-source summary redundancy — mean pairwise ROUGE-L F1
+    * across each output's non-empty bullets (redundancy.py: higher =
+    * the bullets restate each other), then averaged per source.
+    * Outputs with fewer than two non-empty bullets score 0, exactly
+    * like the reference.
+    *
+    * Plan: bullets posexplode to (output, idx, tokens) — a ≤4-row
+    * fan-out per output — and the pair frame is a self-equi-join on
+    * output_id with idx_a < idx_b (≤ C(4,2) = 6 pairs per output, a
+    * CONSTANT per-row cost, never corpus²); ROUGE-L is the native
+    * LcsLength codegen expression (tx15's kernel). Both rollups key
+    * on output_id/source so the whole query shuffles twice on bounded
+    * frames.
+    */
+  def summaryRedundancyOn(outputs: DataFrame): DataFrame = {
+    val base = parsed(outputs).select(col("output_id"), col("source"), col("bullets"))
+    val bl = base
+      .select(col("output_id"), col("source"),
+        posexplode(col("bullets")).as(Seq("idx", "bu")))
+      // the reference drops blank bullets before pairing (`b.strip()`);
+      // note split("") yields [""] so a size-of-tokens gate would NOT
+      // catch the empty bullet — gate on the trimmed text itself
+      .filter(length(trim(col("bu.text"))) > 0)
+      .withColumn("btoks", tokens(col("bu.text")))
+      .select(col("output_id"), col("source"), col("idx"), col("btoks"))
+    val pairs = bl.select(col("output_id"), col("idx").as("ia"), col("btoks").as("ta"))
+      .join(bl.select(col("output_id"), col("idx").as("ib"), col("btoks").as("tb")),
+        Seq("output_id"))
+      .filter(col("ia") < col("ib"))
+      .select(col("output_id"),
+        round(lcsLen(col("ta"), col("tb")) * 2 * 1e4 / (size(col("ta")) + size(col("tb"))), 0)
+          .cast("long").as("f1_u"))
+    val perOutput = pairs.groupBy("output_id")
+      .agg((round(sum("f1_u") / count(lit(1)), 0).cast("long")).as("redund_u"))
+    base.select("output_id", "source")
+      .join(perOutput, Seq("output_id"), "left")
+      .na.fill(0L, Seq("redund_u"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_outputs"),
+        (round(sum("redund_u") / count(lit(1)), 0).cast("long") / 1e4).as("redundancy"))
+  }
+
+  /** qe02 adapter over the composed outputs view. */
+  def summaryRedundancy(s: SparkSession, dir: String): DataFrame =
+    summaryRedundancyOn(composeOutputs(s, dir))
+}
