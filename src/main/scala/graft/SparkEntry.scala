@@ -135,6 +135,7 @@ object SparkEntry {
     "tx30_textrank_keywords"        -> ((s: SparkSession, dir: String) => TextOps.textrankKeywords(s, dir)),
     "ev23_latency_buckets"          -> (Events.latencyBuckets _),
     "ml02_doc_classifier"           -> (MLClassifier.ml02 _),
+    "km06_cluster_agreement"        -> (KMeans.km06 _),
     "tx27_repetition_filter"        -> ((s: SparkSession, dir: String) => TextOps.repetitionFilter(s, dir)),
     "smp01_stratified_sample"       -> (Sampling.smp01 _),
     "smp02_mixture_weights"         -> (Sampling.mixtureWeights _),

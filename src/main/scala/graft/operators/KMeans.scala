@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
@@ -157,6 +157,84 @@ object KMeans {
     cohesion.join(nearest, Seq("cluster"), "left")
       .withColumn("separation", round((col("mean_cc") - col("nn_cos")) * 1e4, 0).cast("long") / 1e4)
       .orderBy("cluster")
+  }
+
+  /** km06: EXTERNAL clustering agreement metrics — the fitted
+    * assignment judged against ground-truth labels (recap-evaluator's
+    * cluster_evaluator.py scores every clustering run with sklearn's
+    * NMI / ARI / homogeneity-completeness-V when ground truth exists;
+    * km05 covers its internal-quality metrics). Everything derives
+    * from the (cluster, label) CONTINGENCY TABLE, so the corpus-scale
+    * work is exactly ONE map-side-combined groupBy — the k×L frame
+    * and both marginals are driver-bounded, and every entropy /
+    * pair-count term is arithmetic over those bounded frames (the
+    * same shape at 10⁹ points as at 10³: contingency counts are
+    * mergeable).
+    *
+    * Conventions match sklearn: NMI with the arithmetic mean
+    * normalizer; homogeneity/completeness return 1 when the
+    * conditioning entropy is 0 (single-label / single-cluster
+    * degenerate cases); ARI returns 1 when max_index equals
+    * expected_index. Natural-log entropies; outputs rounded to 4 dp
+    * (rows-only — iterative-fit inputs have no SQL oracle; a spec
+    * pins exact values on planted partitions).
+    */
+  def externalClusterMetrics(assign: DataFrame): DataFrame = {
+    val cont = assign.groupBy("cluster", "label").agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val aM = cont.groupBy("cluster").agg(sum("n").as("a"))
+    val bM = cont.groupBy("label").agg(sum("n").as("b"))
+    val totals = cont.agg(sum("n").as("nn"),
+      countDistinct("cluster").as("n_clusters"), countDistinct("label").as("n_labels"))
+    // joint terms on the k×L frame
+    val joint = cont.join(aM, "cluster").join(bM, "label").crossJoin(broadcast(totals))
+      .agg(
+        sum(col("n") / col("nn") * log(col("n") * col("nn") / (col("a") * col("b"))))
+          .as("mi"),
+        sum(col("n") / col("nn") * -log(col("n") / col("a"))).as("h_l_given_c"),
+        sum(col("n") / col("nn") * -log(col("n") / col("b"))).as("h_c_given_l"),
+        sum(col("n") * (col("n") - 1) / 2).as("sum_comb"))
+    val hk = aM.crossJoin(broadcast(totals))
+      .agg(sum(col("a") / col("nn") * -log(col("a") / col("nn"))).as("h_k"),
+           sum(col("a") * (col("a") - 1) / 2).as("a_comb"))
+    val hl = bM.crossJoin(broadcast(totals))
+      .agg(sum(col("b") / col("nn") * -log(col("b") / col("nn"))).as("h_l"),
+           sum(col("b") * (col("b") - 1) / 2).as("b_comb"))
+    val r4 = (c: Column) => round(c * 1e4, 0).cast("long") / 1e4
+    val out = joint.crossJoin(hk).crossJoin(hl).crossJoin(totals)
+      .withColumn("expected", col("a_comb") * col("b_comb") / (col("nn") * (col("nn") - 1) / 2))
+      .withColumn("max_index", (col("a_comb") + col("b_comb")) / 2)
+      .withColumn("homogeneity",
+        when(col("h_l") === 0, 1.0).otherwise(lit(1.0) - col("h_l_given_c") / col("h_l")))
+      .withColumn("completeness",
+        when(col("h_k") === 0, 1.0).otherwise(lit(1.0) - col("h_c_given_l") / col("h_k")))
+      .select(
+        col("nn").as("n_points"), col("n_clusters"), col("n_labels"),
+        r4(when(col("h_k") + col("h_l") === 0, 1.0)
+          .otherwise(col("mi") / ((col("h_k") + col("h_l")) / 2))).as("nmi"),
+        r4(when(col("max_index") === col("expected"), 1.0)
+          .otherwise((col("sum_comb") - col("expected")) /
+                     (col("max_index") - col("expected")))).as("ari"),
+        r4(col("homogeneity")).as("homogeneity"),
+        r4(col("completeness")).as("completeness"),
+        r4(when(col("homogeneity") + col("completeness") === 0, 0.0)
+          .otherwise(lit(2.0) * col("homogeneity") * col("completeness") /
+                     (col("homogeneity") + col("completeness")))).as("v_measure"))
+    val rows = out.collect()
+    cont.unpersist()
+    assign.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** km06 adapter: the km01 fit judged against the embeddings table's
+    * label column as ground truth (rows-only).
+    */
+  def km06(s: SparkSession, dir: String): DataFrame = {
+    val fitted = fit(Tables.embeddings(s, dir), 3)
+    val withTruth = fitted.select("vec_id", "cluster")
+      .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")), "vec_id")
+    val m = externalClusterMetrics(withTruth)
+    fitted.unpersist()
+    m
   }
 
   /** km05 adapter: metrics of the km01 fit — k rows, materialized so

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.operators.{DataQuality, Events, LogMining, SearchIndex, Similarity}
+import graft.operators.{DataQuality, Events, KMeans, LogMining, SearchIndex, Similarity}
 import graft.functions.VectorFunctions.cosineSim
 
 /** Round-8 observability machinery checks (the oracle does the
@@ -67,6 +67,33 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
     assert(got.forall(_.getAs[Double]("cos") == 1.0))
     assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
+  }
+
+  test("km06 external agreement metrics: perfect, degenerate, and independent partitions") {
+    import spark.implicits._
+    def metrics(rows: Seq[(Int, Int)]) =
+      KMeans.externalClusterMetrics(rows.toDF("cluster", "label")).head()
+    // perfect agreement (unequal group sizes): every metric is 1
+    val perfect = metrics(
+      Seq.fill(5)((0, 10)) ++ Seq.fill(3)((1, 20)) ++ Seq.fill(7)((2, 30)))
+    for (c <- Seq("nmi", "ari", "homogeneity", "completeness", "v_measure"))
+      assert(perfect.getAs[Double](c) == 1.0, s"$c: $perfect")
+    // everything in ONE cluster, two labels: completeness 1 (trivially —
+    // each label lives in one cluster), homogeneity 0, NMI 0, ARI 0
+    val one = metrics(Seq.fill(5)((0, 1)) ++ Seq.fill(5)((0, 2)))
+    assert(one.getAs[Double]("completeness") == 1.0)
+    assert(one.getAs[Double]("homogeneity") == 0.0)
+    assert(one.getAs[Double]("nmi") == 0.0)
+    assert(one.getAs[Double]("ari") == 0.0)
+    assert(one.getAs[Double]("v_measure") == 0.0)
+    // independent partitions (each (cluster, label) cell holds 5):
+    // MI = 0 so NMI/homogeneity/completeness are 0; ARI is slightly
+    // NEGATIVE (below-chance is representable, the reason ARI exists)
+    val ind = metrics(for (c <- Seq(0, 1); l <- Seq(0, 1); _ <- 1 to 5) yield (c, l))
+    assert(ind.getAs[Double]("nmi") == 0.0)
+    assert(ind.getAs[Double]("homogeneity") == 0.0)
+    assert(ind.getAs[Double]("ari") < 0.0, ind.toString)
+    assert(ind.getAs[Double]("ari") > -0.1)
   }
 
   test("lt03 flags a template's volume burst and quiet days, steady templates stay clean") {
