@@ -89,6 +89,7 @@ object SparkEntry {
     "tx20_classification_metrics"   -> (TextOps.classificationMetrics _),
     "tx21_term_entropy"             -> (TextOps.termEntropy _),
     "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
+    "tx44_rouge2"                   -> (TextOps.rouge2Pairs _),
     "qe01_output_quality"           -> (OutputQuality.outputQuality _),
     "qe02_summary_redundancy"       -> (OutputQuality.summaryRedundancy _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
@@ -583,6 +584,22 @@ object SparkEntry {
                 CAST(round(len(list_intersect(cand, ref)) * 1e4 / len(cand)) AS BIGINT) / 1e4 AS rouge_p,
                 CAST(round(len(list_intersect(cand, ref)) * 1e4 / len(ref)) AS BIGINT) / 1e4 AS rouge_r,
                 CAST(round(2 * len(list_intersect(cand, ref)) * 1e4 / (len(cand) + len(ref))) AS BIGINT) / 1e4 AS rouge_f1
+         FROM cand JOIN ref USING (cand_id)""",
+    "tx44_rouge2" ->
+      """WITH d AS (SELECT doc_id,
+                    CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 2
+                         THEN list_distinct(list_transform(
+                                generate_series(1, len(string_split_regex(trim(text), '\s+')) - 1),
+                                i -> string_split_regex(trim(text), '\s+')[i] || ' ' ||
+                                     string_split_regex(trim(text), '\s+')[i+1]))
+                         ELSE [] END AS bg
+                    FROM documents WHERE doc_id < 51),
+         cand AS (SELECT doc_id AS cand_id, bg AS cand FROM d WHERE doc_id < 50),
+         ref AS (SELECT doc_id - 1 AS cand_id, bg AS ref FROM d)
+         SELECT cand_id,
+                CAST(round(len(list_intersect(cand, ref)) * 1e4 / len(cand)) AS BIGINT) / 1e4 AS rouge2_p,
+                CAST(round(len(list_intersect(cand, ref)) * 1e4 / len(ref)) AS BIGINT) / 1e4 AS rouge2_r,
+                CAST(round(2 * len(list_intersect(cand, ref)) * 1e4 / (len(cand) + len(ref))) AS BIGINT) / 1e4 AS rouge2_f1
          FROM cand JOIN ref USING (cand_id)""",
     "tx13_bpe_token_count" ->
       """SELECT CAST(sum(n) AS BIGINT) AS total_tokens, CAST(round(sum(n) * 1e2 / count(*)) AS BIGINT) / 1e2 AS avg_tokens, max(n) AS max_tokens

@@ -238,6 +238,41 @@ object TextOps {
         microRatio(lit(2) * col("overlap"), size(col("cand")) + size(col("ref")), 4).as("rouge_f1"))
   }
 
+  /** tx44: ROUGE-2 precision/recall/F1 over the same candidate/
+    * reference pairs as tx12 — the bigram member of the reference's
+    * ROUGE battery (recap-evaluator/src/recap_evaluator/evaluator/
+    * rouge_eval.py reports rouge_1/rouge_2/rouge_l side by side;
+    * ROUGE-2 is the fluency-sensitive one: shuffled words keep their
+    * unigram overlap but lose their bigrams). Distinct-bigram set
+    * semantics, matching tx12's distinct-unigram convention; bigram
+    * construction is a pure codegen HOF (sequence + element_at), and
+    * docs under two tokens contribute an empty bigram set rather than
+    * letting `sequence(0, -1)` produce a DESCENDING range.
+    */
+  def rouge2Pairs(s: SparkSession, dir: String): DataFrame =
+    rouge2PairsOn(Tables.documents(s, dir))
+
+  /** ROUGE-2 over any (doc_id, text) frame — tx44's body. */
+  def rouge2PairsOn(docs: DataFrame): DataFrame = {
+    val bigrams = (toks: Column) =>
+      when(size(toks) >= 2,
+        array_distinct(transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2)))))
+        .otherwise(array().cast("array<string>"))
+    val d = docs.filter(col("doc_id") < 51)
+      .select(col("doc_id"), bigrams(tokens(col("text"))).as("bg"))
+    val cand = d.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("cand_id"), col("bg").as("cand"))
+    val ref = d.select((col("doc_id") - 1).as("cand_id"), col("bg").as("ref"))
+    cand.join(ref, "cand_id")
+      .withColumn("overlap", size(array_intersect(col("cand"), col("ref"))))
+      .select(
+        col("cand_id"),
+        microRatio(col("overlap"), size(col("cand")), 4).as("rouge2_p"),
+        microRatio(col("overlap"), size(col("ref")), 4).as("rouge2_r"),
+        microRatio(lit(2) * col("overlap"), size(col("cand")) + size(col("ref")), 4).as("rouge2_f1"))
+  }
+
   /** tx15: ROUGE-L precision/recall/F1 over the same candidate/reference
     * pairs as tx12 (recap-worker/recap-worker/src/evaluation/rouge.rs:13-37
     * computes ROUGE-1 and ROUGE-L side by side). Token SEQUENCES, not

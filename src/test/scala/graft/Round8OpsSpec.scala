@@ -69,6 +69,21 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("tx44 rouge-2 catches word-order loss that rouge-1 cannot") {
+    import spark.implicits._
+    // pair (0,1): shifted window — bigram overlap 2/3 both sides;
+    // pair (2,3): exact reversal — full unigram overlap, ZERO bigrams
+    val docs = Seq(
+      (0L, "a b c d"), (1L, "b c d e"),
+      (2L, "a b c d"), (3L, "d c b a")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.rouge2PairsOn(docs).collect()
+      .map(r => r.getAs[Long]("cand_id") -> r).toMap
+    assert(out(0L).getAs[Double]("rouge2_p") == 0.6667)
+    assert(out(0L).getAs[Double]("rouge2_r") == 0.6667)
+    assert(out(0L).getAs[Double]("rouge2_f1") == 0.6667)
+    assert(out(2L).getAs[Double]("rouge2_f1") == 0.0)
+  }
+
   test("km06 external agreement metrics: perfect, degenerate, and independent partitions") {
     import spark.implicits._
     def metrics(rows: Seq[(Int, Int)]) =
