@@ -41,7 +41,9 @@ object Scratch {
       "es07_incremental_rollup", "ev29_sequence_count", "ev30_sli_metrics",
       "q28_trend_dashboard", "sim11_binary_ann",
       "tx42_filtered_search", "ot03_trace_error_logs",
-      "ev31_http_golden_signals", "ev32_apdex", "ot04_span_events")
+      "ev31_http_golden_signals", "ev32_apdex", "ot04_span_events",
+      "dq08_field_shape_drift", "lt03_template_bursts", "qe01_output_quality",
+      "tx44_rouge2")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
