@@ -273,6 +273,23 @@ object DataQuality {
           .otherwise(0).as("flagged"))
   }
 
+  /** The whole-stream field-shape baseline (service_name, key,
+    * key_total, svc_total) — the yardstick st19's live comparator
+    * scores closed windows against (built batch-side from history,
+    * broadcast into the stream; rebuild it on the dq02/es07 cadence).
+    */
+  def fieldShapeBaseline(logs: DataFrame): DataFrame = {
+    val counts = logs.select(col("service_name"),
+        explode(concat(array(lit("__row__")), map_keys(col("fields")))).as("key"))
+      .groupBy("service_name", "key")
+      .agg(count(lit(1)).as("n"))
+    val svc = counts.filter(col("key") === "__row__")
+      .select(col("service_name"), col("n").as("svc_total"))
+    counts.filter(col("key") =!= "__row__")
+      .withColumnRenamed("n", "key_total")
+      .join(broadcast(svc), Seq("service_name"))
+  }
+
   def sourceSignatures(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("source"), explode(tokens(col("text"))).as("token"))

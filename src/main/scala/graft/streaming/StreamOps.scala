@@ -113,6 +113,69 @@ object StreamOps {
       .select(col("window.start").as("bucket"), col("n_requests"), col("n_errors"),
               col("error_rate"), col("total_bytes"), col("p95_latency_ms"))
 
+  /** st19 (streaming half): watermarked per-window field-key counts —
+    * dq08's one corpus-scale aggregation running continuously: each
+    * log row explodes to its key set plus the `__row__` sentinel so
+    * per-window row counts and per-key counts share one windowed
+    * aggregation; state is bounded by live windows × services ×
+    * (keys+1), never by volume. The monitor's value is LIVE — the
+    * reference's producer-shape corruption ran silent for four weeks
+    * precisely because nothing watched the key shape as it changed.
+    */
+  def windowedKeyCounts(logs: DataFrame, windowLen: String = "1 hour",
+                        watermark: String = "2 hours"): DataFrame =
+    logs
+      .select(col("ts"), col("service_name"),
+        explode(concat(array(lit("__row__")), map_keys(col("fields")))).as("key"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("service_name"), col("key"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("service_name"), col("key"), col("n"))
+
+  /** st19 (stateless half): score each closed window's key profile
+    * against a static whole-stream baseline (service_name, key,
+    * key_total, svc_total — DataQuality.fieldShapeBaseline), the st11
+    * comparator pattern run inside foreachBatch or downstream of the
+    * sink. A baseline key whose window presence-rate collapses below
+    * half its baseline rate flags `missing` — INCLUDING keys entirely
+    * absent from the window, which the baseline-side grid join
+    * resurrects as zero-count rows (the postmortem case). Keys the
+    * baseline has never seen flag `novel` (a producer ADDING a shape
+    * is the same deploy-shaped event; st16's novelty discipline).
+    * Flag arithmetic is dq08's exact decimal(38,0) cross-multiply.
+    * Everything runs on the windows × services × keys frame.
+    */
+  def shapeDriftVsBaseline(keyCounts0: DataFrame, baseline: DataFrame): DataFrame = {
+    val dec = "decimal(38,0)"
+    // the closed-window frame is bounded (windows × services × keys) and
+    // feeds BOTH sides of the grid join — a memory-sink View on both
+    // sides of a join trips Spark's reference dedup (st11's
+    // psiVsBaseline hit the same internal error), so materialize the
+    // tiny frame once, the centroid-collect pattern
+    val kcRows = keyCounts0.collect()
+    val keyCounts = keyCounts0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(kcRows: _*), keyCounts0.schema)
+    val rows = keyCounts.filter(col("key") === "__row__")
+      .select(col("bucket"), col("service_name"), col("n").as("n_rows"))
+    val obs = keyCounts.filter(col("key") =!= "__row__")
+      .select(col("bucket"), col("service_name"), col("key"), col("n").as("n_with_key"))
+    val scored = rows.join(broadcast(baseline), Seq("service_name"))
+      .join(obs, Seq("bucket", "service_name", "key"), "left")
+      .na.fill(0L, Seq("n_with_key"))
+      .select(col("bucket"), col("service_name"), col("key"),
+        col("n_rows"), col("n_with_key"),
+        when(col("n_with_key").cast(dec) * col("svc_total") * 2 <
+             col("key_total").cast(dec) * col("n_rows"), 1).otherwise(0).as("missing"),
+        lit(0).as("novel"))
+    val novel = obs
+      .join(broadcast(baseline.select("service_name", "key")),
+        Seq("service_name", "key"), "left_anti")
+      .join(rows, Seq("bucket", "service_name"))
+      .select(col("bucket"), col("service_name"), col("key"),
+        col("n_rows"), col("n_with_key"), lit(0).as("missing"), lit(1).as("novel"))
+    scored.unionByName(novel)
+  }
+
   /** st09: streaming heavy hitters — approximate top-k keys per
     * tumbling window via the mergeable SpaceSaving aggregate (ev22's
     * streaming form; ClickHouse topK over a live SLI window). The

@@ -532,6 +532,38 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st19 live field-shape drift: a renamed key flags missing and novel on window close") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    def at(s: String) = Timestamp.valueOf(s)
+    // baseline: the producer's historical shape is {k1, k2}, 10 rows
+    val baseline = graft.operators.DataQuality.fieldShapeBaseline(
+      (1 to 10).map(_ => (at("2024-01-01 00:00:00"), "svc", Map("k1" -> "a", "k2" -> "b")))
+        .toDF("ts", "service_name", "fields"))
+    val mem = MemoryStream[(Timestamp, String, Map[String, String])]
+    val counts = StreamOps.windowedKeyCounts(
+      mem.toDF.toDF("ts", "service_name", "fields"), windowLen = "1 minute")
+    val q = counts.writeStream.format("memory").queryName("st19").outputMode("append").start()
+    try {
+      // the deploy renames k2 -> k2b: every streamed row carries the new shape
+      mem.addData((1 to 6).map(i =>
+        (at(s"2024-01-02 10:00:1$i"), "svc", Map("k1" -> "a", "k2b" -> "b"))): _*)
+      q.processAllAvailable()
+      mem.addData((at("2024-01-02 15:00:00"), "svc", Map("k1" -> "x", "k2" -> "y")))
+      q.processAllAvailable()
+      val out = StreamOps.shapeDriftVsBaseline(spark.table("st19"), baseline)
+        .filter(col("bucket") === at("2024-01-02 10:00:00")).collect()
+        .map(r => r.getAs[String]("key") -> r).toMap
+      val k2 = out("k2")
+      assert(k2.getAs[Long]("n_with_key") == 0L, "k2 vanished from the window")
+      assert(k2.getAs[Int]("missing") == 1 && k2.getAs[Int]("novel") == 0)
+      val k1 = out("k1")
+      assert(k1.getAs[Int]("missing") == 0 && k1.getAs[Int]("novel") == 0)
+      val k2b = out("k2b")
+      assert(k2b.getAs[Int]("novel") == 1 && k2b.getAs[Long]("n_with_key") == 6L)
+    } finally q.stop()
+  }
+
   test("st16 novel-template alert fires once per template across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, String)]
