@@ -270,6 +270,20 @@ class PlanSpec extends SparkSpec {
     assert(offenders.isEmpty, s"unpartitioned (single-task) window in: ${offenders.mkString(", ")}")
   }
 
+  test("round-8 queries plan no single-task windows") {
+    // the new observability/evaluation queries aggregate on bounded
+    // keys (minute/day/template/source/service) — none of them may
+    // fall back to an unpartitioned window over anything
+    for (q <- Seq("dq08_field_shape_drift", "lt03_template_bursts",
+                  "qe01_output_quality", "qe02_summary_redundancy", "tx44_rouge2",
+                  "ev31_http_golden_signals", "ev32_apdex", "ot04_span_events")) {
+      val ws = allNodes(finalPlan(q)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(ws.isEmpty, s"$q plans an unpartitioned (single-task) window")
+    }
+  }
+
   test("k-means assignment is one projection over the corpus — no Exchange, no Window") {
     // Centroids are driver-collected literals, so a Lloyd iteration's
     // lineage must be exactly scan → project: any Exchange or Window
