@@ -90,6 +90,7 @@ object SparkEntry {
     "tx21_term_entropy"             -> (TextOps.termEntropy _),
     "tx22_macro_metrics"            -> (TextOps.macroMetrics _),
     "tx44_rouge2"                   -> (TextOps.rouge2Pairs _),
+    "tx45_synonym_search"           -> ((s: SparkSession, dir: String) => TextOps.synonymSearch(s, dir)),
     "qe01_output_quality"           -> (OutputQuality.outputQuality _),
     "qe02_summary_redundancy"       -> (OutputQuality.summaryRedundancy _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
@@ -886,6 +887,24 @@ object SparkEntry {
                     * (tf.tf * CAST(2.2 AS DOUBLE))
                     / (tf.tf + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl)) * 1e6) AS BIGINT) AS contrib_u
                 FROM tf JOIN df USING (term) CROSS JOIN st)
+         SELECT doc_id, CAST(round(sum(contrib_u) / 1e2) AS BIGINT) / 1e4 AS bm25
+         FROM sc GROUP BY doc_id
+         ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",
+    "tx45_synonym_search" ->
+      """WITH syn AS (SELECT * FROM (VALUES ('merge','merge'),('merge','join'),
+                      ('stream','stream'),('stream','batch'),('window','window')) AS v(grp, member)),
+         dd AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         d2 AS (SELECT doc_id, len(toks) AS dl, toks FROM dd),
+         st AS (SELECT count(*) AS n_docs, CAST(round(sum(dl) * 1e6 / count(*)) AS BIGINT) / 1e6 AS avgdl FROM d2),
+         t AS (SELECT doc_id, dl, unnest(toks) AS term FROM d2),
+         tf AS (SELECT doc_id, dl, grp, count(*) AS tf FROM t JOIN syn ON term = member
+                GROUP BY 1, 2, 3),
+         df AS (SELECT grp, count(*) AS df FROM tf GROUP BY grp),
+         sc AS (SELECT tf.doc_id,
+                  CAST(round(CAST(round(ln((CAST(st.n_docs - df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5) + 1) * 1e6) AS BIGINT) / 1e6
+                    * (tf.tf * CAST(2.2 AS DOUBLE))
+                    / (tf.tf + CAST(1.2 AS DOUBLE) * (1.0 - 0.75 + CAST(0.75 AS DOUBLE) * tf.dl / st.avgdl)) * 1e6) AS BIGINT) AS contrib_u
+                FROM tf JOIN df USING (grp) CROSS JOIN st)
          SELECT doc_id, CAST(round(sum(contrib_u) / 1e2) AS BIGINT) / 1e4 AS bm25
          FROM sc GROUP BY doc_id
          ORDER BY bm25 DESC, doc_id ASC LIMIT 20""",

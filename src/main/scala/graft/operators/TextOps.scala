@@ -367,6 +367,60 @@ object TextOps {
       .limit(20)
   }
 
+  /** tx45: synonym-expanded search — the synonym half of the search
+    * surface (search-indexer/app/driver/meilisearch_driver.go:694
+    * `RegisterSynonyms` + app/tokenize/tokenizer.go
+    * `ProcessTagToSynonyms`: Japanese compound tags register their
+    * kagome segmentation as synonyms, so a query for the compound also
+    * matches documents carrying only its pieces). Query-time
+    * expansion: each query term becomes a synonym GROUP, a document
+    * matching ANY member matches the group as if it were the query
+    * word itself (Meilisearch ranks synonym matches as the same word)
+    * — in BM25 terms the group scores as ONE term with tf = Σ member
+    * tf and df = documents containing any member, the classic
+    * query-expansion formulation. Scoring is tx18's exact micro-unit
+    * arithmetic with `group` in place of `term`.
+    *
+    * Scale: the synonym table is vocabulary-sized and BROADCASTS into
+    * the postings scan (member → group is an equi-join, and the member
+    * filter prunes the exploded stream immediately); everything
+    * downstream runs on the match set, exactly like tx18.
+    */
+  def synonymSearch(s: SparkSession, dir: String,
+                    groups: Map[String, Seq[String]] = Map(
+                      "merge" -> Seq("merge", "join"),
+                      "stream" -> Seq("stream", "batch"),
+                      "window" -> Seq("window"))): DataFrame =
+    synonymSearchOn(Tables.documents(s, dir), groups)
+
+  /** Synonym-expanded BM25 over any (doc_id, text) frame — tx45's body. */
+  def synonymSearchOn(d: DataFrame, groups: Map[String, Seq[String]]): DataFrame = {
+    val s = d.sparkSession
+    import s.implicits._
+    val syn = groups.toSeq.flatMap { case (g, ms) => ms.map(m => (g, m)) }
+      .toDF("grp", "member")
+    val docs = d
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("dl", size(col("toks")))
+    val stats = docs.agg(count(lit(1)).as("n_docs"), microRatio(sum("dl"), count(lit(1)), 6).as("avgdl"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .join(broadcast(syn), col("term") === col("member"))
+      .groupBy("doc_id", "dl", "grp")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("grp").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), "grp")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", microRound(log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1), 6))
+      .withColumn("contrib_u",
+        round(col("idf") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl"))) * 1e6,
+          0).cast("long"))
+      .groupBy("doc_id")
+      .agg((round(sum("contrib_u") / 1e2, 0).cast("long") / 1e4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id").asc)
+      .limit(20)
+  }
+
   /** tx42: filter-composed search — the production search-call shape.
     * Every search the reference's indexer actually issues composes
     * attribute filters with relevance ranking: search-indexer/app/

@@ -69,6 +69,24 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("tx45 synonym groups: a doc matching only the synonym scores as if it held the query word") {
+    import spark.implicits._
+    // same doc length, same tf — one doc holds the query word, one
+    // holds only its registered synonym: identical scores (Meilisearch
+    // ranks a synonym match as the same word); a doc with neither
+    // never appears
+    val docs = Seq(
+      (1L, "merge x y z"),
+      (2L, "join x y z"),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val out = graft.operators.TextOps.synonymSearchOn(docs,
+        Map("merge" -> Seq("merge", "join"))).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == out(2L), s"synonym match must rank as the query word: $out")
+    assert(out(1L) > 0.0)
+  }
+
   test("tx44 rouge-2 catches word-order loss that rouge-1 cannot") {
     import spark.implicits._
     // pair (0,1): shifted window — bigram overlap 2/3 both sides;
