@@ -92,6 +92,7 @@ object SparkEntry {
     "tx44_rouge2"                   -> (TextOps.rouge2Pairs _),
     "tx45_synonym_search"           -> ((s: SparkSession, dir: String) => TextOps.synonymSearch(s, dir)),
     "qe01_output_quality"           -> (OutputQuality.outputQuality _),
+    "tg01_tag_genre_graph"          -> (TagGraph.tg01 _),
     "qe02_summary_redundancy"       -> (OutputQuality.summaryRedundancy _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
@@ -1125,6 +1126,31 @@ object SparkEntry {
          SELECT node AS term, CAST(round(rank * 1e6) AS BIGINT) / 1e6 AS rank FROM (
            SELECT node, rank, row_number() OVER (ORDER BY rank DESC, node ASC) AS rk FROM r3)
          WHERE rk <= 20""",
+    // tg01's oracle recomputes the composed tags' edges from the
+    // deterministic composition rules (the qe01/ev31 shortcut); the
+    // JSON round-trip is spec-verified
+    "tg01_tag_genre_graph" ->
+      """WITH d AS (SELECT doc_id, lower(trim(lang)) AS genre,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents),
+         t AS (SELECT doc_id, genre,
+                      lower(trim(toks[i])) AS label,
+                      CAST(((doc_id + (i - 1) * 7) % 101) * 10000 AS BIGINT) AS conf_u
+               FROM d, unnest(generate_series(1, least(len(toks), 5))) AS g(i)),
+         f AS (SELECT * FROM t WHERE label <> '' AND conf_u >= 300000),
+         e AS (SELECT genre, label, count(*) AS sample_size, sum(conf_u) AS conf_sum_u
+               FROM f GROUP BY 1, 2),
+         fr AS (SELECT label, sum(sample_size) AS tag_freq FROM e GROUP BY 1),
+         tot AS (SELECT count(*) AS n_articles FROM d)
+         SELECT e.genre, e.label AS tag,
+                least(1000000, greatest(0,
+                  CAST(round(CAST(round(conf_sum_u * 1.0 / sample_size) AS BIGINT)
+                       * CAST(round((0.7 + 0.3 * ln(n_articles * 1.0 / (tag_freq + 1) + 1)
+                                            / ln(n_articles + 1.0)) * 1e6) AS BIGINT)
+                       / 1e6) AS BIGINT))) / 1e6 AS weight,
+                sample_size
+         FROM e JOIN fr USING (label) CROSS JOIN tot
+         WHERE sample_size >= 3""",
     // the oracle recomputes the composed outputs' quality directly from
     // the deterministic composition rules (the ev31/dq08 shortcut); the
     // JSON round-trip itself — both bullet shapes included — is

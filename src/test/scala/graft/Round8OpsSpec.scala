@@ -69,6 +69,35 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("tg01 edge aggregation: gates, slice-before-gate, and the 70/30 IDF blend exactly") {
+    import spark.implicits._
+    import graft.operators.TagGraph
+    def tj(tags: (String, Double)*) =
+      s"""[${tags.map { case (l, c) => s"""{"label":"$l","confidence":$c}""" }.mkString(",")}]"""
+    val rows = Seq(
+      // four articles all tagging "a" at 0.5 — the only surviving edge
+      (1L, "news", tj("a" -> 0.5, "b" -> 0.9, "" -> 0.8, "low" -> 0.2)),
+      (2L, "news", tj("a" -> 0.5)),
+      (3L, "news", tj("a" -> 0.5)),
+      // "a" appears at position 6 here — OUTSIDE the max_tags=5 slice,
+      // and the reference slices BEFORE the confidence gate
+      (4L, "news", tj("x1" -> 0.31, "x2" -> 0.32, "x3" -> 0.33, "x4" -> 0.34,
+        "x5" -> 0.35, "a" -> 0.99)) )
+      .toDF("doc_id", "genre", "tags_json")
+    val out = TagGraph.tagGenreGraphOn(rows)
+    val edges = out.collect().map(r =>
+      (r.getAs[String]("genre"), r.getAs[String]("tag")) -> r).toMap
+    // "b" (support 1), "" (empty), "low" (conf<0.3), and the sliced-out
+    // "a"@0.99 all vanish; x1..x5 have support 1
+    assert(edges.keySet == Set(("news", "a")), edges.keySet.toString)
+    val a = edges(("news", "a"))
+    assert(a.getAs[Long]("sample_size") == 3L)
+    // N=4, freq("a")=3: idf=ln(4/4+1), max=ln(5) -> factor_u and the
+    // final weight hand-computed: avg_u=500000, weight=round(500000*f_u/1e6)
+    val fu = math.round((0.7 + 0.3 * math.log(4.0 / 4 + 1) / math.log(5.0)) * 1e6)
+    assert(a.getAs[Double]("weight") == math.round(500000.0 * fu / 1e6) / 1e6)
+  }
+
   test("tx45 synonym groups: a doc matching only the synonym scores as if it held the query word") {
     import spark.implicits._
     // same doc length, same tf — one doc holds the query word, one
