@@ -139,6 +139,7 @@ object SparkEntry {
     "ev23_latency_buckets"          -> (Events.latencyBuckets _),
     "ml02_doc_classifier"           -> (MLClassifier.ml02 _),
     "km06_cluster_agreement"        -> (KMeans.km06 _),
+    "ml03_cross_validation"         -> ((s: SparkSession, dir: String) => MLClassifier.crossValidate(s, dir)),
     "tx27_repetition_filter"        -> ((s: SparkSession, dir: String) => TextOps.repetitionFilter(s, dir)),
     "smp01_stratified_sample"       -> (Sampling.smp01 _),
     "smp02_mixture_weights"         -> (Sampling.mixtureWeights _),

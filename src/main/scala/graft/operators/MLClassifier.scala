@@ -58,6 +58,51 @@ object MLClassifier {
               (round(element_at(vector_to_array(col("probability")), 2) * 1e4, 0).cast("long") / 1e4).as("p_pass"))
   }
 
+  /** ml03: stratified k-fold cross-validation of the distilled
+    * classifier — the reference evaluator's `_run_cross_validation`
+    * (recap-subworker/recap_subworker/services/evaluation.py:532
+    * retrains the production Embed+TFIDF→LogisticRegression pipeline
+    * on every fold rather than scoring one split; a single held-out
+    * number can be a lucky split, the fold spread is the stability
+    * evidence). Folds are deterministic and stratified the
+    * distributed way: a row_number within each label class modulo k —
+    * every fold sees the label ratio of the whole corpus, and the
+    * assignment is retry-stable (no rand()). Per fold the model
+    * trains on the other k−1 folds (the full estimator path
+    * distributes) and scores its own; output is one row per fold
+    * plus the mean/min rollup — the number the spread is read from.
+    */
+  def crossValidate(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLabel = Window.partitionBy("label").orderBy("doc_id")
+    val f = features(Tables.documents(s, dir))
+      .withColumn("fold", (row_number().over(byLabel) % k).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val assembler = new VectorAssembler()
+      .setInputCols(Array("f_tokens", "f_stop_ratio"))
+      .setOutputCol("features")
+    val lr = new LogisticRegression()
+      .setMaxIter(25).setRegParam(0.01).setLabelCol("label").setFeaturesCol("features")
+    val pipe = new Pipeline().setStages(Array(assembler, lr))
+    val perFold = (0 until k).map { fold =>
+      val model = pipe.fit(f.filter(col("fold") =!= fold))
+      model.transform(f.filter(col("fold") === fold))
+        .agg(
+          lit(fold).as("fold"),
+          count(lit(1)).as("n_test"),
+          graft.functions.Numeric.microRatio(
+            count(when(col("label") === col("prediction"), 1)), count(lit(1)), 4)
+            .as("accuracy"))
+    }.reduce(_ unionByName _).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rollup = perFold.agg(
+      lit(-1).as("fold"), sum("n_test").as("n_test"),
+      (round(avg(col("accuracy") * 1e4), 0).cast("long") / 1e4).as("accuracy"))
+    val out = perFold.unionByName(rollup).orderBy("fold")
+    val rows = out.collect()
+    perFold.unpersist(); f.unpersist()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** ml02 adapter: held-out agreement with the rule gate. */
   def ml02(s: SparkSession, dir: String): DataFrame =
     fitAndScore(s, dir)

@@ -69,6 +69,23 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("ml03 k-fold CV: folds disjoint and covering, every fold reproduces the rule gate") {
+    import graft.operators.MLClassifier
+    val out = MLClassifier.crossValidate(spark, sfDir, k = 3).collect()
+    val folds = out.filter(_.getAs[Int]("fold") >= 0)
+    val rollup = out.filter(_.getAs[Int]("fold") == -1)
+    assert(folds.length == 3 && rollup.length == 1)
+    // every doc lands in exactly one test fold
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(folds.map(_.getAs[Long]("n_test")).sum == nDocs)
+    assert(rollup.head.getAs[Long]("n_test") == nDocs)
+    // the rule gate is learnable from its own signals in EVERY fold —
+    // the fold spread is the stability evidence (ml02 pins one split)
+    folds.foreach(r => assert(r.getAs[Double]("accuracy") >= 0.85, r.toString))
+    val mean = folds.map(_.getAs[Double]("accuracy")).sum / 3
+    assert(math.abs(rollup.head.getAs[Double]("accuracy") - mean) < 1e-3)
+  }
+
   test("tg01 edge aggregation: gates, slice-before-gate, and the 70/30 IDF blend exactly") {
     import spark.implicits._
     import graft.operators.TagGraph
