@@ -600,9 +600,12 @@ object SparkEntry {
          cand AS (SELECT doc_id AS cand_id, bg AS cand FROM d WHERE doc_id < 50),
          ref AS (SELECT doc_id - 1 AS cand_id, bg AS ref FROM d)
          SELECT cand_id,
-                CAST(round(len(list_intersect(cand, ref)) * 1e4 / len(cand)) AS BIGINT) / 1e4 AS rouge2_p,
-                CAST(round(len(list_intersect(cand, ref)) * 1e4 / len(ref)) AS BIGINT) / 1e4 AS rouge2_r,
-                CAST(round(2 * len(list_intersect(cand, ref)) * 1e4 / (len(cand) + len(ref))) AS BIGINT) / 1e4 AS rouge2_f1
+                CASE WHEN len(cand) = 0 THEN 0.0
+                     ELSE CAST(round(len(list_intersect(cand, ref)) * 1e4 / len(cand)) AS BIGINT) / 1e4 END AS rouge2_p,
+                CASE WHEN len(ref) = 0 THEN 0.0
+                     ELSE CAST(round(len(list_intersect(cand, ref)) * 1e4 / len(ref)) AS BIGINT) / 1e4 END AS rouge2_r,
+                CASE WHEN len(cand) + len(ref) = 0 THEN 0.0
+                     ELSE CAST(round(2 * len(list_intersect(cand, ref)) * 1e4 / (len(cand) + len(ref))) AS BIGINT) / 1e4 END AS rouge2_f1
          FROM cand JOIN ref USING (cand_id)""",
     "tx13_bpe_token_count" ->
       """SELECT CAST(sum(n) AS BIGINT) AS total_tokens, CAST(round(sum(n) * 1e2 / count(*)) AS BIGINT) / 1e2 AS avg_tokens, max(n) AS max_tokens
@@ -1538,14 +1541,17 @@ object SparkEntry {
          uu AS (SELECT CAST(round(ln(rank) * 1e6) AS BIGINT) AS xu,
                        CAST(round(ln(freq) * 1e6) AS BIGINT) AS yu FROM top),
          mo AS (SELECT count(*) AS n, sum(xu) AS sx, sum(yu) AS sy,
-                       sum(xu * xu) AS sxx, sum(yu * yu) AS syy, sum(xu * yu) AS sxy
+                       sum(CAST(xu AS HUGEINT) * xu) AS sxx,
+                       sum(CAST(yu AS HUGEINT) * yu) AS syy,
+                       sum(CAST(xu AS HUGEINT) * yu) AS sxy
                 FROM uu),
-         cv AS (SELECT n, n * sxy - sx * sy AS cxy, n * sxx - sx * sx AS cxx,
-                       n * syy - sy * sy AS cyy FROM mo),
+         cv AS (SELECT n, CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS cxy,
+                       CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS cxx,
+                       CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS cyy FROM mo),
          fit AS (SELECT n AS n_ranked,
-                        CAST(round(cxy * 1e6 / cxx) AS BIGINT) / 1e6 AS zipf_slope,
-                        CAST(round(CAST(cxy * cxy AS DOUBLE) * 1e6 /
-                                   CAST(cxx * cyy AS DOUBLE)) AS BIGINT) / 1e6 AS zipf_r2
+                        CAST(round(CAST(cxy AS DOUBLE) * 1e6 / CAST(cxx AS DOUBLE)) AS BIGINT) / 1e6 AS zipf_slope,
+                        CAST(round(CAST(cxy AS DOUBLE) * CAST(cxy AS DOUBLE) * 1e6 /
+                                   (CAST(cxx AS DOUBLE) * CAST(cyy AS DOUBLE))) AS BIGINT) / 1e6 AS zipf_r2
                  FROM cv),
          tot AS (SELECT count(*) AS vocab_size, CAST(sum(freq) AS BIGINT) AS total_tokens FROM c)
          SELECT * FROM fit CROSS JOIN tot""",

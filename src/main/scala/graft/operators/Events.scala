@@ -538,8 +538,14 @@ object Events {
     // boundary to a representable point. Products go through
     // decimal(38,0) — dev²·n overflows a long at any realistic SF.
     val evC = ev(s, dir).withColumn("c", cents(col("value")))
+    // Σc² itself must accumulate in decimal(38,0) too: c·c ~ 1e10 per
+    // row for 1000.00-unit values, so a type with ~1e9 rows wraps a
+    // plain long sum SILENTLY under non-ANSI arithmetic while the
+    // oracle's HUGEINT stays correct
     val stats = evC.groupBy(col("event_type").as("t"))
-      .agg(sum("c").as("sc"), sum(col("c") * col("c")).as("sc2"), count("c").as("n"))
+      .agg(sum("c").as("sc"),
+           sum(col("c").cast("decimal(38,0)") * col("c")).as("sc2"),
+           count("c").as("n"))
     evC
       .join(broadcast(stats), col("event_type") === col("t"))
       .withColumn("dev", col("c").cast("decimal(38,0)") * col("n") - col("sc"))

@@ -105,6 +105,16 @@ object KMeans {
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** Quantized mean of the assignment's `cc` column: per-member cosine
+    * snapped to exact 1e-6-unit longs, summed order-independently,
+    * mean rounded once at 4 dp — ONE definition of the discipline for
+    * every caller (km01, km02, clusterMetrics), so a future change to
+    * the rounding cannot drift between them.
+    */
+  private def meanCos: org.apache.spark.sql.Column =
+    round(sum(round(col("cc") * 1e6, 0).cast("long")) / (count(lit(1)) * 1e2), 0)
+      .cast("long") / 1e4
+
   /** km02 adapter: cluster sizes + mean in-cluster cosine after 3
     * mini-batch epochs at 30% sampling (rows-only: sampled FP
     * iteration has no SQL oracle).
@@ -112,7 +122,7 @@ object KMeans {
   def km02(s: SparkSession, dir: String): DataFrame =
     fitMiniBatch(Tables.embeddings(s, dir), epochs = 3, fraction = 0.3)
       .groupBy("cluster")
-      .agg(count(lit(1)).as("n_vecs"), (round(sum(round(col("cc") * 1e6, 0).cast("long")) / (count(lit(1)) * 1e2), 0).cast("long") / 1e4).as("mean_cos"))
+      .agg(count(lit(1)).as("n_vecs"), meanCos.as("mean_cos"))
       .orderBy("cluster")
 
   /** km01 adapter: cluster sizes + rounded mean in-cluster cosine
@@ -121,7 +131,7 @@ object KMeans {
   def km01(s: SparkSession, dir: String): DataFrame =
     fit(Tables.embeddings(s, dir), 3)
       .groupBy("cluster")
-      .agg(count(lit(1)).as("n_vecs"), (round(sum(round(col("cc") * 1e6, 0).cast("long")) / (count(lit(1)) * 1e2), 0).cast("long") / 1e4).as("mean_cos"))
+      .agg(count(lit(1)).as("n_vecs"), meanCos.as("mean_cos"))
       .orderBy("cluster")
 
   /** km05: clustering quality metrics over a fitted assignment — the
@@ -142,7 +152,7 @@ object KMeans {
   def clusterMetrics(assigned: DataFrame): DataFrame = {
     val cohesion = assigned.groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
-           (round(sum(round(col("cc") * 1e6, 0).cast("long")) / (count(lit(1)) * 1e2), 0).cast("long") / 1e4).as("mean_cc"),
+           meanCos.as("mean_cc"),
            (round(min("cc") * 1e4, 0).cast("long") / 1e4).as("min_cc"))
     val cents = Similarity.centroidsFor(assigned, "cluster")
     val cc = cents.select(col("cell").as("cluster"), col("centroid").as("c_a"))

@@ -70,7 +70,9 @@ object MLClassifier {
     * assignment is retry-stable (no rand()). Per fold the model
     * trains on the other k−1 folds (the full estimator path
     * distributes) and scores its own; output is one row per fold
-    * plus the mean/min rollup — the number the spread is read from.
+    * (acc_min echoes the fold's own accuracy) plus a fold = -1
+    * rollup whose accuracy is the mean and whose acc_min is the
+    * WORST fold — the number the stability claim actually rests on.
     */
   def crossValidate(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -93,10 +95,12 @@ object MLClassifier {
           graft.functions.Numeric.microRatio(
             count(when(col("label") === col("prediction"), 1)), count(lit(1)), 4)
             .as("accuracy"))
+        .withColumn("acc_min", col("accuracy"))
     }.reduce(_ unionByName _).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rollup = perFold.agg(
       lit(-1).as("fold"), sum("n_test").as("n_test"),
-      (round(avg(col("accuracy") * 1e4), 0).cast("long") / 1e4).as("accuracy"))
+      (round(avg(col("accuracy") * 1e4), 0).cast("long") / 1e4).as("accuracy"),
+      min("acc_min").as("acc_min"))
     val out = perFold.unionByName(rollup).orderBy("fold")
     val rows = out.collect()
     perFold.unpersist(); f.unpersist()

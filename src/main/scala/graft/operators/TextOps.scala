@@ -264,13 +264,18 @@ object TextOps {
     val cand = d.filter(col("doc_id") < 50)
       .select(col("doc_id").as("cand_id"), col("bg").as("cand"))
     val ref = d.select((col("doc_id") - 1).as("cand_id"), col("bg").as("ref"))
+    // a sub-2-token doc has an EMPTY bigram set (the guard above) — an
+    // empty candidate/reference conventionally scores 0, not NULL from
+    // a zero-denominator ratio
+    def safe(num: Column, den: Column): Column =
+      when(den === 0, 0.0).otherwise(microRatio(num, den, 4))
     cand.join(ref, "cand_id")
       .withColumn("overlap", size(array_intersect(col("cand"), col("ref"))))
       .select(
         col("cand_id"),
-        microRatio(col("overlap"), size(col("cand")), 4).as("rouge2_p"),
-        microRatio(col("overlap"), size(col("ref")), 4).as("rouge2_r"),
-        microRatio(lit(2) * col("overlap"), size(col("cand")) + size(col("ref")), 4).as("rouge2_f1"))
+        safe(col("overlap"), size(col("cand"))).as("rouge2_p"),
+        safe(col("overlap"), size(col("ref"))).as("rouge2_r"),
+        safe(lit(2) * col("overlap"), size(col("cand")) + size(col("ref"))).as("rouge2_f1"))
   }
 
   /** tx15: ROUGE-L precision/recall/F1 over the same candidate/reference
@@ -971,27 +976,36 @@ object TextOps {
         Window.orderBy(col("freq").desc, col("term").asc)))
     // The regression runs on exact integer moments of 1e6-unit logs:
     // regr_slope/regr_r2 sum doubles in engine order, so their 6-dp
-    // rounds could diverge; here Sxy = n·Σxy − Σx·Σy etc. are exact
-    // longs (Σxy products fit: |u| ≤ 2e7, K ≤ 1e4), the slope is one
-    // identical-double quotient, and R² goes through decimal(38,0)
-    // squares.
+    // rounds could diverge; here EVERY moment product runs in
+    // decimal(38,0) (HUGEINT on the oracle side): |u| ≤ 2e7 means
+    // u·u ~ 4e14 per row, and the centered moments n·Σuu − Σu·Σu
+    // reach ~7e21 at K = 1e4 — past Long.MaxValue, where a plain long
+    // multiply would wrap SILENTLY under non-ANSI arithmetic (the
+    // oracle's HUGEINT would stay correct, so the engines would
+    // diverge exactly when the corpus grows). The slope is one
+    // identical-double quotient of the exact decimals.
+    val dec = "decimal(38,0)"
     val fit = top
       .withColumn("xu", round(log(col("rank")) * 1e6, 0).cast("long"))
       .withColumn("yu", round(log(col("freq")) * 1e6, 0).cast("long"))
       .agg(
         count(lit(1)).as("n"),
         sum("xu").as("sx"), sum("yu").as("sy"),
-        sum(col("xu") * col("xu")).as("sxx"),
-        sum(col("yu") * col("yu")).as("syy"),
-        sum(col("xu") * col("yu")).as("sxy"))
-      .withColumn("cxy", col("n") * col("sxy") - col("sx") * col("sy"))
-      .withColumn("cxx", col("n") * col("sxx") - col("sx") * col("sx"))
-      .withColumn("cyy", col("n") * col("syy") - col("sy") * col("sy"))
+        sum(col("xu").cast(dec) * col("yu").cast(dec)).as("sxy"),
+        sum(col("xu").cast(dec) * col("xu").cast(dec)).as("sxx"),
+        sum(col("yu").cast(dec) * col("yu").cast(dec)).as("syy"))
+      .withColumn("cxy", col("n").cast(dec) * col("sxy") - col("sx").cast(dec) * col("sy").cast(dec))
+      .withColumn("cxx", col("n").cast(dec) * col("sxx") - col("sx").cast(dec) * col("sx").cast(dec))
+      .withColumn("cyy", col("n").cast(dec) * col("syy") - col("sy").cast(dec) * col("sy").cast(dec))
       .select(
         col("n").as("n_ranked"),
-        (round(col("cxy") * 1e6 / col("cxx"), 0).cast("long") / 1e6).as("zipf_slope"),
-        (round((col("cxy").cast("decimal(38,0)") * col("cxy")).cast("double") * 1e6 /
-               (col("cxx").cast("decimal(38,0)") * col("cyy")).cast("double"), 0)
+        (round(col("cxy").cast("double") * 1e6 / col("cxx").cast("double"), 0)
+          .cast("long") / 1e6).as("zipf_slope"),
+        // R²'s square would need 76 decimal digits — square the exact
+        // decimals AFTER the double cast (deterministic x·x in both
+        // engines; doubles cannot wrap)
+        (round(col("cxy").cast("double") * col("cxy").cast("double") * 1e6 /
+               (col("cxx").cast("double") * col("cyy").cast("double")), 0)
           .cast("long") / 1e6).as("zipf_r2"))
     val totals = freqs.agg(
       count(lit(1)).as("vocab_size"),

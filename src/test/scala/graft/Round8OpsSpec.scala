@@ -84,6 +84,9 @@ class Round8OpsSpec extends SparkSpec {
     folds.foreach(r => assert(r.getAs[Double]("accuracy") >= 0.85, r.toString))
     val mean = folds.map(_.getAs[Double]("accuracy")).sum / 3
     assert(math.abs(rollup.head.getAs[Double]("accuracy") - mean) < 1e-3)
+    // the rollup's acc_min is the WORST fold — the stability number
+    assert(rollup.head.getAs[Double]("acc_min") ==
+      folds.map(_.getAs[Double]("accuracy")).min)
   }
 
   test("tg01 edge aggregation: gates, slice-before-gate, and the 70/30 IDF blend exactly") {
@@ -139,13 +142,19 @@ class Round8OpsSpec extends SparkSpec {
     // pair (2,3): exact reversal — full unigram overlap, ZERO bigrams
     val docs = Seq(
       (0L, "a b c d"), (1L, "b c d e"),
-      (2L, "a b c d"), (3L, "d c b a")).toDF("doc_id", "text")
+      (2L, "a b c d"), (3L, "d c b a"),
+      // single-token candidate: EMPTY bigram set must score 0.0, not
+      // NULL from a zero-denominator ratio
+      (4L, "solo"), (5L, "five six")).toDF("doc_id", "text")
     val out = graft.operators.TextOps.rouge2PairsOn(docs).collect()
       .map(r => r.getAs[Long]("cand_id") -> r).toMap
     assert(out(0L).getAs[Double]("rouge2_p") == 0.6667)
     assert(out(0L).getAs[Double]("rouge2_r") == 0.6667)
     assert(out(0L).getAs[Double]("rouge2_f1") == 0.6667)
     assert(out(2L).getAs[Double]("rouge2_f1") == 0.0)
+    assert(!out(4L).isNullAt(out(4L).fieldIndex("rouge2_p")))
+    assert(out(4L).getAs[Double]("rouge2_p") == 0.0)
+    assert(out(4L).getAs[Double]("rouge2_f1") == 0.0)
   }
 
   test("km06 external agreement metrics: perfect, degenerate, and independent partitions") {
