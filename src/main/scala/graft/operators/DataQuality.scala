@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Numeric.microRatio
+import graft.functions.Numeric.{microRatio, microRound}
 import graft.functions.SimHashAgg.simhashAgg
 import graft.functions.TextFunctions.tokens
 
@@ -72,7 +72,7 @@ object DataQuality {
         sum("cnt").as("n_rows"),
         max("cnt").as("max_rows"),
         microRatio(sum("cnt"), count(lit(1)), 4).as("avg_rows"),
-        (round(expr("percentile(cnt, 0.99)") * 1e4, 0).cast("long") / 1e4).as("p99_rows"),
+        (microRound(expr("percentile(cnt, 0.99)"), 4)).as("p99_rows"),
         // max/avg = max·n_keys/n_rows — all exact longs, no double avg
         microRatio(max("cnt") * count(lit(1)), sum("cnt"), 4).as("skew_factor"),
         microRatio(max("cnt"), sum("cnt"), 9).as("top_share"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 import graft.Tables
+import graft.functions.Numeric.microRound
 
 /** Spherical k-means (cosine Lloyd iterations) over an embedding
   * corpus.
@@ -153,7 +154,7 @@ object KMeans {
     val cohesion = assigned.groupBy("cluster")
       .agg(count(lit(1)).as("n_members"),
            meanCos.as("mean_cc"),
-           (round(min("cc") * 1e4, 0).cast("long") / 1e4).as("min_cc"))
+           (microRound(min("cc"), 4)).as("min_cc"))
     val cents = Similarity.centroidsFor(assigned, "cluster")
     val cc = cents.select(col("cell").as("cluster"), col("centroid").as("c_a"))
       .join(broadcast(cents.select(col("cell").as("other"), col("centroid").as("c_b"))),
@@ -163,9 +164,9 @@ object KMeans {
       .partitionBy("cluster").orderBy(col("cos").desc, col("other").asc)
     val nearest = cc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("cluster"), col("other").as("nn_cluster"),
-              (round(col("cos") * 1e4, 0).cast("long") / 1e4).as("nn_cos"))
+              (microRound(col("cos"), 4)).as("nn_cos"))
     cohesion.join(nearest, Seq("cluster"), "left")
-      .withColumn("separation", round((col("mean_cc") - col("nn_cos")) * 1e4, 0).cast("long") / 1e4)
+      .withColumn("separation", microRound((col("mean_cc") - col("nn_cos")), 4))
       .orderBy("cluster")
   }
 
@@ -210,7 +211,7 @@ object KMeans {
     val hl = bM.crossJoin(broadcast(totals))
       .agg(sum(col("b") / col("nn") * -log(col("b") / col("nn"))).as("h_l"),
            sum(col("b") * (col("b") - 1) / 2).as("b_comb"))
-    val r4 = (c: Column) => round(c * 1e4, 0).cast("long") / 1e4
+    val r4 = (c: Column) => microRound(c, 4)
     val out = joint.crossJoin(hk).crossJoin(hl).crossJoin(totals)
       .withColumn("expected", col("a_comb") * col("b_comb") / (col("nn") * (col("nn") - 1) / 2))
       .withColumn("max_index", (col("a_comb") + col("b_comb")) / 2)

@@ -8,6 +8,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
+import graft.functions.Numeric.microRound
 
 /** MLlib document classifier — distilling a rule gate into a trained
   * model.
@@ -55,7 +56,7 @@ object MLClassifier {
       .fit(f.filter(col("is_train")))
     model.transform(f.filter(!col("is_train")))
       .select(col("doc_id"), col("label"), col("prediction"),
-              (round(element_at(vector_to_array(col("probability")), 2) * 1e4, 0).cast("long") / 1e4).as("p_pass"))
+              (microRound(element_at(vector_to_array(col("probability")), 2), 4)).as("p_pass"))
   }
 
   /** ml03: stratified k-fold cross-validation of the distilled

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions.{jaccard, tokens}
+import graft.functions.Numeric.microRound
 
 /** RAG retrieval + context assembly.
   *
@@ -63,7 +64,7 @@ object Rag {
       .join(broadcast(hits), "query_id")
     toks.select(col("doc_id").as("neighbor_id"), col("toks").as("c_toks"))
       .join(broadcast(withQuery), "neighbor_id")
-      .withColumn("lex", round(jaccard(col("q_toks"), col("c_toks")) * 1e6, 0).cast("long") / 1e6)
+      .withColumn("lex", microRound(jaccard(col("q_toks"), col("c_toks")), 6))
   }
 
   def rerankedRetrieval(s: SparkSession, dir: String): DataFrame = {
@@ -192,19 +193,19 @@ object Rag {
       .join(cand.select(col("query_id"), col("neighbor_id").as("b"), col("c_emb").as("b_emb")), Seq("query_id"))
       .filter(col("a") =!= col("b"))
       .select(col("query_id"), col("a"), col("b"),
-        (round(cosineSim(col("a_emb"), col("b_emb")) * 1e6, 0).cast("long") / 1e6).as("sim"))
+        (microRound(cosineSim(col("a_emb"), col("b_emb")), 6)).as("sim"))
     val base = cand.select("query_id", "neighbor_id", "cos")
     def pick(scored: DataFrame): DataFrame = {
       val w = Window.partitionBy("query_id").orderBy(col("mmr_score").desc, col("neighbor_id").asc)
       scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
     }
-    val s1 = pick(base.withColumn("mmr_score", (round(lit(lam) * col("cos") * 1e4, 0).cast("long") / 1e4)))
+    val s1 = pick(base.withColumn("mmr_score", (microRound(lit(lam) * col("cos"), 4))))
     val r2 = base
       .join(s1.select(col("query_id"), col("neighbor_id").as("sel1")), Seq("query_id"))
       .filter(col("neighbor_id") =!= col("sel1"))
       .join(pair.select(col("query_id"), col("a").as("neighbor_id"), col("b").as("sel1"), col("sim").as("sim1")),
         Seq("query_id", "neighbor_id", "sel1"))
-      .withColumn("mmr_score", (round((lit(lam) * col("cos") - lit(1 - lam) * col("sim1")) * 1e4, 0).cast("long") / 1e4))
+      .withColumn("mmr_score", (microRound((lit(lam) * col("cos") - lit(1 - lam) * col("sim1")), 4)))
     val s2 = pick(r2)
     val r3 = base
       .join(s1.select(col("query_id"), col("neighbor_id").as("sel1")), Seq("query_id"))
@@ -215,7 +216,7 @@ object Rag {
       .join(pair.select(col("query_id"), col("a").as("neighbor_id"), col("b").as("sel2"), col("sim").as("sim2")),
         Seq("query_id", "neighbor_id", "sel2"))
       .withColumn("mmr_score",
-        (round((lit(lam) * col("cos") - lit(1 - lam) * greatest(col("sim1"), col("sim2"))) * 1e4, 0).cast("long") / 1e4))
+        (microRound((lit(lam) * col("cos") - lit(1 - lam) * greatest(col("sim1"), col("sim2"))), 4)))
     val s3 = pick(r3)
     val sel = (rank: Int, df: DataFrame) =>
       df.select(col("query_id"), col("neighbor_id"), col("cos"),

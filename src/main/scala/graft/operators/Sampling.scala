@@ -96,7 +96,7 @@ object Sampling {
       .orderBy(col("skey").desc, col("doc_id").asc)
       .limit(k)
       .select(col("doc_id"), col("source"), col("n_chars"),
-              (round(col("skey") * 1e9, 0).cast("long") / 1e9).as("skey"))
+              (microRound(col("skey"), 9)).as("skey"))
   }
 
   /** smp04: cluster-balanced curation — cap every embedding cluster at

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.Numeric.microRatio
+import graft.functions.Numeric.{microRatio, microRound}
 import graft.functions.VectorFunctions.cosineSim
 
 /** Vector similarity / ANN operators over the `embeddings` table.
@@ -42,7 +42,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val corpus = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val scored = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")) * 1e6, 0).cast("long") / 1e6)
+      .withColumn("cos", microRound(cosineSim(col("q_emb"), col("c_emb")), 6))
     scored.groupBy("query_id")
       .agg(topKBy(col("cos"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
@@ -186,7 +186,7 @@ object Similarity {
     val b = e.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, "label")
       .filter(col("vec_a") < col("vec_b"))
-      .withColumn("cos", round(cosineSim(col("emb_a"), col("emb_b")) * 1e6, 0).cast("long") / 1e6)
+      .withColumn("cos", microRound(cosineSim(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos") >= 0.3)
       .select("label", "vec_a", "vec_b", "cos")
   }
@@ -229,7 +229,7 @@ object Similarity {
     cand
       .join(v.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
       .join(v.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
-      .withColumn("cos", round(cosineSim(col("emb_a"), col("emb_b")) * 1e6, 0).cast("long") / 1e6)
+      .withColumn("cos", microRound(cosineSim(col("emb_a"), col("emb_b")), 6))
       .filter(col("cos") >= threshold)
       .select("vec_a", "vec_b", "cos")
   }
@@ -301,7 +301,7 @@ object Similarity {
     assigned.select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
       .join(broadcast(queries), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")) * 1e6, 0).cast("long") / 1e6)
+      .withColumn("cos", microRound(cosineSim(col("q_emb"), col("c_emb")), 6))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select("query_id", "cell", "neighbor_id", "cos", "rank")
@@ -349,7 +349,7 @@ object Similarity {
     val corpus = q8.select(col("vec_id").as("neighbor_id"), col("q_emb").as("c_q"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosineSim(col("q_q"), col("c_q")) * 1e6, 0).cast("long") / 1e6)
+      .withColumn("cos", microRound(cosineSim(col("q_q"), col("c_q")), 6))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos", "rank")
@@ -439,7 +439,7 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("pq_score").desc, col("neighbor_id").asc)
     val result = coded.select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("pq_score", (round(score * 1e6, 0).cast("long") / 1e6))
+      .withColumn("pq_score", (microRound(score, 6)))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= candidates)
       .select("query_id", "neighbor_id", "pq_score", "rank")
@@ -526,7 +526,7 @@ object Similarity {
     assigned.select(col("cell"), col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
       .join(broadcast(queries), Seq("cell"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", round(cosineSim(col("q_emb"), col("c_emb")) * 1e6, 0).cast("long") / 1e6)
+      .withColumn("cos", microRound(cosineSim(col("q_emb"), col("c_emb")), 6))
       .withColumn("rank", row_number().over(wTop))
       .filter(col("rank") <= k)
       .select("query_id", "cell", "neighbor_id", "cos", "rank")
@@ -671,7 +671,7 @@ object Similarity {
       .join(broadcast(emb.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
         "query_id")
-      .withColumn("cos", round(cosineSim(col("q_emb"), col("embedding")) * 1e6, 0).cast("long") / 1e6)
+      .withColumn("cos", microRound(cosineSim(col("q_emb"), col("embedding")), 6))
       .withColumn("rank", row_number().over(byCos))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "hamming", "cos", "rank")

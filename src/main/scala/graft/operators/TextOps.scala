@@ -502,7 +502,7 @@ object TextOps {
     val b = d.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     a.join(b, "source")
       .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard", round(jaccard(col("toks_a"), col("toks_b")) * 1e4, 0).cast("long") / 1e4)
+      .withColumn("jaccard", microRound(jaccard(col("toks_a"), col("toks_b")), 4))
       .filter(col("jaccard") >= 0.6)
       .select("source", "doc_a", "doc_b", "jaccard")
   }
@@ -871,7 +871,7 @@ object TextOps {
     pe.unpersist() // ranks are materialized inside weightedPagerank
     val top = ranks
       .orderBy(col("rank").desc, col("node").asc).limit(topK)
-      .select(col("node").as("term"), (round(col("rank") * 1e6, 0).cast("long") / 1e6).as("rank"))
+      .select(col("node").as("term"), (microRound(col("rank"), 6)).as("rank"))
     val rows = top.collect()
     ranks.unpersist()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
@@ -915,7 +915,7 @@ object TextOps {
       .join(d.select(col("doc_id").as("doc_a"), col("source"), col("toks").as("toks_a")), "doc_a")
       .join(d.select(col("doc_id").as("doc_b"), col("source").as("source_b"), col("toks").as("toks_b")), "doc_b")
       .filter(col("source") === col("source_b"))
-      .withColumn("jaccard", round(jaccard(col("toks_a"), col("toks_b")) * 1e4, 0).cast("long") / 1e4)
+      .withColumn("jaccard", microRound(jaccard(col("toks_a"), col("toks_b")), 4))
       .filter(col("jaccard") >= 0.6)
       .select("source", "doc_a", "doc_b", "jaccard")
   }
@@ -1155,7 +1155,7 @@ object TextOps {
     val w = Window.partitionBy("query").orderBy(col("sim").desc, col("doc_id").asc)
     val out = perDoc
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col("query"), col("doc_id"), (round(col("sim") * 1e4, 0).cast("long") / 1e4).as("sim"))
+      .select(col("query"), col("doc_id"), (microRound(col("sim"), 4)).as("sim"))
     val rows = out.collect() // |queries|·k rows — materialize, then drop the caches
     vocab.unpersist(); postings.unpersist()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
