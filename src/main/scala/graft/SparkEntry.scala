@@ -144,6 +144,7 @@ object SparkEntry {
     "smp01_stratified_sample"       -> (Sampling.smp01 _),
     "smp02_mixture_weights"         -> (Sampling.mixtureWeights _),
     "smp03_weighted_sample"         -> ((s: SparkSession, dir: String) => Sampling.weightedSample(s, dir)),
+    "smp06_dedup_weighted_sample"   -> ((s: SparkSession, dir: String) => Sampling.dedupWeightedSample(s, dir)),
     "smp04_cluster_balanced"        -> ((s: SparkSession, dir: String) => Sampling.clusterBalanced(s, dir)),
     // Graph / label propagation
     "lp01_label_propagation"        -> (Graph.lp01 _),
@@ -1005,6 +1006,18 @@ object SparkEntry {
               FROM documents WHERE n_chars > 0),
          rk AS (SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id ASC) AS rn FROM sc)
          SELECT doc_id, source, n_chars, CAST(round(skey * 1e9) AS BIGINT) / 1e9 AS skey
+         FROM rk WHERE rn <= 50""",
+    "smp06_dedup_weighted_sample" ->
+      s"""WITH RECURSIVE $dupClustersCte,
+         cs AS (SELECT rep, count(*) AS csize FROM lab GROUP BY rep),
+         sz AS (SELECT lab.node AS doc_id, cs.csize FROM lab JOIN cs USING (rep)),
+         sc AS (SELECT dd.doc_id, dd.source, coalesce(sz.csize, 1) AS cluster_size,
+                       ln((CAST('0x' || substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1.0)::DOUBLE
+                          / 4294967297.0::DOUBLE) * coalesce(sz.csize, 1) AS skey
+                FROM documents dd LEFT JOIN sz USING (doc_id)
+                WHERE dd.doc_id < 1000),
+         rk AS (SELECT *, row_number() OVER (ORDER BY skey DESC, doc_id ASC) AS rn FROM sc)
+         SELECT doc_id, source, cluster_size, CAST(round(skey * 1e9) AS BIGINT) / 1e9 AS skey
          FROM rk WHERE rn <= 50""",
     "dq03_join_key_skew" ->
       """WITH c AS (SELECT l_orderkey, count(*) AS cnt FROM lineitem GROUP BY 1)

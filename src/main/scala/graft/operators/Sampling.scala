@@ -99,6 +99,43 @@ object Sampling {
               (microRound(col("skey"), 9)).as("skey"))
   }
 
+  /** smp06: dedup-weighted sampling — Efraimidis–Spirakis with weight
+    * 1 / near-dup-cluster-size, composing dd01's connected components
+    * into smp03's deterministic weighted draw (the DataComp-style
+    * counterweight to duplication: smp04 hard-caps clusters, this
+    * SOFT-downweights them — content that appears in an n-member
+    * near-dup cluster gets 1/n the selection mass, so the SAMPLE's
+    * content distribution approximates the deduplicated corpus without
+    * actually deleting anything). skey = ln(u)·size: ln(u) < 0, so a
+    * bigger cluster pushes the key further down — exactly w = 1/size
+    * in the E–S formulation, hash-deterministic and retry-safe like
+    * every sampler here.
+    *
+    * Scale: the cluster-size frame is bounded by the DUPLICATE
+    * population (≪ corpus) and broadcast-joins into one corpus scan;
+    * unclustered docs default to size 1 with no join hit. Top-k is
+    * TakeOrdered on the scored scan — no window, no shuffle.
+    */
+  def dedupWeightedSample(s: SparkSession, dir: String, k: Int = 50): DataFrame = {
+    val labels = Dedup.connectedComponents(
+      TextOps.tokenJaccard(s, dir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("csize"))
+    val perDoc = labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("csize"))
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+               .cast("double") + lit(1.0)) / lit(4294967297.0)
+    val out = Tables.documents(s, dir)
+      .filter(col("doc_id") < 1000)
+      .join(broadcast(perDoc), Seq("doc_id"), "left")
+      .withColumn("cluster_size", coalesce(col("csize"), lit(1L)))
+      .withColumn("skey", log(u) * col("cluster_size"))
+      .orderBy(col("skey").desc, col("doc_id").asc)
+      .limit(k)
+      .select(col("doc_id"), col("source"), col("cluster_size"),
+              microRound(col("skey"), 9).as("skey"))
+    Dedup.materialized(out) { labels.unpersist() }
+  }
+
   /** smp04: cluster-balanced curation — cap every embedding cluster at
     * m members, ranked by a deterministic per-row hash (the diversity
     * counterweight to frequency: a dominant cluster contributes m

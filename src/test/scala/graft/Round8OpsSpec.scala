@@ -69,6 +69,27 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("smp06 dedup-weighted sampling: sizes match the dd01 components, draw is deterministic") {
+    import graft.operators.{Dedup, Sampling, TextOps}
+    val out = Sampling.dedupWeightedSample(spark, sfDir, k = 30).collect()
+    assert(out.length == 30)
+    // every sampled doc's cluster_size is its dd01 component size (1 if unclustered)
+    val labels = Dedup.connectedComponents(
+      TextOps.tokenJaccard(spark, sfDir).select("doc_a", "doc_b"), "doc_a", "doc_b")
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n"))
+      .join(labels, "label")
+      .select(col("node"), col("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    labels.unpersist()
+    out.foreach { r =>
+      val expect = sizes.getOrElse(r.getAs[Long]("doc_id"), 1L)
+      assert(r.getAs[Long]("cluster_size") == expect, r.toString)
+    }
+    // hash-deterministic: a second draw is row-for-row identical
+    val again = Sampling.dedupWeightedSample(spark, sfDir, k = 30).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("ml03 k-fold CV: folds disjoint and covering, every fold reproduces the rule gate") {
     import graft.operators.MLClassifier
     val out = MLClassifier.crossValidate(spark, sfDir, k = 3).collect()
