@@ -43,7 +43,8 @@ object Scratch {
       "tx42_filtered_search", "ot03_trace_error_logs",
       "ev31_http_golden_signals", "ev32_apdex", "ot04_span_events",
       "dq08_field_shape_drift", "lt03_template_bursts", "qe01_output_quality",
-      "tx44_rouge2")
+      "tx44_rouge2", "tx45_synonym_search", "tg01_tag_genre_graph",
+      "smp06_dedup_weighted_sample")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

@@ -276,7 +276,8 @@ class PlanSpec extends SparkSpec {
     // fall back to an unpartitioned window over anything
     for (q <- Seq("dq08_field_shape_drift", "lt03_template_bursts",
                   "qe01_output_quality", "qe02_summary_redundancy", "tx44_rouge2",
-                  "ev31_http_golden_signals", "ev32_apdex", "ot04_span_events")) {
+                  "ev31_http_golden_signals", "ev32_apdex", "ot04_span_events",
+                  "tx45_synonym_search", "tg01_tag_genre_graph")) {
       val ws = allNodes(finalPlan(q)).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
       }
