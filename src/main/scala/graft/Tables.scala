@@ -46,13 +46,34 @@ object Tables {
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = s.read.parquet(s"$dir/events.parquet")
-    raw.schema("ts").dataType match {
+    val normalized = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
       case _ => ntzToInstant(raw)
     }
+    withCanonicalTypes(normalized,
+      "event_id" -> "bigint", "user_id" -> "bigint", "value" -> "double")
   }
-  def documents(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/documents.parquet")
-  def embeddings(s: SparkSession, dir: String): DataFrame = s.read.parquet(s"$dir/embeddings.parquet")
+  /** Normalize columns a regeneration could plausibly re-encode (the
+    * round-6 lesson generalized beyond timestamps: int32 vs int64 ids,
+    * float vs double embeddings). A no-op when the file already
+    * matches — the cast is only added when the physical type differs,
+    * so today's scans stay untouched — and value-identical when it
+    * fires (widening casts only), so DuckDB reading the raw file stays
+    * in lockstep.
+    */
+  private def withCanonicalTypes(df: DataFrame, casts: (String, String)*): DataFrame =
+    casts.foldLeft(df) { case (d, (c, t)) =>
+      if (d.columns.contains(c) && d.schema(c).dataType.simpleString != t)
+        d.withColumn(c, d.col(c).cast(t))
+      else d
+    }
+
+  def documents(s: SparkSession, dir: String): DataFrame =
+    withCanonicalTypes(s.read.parquet(s"$dir/documents.parquet"),
+      "doc_id" -> "bigint", "n_chars" -> "bigint")
+  def embeddings(s: SparkSession, dir: String): DataFrame =
+    withCanonicalTypes(s.read.parquet(s"$dir/embeddings.parquet"),
+      "vec_id" -> "bigint", "embedding" -> "array<float>", "label" -> "int")
 }

@@ -69,6 +69,21 @@ class Round8OpsSpec extends SparkSpec {
     assert(got.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4, 5))
   }
 
+  test("table loaders guarantee canonical column types regardless of the file's encoding") {
+    // the round-6 lesson generalized: a testdata regeneration that
+    // flips an id to int32 or embeddings to double must not break the
+    // operator surface (TopKByAgg requires long ids, the cosine kernel
+    // float arrays) — the loaders normalize, a no-op on matching files
+    assert(Tables.documents(spark, sfDir).schema("doc_id").dataType.simpleString == "bigint")
+    val es = Tables.embeddings(spark, sfDir).schema
+    assert(es("vec_id").dataType.simpleString == "bigint")
+    assert(es("embedding").dataType.simpleString == "array<float>")
+    val ev = Tables.events(spark, sfDir).schema
+    assert(ev("user_id").dataType.simpleString == "bigint")
+    assert(ev("value").dataType.simpleString == "double")
+    assert(ev("ts").dataType.simpleString == "timestamp")
+  }
+
   test("smp06 dedup-weighted sampling: sizes match the dd01 components, draw is deterministic") {
     import graft.operators.{Dedup, Sampling, TextOps}
     val out = Sampling.dedupWeightedSample(spark, sfDir, k = 30).collect()
