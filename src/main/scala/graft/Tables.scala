@@ -59,9 +59,13 @@ object Tables {
     * round-6 lesson generalized beyond timestamps: int32 vs int64 ids,
     * float vs double embeddings). A no-op when the file already
     * matches — the cast is only added when the physical type differs,
-    * so today's scans stay untouched — and value-identical when it
-    * fires (widening casts only), so DuckDB reading the raw file stays
-    * in lockstep.
+    * so today's scans stay untouched. The contract is "canonicalize to
+    * the testdata's REFERENCE types", not "never lose precision": for
+    * today's files every firing cast widens, but a regeneration that
+    * shipped double embeddings or long labels would be NARROWED to the
+    * canonical array<float>/int — deliberately, so every operator and
+    * oracle keeps seeing one type, at the cost of the extra precision
+    * such a file would carry.
     */
   private def withCanonicalTypes(df: DataFrame, casts: (String, String)*): DataFrame =
     casts.foldLeft(df) { case (d, (c, t)) =>

@@ -266,8 +266,8 @@ object DataQuality {
       .na.fill(0L, Seq("n_with_key"))
       .join(broadcast(svcTotal), Seq("service_name"))
       .select(col("service_name"), col("key"), col("day"), col("n_rows"), col("n_with_key"),
-        (round(col("n_with_key") * 1e4 / col("n_rows"), 0).cast("long") / 1e4).as("day_rate"),
-        (round(col("key_total") * 1e4 / col("svc_total"), 0).cast("long") / 1e4).as("base_rate"),
+        microRatio(col("n_with_key"), col("n_rows"), 4).as("day_rate"),
+        microRatio(col("key_total"), col("svc_total"), 4).as("base_rate"),
         when(col("n_with_key").cast("decimal(38,0)") * col("svc_total") * 2 <
              col("key_total").cast("decimal(38,0)") * col("n_rows"), 1)
           .otherwise(0).as("flagged"))

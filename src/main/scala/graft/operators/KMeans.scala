@@ -197,23 +197,32 @@ object KMeans {
     val bM = cont.groupBy("label").agg(sum("n").as("b"))
     val totals = cont.agg(sum("n").as("nn"),
       countDistinct("cluster").as("n_clusters"), countDistinct("label").as("n_labels"))
-    // joint terms on the k×L frame
+    // joint terms on the k×L frame. Count products (n·nn, a·b,
+    // n·(n−1)) wrap silently in long arithmetic past ~3e9 points, so
+    // the MI log runs as log(n)+log(nn)−log(a)−log(b) and every
+    // pair-count Σ n·(n−1) accumulates in decimal(38,0) (the tx32/ev14
+    // discipline); the exact decimal sums drop to double only for the
+    // final ratio, where 53-bit relative error is harmless at 4 dp.
+    val comb2 = (c: Column) => sum(c.cast("decimal(38,0)") * (c - 1))
     val joint = cont.join(aM, "cluster").join(bM, "label").crossJoin(broadcast(totals))
       .agg(
-        sum(col("n") / col("nn") * log(col("n") * col("nn") / (col("a") * col("b"))))
+        sum(col("n") / col("nn") *
+            (log(col("n")) + log(col("nn")) - log(col("a")) - log(col("b"))))
           .as("mi"),
         sum(col("n") / col("nn") * -log(col("n") / col("a"))).as("h_l_given_c"),
         sum(col("n") / col("nn") * -log(col("n") / col("b"))).as("h_c_given_l"),
-        sum(col("n") * (col("n") - 1) / 2).as("sum_comb"))
+        (comb2(col("n")).cast("double") / 2).as("sum_comb"))
     val hk = aM.crossJoin(broadcast(totals))
       .agg(sum(col("a") / col("nn") * -log(col("a") / col("nn"))).as("h_k"),
-           sum(col("a") * (col("a") - 1) / 2).as("a_comb"))
+           (comb2(col("a")).cast("double") / 2).as("a_comb"))
     val hl = bM.crossJoin(broadcast(totals))
       .agg(sum(col("b") / col("nn") * -log(col("b") / col("nn"))).as("h_l"),
-           sum(col("b") * (col("b") - 1) / 2).as("b_comb"))
+           (comb2(col("b")).cast("double") / 2).as("b_comb"))
     val r4 = (c: Column) => microRound(c, 4)
-    val out = joint.crossJoin(hk).crossJoin(hl).crossJoin(totals)
-      .withColumn("expected", col("a_comb") * col("b_comb") / (col("nn") * (col("nn") - 1) / 2))
+    val out = joint.crossJoin(hk).crossJoin(hl).crossJoin(broadcast(totals))
+      .withColumn("expected",
+        col("a_comb") * col("b_comb") /
+          (col("nn").cast("double") * (col("nn").cast("double") - 1) / 2))
       .withColumn("max_index", (col("a_comb") + col("b_comb")) / 2)
       .withColumn("homogeneity",
         when(col("h_l") === 0, 1.0).otherwise(lit(1.0) - col("h_l_given_c") / col("h_l")))

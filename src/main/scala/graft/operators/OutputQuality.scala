@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.{lcsLen, tokens}
+import graft.functions.Numeric.{microRatio, microUnits}
 
 /** LLM-output quality evaluation — the recap-evaluator service's
   * no-model metric battery re-expressed as Spark aggregations (the
@@ -81,14 +82,19 @@ object OutputQuality {
   }
 
   /** Parse an outputs frame and resolve the bullet list from either
-    * accepted location (the reference's candidate order: top-level
-    * first, then summary.bullets).
+    * accepted location. The reference's `_extract_bullets` walks its
+    * candidate order (top-level first, then summary.bullets) and takes
+    * the first NON-EMPTY list — so a body with `"bullets": []` plus a
+    * populated `summary.bullets` resolves to the nested list, which a
+    * plain null-coalesce would miss.
     */
   private def parsed(outputs: DataFrame): DataFrame =
     outputs
       .withColumn("b", from_json(col("body_json"),
         org.apache.spark.sql.types.DataType.fromDDL(bodySchema)))
-      .withColumn("bullets", coalesce(col("b.bullets"), col("b.summary.bullets")))
+      .withColumn("bullets",
+        when(size(col("b.bullets")) > 0, col("b.bullets"))
+          .otherwise(col("b.summary.bullets")))
 
   /** qe01: per-source output-quality rates over a (output_id, source,
     * body_json) frame — grounding is the mean of per-output grounded
@@ -101,8 +107,8 @@ object OutputQuality {
         // per-output grounding fraction in 1e-4 units; bullet-less
         // outputs score 0 like the reference
         when(size(col("bullets")) > 0,
-          round(size(filter(col("bullets"), x => size(x.getField("source_sentence_ids")) > 0))
-            * 1e4 / size(col("bullets")), 0).cast("long"))
+          microUnits(size(filter(col("bullets"), x => size(x.getField("source_sentence_ids")) > 0)),
+            size(col("bullets")), 4))
           .otherwise(0L).as("ground_u"),
         when(col("b.metadata.json_repair_attempted") === true, 1).otherwise(0).as("rep"),
         when(col("b.metadata.is_degraded") === true ||
@@ -110,9 +116,9 @@ object OutputQuality {
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_outputs"),
-        (round(sum("ground_u") / count(lit(1)), 0).cast("long") / 1e4).as("grounding_rate"),
-        (round(sum("rep") * 1e4 / count(lit(1)), 0).cast("long") / 1e4).as("repair_rate"),
-        (round(sum("fb") * 1e4 / count(lit(1)), 0).cast("long") / 1e4).as("fallback_rate"))
+        (microUnits(sum("ground_u"), count(lit(1)), 0) / 1e4).as("grounding_rate"),
+        microRatio(sum("rep"), count(lit(1)), 4).as("repair_rate"),
+        microRatio(sum("fb"), count(lit(1)), 4).as("fallback_rate"))
 
   /** qe01 adapter over the composed outputs view. */
   def outputQuality(s: SparkSession, dir: String): DataFrame =
@@ -148,17 +154,17 @@ object OutputQuality {
         Seq("output_id"))
       .filter(col("ia") < col("ib"))
       .select(col("output_id"),
-        round(lcsLen(col("ta"), col("tb")) * 2 * 1e4 / (size(col("ta")) + size(col("tb"))), 0)
-          .cast("long").as("f1_u"))
+        microUnits(lcsLen(col("ta"), col("tb")) * 2,
+          size(col("ta")) + size(col("tb")), 4).as("f1_u"))
     val perOutput = pairs.groupBy("output_id")
-      .agg((round(sum("f1_u") / count(lit(1)), 0).cast("long")).as("redund_u"))
+      .agg(microUnits(sum("f1_u"), count(lit(1)), 0).as("redund_u"))
     base.select("output_id", "source")
       .join(perOutput, Seq("output_id"), "left")
       .na.fill(0L, Seq("redund_u"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_outputs"),
-        (round(sum("redund_u") / count(lit(1)), 0).cast("long") / 1e4).as("redundancy"))
+        (microUnits(sum("redund_u"), count(lit(1)), 0) / 1e4).as("redundancy"))
   }
 
   /** qe02 adapter over the composed outputs view. */

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions.tokens
+import graft.functions.Numeric.{microUnits, units}
 
 /** tg01: tag–genre label graph construction — the reference's
   * tag_label_graph_builder (recap-subworker/recap_subworker/services/
@@ -50,9 +51,14 @@ object TagGraph {
     d.select(col("doc_id"), col("genre"), to_json(tags).as("tags_json"))
   }
 
-  /** The edge aggregation over any (genre, tags_json) frame. */
+  /** The edge aggregation over any (genre, tags_json) frame. Defaults
+    * mirror the reference's tag_label_graph_builder (max_tags=6,
+    * min_confidence=0.3, min_support=3); the composed view only emits
+    * 5 tags per article, so the slice gate is exercised by callers
+    * passing a tighter maxTags, not by tg01 itself.
+    */
   def tagGenreGraphOn(articles: DataFrame, minConfidence: Double = 0.3,
-                      minSupport: Int = 3, maxTags: Int = 5): DataFrame = {
+                      minSupport: Int = 3, maxTags: Int = 6): DataFrame = {
     val tagSchema = org.apache.spark.sql.types.DataType.fromDDL(
       "ARRAY<STRUCT<label: STRING, confidence: DOUBLE>>")
     val total = articles.agg(count(lit(1)).as("n_articles"))
@@ -61,7 +67,7 @@ object TagGraph {
         col("genre"))
       .select(lower(trim(col("genre"))).as("genre"),
         lower(trim(col("tag.label"))).as("label"),
-        round(col("tag.confidence") * 1e6, 0).cast("long").as("conf_u"))
+        units(col("tag.confidence"), 6).as("conf_u"))
       .filter(col("label") =!= "" && col("conf_u") >= math.round(minConfidence * 1e6))
     val edges = exploded.groupBy("genre", "label")
       .agg(count(lit(1)).as("sample_size"), sum("conf_u").as("conf_sum_u"))
@@ -69,14 +75,13 @@ object TagGraph {
     edges.filter(col("sample_size") >= minSupport)
       .join(broadcast(freq), "label")
       .crossJoin(broadcast(total))
-      .withColumn("avg_u", round(col("conf_sum_u") / col("sample_size"), 0).cast("long"))
+      .withColumn("avg_u", microUnits(col("conf_sum_u"), col("sample_size"), 0))
       .withColumn("factor_u",
-        round((lit(0.7) + lit(0.3) *
-          log(col("n_articles") / (col("tag_freq") + 1) + 1) / log(col("n_articles") + 1)) * 1e6,
-          0).cast("long"))
+        units(lit(0.7) + lit(0.3) *
+          log(col("n_articles") / (col("tag_freq") + 1) + 1) / log(col("n_articles") + 1), 6))
       .select(col("genre"), col("label").as("tag"),
         (least(lit(1000000L), greatest(lit(0L),
-          round(col("avg_u") * col("factor_u") / 1e6, 0).cast("long"))) / 1e6).as("weight"),
+          microUnits(col("avg_u") * col("factor_u"), lit(1e6), 0))) / 1e6).as("weight"),
         col("sample_size"))
   }
 

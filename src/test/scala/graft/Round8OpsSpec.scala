@@ -135,12 +135,14 @@ class Round8OpsSpec extends SparkSpec {
       (1L, "news", tj("a" -> 0.5, "b" -> 0.9, "" -> 0.8, "low" -> 0.2)),
       (2L, "news", tj("a" -> 0.5)),
       (3L, "news", tj("a" -> 0.5)),
-      // "a" appears at position 6 here — OUTSIDE the max_tags=5 slice,
-      // and the reference slices BEFORE the confidence gate
+      // "a" appears at position 6 here — OUTSIDE a maxTags=5 slice,
+      // and the reference slices BEFORE the confidence gate (the
+      // default cap is the reference's max_tags=6, so the slice is
+      // exercised by passing the tighter cap explicitly)
       (4L, "news", tj("x1" -> 0.31, "x2" -> 0.32, "x3" -> 0.33, "x4" -> 0.34,
         "x5" -> 0.35, "a" -> 0.99)) )
       .toDF("doc_id", "genre", "tags_json")
-    val out = TagGraph.tagGenreGraphOn(rows)
+    val out = TagGraph.tagGenreGraphOn(rows, maxTags = 5)
     val edges = out.collect().map(r =>
       (r.getAs[String]("genre"), r.getAs[String]("tag")) -> r).toMap
     // "b" (support 1), "" (empty), "low" (conf<0.3), and the sliced-out
