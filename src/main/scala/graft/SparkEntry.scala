@@ -163,6 +163,7 @@ object SparkEntry {
     "rag03_mmr_retrieval"           -> ((s: SparkSession, dir: String) => Rag.mmrRetrieval(s, dir)),
     "rag04_token_chunks"            -> ((s: SparkSession, dir: String) => Rag.tokenChunks(s, dir)),
     "rag05_hybrid_rrf"              -> ((s: SparkSession, dir: String) => Rag.hybridRrf(s, dir)),
+    "rag06_retrieval_eval"          -> ((s: SparkSession, dir: String) => Rag.retrievalEval(s, dir)),
     "sim02_label_centroids"         -> (Similarity.labelCentroids _),
     "sim03_cosine_neardup"          -> (Similarity.cosineNearDup _),
     "sim04_ivf_ann"                 -> (Similarity.ivfAnn _),
@@ -1323,6 +1324,76 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id ASC) AS fused_rank
                FROM f)
          WHERE fused_rank <= 5""",
+    // the oracle rebuilds rag02's retrieval chain, then mirrors
+    // eval/metrics.go arithmetic in exact integer units: quantized
+    // 1e-6 DCG discounts, micro-unit ratios rounded at scale 0
+    "rag06_retrieval_eval" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, CAST(round(${duckCos("q_emb", "c_emb")} * 1e6) AS BIGINT) / 1e6 AS cos
+                    FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         topk AS (SELECT query_id, neighbor_id, cos
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                        FROM scored)
+                  WHERE rank <= 10),
+         t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents),
+         e AS (SELECT query_id, neighbor_id, cos,
+                      CAST(round((len(list_intersect(qt.toks, ct.toks)) * 1.0 /
+                            len(list_distinct(list_concat(qt.toks, ct.toks)))) * 1e6) AS BIGINT) / 1e6 AS lex
+               FROM topk JOIN t qt ON qt.doc_id = query_id JOIN t ct ON ct.doc_id = neighbor_id),
+         p AS (SELECT query_id, neighbor_id, rerank_score,
+                      row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, neighbor_id ASC) AS rerank
+               FROM (SELECT *, (CAST(round(cos * 1e6) AS BIGINT) * 7 +
+                                CAST(round(lex * 1e6) AS BIGINT) * 3) / 1e7 AS rerank_score FROM e)),
+         g AS (SELECT doc_id AS query_id,
+                      list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), tk -> len(tk) >= 5)[1:2]) AS kws
+               FROM documents WHERE doc_id % 100 = 0),
+         irr AS (SELECT doc_id - 1 AS query_id, substr(text, 1, 30) AS irr_title
+                 FROM documents WHERE doc_id % 100 = 1),
+         fb AS (SELECT doc_id - 2 AS query_id, substr(text, 1, 12) AS forbidden
+                FROM documents WHERE doc_id % 100 = 2),
+         titled AS (SELECT p.*, substr(d.text, 1, 30) AS title, substr(d.text, 1, 80) AS chunk,
+                           CAST(len(list_filter(g.kws, kw -> contains(lower(substr(d.text, 1, 30)), lower(kw)))) AS BIGINT) AS rel,
+                           irr.irr_title
+                    FROM p JOIN documents d ON d.doc_id = p.neighbor_id
+                         JOIN g USING (query_id)
+                         LEFT JOIN irr USING (query_id)),
+         ideal AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS ideal_rank
+                   FROM titled),
+         agg AS (SELECT query_id,
+                        sum(CASE WHEN rerank <= 3 THEN rel * (CASE rerank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 ELSE 500000 END) ELSE 0 END) AS dcg_u,
+                        sum(CASE WHEN ideal_rank <= 3 THEN rel * (CASE ideal_rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 ELSE 500000 END) ELSE 0 END) AS idcg_u,
+                        count(CASE WHEN rerank <= 3 AND rel > 0 THEN 1 END) AS found3,
+                        count(CASE WHEN rerank <= 2 AND rel > 0 THEN 1 END) AS found2,
+                        max(CASE WHEN rerank = 1 THEN rel END) AS top1_rel,
+                        max(CASE WHEN rerank = 1 THEN rerank_score END) AS top1_score,
+                        count(CASE WHEN rerank <= 3 AND title = irr_title THEN 1 END) AS n_irr,
+                        string_agg(CASE WHEN rerank <= 3 THEN title END, ' | ' ORDER BY rerank) AS answer,
+                        string_agg(CASE WHEN rerank <= 3 THEN chunk END, ' ' ORDER BY rerank) AS context
+                 FROM ideal GROUP BY query_id),
+         v AS (SELECT a.*, CAST(len(g.kws) AS BIGINT) AS n_kws, g.kws, fb.forbidden,
+                      CAST(len(list_filter(g.kws, kw -> contains(a.answer, kw) AND contains(a.context, kw))) AS BIGINT) AS supported,
+                      CASE WHEN n_irr > 0 THEN 1 ELSE 0 END AS f_irrelevant,
+                      CASE WHEN found3 < 1 THEN 1 ELSE 0 END AS f_min_relevant,
+                      CASE WHEN length(a.answer) < 60 THEN 1 ELSE 0 END AS f_answer_len,
+                      CASE WHEN len(list_filter(g.kws, kw -> NOT contains(a.answer, kw))) > 0 THEN 1 ELSE 0 END AS f_entities,
+                      CASE WHEN fb.forbidden IS NOT NULL AND contains(a.answer, fb.forbidden) THEN 1 ELSE 0 END AS f_forbidden
+               FROM agg a JOIN g ON g.query_id = a.query_id
+                    LEFT JOIN fb ON fb.query_id = a.query_id)
+         SELECT query_id, n_kws,
+                CASE WHEN n_kws > 0 THEN CAST(round(found3 * 1e4 / n_kws) AS BIGINT) / 1e4 ELSE 0.0 END AS recall_at_3,
+                CASE WHEN idcg_u > 0 THEN CAST(round(dcg_u * 1e4 / idcg_u) AS BIGINT) / 1e4 ELSE 0.0 END AS ndcg_at_3,
+                CASE WHEN top1_rel > 0 THEN 1.0 ELSE 0.0 END AS top1_precision,
+                CAST(round(found2 * 1e4 / 2) AS BIGINT) / 1e4 AS citation_correctness,
+                CASE WHEN n_kws > 0 THEN CAST(round(supported * 1e4 / n_kws) AS BIGINT) / 1e4 ELSE 0.0 END AS faithfulness,
+                CASE WHEN top1_score >= 0.5 THEN 'Good'
+                     WHEN top1_score >= 0.25 THEN 'Marginal'
+                     ELSE 'Insufficient' END AS relevance_verdict,
+                f_irrelevant, f_min_relevant, f_answer_len, f_entities, f_forbidden,
+                f_irrelevant + f_min_relevant + f_answer_len + f_entities + f_forbidden AS n_failures,
+                CASE WHEN f_irrelevant + f_min_relevant + f_answer_len + f_entities + f_forbidden = 0
+                     THEN 1 ELSE 0 END AS passed
+         FROM v""",
     "sim02_label_centroids" ->
       """SELECT label,
          CAST(round(sqrt(CAST(sum(CAST(s_u AS HUGEINT) * s_u) AS DOUBLE)) / max(n)) AS BIGINT) / 1e6 AS centroid_norm

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // dev convenience: an optional comma-separated third arg restricts
+    // the dump (and the emitted oracle json) to the named queries; the
+    // driver always passes two args, so its contract is unchanged
+    val only = args.drop(2).headOption.map(_.split(",").toSet)
+    def selected(name: String) = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +26,7 @@ object Verify {
     // way, with zero red rows anywhere). Record failures durably so an
     // absent result is always attributable.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -32,8 +37,9 @@ object Verify {
       // for the session; drop between queries so runs stay independent
       spark.catalog.clearCache()
     }
+    val nSel = SparkEntry.queries.count(q => selected(q._1))
     System.err.println(
-      s"[verify] ${SparkEntry.queries.size - failures.size}/${SparkEntry.queries.size} dumped" +
+      s"[verify] ${nSel - failures.size}/$nSel dumped" +
       (if (failures.isEmpty) "" else s", FAILED: ${failures.keys.mkString(", ")}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
@@ -47,7 +53,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(o => selected(o._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     Files.writeString(Paths.get(s"$outDir/verify_failures.json"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.TextFunctions.{jaccard, tokens}
-import graft.functions.Numeric.microRound
+import graft.functions.Numeric.{microRatio, microRound}
 
 /** RAG retrieval + context assembly.
   *
@@ -121,6 +121,147 @@ object Rag {
     fused.withColumn("fused_rank", row_number().over(byRrf))
       .filter(col("fused_rank") <= 5)
       .select("query_id", "neighbor_id", "r_cos", "r_lex", "rrf_score", "fused_rank")
+  }
+
+  /** rag06: golden-case retrieval-evaluation harness — the reference's
+    * own gate on every retrieval change (rag-orchestrator/eval):
+    * deterministic metrics + per-case verdicts over the rag02 reranked
+    * retrieval, judged against a composed golden-case table.
+    *
+    * Metrics, each mirroring rag-orchestrator/eval/metrics.go:
+    *  - recall@3 (:120): retrieved titles match golden keywords by
+    *    case-insensitive substring (titleMatchesAnyKeyword, :107), the
+    *    denominator is the golden keyword count, 0 when empty.
+    *  - nDCG@3 (:138): graded relevance = how many golden keywords a
+    *    title contains; DCG discounts by 1/log2(rank+1); the ideal DCG
+    *    re-sorts the relevance grades of the candidate pool descending
+    *    (sortedValues, :173) and takes the top 3; 0 when IDCG is 0.
+    *    The three discount factors are quantized to exact 1e-6 integer
+    *    units (1/log2{2,3,4} → 1000000/630930/500000), so DCG/IDCG are
+    *    pure integer sums — order-independent and engine-exact; the
+    *    quantization error (<1e-6 per term) is far below the 4-dp
+    *    output rounding.
+    *  - top-1 precision (:188): 1.0 iff the rank-1 title is relevant.
+    *  - citation correctness (:218): the composed answer cites its top-2
+    *    titles; fraction of cited titles that are relevant.
+    *  - faithfulness (:201): fraction of expected entities (the golden
+    *    keywords) present in BOTH the answer and the context chunks.
+    *  - relevance gate (internal/usecase/relevance_gate.go:23): top-1
+    *    rerank score against the calibrated thresholds (config.go:381 —
+    *    0.5 Good / 0.25 Marginal, else Insufficient).
+    *
+    * Per-case verdict battery (VerifyCase, metrics.go:11): the five
+    * deterministic checks the composition can express — irrelevant
+    * titles must not be retrieved (exact-match set, ContainsIrrelevant
+    * :243), ≥1 relevant context (countRelevant :95), minimum answer
+    * length, expected entities present in the answer, forbidden
+    * patterns absent (both case-sensitive strings.Contains, like the
+    * reference) — n_failures counts them, passed = none failed.
+    * Clarification/intent checks need the planner's runtime state and
+    * are the env-blocked remainder.
+    *
+    * Golden-case composition (deterministic, the ev31/qe01 precedent):
+    * query docs are the rag query set (doc_id % 100 = 0); keywords =
+    * the query doc's first two distinct tokens of length ≥ 5; title =
+    * first 30 chars, context chunk = first 80 chars; the irrelevant
+    * title is doc (query_id+1)'s title and the forbidden pattern is doc
+    * (query_id+2)'s first 12 chars — neighbors-by-id, so goldens exist
+    * at every SF without hand-curated fixtures.
+    *
+    * Scale: retrieval is rag02's plan (one corpus-scale dense scan +
+    * token fetch); titles attach by joining the document scan against
+    * the BROADCAST |queries|·k pool; goldens are a pushed-down filter
+    * scan (doc_id % 100 ∈ {0,1,2}) of |queries| rows; every window and
+    * aggregation downstream lives on the |queries|·k frame.
+    */
+  def retrievalEval(s: SparkSession, dir: String,
+                    goodThreshold: Double = 0.5,
+                    marginalThreshold: Double = 0.25): DataFrame = {
+    import org.apache.spark.sql.Column
+    val docs = Tables.documents(s, dir)
+    val enriched = lexEnrichedCandidates(s, dir)
+      .withColumn("rerank_score",
+        (round(col("cos") * 1e6, 0).cast("long") * 7 +
+         round(col("lex") * 1e6, 0).cast("long") * 3) / 1e7)
+    val wRerank = Window.partitionBy("query_id")
+      .orderBy(col("rerank_score").desc, col("neighbor_id").asc)
+    val pool = enriched.withColumn("rerank", row_number().over(wRerank))
+      .select("query_id", "neighbor_id", "rerank_score", "rerank")
+    // composed golden cases — one pushed-down scan of |queries| rows
+    val kwsF = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        array_distinct(slice(filter(tokens(col("text")), t => length(t) >= 5), 1, 2))
+          .as("kws"))
+    val irr = docs.filter(col("doc_id") % 100 === 1)
+      .select((col("doc_id") - 1).as("query_id"),
+        substring(col("text"), 1, 30).as("irr_title"))
+    val forb = docs.filter(col("doc_id") % 100 === 2)
+      .select((col("doc_id") - 2).as("query_id"),
+        substring(col("text"), 1, 12).as("forbidden"))
+    val golden = kwsF.join(irr, Seq("query_id"), "left")
+      .join(forb, Seq("query_id"), "left")
+    // titles + graded relevance on the candidate pool
+    val disc: Column => Column = r =>
+      when(r === 1, 1000000L).when(r === 2, 630930L).otherwise(500000L)
+    val titled = docs
+      .select(col("doc_id").as("neighbor_id"),
+        substring(col("text"), 1, 30).as("title"),
+        substring(col("text"), 1, 80).as("chunk"))
+      .join(broadcast(pool), "neighbor_id")
+      .join(broadcast(golden), "query_id")
+      .withColumn("rel",
+        size(filter(col("kws"), kw => contains(lower(col("title")), lower(kw))))
+          .cast("long"))
+    val wIdeal = Window.partitionBy("query_id")
+      .orderBy(col("rel").desc, col("neighbor_id").asc)
+    val perQuery = titled.withColumn("ideal_rank", row_number().over(wIdeal))
+      .groupBy("query_id")
+      .agg(
+        sum(when(col("rerank") <= 3, col("rel") * disc(col("rerank"))).otherwise(0L)).as("dcg_u"),
+        sum(when(col("ideal_rank") <= 3, col("rel") * disc(col("ideal_rank"))).otherwise(0L)).as("idcg_u"),
+        count(when(col("rerank") <= 3 && col("rel") > 0, 1)).as("found3"),
+        count(when(col("rerank") <= 2 && col("rel") > 0, 1)).as("found2"),
+        max(when(col("rerank") === 1, col("rel"))).as("top1_rel"),
+        max(when(col("rerank") === 1, col("rerank_score"))).as("top1_score"),
+        count(when(col("rerank") <= 3 && col("title") === col("irr_title"), 1)).as("n_irr"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rerank") <= 3, struct(col("rerank"), col("title"))))),
+          p => p.getField("title")), " | ").as("answer"),
+        array_join(transform(
+          array_sort(collect_list(when(col("rerank") <= 3, struct(col("rerank"), col("chunk"))))),
+          p => p.getField("chunk")), " ").as("context"))
+    perQuery.join(broadcast(golden), "query_id")
+      .withColumn("n_kws", size(col("kws")).cast("long"))
+      .withColumn("supported",
+        size(filter(col("kws"), kw =>
+          contains(col("answer"), kw) && contains(col("context"), kw))))
+      .withColumn("f_irrelevant", when(col("n_irr") > 0, 1).otherwise(0))
+      .withColumn("f_min_relevant", when(col("found3") < 1, 1).otherwise(0))
+      .withColumn("f_answer_len", when(length(col("answer")) < 60, 1).otherwise(0))
+      .withColumn("f_entities",
+        when(size(filter(col("kws"), kw => !contains(col("answer"), kw))) > 0, 1).otherwise(0))
+      .withColumn("f_forbidden",
+        when(col("forbidden").isNotNull && contains(col("answer"), col("forbidden")), 1)
+          .otherwise(0))
+      .withColumn("n_failures",
+        col("f_irrelevant") + col("f_min_relevant") + col("f_answer_len") +
+          col("f_entities") + col("f_forbidden"))
+      .select(
+        col("query_id"), col("n_kws"),
+        when(col("n_kws") > 0, microRatio(col("found3"), col("n_kws"), 4))
+          .otherwise(0.0).as("recall_at_3"),
+        when(col("idcg_u") > 0, microRatio(col("dcg_u"), col("idcg_u"), 4))
+          .otherwise(0.0).as("ndcg_at_3"),
+        when(col("top1_rel") > 0, 1.0).otherwise(0.0).as("top1_precision"),
+        microRatio(col("found2"), lit(2), 4).as("citation_correctness"),
+        when(col("n_kws") > 0, microRatio(col("supported"), col("n_kws"), 4))
+          .otherwise(0.0).as("faithfulness"),
+        when(col("top1_score") >= goodThreshold, "Good")
+          .when(col("top1_score") >= marginalThreshold, "Marginal")
+          .otherwise("Insufficient").as("relevance_verdict"),
+        col("f_irrelevant"), col("f_min_relevant"), col("f_answer_len"),
+        col("f_entities"), col("f_forbidden"), col("n_failures"),
+        when(col("n_failures") === 0, 1).otherwise(0).as("passed"))
   }
 
   /** rag04: overlapping token-window chunking — split documents into

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Rag
+
+/** Round-9 retrieval-evaluation harness checks: one planted golden
+  * case per VerifyCase verdict rule (rag-orchestrator/eval/metrics.go
+  * VerifyCase) plus all three relevance-gate verdicts
+  * (internal/usecase/relevance_gate.go). The oracle verifies the
+  * end-to-end arithmetic on the driver tables; this spec pins each
+  * failure flag firing (and not firing) on a corpus built for it.
+  */
+class Round9OpsSpec extends SparkSpec {
+
+  /** Planted corpus on the unit circle (2-d embeddings: cosine =
+    * included angle), written as parquet so the operator runs its real
+    * Tables loaders:
+    *  - query 0 at 0° with three keyword-bearing neighbors at 3/6/9° →
+    *    every check passes, gate Good.
+    *  - query 100 at 90° with its irrelevant doc (101) planted as the
+    *    Marginal top-1 and doc 102's prefix forced into the answer →
+    *    irrelevant/min-relevant/entities/forbidden all fail.
+    *  - query 200 at 180° with only far-away short-titled docs →
+    *    answer-length fails, gate Insufficient, and its golden
+    *    neighbors (201/202) don't exist → the null-golden paths.
+    */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("rag06spec").toString
+    def vec(x: Double, y: Double) = Array(x.toFloat, y.toFloat)
+    val docs = Seq(
+      (0L,   "alpha bravo charlie delta echo foxtrot"),
+      (1L,   "short one"),
+      (2L,   "zebra yankee"),
+      (10L,  "alpha bravo charlie delta echo foxtrot golf hotel"),
+      (11L,  "alpha bravo charlie delta echo golf hotel india"),
+      (12L,  "alpha bravo golf hotel india juliet kilo lima"),
+      (100L, "sierra tango uniform victor"),
+      (101L, "mike november oscar"),
+      (102L, "alpha bravo more"),
+      (200L, "papa quebec xyz")).toDF("doc_id", "text")
+    val embs = Seq(
+      (0L,   vec(1.0, 0.0)),
+      (1L,   vec(-0.173648, -0.984808)),
+      (2L,   vec(-0.087156, -0.996195)),
+      (10L,  vec(0.998630, 0.052336)),
+      (11L,  vec(0.994522, 0.104528)),
+      (12L,  vec(0.987688, 0.156434)),
+      (100L, vec(0.0, 1.0)),
+      (101L, vec(0.866025, 0.5)),
+      (102L, vec(0.0, -1.0)),
+      (200L, vec(-1.0, 0.0))).toDF("vec_id", "embedding")
+    docs.coalesce(1).write.parquet(s"$d/documents.parquet")
+    embs.coalesce(1).write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  private lazy val byQuery = Rag.retrievalEval(spark, dir).collect()
+    .map(r => r.getAs[Long]("query_id") -> r).toMap
+
+  test("rag06 all-pass case: every verdict rule passes, gate Good, metrics exact") {
+    val r = byQuery(0L)
+    assert(r.getAs[Int]("passed") == 1)
+    assert(r.getAs[Int]("n_failures") == 0)
+    assert(r.getAs[String]("relevance_verdict") == "Good")
+    // top-3 = the three alpha docs, every title carries both keywords:
+    // recall 3/2 (the reference's RecallAtK divides by |keywords|),
+    // DCG = IDCG, top-1 relevant, both cited titles relevant, both
+    // entities grounded in answer + context
+    assert(r.getAs[Double]("recall_at_3") == 1.5)
+    assert(r.getAs[Double]("ndcg_at_3") == 1.0)
+    assert(r.getAs[Double]("top1_precision") == 1.0)
+    assert(r.getAs[Double]("citation_correctness") == 1.0)
+    assert(r.getAs[Double]("faithfulness") == 1.0)
+  }
+
+  test("rag06 irrelevant/min-relevant/entities/forbidden rules fire, gate Marginal") {
+    val r = byQuery(100L)
+    // top-1 is doc 101 (cos 0.5, no lexical overlap → score 0.35):
+    // Marginal band, and 101 is exactly the golden irrelevant title
+    assert(r.getAs[String]("relevance_verdict") == "Marginal")
+    assert(r.getAs[Int]("f_irrelevant") == 1)
+    // no retrieved title carries sierra/tango → min-relevant + entities
+    assert(r.getAs[Int]("f_min_relevant") == 1)
+    assert(r.getAs[Int]("f_entities") == 1)
+    // doc 102's 12-char prefix "alpha bravo " appears in the answer
+    // via the retrieved alpha titles
+    assert(r.getAs[Int]("f_forbidden") == 1)
+    assert(r.getAs[Int]("f_answer_len") == 0)
+    assert(r.getAs[Int]("n_failures") == 4)
+    assert(r.getAs[Int]("passed") == 0)
+    // nothing relevant anywhere in the pool → the IDCG=0 branch
+    assert(r.getAs[Double]("ndcg_at_3") == 0.0)
+    assert(r.getAs[Double]("recall_at_3") == 0.0)
+    assert(r.getAs[Double]("top1_precision") == 0.0)
+  }
+
+  test("rag06 answer-length rule fires, gate Insufficient, absent goldens skip") {
+    val r = byQuery(200L)
+    // best candidate is doc 1 at cos 0.174 → score 0.122 < 0.25
+    assert(r.getAs[String]("relevance_verdict") == "Insufficient")
+    // answer = "short one | zebra yankee | alpha bravo more" (43 chars)
+    assert(r.getAs[Int]("f_answer_len") == 1)
+    assert(r.getAs[Int]("f_min_relevant") == 1)
+    assert(r.getAs[Int]("f_entities") == 1)
+    // docs 201/202 don't exist: the irrelevant-title and forbidden
+    // checks have no golden → both skip (null-safe), like VerifyCase
+    // skipping unset expectations
+    assert(r.getAs[Int]("f_irrelevant") == 0)
+    assert(r.getAs[Int]("f_forbidden") == 0)
+    assert(r.getAs[Int]("n_failures") == 3)
+  }
+}
