@@ -94,6 +94,7 @@ object SparkEntry {
     "qe01_output_quality"           -> (OutputQuality.outputQuality _),
     "tg01_tag_genre_graph"          -> (TagGraph.tg01 _),
     "qe02_summary_redundancy"       -> (OutputQuality.summaryRedundancy _),
+    "qe03_citation_audit"           -> (CitationAudit.qe03 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     "km03_density_clusters"         -> (Density.km03 _),
@@ -1324,6 +1325,41 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id ASC) AS fused_rank
                FROM f)
          WHERE fused_rank <= 5""",
+    // the oracle re-composes the per-source reports, re-parses the
+    // [Sn] markers, and mirrors metrics.py's skip rules: dedup by
+    // first occurrence, unmapped + empty-source_id markers dropped
+    "qe03_citation_audit" ->
+      """WITH ranked AS (SELECT source, doc_id, text,
+                         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+                  FROM documents),
+         top5 AS (SELECT * FROM ranked WHERE rn <= 5),
+         body AS (SELECT source,
+                         string_agg(substr(text, 1, 20) || ' [S' || rn || ']', ' ' ORDER BY rn)
+                           || ' again [S1] see [S9] empty [S6]' AS body
+                  FROM top5 GROUP BY source),
+         smap AS (SELECT source, 'S' || rn AS short_id, 'doc-' || doc_id AS source_id, doc_id FROM top5
+                  UNION ALL
+                  SELECT DISTINCT source, 'S6', '', CAST(NULL AS BIGINT) FROM top5),
+         marks AS (SELECT source, 'S' || num AS short_id
+                   FROM (SELECT source, unnest(list_distinct(regexp_extract_all(body, '\[S([0-9]+)\]', 1))) AS num
+                         FROM body)),
+         res AS (SELECT m.source, s.doc_id,
+                        CASE WHEN d.doc_id % 7 = 0 THEN 'und' ELSE d.lang END AS lang_c,
+                        CASE WHEN s.doc_id % 2 = 0 THEN 1 END AS hit
+                 FROM marks m
+                 JOIN smap s ON s.source = m.source AND s.short_id = m.short_id
+                 LEFT JOIN documents d ON d.doc_id = s.doc_id
+                 WHERE s.source_id <> ''),
+         pr AS (SELECT source, count(*) AS n_resolved, count(hit) AS n_gold_hits
+                FROM res GROUP BY source)
+         SELECT r.source, r.lang_c AS lang, count(*) AS n_cited,
+                CAST(round(count(*) * 1e4 / max(pr.n_resolved)) AS BIGINT) / 1e4 AS lang_share,
+                max(pr.n_resolved) AS n_resolved, max(pr.n_gold_hits) AS n_gold_hits,
+                CASE WHEN max(pr.n_resolved) > 0
+                     THEN CAST(round(max(pr.n_gold_hits) * 1e4 / max(pr.n_resolved)) AS BIGINT) / 1e4 END
+                  AS citation_precision
+         FROM res r JOIN pr USING (source)
+         GROUP BY r.source, r.lang_c""",
     // the oracle rebuilds rag02's retrieval chain, then mirrors
     // eval/metrics.go arithmetic in exact integer units: quantized
     // 1e-6 DCG discounts, micro-unit ratios rounded at scale 0

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.Rag
+import graft.operators.{CitationAudit, Rag}
 
 /** Round-9 retrieval-evaluation harness checks: one planted golden
   * case per VerifyCase verdict rule (rag-orchestrator/eval/metrics.go
@@ -109,5 +109,38 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("f_irrelevant") == 0)
     assert(r.getAs[Int]("f_forbidden") == 0)
     assert(r.getAs[Int]("n_failures") == 3)
+  }
+
+  test("qe03 citation audit: dedup, skip rules, and the no-denominator NULL") {
+    import spark.implicits._
+    // report A cites S1 twice (counts once), an unmapped S9, and the
+    // empty-source_id S3; report B has NO valid markers at all
+    val bodies = Seq(
+      ("A", "x [S1] y [S2] again [S1] ghost [S9] empty [S3]"),
+      ("B", "no citations here [S9]")).toDF("source", "body")
+    val sourceMap = Seq(
+      ("A", "S1", "doc-1", Some(1L)),
+      ("A", "S2", "doc-2", Some(2L)),
+      ("A", "S3", "", None: Option[Long]),
+      ("B", "S1", "doc-7", Some(7L))).toDF("source", "short_id", "source_id", "doc_id")
+    // doc 1 has no language → und; doc 2 is English and in gold
+    val articles = Seq((1L, "und"), (2L, "en"), (7L, "en")).toDF("doc_id", "lang_c")
+    val gold = Seq("doc-2").toDF("source_id")
+    val out = CitationAudit.citationAuditOn(bodies, sourceMap, articles, gold).collect()
+    val a = out.filter(_.getAs[String]("source") == "A")
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    // A resolves exactly {S1→doc-1, S2→doc-2}: precision 1/2, each
+    // language half the mix
+    assert(a.keySet == Set("und", "en"))
+    assert(a("und").getAs[Long]("n_resolved") == 2L)
+    assert(a("und").getAs[Double]("citation_precision") == 0.5)
+    assert(a("und").getAs[Double]("lang_share") == 0.5)
+    assert(a("en").getAs[Double]("lang_share") == 0.5)
+    // B resolves nothing: one row, NULL precision (None, not 0), no mix
+    val b = out.filter(_.getAs[String]("source") == "B")
+    assert(b.length == 1)
+    assert(b.head.getAs[Long]("n_resolved") == 0L)
+    assert(b.head.isNullAt(b.head.fieldIndex("citation_precision")))
+    assert(b.head.isNullAt(b.head.fieldIndex("lang")))
   }
 }
