@@ -68,6 +68,8 @@ object SparkEntry {
     "ev29_sequence_count"           -> ((s: SparkSession, dir: String) => Events.sequenceCount(s, dir)),
     "ev30_sli_metrics"              -> (Events.sliProjection _),
     "ev31_http_golden_signals"      -> (HttpLogs.ev31 _),
+    "ev33_otel_http_requests"       -> (OtelLogs.ev33 _),
+    "ev34_pipeline_drilldown"       -> (OtelLogs.ev34 _),
     "ev32_apdex"                    -> ((s: SparkSession, dir: String) => Events.apdexScore(s, dir)),
     "ev18_decay_ranking"            -> (Events.decayRanking _),
     "ev19_cohort_retention"         -> (Events.cohortRetention _),
@@ -710,6 +712,65 @@ object SparkEntry {
                 CAST(sum(size) AS BIGINT) AS total_bytes,
                 CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_latency_ms
          FROM n GROUP BY bucket""",
+    // like ev31, the oracles shortcut the attribute-map composition:
+    // the http.method != '' gate reduces to event_type <> 'click', the
+    // OrZero status cast to the k % 10 = 0 'NA' rows scoring 0, and
+    // severity >= 17 to event_type = 'error'
+    "ev33_otel_http_requests" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           coalesce(value, 0) AS v,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         w AS (SELECT *,
+                      CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                   WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service_name
+               FROM e),
+         http AS (SELECT service_name, '/api/' || event_type AS dim,
+                         CASE WHEN k % 10 = 0 THEN 0
+                              WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
+                         CAST(round(v * 10) AS BIGINT) AS size,
+                         CAST(round(v * 100) AS BIGINT) AS dur_c
+                  FROM w WHERE event_type <> 'click'),
+         ha AS (SELECT service_name, 'http_route' AS fact, dim, count(*) AS n,
+                       count(CASE WHEN status >= 500 THEN 1 END) AS n_5xx,
+                       CAST(round(count(CASE WHEN status >= 500 THEN 1 END) * 1e4 / count(*)) AS BIGINT) / 1e4 AS error_rate,
+                       CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_duration_ms,
+                       CAST(sum(size) AS BIGINT) AS total_bytes
+                FROM http GROUP BY 1, 3),
+         err AS (SELECT service_name, 'exception' AS fact, 'E' || (k % 3) AS dim,
+                        count(*) AS n,
+                        CAST(NULL AS BIGINT) AS n_5xx, CAST(NULL AS DOUBLE) AS error_rate,
+                        CAST(NULL AS DOUBLE) AS p95_duration_ms, CAST(NULL AS BIGINT) AS total_bytes
+                 FROM w WHERE event_type = 'error' GROUP BY 1, 3)
+         SELECT * FROM ha UNION ALL SELECT * FROM err""",
+    "ev34_pipeline_drilldown" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           coalesce(value, 0) AS v,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         w AS (SELECT CASE uid % 3 WHEN 0 THEN 'recap' WHEN 1 THEN 'rag' ELSE 'tagging' END AS ai_pipeline,
+                      CASE k % 4 WHEN 0 THEN 'fetch' WHEN 1 THEN 'summarize'
+                                 WHEN 2 THEN 'embed' ELSE 'index' END AS processing_stage,
+                      'feed-' || (uid % 50) AS feed_id,
+                      CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+                      CASE WHEN event_type = 'click' THEN 0
+                           ELSE CAST(round(v * 100) AS BIGINT) END AS dur_c
+               FROM e),
+         g AS (SELECT ai_pipeline, processing_stage, count(*) AS n_logs,
+                      CAST(sum(is_err) AS BIGINT) AS n_errors,
+                      CAST(round(sum(is_err) * 1e4 / count(*)) AS BIGINT) / 1e4 AS error_rate,
+                      CAST(round(quantile_cont(dur_c, 0.5)) AS BIGINT) / 1e2 AS p50_ms,
+                      CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_ms
+               FROM w GROUP BY 1, 2),
+         f AS (SELECT ai_pipeline, processing_stage, feed_id,
+                      CAST(sum(is_err) AS BIGINT) AS feed_errors
+               FROM w GROUP BY 1, 2, 3),
+         tf AS (SELECT *, row_number() OVER (PARTITION BY ai_pipeline, processing_stage
+                                             ORDER BY feed_errors DESC, feed_id ASC) AS rn
+                FROM f)
+         SELECT g.*, tf.feed_id AS top_feed, tf.feed_errors AS top_feed_errors
+         FROM g JOIN tf ON tf.ai_pipeline = g.ai_pipeline
+                       AND tf.processing_stage = g.processing_stage AND tf.rn = 1""",
     "ev32_apdex" ->
       """SELECT event_type AS service,
          count(*) AS n_requests,

@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Numeric.{cents, microRatio}
+
+/** OTel log-attribute extraction facts — the reference's ClickHouse
+  * materialized views over `otel_logs.LogAttributes`:
+  *
+  *  - ev33: clickhouse/migrations/006_create_otel_http_mv.sql — the
+  *    `http.*` attribute extraction into an `otel_http_requests` fact
+  *    (gated on `LogAttributes['http.method'] != ''`, with
+  *    toUInt16OrZero/toUInt64OrZero/toFloat64OrZero semantics for the
+  *    numeric attributes) plus its `otel_error_logs` sibling
+  *    (SeverityNumber >= 17, `exception.*` attributes), rolled up into
+  *    the per-(ServiceName, HttpRoute) request analytics the table's
+  *    ORDER BY (ServiceName, HttpRoute, Timestamp) exists for.
+  *  - ev34: clickhouse/migrations/008_add_business_context_columns.sql
+  *    — the `alt.*` business-context MATERIALIZED columns (feed /
+  *    article / job / processing-stage / AI-pipeline / request ids)
+  *    and the drilldown those columns exist for: latency percentiles +
+  *    error rate per (AIPipeline, ProcessingStage), with each group's
+  *    top feed by error count.
+  *
+  * Both extractions are stateless map-projection scans — exactly what
+  * a CH materialized view computes per insert — so they fuse into
+  * whatever reads them; the analytics are single map-side-combined
+  * shuffles on the extracted keys. ev31 covers the nginx/plecto edge
+  * shapes of migration 003; these are the OTel-attribute siblings.
+  */
+object OtelLogs {
+
+  /** Deterministic otel_logs stand-in composed from the events table
+    * (the ev31/lt01 composition precedent): service from the user
+    * bucket, severity 17/21 on error events (FATAL past value 300),
+    * and a LogAttributes map carrying `http.*` keys on non-click rows
+    * (click rows OMIT them — the rows the `!= ''` gate exists for),
+    * `alt.*` business context on every row, `exception.*` on
+    * severe rows, and a deliberately non-numeric status
+    * (`k % 10 == 0` → "NA") to exercise the OrZero casts.
+    */
+  def composeOtelLogs(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val uid = coalesce(col("user_id"), lit(0L))
+    val v = coalesce(col("value"), lit(0.0))
+    val k = coalesce(
+      regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"), lit(0))
+    val svc = when(pmod(uid, lit(4)) === 0, "alt-backend")
+      .when(pmod(uid, lit(4)) === 1, "auth-hub")
+      .when(pmod(uid, lit(4)) === 2, "tag-generator")
+      .otherwise("news-creator")
+    val sev = when(col("event_type") === "error" && v > 300, 21)
+      .when(col("event_type") === "error", 17).otherwise(9)
+    val sevText = when(sev === 21, "FATAL").when(sev === 17, "ERROR").otherwise("INFO")
+    val httpPairs: Seq[Column] = Seq(
+      lit("http.method"),
+      when(col("event_type") === "purchase", "POST")
+        .when(col("event_type") === "signup", "PUT").otherwise("GET"),
+      lit("http.route"), concat(lit("/api/"), col("event_type")),
+      lit("http.status_code"),
+      when(pmod(k, lit(10)) === 0, "NA")
+        .when(col("event_type") === "error", "500").otherwise("200"),
+      lit("http.response.body.size"), round(v * 10, 0).cast("long").cast("string"),
+      lit("http.request.duration"), v.cast("string"),
+      lit("user.id"), concat(lit("u"), uid),
+      lit("http.client_ip"), concat(lit("10.0.0."), pmod(uid, lit(250))),
+      lit("http.user_agent"), concat(lit("agent-"), pmod(uid, lit(5))))
+    val bizPairs: Seq[Column] = Seq(
+      lit("alt.feed.id"), concat(lit("feed-"), pmod(uid, lit(50))),
+      lit("alt.article.id"), concat(lit("art-"), pmod(col("event_id"), lit(1000))),
+      lit("alt.job.id"), concat(lit("job-"), pmod(col("event_id"), lit(97))),
+      lit("alt.processing.stage"),
+      when(pmod(k, lit(4)) === 0, "fetch").when(pmod(k, lit(4)) === 1, "summarize")
+        .when(pmod(k, lit(4)) === 2, "embed").otherwise("index"),
+      lit("alt.ai.pipeline"),
+      when(pmod(uid, lit(3)) === 0, "recap").when(pmod(uid, lit(3)) === 1, "rag")
+        .otherwise("tagging"),
+      lit("alt.request.id"), concat(lit("req-"), col("event_id")))
+    val excPairs: Seq[Column] = Seq(
+      lit("exception.type"), concat(lit("E"), pmod(k, lit(3))),
+      lit("exception.message"), concat(lit("boom "), col("event_type")))
+    val attrs = when(col("event_type") === "click", map(bizPairs: _*))
+      .when(sev >= 17, map(httpPairs ++ bizPairs ++ excPairs: _*))
+      .otherwise(map(httpPairs ++ bizPairs: _*))
+    e.select(col("ts"),
+      concat(lit("t"), pmod(col("event_id"), lit(1000))).as("trace_id"),
+      concat(lit("s"), col("event_id")).as("span_id"),
+      svc.as("service_name"), sev.as("severity_number"), sevText.as("severity_text"),
+      concat(col("event_type"), lit(" event")).as("body"),
+      attrs.as("attrs"))
+  }
+
+  /** 006's otel_http_requests_mv SELECT: `http.*` keys out of the
+    * attribute map, gated on a present, non-empty http.method; the
+    * OrZero casts map unparseable numerics to 0 instead of dropping
+    * the row.
+    */
+  def httpRequests(logs: DataFrame): DataFrame = {
+    val a = (k: String) => element_at(col("attrs"), k)
+    logs.filter(a("http.method").isNotNull && a("http.method") =!= "")
+      .select(col("ts"), col("trace_id"), col("span_id"), col("service_name"),
+        a("http.method").as("http_method"),
+        a("http.route").as("http_route"),
+        coalesce(a("http.status_code").try_cast("int"), lit(0)).as("http_status_code"),
+        coalesce(a("http.response.body.size").try_cast("long"), lit(0L)).as("response_size"),
+        coalesce(a("http.request.duration").try_cast("double"), lit(0.0)).as("request_duration"),
+        coalesce(a("user.id"), lit("")).as("user_id"),
+        coalesce(a("http.client_ip"), lit("")).as("client_ip"),
+        coalesce(a("http.user_agent"), lit("")).as("user_agent"))
+  }
+
+  /** 006's otel_error_logs_mv SELECT: severe rows (SeverityNumber >=
+    * 17 — ERROR and up) with their exception attributes.
+    */
+  def errorLogs(logs: DataFrame): DataFrame = {
+    val a = (k: String) => element_at(col("attrs"), k)
+    logs.filter(col("severity_number") >= 17)
+      .select(col("ts"), col("trace_id"), col("span_id"), col("service_name"),
+        col("severity_text"), col("body"),
+        coalesce(a("exception.type"), lit("")).as("exception_type"),
+        coalesce(a("exception.message"), lit("")).as("exception_message"))
+  }
+
+  /** ev33: per-(ServiceName, HttpRoute) request analytics over the
+    * extracted HTTP fact, unioned with the per-(ServiceName,
+    * ExceptionType) rollup of the error-log sibling (`fact`
+    * discriminates the two sections; the error rows carry NULL HTTP
+    * measures). Latency p95 in exact centi-ms units (ev31's
+    * discipline), the error rate an exact micro-unit ratio.
+    */
+  def ev33(s: SparkSession, dir: String): DataFrame = {
+    val logs = composeOtelLogs(s, dir)
+    val http = httpRequests(logs)
+      .withColumn("dur_c", cents(col("request_duration")))
+      .groupBy("service_name", "http_route")
+      .agg(
+        count(lit(1)).as("n"),
+        count(when(col("http_status_code") >= 500, 1)).as("n_5xx"),
+        microRatio(count(when(col("http_status_code") >= 500, 1)), count(lit(1)), 4)
+          .as("error_rate"),
+        (round(expr("percentile(dur_c, 0.95)"), 0).cast("long") / 1e2).as("p95_duration_ms"),
+        sum("response_size").as("total_bytes"))
+      .select(col("service_name"), lit("http_route").as("fact"),
+        col("http_route").as("dim"), col("n"), col("n_5xx"), col("error_rate"),
+        col("p95_duration_ms"), col("total_bytes"))
+    val err = errorLogs(logs)
+      .groupBy("service_name", "exception_type")
+      .agg(count(lit(1)).as("n"))
+      .select(col("service_name"), lit("exception").as("fact"),
+        col("exception_type").as("dim"), col("n"),
+        lit(null).cast("long").as("n_5xx"), lit(null).cast("double").as("error_rate"),
+        lit(null).cast("double").as("p95_duration_ms"), lit(null).cast("long").as("total_bytes"))
+    http.union(err)
+  }
+
+  /** 008's materialized business-context columns: the six `alt.*`
+    * attributes projected out of the map (absent keys read as '' like
+    * a CH map default, so the columns are always populated).
+    */
+  def businessContext(logs: DataFrame): DataFrame = {
+    val a = (k: String) => coalesce(element_at(col("attrs"), k), lit(""))
+    logs.select(col("ts"), col("service_name"), col("severity_number"),
+      a("alt.feed.id").as("feed_id"),
+      a("alt.article.id").as("article_id"),
+      a("alt.job.id").as("job_id"),
+      a("alt.processing.stage").as("processing_stage"),
+      a("alt.ai.pipeline").as("ai_pipeline"),
+      a("alt.request.id").as("request_id"),
+      coalesce(element_at(col("attrs"), "http.request.duration").try_cast("double"), lit(0.0))
+        .as("duration_ms"))
+  }
+
+  /** ev34: the drilldown the 008 columns exist for — per (AIPipeline,
+    * ProcessingStage): volume, severe-error rate, p50/p95 latency in
+    * exact centi-ms units, and the group's top feed by error count
+    * (ties to the lexically-first feed). The per-feed error rollup is
+    * bounded by |pipelines|·|stages|·|feeds|, so the argmax window
+    * never sees corpus-scale rows.
+    */
+  def ev34(s: SparkSession, dir: String): DataFrame = {
+    val ctx = businessContext(composeOtelLogs(s, dir))
+      .withColumn("dur_c", cents(col("duration_ms")))
+      .withColumn("is_err", when(col("severity_number") >= 17, 1L).otherwise(0L))
+    val perGroup = ctx.groupBy("ai_pipeline", "processing_stage")
+      .agg(
+        count(lit(1)).as("n_logs"),
+        sum("is_err").as("n_errors"),
+        microRatio(sum("is_err"), count(lit(1)), 4).as("error_rate"),
+        (round(expr("percentile(dur_c, 0.5)"), 0).cast("long") / 1e2).as("p50_ms"),
+        (round(expr("percentile(dur_c, 0.95)"), 0).cast("long") / 1e2).as("p95_ms"))
+    val perFeed = ctx.groupBy("ai_pipeline", "processing_stage", "feed_id")
+      .agg(sum("is_err").as("feed_errors"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("ai_pipeline", "processing_stage")
+      .orderBy(col("feed_errors").desc, col("feed_id").asc)
+    val topFeed = perFeed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("ai_pipeline"), col("processing_stage"),
+        col("feed_id").as("top_feed"), col("feed_errors").as("top_feed_errors"))
+    perGroup.join(topFeed, Seq("ai_pipeline", "processing_stage"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{CitationAudit, Rag}
+import graft.operators.{CitationAudit, OtelLogs, Rag}
 
 /** Round-9 retrieval-evaluation harness checks: one planted golden
   * case per VerifyCase verdict rule (rag-orchestrator/eval/metrics.go
@@ -142,5 +142,71 @@ class Round9OpsSpec extends SparkSpec {
     assert(b.head.getAs[Long]("n_resolved") == 0L)
     assert(b.head.isNullAt(b.head.fieldIndex("citation_precision")))
     assert(b.head.isNullAt(b.head.fieldIndex("lang")))
+  }
+
+  /** A planted otel_logs frame exercising what the ev33/ev34 oracles
+    * shortcut: the attribute-map gates themselves.
+    */
+  private def plantedOtel = {
+    import spark.implicits._
+    val rows = Seq(
+      // full http row, parseable numerics
+      ("svc", 9, Map("http.method" -> "GET", "http.route" -> "/a",
+        "http.status_code" -> "200", "http.response.body.size" -> "10",
+        "http.request.duration" -> "1.5", "alt.ai.pipeline" -> "rag",
+        "alt.processing.stage" -> "fetch", "alt.feed.id" -> "feed-1")),
+      // http.method PRESENT but EMPTY — 006's != '' gate must drop it
+      ("svc", 9, Map("http.method" -> "", "http.route" -> "/a",
+        "http.status_code" -> "200")),
+      // http.method ABSENT — also dropped
+      ("svc", 9, Map("alt.ai.pipeline" -> "rag", "alt.processing.stage" -> "fetch")),
+      // malformed numerics → OrZero, row KEPT
+      ("svc", 17, Map("http.method" -> "POST", "http.route" -> "/b",
+        "http.status_code" -> "NA", "http.response.body.size" -> "x",
+        "http.request.duration" -> "y", "exception.type" -> "E1")),
+      // severity 16 is below the error-log gate; 21 is above
+      ("svc", 16, Map("http.method" -> "GET", "http.route" -> "/a",
+        "http.status_code" -> "500")),
+      ("svc", 21, Map("exception.type" -> "E2", "alt.feed.id" -> "feed-2",
+        "alt.ai.pipeline" -> "rag", "alt.processing.stage" -> "fetch")))
+    rows.zipWithIndex.map { case ((svc, sev, m), i) => (i.toLong, svc, sev, m) }
+      .toDF("event_id", "service_name", "severity_number", "attrs")
+      .select(
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+        concat(lit("t"), col("event_id")).as("trace_id"),
+        concat(lit("s"), col("event_id")).as("span_id"),
+        col("service_name"), col("severity_number"),
+        when(col("severity_number") >= 17, "ERROR").otherwise("INFO").as("severity_text"),
+        lit("body").as("body"), col("attrs"))
+  }
+
+  test("ev33 extraction gates: empty/absent http.method drop, OrZero keeps, severity >= 17") {
+    val http = OtelLogs.httpRequests(plantedOtel).collect()
+    // rows 0, 3, 4 carry a non-empty http.method
+    assert(http.length == 3)
+    val byRoute = http.groupBy(_.getAs[String]("http_route"))
+    // the malformed row kept with zeroed numerics
+    val b = byRoute("/b").head
+    assert(b.getAs[Int]("http_status_code") == 0)
+    assert(b.getAs[Long]("response_size") == 0L)
+    assert(b.getAs[Double]("request_duration") == 0.0)
+    val a0 = byRoute("/a").map(_.getAs[Int]("http_status_code")).sorted
+    assert(a0.sameElements(Array(200, 500)))
+    // error logs: severity 17 and 21 only, with their exception types
+    val errs = OtelLogs.errorLogs(plantedOtel).collect()
+    assert(errs.length == 2)
+    assert(errs.map(_.getAs[String]("exception_type")).sorted.sameElements(Array("E1", "E2")))
+  }
+
+  test("ev34 business context: absent alt.* keys read as empty, like a CH map default") {
+    val ctx = OtelLogs.businessContext(plantedOtel).collect()
+    assert(ctx.length == 6)
+    val noBiz = ctx.filter(_.getAs[String]("ai_pipeline") == "")
+    // rows 1, 3, 4 carry no alt.* keys at all
+    assert(noBiz.length == 3)
+    assert(noBiz.forall(_.getAs[String]("processing_stage") == ""))
+    val withBiz = ctx.filter(_.getAs[String]("ai_pipeline") == "rag")
+    assert(withBiz.length == 3)
+    assert(withBiz.map(_.getAs[String]("feed_id")).sorted.sameElements(Array("", "feed-1", "feed-2")))
   }
 }
