@@ -130,28 +130,39 @@ object OtelLogs {
     * discipline), the error rate an exact micro-unit ratio.
     */
   def ev33(s: SparkSession, dir: String): DataFrame = {
-    val logs = composeOtelLogs(s, dir)
-    val http = httpRequests(logs)
-      .withColumn("dur_c", cents(col("request_duration")))
-      .groupBy("service_name", "http_route")
+    // ONE pass computes both sections — a log row fans out into the
+    // MV sections whose gates it satisfies (a severe http row feeds
+    // both), exactly how CH evaluates every MV per insert. A
+    // union-of-two-branches plan would re-evaluate the whole
+    // composition per branch and duplicate the map expression into
+    // each branch's gate filter; this shape scans once, shuffles once.
+    val a = (k: String) => element_at(col("attrs"), k)
+    val httpSec = when(a("http.method").isNotNull && a("http.method") =!= "",
+      struct(lit("http_route").as("fact"), a("http.route").as("dim"),
+        coalesce(a("http.status_code").try_cast("int"), lit(0)).as("status"),
+        coalesce(a("http.response.body.size").try_cast("long"), lit(0L)).as("size"),
+        cents(coalesce(a("http.request.duration").try_cast("double"), lit(0.0))).as("dur_c")))
+    val errSec = when(col("severity_number") >= 17,
+      struct(lit("exception").as("fact"), coalesce(a("exception.type"), lit("")).as("dim"),
+        lit(null).cast("int").as("status"), lit(null).cast("long").as("size"),
+        lit(null).cast("long").as("dur_c")))
+    composeOtelLogs(s, dir)
+      .select(col("service_name"), explode(array(httpSec, errSec)).as("sec"))
+      .filter(col("sec").isNotNull)
+      .select(col("service_name"), col("sec.*"))
+      .groupBy("service_name", "fact", "dim")
       .agg(
         count(lit(1)).as("n"),
-        count(when(col("http_status_code") >= 500, 1)).as("n_5xx"),
-        microRatio(count(when(col("http_status_code") >= 500, 1)), count(lit(1)), 4)
-          .as("error_rate"),
-        (round(expr("percentile(dur_c, 0.95)"), 0).cast("long") / 1e2).as("p95_duration_ms"),
-        sum("response_size").as("total_bytes"))
-      .select(col("service_name"), lit("http_route").as("fact"),
-        col("http_route").as("dim"), col("n"), col("n_5xx"), col("error_rate"),
-        col("p95_duration_ms"), col("total_bytes"))
-    val err = errorLogs(logs)
-      .groupBy("service_name", "exception_type")
-      .agg(count(lit(1)).as("n"))
-      .select(col("service_name"), lit("exception").as("fact"),
-        col("exception_type").as("dim"), col("n"),
-        lit(null).cast("long").as("n_5xx"), lit(null).cast("double").as("error_rate"),
-        lit(null).cast("double").as("p95_duration_ms"), lit(null).cast("long").as("total_bytes"))
-    http.union(err)
+        count(when(col("status") >= 500, 1)).as("n_5xx_raw"),
+        microRatio(count(when(col("status") >= 500, 1)), count(lit(1)), 4)
+          .as("error_rate_raw"),
+        (round(expr("percentile(dur_c, 0.95)"), 0).cast("long") / 1e2).as("p95_raw"),
+        sum("size").as("total_bytes_raw"))
+      .select(col("service_name"), col("fact"), col("dim"), col("n"),
+        when(col("fact") === "http_route", col("n_5xx_raw")).as("n_5xx"),
+        when(col("fact") === "http_route", col("error_rate_raw")).as("error_rate"),
+        when(col("fact") === "http_route", col("p95_raw")).as("p95_duration_ms"),
+        when(col("fact") === "http_route", col("total_bytes_raw")).as("total_bytes"))
   }
 
   /** 008's materialized business-context columns: the six `alt.*`
