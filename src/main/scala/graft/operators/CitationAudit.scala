@@ -50,10 +50,14 @@ object CitationAudit {
     */
   def composeReports(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val w = Window.partitionBy("source").orderBy("doc_id")
+    // persist the |sources|·5 frame: bodies, the source map, and both
+    // audit rollups all derive from it — without this the per-source
+    // window (and the corpus scan under it) replays once per consumer
     val top5 = Tables.documents(s, dir)
       .select(col("source"), col("doc_id"), col("text"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bodies = top5.groupBy("source")
       .agg(concat(
         array_join(transform(array_sort(collect_list(struct(col("rn"),
@@ -89,8 +93,10 @@ object CitationAudit {
       .join(gold.select(col("source_id"), lit(1).as("hit")), Seq("source_id"), "left")
     // every report keeps a row even when NOTHING resolves: precision
     // NULL (metrics.py returns None on an empty denominator, not 0)
-    // and an empty language mix — the composed qe03 data always
-    // resolves ≥1 marker, so this branch is spec-covered
+    // and an empty language mix (NULL lang row) — one LEFT join from
+    // the per-report frame, so the zero-resolved branch costs no extra
+    // plan. The composed qe03 data always resolves ≥1 marker; the
+    // branch is spec-covered.
     val perReport = bodies.select("source").distinct()
       .join(resolved.groupBy("source")
           .agg(count(lit(1)).as("n_resolved"), count(col("hit")).as("n_gold_hits")),
@@ -99,16 +105,15 @@ object CitationAudit {
       .withColumn("citation_precision",
         when(col("n_resolved") > 0,
           microRatio(col("n_gold_hits"), col("n_resolved"), 4)))
-    resolved.groupBy("source", "lang_c")
-      .agg(count(lit(1)).as("n_cited"))
-      .join(perReport, Seq("source"))
-      .select(col("source"), col("lang_c").as("lang"), col("n_cited"),
-        microRatio(col("n_cited"), col("n_resolved"), 4).as("lang_share"),
+    perReport
+      .join(resolved.groupBy("source", "lang_c").agg(count(lit(1)).as("n_cited")),
+        Seq("source"), "left")
+      .select(col("source"), col("lang_c").as("lang"),
+        coalesce(col("n_cited"), lit(0L)).as("n_cited"),
+        when(col("n_resolved") > 0,
+          microRatio(coalesce(col("n_cited"), lit(0L)), col("n_resolved"), 4))
+          .as("lang_share"),
         col("n_resolved"), col("n_gold_hits"), col("citation_precision"))
-      .union(perReport.filter(col("n_resolved") === 0)
-        .select(col("source"), lit(null).cast("string").as("lang"),
-          lit(0L).as("n_cited"), lit(null).cast("double").as("lang_share"),
-          col("n_resolved"), col("n_gold_hits"), col("citation_precision")))
   }
 
   /** qe03 adapter over the composed reports. */

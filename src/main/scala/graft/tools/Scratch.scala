@@ -44,7 +44,9 @@ object Scratch {
       "ev31_http_golden_signals", "ev32_apdex", "ot04_span_events",
       "dq08_field_shape_drift", "lt03_template_bursts", "qe01_output_quality",
       "tx44_rouge2", "tx45_synonym_search", "tg01_tag_genre_graph",
-      "smp06_dedup_weighted_sample")
+      "smp06_dedup_weighted_sample",
+      "rag06_retrieval_eval", "qe03_citation_audit",
+      "ev33_otel_http_requests", "ev34_pipeline_drilldown")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
