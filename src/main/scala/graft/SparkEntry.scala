@@ -167,6 +167,7 @@ object SparkEntry {
     "rag04_token_chunks"            -> ((s: SparkSession, dir: String) => Rag.tokenChunks(s, dir)),
     "rag05_hybrid_rrf"              -> ((s: SparkSession, dir: String) => Rag.hybridRrf(s, dir)),
     "rag06_retrieval_eval"          -> ((s: SparkSession, dir: String) => Rag.retrievalEval(s, dir)),
+    "rag07_eval_report"             -> (Rag.evalReport _),
     "sim02_label_centroids"         -> (Similarity.labelCentroids _),
     "sim03_cosine_neardup"          -> (Similarity.cosineNearDup _),
     "sim04_ivf_ann"                 -> (Similarity.ivfAnn _),
@@ -276,6 +277,80 @@ object SparkEntry {
                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_group
          FROM $source AS o)
        WHERE rank_in_group <= 3"""
+
+  /** Shared CTE chain for the rag06/rag07 oracles: rag02's retrieval
+    * re-built in DuckDB, golden-case composition, graded relevance,
+    * and the per-case verdict frame `v` (plus `e`, the lex-enriched
+    * candidate pool rag07's BM25-zero rate reads).
+    */
+  private def ragEvalCtes: String = s"""q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, CAST(round(${duckCos("q_emb", "c_emb")} * 1e6) AS BIGINT) / 1e6 AS cos
+                    FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         topk AS (SELECT query_id, neighbor_id, cos
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                        FROM scored)
+                  WHERE rank <= 10),
+         t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents),
+         e AS (SELECT query_id, neighbor_id, cos,
+                      CAST(round((len(list_intersect(qt.toks, ct.toks)) * 1.0 /
+                            len(list_distinct(list_concat(qt.toks, ct.toks)))) * 1e6) AS BIGINT) / 1e6 AS lex
+               FROM topk JOIN t qt ON qt.doc_id = query_id JOIN t ct ON ct.doc_id = neighbor_id),
+         p AS (SELECT query_id, neighbor_id, rerank_score,
+                      row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, neighbor_id ASC) AS rerank
+               FROM (SELECT *, (CAST(round(cos * 1e6) AS BIGINT) * 7 +
+                                CAST(round(lex * 1e6) AS BIGINT) * 3) / 1e7 AS rerank_score FROM e)),
+         g AS (SELECT doc_id AS query_id,
+                      list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), tk -> len(tk) >= 5)[1:2]) AS kws
+               FROM documents WHERE doc_id % 100 = 0),
+         irr AS (SELECT doc_id - 1 AS query_id, substr(text, 1, 30) AS irr_title
+                 FROM documents WHERE doc_id % 100 = 1),
+         fb AS (SELECT doc_id - 2 AS query_id, substr(text, 1, 12) AS forbidden
+                FROM documents WHERE doc_id % 100 = 2),
+         titled AS (SELECT p.*, substr(d.text, 1, 30) AS title, substr(d.text, 1, 80) AS chunk,
+                           CAST(len(list_filter(g.kws, kw -> contains(lower(substr(d.text, 1, 30)), lower(kw)))) AS BIGINT) AS rel,
+                           irr.irr_title
+                    FROM p JOIN documents d ON d.doc_id = p.neighbor_id
+                         JOIN g USING (query_id)
+                         LEFT JOIN irr USING (query_id)),
+         ideal AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS ideal_rank
+                   FROM titled),
+         agg AS (SELECT query_id,
+                        sum(CASE WHEN rerank <= 3 THEN rel * (CASE rerank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 ELSE 500000 END) ELSE 0 END) AS dcg_u,
+                        sum(CASE WHEN ideal_rank <= 3 THEN rel * (CASE ideal_rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 ELSE 500000 END) ELSE 0 END) AS idcg_u,
+                        count(CASE WHEN rerank <= 3 AND rel > 0 THEN 1 END) AS found3,
+                        count(CASE WHEN rerank <= 2 AND rel > 0 THEN 1 END) AS found2,
+                        max(CASE WHEN rerank = 1 THEN rel END) AS top1_rel,
+                        max(CASE WHEN rerank = 1 THEN rerank_score END) AS top1_score,
+                        count(CASE WHEN rerank <= 3 AND title = irr_title THEN 1 END) AS n_irr,
+                        string_agg(CASE WHEN rerank <= 3 THEN title END, ' | ' ORDER BY rerank) AS answer,
+                        string_agg(CASE WHEN rerank <= 3 THEN chunk END, ' ' ORDER BY rerank) AS context
+                 FROM ideal GROUP BY query_id),
+         v AS (SELECT a.*, CAST(len(g.kws) AS BIGINT) AS n_kws, g.kws, fb.forbidden,
+                      CAST(len(list_filter(g.kws, kw -> contains(a.answer, kw) AND contains(a.context, kw))) AS BIGINT) AS supported,
+                      CASE WHEN n_irr > 0 THEN 1 ELSE 0 END AS f_irrelevant,
+                      CASE WHEN found3 < 1 THEN 1 ELSE 0 END AS f_min_relevant,
+                      CASE WHEN length(a.answer) < 60 THEN 1 ELSE 0 END AS f_answer_len,
+                      CASE WHEN len(list_filter(g.kws, kw -> NOT contains(a.answer, kw))) > 0 THEN 1 ELSE 0 END AS f_entities,
+                      CASE WHEN fb.forbidden IS NOT NULL AND contains(a.answer, fb.forbidden) THEN 1 ELSE 0 END AS f_forbidden
+               FROM agg a JOIN g ON g.query_id = a.query_id
+                    LEFT JOIN fb ON fb.query_id = a.query_id)"""
+
+  /** rag06's final per-case projection over `v`. */
+  private val ragEvalSelect: String = """SELECT query_id, n_kws,
+                CASE WHEN n_kws > 0 THEN CAST(round(found3 * 1e4 / n_kws) AS BIGINT) / 1e4 ELSE 0.0 END AS recall_at_3,
+                CASE WHEN idcg_u > 0 THEN CAST(round(dcg_u * 1e4 / idcg_u) AS BIGINT) / 1e4 ELSE 0.0 END AS ndcg_at_3,
+                CASE WHEN top1_rel > 0 THEN 1.0 ELSE 0.0 END AS top1_precision,
+                CAST(round(found2 * 1e4 / 2) AS BIGINT) / 1e4 AS citation_correctness,
+                CASE WHEN n_kws > 0 THEN CAST(round(supported * 1e4 / n_kws) AS BIGINT) / 1e4 ELSE 0.0 END AS faithfulness,
+                CASE WHEN top1_score >= 0.5 THEN 'Good'
+                     WHEN top1_score >= 0.25 THEN 'Marginal'
+                     ELSE 'Insufficient' END AS relevance_verdict,
+                f_irrelevant, f_min_relevant, f_answer_len, f_entities, f_forbidden,
+                f_irrelevant + f_min_relevant + f_answer_len + f_entities + f_forbidden AS n_failures,
+                CASE WHEN f_irrelevant + f_min_relevant + f_answer_len + f_entities + f_forbidden = 0
+                     THEN 1 ELSE 0 END AS passed
+         FROM v"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1425,72 +1500,27 @@ object SparkEntry {
     // eval/metrics.go arithmetic in exact integer units: quantized
     // 1e-6 DCG discounts, micro-unit ratios rounded at scale 0
     "rag06_retrieval_eval" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
-         c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
-         scored AS (SELECT query_id, neighbor_id, CAST(round(${duckCos("q_emb", "c_emb")} * 1e6) AS BIGINT) / 1e6 AS cos
-                    FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
-         topk AS (SELECT query_id, neighbor_id, cos
-                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
-                        FROM scored)
-                  WHERE rank <= 10),
-         t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents),
-         e AS (SELECT query_id, neighbor_id, cos,
-                      CAST(round((len(list_intersect(qt.toks, ct.toks)) * 1.0 /
-                            len(list_distinct(list_concat(qt.toks, ct.toks)))) * 1e6) AS BIGINT) / 1e6 AS lex
-               FROM topk JOIN t qt ON qt.doc_id = query_id JOIN t ct ON ct.doc_id = neighbor_id),
-         p AS (SELECT query_id, neighbor_id, rerank_score,
-                      row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, neighbor_id ASC) AS rerank
-               FROM (SELECT *, (CAST(round(cos * 1e6) AS BIGINT) * 7 +
-                                CAST(round(lex * 1e6) AS BIGINT) * 3) / 1e7 AS rerank_score FROM e)),
-         g AS (SELECT doc_id AS query_id,
-                      list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), tk -> len(tk) >= 5)[1:2]) AS kws
-               FROM documents WHERE doc_id % 100 = 0),
-         irr AS (SELECT doc_id - 1 AS query_id, substr(text, 1, 30) AS irr_title
-                 FROM documents WHERE doc_id % 100 = 1),
-         fb AS (SELECT doc_id - 2 AS query_id, substr(text, 1, 12) AS forbidden
-                FROM documents WHERE doc_id % 100 = 2),
-         titled AS (SELECT p.*, substr(d.text, 1, 30) AS title, substr(d.text, 1, 80) AS chunk,
-                           CAST(len(list_filter(g.kws, kw -> contains(lower(substr(d.text, 1, 30)), lower(kw)))) AS BIGINT) AS rel,
-                           irr.irr_title
-                    FROM p JOIN documents d ON d.doc_id = p.neighbor_id
-                         JOIN g USING (query_id)
-                         LEFT JOIN irr USING (query_id)),
-         ideal AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, neighbor_id ASC) AS ideal_rank
-                   FROM titled),
-         agg AS (SELECT query_id,
-                        sum(CASE WHEN rerank <= 3 THEN rel * (CASE rerank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 ELSE 500000 END) ELSE 0 END) AS dcg_u,
-                        sum(CASE WHEN ideal_rank <= 3 THEN rel * (CASE ideal_rank WHEN 1 THEN 1000000 WHEN 2 THEN 630930 ELSE 500000 END) ELSE 0 END) AS idcg_u,
-                        count(CASE WHEN rerank <= 3 AND rel > 0 THEN 1 END) AS found3,
-                        count(CASE WHEN rerank <= 2 AND rel > 0 THEN 1 END) AS found2,
-                        max(CASE WHEN rerank = 1 THEN rel END) AS top1_rel,
-                        max(CASE WHEN rerank = 1 THEN rerank_score END) AS top1_score,
-                        count(CASE WHEN rerank <= 3 AND title = irr_title THEN 1 END) AS n_irr,
-                        string_agg(CASE WHEN rerank <= 3 THEN title END, ' | ' ORDER BY rerank) AS answer,
-                        string_agg(CASE WHEN rerank <= 3 THEN chunk END, ' ' ORDER BY rerank) AS context
-                 FROM ideal GROUP BY query_id),
-         v AS (SELECT a.*, CAST(len(g.kws) AS BIGINT) AS n_kws, g.kws, fb.forbidden,
-                      CAST(len(list_filter(g.kws, kw -> contains(a.answer, kw) AND contains(a.context, kw))) AS BIGINT) AS supported,
-                      CASE WHEN n_irr > 0 THEN 1 ELSE 0 END AS f_irrelevant,
-                      CASE WHEN found3 < 1 THEN 1 ELSE 0 END AS f_min_relevant,
-                      CASE WHEN length(a.answer) < 60 THEN 1 ELSE 0 END AS f_answer_len,
-                      CASE WHEN len(list_filter(g.kws, kw -> NOT contains(a.answer, kw))) > 0 THEN 1 ELSE 0 END AS f_entities,
-                      CASE WHEN fb.forbidden IS NOT NULL AND contains(a.answer, fb.forbidden) THEN 1 ELSE 0 END AS f_forbidden
-               FROM agg a JOIN g ON g.query_id = a.query_id
-                    LEFT JOIN fb ON fb.query_id = a.query_id)
-         SELECT query_id, n_kws,
-                CASE WHEN n_kws > 0 THEN CAST(round(found3 * 1e4 / n_kws) AS BIGINT) / 1e4 ELSE 0.0 END AS recall_at_3,
-                CASE WHEN idcg_u > 0 THEN CAST(round(dcg_u * 1e4 / idcg_u) AS BIGINT) / 1e4 ELSE 0.0 END AS ndcg_at_3,
-                CASE WHEN top1_rel > 0 THEN 1.0 ELSE 0.0 END AS top1_precision,
-                CAST(round(found2 * 1e4 / 2) AS BIGINT) / 1e4 AS citation_correctness,
-                CASE WHEN n_kws > 0 THEN CAST(round(supported * 1e4 / n_kws) AS BIGINT) / 1e4 ELSE 0.0 END AS faithfulness,
-                CASE WHEN top1_score >= 0.5 THEN 'Good'
-                     WHEN top1_score >= 0.25 THEN 'Marginal'
-                     ELSE 'Insufficient' END AS relevance_verdict,
-                f_irrelevant, f_min_relevant, f_answer_len, f_entities, f_forbidden,
-                f_irrelevant + f_min_relevant + f_answer_len + f_entities + f_forbidden AS n_failures,
-                CASE WHEN f_irrelevant + f_min_relevant + f_answer_len + f_entities + f_forbidden = 0
-                     THEN 1 ELSE 0 END AS passed
-         FROM v""",
+      s"""WITH $ragEvalCtes $ragEvalSelect""",
+    // the aggregate report: means over exact 1e-4 units of the
+    // already-rounded per-case metrics, BM25-zero from the lex pool
+    "rag07_eval_report" ->
+      s"""WITH $ragEvalCtes,
+         r6 AS ($ragEvalSelect),
+         lexh AS (SELECT query_id, count(CASE WHEN lex > 0 THEN 1 END) AS n_lex_hits
+                  FROM e GROUP BY query_id)
+         SELECT count(*) AS case_count,
+                CAST(sum(passed) AS BIGINT) AS pass_count,
+                count(*) - CAST(sum(passed) AS BIGINT) AS fail_count,
+                CAST(round(sum(CAST(round(recall_at_3 * 1e4) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) / 1e4 AS mean_recall_at_3,
+                CAST(round(sum(CAST(round(ndcg_at_3 * 1e4) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) / 1e4 AS mean_ndcg_at_3,
+                CAST(round(sum(CAST(round(top1_precision * 1e4) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) / 1e4 AS mean_top1_precision,
+                CAST(round(sum(CAST(round(faithfulness * 1e4) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) / 1e4 AS mean_faithfulness,
+                CAST(round(sum(CAST(round(citation_correctness * 1e4) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) / 1e4 AS mean_citation_correctness,
+                CAST(round(count(CASE WHEN coalesce(n_lex_hits, 0) = 0 THEN 1 END) * 1e4 / count(*)) AS BIGINT) / 1e4 AS bm25_zero_rate,
+                count(CASE WHEN relevance_verdict = 'Good' THEN 1 END) AS n_good,
+                count(CASE WHEN relevance_verdict = 'Marginal' THEN 1 END) AS n_marginal,
+                count(CASE WHEN relevance_verdict = 'Insufficient' THEN 1 END) AS n_insufficient
+         FROM r6 LEFT JOIN lexh USING (query_id)""",
     "sim02_label_centroids" ->
       """SELECT label,
          CAST(round(sqrt(CAST(sum(CAST(s_u AS HUGEINT) * s_u) AS DOUBLE)) / max(n)) AS BIGINT) / 1e6 AS centroid_norm

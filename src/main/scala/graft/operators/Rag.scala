@@ -264,6 +264,51 @@ object Rag {
         when(col("n_failures") === 0, 1).otherwise(0).as("passed"))
   }
 
+  /** rag07: the aggregate evaluation report over rag06's per-case
+    * rows — rag-orchestrator/eval's EvalReport + AggregateMetrics
+    * (golden_case.go:85/:96): case/pass/fail counts, the mean of each
+    * retrieval/generation metric, the BM25-zero rate (fraction of
+    * queries whose lexical candidate set is empty — the "dense
+    * retrieval is carrying a query BM25 can't see" alarm; here a
+    * candidate counts as a lexical hit when its token-Jaccard with the
+    * query is > 0), and the relevance-gate verdict distribution. The
+    * deterministic subset; planner-state rates (clarification, intent
+    * accuracy) are env-blocked with the rest of the runtime metrics.
+    *
+    * Means are computed over exact 1e-4 units of the already-rounded
+    * per-case metrics (sums of integers, one scale-0 round at the
+    * end), so the report is engine-exact like its inputs.
+    *
+    * Scale: an eval harness, not a serving query — it re-runs the
+    * rag06 battery and the candidate pool (two corpus-scale passes,
+    * the sim10 measure-don't-guess precedent) and aggregates
+    * |queries| rows to ONE report row.
+    */
+  def evalReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.Numeric.microUnits
+    val perCase = retrievalEval(s, dir)
+    val lexHits = lexEnrichedCandidates(s, dir)
+      .groupBy("query_id")
+      .agg(count(when(col("lex") > 0, 1)).as("n_lex_hits"))
+    val mean4 = (c: String) =>
+      microUnits(sum(graft.functions.Numeric.units(col(c), 4)), count(lit(1)), 0) / 1e4
+    perCase.join(lexHits, Seq("query_id"), "left")
+      .agg(
+        count(lit(1)).as("case_count"),
+        sum(col("passed")).cast("long").as("pass_count"),
+        (count(lit(1)) - sum(col("passed"))).cast("long").as("fail_count"),
+        mean4("recall_at_3").as("mean_recall_at_3"),
+        mean4("ndcg_at_3").as("mean_ndcg_at_3"),
+        mean4("top1_precision").as("mean_top1_precision"),
+        mean4("faithfulness").as("mean_faithfulness"),
+        mean4("citation_correctness").as("mean_citation_correctness"),
+        microRatio(count(when(coalesce(col("n_lex_hits"), lit(0L)) === 0, 1)),
+          count(lit(1)), 4).as("bm25_zero_rate"),
+        count(when(col("relevance_verdict") === "Good", 1)).as("n_good"),
+        count(when(col("relevance_verdict") === "Marginal", 1)).as("n_marginal"),
+        count(when(col("relevance_verdict") === "Insufficient", 1)).as("n_insufficient"))
+  }
+
   /** rag04: overlapping token-window chunking — split documents into
     * fixed-size token windows advancing by a stride (window − stride
     * tokens of overlap), the chunking step every RAG index build runs

@@ -111,6 +111,23 @@ class Round9OpsSpec extends SparkSpec {
     assert(r.getAs[Int]("n_failures") == 3)
   }
 
+  test("rag07 aggregate report: counts, exact-unit means, gate distribution, BM25-zero") {
+    val r = Rag.evalReport(spark, dir).collect().head
+    assert(r.getAs[Long]("case_count") == 3L)
+    assert(r.getAs[Long]("pass_count") == 1L)
+    assert(r.getAs[Long]("fail_count") == 2L)
+    // one case per gate verdict by construction
+    assert(r.getAs[Long]("n_good") == 1L)
+    assert(r.getAs[Long]("n_marginal") == 1L)
+    assert(r.getAs[Long]("n_insufficient") == 1L)
+    // recalls 1.5 / 0 / 0 → mean round(15000/3)/1e4
+    assert(r.getAs[Double]("mean_recall_at_3") == 0.5)
+    assert(r.getAs[Double]("mean_top1_precision") == 0.3333)
+    // queries 100 and 200 share no token with ANY candidate — the
+    // lexical retriever comes up empty for 2 of 3 cases
+    assert(r.getAs[Double]("bm25_zero_rate") == 0.6667)
+  }
+
   test("qe03 citation audit: dedup, skip rules, and the no-denominator NULL") {
     import spark.implicits._
     // report A cites S1 twice (counts once), an unmapped S9, and the
