@@ -70,6 +70,10 @@ object SparkEntry {
     "ev31_http_golden_signals"      -> (HttpLogs.ev31 _),
     "ev33_otel_http_requests"       -> (OtelLogs.ev33 _),
     "ev34_pipeline_drilldown"       -> (OtelLogs.ev34 _),
+    "ev35_error_types"              -> ((s: SparkSession, dir: String) => OtelLogs.errorTypes(s, dir)),
+    "ev36_severity_profile"         -> (OtelLogs.severityProfile _),
+    "ot05_api_performance"          -> ((s: SparkSession, dir: String) => OtelLogs.apiPerformance(s, dir)),
+    "ot06_span_bottlenecks"         -> ((s: SparkSession, dir: String) => OtelLogs.spanBottlenecks(s, dir)),
     "ev32_apdex"                    -> ((s: SparkSession, dir: String) => Events.apdexScore(s, dir)),
     "ev18_decay_ranking"            -> (Events.decayRanking _),
     "ev19_cohort_retention"         -> (Events.cohortRetention _),
@@ -812,12 +816,83 @@ object SparkEntry {
                        CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_duration_ms,
                        CAST(sum(size) AS BIGINT) AS total_bytes
                 FROM http GROUP BY 1, 3),
-         err AS (SELECT service_name, 'exception' AS fact, 'E' || (k % 3) AS dim,
+         err AS (SELECT service_name, 'exception' AS fact,
+                        CASE WHEN k % 13 = 0 THEN '' ELSE 'E' || (k % 3) END AS dim,
                         count(*) AS n,
                         CAST(NULL AS BIGINT) AS n_5xx, CAST(NULL AS DOUBLE) AS error_rate,
                         CAST(NULL AS DOUBLE) AS p95_duration_ms, CAST(NULL AS BIGINT) AS total_bytes
                  FROM w WHERE event_type = 'error' GROUP BY 1, 3)
          SELECT * FROM ha UNION ALL SELECT * FROM err""",
+    "ev35_error_types" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events WHERE event_type = 'error')
+         SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                             WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service_name,
+                CASE WHEN k % 13 = 0 THEN 'Unknown' ELSE 'E' || (k % 3) END AS error_type,
+                count(*) AS error_count,
+                min(event_type || ' event') AS sample_message
+         FROM e GROUP BY 1, 2
+         ORDER BY error_count DESC, service_name ASC, error_type ASC LIMIT 20""",
+    "ev36_severity_profile" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           coalesce(value, 0) AS v,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         w AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                   WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service_name,
+                      CASE WHEN event_type = 'error' AND v > 300 THEN 21
+                           WHEN event_type = 'error' THEN 17 ELSE 9 END AS sev,
+                      CASE WHEN event_type = 'error' AND v > 300 THEN 'FATAL'
+                           WHEN event_type = 'error' THEN 'ERROR'
+                           WHEN k % 17 = 0 THEN 'WARNING' ELSE 'INFO' END AS txt
+               FROM e)
+         SELECT service_name, count(*) AS total_logs,
+                count(CASE WHEN txt = 'DEBUG' OR sev <= 4 THEN 1 END) AS debug_count,
+                count(CASE WHEN txt = 'INFO' OR (sev > 4 AND sev <= 8) THEN 1 END) AS info_count,
+                count(CASE WHEN txt IN ('WARN', 'WARNING') OR (sev > 8 AND sev <= 12) THEN 1 END) AS warn_count,
+                count(CASE WHEN txt = 'ERROR' OR (sev > 12 AND sev <= 16) THEN 1 END) AS error_count,
+                count(CASE WHEN txt IN ('FATAL', 'CRITICAL') OR sev > 20 THEN 1 END) AS fatal_count,
+                CAST(round(count(CASE WHEN sev >= 17 THEN 1 END) * 1e4 / count(*)) AS BIGINT) / 1e2 AS error_rate
+         FROM w GROUP BY 1""",
+    "ot05_api_performance" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid,
+                           coalesce(value, 0) AS v,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         w AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                   WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service_name,
+                      'op' || (k % 5) AS span_name,
+                      CAST(round(v * 100) AS BIGINT) AS dur_c,
+                      CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END AS is_err
+               FROM e)
+         SELECT * FROM (
+           SELECT service_name, span_name, count(*) AS request_count,
+                  CAST(round(sum(dur_c) * 1.0 / count(*)) AS BIGINT) / 1e2 AS avg_ms,
+                  CAST(round(quantile_cont(dur_c, 0.50)) AS BIGINT) / 1e2 AS p50_ms,
+                  CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_ms,
+                  CAST(round(quantile_cont(dur_c, 0.99)) AS BIGINT) / 1e2 AS p99_ms,
+                  max(dur_c) / 1e2 AS max_ms,
+                  CAST(sum(is_err) AS BIGINT) AS error_spans
+           FROM w GROUP BY 1, 2 HAVING count(*) >= 5)
+         ORDER BY p95_ms DESC, service_name ASC, span_name ASC LIMIT 30""",
+    "ot06_span_bottlenecks" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid,
+                           coalesce(value, 0) AS v,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         w AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                   WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service_name,
+                      'op' || (k % 5) AS span_name,
+                      CAST(round(v * 100) AS BIGINT) AS dur_c
+               FROM e WHERE v > 200)
+         SELECT * FROM (
+           SELECT service_name, span_name, count(*) AS occurrences,
+                  CAST(round(sum(dur_c) * 1.0 / count(*)) AS BIGINT) / 1e2 AS avg_ms,
+                  CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_ms,
+                  CAST(round(sum(dur_c) * 1.0 / 1e3) AS BIGINT) / 1e2 AS total_time_sec
+           FROM w GROUP BY 1, 2 HAVING count(*) >= 3)
+         ORDER BY total_time_sec DESC, service_name ASC, span_name ASC LIMIT 15""",
     "ev34_pipeline_drilldown" ->
       """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
                            coalesce(value, 0) AS v,

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Numeric.{cents, microRatio}
+import graft.functions.Numeric.{cents, microRatio, microUnits}
 
 /** OTel log-attribute extraction facts — the reference's ClickHouse
   * materialized views over `otel_logs.LogAttributes`:
@@ -52,7 +52,11 @@ object OtelLogs {
       .otherwise("news-creator")
     val sev = when(col("event_type") === "error" && v > 300, 21)
       .when(col("event_type") === "error", 17).otherwise(9)
-    val sevText = when(sev === 21, "FATAL").when(sev === 17, "ERROR").otherwise("INFO")
+    // a slice of INFO-numbered rows carries WARNING text (text and
+    // number disagree — the dual-evidence case ev36's text-first
+    // bucketing exists for)
+    val sevText = when(sev === 21, "FATAL").when(sev === 17, "ERROR")
+      .when(pmod(k, lit(17)) === 0, "WARNING").otherwise("INFO")
     val httpPairs: Seq[Column] = Seq(
       lit("http.method"),
       when(col("event_type") === "purchase", "POST")
@@ -77,8 +81,12 @@ object OtelLogs {
       when(pmod(uid, lit(3)) === 0, "recap").when(pmod(uid, lit(3)) === 1, "rag")
         .otherwise("tagging"),
       lit("alt.request.id"), concat(lit("req-"), col("event_id")))
+    // a slice of severe rows reports an EMPTY exception type (the CH
+    // map default for an unset attribute) — ev35 maps those to
+    // 'Unknown' like the reference collector
     val excPairs: Seq[Column] = Seq(
-      lit("exception.type"), concat(lit("E"), pmod(k, lit(3))),
+      lit("exception.type"),
+      when(pmod(k, lit(13)) === 0, "").otherwise(concat(lit("E"), pmod(k, lit(3)))),
       lit("exception.message"), concat(lit("boom "), col("event_type")))
     val attrs = when(col("event_type") === "click", map(bizPairs: _*))
       .when(sev >= 17, map(httpPairs ++ bizPairs ++ excPairs: _*))
@@ -164,6 +172,123 @@ object OtelLogs {
         when(col("fact") === "http_route", col("p95_raw")).as("p95_duration_ms"),
         when(col("fact") === "http_route", col("total_bytes_raw")).as("total_bytes"))
   }
+
+  /** ev35: error-type leaderboard over the extracted error-log fact —
+    * the metrics service's error-pattern collector
+    * (metrics/src/alt_metrics/collectors/logs.py:36): per (service,
+    * exception type) error counts with empty types reported as
+    * 'Unknown' and a sample message per type, top-20 by count. The
+    * reference samples via `any()` (nondeterministic); the exemplar
+    * here is min(body) — the ot03 deterministic-exemplar convention.
+    * One map-side-combined shuffle + TakeOrdered.
+    */
+  def errorTypes(s: SparkSession, dir: String, limit: Int = 20): DataFrame =
+    errorLogs(composeOtelLogs(s, dir))
+      .groupBy(col("service_name"),
+        when(col("exception_type") === "", "Unknown")
+          .otherwise(col("exception_type")).as("error_type"))
+      .agg(count(lit(1)).as("error_count"), min(col("body")).as("sample_message"))
+      .orderBy(col("error_count").desc, col("service_name").asc, col("error_type").asc)
+      .limit(limit)
+
+  /** ev36: per-service severity distribution — the metrics service's
+    * log-level collector (collectors/logs.py:114): each OTel level
+    * bucketed by TEXT OR NUMBER (a producer may set either; the
+    * composed view plants WARNING-text rows whose number says INFO —
+    * the text-first rule catches them), plus the severe-error rate as
+    * an exact percent (2 dp). One conditional-aggregate scan, the
+    * dq01 single-pass-profile shape.
+    */
+  def severityProfile(s: SparkSession, dir: String): DataFrame = {
+    val t = col("severity_text")
+    val n = col("severity_number")
+    composeOtelLogs(s, dir)
+      .groupBy("service_name")
+      .agg(
+        count(lit(1)).as("total_logs"),
+        count(when(t === "DEBUG" || n <= 4, 1)).as("debug_count"),
+        count(when(t === "INFO" || (n > 4 && n <= 8), 1)).as("info_count"),
+        count(when(t.isin("WARN", "WARNING") || (n > 8 && n <= 12), 1)).as("warn_count"),
+        count(when(t === "ERROR" || (n > 12 && n <= 16), 1)).as("error_count"),
+        count(when(t.isin("FATAL", "CRITICAL") || n > 20, 1)).as("fatal_count"),
+        (microUnits(count(when(n >= 17, 1)), count(lit(1)), 4) / 1e2).as("error_rate"))
+  }
+
+  /** Deterministic otel_traces stand-in (the composeOtelLogs sibling):
+    * service from the user bucket, span name from the payload key,
+    * duration = value, ERROR status on a fixed residue independent of
+    * the service so error spans spread across the grid.
+    */
+  def composeOtelTraces(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+    val uid = coalesce(col("user_id"), lit(0L))
+    val v = coalesce(col("value"), lit(0.0))
+    val k = coalesce(
+      regexp_extract(col("props"), "\"k\": ([0-9]+)", 1).cast("int"), lit(0))
+    val svc = when(pmod(uid, lit(4)) === 0, "alt-backend")
+      .when(pmod(uid, lit(4)) === 1, "auth-hub")
+      .when(pmod(uid, lit(4)) === 2, "tag-generator")
+      .otherwise("news-creator")
+    e.select(col("ts"),
+      concat(lit("t"), pmod(col("event_id"), lit(1000))).as("trace_id"),
+      concat(lit("s"), col("event_id")).as("span_id"),
+      svc.as("service_name"),
+      concat(lit("op"), pmod(k, lit(5))).as("span_name"),
+      v.as("duration_ms"),
+      when(pmod(k, lit(11)) === 0, "ERROR").otherwise("OK").as("status_code"))
+  }
+
+  /** ot05: per-endpoint API performance — the metrics service's
+    * api-performance collector (collectors/traces.py:37): per
+    * (service, span): volume, mean and p50/p95/p99/max latency, error
+    * spans; endpoints below the volume floor dropped (HAVING ≥ 5),
+    * ranked by p95 with the top-30 kept. All latency arithmetic in
+    * exact centi-ms units; ties broken on the group key so the cut is
+    * deterministic. One map-side-combined shuffle + TakeOrdered over
+    * the |services|·|ops| frame.
+    */
+  def apiPerformance(s: SparkSession, dir: String,
+                     minCount: Int = 5, limit: Int = 30): DataFrame =
+    composeOtelTraces(s, dir)
+      .withColumn("dur_c", cents(col("duration_ms")))
+      .groupBy("service_name", "span_name")
+      .agg(
+        count(lit(1)).as("request_count"),
+        (microUnits(sum("dur_c"), count(lit(1)), 0) / 1e2).as("avg_ms"),
+        (round(expr("percentile(dur_c, 0.50)"), 0).cast("long") / 1e2).as("p50_ms"),
+        (round(expr("percentile(dur_c, 0.95)"), 0).cast("long") / 1e2).as("p95_ms"),
+        (round(expr("percentile(dur_c, 0.99)"), 0).cast("long") / 1e2).as("p99_ms"),
+        (max("dur_c") / 1e2).as("max_ms"),
+        count(when(col("status_code") === "ERROR", 1)).as("error_spans"))
+      .filter(col("request_count") >= minCount)
+      .orderBy(col("p95_ms").desc, col("service_name").asc, col("span_name").asc)
+      .limit(limit)
+
+  /** ot06: slow-span bottleneck ranking — the metrics service's
+    * bottleneck collector (collectors/traces.py:83): spans past the
+    * slow threshold, per (service, span): occurrences, mean and p95
+    * latency, and TOTAL time consumed (the ranking key — a moderately
+    * slow op that runs constantly outranks a rare very-slow one);
+    * HAVING ≥ 3, top-15 by total time. The reference's 1000 ms gate
+    * rescales to the composed duration distribution (its p99 is
+    * ~224 ms) — the threshold is a calibration parameter, the shape is
+    * the semantics. Filter is pushed into the scan side of the one
+    * aggregation shuffle.
+    */
+  def spanBottlenecks(s: SparkSession, dir: String, slowMs: Double = 200,
+                      minCount: Int = 3, limit: Int = 15): DataFrame =
+    composeOtelTraces(s, dir)
+      .withColumn("dur_c", cents(col("duration_ms")))
+      .filter(col("duration_ms") > slowMs)
+      .groupBy("service_name", "span_name")
+      .agg(
+        count(lit(1)).as("occurrences"),
+        (microUnits(sum("dur_c"), count(lit(1)), 0) / 1e2).as("avg_ms"),
+        (round(expr("percentile(dur_c, 0.95)"), 0).cast("long") / 1e2).as("p95_ms"),
+        (microUnits(sum("dur_c"), lit(1e3), 0) / 1e2).as("total_time_sec"))
+      .filter(col("occurrences") >= minCount)
+      .orderBy(col("total_time_sec").desc, col("service_name").asc, col("span_name").asc)
+      .limit(limit)
 
   /** 008's materialized business-context columns: the six `alt.*`
     * attributes projected out of the map (absent keys read as '' like

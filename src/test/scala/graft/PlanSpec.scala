@@ -285,6 +285,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-9 queries plan no single-task windows") {
+    // retrieval-eval windows partition by query_id, qe03's report
+    // assembly by source, ev34's argmax by (pipeline, stage) — nothing
+    // may fall back to an unpartitioned window
+    for (q <- Seq("rag06_retrieval_eval", "rag07_eval_report",
+                  "qe03_citation_audit", "ev33_otel_http_requests",
+                  "ev34_pipeline_drilldown", "ev35_error_types",
+                  "ev36_severity_profile", "ot05_api_performance",
+                  "ot06_span_bottlenecks")) {
+      val ws = allNodes(finalPlan(q)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(ws.isEmpty, s"$q plans an unpartitioned (single-task) window")
+    }
+  }
+
+  test("single-pass collector rollups shuffle exactly once") {
+    // ev33 computes both MV sections from one scan; ev35/ev36/ot05/ot06
+    // are one map-side-combined aggregation each (plus TakeOrdered,
+    // which is not an exchange)
+    for (q <- Seq("ev33_otel_http_requests", "ev35_error_types",
+                  "ev36_severity_profile", "ot05_api_performance",
+                  "ot06_span_bottlenecks")) {
+      val shuffles = allNodes(finalPlan(q)).collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }
+      assert(shuffles.size <= 1, s"$q: expected <=1 shuffle, got ${shuffles.size}")
+    }
+  }
+
   test("k-means assignment is one projection over the corpus — no Exchange, no Window") {
     // Centroids are driver-collected literals, so a Lloyd iteration's
     // lineage must be exactly scan → project: any Exchange or Window
