@@ -113,6 +113,8 @@ object SparkEntry {
     "es02_event_type_daily"         -> (Events.eventTypeDaily _),
     "es03_retention_ttl"            -> (Events.retentionTtl _),
     "es04_weekly_recap_rollup"      -> (Events.weeklyRecapRollup _),
+    "es08_producer_liveness"        -> ((s: SparkSession, dir: String) => Trail.producerLiveness(s, dir)),
+    "es09_trail_wear"               -> ((s: SparkSession, dir: String) => Trail.trailWear(s, dir)),
     "asof01_purchase_after_view"    -> (AsOf.purchaseAfterView _),
     "asof02_tolerance"              -> (AsOf.purchaseAfterRecentView _),
     "asof03_nearest"                -> ((s: SparkSession, dir: String) => AsOf.nearestViewWithin(s, dir)),
@@ -823,6 +825,50 @@ object SparkEntry {
                         CAST(NULL AS DOUBLE) AS p95_duration_ms, CAST(NULL AS BIGINT) AS total_bytes
                  FROM w WHERE event_type = 'error' GROUP BY 1, 3)
          SELECT * FROM ha UNION ALL SELECT * FROM err""",
+    "es08_producer_liveness" ->
+      """WITH e AS (SELECT event_type, date_trunc('second', CAST(ts AS TIMESTAMP)) AS ts_s FROM events),
+         g AS (SELECT max(ts_s) AS now_ts FROM e),
+         t AS (SELECT unnest(['view', 'click', 'purchase', 'signup', 'error',
+                              'recap.topic_snapshotted']) AS event_type),
+         p AS (SELECT event_type, max(ts_s) AS latest FROM e GROUP BY 1)
+         SELECT t.event_type,
+                CASE WHEN p.latest IS NOT NULL
+                     THEN CAST(epoch(g.now_ts) - epoch(p.latest) AS BIGINT)
+                     ELSE 999999999 END AS age_seconds
+         FROM t LEFT JOIN p USING (event_type) CROSS JOIN g""",
+    "es09_trail_wear" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS user_id, event_id,
+                           CAST(ts AS TIMESTAMP) AS ts,
+                           coalesce(value, 0) AS v, event_type,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         b AS (SELECT user_id, 'item-' || (k % 20) AS item_key,
+                      CASE event_type WHEN 'view' THEN 'walked' WHEN 'click' THEN 'asked'
+                           WHEN 'purchase' THEN 'acted' WHEN 'signup' THEN 'saved'
+                           ELSE 'flagged' END AS verb,
+                      ts, event_id, v, k
+               FROM e),
+         iw AS (SELECT user_id, item_key, count(*) AS cnt,
+                       max(CASE WHEN verb = 'asked' THEN 1 ELSE 0 END) AS has_ask,
+                       max(CASE WHEN v >= 150 OR k % 19 = 0 THEN 1 ELSE 0 END) AS engaged
+                FROM b GROUP BY 1, 2),
+         c AS (SELECT user_id, item_key, verb, count(*) AS contact_count,
+                      min(ts) AS first_ts
+               FROM b GROUP BY 1, 2, 3),
+         ex AS (SELECT user_id, item_key, verb, ts AS last_ts, event_id AS last_event_id
+                FROM (SELECT *, row_number() OVER (PARTITION BY user_id, item_key, verb
+                                                   ORDER BY ts DESC, event_id DESC) AS rn
+                      FROM b)
+                WHERE rn = 1)
+         SELECT c.user_id, c.item_key, c.verb, c.contact_count, c.first_ts,
+                ex.last_ts, ex.last_event_id,
+                CASE WHEN iw.has_ask = 1 OR iw.cnt >= 4
+                          OR (iw.engaged = 1 AND iw.cnt >= 2) THEN 'deep'
+                     WHEN iw.cnt >= 2 OR iw.engaged = 1 THEN 'worn'
+                     ELSE 'thin' END AS wear
+         FROM c
+         JOIN iw ON iw.user_id = c.user_id AND iw.item_key = c.item_key
+         JOIN ex ON ex.user_id = c.user_id AND ex.item_key = c.item_key AND ex.verb = c.verb""",
     "ev35_error_types" ->
       """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
                            coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k

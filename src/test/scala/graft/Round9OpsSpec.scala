@@ -161,6 +161,40 @@ class Round9OpsSpec extends SparkSpec {
     assert(b.head.isNullAt(b.head.fieldIndex("lang")))
   }
 
+  test("es09 wear bands: every boundary rule on planted footprints") {
+    import spark.implicits._
+    import graft.operators.Trail
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def fp(u: Long, item: String, verb: String, id: Long,
+           dwell: Double = 0.0, legacy: Boolean = false) =
+      (u, item, verb, t0, id, dwell, legacy)
+    val base = Seq(
+      fp(1L, "a", "walked", 1L),                          // 1 contact → thin
+      fp(1L, "b", "walked", 2L), fp(1L, "b", "walked", 3L), // 2 contacts → worn
+      fp(1L, "c", "walked", 4L, dwell = 150.0),           // engaged at threshold, 1 contact → worn
+      fp(1L, "d", "asked", 5L),                           // ask → deep regardless of count
+      fp(1L, "e", "walked", 6L), fp(1L, "e", "walked", 7L),
+      fp(1L, "e", "walked", 8L), fp(1L, "e", "walked", 9L), // 4 raw contacts → deep
+      fp(1L, "f", "walked", 10L, legacy = true),
+      fp(1L, "f", "acted", 11L))                          // engaged (legacy) + 2 contacts → deep
+      .toDF("user_id", "item_key", "verb", "ts", "event_id", "dwell", "legacy_engaged")
+    val out = Trail.trailWearOn(base).collect()
+      .map(r => (r.getAs[String]("item_key"), r.getAs[String]("verb")) -> r).toMap
+    def wearOf(item: String, verb: String) = out((item, verb)).getAs[String]("wear")
+    assert(wearOf("a", "walked") == "thin")
+    assert(wearOf("b", "walked") == "worn")
+    assert(wearOf("c", "walked") == "worn")
+    assert(wearOf("d", "asked") == "deep")
+    assert(wearOf("e", "walked") == "deep")
+    // wear is an ITEM property: both collapsed verbs of item f read deep
+    assert(wearOf("f", "walked") == "deep" && wearOf("f", "acted") == "deep")
+    // the e-item collapses to ONE spine row carrying count 4 and the
+    // latest contact as its exemplar
+    val e = out(("e", "walked"))
+    assert(e.getAs[Long]("contact_count") == 4L)
+    assert(e.getAs[Long]("last_event_id") == 9L)
+  }
+
   /** A planted otel_logs frame exercising what the ev33/ev34 oracles
     * shortcut: the attribute-map gates themselves.
     */
