@@ -161,6 +161,41 @@ class Round9OpsSpec extends SparkSpec {
     assert(b.head.isNullAt(b.head.fieldIndex("lang")))
   }
 
+  test("qe04 recap quality: every scorer rule on planted summaries") {
+    import spark.implicits._
+    import graft.operators.RecapQuality
+    val long800 = "x" * 798 + " た"       // plateau length, good ending
+    val mid300 = "y" * 300                 // ramp length, bad ending
+    val rows = Seq(
+      // perfect grounding; marker stripped before the ending check
+      (1L, Seq("alpha beta た [1]", "gamma delta た [2]"), Seq(1, 2)),
+      // dangling marker + unused ref → empty intersection
+      (2L, Seq("foo [1]"), Seq(2)),
+      // identical bullets → bigram-multiset Jaccard 1.0
+      (3L, Seq("same text here", "same text here"), Seq(1)),
+      // readability arithmetic: 800-char plateau vs 300-char ramp
+      (4L, Seq(long800, mid300), Seq.empty[Int]),
+      // all four structure families + >=5 entities in one bullet
+      (5L, Seq("Acme Corp 発表した 背景として 今後 2024年5月 45% 120円 99"), Seq.empty[Int]))
+      .toDF("output_id", "bullets", "ref_ids")
+    val out = RecapQuality.recapQualityOn(rows).collect()
+      .map(r => r.getAs[Long]("output_id") -> r).toMap
+    assert(out(1L).getAs[Double]("source_grounding") == 1.0)
+    // ending check strips the trailing [n]: both bullets end with た
+    assert(out(1L).getAs[Double]("readability") == 0.3)
+    assert(out(2L).getAs[Double]("source_grounding") == 0.0)
+    assert(out(3L).getAs[Double]("redundancy") == 1.0)
+    // markers-present-refs-absent → grounding 0 (the broken case)
+    assert(out(3L).getAs[Double]("source_grounding") == 0.0)
+    // (1.0·0.7 + 1.0·0.3 on the 800-char bullet; 0.5·0.7 + 0.3·0.3 on
+    // the 300-char one) / 2 = 0.72
+    assert(out(4L).getAs[Double]("readability") == 0.72)
+    assert(out(5L).getAs[Double]("structure") == 1.0)
+    assert(out(5L).getAs[Double]("entity_density") == 1.0)
+    // a single bullet has no pairs → redundancy 0
+    assert(out(5L).getAs[Double]("redundancy") == 0.0)
+  }
+
   test("es09 wear bands: every boundary rule on planted footprints") {
     import spark.implicits._
     import graft.operators.Trail
