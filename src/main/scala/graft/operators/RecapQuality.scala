@@ -143,23 +143,32 @@ object RecapQuality {
       .withColumn("chars", regexp_replace(col("b"), "\\s+", ""))
       .withColumn("n_bi", greatest(length(col("chars")) - 1, lit(0)))
       .select(col("output_id"), col("idx"), col("chars"), col("n_bi"))
-    val counts = bl
+    // ONE aggregation keyed by (summary, bigram) carrying the bullet
+    // indexes as a small list (≤ bullets × per-bullet multiplicity):
+    // per-pair min-count contributions then derive STATELESSLY from
+    // that list — no per-(bullet, bigram) pre-count and no
+    // self-join, which would replay the explode lineage twice
+    val contrib = bl
       .filter(col("n_bi") > 0)
       .withColumn("bg", explode(expr(
         "transform(sequence(1, n_bi), i -> substr(chars, i, 2))")))
-      .groupBy("output_id", "idx", "bg")
-      .agg(count(lit(1)).as("c"))
+      .groupBy("output_id", "bg")
+      .agg(collect_list(col("idx")).as("lst"))
+      .select(col("output_id"), explode(expr(
+        """flatten(transform(array_distinct(lst), a ->
+             transform(filter(array_distinct(lst), b -> b > a), b ->
+               struct(a AS ia, b AS ib,
+                      least(size(filter(lst, x -> x = a)),
+                            size(filter(lst, x -> x = b))) AS m))))""")).as("p"))
+      .select(col("output_id"), col("p.ia").as("ia"), col("p.ib").as("ib"),
+        col("p.m").as("m"))
     val totals = bl.select("output_id", "idx", "n_bi")
     val pairs = totals.select(col("output_id"), col("idx").as("ia"), col("n_bi").as("ta"))
       .join(totals.select(col("output_id"), col("idx").as("ib"), col("n_bi").as("tb")),
         Seq("output_id"))
       .filter(col("ia") < col("ib"))
-    val inter = counts.select(col("output_id"), col("idx").as("ia"), col("bg"), col("c").as("ca"))
-      .join(counts.select(col("output_id"), col("idx").as("ib"), col("bg"), col("c").as("cb")),
-        Seq("output_id", "bg"))
-      .filter(col("ia") < col("ib"))
-      .groupBy("output_id", "ia", "ib")
-      .agg(sum(least(col("ca"), col("cb"))).as("inter"))
+    val inter = contrib.groupBy("output_id", "ia", "ib")
+      .agg(sum(col("m")).as("inter"))
     val perPair = pairs.join(inter, Seq("output_id", "ia", "ib"), "left")
       .na.fill(0L, Seq("inter"))
       .withColumn("uni", col("ta") + col("tb") - col("inter"))
