@@ -46,7 +46,9 @@ object Scratch {
       "tx44_rouge2", "tx45_synonym_search", "tg01_tag_genre_graph",
       "smp06_dedup_weighted_sample",
       "rag06_retrieval_eval", "qe03_citation_audit",
-      "ev33_otel_http_requests", "ev34_pipeline_drilldown")
+      "ev33_otel_http_requests", "ev34_pipeline_drilldown",
+      "qe04_recap_quality", "ev36_severity_profile",
+      "ot05_api_performance", "es09_trail_wear")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

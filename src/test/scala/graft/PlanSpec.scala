@@ -290,10 +290,12 @@ class PlanSpec extends SparkSpec {
     // assembly by source, ev34's argmax by (pipeline, stage) — nothing
     // may fall back to an unpartitioned window
     for (q <- Seq("rag06_retrieval_eval", "rag07_eval_report",
-                  "qe03_citation_audit", "ev33_otel_http_requests",
+                  "qe03_citation_audit", "qe04_recap_quality",
+                  "ev33_otel_http_requests",
                   "ev34_pipeline_drilldown", "ev35_error_types",
                   "ev36_severity_profile", "ot05_api_performance",
-                  "ot06_span_bottlenecks")) {
+                  "ot06_span_bottlenecks", "es08_producer_liveness",
+                  "es09_trail_wear")) {
       val ws = allNodes(finalPlan(q)).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
       }
