@@ -99,6 +99,8 @@ object SparkEntry {
     "tx45_synonym_search"           -> ((s: SparkSession, dir: String) => TextOps.synonymSearch(s, dir)),
     "qe01_output_quality"           -> (OutputQuality.outputQuality _),
     "tg01_tag_genre_graph"          -> (TagGraph.tg01 _),
+    "tg02_tag_quality"              -> (TagGraph.tagQuality _),
+    "tg03_tag_quality_report"       -> (TagGraph.tagQualityReport _),
     "qe02_summary_redundancy"       -> (OutputQuality.summaryRedundancy _),
     "qe03_citation_audit"           -> (CitationAudit.qe03 _),
     "qe04_recap_quality"            -> (RecapQuality.qe04 _),
@@ -342,6 +344,45 @@ object SparkEntry {
                       CASE WHEN fb.forbidden IS NOT NULL AND contains(a.answer, fb.forbidden) THEN 1 ELSE 0 END AS f_forbidden
                FROM agg a JOIN g ON g.query_id = a.query_id
                     LEFT JOIN fb ON fb.query_id = a.query_id)"""
+
+  /** Shared CTE chain for the tg02/tg03 oracles: composed predictions
+    * + goldens and every per-sample metric in exact 1e-6 units.
+    */
+  private val tagQualityCtes: String =
+    """d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+       b AS (SELECT doc_id,
+                    CASE WHEN doc_id % 31 = 0 THEN [] ELSE toks[1:8] END AS pred,
+                    list_distinct(list_transform(
+                      list_filter(toks, t -> len(t) >= 4)[1:4], t -> lower(upper(t)))) AS exp_n
+             FROM d),
+       n AS (SELECT doc_id, pred, exp_n,
+                    list_transform(pred, t -> lower(t)) AS norm
+             FROM b),
+       per AS (SELECT doc_id, len(pred) AS n_pred,
+                      CASE WHEN len(pred) = 0 THEN 0.0
+                           ELSE CAST(round(len(list_intersect(list_distinct(norm[1:5]), exp_n)) * 1e6
+                                           / least(len(pred), 5)) AS BIGINT) / 1e6 END AS precision_at_5,
+                      CASE WHEN len(pred) = 0 THEN 0.0
+                           ELSE CAST(round(len(list_intersect(list_distinct(norm[1:10]), exp_n)) * 1e6
+                                           / least(len(pred), 10)) AS BIGINT) / 1e6 END AS precision_at_10,
+                      CASE WHEN len(exp_n) = 0 THEN 0.0
+                           ELSE CAST(round(len(list_intersect(list_distinct(norm[1:5]), exp_n)) * 1e6
+                                           / len(exp_n)) AS BIGINT) / 1e6 END AS recall_at_5,
+                      CASE WHEN len(exp_n) = 0 THEN 0.0
+                           ELSE CAST(round(len(list_intersect(list_distinct(norm[1:10]), exp_n)) * 1e6
+                                           / len(exp_n)) AS BIGINT) / 1e6 END AS recall_at_10,
+                      CASE WHEN len(norm) > 0
+                           THEN greatest(0,
+                                  CAST(round(len(list_distinct(norm)) * 1e6 / len(norm)) AS BIGINT)
+                                  - least(500000,
+                                      (CASE WHEN len(norm) >= 2
+                                            THEN len(list_filter(flatten(list_transform(range(1, len(norm)), i ->
+                                                   list_transform(range(i + 1, len(norm) + 1), j ->
+                                                     {'a': norm[CAST(i AS INTEGER)], 'b': norm[CAST(j AS INTEGER)]}))),
+                                                 p -> contains(p.a, p.b) OR contains(p.b, p.a)))
+                                            ELSE 0 END) * 100000)) / 1e6
+                           ELSE 0.0 END AS diversity
+               FROM n)"""
 
   /** rag06's final per-case projection over `v`. */
   private val ragEvalSelect: String = """SELECT query_id, n_kws,
@@ -1583,6 +1624,32 @@ object SparkEntry {
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id ASC) AS fused_rank
                FROM f)
          WHERE fused_rank <= 5""",
+    "tg02_tag_quality" ->
+      s"""WITH $tagQualityCtes
+         SELECT doc_id, n_pred, precision_at_5, precision_at_10,
+                recall_at_5, recall_at_10, diversity
+         FROM per""",
+    // f1 computed FROM the mean precision/recall (the reference
+    // aggregates first), means over exact 1e-6 units
+    "tg03_tag_quality_report" ->
+      s"""WITH $tagQualityCtes,
+         agg AS (SELECT count(*) AS total_samples,
+                        CAST(round(sum(CAST(round(precision_at_5 * 1e6) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) / 1e6 AS precision_at_5,
+                        CAST(round(sum(CAST(round(precision_at_10 * 1e6) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) / 1e6 AS precision_at_10,
+                        CAST(round(sum(CAST(round(recall_at_5 * 1e6) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) / 1e6 AS recall_at_5,
+                        CAST(round(sum(CAST(round(recall_at_10 * 1e6) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) / 1e6 AS recall_at_10,
+                        CAST(round(sum(CAST(round(diversity * 1e6) AS BIGINT)) * 1.0 / count(*)) AS BIGINT) / 1e6 AS diversity_score,
+                        CAST(round(sum(n_pred) * 1e4 / count(*)) AS BIGINT) / 1e4 AS avg_tag_count,
+                        CAST(round(count(CASE WHEN n_pred = 0 THEN 1 END) * 1e4 / count(*)) AS BIGINT) / 1e4 AS empty_tag_rate
+                 FROM per)
+         SELECT *,
+                CASE WHEN precision_at_5 + recall_at_5 = 0 THEN 0.0
+                     ELSE CAST(round(2.0 * precision_at_5 * recall_at_5
+                                     / (precision_at_5 + recall_at_5) * 1e6) AS BIGINT) / 1e6 END AS f1_at_5,
+                CASE WHEN precision_at_10 + recall_at_10 = 0 THEN 0.0
+                     ELSE CAST(round(2.0 * precision_at_10 * recall_at_10
+                                     / (precision_at_10 + recall_at_10) * 1e6) AS BIGINT) / 1e6 END AS f1_at_10
+         FROM agg""",
     // recap_quality.py's five axes in exact micro-units: grounding as
     // id-set Jaccard, bigram-multiset redundancy, the 0.7/0.3
     // readability blend (divisible-by-10 integer units), quarter-unit

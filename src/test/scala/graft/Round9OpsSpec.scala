@@ -196,6 +196,37 @@ class Round9OpsSpec extends SparkSpec {
     assert(out(5L).getAs[Double]("redundancy") == 0.0)
   }
 
+  test("tg02 tag quality: raw-count denominators, case folding, substring diversity penalty") {
+    import spark.implicits._
+    import graft.operators.TagGraph
+    val rows = Seq(
+      // 6 predictions with a duplicate; 2 of the first 5 match the
+      // golden set case-insensitively. p5 = 2/min(6,5); p10 = 2/min(6,10)
+      (1L, Seq("Spark", "spark", "batch", "window", "vector", "stream"),
+        Seq("SPARK", "WINDOW", "ABSENT")),
+      // empty predictions → all zeros (and the empty-rate numerator)
+      (2L, Seq.empty[String], Seq("ANY")),
+      // diversity: all unique but "a" ⊂ "ab" ⊂ "abc" → 3 substring
+      // pairs → 0.3 penalty; uniqueness 1.0 → 0.7
+      (3L, Seq("a", "ab", "abc"), Seq.empty[String]),
+      // penalty caps at 0.5: six nested tags → 15 pairs → 1.5 → 0.5
+      (4L, Seq("x", "xy", "xyz", "xyzw", "xyzwv", "xyzwvu"), Seq.empty[String]))
+      .toDF("doc_id", "pred", "expected")
+    val out = TagGraph.tagQualityOn(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Double]("precision_at_5") == 0.4)   // 2/5
+    assert(out(1L).getAs[Double]("precision_at_10") == 0.333333) // 2/6
+    assert(out(1L).getAs[Double]("recall_at_5") == 0.666667) // 2/3 distinct expected
+    // duplicate "spark" drops uniqueness to 5/6; no substring pairs
+    // beyond the dup pair itself ("spark" ⊆ "spark" → one 0.1 penalty)
+    assert(out(1L).getAs[Double]("diversity") == 0.733333)
+    assert(out(2L).getAs[Double]("precision_at_5") == 0.0)
+    assert(out(2L).getAs[Double]("recall_at_5") == 0.0)
+    assert(out(2L).getAs[Double]("diversity") == 0.0)
+    assert(out(3L).getAs[Double]("diversity") == 0.7)
+    assert(out(4L).getAs[Double]("diversity") == 0.5)
+  }
+
   test("es09 wear bands: every boundary rule on planted footprints") {
     import spark.implicits._
     import graft.operators.Trail
