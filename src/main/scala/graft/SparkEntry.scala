@@ -207,6 +207,11 @@ object SparkEntry {
     "sim10_ann_recall"              -> ((s: SparkSession, dir: String) => Similarity.annRecall(s, dir)),
     "dd05_dedup_recall"             -> ((s: SparkSession, dir: String) => Dedup.dedupRecall(s, dir)),
     "pp01_curation_pipeline"        -> (Curation.pp01 _),
+    // Performance-measurement analysis (alt-perf)
+    "pf01_run_stats"                -> (Perf.pf01 _),
+    "pf02_load_report"              -> (Perf.pf02 _),
+    "pf03_vitals_score"             -> (Perf.pf03 _),
+    "pf04_multirun_vitals"          -> (Perf.pf04 _),
   )
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:
@@ -2485,5 +2490,201 @@ object SparkEntry {
                FROM d)
          SELECT doc_id, source, n_hits FROM h WHERE n_hits > 0
          ORDER BY n_hits DESC, doc_id ASC LIMIT 20""",
+    "pf01_run_stats" ->
+      s"""WITH v AS (SELECT event_type, CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                            CAST(round(value * 100) AS BIGINT) AS c
+                     FROM events WHERE value IS NOT NULL),
+         a AS (SELECT event_type, day, count(*) AS n,
+                      sum(c) AS d1, sum(c * c) AS d2,
+                      min(c) AS min_c, max(c) AS max_c,
+                      quantile_cont(c, 0.5) AS med_c,
+                      quantile_cont(c, 0.75) AS p75_c,
+                      quantile_cont(c, 0.90) AS p90_c,
+                      quantile_cont(c, 0.95) AS p95_c,
+                      quantile_cont(c, 0.99) AS p99_c,
+                      quantile_cont(c, 0.25) AS q1_c,
+                      quantile_cont(c, 0.75) AS q3_c
+               FROM v GROUP BY 1, 2),
+         s AS (SELECT *,
+                      CASE WHEN n = 1 THEN 0.0
+                           ELSE CAST(n * d2 - d1 * d1 AS DOUBLE) / (n * (n - 1)) END AS var_c2,
+                      CAST(d1 AS DOUBLE) / 100 / n AS mean_u,
+                      q1_c - 1.5 * (q3_c - q1_c) AS lb,
+                      q3_c + 1.5 * (q3_c - q1_c) AS ub
+               FROM a),
+         s2 AS (SELECT *, sqrt(var_c2) / 100 AS sd_u,
+                       ${graft.operators.Perf.tCritical95Sql("n - 1")} * (sqrt(var_c2) / 100) / sqrt(n) AS margin
+                FROM s),
+         o AS (SELECT s2.event_type, s2.day, count(*) AS n_outliers
+               FROM v JOIN s2 ON v.event_type = s2.event_type AND v.day = s2.day
+               WHERE s2.n >= 4 AND (v.c < s2.lb OR v.c > s2.ub)
+               GROUP BY 1, 2)
+         SELECT s2.event_type, s2.day, n,
+                CAST(round(CAST(d1 AS DOUBLE) * 1e4 / (n * 100)) AS BIGINT) / 1e4 AS mean,
+                CAST(round(med_c) AS BIGINT) / 1e2 AS median,
+                min_c / 1e2 AS min, max_c / 1e2 AS max,
+                CAST(round((sqrt(var_c2) / 100) * 1e4) AS BIGINT) / 1e4 AS std_dev,
+                CAST(round(var_c2 / 1e4 * 1e4) AS BIGINT) / 1e4 AS variance,
+                CAST(round(p75_c) AS BIGINT) / 1e2 AS p75,
+                CAST(round(p90_c) AS BIGINT) / 1e2 AS p90,
+                CAST(round(p95_c) AS BIGINT) / 1e2 AS p95,
+                CAST(round(p99_c) AS BIGINT) / 1e2 AS p99,
+                CAST(round((CASE WHEN n = 1 THEN mean_u ELSE mean_u - margin END) * 1e4) AS BIGINT) / 1e4 AS ci_lower,
+                CAST(round((CASE WHEN n = 1 THEN mean_u ELSE mean_u + margin END) * 1e4) AS BIGINT) / 1e4 AS ci_upper,
+                CASE WHEN n = 1 THEN TRUE WHEN mean_u = 0 THEN sd_u = 0
+                     ELSE sd_u / abs(mean_u) < 0.15 END AS is_stable,
+                coalesce(o.n_outliers, 0) AS n_outliers
+         FROM s2 LEFT JOIN o ON o.event_type = s2.event_type AND o.day = s2.day""",
+    "pf02_load_report" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts,
+                           CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS rt_c,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         l AS (SELECT '/api/' || event_type AS url,
+                      CASE WHEN k % 10 = 0 THEN 0
+                           WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
+                      rt_c, ts
+               FROM e),
+         a AS (SELECT url, count(*) AS total_requests,
+                      count(CASE WHEN status = 200 THEN 1 END) AS successful_requests,
+                      count(CASE WHEN status <> 200 THEN 1 END) AS failed_requests,
+                      count(CASE WHEN status = 0 THEN 1 END) AS n_network_errors,
+                      count(CASE WHEN status >= 500 THEN 1 END) AS n_5xx,
+                      min(CASE WHEN status = 200 THEN rt_c END) AS min_c,
+                      max(CASE WHEN status = 200 THEN rt_c END) AS max_c,
+                      sum(CASE WHEN status = 200 THEN rt_c END) AS d1,
+                      quantile_cont(CASE WHEN status = 200 THEN rt_c END, 0.5) AS med_c,
+                      quantile_cont(CASE WHEN status = 200 THEN rt_c END, 0.95) AS p95_c,
+                      quantile_cont(CASE WHEN status = 200 THEN rt_c END, 0.99) AS p99_c,
+                      CAST(epoch(max(ts)) AS BIGINT) - CAST(epoch(min(ts)) AS BIGINT) AS span_s
+               FROM l GROUP BY 1)
+         SELECT url, total_requests, successful_requests, failed_requests,
+                CAST(round(failed_requests * 1e4 / total_requests) AS BIGINT) / 1e4 AS error_rate,
+                coalesce(min_c / 1e2, 0.0) AS min_ms,
+                coalesce(max_c / 1e2, 0.0) AS max_ms,
+                coalesce(CAST(round(CAST(d1 AS DOUBLE) * 1e4 / (successful_requests * 100)) AS BIGINT) / 1e4, 0.0) AS mean_ms,
+                coalesce(CAST(round(med_c) AS BIGINT) / 1e2, 0.0) AS median_ms,
+                coalesce(CAST(round(p95_c) AS BIGINT) / 1e2, 0.0) AS p95_ms,
+                coalesce(CAST(round(p99_c) AS BIGINT) / 1e2, 0.0) AS p99_ms,
+                CASE WHEN span_s > 0
+                     THEN CAST(round(total_requests * 1e2 / span_s) AS BIGINT) / 1e2 END AS throughput_rps,
+                n_network_errors, n_5xx,
+                failed_requests * 100 < total_requests AS passed
+         FROM a""",
+    "pf03_vitals_score" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                           CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS c
+                    FROM events),
+         r AS (SELECT CASE WHEN uid % 2 = 0 THEN 'desktop' ELSE 'mobile' END AS device, day,
+                      CAST(round(20 * sum(CASE WHEN event_type = 'view' THEN c END) /
+                           count(CASE WHEN event_type = 'view' THEN 1 END)) AS BIGINT) AS lcp_c,
+                      max(CASE WHEN event_type = 'click' THEN c END) * 2 AS inp_c,
+                      CAST(round(15 * sum(CASE WHEN event_type = 'signup' THEN c END) /
+                           count(CASE WHEN event_type = 'signup' THEN 1 END)) AS BIGINT) AS fcp_c,
+                      CAST(round(5 * sum(CASE WHEN event_type = 'error' THEN c END) /
+                           count(CASE WHEN event_type = 'error' THEN 1 END)) AS BIGINT) AS ttfb_c,
+                      CAST(round(count(CASE WHEN event_type = 'purchase' THEN 1 END) * 1e4 /
+                           count(*)) AS BIGINT) AS cls_u
+               FROM e GROUP BY 1, 2),
+         g AS (SELECT *,
+                      CASE WHEN lcp_c IS NULL OR lcp_c = 0 THEN 'not-measured'
+                           WHEN lcp_c <= 250000 THEN 'good'
+                           WHEN lcp_c <= 400000 THEN 'needs-improvement'
+                           ELSE 'poor' END AS lcp_rating,
+                      CASE WHEN inp_c IS NULL OR inp_c = 0 THEN 'not-measured'
+                           WHEN inp_c <= 20000 THEN 'good'
+                           WHEN inp_c <= 50000 THEN 'needs-improvement'
+                           ELSE 'poor' END AS inp_rating,
+                      CASE WHEN cls_u IS NULL THEN 'not-measured'
+                           WHEN cls_u <= 1000 THEN 'good'
+                           WHEN cls_u <= 2500 THEN 'needs-improvement'
+                           ELSE 'poor' END AS cls_rating,
+                      CASE WHEN fcp_c IS NULL OR fcp_c = 0 THEN 'not-measured'
+                           WHEN fcp_c <= 180000 THEN 'good'
+                           WHEN fcp_c <= 300000 THEN 'needs-improvement'
+                           ELSE 'poor' END AS fcp_rating,
+                      CASE WHEN ttfb_c IS NULL OR ttfb_c = 0 THEN 'not-measured'
+                           WHEN ttfb_c <= 80000 THEN 'good'
+                           WHEN ttfb_c <= 180000 THEN 'needs-improvement'
+                           ELSE 'poor' END AS ttfb_rating
+               FROM r),
+         sc AS (SELECT *,
+                       CASE lcp_rating WHEN 'good' THEN 100 WHEN 'needs-improvement' THEN 50 WHEN 'poor' THEN 0 END AS lcp_s,
+                       CASE inp_rating WHEN 'good' THEN 100 WHEN 'needs-improvement' THEN 50 WHEN 'poor' THEN 0 END AS inp_s,
+                       CASE cls_rating WHEN 'good' THEN 100 WHEN 'needs-improvement' THEN 50 WHEN 'poor' THEN 0 END AS cls_s,
+                       CASE fcp_rating WHEN 'good' THEN 100 WHEN 'needs-improvement' THEN 50 WHEN 'poor' THEN 0 END AS fcp_s,
+                       CASE ttfb_rating WHEN 'good' THEN 100 WHEN 'needs-improvement' THEN 50 WHEN 'poor' THEN 0 END AS ttfb_s
+                FROM g),
+         w AS (SELECT *,
+                      coalesce(cls_s * 15, 0) + coalesce(fcp_s * 15, 0) + coalesce(inp_s * 25, 0) +
+                      coalesce(lcp_s * 25, 0) + coalesce(ttfb_s * 20, 0) AS num,
+                      (CASE WHEN cls_s IS NOT NULL THEN 15 ELSE 0 END) +
+                      (CASE WHEN fcp_s IS NOT NULL THEN 15 ELSE 0 END) +
+                      (CASE WHEN inp_s IS NOT NULL THEN 25 ELSE 0 END) +
+                      (CASE WHEN lcp_s IS NOT NULL THEN 25 ELSE 0 END) +
+                      (CASE WHEN ttfb_s IS NOT NULL THEN 20 ELSE 0 END) AS den
+               FROM sc)
+         SELECT device, day,
+                lcp_c / 1e2 AS lcp_ms, inp_c / 1e2 AS inp_ms, cls_u / 1e4 AS cls,
+                fcp_c / 1e2 AS fcp_ms, ttfb_c / 1e2 AS ttfb_ms,
+                lcp_rating, inp_rating, cls_rating, fcp_rating, ttfb_rating,
+                CASE WHEN den = 0 THEN 0
+                     ELSE CAST(round(CAST(num AS DOUBLE) / den) AS BIGINT) END AS score,
+                (CASE WHEN cls_rating = 'poor' THEN 1 ELSE 0 END) +
+                (CASE WHEN fcp_rating = 'poor' THEN 1 ELSE 0 END) +
+                (CASE WHEN inp_rating = 'poor' THEN 1 ELSE 0 END) +
+                (CASE WHEN lcp_rating = 'poor' THEN 1 ELSE 0 END) +
+                (CASE WHEN ttfb_rating = 'poor' THEN 1 ELSE 0 END) AS n_bottlenecks
+         FROM w""",
+    "pf04_multirun_vitals" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+                           CAST(round(coalesce(value, 0) * 100) AS BIGINT) AS c
+                    FROM events),
+         r AS (SELECT CASE WHEN uid % 2 = 0 THEN 'desktop' ELSE 'mobile' END AS device, day,
+                      CAST(round(20 * sum(CASE WHEN event_type = 'view' THEN c END) /
+                           count(CASE WHEN event_type = 'view' THEN 1 END)) AS BIGINT) AS lcp_c,
+                      max(CASE WHEN event_type = 'click' THEN c END) * 2 AS inp_c,
+                      CAST(round(15 * sum(CASE WHEN event_type = 'signup' THEN c END) /
+                           count(CASE WHEN event_type = 'signup' THEN 1 END)) AS BIGINT) AS fcp_c,
+                      CAST(round(5 * sum(CASE WHEN event_type = 'error' THEN c END) /
+                           count(CASE WHEN event_type = 'error' THEN 1 END)) AS BIGINT) AS ttfb_c,
+                      CAST(round(count(CASE WHEN event_type = 'purchase' THEN 1 END) * 1e4 /
+                           count(*)) AS BIGINT) AS cls_u
+               FROM e GROUP BY 1, 2),
+         u AS (SELECT device, 'lcp' AS metric, lcp_c AS c FROM r WHERE lcp_c IS NOT NULL
+               UNION ALL SELECT device, 'inp', inp_c FROM r WHERE inp_c IS NOT NULL
+               UNION ALL SELECT device, 'cls', cls_u FROM r WHERE cls_u IS NOT NULL
+               UNION ALL SELECT device, 'fcp', fcp_c FROM r WHERE fcp_c IS NOT NULL
+               UNION ALL SELECT device, 'ttfb', ttfb_c FROM r WHERE ttfb_c IS NOT NULL),
+         b AS (SELECT device, metric, count(*) AS n_runs,
+                      quantile_cont(c, 0.25) AS q1, quantile_cont(c, 0.75) AS q3
+               FROM u GROUP BY 1, 2),
+         i AS (SELECT u.device, u.metric, u.c
+               FROM u JOIN b ON u.device = b.device AND u.metric = b.metric
+               WHERE b.n_runs < 4 OR (u.c >= b.q1 - 1.5 * (b.q3 - b.q1)
+                                  AND u.c <= b.q3 + 1.5 * (b.q3 - b.q1))),
+         a AS (SELECT device, metric, count(*) AS n, sum(c) AS d1, sum(c * c) AS d2,
+                      min(c) AS min_c, max(c) AS max_c,
+                      quantile_cont(c, 0.5) AS med_c, quantile_cont(c, 0.95) AS p95_c
+               FROM i GROUP BY 1, 2),
+         f AS (SELECT *,
+                      CASE WHEN metric = 'cls' THEN 1e4 ELSE 1e2 END AS unit,
+                      CASE WHEN n = 1 THEN 0.0
+                           ELSE CAST(n * d2 - d1 * d1 AS DOUBLE) / (n * (n - 1)) END AS var_c2
+               FROM a)
+         SELECT device, metric, n,
+                CAST(round(CAST(d1 AS DOUBLE) / unit / n * 1e4) AS BIGINT) / 1e4 AS mean,
+                CAST(round(med_c / unit * 1e4) AS BIGINT) / 1e4 AS median,
+                CAST(round(min_c / unit * 1e4) AS BIGINT) / 1e4 AS min,
+                CAST(round(max_c / unit * 1e4) AS BIGINT) / 1e4 AS max,
+                CAST(round(sqrt(var_c2) / unit * 1e4) AS BIGINT) / 1e4 AS std_dev,
+                CAST(round(p95_c / unit * 1e4) AS BIGINT) / 1e4 AS p95,
+                CASE WHEN n = 1 THEN TRUE
+                     WHEN CAST(d1 AS DOUBLE) / unit / n = 0 THEN sqrt(var_c2) / unit = 0
+                     ELSE (sqrt(var_c2) / unit) / abs(CAST(d1 AS DOUBLE) / unit / n) < 0.15
+                END AS is_stable
+         FROM f""",
   )
 }

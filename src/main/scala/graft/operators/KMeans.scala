@@ -219,7 +219,7 @@ object KMeans {
       .agg(sum(col("b") / col("nn") * -log(col("b") / col("nn"))).as("h_l"),
            (comb2(col("b")).cast("double") / 2).as("b_comb"))
     val r4 = (c: Column) => microRound(c, 4)
-    val out = joint.crossJoin(hk).crossJoin(hl).crossJoin(broadcast(totals))
+    val out = joint.crossJoin(broadcast(hk)).crossJoin(broadcast(hl)).crossJoin(broadcast(totals))
       .withColumn("expected",
         col("a_comb") * col("b_comb") /
           (col("nn").cast("double") * (col("nn").cast("double") - 1) / 2))
