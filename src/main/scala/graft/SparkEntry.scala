@@ -212,7 +212,44 @@ object SparkEntry {
     "pf02_load_report"              -> (Perf.pf02 _),
     "pf03_vitals_score"             -> (Perf.pf03 _),
     "pf04_multirun_vitals"          -> (Perf.pf04 _),
+    // Multi-label classification evaluation (recap-subworker)
+    "ml04_multilabel_metrics"       -> (MultiLabel.ml04 _),
+    "ml05_genre_report"             -> (MultiLabel.ml05 _),
   )
+
+  /** Shared DuckDB CTE chain for the ml04/ml05 multi-label oracles:
+    * composed indicator frame → per-genre confusion counts → rounded
+    * per-label metrics (the same chain the Spark side computes, so
+    * summary and report stay consistent by construction).
+    */
+  private val multiLabelCte: String =
+    """d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+       h AS (SELECT doc_id, toks,
+                    toks[1:CAST(floor(len(toks) / 2) AS INT)] AS half
+             FROM d),
+       p AS (SELECT doc_id, g.genre,
+                    len(list_filter(toks, x -> x = g.genre)) >= 2 AS y_true,
+                    len(list_filter(half, x -> x = g.genre)) >= 1 AS y_pred
+             FROM h, (SELECT unnest(['join', 'stream', 'sort', 'filter']) AS genre) g),
+       m AS (SELECT genre,
+                    count(CASE WHEN y_true AND y_pred THEN 1 END) AS tp,
+                    count(CASE WHEN NOT y_true AND y_pred THEN 1 END) AS fp,
+                    count(CASE WHEN y_true AND NOT y_pred THEN 1 END) AS fn,
+                    count(CASE WHEN y_true THEN 1 END) AS support
+             FROM p GROUP BY 1),
+       r AS (SELECT genre, support, tp, fp, fn,
+                    CASE WHEN tp + fp > 0
+                         THEN CAST(round(tp * 1e4 / (tp + fp)) AS BIGINT) / 1e4
+                         ELSE 0.0 END AS precision,
+                    CASE WHEN tp + fn > 0
+                         THEN CAST(round(tp * 1e4 / (tp + fn)) AS BIGINT) / 1e4
+                         ELSE 0.0 END AS recall
+             FROM m),
+       rep AS (SELECT genre, support, tp, fp, fn, precision, recall,
+                      CASE WHEN precision + recall > 0
+                           THEN CAST(round(2 * precision * recall * 1e4 / (precision + recall)) AS BIGINT) / 1e4
+                           ELSE 0.0 END AS f1
+               FROM r)"""
 
   /** Shared DuckDB CTE chain for the classification-metrics oracles:
     * lang-ID predictions → per-label confusion → per-label
@@ -2686,5 +2723,45 @@ object SparkEntry {
                      ELSE (sqrt(var_c2) / unit) / abs(CAST(d1 AS DOUBLE) / unit / n) < 0.15
                 END AS is_stable
          FROM f""",
+    "ml05_genre_report" ->
+      s"""WITH $multiLabelCte
+         SELECT genre, support, tp, fp, fn, precision, recall, f1 FROM rep""",
+    "ml04_multilabel_metrics" ->
+      s"""WITH $multiLabelCte,
+         pd AS (SELECT doc_id, count(CASE WHEN y_true = y_pred THEN 1 END) AS agree
+                FROM p GROUP BY 1),
+         ss AS (SELECT count(*) AS n_samples,
+                       count(CASE WHEN agree = 4 THEN 1 END) AS n_exact,
+                       sum(4 - agree) AS n_disagree
+                FROM pd),
+         pl AS (SELECT tp, fp, fn,
+                       CAST(round(precision * 1e4) AS BIGINT) AS p_u,
+                       CAST(round(recall * 1e4) AS BIGINT) AS r_u,
+                       CAST(round(f1 * 1e4) AS BIGINT) AS f_u
+                FROM rep),
+         mm AS (SELECT sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn,
+                       CAST(round(sum(p_u) * 1e0 / count(*)) AS BIGINT) / 1e4 AS macro_precision,
+                       CAST(round(sum(r_u) * 1e0 / count(*)) AS BIGINT) / 1e4 AS macro_recall,
+                       CAST(round(sum(f_u) * 1e0 / count(*)) AS BIGINT) / 1e4 AS macro_f1
+                FROM pl),
+         mi AS (SELECT macro_precision, macro_recall, macro_f1,
+                       CASE WHEN tp + fp > 0
+                            THEN CAST(round(tp * 1e4 / (tp + fp)) AS BIGINT) / 1e4
+                            ELSE 0.0 END AS micro_precision,
+                       CASE WHEN tp + fn > 0
+                            THEN CAST(round(tp * 1e4 / (tp + fn)) AS BIGINT) / 1e4
+                            ELSE 0.0 END AS micro_recall
+                FROM mm),
+         mi2 AS (SELECT *,
+                        CASE WHEN micro_precision + micro_recall > 0
+                             THEN CAST(round(2 * micro_precision * micro_recall * 1e4 / (micro_precision + micro_recall)) AS BIGINT) / 1e4
+                             ELSE 0.0 END AS micro_f1
+                 FROM mi)
+         SELECT n_samples, 4 AS n_labels,
+                CAST(round(n_exact * 1e4 / n_samples) AS BIGINT) / 1e4 AS accuracy,
+                CAST(round(n_disagree * 1e4 / (n_samples * 4)) AS BIGINT) / 1e4 AS hamming_loss,
+                macro_precision, macro_recall, macro_f1,
+                micro_precision, micro_recall, micro_f1
+         FROM ss CROSS JOIN mi2""",
   )
 }

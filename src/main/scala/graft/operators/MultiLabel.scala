@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Numeric.microRatio
+import graft.functions.TextFunctions.tokens
+
+/** Multi-LABEL classification evaluation — the recap-subworker's
+  * genre-classifier gate (recap-subworker/recap_subworker/services/
+  * evaluation.py:451 evaluate_classification): y_true/y_pred are
+  * per-document label SETS, not single labels, so the battery differs
+  * from tx20/tx22's single-label form in exactly the ways sklearn's
+  * multi-label metrics do:
+  *
+  *  - subset accuracy (`accuracy_score` on binary indicator rows): a
+  *    sample counts only when EVERY label agrees;
+  *  - Hamming loss (:463): mean share of disagreeing label slots;
+  *  - macro P/R/F1 (:471): unweighted mean of per-label binary
+  *    metrics, `zero_division=0`;
+  *  - micro P/R/F1 (:474): pooled tp/fp/fn across labels;
+  *  - the per-genre report (:480 — classification_report minus the
+  *    avg rows): per label precision/recall/F1/support, the frame the
+  *    dashboard's per-genre table renders
+  *    (dashboard/tabs/classification.py:37).
+  *
+  * Composition (the tx05/tx20 precedent — the driver tables carry no
+  * golden label sets): genres are four corpus terms; y_true[g] ⇔ the
+  * document uses g at least twice; y_pred[g] ⇔ a TRUNCATED reader
+  * (first half of the tokens) sees g at least once. The predictor
+  * errs in both directions — false positives (a single early
+  * occurrence of a twice-threshold term) and false negatives (both
+  * occurrences late) — so every confusion cell is populated.
+  *
+  * Scale: label extraction is a stateless HOF projection fused into
+  * the scan; the binary indicator long-form is a bounded ×|genres|
+  * fan-out; every metric is one map-side-combined shuffle over it
+  * (the summary re-aggregates the ≤|genres| per-label frame and the
+  * per-doc agreement counts — no second corpus scan). Ratios follow
+  * the exact micro-unit discipline; macro means re-aggregate the
+  * per-label 1e-4-unit longs exactly as tx22 does.
+  */
+object MultiLabel {
+
+  val Genres: Seq[String] = Seq("join", "stream", "sort", "filter")
+
+  /** The (doc_id, genre, y_true, y_pred) binary indicator frame. */
+  def indicatorFrame(s: SparkSession, dir: String): DataFrame =
+    indicatorFrameOn(Tables.documents(s, dir))
+
+  def indicatorFrameOn(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("half", expr("slice(toks, 1, CAST(floor(size(toks) / 2) AS INT))"))
+    val cols = Genres.flatMap { g =>
+      Seq((size(filter(col("toks"), t => t === lit(g))) >= 2).as(s"t_$g"),
+          (size(filter(col("half"), t => t === lit(g))) >= 1).as(s"p_$g"))
+    }
+    val wide = d.select(col("doc_id") +: cols: _*)
+    val stackArgs = Genres.map(g => s"'$g', t_$g, p_$g").mkString(", ")
+    wide.select(col("doc_id"),
+      expr(s"stack(${Genres.size}, $stackArgs) AS (genre, y_true, y_pred)"))
+  }
+
+  /** ml05: the per-genre classification report (precision/recall/F1/
+    * support per label, zero_division=0, F1 from the rounded
+    * micro-unit P/R — the tx20 convention).
+    */
+  def genreReportOn(pairs: DataFrame): DataFrame =
+    pairs.groupBy("genre").agg(
+      count(when(col("y_true") && col("y_pred"), 1)).as("tp"),
+      count(when(!col("y_true") && col("y_pred"), 1)).as("fp"),
+      count(when(col("y_true") && !col("y_pred"), 1)).as("fn"),
+      count(when(col("y_true"), 1)).as("support"))
+    .select(
+      col("genre"), col("support"), col("tp"), col("fp"), col("fn"),
+      when(col("tp") + col("fp") > 0, microRatio(col("tp"), col("tp") + col("fp"), 4))
+        .otherwise(0.0).as("precision"),
+      when(col("tp") + col("fn") > 0, microRatio(col("tp"), col("tp") + col("fn"), 4))
+        .otherwise(0.0).as("recall"))
+    .withColumn("f1",
+      when(col("precision") + col("recall") > 0,
+        microRatio(lit(2) * col("precision") * col("recall"),
+          col("precision") + col("recall"), 4))
+        .otherwise(0.0))
+
+  def ml05(s: SparkSession, dir: String): DataFrame =
+    genreReportOn(indicatorFrame(s, dir))
+
+  /** ml04: the ClassificationMetrics summary row — subset accuracy,
+    * Hamming loss, macro and micro P/R/F1.
+    */
+  def summaryOn(pairs: DataFrame): DataFrame = {
+    val perDoc = pairs.groupBy("doc_id")
+      .agg(count(when(col("y_true") === col("y_pred"), 1)).as("agree"))
+    val nLabels = Genres.size
+    val sampleStats = perDoc.agg(
+      count(lit(1)).as("n_samples"),
+      count(when(col("agree") === nLabels, 1)).as("n_exact"),
+      sum(lit(nLabels) - col("agree")).as("n_disagree"))
+    val perLabel = genreReportOn(pairs)
+      // recover each rounded metric's exact 1e-4-unit long (tx22)
+      .select(col("tp"), col("fp"), col("fn"),
+        round(col("precision") * 1e4, 0).cast("long").as("p_u"),
+        round(col("recall") * 1e4, 0).cast("long").as("r_u"),
+        round(col("f1") * 1e4, 0).cast("long").as("f_u"))
+    val micro = perLabel.agg(
+      sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
+      microRatio(sum("p_u"), count(lit(1)), 0).as("macro_p_u"),
+      microRatio(sum("r_u"), count(lit(1)), 0).as("macro_r_u"),
+      microRatio(sum("f_u"), count(lit(1)), 0).as("macro_f_u"))
+    .select(
+      (col("macro_p_u") / 1e4).as("macro_precision"),
+      (col("macro_r_u") / 1e4).as("macro_recall"),
+      (col("macro_f_u") / 1e4).as("macro_f1"),
+      when(col("tp") + col("fp") > 0, microRatio(col("tp"), col("tp") + col("fp"), 4))
+        .otherwise(0.0).as("micro_precision"),
+      when(col("tp") + col("fn") > 0, microRatio(col("tp"), col("tp") + col("fn"), 4))
+        .otherwise(0.0).as("micro_recall"))
+    .withColumn("micro_f1",
+      when(col("micro_precision") + col("micro_recall") > 0,
+        microRatio(lit(2) * col("micro_precision") * col("micro_recall"),
+          col("micro_precision") + col("micro_recall"), 4))
+        .otherwise(0.0))
+    sampleStats.crossJoin(broadcast(micro))
+      .select(
+        col("n_samples"), lit(nLabels).as("n_labels"),
+        microRatio(col("n_exact"), col("n_samples"), 4).as("accuracy"),
+        microRatio(col("n_disagree"), col("n_samples") * nLabels, 4).as("hamming_loss"),
+        col("macro_precision"), col("macro_recall"), col("macro_f1"),
+        col("micro_precision"), col("micro_recall"), col("micro_f1"))
+  }
+
+  def ml04(s: SparkSession, dir: String): DataFrame =
+    summaryOn(indicatorFrame(s, dir))
+}
