@@ -215,7 +215,32 @@ object SparkEntry {
     // Multi-label classification evaluation (recap-subworker)
     "ml04_multilabel_metrics"       -> (MultiLabel.ml04 _),
     "ml05_genre_report"             -> (MultiLabel.ml05 _),
+    // Job-queue / outbox read models (pre-processor)
+    "jq01_stale_pending"            -> (JobQueue.jq01 _),
+    "jq02_queue_health"             -> (JobQueue.jq02 _),
   )
+
+  /** Shared DuckDB CTE chain for the jq01/jq02 oracles: composed job
+    * transitions → latest-state-per-job frame.
+    */
+  private val jobQueueCte: String =
+    """e AS (SELECT event_id % 2000 AS job_id, (event_id % 2000) % 700 AS article_id,
+                    CASE WHEN event_type = 'purchase' THEN 'completed'
+                         WHEN event_type = 'error' THEN 'failed'
+                         WHEN event_type = 'click' THEN 'running'
+                         ELSE 'pending' END AS status,
+                    CAST(ts AS TIMESTAMP) AS ts, event_id
+             FROM events),
+       lr AS (SELECT *, row_number() OVER (PARTITION BY job_id
+                                           ORDER BY ts DESC, event_id DESC) AS rn
+              FROM e),
+       la AS (SELECT job_id, status AS last_status FROM lr WHERE rn = 1),
+       ag AS (SELECT job_id, article_id, min(ts) AS created_at, max(ts) AS updated_at,
+                     count(CASE WHEN status = 'failed' THEN 1 END) AS retry_count
+              FROM e GROUP BY 1, 2),
+       j AS (SELECT ag.job_id, ag.article_id, ag.created_at, ag.updated_at,
+                    ag.retry_count, la.last_status
+             FROM ag JOIN la USING (job_id))"""
 
   /** Shared DuckDB CTE chain for the ml04/ml05 multi-label oracles:
     * composed indicator frame → per-genre confusion counts → rounded
@@ -2593,7 +2618,7 @@ object SparkEntry {
                       quantile_cont(CASE WHEN status = 200 THEN rt_c END, 0.5) AS med_c,
                       quantile_cont(CASE WHEN status = 200 THEN rt_c END, 0.95) AS p95_c,
                       quantile_cont(CASE WHEN status = 200 THEN rt_c END, 0.99) AS p99_c,
-                      CAST(epoch(max(ts)) AS BIGINT) - CAST(epoch(min(ts)) AS BIGINT) AS span_s
+                      CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS span_s
                FROM l GROUP BY 1)
          SELECT url, total_requests, successful_requests, failed_requests,
                 CAST(round(failed_requests * 1e4 / total_requests) AS BIGINT) / 1e4 AS error_rate,
@@ -2763,5 +2788,23 @@ object SparkEntry {
                 macro_precision, macro_recall, macro_f1,
                 micro_precision, micro_recall, micro_f1
          FROM ss CROSS JOIN mi2""",
+    "jq01_stale_pending" ->
+      s"""WITH $jobQueueCte,
+         summ AS (SELECT DISTINCT article_id FROM j WHERE last_status = 'completed'),
+         stale AS (SELECT j.job_id, j.article_id, j.created_at FROM j
+                   WHERE last_status = 'pending'
+                     AND article_id IN (SELECT article_id FROM summ)),
+         tot AS (SELECT count(*) AS n_stale_total FROM stale)
+         SELECT job_id, article_id, created_at, n_stale_total
+         FROM stale CROSS JOIN tot
+         ORDER BY created_at ASC, job_id ASC LIMIT 50""",
+    "jq02_queue_health" ->
+      s"""WITH $jobQueueCte,
+         n AS (SELECT max(updated_at) AS now_ts FROM j)
+         SELECT last_status, count(*) AS n_jobs,
+                count(CASE WHEN retry_count >= 3 THEN 1 END) AS n_retry_exhausted,
+                CAST(floor(epoch(n.now_ts)) AS BIGINT) - CAST(floor(epoch(min(created_at))) AS BIGINT) AS oldest_age_seconds
+         FROM j CROSS JOIN n
+         GROUP BY last_status, n.now_ts""",
   )
 }
