@@ -118,6 +118,7 @@ object SparkEntry {
     "es04_weekly_recap_rollup"      -> (Events.weeklyRecapRollup _),
     "es08_producer_liveness"        -> ((s: SparkSession, dir: String) => Trail.producerLiveness(s, dir)),
     "es09_trail_wear"               -> ((s: SparkSession, dir: String) => Trail.trailWear(s, dir)),
+    "es10_stream_trim"              -> ((s: SparkSession, dir: String) => Trail.streamTrimReport(s, dir)),
     "asof01_purchase_after_view"    -> (AsOf.purchaseAfterView _),
     "asof02_tolerance"              -> (AsOf.purchaseAfterRecentView _),
     "asof03_nearest"                -> ((s: SparkSession, dir: String) => AsOf.nearestViewWithin(s, dir)),
@@ -2788,6 +2789,15 @@ object SparkEntry {
                 macro_precision, macro_recall, macro_f1,
                 micro_precision, micro_recall, micro_f1
          FROM ss CROSS JOIN mi2""",
+    "es10_stream_trim" ->
+      """WITH c AS (SELECT event_type AS stream, count(*) AS n_before
+                    FROM events GROUP BY 1),
+         p AS (SELECT stream, n_before, n_before - 200 AS n_deleted,
+                      CAST(200 AS BIGINT) AS n_kept
+               FROM c WHERE n_before > 200),
+         t AS (SELECT CAST(coalesce(sum(n_deleted), 0) AS BIGINT) AS total_deleted FROM p)
+         SELECT stream, n_before, n_deleted, n_kept, total_deleted
+         FROM p CROSS JOIN t""",
     "jq01_stale_pending" ->
       s"""WITH $jobQueueCte,
          summ AS (SELECT DISTINCT article_id FROM j WHERE last_status = 'completed'),

@@ -105,4 +105,35 @@ object Trail {
           .when(col("cnt") >= 2 || col("engaged") === 1, "worn")
           .otherwise("thin").as("wear"))
   }
+
+  /** es10: the stream hard-cap trim report (mq-hub/app/usecase/
+    * trim_streams_usecase.go:17 TrimStreamsUsecase) — every known
+    * stream is held to an absolute MAXLEN ceiling; the maintenance
+    * pass exists because publish-time trimming rides XADD, which is
+    * exactly the command a maxmemory-locked Redis rejects, so only
+    * the out-of-band XTRIM can release the latch. The report records
+    * per-stream deletions ONLY where something was trimmed
+    * (report.PerStream keeps `deleted > 0`, :58) plus the pass total.
+    *
+    * The batch form needs no ranking at all: deleted = max(n − cap,
+    * 0) per stream — one map-side-combined count, the under-cap
+    * streams filtered out, the total a broadcast one-row frame. (The
+    * retained-rows side of a count-capped retention is q25's
+    * top-N-per-group shape; the REPORT is pure aggregation.)
+    */
+  def streamTrimReport(s: SparkSession, dir: String,
+                       hardMaxLen: Long = 200L): DataFrame =
+    streamTrimReportOn(Tables.events(s, dir), hardMaxLen)
+
+  def streamTrimReportOn(events: DataFrame, hardMaxLen: Long): DataFrame = {
+    val perStream = events
+      .groupBy(col("event_type").as("stream"))
+      .agg(count(lit(1)).as("n_before"))
+      .filter(col("n_before") > hardMaxLen)
+      .select(col("stream"), col("n_before"),
+        (col("n_before") - hardMaxLen).as("n_deleted"),
+        lit(hardMaxLen).as("n_kept"))
+    val total = perStream.agg(coalesce(sum("n_deleted"), lit(0L)).as("total_deleted"))
+    perStream.crossJoin(broadcast(total))
+  }
 }

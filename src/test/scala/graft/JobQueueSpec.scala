@@ -64,4 +64,18 @@ class JobQueueSpec extends SparkSpec {
     assert(h("pending").getLong(3) == 99, "oldest pending age")
     assert(h("running").getLong(3) == 0, "job 5 created at now")
   }
+
+  test("es10 trim report: under-cap streams stay out, total sums only trimmed streams") {
+    val events = (
+      (1 to 5).map(i => ("a", i.toLong)) ++   // over a cap of 3 → deleted 2
+      (1 to 3).map(i => ("b", 100L + i)) ++   // exactly at cap → NOT reported
+      (1 to 7).map(i => ("c", 200L + i)))     // deleted 4
+      .toDF("event_type", "event_id")
+    val rep = graft.operators.Trail.streamTrimReportOn(events, hardMaxLen = 3L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rep.keySet == Set("a", "c"), "only deleted > 0 streams appear")
+    assert(rep("a").getLong(2) == 2 && rep("c").getLong(2) == 4)
+    assert(rep("a").getLong(3) == 3, "kept = the cap")
+    assert(rep.values.forall(_.getLong(4) == 6), "pass total on every row")
+  }
 }
