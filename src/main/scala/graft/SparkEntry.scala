@@ -219,7 +219,52 @@ object SparkEntry {
     // Job-queue / outbox read models (pre-processor)
     "jq01_stale_pending"            -> (JobQueue.jq01 _),
     "jq02_queue_health"             -> (JobQueue.jq02 _),
+    // Composite service-health analysis (analyze_clickhouse_performance.py)
+    "hs01_service_health"           -> (HealthScore.hs01 _),
+    "hs02_health_report"            -> (HealthScore.hs02 _),
+    "slo01_violations"              -> (HealthScore.slo01 _),
   )
+
+  /** Shared DuckDB CTE chain for the hs01/hs02/slo01 oracles: the
+    * composed OTel log view's service/severity/timestamp projection
+    * (the ev36 composition) with the http-duration side.
+    */
+  private val healthCte: String =
+    """he AS (SELECT coalesce(user_id, 0) AS uid, event_type, coalesce(value, 0) AS v,
+                     CAST(ts AS TIMESTAMP) AS ts,
+                     coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+              FROM events),
+       hw AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                  WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service_name,
+                     CASE WHEN event_type = 'error' AND v > 300 THEN 'FATAL'
+                          WHEN event_type = 'error' THEN 'ERROR'
+                          WHEN k % 17 = 0 THEN 'WARNING' ELSE 'INFO' END AS txt,
+                     ts, v, event_type
+              FROM he),
+       hst AS (SELECT service_name, count(*) AS total_logs,
+                      count(CASE WHEN txt IN ('ERROR', 'FATAL') THEN 1 END) AS error_count,
+                      count(CASE WHEN txt = 'WARNING' THEN 1 END) AS warn_count,
+                      max(ts) AS last_seen
+               FROM hw GROUP BY 1),
+       hp AS (SELECT service_name,
+                     CAST(round(quantile_cont(CAST(round(v * 100) AS BIGINT), 0.95)) AS BIGINT) / 1e2 AS p95_ms
+              FROM hw WHERE event_type <> 'click' GROUP BY 1),
+       hn AS (SELECT max(ts) AS now_ts FROM hw),
+       hj AS (SELECT hst.service_name, total_logs, error_count, warn_count,
+                     CAST(round(error_count * 100 * 1e3 / total_logs) AS BIGINT) / 1e3 AS error_rate,
+                     last_seen,
+                     CAST(floor((floor(epoch(hn.now_ts)) - floor(epoch(last_seen))) / 60) AS BIGINT) AS minutes_since_last_log,
+                     coalesce(hp.p95_ms, 0.0) AS p95_ms
+              FROM hst LEFT JOIN hp USING (service_name) CROSS JOIN hn),
+       hsc AS (SELECT *,
+                 greatest(0, 100
+                   - (CASE WHEN error_rate > 10 THEN 40 WHEN error_rate > 5 THEN 25
+                           WHEN error_rate > 1 THEN 10 WHEN error_rate > 0.5 THEN 5 ELSE 0 END)
+                   - (CASE WHEN p95_ms > 10000 THEN 30 WHEN p95_ms > 5000 THEN 20
+                           WHEN p95_ms > 1000 THEN 10 WHEN p95_ms > 500 THEN 5 ELSE 0 END)
+                   - (CASE WHEN minutes_since_last_log > 10 THEN 30
+                           WHEN minutes_since_last_log > 5 THEN 15 ELSE 0 END)) AS health_score
+               FROM hj)"""
 
   /** Shared DuckDB CTE chain for the jq01/jq02 oracles: composed job
     * transitions → latest-state-per-job frame.
@@ -2816,5 +2861,39 @@ object SparkEntry {
                 CAST(floor(epoch(n.now_ts)) AS BIGINT) - CAST(floor(epoch(min(created_at))) AS BIGINT) AS oldest_age_seconds
          FROM j CROSS JOIN n
          GROUP BY last_status, n.now_ts""",
+    "hs01_service_health" ->
+      s"""WITH $healthCte
+         SELECT service_name, total_logs, error_count, warn_count, error_rate,
+                last_seen, minutes_since_last_log, p95_ms, health_score,
+                CASE WHEN health_score >= 90 THEN 'Healthy'
+                     WHEN health_score >= 70 THEN 'Warning'
+                     WHEN health_score >= 50 THEN 'Degraded'
+                     ELSE 'Critical' END AS health_status
+         FROM hsc""",
+    "hs02_health_report" ->
+      s"""WITH $healthCte
+         SELECT count(*) AS n_services,
+                CAST(floor(sum(health_score) / count(*)) AS BIGINT) AS overall_health_score,
+                count(CASE WHEN health_score >= 90 THEN 1 END) AS n_healthy,
+                count(CASE WHEN health_score >= 70 AND health_score < 90 THEN 1 END) AS n_warning,
+                count(CASE WHEN health_score >= 50 AND health_score < 70 THEN 1 END) AS n_degraded,
+                count(CASE WHEN health_score < 50 THEN 1 END) AS n_critical,
+                count(CASE WHEN error_rate > 1 THEN 1 END) AS n_elevated_error,
+                count(CASE WHEN minutes_since_last_log > 5 THEN 1 END) AS n_stale
+         FROM hsc""",
+    "slo01_violations" ->
+      s"""WITH $healthCte,
+         hb AS (SELECT service_name,
+                       make_timestamp(CAST(floor(floor(epoch(ts)) / 300) AS BIGINT) * 300 * 1000000) AS time_bucket,
+                       CASE WHEN txt IN ('ERROR', 'FATAL') THEN 1 ELSE 0 END AS is_err
+                FROM hw),
+         hg AS (SELECT service_name, time_bucket, count(*) AS sample_count,
+                       CAST(sum(is_err) AS BIGINT) AS n_err
+                FROM hb GROUP BY 1, 2)
+         SELECT service_name, time_bucket,
+                CAST(round(n_err * 100 * 1e2 / sample_count) AS BIGINT) / 1e2 AS error_rate_pct,
+                sample_count
+         FROM hg WHERE n_err * 100 > sample_count
+         ORDER BY time_bucket DESC, error_rate_pct DESC, service_name ASC LIMIT 50""",
   )
 }
