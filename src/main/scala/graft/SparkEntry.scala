@@ -223,6 +223,8 @@ object SparkEntry {
     "hs01_service_health"           -> (HealthScore.hs01 _),
     "hs02_health_report"            -> (HealthScore.hs02 _),
     "slo01_violations"              -> (HealthScore.slo01 _),
+    // Short-document triage (analyze_short_articles.py)
+    "tx46_short_doc_triage"         -> (Triage.tx46 _),
   )
 
   /** Shared DuckDB CTE chain for the hs01/hs02/slo01 oracles: the
@@ -2895,5 +2897,64 @@ object SparkEntry {
                 sample_count
          FROM hg WHERE n_err * 100 > sample_count
          ORDER BY time_bucket DESC, error_rate_pct DESC, service_name ASC LIMIT 50""",
+    "tx46_short_doc_triage" ->
+      s"""WITH raw AS (SELECT doc_id,
+                CASE WHEN doc_id % 97 = 0 THEN '   '
+                     WHEN doc_id % 89 = 0 THEN '<!DOCTYPE html><html><p>hi</p>' || repeat('<i></i>', 18) || '</html>'
+                     WHEN doc_id % 83 = 0 THEN 'go https://example.com/a/' || doc_id || ' https://example.org/path/to/x'
+                     WHEN doc_id % 79 = 0 THEN repeat(substr(text, 1, 10), 5)
+                     WHEN doc_id % 73 = 0 THEN 'oops: 404 Not Found while fetching'
+                     WHEN doc_id % 71 = 0 THEN 'GitHub Linux tech notes'
+                     WHEN doc_id % 67 = 0 THEN 'Discussion'
+                     WHEN doc_id % 61 = 0 THEN 'Photos. Explore more on these topics: art'
+                     WHEN doc_id % 59 = 0 THEN '!@#$$% ^&*() ;:,.? ~!@#$$ %^&*( )(*&^ %$$#@! ?.,:; =-[]{'
+                     ELSE substr(trim(text), 1, 150) END AS content
+             FROM documents),
+         sc AS (SELECT doc_id, content FROM raw WHERE length(content) < 200),
+         hdet AS (SELECT *,
+                    length(array_to_string(regexp_extract_all(content, '<[^>]+>', 0), '')) AS tag_len,
+                    len(regexp_extract_all(content, '<[^>]+>', 0)) AS tag_count
+                  FROM sc),
+         cl AS (SELECT doc_id, content,
+                  (starts_with(trim(content), '<!doctype') OR starts_with(trim(content), '<!DOCTYPE')
+                   OR starts_with(trim(content), '<html') OR starts_with(trim(content), '<HTML')
+                   OR (tag_len > length(content) * 0.3 AND tag_count > 50)) AS was_html,
+                  CASE WHEN starts_with(trim(content), '<!doctype') OR starts_with(trim(content), '<!DOCTYPE')
+                            OR starts_with(trim(content), '<html') OR starts_with(trim(content), '<HTML')
+                            OR (tag_len > length(content) * 0.3 AND tag_count > 50)
+                       THEN trim(regexp_replace(regexp_replace(regexp_replace(content,
+                              '<[^>]+>', ' ', 'g'), '&[a-zA-Z0-9#]+;', ' ', 'g'), '\\s+', ' ', 'g'))
+                       ELSE content END AS cleaned
+                FROM hdet),
+         cat AS (SELECT doc_id, length(content) AS original_length,
+                        length(cleaned) AS cleaned_length, was_html,
+                   CASE WHEN trim(cleaned) = '' THEN 'empty'
+                        WHEN length(cleaned) < length(content) * 0.1 AND length(content) > 100 THEN 'html_stripped'
+                        WHEN length(array_to_string(regexp_extract_all(cleaned, 'https?://[^\\s]+', 0), ' ')) > length(cleaned) * 0.8 THEN 'url_only'
+                        WHEN length(cleaned) > 10 AND (length(cleaned) - length(replace(cleaned, substr(cleaned, 1, 10), ''))) / 10 > 3 THEN 'repetition'
+                        WHEN regexp_matches(cleaned, '(?i)(404|403|500|Error|Forbidden|Not Found|Access Denied|Page not found)') THEN 'error_message'
+                        WHEN trim(cleaned) = 'Discussion' OR starts_with(trim(cleaned), 'Discussion') THEN 'discussion_only'
+                        WHEN contains(cleaned, 'Explore more on these topics') THEN 'gallery_meta'
+                        WHEN ((CASE WHEN contains(cleaned, 'Node.js') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'PDF') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'Puppeteer') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'aws') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'ses') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'Nodemailer') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'tech') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'GitHub') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'Linux') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'LVM') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'idea') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'Discussion') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'Property') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'Photography') THEN 1 ELSE 0 END)
+                            + (CASE WHEN contains(cleaned, 'Art') THEN 1 ELSE 0 END)) >= 3
+                             AND length(cleaned) < 80 THEN 'tags_only'
+                        WHEN length(cleaned) < 50 AND NOT contains(cleaned, chr(10)) THEN 'title_only'
+                        WHEN length(regexp_replace(cleaned, '[^0-9A-Za-z_\\s぀-ゟ゠-ヿ一-龯]', '', 'g')) < length(cleaned) * 0.3 THEN 'symbol_heavy'
+                        ELSE 'normal_short' END AS category
+                 FROM cl)
+         SELECT doc_id, original_length, cleaned_length, was_html, category FROM cat""",
   )
 }
