@@ -104,6 +104,7 @@ object SparkEntry {
     "qe02_summary_redundancy"       -> (OutputQuality.summaryRedundancy _),
     "qe03_citation_audit"           -> (CitationAudit.qe03 _),
     "qe04_recap_quality"            -> (RecapQuality.qe04 _),
+    "qe05_run_comparison"           -> (RecapQuality.qe05 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     "km03_density_clusters"         -> (Density.km03 _),
@@ -514,6 +515,94 @@ object SparkEntry {
                 CASE WHEN f_irrelevant + f_min_relevant + f_answer_len + f_entities + f_forbidden = 0
                      THEN 1 ELSE 0 END AS passed
          FROM v"""
+
+  /** qe04 oracle body, shared with the qe05 run-comparison oracle. */
+  private val qe04OracleSql: String =
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
+                           CAST(doc_id % 3 + 2 AS INTEGER) AS nb
+                    FROM documents),
+         r AS (SELECT doc_id AS output_id, nb,
+                      list_transform(range(0, nb), i ->
+                        coalesce(array_to_string(toks[(CASE WHEN i = 0 THEN 1 ELSE i*10+1 END):(CASE WHEN i = 0 THEN 60 ELSE i*10+10 END)], ' '), '')
+                        || CASE WHEN (doc_id + i) % 3 = 0 THEN ' Acme 2024年5月 45% 120円' ELSE '' END
+                        || CASE WHEN (doc_id + i) % 5 = 0 THEN ' 背景として' ELSE '' END
+                        || CASE WHEN (doc_id + i) % 7 = 0 THEN ' 今後の展望' ELSE '' END
+                        || CASE WHEN (doc_id + i) % 2 = 0 THEN ' 発表した' ELSE '' END
+                        || ' [' || (i+1) || ']') AS bullets,
+                      list_transform(range(CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END,
+                                           nb + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END + 1),
+                                     x -> CAST(x AS INTEGER)) AS ref_ids
+               FROM d),
+         st AS (SELECT output_id, nb AS n_bullets,
+                       list_distinct(flatten(list_transform(bullets,
+                         b -> list_transform(regexp_extract_all(b, '\[([0-9]+)\]', 1),
+                                             x -> CAST(x AS INTEGER))))) AS cited,
+                       ref_ids, bullets
+                FROM r),
+         ax AS (SELECT output_id, n_bullets,
+                       CASE WHEN len(cited) = 0 AND len(ref_ids) = 0 THEN 0.0
+                            WHEN len(cited) > 0 AND len(ref_ids) = 0 THEN 0.0
+                            ELSE CAST(round(len(list_intersect(cited, ref_ids)) * 1e6
+                                            / len(list_distinct(list_concat(cited, ref_ids)))) AS BIGINT) / 1e6
+                       END AS source_grounding,
+                       CAST(round(list_sum(list_transform(bullets, b -> CAST(
+                         ((CASE WHEN len(b) BETWEEN 400 AND 1200 THEN 1000000
+                                WHEN len(b) >= 200 AND len(b) < 400 THEN (len(b) - 200) * 5000
+                                WHEN len(b) > 1200 AND len(b) <= 1600 THEN (1600 - len(b)) * 2500
+                                ELSE 0 END) * 7
+                          + (CASE WHEN ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), '。')
+                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'た')
+                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'る')
+                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'い')
+                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'だ')
+                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'す')
+                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'ない')
+                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'ある')
+                               THEN 1000000 ELSE 300000 END) * 3) / 10 AS BIGINT)))
+                         * 1.0 / n_bullets) AS BIGINT) / 1e6 AS readability,
+                       CAST(round(list_sum(list_transform(bullets, b ->
+                           (CASE WHEN regexp_matches(b, '[ァ-ヶー]{3,}|[A-Z][a-zA-Z]+|.{1,10}[社氏]') THEN 250000 ELSE 0 END)
+                         + (CASE WHEN regexp_matches(b, '(した|される|発表|買収|開始|導入|開発|提供|発売|実施|公開|統合|改善|向上|引き上げ)') THEN 250000 ELSE 0 END)
+                         + (CASE WHEN regexp_matches(b, '(背景|経緯|これまで|従来|過去|以前|に伴い|を受けて|に対して|一方で|として)') THEN 250000 ELSE 0 END)
+                         + (CASE WHEN regexp_matches(b, '(見込み|予定|目指す|狙う|今後|将来|影響|結果|効果|期待|可能性|展望|視野)') THEN 250000 ELSE 0 END)))
+                         * 1.0 / n_bullets) AS BIGINT) / 1e6 AS structure,
+                       CAST(round(list_sum(list_transform(bullets, b ->
+                         least(1000000, (len(regexp_extract_all(b, '[ァ-ヶー]{3,}'))
+                                       + len(regexp_extract_all(b, '[A-Z][a-zA-Z]{2,}'))
+                                       + len(regexp_extract_all(b, '[0-9]{4}[-/年][0-9]{1,2}[-/月]|[0-9]+[%％]|[0-9]+[億万千]|[$€£¥]\s?[0-9]|[0-9]+(?:\.[0-9]+)?(?:ドル|円|ユーロ|ポンド)|[0-9]{2,}')))
+                                      * 200000)))
+                         * 1.0 / n_bullets) AS BIGINT) / 1e6 AS entity_density
+                FROM st),
+         blx AS (SELECT output_id, CAST(generate_subscripts(bullets, 1) AS INTEGER) AS idx,
+                        unnest(bullets) AS b
+                 FROM r),
+         bl AS (SELECT output_id, idx, regexp_replace(b, '\s+', '', 'g') AS chars FROM blx),
+         tot AS (SELECT output_id, idx, greatest(len(chars) - 1, 0) AS n_bi FROM bl),
+         cnts AS (SELECT output_id, idx, bg, count(*) AS c
+                  FROM (SELECT output_id, idx,
+                               unnest(list_transform(range(1, len(chars)),
+                                 i -> substr(chars, CAST(i AS INTEGER), 2))) AS bg
+                        FROM bl WHERE len(chars) >= 2)
+                  GROUP BY 1, 2, 3),
+         prs AS (SELECT a.output_id, a.idx AS ia, b.idx AS ib, a.n_bi AS ta, b.n_bi AS tb
+                 FROM tot a JOIN tot b ON a.output_id = b.output_id AND a.idx < b.idx),
+         itr AS (SELECT a.output_id, a.idx AS ia, b.idx AS ib, sum(least(a.c, b.c)) AS inter
+                 FROM cnts a JOIN cnts b ON a.output_id = b.output_id AND a.bg = b.bg AND a.idx < b.idx
+                 GROUP BY 1, 2, 3),
+         pp AS (SELECT p.output_id,
+                       coalesce(i.inter, 0) AS inter,
+                       p.ta + p.tb - coalesce(i.inter, 0) AS uni
+                FROM prs p LEFT JOIN itr i
+                  ON i.output_id = p.output_id AND i.ia = p.ia AND i.ib = p.ib),
+         red AS (SELECT output_id,
+                        CAST(round(sum(CASE WHEN uni > 0
+                                            THEN CAST(round(inter * 1e6 / uni) AS BIGINT)
+                                            ELSE 0 END) * 1.0 / count(*)) AS BIGINT) / 1e6 AS redundancy
+                 FROM pp GROUP BY 1)
+         SELECT ax.output_id, ax.n_bullets, ax.source_grounding,
+                coalesce(red.redundancy, 0.0) AS redundancy,
+                ax.readability, ax.structure, ax.entity_density
+         FROM ax LEFT JOIN red USING (output_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1769,92 +1858,38 @@ object SparkEntry {
     // id-set Jaccard, bigram-multiset redundancy, the 0.7/0.3
     // readability blend (divisible-by-10 integer units), quarter-unit
     // structure, fifth-unit capped entity density
-    "qe04_recap_quality" ->
-      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks,
-                           CAST(doc_id % 3 + 2 AS INTEGER) AS nb
-                    FROM documents),
-         r AS (SELECT doc_id AS output_id, nb,
-                      list_transform(range(0, nb), i ->
-                        coalesce(array_to_string(toks[(CASE WHEN i = 0 THEN 1 ELSE i*10+1 END):(CASE WHEN i = 0 THEN 60 ELSE i*10+10 END)], ' '), '')
-                        || CASE WHEN (doc_id + i) % 3 = 0 THEN ' Acme 2024年5月 45% 120円' ELSE '' END
-                        || CASE WHEN (doc_id + i) % 5 = 0 THEN ' 背景として' ELSE '' END
-                        || CASE WHEN (doc_id + i) % 7 = 0 THEN ' 今後の展望' ELSE '' END
-                        || CASE WHEN (doc_id + i) % 2 = 0 THEN ' 発表した' ELSE '' END
-                        || ' [' || (i+1) || ']') AS bullets,
-                      list_transform(range(CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 1 END,
-                                           nb + CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END + 1),
-                                     x -> CAST(x AS INTEGER)) AS ref_ids
-               FROM d),
-         st AS (SELECT output_id, nb AS n_bullets,
-                       list_distinct(flatten(list_transform(bullets,
-                         b -> list_transform(regexp_extract_all(b, '\[([0-9]+)\]', 1),
-                                             x -> CAST(x AS INTEGER))))) AS cited,
-                       ref_ids, bullets
-                FROM r),
-         ax AS (SELECT output_id, n_bullets,
-                       CASE WHEN len(cited) = 0 AND len(ref_ids) = 0 THEN 0.0
-                            WHEN len(cited) > 0 AND len(ref_ids) = 0 THEN 0.0
-                            ELSE CAST(round(len(list_intersect(cited, ref_ids)) * 1e6
-                                            / len(list_distinct(list_concat(cited, ref_ids)))) AS BIGINT) / 1e6
-                       END AS source_grounding,
-                       CAST(round(list_sum(list_transform(bullets, b -> CAST(
-                         ((CASE WHEN len(b) BETWEEN 400 AND 1200 THEN 1000000
-                                WHEN len(b) >= 200 AND len(b) < 400 THEN (len(b) - 200) * 5000
-                                WHEN len(b) > 1200 AND len(b) <= 1600 THEN (1600 - len(b)) * 2500
-                                ELSE 0 END) * 7
-                          + (CASE WHEN ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), '。')
-                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'た')
-                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'る')
-                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'い')
-                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'だ')
-                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'す')
-                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'ない')
-                                    OR ends_with(rtrim(regexp_replace(rtrim(b), '\s*\[[0-9]+\]\s*$', '')), 'ある')
-                               THEN 1000000 ELSE 300000 END) * 3) / 10 AS BIGINT)))
-                         * 1.0 / n_bullets) AS BIGINT) / 1e6 AS readability,
-                       CAST(round(list_sum(list_transform(bullets, b ->
-                           (CASE WHEN regexp_matches(b, '[ァ-ヶー]{3,}|[A-Z][a-zA-Z]+|.{1,10}[社氏]') THEN 250000 ELSE 0 END)
-                         + (CASE WHEN regexp_matches(b, '(した|される|発表|買収|開始|導入|開発|提供|発売|実施|公開|統合|改善|向上|引き上げ)') THEN 250000 ELSE 0 END)
-                         + (CASE WHEN regexp_matches(b, '(背景|経緯|これまで|従来|過去|以前|に伴い|を受けて|に対して|一方で|として)') THEN 250000 ELSE 0 END)
-                         + (CASE WHEN regexp_matches(b, '(見込み|予定|目指す|狙う|今後|将来|影響|結果|効果|期待|可能性|展望|視野)') THEN 250000 ELSE 0 END)))
-                         * 1.0 / n_bullets) AS BIGINT) / 1e6 AS structure,
-                       CAST(round(list_sum(list_transform(bullets, b ->
-                         least(1000000, (len(regexp_extract_all(b, '[ァ-ヶー]{3,}'))
-                                       + len(regexp_extract_all(b, '[A-Z][a-zA-Z]{2,}'))
-                                       + len(regexp_extract_all(b, '[0-9]{4}[-/年][0-9]{1,2}[-/月]|[0-9]+[%％]|[0-9]+[億万千]|[$€£¥]\s?[0-9]|[0-9]+(?:\.[0-9]+)?(?:ドル|円|ユーロ|ポンド)|[0-9]{2,}')))
-                                      * 200000)))
-                         * 1.0 / n_bullets) AS BIGINT) / 1e6 AS entity_density
-                FROM st),
-         blx AS (SELECT output_id, CAST(generate_subscripts(bullets, 1) AS INTEGER) AS idx,
-                        unnest(bullets) AS b
-                 FROM r),
-         bl AS (SELECT output_id, idx, regexp_replace(b, '\s+', '', 'g') AS chars FROM blx),
-         tot AS (SELECT output_id, idx, greatest(len(chars) - 1, 0) AS n_bi FROM bl),
-         cnts AS (SELECT output_id, idx, bg, count(*) AS c
-                  FROM (SELECT output_id, idx,
-                               unnest(list_transform(range(1, len(chars)),
-                                 i -> substr(chars, CAST(i AS INTEGER), 2))) AS bg
-                        FROM bl WHERE len(chars) >= 2)
-                  GROUP BY 1, 2, 3),
-         prs AS (SELECT a.output_id, a.idx AS ia, b.idx AS ib, a.n_bi AS ta, b.n_bi AS tb
-                 FROM tot a JOIN tot b ON a.output_id = b.output_id AND a.idx < b.idx),
-         itr AS (SELECT a.output_id, a.idx AS ia, b.idx AS ib, sum(least(a.c, b.c)) AS inter
-                 FROM cnts a JOIN cnts b ON a.output_id = b.output_id AND a.bg = b.bg AND a.idx < b.idx
-                 GROUP BY 1, 2, 3),
-         pp AS (SELECT p.output_id,
-                       coalesce(i.inter, 0) AS inter,
-                       p.ta + p.tb - coalesce(i.inter, 0) AS uni
-                FROM prs p LEFT JOIN itr i
-                  ON i.output_id = p.output_id AND i.ia = p.ia AND i.ib = p.ib),
-         red AS (SELECT output_id,
-                        CAST(round(sum(CASE WHEN uni > 0
-                                            THEN CAST(round(inter * 1e6 / uni) AS BIGINT)
-                                            ELSE 0 END) * 1.0 / count(*)) AS BIGINT) / 1e6 AS redundancy
-                 FROM pp GROUP BY 1)
-         SELECT ax.output_id, ax.n_bullets, ax.source_grounding,
-                coalesce(red.redundancy, 0.0) AS redundancy,
-                ax.readability, ax.structure, ax.entity_density
-         FROM ax LEFT JOIN red USING (output_id)""",
+    "qe04_recap_quality" -> qe04OracleSql,
+    "qe05_run_comparison" ->
+      s"""WITH qe AS ($qe04OracleSql),
+         runs AS (SELECT *, CASE WHEN output_id % 2 = 0 THEN 'before' ELSE 'after' END AS run
+                  FROM qe),
+         lng AS (SELECT run, axis, CAST(round(score * 1e6) AS BIGINT) AS u FROM (
+                   SELECT run, 'source_grounding' AS axis, source_grounding AS score FROM runs
+                   UNION ALL SELECT run, 'redundancy', redundancy FROM runs
+                   UNION ALL SELECT run, 'readability', readability FROM runs
+                   UNION ALL SELECT run, 'structure', structure FROM runs
+                   UNION ALL SELECT run, 'entity_density', entity_density FROM runs)),
+         pr AS (SELECT axis, run, CAST(round(sum(u) / count(*)) AS BIGINT) AS mean_u
+                FROM lng GROUP BY 1, 2),
+         w AS (SELECT axis,
+                      max(CASE WHEN run = 'before' THEN mean_u END) AS b_u,
+                      max(CASE WHEN run = 'after' THEN mean_u END) AS a_u
+               FROM pr GROUP BY 1),
+         fb AS (SELECT run, count(*) AS n,
+                       CAST(round(count(CASE WHEN source_grounding = 0.0 THEN 1 END) * 1e4 / count(*)) AS BIGINT) AS fb_u
+                FROM runs GROUP BY 1),
+         fw AS (SELECT max(CASE WHEN run = 'before' THEN n END) AS n_b,
+                       max(CASE WHEN run = 'after' THEN n END) AS n_a,
+                       max(CASE WHEN run = 'before' THEN fb_u END) AS fb_b,
+                       max(CASE WHEN run = 'after' THEN fb_u END) AS fb_a
+                FROM fb)
+         SELECT axis, b_u / 1e6 AS before_mean, a_u / 1e6 AS after_mean,
+                (a_u - b_u) / 1e6 AS delta,
+                CASE WHEN axis = 'redundancy' THEN a_u < b_u ELSE a_u > b_u END AS improved,
+                fb_b / 1e4 AS fallback_rate_before, fb_a / 1e4 AS fallback_rate_after,
+                (fb_a - fb_b) / 1e4 AS fallback_rate_delta,
+                n_b AS case_count_before, n_a AS case_count_after
+         FROM w CROSS JOIN fw""",
     // the oracle re-composes the per-source reports, re-parses the
     // [Sn] markers, and mirrors metrics.py's skip rules: dedup by
     // first occurrence, unmapped + empty-source_id markers dropped

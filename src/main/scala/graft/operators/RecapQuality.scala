@@ -189,4 +189,59 @@ object RecapQuality {
       .na.fill(0.0, Seq("redundancy"))
       .select("output_id", "n_bullets", "source_grounding", "redundancy",
         "readability", "structure", "entity_density")
+
+  /** qe05: the before/after evaluation-run comparison
+    * (news-creator/app/news_creator/evaluation/comparison.py:45
+    * compare_runs): per-axis mean deltas with the LOWER_IS_BETTER
+    * inversion (redundancy improves when it DROPS, recap_quality.py:9),
+    * the degraded-trace rate delta, and the case counts. `improved`
+    * is strict (delta = 0 improves nothing, :76-78).
+    *
+    * Runs here are the even/odd output_id halves of the qe04 battery
+    * (two deterministic evaluation cohorts over one corpus); a trace
+    * is degraded when its source grounding collapsed to 0 — the
+    * markers-without-refs fallback is exactly the parse-degradation
+    * TraceRecord.is_degraded flags.
+    *
+    * All means and deltas run on exact 1e-6-unit longs recovered from
+    * the axis scores (the tx22 re-aggregation discipline), so the
+    * improved flag compares integers, never doubles.
+    */
+  def compareRuns(scores: DataFrame): DataFrame = {
+    val run = when(pmod(col("output_id"), lit(2)) === 0, "before").otherwise("after")
+    val axes = Seq("source_grounding", "redundancy", "readability",
+      "structure", "entity_density")
+    val stackArgs = axes.map(a => s"'$a', $a").mkString(", ")
+    val long = scores.select(run.as("run"),
+        expr(s"stack(${axes.size}, $stackArgs) AS (axis, score)"))
+      .select(col("run"), col("axis"),
+        round(col("score") * 1e6, 0).cast("long").as("u"))
+    val perRun = long.groupBy("axis", "run").agg(
+      round(sum("u") / count(lit(1)), 0).cast("long").as("mean_u"))
+    val wide = perRun.groupBy("axis").pivot("run", Seq("before", "after"))
+      .agg(first("mean_u"))
+    val fb = scores.groupBy(run.as("run")).agg(
+      count(lit(1)).as("n"),
+      count(when(col("source_grounding") === 0.0, 1)).as("n_degraded"))
+      .select(col("run"), col("n"),
+        graft.functions.Numeric.microUnits(col("n_degraded"), col("n"), 4).as("fb_u"))
+    val fbWide = fb.groupBy().pivot("run", Seq("before", "after"))
+      .agg(first("n").as("n"), first("fb_u").as("fb_u"))
+    wide.select(
+        col("axis"),
+        (col("before") / 1e6).as("before_mean"),
+        (col("after") / 1e6).as("after_mean"),
+        ((col("after") - col("before")) / 1e6).as("delta"),
+        when(col("axis") === "redundancy", col("after") < col("before"))
+          .otherwise(col("after") > col("before")).as("improved"))
+      .crossJoin(broadcast(fbWide.select(
+        (col("before_fb_u") / 1e4).as("fallback_rate_before"),
+        (col("after_fb_u") / 1e4).as("fallback_rate_after"),
+        ((col("after_fb_u") - col("before_fb_u")) / 1e4).as("fallback_rate_delta"),
+        col("before_n").as("case_count_before"),
+        col("after_n").as("case_count_after"))))
+  }
+
+  def qe05(s: SparkSession, dir: String): DataFrame =
+    compareRuns(qe04(s, dir))
 }

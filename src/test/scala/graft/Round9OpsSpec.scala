@@ -326,4 +326,31 @@ class Round9OpsSpec extends SparkSpec {
     assert(withBiz.length == 3)
     assert(withBiz.map(_.getAs[String]("feed_id")).sorted.sameElements(Array("", "feed-1", "feed-2")))
   }
+
+  test("qe05 run comparison: lower-is-better inversion, strict improvement, degraded rate") {
+    import graft.operators.RecapQuality
+    import spark.implicits._
+    // even ids = before, odd = after; hand-built axis scores
+    val scores = Seq(
+      //             sg    red    read  struct ent
+      (0L, 3, 0.50, 0.20, 0.40, 0.30, 0.10), // before
+      (2L, 3, 0.00, 0.40, 0.40, 0.30, 0.10), // before, DEGRADED (sg=0)
+      (1L, 3, 0.75, 0.10, 0.40, 0.20, 0.10), // after
+      (3L, 3, 0.25, 0.30, 0.40, 0.20, 0.10)) // after
+      .toDF("output_id", "n_bullets", "source_grounding", "redundancy",
+        "readability", "structure", "entity_density")
+    val out = RecapQuality.compareRuns(scores).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sg = out("source_grounding") // 0.25 mean → 0.50 mean
+    assert(sg.getDouble(1) == 0.25 && sg.getDouble(2) == 0.50 && sg.getBoolean(4))
+    val red = out("redundancy") // 0.30 → 0.20: DROP improves (lower-is-better)
+    assert(red.getDouble(3) == -0.10 && red.getBoolean(4))
+    val rd = out("readability") // 0.40 → 0.40: delta 0 is NOT an improvement
+    assert(rd.getDouble(3) == 0.0 && !rd.getBoolean(4))
+    val st = out("structure") // 0.30 → 0.20: drop on a higher-is-better axis
+    assert(!st.getBoolean(4))
+    // degraded: 1 of 2 before traces has sg = 0; none after
+    assert(sg.getDouble(5) == 0.5 && sg.getDouble(6) == 0.0 && sg.getDouble(7) == -0.5)
+    assert(sg.getLong(8) == 2 && sg.getLong(9) == 2)
+  }
 }
