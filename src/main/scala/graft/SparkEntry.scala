@@ -226,6 +226,9 @@ object SparkEntry {
     "slo01_violations"              -> (HealthScore.slo01 _),
     // Short-document triage (analyze_short_articles.py)
     "tx46_short_doc_triage"         -> (Triage.tx46 _),
+    // Report-curation selection operators (acolyte-orchestrator)
+    "smp07_round_robin_cap"         -> (Sampling.smp07 _),
+    "pp02_language_quota"           -> (Curation.pp02 _),
   )
 
   /** Shared DuckDB CTE chain for the hs01/hs02/slo01 oracles: the
@@ -2991,5 +2994,48 @@ object SparkEntry {
                         ELSE 'normal_short' END AS category
                  FROM cl)
          SELECT doc_id, original_length, cleaned_length, was_html, category FROM cat""",
+    "smp07_round_robin_cap" ->
+      """WITH q AS (SELECT doc_id, source AS section_key, doc_id AS pos, n_chars FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY section_key ORDER BY pos ASC) AS rn,
+                      min(pos) OVER (PARTITION BY section_key) AS section_first
+               FROM q)
+         SELECT doc_id, section_key, pos, n_chars
+         FROM r ORDER BY rn ASC, section_first ASC LIMIT 100""",
+    "pp02_language_quota" ->
+      """WITH docs AS (SELECT source AS section_key, doc_id AS id,
+                             CASE WHEN doc_id % 23 = 0 THEN 'und' ELSE lang END AS language,
+                             CAST(n_chars AS DOUBLE) AS score, doc_id AS pos
+                      FROM documents),
+         cur AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY section_key
+                                  ORDER BY score DESC, pos ASC) AS slot
+                                FROM docs) WHERE slot <= 10),
+         agg AS (SELECT section_key, count(*) AS slots,
+                        CAST(ceil(count(*) * 0.2) AS BIGINT) AS required,
+                        count(CASE WHEN language = 'en' THEN 1 END) AS current
+                 FROM cur GROUP BY 1),
+         weak AS (SELECT *, row_number() OVER (PARTITION BY section_key
+                            ORDER BY (language <> 'und') ASC, score ASC, slot ASC) AS wrank
+                  FROM cur WHERE language <> 'en'),
+         cand AS (SELECT * FROM (SELECT d.*, row_number() OVER (PARTITION BY d.section_key
+                                   ORDER BY d.score DESC, d.pos ASC) AS crank
+                                 FROM docs d LEFT JOIN cur c
+                                   ON d.section_key = c.section_key AND d.id = c.id
+                                 WHERE d.language = 'en' AND c.id IS NULL)),
+         dd AS (SELECT a.section_key,
+                       greatest(0, least(a.required - a.current,
+                                         coalesce(nc.n, 0), coalesce(nw.n, 0))) AS d
+                FROM agg a
+                LEFT JOIN (SELECT section_key, count(*) AS n FROM cand GROUP BY 1) nc USING (section_key)
+                LEFT JOIN (SELECT section_key, count(*) AS n FROM weak GROUP BY 1) nw USING (section_key))
+         SELECT section_key, id, language, score, slot, FALSE AS swapped_in
+         FROM cur WHERE language = 'en'
+         UNION ALL
+         SELECT w.section_key, w.id, w.language, w.score, w.slot, FALSE
+         FROM weak w JOIN dd USING (section_key) WHERE w.wrank > dd.d
+         UNION ALL
+         SELECT c.section_key, c.id, c.language, c.score, w.slot, TRUE
+         FROM cand c JOIN dd USING (section_key)
+         JOIN weak w ON w.section_key = c.section_key AND w.wrank = c.crank
+         WHERE c.crank <= dd.d""",
   )
 }

@@ -99,4 +99,96 @@ object Curation {
       .orderBy("keep", "quality_keep", "exact_keep", "neardup_keep", "decontam_keep")
     Dedup.materialized(out) { docs.unpersist(blocking = false) }
   }
+
+  /** pp02: the post-curation soft language quota (acolyte-orchestrator/
+    * acolyte/domain/language_quota.py:38 `rebalance_by_language`): a
+    * relevance-ranked top-K per section can squeeze out an
+    * under-represented language even when the pool has strong
+    * candidates (the module's own BM25-on-Japanese-topics rationale),
+    * so after ranking, each quota language is topped up to
+    * ceil(K·share) slots by swapping its best unselected pool
+    * candidates in for the weakest non-protected curated items —
+    * unknown-language (`und`, :52) items displaced FIRST, then by
+    * ascending score with list order breaking ties (:101).
+    *
+    * The swap loop is set-expressible for a single quota language:
+    * deficit d = min(required − current, |candidates|, |displaceable|);
+    * the d best candidates (score desc, pool order asc) replace the d
+    * weakest non-protected items (und first, score asc, slot asc),
+    * each inheriting its victim's SLOT (:92 — order preservation is
+    * part of the contract). Three bounded windows per section — the
+    * curated frame is K·|sections| rows, never the corpus.
+    *
+    * Output: the rebalanced per-section selection with slot, language,
+    * score, and a swapped_in flag.
+    */
+  def languageQuotaOn(curated: DataFrame, pool: DataFrame,
+                      quotaLang: String, share: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val k = Window.partitionBy("section_key")
+    val isQuota = col("language") === quotaLang
+    val cur = curated
+      .withColumn("slots", count(lit(1)).over(k))
+      .withColumn("required", ceil(col("slots") * share))
+      .withColumn("current", sum(isQuota.cast("int")).over(k))
+    // weakest displaceable curated items: und first, then score asc,
+    // then slot asc (the stable-sort tie rule)
+    val wWeak = Window.partitionBy("section_key").orderBy(
+      (col("language") =!= "und").asc, col("score").asc, col("slot").asc)
+    val weak = cur.filter(!isQuota)
+      .withColumn("wrank", row_number().over(wWeak))
+    // best unselected pool candidates of the quota language:
+    // score desc, pool order asc (Python's stable sort)
+    val wCand = Window.partitionBy("section_key").orderBy(
+      col("score").desc, col("pos").asc)
+    val cand = pool.filter(isQuota)
+      .join(curated.select(col("section_key"), col("id")), Seq("section_key", "id"),
+        "left_anti")
+      .withColumn("crank", row_number().over(wCand))
+    // deficit per section, capped by both availabilities
+    val nCand = cand.groupBy("section_key").agg(count(lit(1)).as("n_cand"))
+    val nWeak = weak.groupBy("section_key").agg(count(lit(1)).as("n_weak"))
+    val d = cur.select("section_key", "required", "current").distinct()
+      .join(nCand, Seq("section_key"), "left")
+      .join(nWeak, Seq("section_key"), "left")
+      .select(col("section_key"),
+        greatest(lit(0L),
+          least(col("required") - col("current"),
+            coalesce(col("n_cand"), lit(0L)),
+            coalesce(col("n_weak"), lit(0L)))).as("d"))
+    val keptQuota = cur.filter(isQuota)
+      .select(col("section_key"), col("id"), col("language"), col("score"),
+        col("slot"), lit(false).as("swapped_in"))
+    val keptOther = weak.join(broadcast(d), "section_key")
+      .filter(col("wrank") > col("d"))
+      .select(col("section_key"), col("id"), col("language"), col("score"),
+        col("slot"), lit(false).as("swapped_in"))
+    val victims = weak.select(col("section_key").as("w_sk"),
+      col("wrank"), col("slot").as("victim_slot"))
+    val swapped = cand.join(broadcast(d), "section_key")
+      .filter(col("crank") <= col("d"))
+      .join(victims,
+        col("crank") === col("wrank") && col("section_key") === col("w_sk"))
+    keptQuota.unionByName(keptOther).unionByName(
+      swapped.select(col("section_key"), col("id"), col("language"),
+        col("score"), col("victim_slot").as("slot"), lit(true).as("swapped_in")))
+  }
+
+  /** pp02 adapter: per-source top-10 by a deterministic relevance
+    * score (n_chars as the stand-in, doc order breaking ties), pool =
+    * the whole source, quota en ≥ 20%; a doc slice reads as `und` to
+    * exercise the displaced-first rule.
+    */
+  def pp02(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir).select(
+      col("source").as("section_key"), col("doc_id").as("id"),
+      when(col("doc_id") % 23 === 0, "und").otherwise(col("lang")).as("language"),
+      col("n_chars").cast("double").as("score"), col("doc_id").as("pos"))
+    val wTop = Window.partitionBy("section_key")
+      .orderBy(col("score").desc, col("pos").asc)
+    val curated = docs.withColumn("slot", row_number().over(wTop))
+      .filter(col("slot") <= 10)
+    languageQuotaOn(curated, docs, "en", 0.2)
+  }
 }

@@ -187,4 +187,43 @@ object Sampling {
               microRound(col("temp_share"), 6).as("temp_share"),
               microRatio(col("temp_share"), col("cur_share"), 4).as("boost"))
   }
+
+  /** smp07: round-robin fair capping across groups — acolyte's
+    * fact-cap (acolyte-orchestrator/.../fact_normalizer_node.py:64
+    * `_cap_round_robin`): when the total exceeds the cap, interleave
+    * one item from each section in section-first-appearance order
+    * until the cap fills, so one overloaded section can't starve the
+    * others.
+    *
+    * The loop is set-expressible: selection order = (per-section rank
+    * by insertion order, section first-appearance) — the i-th pass of
+    * the round picks every section's i-th item. So the cap is a
+    * window rank + ONE TakeOrdered; no iteration, no driver loop.
+    * Under the cap the input passes through untouched (:70).
+    */
+  def roundRobinCapOn(items: DataFrame, maxTotal: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySection = Window.partitionBy("section_key")
+      .orderBy(col("pos").asc)
+    val sectionFirst = Window.partitionBy("section_key")
+    val ranked = items
+      .withColumn("rn", row_number().over(bySection))
+      .withColumn("section_first", min("pos").over(sectionFirst))
+    val total = items.count()
+    if (total <= maxTotal) items
+    else ranked
+      .orderBy(col("rn").asc, col("section_first").asc)
+      .limit(maxTotal)
+      .drop("rn", "section_first")
+  }
+
+  /** smp07 adapter: documents as quotes, source as the section,
+    * doc_id as insertion order, cap 100.
+    */
+  def smp07(s: SparkSession, dir: String): DataFrame =
+    roundRobinCapOn(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source").as("section_key"),
+          col("doc_id").as("pos"), col("n_chars")),
+      maxTotal = 100)
 }
