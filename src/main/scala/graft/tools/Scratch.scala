@@ -48,7 +48,11 @@ object Scratch {
       "rag06_retrieval_eval", "qe03_citation_audit",
       "ev33_otel_http_requests", "ev34_pipeline_drilldown",
       "qe04_recap_quality", "ev36_severity_profile",
-      "ot05_api_performance", "es09_trail_wear")
+      "ot05_api_performance", "es09_trail_wear",
+      "pf01_run_stats", "pf02_load_report", "ml04_multilabel_metrics",
+      "jq01_stale_pending", "hs01_service_health", "slo01_violations",
+      "tx46_short_doc_triage", "smp07_round_robin_cap",
+      "pp02_language_quota", "qe05_run_comparison", "es10_stream_trim")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

@@ -303,6 +303,45 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-9 continuation queries plan no single-task windows") {
+    // pf percentiles aggregate per (event_type, day) / url / device;
+    // smp07's interleave rank and pp02's three quota windows partition
+    // by section; jq's latest-state is a max_by aggregate, not a
+    // window; nothing may fall back to an unpartitioned window
+    for (q <- Seq("pf01_run_stats", "pf02_load_report", "pf03_vitals_score",
+                  "pf04_multirun_vitals", "ml04_multilabel_metrics",
+                  "ml05_genre_report", "jq01_stale_pending", "jq02_queue_health",
+                  "es10_stream_trim", "hs01_service_health", "hs02_health_report",
+                  "slo01_violations", "tx46_short_doc_triage",
+                  "smp07_round_robin_cap", "pp02_language_quota",
+                  "qe05_run_comparison")) {
+      val ws = allNodes(finalPlan(q)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(ws.isEmpty, s"$q plans an unpartitioned (single-task) window")
+    }
+  }
+
+  test("tx46 triage is one stateless projection — no Exchange anywhere") {
+    val shuffles = allNodes(finalPlan("tx46_short_doc_triage")).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.isEmpty, s"tx46: expected a pure scan projection, got ${shuffles.size} shuffles")
+  }
+
+  test("smp07 round-robin cap is one section shuffle + TakeOrdered") {
+    val nodes = allNodes(finalPlan("smp07_round_robin_cap"))
+    val shuffles = nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(shuffles.size <= 1, s"smp07: expected <=1 shuffle, got ${shuffles.size}")
+    assert(nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "smp07: the cap must be a TakeOrdered, not a global sort")
+    assert(!nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]) ||
+      nodes.exists(_.isInstanceOf[org.apache.spark.sql.execution.TakeOrderedAndProjectExec]),
+      "smp07: no full global sort")
+  }
+
   test("single-pass collector rollups shuffle exactly once") {
     // ev33 computes both MV sections from one scan; ev35/ev36/ot05/ot06
     // are one map-side-combined aggregation each (plus TakeOrdered,
