@@ -207,7 +207,12 @@ object RecapQuality {
     * the axis scores (the tx22 re-aggregation discipline), so the
     * improved flag compares integers, never doubles.
     */
-  def compareRuns(scores: DataFrame): DataFrame = {
+  def compareRuns(rawScores: DataFrame): DataFrame = {
+    // the axis unpivot and the degraded-rate rollup both read the
+    // scores frame — persist it so the qe04 battery (the expensive
+    // lineage) computes ONCE, not per branch (the probe read a full
+    // second qe04 run before this)
+    val scores = rawScores.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val run = when(pmod(col("output_id"), lit(2)) === 0, "before").otherwise("after")
     val axes = Seq("source_grounding", "redundancy", "readability",
       "structure", "entity_density")
@@ -227,7 +232,7 @@ object RecapQuality {
         graft.functions.Numeric.microUnits(col("n_degraded"), col("n"), 4).as("fb_u"))
     val fbWide = fb.groupBy().pivot("run", Seq("before", "after"))
       .agg(first("n").as("n"), first("fb_u").as("fb_u"))
-    wide.select(
+    val out = wide.select(
         col("axis"),
         (col("before") / 1e6).as("before_mean"),
         (col("after") / 1e6).as("after_mean"),
@@ -240,6 +245,7 @@ object RecapQuality {
         ((col("after_fb_u") - col("before_fb_u")) / 1e4).as("fallback_rate_delta"),
         col("before_n").as("case_count_before"),
         col("after_n").as("case_count_after"))))
+    Dedup.materialized(out) { scores.unpersist(blocking = false) }
   }
 
   def qe05(s: SparkSession, dir: String): DataFrame =
