@@ -145,6 +145,30 @@ object StreamOps {
     * Flag arithmetic is dq08's exact decimal(38,0) cross-multiply.
     * Everything runs on the windows × services × keys frame.
     */
+  /** st20: slo01's SLO-violation detection running CONTINUOUSLY —
+    * per (service, 5-minute window) error rate above the 1%
+    * threshold, evaluated on the same exact integers as the batch
+    * form (100·errors > samples — a threshold must not flip on a
+    * double in either mode). The window aligns to the epoch exactly
+    * like slo01's floor(epoch/300) bucketing, so a closed stream
+    * window and the batch row for the same 5 minutes are
+    * BIT-IDENTICAL (the spec asserts it). State is one count pair
+    * per live (service, window) — watermark-bounded, independent of
+    * volume; the alert-shaped output is the point: the batch form
+    * finds last week's violations, this one pages before the window
+    * even closes downstream.
+    */
+  def sloViolationsStream(logs: DataFrame, watermark: String = "2 hours"): DataFrame =
+    logs.select(col("ts"), col("service_name"),
+        col("severity_text").isin("ERROR", "FATAL").cast("int").as("is_err"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "5 minutes"), col("service_name"))
+      .agg(count(lit(1)).as("sample_count"), sum("is_err").as("n_err"))
+      .filter(col("n_err") * 100 > col("sample_count"))
+      .select(col("service_name"), col("window.start").as("time_bucket"),
+        microRatio(col("n_err") * 100, col("sample_count"), 2).as("error_rate_pct"),
+        col("sample_count"))
+
   def shapeDriftVsBaseline(keyCounts0: DataFrame, baseline: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     // the closed-window frame is bounded (windows × services × keys) and

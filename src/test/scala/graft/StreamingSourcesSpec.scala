@@ -614,4 +614,41 @@ class StreamingSourcesSpec extends SparkSpec {
       assert(batch == kept)
     } finally q.stop()
   }
+
+  test("st20 streaming SLO violations: exact 1% gate, closed windows bit-match the batch form") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val out = StreamOps.sloViolationsStream(
+      mem.toDF.toDF("ts", "service_name", "severity_text"))
+    val q = out.writeStream.format("memory").queryName("st20").outputMode("append").start()
+    try {
+      // svc A, window 00:00-00:05: 100 rows, exactly 1 error → NOT a violation
+      // svc B, same window: 100 rows, 2 errors → violation at 2%
+      // svc B, window 00:05-00:10: 1 of 2 → violation at 50%
+      val a = (1 to 99).map(i => (at(f"2024-01-01 00:00:${10 + i % 40}%02d"), "A", "INFO")) :+
+        ((at("2024-01-01 00:01:00"), "A", "ERROR"))
+      val b = (1 to 98).map(i => (at(f"2024-01-01 00:02:${i % 50}%02d"), "B", "INFO")) ++
+        Seq((at("2024-01-01 00:03:00"), "B", "ERROR"),
+            (at("2024-01-01 00:03:10"), "B", "FATAL"),
+            (at("2024-01-01 00:06:00"), "B", "INFO"),
+            (at("2024-01-01 00:06:30"), "B", "ERROR"))
+      mem.addData(a ++ b: _*)
+      q.processAllAvailable()
+      mem.addData((at("2024-01-01 05:00:00"), "A", "INFO")) // close the windows
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT service_name, time_bucket, error_rate_pct, sample_count FROM st20")
+        .collect().map(r => (r.getString(0), r.getAs[Timestamp](1).toString) ->
+          ((r.getDouble(2), r.getLong(3)))).toMap
+      assert(!rows.keySet.exists(_._1 == "A"), s"A's exactly-1% window must not alert: $rows")
+      assert(rows(("B", "2024-01-01 00:00:00.0")) == ((2.0, 100L)))
+      assert(rows(("B", "2024-01-01 00:05:00.0")) == ((50.0, 2L)))
+      // parity: the same rows through the batch detector, same buckets
+      val batchRows = graft.operators.HealthScore.sloViolationsOn(
+        (a ++ b).toDF("ts", "service_name", "severity_text"), limit = 1000)
+        .collect().map(r => (r.getString(0), r.getAs[Timestamp](1).toString) ->
+          ((r.getDouble(2), r.getLong(3)))).toMap
+      assert(batchRows == rows, s"batch $batchRows vs stream $rows")
+    } finally q.stop()
+  }
 }
