@@ -229,6 +229,8 @@ object SparkEntry {
     // Report-curation selection operators (acolyte-orchestrator)
     "smp07_round_robin_cap"         -> (Sampling.smp07 _),
     "pp02_language_quota"           -> (Curation.pp02 _),
+    // Pulse cluster-quality diagnosis (recap-worker)
+    "km07_cluster_quality"          -> (ClusterQuality.km07 _),
   )
 
   /** Shared DuckDB CTE chain for the hs01/hs02/slo01 oracles: the
@@ -3037,5 +3039,52 @@ object SparkEntry {
          FROM cand c JOIN dd USING (section_key)
          JOIN weak w ON w.section_key = c.section_key AND w.wrank = c.crank
          WHERE c.crank <= dd.d""",
+    "km07_cluster_quality" ->
+      """WITH m AS (SELECT CASE WHEN e.vec_id % 2 = 0
+                                THEN 1000 + e.label * 100 + e.vec_id % 20
+                                ELSE e.vec_id % 50 END AS cluster_id,
+                           e.vec_id AS id, e.embedding,
+                           string_split_regex(trim(d.text), '\s+') AS toks
+                    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         t AS (SELECT cluster_id, id, embedding,
+                      list_distinct(toks[1:8]) AS title,
+                      list_filter(toks, x -> length(x) >= 6) AS ents
+               FROM m),
+         p AS (SELECT a.cluster_id,
+                      CAST(round(CAST(len(list_intersect(a.title, b.title)) AS DOUBLE) /
+                           len(list_distinct(a.title || b.title)) * 1e6) AS BIGINT) AS jac_u,
+                      CAST(round((list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                           (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE)))) *
+                            sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE)))))) * 1e6) AS BIGINT) / 1e6 AS cos6
+               FROM t a JOIN t b ON a.cluster_id = b.cluster_id AND a.id < b.id),
+         pa AS (SELECT cluster_id, count(*) AS npairs,
+                       CAST(round(sum(jac_u) / count(*)) AS BIGINT) AS coh_u,
+                       count(CASE WHEN cos6 < 0.5 THEN 1 END) AS n_low
+                FROM p GROUP BY 1),
+         ec AS (SELECT cluster_id, ent, count(DISTINCT id) AS n_docs, count(*) AS mentions
+                FROM (SELECT cluster_id, id, unnest(ents) AS ent FROM t)
+                GROUP BY 1, 2),
+         cons AS (SELECT cluster_id, max(n_docs) AS max_docs FROM ec GROUP BY 1),
+         te AS (SELECT cluster_id, string_agg(ent, ',' ORDER BY rn) AS top_entities
+                FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY mentions DESC, ent ASC) AS rn
+                      FROM ec)
+                WHERE rn <= 3 GROUP BY 1),
+         sz AS (SELECT cluster_id, count(*) AS n FROM t GROUP BY 1),
+         sc AS (SELECT sz.cluster_id, sz.n,
+                       CASE WHEN sz.n < 2 THEN 1.0 ELSE coh_u / 1e6 END AS cohesion,
+                       CASE WHEN sz.n < 2 THEN 0.0
+                            ELSE CAST(round(n_low * 1e6 / npairs) AS BIGINT) / 1e6 END AS ambiguity,
+                       CAST(round(coalesce(max_docs, 0) * 1e6 / sz.n) AS BIGINT) / 1e6 AS entity_consistency,
+                       coalesce(te.top_entities, '') AS top_entities
+                FROM sz LEFT JOIN pa USING (cluster_id)
+                LEFT JOIN cons USING (cluster_id)
+                LEFT JOIN te USING (cluster_id))
+         SELECT *,
+                CASE (CASE WHEN cohesion < 0.3 THEN 1 ELSE 0 END) +
+                     (CASE WHEN ambiguity > 0.5 THEN 1 ELSE 0 END) +
+                     (CASE WHEN entity_consistency < 0.4 THEN 1 ELSE 0 END)
+                  WHEN 0 THEN 'Ok' WHEN 1 THEN 'Caution' ELSE 'Ng' END AS tier
+         FROM sc""",
   )
 }
