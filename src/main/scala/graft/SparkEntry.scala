@@ -229,8 +229,9 @@ object SparkEntry {
     // Report-curation selection operators (acolyte-orchestrator)
     "smp07_round_robin_cap"         -> (Sampling.smp07 _),
     "pp02_language_quota"           -> (Curation.pp02 _),
-    // Pulse cluster-quality diagnosis (recap-worker)
+    // Pulse cluster-quality diagnosis + topic selection (recap-worker)
     "km07_cluster_quality"          -> (ClusterQuality.km07 _),
+    "pulse01_topic_selection"       -> (PulseSelect.pulse01 _),
   )
 
   /** Shared DuckDB CTE chain for the hs01/hs02/slo01 oracles: the
@@ -608,6 +609,83 @@ object SparkEntry {
                 coalesce(red.redundancy, 0.0) AS redundancy,
                 ax.readability, ax.structure, ax.entity_density
          FROM ax LEFT JOIN red USING (output_id)"""
+
+  /** One fallback level of the pulse01 oracle: the role-sequenced
+    * greedy argmax chain (threshold + exclusion + LIMIT 1 per role)
+    * over the tier-eligible clusters. Mirrors PulseSelect.picksAtTier.
+    */
+  private def pulseLevelSql(tag: String, tiers: String): String = {
+    val roles = Seq(
+      ("need_to_know", "0.50", "0.15", "0.10", "0.25"),
+      ("trend", "0.20", "0.50", "0.10", "0.20"),
+      ("serendipity", "0.15", "0.15", "0.50", "0.20"))
+    val sb = new StringBuilder
+    sb ++= s"e$tag AS (SELECT * FROM cl WHERE tier IN ($tiers)),\n"
+    var excluded = List.empty[String]
+    roles.zipWithIndex.foreach { case ((role, wi, wb, wn, wr), i) =>
+      val notIn = if (excluded.isEmpty) "" else
+        s" AND cluster_id NOT IN (${excluded.map(e => s"SELECT cluster_id FROM $e").mkString(" UNION ALL ")})"
+      val score = s"impact * $wi + burst * $wb + novelty * $wn + recency * $wr"
+      sb ++= s"""s$tag$i AS (SELECT cluster_id, '$role' AS role, $score AS score,
+         impact * $wi AS impact_score, burst * $wb AS burst_score,
+         novelty * $wn AS novelty_score, recency * $wr AS recency_score
+         FROM e$tag WHERE $score >= 0.3$notIn
+         ORDER BY score DESC, cluster_id ASC LIMIT 1),
+"""
+      excluded = excluded :+ s"s$tag$i"
+    }
+    sb ++= s"p$tag AS (SELECT * FROM s${tag}0 UNION ALL SELECT * FROM s${tag}1 UNION ALL SELECT * FROM s${tag}2)"
+    sb.toString
+  }
+
+  /** km07 oracle body, shared with the pulse01 selection oracle. */
+  private val km07OracleSql: String =
+    """WITH m AS (SELECT CASE WHEN e.vec_id % 2 = 0
+                                THEN 1000 + e.label * 100 + e.vec_id % 20
+                                ELSE e.vec_id % 50 END AS cluster_id,
+                           e.vec_id AS id, e.embedding,
+                           string_split_regex(trim(d.text), '\s+') AS toks
+                    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         t AS (SELECT cluster_id, id, embedding,
+                      list_distinct(toks[1:8]) AS title,
+                      list_filter(toks, x -> length(x) >= 6) AS ents
+               FROM m),
+         p AS (SELECT a.cluster_id,
+                      CAST(round(CAST(len(list_intersect(a.title, b.title)) AS DOUBLE) /
+                           len(list_distinct(a.title || b.title)) * 1e6) AS BIGINT) AS jac_u,
+                      CAST(round((list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
+                           (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE)))) *
+                            sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE)))))) * 1e6) AS BIGINT) / 1e6 AS cos6
+               FROM t a JOIN t b ON a.cluster_id = b.cluster_id AND a.id < b.id),
+         pa AS (SELECT cluster_id, count(*) AS npairs,
+                       CAST(round(sum(jac_u) / count(*)) AS BIGINT) AS coh_u,
+                       count(CASE WHEN cos6 < 0.5 THEN 1 END) AS n_low
+                FROM p GROUP BY 1),
+         ec AS (SELECT cluster_id, ent, count(DISTINCT id) AS n_docs, count(*) AS mentions
+                FROM (SELECT cluster_id, id, unnest(ents) AS ent FROM t)
+                GROUP BY 1, 2),
+         cons AS (SELECT cluster_id, max(n_docs) AS max_docs FROM ec GROUP BY 1),
+         te AS (SELECT cluster_id, string_agg(ent, ',' ORDER BY rn) AS top_entities
+                FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
+                             ORDER BY mentions DESC, ent ASC) AS rn
+                      FROM ec)
+                WHERE rn <= 3 GROUP BY 1),
+         sz AS (SELECT cluster_id, count(*) AS n FROM t GROUP BY 1),
+         sc AS (SELECT sz.cluster_id, sz.n,
+                       CASE WHEN sz.n < 2 THEN 1.0 ELSE coh_u / 1e6 END AS cohesion,
+                       CASE WHEN sz.n < 2 THEN 0.0
+                            ELSE CAST(round(n_low * 1e6 / npairs) AS BIGINT) / 1e6 END AS ambiguity,
+                       CAST(round(coalesce(max_docs, 0) * 1e6 / sz.n) AS BIGINT) / 1e6 AS entity_consistency,
+                       coalesce(te.top_entities, '') AS top_entities
+                FROM sz LEFT JOIN pa USING (cluster_id)
+                LEFT JOIN cons USING (cluster_id)
+                LEFT JOIN te USING (cluster_id))
+         SELECT *,
+                CASE (CASE WHEN cohesion < 0.3 THEN 1 ELSE 0 END) +
+                     (CASE WHEN ambiguity > 0.5 THEN 1 ELSE 0 END) +
+                     (CASE WHEN entity_consistency < 0.4 THEN 1 ELSE 0 END)
+                  WHEN 0 THEN 'Ok' WHEN 1 THEN 'Caution' ELSE 'Ng' END AS tier
+         FROM sc"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -3039,52 +3117,33 @@ object SparkEntry {
          FROM cand c JOIN dd USING (section_key)
          JOIN weak w ON w.section_key = c.section_key AND w.wrank = c.crank
          WHERE c.crank <= dd.d""",
-    "km07_cluster_quality" ->
-      """WITH m AS (SELECT CASE WHEN e.vec_id % 2 = 0
-                                THEN 1000 + e.label * 100 + e.vec_id % 20
-                                ELSE e.vec_id % 50 END AS cluster_id,
-                           e.vec_id AS id, e.embedding,
-                           string_split_regex(trim(d.text), '\s+') AS toks
-                    FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
-         t AS (SELECT cluster_id, id, embedding,
-                      list_distinct(toks[1:8]) AS title,
-                      list_filter(toks, x -> length(x) >= 6) AS ents
-               FROM m),
-         p AS (SELECT a.cluster_id,
-                      CAST(round(CAST(len(list_intersect(a.title, b.title)) AS DOUBLE) /
-                           len(list_distinct(a.title || b.title)) * 1e6) AS BIGINT) AS jac_u,
-                      CAST(round((list_sum(list_transform(list_zip(a.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) /
-                           (sqrt(list_sum(list_transform(list_zip(a.embedding, a.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE)))) *
-                            sqrt(list_sum(list_transform(list_zip(b.embedding, b.embedding), x -> CAST(x[1] AS DOUBLE) * CAST(x[1] AS DOUBLE)))))) * 1e6) AS BIGINT) / 1e6 AS cos6
-               FROM t a JOIN t b ON a.cluster_id = b.cluster_id AND a.id < b.id),
-         pa AS (SELECT cluster_id, count(*) AS npairs,
-                       CAST(round(sum(jac_u) / count(*)) AS BIGINT) AS coh_u,
-                       count(CASE WHEN cos6 < 0.5 THEN 1 END) AS n_low
-                FROM p GROUP BY 1),
-         ec AS (SELECT cluster_id, ent, count(DISTINCT id) AS n_docs, count(*) AS mentions
-                FROM (SELECT cluster_id, id, unnest(ents) AS ent FROM t)
-                GROUP BY 1, 2),
-         cons AS (SELECT cluster_id, max(n_docs) AS max_docs FROM ec GROUP BY 1),
-         te AS (SELECT cluster_id, string_agg(ent, ',' ORDER BY rn) AS top_entities
-                FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id
-                             ORDER BY mentions DESC, ent ASC) AS rn
-                      FROM ec)
-                WHERE rn <= 3 GROUP BY 1),
-         sz AS (SELECT cluster_id, count(*) AS n FROM t GROUP BY 1),
-         sc AS (SELECT sz.cluster_id, sz.n,
-                       CASE WHEN sz.n < 2 THEN 1.0 ELSE coh_u / 1e6 END AS cohesion,
-                       CASE WHEN sz.n < 2 THEN 0.0
-                            ELSE CAST(round(n_low * 1e6 / npairs) AS BIGINT) / 1e6 END AS ambiguity,
-                       CAST(round(coalesce(max_docs, 0) * 1e6 / sz.n) AS BIGINT) / 1e6 AS entity_consistency,
-                       coalesce(te.top_entities, '') AS top_entities
-                FROM sz LEFT JOIN pa USING (cluster_id)
-                LEFT JOIN cons USING (cluster_id)
-                LEFT JOIN te USING (cluster_id))
-         SELECT *,
-                CASE (CASE WHEN cohesion < 0.3 THEN 1 ELSE 0 END) +
-                     (CASE WHEN ambiguity > 0.5 THEN 1 ELSE 0 END) +
-                     (CASE WHEN entity_consistency < 0.4 THEN 1 ELSE 0 END)
-                  WHEN 0 THEN 'Ok' WHEN 1 THEN 'Caution' ELSE 'Ng' END AS tier
-         FROM sc""",
+    "km07_cluster_quality" -> km07OracleSql,
+    "pulse01_topic_selection" ->
+      s"""WITH km AS ($km07OracleSql),
+         mx AS (SELECT max(n) AS max_n FROM km),
+         cl AS (SELECT cluster_id, tier,
+                       CAST(round(n * 1e4 / mx.max_n) AS BIGINT) / 1e4 AS impact,
+                       entity_consistency AS burst,
+                       CAST(round((1.0 - cohesion) * 1e4) AS BIGINT) / 1e4 AS novelty,
+                       CAST(round(((cluster_id * 37) % 100) * 1e4 / 100) AS BIGINT) / 1e4 AS recency
+                FROM km CROSS JOIN mx),
+         ${pulseLevelSql("0", "'Ok'")},
+         ${pulseLevelSql("1", "'Ok', 'Caution'")},
+         ${pulseLevelSql("2", "'Ok', 'Caution', 'Ng'")},
+         cnt AS (SELECT (SELECT count(*) FROM p0) AS n0,
+                        (SELECT count(*) FROM p1) AS n1,
+                        (SELECT count(*) FROM p2) AS n2,
+                        (SELECT count(*) FROM cl) AS nc),
+         lvl AS (SELECT CASE WHEN n0 >= 3 THEN 0 WHEN n1 >= 3 THEN 1
+                             WHEN n2 >= 2 THEN 2 WHEN n2 = 1 THEN 4
+                             WHEN nc = 0 THEN 6 ELSE 5 END AS fallback_level
+                 FROM cnt)
+         SELECT u.cluster_id, u.role, u.score, u.impact_score, u.burst_score,
+                u.novelty_score, u.recency_score, lvl.fallback_level
+         FROM (SELECT *, 0 AS l FROM p0
+               UNION ALL SELECT *, 1 FROM p1
+               UNION ALL SELECT *, 2 FROM p2) u
+         CROSS JOIN lvl
+         WHERE u.l = lvl.fallback_level OR (u.l = 2 AND lvl.fallback_level = 4)""",
   )
 }
