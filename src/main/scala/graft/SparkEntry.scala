@@ -232,6 +232,7 @@ object SparkEntry {
     // Pulse cluster-quality diagnosis + topic selection (recap-worker)
     "km07_cluster_quality"          -> (ClusterQuality.km07 _),
     "pulse01_topic_selection"       -> (PulseSelect.pulse01 _),
+    "dd06_syndication"              -> (Syndication.dd06 _),
   )
 
   /** Shared DuckDB CTE chain for the hs01/hs02/slo01 oracles: the
@@ -3145,5 +3146,38 @@ object SparkEntry {
                UNION ALL SELECT *, 2 FROM p2) u
          CROSS JOIN lvl
          WHERE u.l = lvl.fallback_level OR (u.l = 2 AND lvl.fallback_level = 4)""",
+    "dd06_syndication" ->
+      """WITH a AS (SELECT doc_id AS id, doc_id AS pos,
+                  'https://' || CASE WHEN doc_id % 11 = 0 THEN 'www.reuters.com'
+                                     WHEN doc_id % 13 = 0 THEN 'apnews.com'
+                                     WHEN doc_id % 17 = 0 THEN 'feeds.prnewswire.com'
+                                     WHEN doc_id % 3 = 0 THEN 'www.nytimes.com'
+                                     ELSE 'techcrunch.com' END || '/a/' || doc_id AS source_url,
+                  CASE WHEN doc_id % 5 = 0 THEN 'https://canon.example.com/story/' || (doc_id % 40)
+                            || CASE WHEN doc_id % 10 = 0 THEN '#sec' || (doc_id % 3) ELSE '' END
+                  END AS canonical_url,
+                  CASE WHEN doc_id % 7 = 0 THEN 'https://og.example.com/o/' || (doc_id % 60) END AS og_url
+           FROM documents),
+         k AS (SELECT *, coalesce(string_split(trim(coalesce(canonical_url, og_url)), '#')[1],
+                                  source_url) AS group_key
+               FROM a),
+         r AS (SELECT *, row_number() OVER (PARTITION BY group_key ORDER BY pos, id) AS rn,
+                      first_value(id) OVER (PARTITION BY group_key ORDER BY pos, id) AS keeper_id
+               FROM k),
+         h AS (SELECT *, string_split(string_split_regex(
+                  CASE WHEN starts_with(trim(source_url), 'https://') THEN substr(trim(source_url), 9)
+                       WHEN starts_with(trim(source_url), 'http://') THEN substr(trim(source_url), 8)
+                       ELSE trim(source_url) END, '[/?#]')[1], ':')[1] AS host
+               FROM r)
+         SELECT id,
+                CASE WHEN rn > 1 THEN 'canonical_match'
+                     WHEN ends_with(lower(host), 'reuters.com') OR ends_with(lower(host), 'apnews.com')
+                       OR ends_with(lower(host), 'afp.com') OR ends_with(lower(host), 'kyodonews.jp')
+                       OR ends_with(lower(host), 'jiji.com') OR ends_with(lower(host), 'prnewswire.com')
+                       OR ends_with(lower(host), 'businesswire.com') OR ends_with(lower(host), 'globenewswire.com')
+                     THEN 'wire_source'
+                     ELSE 'kept' END AS status,
+                CASE WHEN rn > 1 THEN keeper_id END AS original_id
+         FROM h""",
   )
 }
