@@ -233,6 +233,7 @@ object SparkEntry {
     "km07_cluster_quality"          -> (ClusterQuality.km07 _),
     "pulse01_topic_selection"       -> (PulseSelect.pulse01 _),
     "dd06_syndication"              -> (Syndication.dd06 _),
+    "smp08_genre_trim"              -> (Sampling.smp08 _),
   )
 
   /** Shared DuckDB CTE chain for the hs01/hs02/slo01 oracles: the
@@ -3179,5 +3180,25 @@ object SparkEntry {
                      ELSE 'kept' END AS status,
                 CASE WHEN rn > 1 THEN keeper_id END AS original_id
          FROM h""",
+    "smp08_genre_trim" ->
+      """WITH a AS (SELECT lang AS genre, doc_id AS id, source,
+                  CAST(round((greatest(coalesce(CASE WHEN doc_id % 3 = 0 THEN NULL
+                                                     ELSE (doc_id * 29 % 100) / 100.0 END,
+                                                (doc_id * 13 % 100) / 100.0),
+                                       (doc_id * 13 % 100) / 100.0) * 0.5
+                              + exp(CAST(doc_id % 168 AS DOUBLE) * -0.005) * 0.3
+                              + least((doc_id % 7) / 5.0, 1.0) * 0.2) * 1e6) AS BIGINT) / 1e6 AS score
+           FROM documents),
+         r AS (SELECT *, row_number() OVER (PARTITION BY genre, source
+                                            ORDER BY score DESC, id ASC) AS rn_source,
+                      count(*) OVER (PARTITION BY genre) AS n_genre
+               FROM a),
+         s AS (SELECT *, row_number() OVER (PARTITION BY genre
+                                            ORDER BY rn_source ASC, source ASC) AS sel_rank,
+                      greatest(CAST(CASE WHEN genre = 'en' THEN 5 ELSE 3 END AS BIGINT),
+                               CAST(ceil(n_genre * 0.1) AS BIGINT)) AS effective_min
+               FROM r)
+         SELECT genre, id, source, score, sel_rank
+         FROM s WHERE sel_rank <= greatest(12, effective_min * 2)""",
   )
 }

@@ -226,4 +226,71 @@ object Sampling {
         .select(col("doc_id"), col("source").as("section_key"),
           col("doc_id").as("pos"), col("n_chars")),
       maxTotal = 100)
+
+  /** smp08: genre-balanced, source-fair assignment trimming —
+    * recap-worker's select-stage cap (recap-worker/recap-worker/src/
+    * pipeline/select/trimming.rs:10 trim_assignments):
+    *
+    *  - per genre, candidates rank by the select score
+    *    (select/scoring.rs:9 calculate_score — max(classifier,
+    *    keyword) confidence ×0.5 + exp(−0.005·age_hours) freshness
+    *    ×0.3 + min(tag_overlap/5, 1) ×0.2);
+    *  - the cap is DYNAMIC: effective_min = max(per-genre threshold,
+    *    ceil(10% of the genre's candidates)), adjusted_max =
+    *    max(max_articles, 2·effective_min) — a big genre keeps more
+    *    so trimming can't flatten real signal (:39-55);
+    *  - selection is per-SOURCE round-robin in source-name order,
+    *    each source's queue in score order (:57-109) — the smp07
+    *    fairness discipline: selection order = (per-source rank,
+    *    source name), truncated at adjusted_max.
+    *
+    * Everything is three windows partitioned by genre / (genre,
+    * source) — no iteration; reference ties follow the stable sort's
+    * input order, determinized here by id.
+    */
+  def genreTrimOn(assignments: DataFrame,
+                  maxArticlesPerGenre: Int = 12,
+                  minDocumentsPerGenre: Int = 3,
+                  thresholds: Map[String, Int] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySource = Window.partitionBy("genre", "source")
+      .orderBy(col("score").desc, col("id").asc)
+    val byGenre = Window.partitionBy("genre")
+    val bySelection = Window.partitionBy("genre")
+      .orderBy(col("rn_source").asc, col("source").asc)
+    val thresholdCol = thresholds.foldLeft(lit(minDocumentsPerGenre)) {
+      case (acc, (g, v)) => when(col("genre") === g, v).otherwise(acc)
+    }
+    assignments
+      .withColumn("rn_source", row_number().over(bySource))
+      .withColumn("n_genre", count(lit(1)).over(byGenre))
+      .withColumn("sel_rank", row_number().over(bySelection))
+      .withColumn("effective_min",
+        greatest(thresholdCol.cast("long"), ceil(col("n_genre") * 0.1)))
+      .withColumn("adjusted_max",
+        greatest(lit(maxArticlesPerGenre.toLong), col("effective_min") * 2))
+      .filter(col("sel_rank") <= col("adjusted_max"))
+      .select("genre", "id", "source", "score", "sel_rank")
+  }
+
+  /** smp08 adapter: genre = the document language, the select score
+    * composed from deterministic confidence/freshness/tag signals
+    * ("now" anchors at the id horizon — batch has no wall clock; the
+    * exp-derived component rounds to 6-dp exact units before ranking
+    * so order can't flip on a ulp).
+    */
+  def smp08(s: SparkSession, dir: String): DataFrame = {
+    val keywordConf = pmod(col("doc_id") * 13, lit(100)) / 100.0
+    val classifierConf = when(pmod(col("doc_id"), lit(3)) === 0, lit(null))
+      .otherwise(pmod(col("doc_id") * 29, lit(100)) / 100.0)
+    val base = greatest(coalesce(classifierConf, keywordConf), keywordConf)
+    val ageHours = pmod(col("doc_id"), lit(168)).cast("double")
+    val fresh = exp(ageHours * -0.005)
+    val tagScore = least(pmod(col("doc_id"), lit(7)) / 5.0, lit(1.0))
+    genreTrimOn(
+      Tables.documents(s, dir).select(
+        col("lang").as("genre"), col("doc_id").as("id"), col("source"),
+        microRound(base * 0.5 + fresh * 0.3 + tagScore * 0.2, 6).as("score")),
+      thresholds = Map("en" -> 5))
+  }
 }

@@ -55,6 +55,28 @@ class CurationSelectSpec extends SparkSpec {
     assert(!out.contains(11L) && !out.contains(12L))
   }
 
+  test("smp08: dynamic cap scales with genre size, round-robin keeps sources fair") {
+    // genre g: 40 candidates, 30 from source 'big', 10 from 'small' →
+    // dynamic_min = ceil(4) = 4, effective_min = max(3, 4) = 4,
+    // adjusted_max = max(12, 8) = 12 — the 12 slots must interleave,
+    // not let 'big' take them all
+    val rows = (1 to 30).map(i => ("g", i.toLong, "big", 1.0 - i * 0.01)) ++
+      (1 to 10).map(i => ("g", 100L + i, "small", 0.5 - i * 0.01)) ++
+      // genre h: 200 low-score rows from one source → dynamic_min 20 →
+      // adjusted_max = 40 beats the static 12
+      (1 to 200).map(i => ("h", 1000L + i, "solo", 0.1))
+    val out = Sampling.genreTrimOn(
+      rows.toDF("genre", "id", "source", "score"), thresholds = Map("g" -> 3))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val g = out.filter(_._1 == "g")
+    assert(g.length == 12)
+    assert(g.count(_._3 == "big") == 6 && g.count(_._3 == "small") == 6,
+      s"round-robin splits the 12 slots evenly: ${g.mkString(",")}")
+    // within each source the best scores go first
+    assert(g.filter(_._3 == "big").map(_._2).toSet == (1L to 6L).toSet)
+    assert(out.count(_._1 == "h") == 40, "dynamic cap: 2·ceil(200·0.1) = 40 > 12")
+  }
+
   test("pp02: deficit capped by candidate and displaceable availability") {
     // all curated already en → nothing displaceable → no swaps even
     // with a deficit-sized quota
