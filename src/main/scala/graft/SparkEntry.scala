@@ -234,6 +234,7 @@ object SparkEntry {
     "pulse01_topic_selection"       -> (PulseSelect.pulse01 _),
     "dd06_syndication"              -> (Syndication.dd06 _),
     "smp08_genre_trim"              -> (Sampling.smp08 _),
+    "pp03_evidence_scores"          -> (Curation.pp03 _),
   )
 
   /** Shared DuckDB CTE chain for the hs01/hs02/slo01 oracles: the
@@ -3200,5 +3201,22 @@ object SparkEntry {
                FROM r)
          SELECT genre, id, source, score, sel_rank
          FROM s WHERE sel_rank <= greatest(12, effective_min * 2)""",
+    "pp03_evidence_scores" ->
+      """WITH a AS (SELECT lang AS genre, doc_id AS id, source AS domain,
+                           (doc_id * 31 % 100) / 100.0 AS confidence,
+                           doc_id % 15 AS tag_overlap,
+                           n_chars AS token_count,
+                           CASE WHEN doc_id % 9 = 0 THEN NULL
+                                ELSE CAST(doc_id % 30 AS DOUBLE) END AS age_days
+                    FROM documents),
+         c AS (SELECT genre, domain, count(*) AS domain_count FROM a GROUP BY 1, 2)
+         SELECT a.genre, a.id, a.domain, c.domain_count,
+                CAST(round(greatest(
+                  a.confidence * 0.5
+                  + (least(a.tag_overlap * 0.1, 1.0) + least(a.token_count / 2000.0, 1.0)) / 2 * 0.3
+                  + (CASE WHEN a.age_days IS NULL THEN 0.5 ELSE exp(a.age_days / -7.0) END) * 0.2
+                  - (CASE WHEN c.domain_count > 3 THEN 0.2 ELSE 0.0 END),
+                  0.0) * 1e6) AS BIGINT) / 1e6 AS score
+         FROM a JOIN c ON a.genre = c.genre AND a.domain = c.domain""",
   )
 }

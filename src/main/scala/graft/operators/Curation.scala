@@ -174,6 +174,50 @@ object Curation {
         col("score"), col("victim_slot").as("slot"), lit(true).as("swapped_in")))
   }
 
+  /** pp03: evidence-corpus scoring with the domain-diversity penalty
+    * (recap-worker pipeline/evidence.rs:242 calculate_score): score =
+    * 0.5·confidence + 0.3·info + 0.2·freshness, where info is the
+    * MIDPOINT of the keyword factor (tag_overlap·0.1 capped 1) and
+    * the length factor (tokens/2000 capped 1), freshness decays
+    * exp(−age_days/7) with 0.5 for unknown dates — minus a flat 0.2
+    * penalty when the article's DOMAIN appears more than 3 times in
+    * the genre's assignment set (:283 — the anti-monoculture guard),
+    * floored at 0.
+    *
+    * The reference recomputes the domain count per article with a
+    * linear scan (O(n²) per genre); here it is ONE (genre, domain)
+    * aggregation broadcast back onto the scan — same numbers, linear.
+    */
+  def evidenceScoresOn(assignments: DataFrame): DataFrame = {
+    import graft.functions.Numeric.microRound
+    val counts = assignments.groupBy("genre", "domain")
+      .agg(count(lit(1)).as("domain_count"))
+    val kwFactor = least(col("tag_overlap") * 0.1, lit(1.0))
+    val lenFactor = least(col("token_count") / 2000.0, lit(1.0))
+    val info = (kwFactor + lenFactor) / 2
+    val fresh = when(col("age_days").isNull, 0.5)
+      .otherwise(exp(col("age_days") / -7.0))
+    assignments.join(broadcast(counts), Seq("genre", "domain"))
+      .select(col("genre"), col("id"), col("domain"), col("domain_count"),
+        microRound(
+          greatest(
+            col("confidence") * 0.5 + info * 0.3 + fresh * 0.2 -
+              when(col("domain_count") > 3, 0.2).otherwise(0.0),
+            lit(0.0)), 6).as("score"))
+  }
+
+  def pp03(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{pmod => pm}
+    val d = Tables.documents(s, dir)
+    evidenceScoresOn(d.select(
+      col("lang").as("genre"), col("doc_id").as("id"), col("source").as("domain"),
+      (pm(col("doc_id") * 31, lit(100)) / 100.0).as("confidence"),
+      pm(col("doc_id"), lit(15)).as("tag_overlap"),
+      col("n_chars").as("token_count"),
+      when(pm(col("doc_id"), lit(9)) === 0, lit(null))
+        .otherwise(pm(col("doc_id"), lit(30)).cast("double")).as("age_days")))
+  }
+
   /** pp02 adapter: per-source top-10 by a deterministic relevance
     * score (n_chars as the stand-in, doc order breaking ties), pool =
     * the whole source, quota en ≥ 20%; a doc slice reads as `und` to
