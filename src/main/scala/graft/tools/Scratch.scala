@@ -52,7 +52,9 @@ object Scratch {
       "pf01_run_stats", "pf02_load_report", "ml04_multilabel_metrics",
       "jq01_stale_pending", "hs01_service_health", "slo01_violations",
       "tx46_short_doc_triage", "smp07_round_robin_cap",
-      "pp02_language_quota", "qe05_run_comparison", "es10_stream_trim")
+      "pp02_language_quota", "qe05_run_comparison", "es10_stream_trim",
+      "km07_cluster_quality", "pulse01_topic_selection",
+      "dd06_syndication", "smp08_genre_trim", "pp03_evidence_scores")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

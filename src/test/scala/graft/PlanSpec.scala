@@ -314,7 +314,9 @@ class PlanSpec extends SparkSpec {
                   "es10_stream_trim", "hs01_service_health", "hs02_health_report",
                   "slo01_violations", "tx46_short_doc_triage",
                   "smp07_round_robin_cap", "pp02_language_quota",
-                  "qe05_run_comparison")) {
+                  "qe05_run_comparison", "km07_cluster_quality",
+                  "pulse01_topic_selection", "dd06_syndication",
+                  "smp08_genre_trim", "pp03_evidence_scores")) {
       val ws = allNodes(finalPlan(q)).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
       }
