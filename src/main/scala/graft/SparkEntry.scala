@@ -235,6 +235,7 @@ object SparkEntry {
     "dd06_syndication"              -> (Syndication.dd06 _),
     "smp08_genre_trim"              -> (Sampling.smp08 _),
     "pp03_evidence_scores"          -> (Curation.pp03 _),
+    "tg04_genre_refine"             -> (GenreRefine.tg04 _),
   )
 
   /** Shared DuckDB CTE chain for the hs01/hs02/slo01 oracles: the
@@ -689,6 +690,30 @@ object SparkEntry {
                      (CASE WHEN entity_consistency < 0.4 THEN 1 ELSE 0 END)
                   WHEN 0 THEN 'Ok' WHEN 1 THEN 'Caution' ELSE 'Ng' END AS tier
          FROM sc"""
+
+  /** tg01 oracle body, shared with the tg04 refine oracle. */
+  private val tg01OracleSql: String =
+    """WITH d AS (SELECT doc_id, lower(trim(lang)) AS genre,
+                           string_split_regex(trim(text), '\s+') AS toks
+                    FROM documents),
+         t AS (SELECT doc_id, genre,
+                      lower(trim(toks[i])) AS label,
+                      CAST(((doc_id + (i - 1) * 7) % 101) * 10000 AS BIGINT) AS conf_u
+               FROM d, unnest(generate_series(1, least(len(toks), 5))) AS g(i)),
+         f AS (SELECT * FROM t WHERE label <> '' AND conf_u >= 300000),
+         e AS (SELECT genre, label, count(*) AS sample_size, sum(conf_u) AS conf_sum_u
+               FROM f GROUP BY 1, 2),
+         fr AS (SELECT label, sum(sample_size) AS tag_freq FROM e GROUP BY 1),
+         tot AS (SELECT count(*) AS n_articles FROM d)
+         SELECT e.genre, e.label AS tag,
+                least(1000000, greatest(0,
+                  CAST(round(CAST(round(conf_sum_u * 1.0 / sample_size) AS BIGINT)
+                       * CAST(round((0.7 + 0.3 * ln(n_articles * 1.0 / (tag_freq + 1) + 1)
+                                            / ln(n_articles + 1.0)) * 1e6) AS BIGINT)
+                       / 1e6) AS BIGINT))) / 1e6 AS weight,
+                sample_size
+         FROM e JOIN fr USING (label) CROSS JOIN tot
+         WHERE sample_size >= 3"""
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -1737,28 +1762,125 @@ object SparkEntry {
     // tg01's oracle recomputes the composed tags' edges from the
     // deterministic composition rules (the qe01/ev31 shortcut); the
     // JSON round-trip is spec-verified
-    "tg01_tag_genre_graph" ->
-      """WITH d AS (SELECT doc_id, lower(trim(lang)) AS genre,
-                           string_split_regex(trim(text), '\s+') AS toks
-                    FROM documents),
-         t AS (SELECT doc_id, genre,
-                      lower(trim(toks[i])) AS label,
-                      CAST(((doc_id + (i - 1) * 7) % 101) * 10000 AS BIGINT) AS conf_u
-               FROM d, unnest(generate_series(1, least(len(toks), 5))) AS g(i)),
-         f AS (SELECT * FROM t WHERE label <> '' AND conf_u >= 300000),
-         e AS (SELECT genre, label, count(*) AS sample_size, sum(conf_u) AS conf_sum_u
-               FROM f GROUP BY 1, 2),
-         fr AS (SELECT label, sum(sample_size) AS tag_freq FROM e GROUP BY 1),
-         tot AS (SELECT count(*) AS n_articles FROM d)
-         SELECT e.genre, e.label AS tag,
-                least(1000000, greatest(0,
-                  CAST(round(CAST(round(conf_sum_u * 1.0 / sample_size) AS BIGINT)
-                       * CAST(round((0.7 + 0.3 * ln(n_articles * 1.0 / (tag_freq + 1) + 1)
-                                            / ln(n_articles + 1.0)) * 1e6) AS BIGINT)
-                       / 1e6) AS BIGINT))) / 1e6 AS weight,
-                sample_size
-         FROM e JOIN fr USING (label) CROSS JOIN tot
-         WHERE sample_size >= 3""",
+    "tg01_tag_genre_graph" -> tg01OracleSql,
+    "tg04_genre_refine" ->
+      s"""WITH gr AS ($tg01OracleSql),
+         gw AS (SELECT genre, tag, CAST(round(weight * 1e6) AS BIGINT) AS w_u6 FROM gr),
+         c1 AS (SELECT doc_id, lang AS name,
+                       (doc_id * 41 % 100) * 10000 AS conf_u6,
+                       (doc_id * 41 % 100) * 10000 AS score_u6,
+                       doc_id % 12 AS keyword_support, 0 AS cand_rank
+                FROM documents WHERE doc_id % 23 <> 0),
+         c2 AS (SELECT doc_id, (['es','de','fr','zh','en'])[CAST(doc_id % 5 AS INT) + 1] AS name,
+                       (doc_id * 17 % 80) * 10000, (doc_id * 17 % 80) * 10000,
+                       doc_id % 5, 1
+                FROM documents
+                WHERE doc_id % 23 <> 0
+                  AND (['es','de','fr','zh','en'])[CAST(doc_id % 5 AS INT) + 1] <> lang),
+         cands AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2),
+         tgs AS (SELECT doc_id,
+                        lower(trim(CASE WHEN i = 1 AND doc_id % 6 = 0 THEN lang
+                                        ELSE toks[i] END)) AS label,
+                        ((doc_id + (i - 1) * 7) % 101) * 10000 AS conf_u6
+                 FROM (SELECT doc_id, lang,
+                              string_split_regex(trim(text), '\\s+') AS toks
+                       FROM documents WHERE doc_id % 19 <> 0),
+                      unnest(generate_series(1, 4)) AS gs(i)),
+         tg2 AS (SELECT * FROM tgs WHERE label IS NOT NULL AND label <> ''),
+         exp0 AS (SELECT t.doc_id, g.genre AS name, sum(g.w_u6 * t.conf_u6) AS exp_u12
+                  FROM tg2 t JOIN gw g ON t.label = g.tag GROUP BY 1, 2
+                  HAVING sum(g.w_u6 * t.conf_u6) >= 300000000000),
+         expn AS (SELECT e.doc_id, e.name,
+                         least(CAST(round(e.exp_u12 / 1e6) AS BIGINT), 1000000) AS conf_u6,
+                         CAST(0 AS BIGINT) AS score_u6, 0 AS keyword_support,
+                         99 + row_number() OVER (PARTITION BY e.doc_id ORDER BY e.name ASC) AS cand_rank
+                  FROM exp0 e LEFT JOIN cands c ON c.doc_id = e.doc_id AND c.name = e.name
+                  WHERE c.name IS NULL),
+         ac AS (SELECT doc_id, name, CAST(conf_u6 AS BIGINT) AS conf_u6,
+                       CAST(score_u6 AS BIGINT) AS score_u6, keyword_support, cand_rank
+                FROM cands
+                UNION ALL
+                SELECT doc_id, name, conf_u6, score_u6, keyword_support, cand_rank FROM expn),
+         bo AS (SELECT a.doc_id, a.name, CAST(sum(g.w_u6 * t.conf_u6) AS BIGINT) AS boost_u12
+                FROM ac a JOIN tg2 t ON t.doc_id = a.doc_id
+                JOIN gw g ON g.genre = a.name AND g.tag = t.label
+                GROUP BY 1, 2),
+         wb AS (SELECT a.*, coalesce(bo.boost_u12, 0) AS boost_u12,
+                       a.score_u6 * 1000000 + coalesce(bo.boost_u12, 0) AS scored_u12
+                FROM ac a LEFT JOIN bo ON bo.doc_id = a.doc_id AND bo.name = a.name),
+         gt AS (SELECT * FROM tg2 WHERE conf_u6 >= 600000),
+         mt AS (SELECT g2.doc_id, a.name, g2.conf_u6, a.conf_u6 AS cl_u6
+                FROM gt g2 JOIN ac a ON a.doc_id = g2.doc_id AND g2.label = a.name),
+         wn AS (SELECT doc_id, min(name) AS w_name,
+                       least(greatest(max(conf_u6), max(cl_u6)), 1000000) AS w_conf_u6
+                FROM mt GROUP BY doc_id HAVING count(DISTINCT name) = 1),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY scored_u12 DESC, cand_rank ASC) AS rn FROM wb),
+         tp AS (SELECT doc_id, name AS t_name, conf_u6 AS t_conf_u6,
+                       boost_u12 AS t_boost_u12, scored_u12 AS t_scored_u12
+                FROM rk WHERE rn = 1),
+         sc2 AS (SELECT doc_id, scored_u12 AS s2_scored_u12 FROM rk WHERE rn = 2),
+         tc AS (SELECT c.doc_id, c.name, c.cand_rank,
+                       least(coalesce(sum(CASE WHEN g2.label = c.name THEN g2.conf_u6 * 2
+                                               ELSE g2.conf_u6 END), 0), 2000000) AS tc_x2
+                FROM cands c LEFT JOIN gt g2 ON g2.doc_id = c.doc_id AND
+                     (g2.label = c.name OR contains(c.name, g2.label)
+                      OR contains(g2.label, c.name))
+                GROUP BY 1, 2, 3),
+         tsc AS (SELECT c.doc_id, c.name, c.cand_rank,
+                        least(CAST(c.keyword_support AS BIGINT), 10) * 200000000000
+                        + CAST(c.conf_u6 AS BIGINT) * 4000000
+                        + least(coalesce(bo.boost_u12, 0), 1000000000000) * 2
+                        + tc.tc_x2 * 1000000 AS wt_u13
+                 FROM cands c JOIN tc ON tc.doc_id = c.doc_id AND tc.name = c.name
+                 LEFT JOIN bo ON bo.doc_id = c.doc_id AND bo.name = c.name),
+         tw AS (SELECT doc_id, name AS tie_name, wt_u13 FROM
+                (SELECT *, row_number() OVER (PARTITION BY doc_id
+                             ORDER BY wt_u13 DESC, cand_rank ASC) AS trn FROM tsc)
+                WHERE trn = 1),
+         ht AS (SELECT doc_id, count(*) AS n_tags FROM tg2 GROUP BY 1),
+         fc AS (SELECT doc_id, name AS f_name, conf_u6 AS f_conf_u6 FROM
+                (SELECT *, row_number() OVER (PARTITION BY doc_id
+                             ORDER BY cand_rank ASC) AS crn FROM cands)
+                WHERE crn = 1),
+         base AS (SELECT d.doc_id, ht.n_tags, fc.f_name, fc.f_conf_u6,
+                         wn.w_name, wn.w_conf_u6,
+                         tp.t_name, tp.t_conf_u6, tp.t_boost_u12,
+                         sc2.s2_scored_u12, tw.tie_name, tw.wt_u13,
+                         tp.t_scored_u12 - sc2.s2_scored_u12 AS margin_u12
+                  FROM documents d
+                  LEFT JOIN ht USING (doc_id) LEFT JOIN fc USING (doc_id)
+                  LEFT JOIN wn USING (doc_id) LEFT JOIN tp USING (doc_id)
+                  LEFT JOIN sc2 USING (doc_id) LEFT JOIN tw USING (doc_id))
+         SELECT doc_id,
+                CASE WHEN coalesce(n_tags, 0) = 0 THEN coalesce(f_name, 'other')
+                     WHEN t_name IS NULL THEN 'other'
+                     WHEN w_name IS NOT NULL THEN w_name
+                     WHEN s2_scored_u12 IS NOT NULL AND margin_u12 >= 150000000000
+                          AND t_boost_u12 >= 100000000000 AND t_conf_u6 >= 150000 THEN t_name
+                     WHEN s2_scored_u12 IS NOT NULL AND abs(margin_u12) < 50000000000
+                          AND tie_name IS NOT NULL THEN tie_name
+                     ELSE t_name END AS genre,
+                CASE WHEN coalesce(n_tags, 0) = 0 THEN coalesce(f_conf_u6, 0) / 1e6
+                     WHEN t_name IS NULL THEN 0.0
+                     WHEN w_name IS NOT NULL THEN w_conf_u6 / 1e6
+                     WHEN s2_scored_u12 IS NOT NULL AND margin_u12 >= 150000000000
+                          AND t_boost_u12 >= 100000000000 AND t_conf_u6 >= 150000
+                       THEN CAST(round(least(t_conf_u6 / 1e6 * 0.6 + t_boost_u12 / 1e12 * 0.4, 1.0) * 1e6) AS BIGINT) / 1e6
+                     WHEN s2_scored_u12 IS NOT NULL AND abs(margin_u12) < 50000000000
+                          AND tie_name IS NOT NULL
+                       THEN CAST(round(least(wt_u13 / 1e13, 1.0) * 1e6) AS BIGINT) / 1e6
+                     ELSE t_conf_u6 / 1e6 END AS confidence,
+                CASE WHEN coalesce(n_tags, 0) = 0 THEN 'coarse_only'
+                     WHEN t_name IS NULL THEN 'fallback_other'
+                     WHEN w_name IS NOT NULL THEN 'tag_consistency'
+                     WHEN s2_scored_u12 IS NOT NULL AND margin_u12 >= 150000000000
+                          AND t_boost_u12 >= 100000000000 AND t_conf_u6 >= 150000 THEN 'graph_boost'
+                     WHEN s2_scored_u12 IS NOT NULL AND abs(margin_u12) < 50000000000
+                          AND tie_name IS NOT NULL THEN 'weighted_score'
+                     WHEN t_boost_u12 > 0 AND t_conf_u6 >= 150000 THEN 'graph_boost'
+                     ELSE 'coarse_only' END AS strategy
+         FROM base""",
     // the oracle recomputes the composed outputs' quality directly from
     // the deterministic composition rules (the ev31/dq08 shortcut); the
     // JSON round-trip itself — both bullet shapes included — is
