@@ -112,10 +112,20 @@ object GenreRefine {
     * `docs`: the article universe. Output: (doc_id, genre,
     * confidence, strategy).
     */
-  def refineOn(cands: DataFrame, tags: DataFrame, graph: DataFrame,
+  def refineOn(cands0: DataFrame, tags0: DataFrame, graph: DataFrame,
                docs: DataFrame): DataFrame = {
-    val g = graph.select(col("genre"), col("tag"),
+    // the cascade reads candidates/tags from five branches each —
+    // persist both (the rpNearDupOn precedent: Verify/Bench clear the
+    // cache between queries; long-lived sessions manage their own),
+    // and materialize the graph (a bounded |genres|×|tags| aggregate)
+    // so tg01's DAG runs once, not per join
+    val cands = cands0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tags = tags0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g0 = graph.select(col("genre"), col("tag"),
       round(col("weight") * 1e6, 0).cast("long").as("w_u6"))
+    val gRows = g0.collect()
+    val g = g0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(gRows: _*), g0.schema)
 
     // step 2: expansion — per (doc, genre) Σ w·conf in 1e-12 units
     val expansionAll = tags.join(broadcast(g), col("label") === col("tag"))

@@ -86,9 +86,26 @@ object PulseSelect {
     selected.reduce(_ unionByName _)
   }
 
-  /** The fallback ladder over the three tier levels, as one plan. */
-  def selectTopicsOn(quality: DataFrame): DataFrame = {
-    val clusters = scoredClusters(quality)
+  /** The fallback ladder over the three tier levels, as one plan.
+    *
+    * The scored cluster frame MATERIALIZES first (the centroid-collect
+    * pattern — it is a bounded aggregate, ≤ |clusters| rows): the
+    * ladder reads it from nine argmax/anti-join branches plus the
+    * level counts, and without materialization each branch re-ran the
+    * upstream quality DAG — the first cut re-computed km07's pairwise
+    * joins ~15× and benched 14.7 s where the quality frame itself
+    * costs 0.9 s.
+    */
+  def selectTopicsOn(quality0: DataFrame): DataFrame = {
+    // quality materializes FIRST (scoredClusters reads it from the
+    // max-n branch AND the scan), then the scored frame once more
+    val qRows = quality0.collect()
+    val quality = quality0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(qRows: _*), quality0.schema)
+    val scored0 = scoredClusters(quality)
+    val rows = scored0.collect()
+    val clusters = scored0.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), scored0.schema)
     val l0 = picksAtTier(clusters, Seq("Ok")).withColumn("lvl", lit(0))
     val l1 = picksAtTier(clusters, Seq("Ok", "Caution")).withColumn("lvl", lit(1))
     val l2 = picksAtTier(clusters, Seq("Ok", "Caution", "Ng")).withColumn("lvl", lit(2))
