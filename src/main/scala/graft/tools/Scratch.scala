@@ -54,7 +54,8 @@ object Scratch {
       "tx46_short_doc_triage", "smp07_round_robin_cap",
       "pp02_language_quota", "qe05_run_comparison", "es10_stream_trim",
       "km07_cluster_quality", "pulse01_topic_selection",
-      "dd06_syndication", "smp08_genre_trim", "pp03_evidence_scores")
+      "dd06_syndication", "smp08_genre_trim", "pp03_evidence_scores",
+      "tg04_genre_refine")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

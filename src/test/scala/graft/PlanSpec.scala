@@ -316,7 +316,8 @@ class PlanSpec extends SparkSpec {
                   "smp07_round_robin_cap", "pp02_language_quota",
                   "qe05_run_comparison", "km07_cluster_quality",
                   "pulse01_topic_selection", "dd06_syndication",
-                  "smp08_genre_trim", "pp03_evidence_scores")) {
+                  "smp08_genre_trim", "pp03_evidence_scores",
+                  "tg04_genre_refine")) {
       val ws = allNodes(finalPlan(q)).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
       }
