@@ -343,4 +343,69 @@ class PropertiesSpec extends SparkSpec {
     assert(tempSorted.zip(tempSorted.tail).forall { case (a, b) => a <= b + 1e-12 },
       s"temperature reordered the mixture: ${tempSorted.toSeq}")
   }
+
+  test("round-robin cap invariants vs a reference interleaver on random inputs") {
+    import graft.operators.Sampling
+    val itemsGen = Gen.chooseNum(1, 40).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(0, 5)).map(_.zipWithIndex.map {
+        case (sec, i) => (s"s$sec", (i + 1).toLong)
+      }))
+    // the reference greedy: one item per section per round, sections in
+    // first-appearance order, until the cap
+    def refInterleave(items: Seq[(String, Long)], cap: Int): Set[(String, Long)] = {
+      if (items.size <= cap) return items.toSet
+      val order = items.map(_._1).distinct
+      val queues = scala.collection.mutable.Map(
+        items.groupBy(_._1).view.mapValues(v => scala.collection.mutable.Queue(v: _*)).toSeq: _*)
+      val out = scala.collection.mutable.Buffer.empty[(String, Long)]
+      var progressed = true
+      while (out.size < cap && progressed) {
+        progressed = false
+        for (s <- order if out.size < cap) {
+          val q = queues(s)
+          if (q.nonEmpty) { out += q.dequeue(); progressed = true }
+        }
+      }
+      out.toSet
+    }
+    samples(itemsGen, 8).foreach { items =>
+      val cap = math.max(1, items.size / 2)
+      val got = Sampling.roundRobinCapOn(items.toDF("section_key", "pos"), cap)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      val want = refInterleave(items, cap)
+      assert(got == want, s"items=$items cap=$cap got=$got want=$want")
+    }
+  }
+
+  test("language-quota invariants: slot count preserved, quota never overshoots availability") {
+    import graft.operators.Curation
+    val rowGen = Gen.zip(Gen.chooseNum(5, 25), Gen.chooseNum(0, 8)).flatMap {
+      case (nPool, nEn) =>
+        Gen.listOfN(nPool, Gen.chooseNum(1.0, 99.0)).map { scores =>
+          scores.zipWithIndex.map { case (sc, i) =>
+            val lang = if (i < nEn) "en" else if (i % 7 == 0) "und" else "ja"
+            ("s", (i + 1).toLong, lang, math.rint(sc), (i + 1).toLong)
+          }
+        }
+    }
+    samples(rowGen, 8).foreach { pool =>
+      val poolDf = pool.toDF("section_key", "id", "language", "score", "pos")
+      val k = math.min(6, pool.size)
+      val curated = pool.sortBy(p => (-p._4, p._5)).take(k).zipWithIndex
+        .map { case ((s, id, l, sc, _), slot) => (s, id, l, sc, slot + 1) }
+      val curDf = curated.toDF("section_key", "id", "language", "score", "slot")
+      val out = Curation.languageQuotaOn(curDf, poolDf, "en", 0.34).collect()
+      assert(out.length == k, s"slot count changed: ${out.length} vs $k")
+      assert(out.map(_.getInt(4)).sorted.sameElements(1 to k), "slots stay a permutation")
+      val required = math.ceil(k * 0.34).toInt
+      val enTotal = pool.count(_._3 == "en")
+      val enCur = curated.count(_._3 == "en")
+      val nonProtected = k - enCur
+      val enOut = out.count(_.getString(2) == "en")
+      val expected = math.min(math.max(enCur, math.min(required, enCur + (enTotal - enCur).min(nonProtected))), k)
+      assert(enOut >= enCur, "rebalance never removes the protected language")
+      assert(enOut == expected || enOut >= math.min(required, expected),
+        s"quota fill: enOut=$enOut required=$required enTotal=$enTotal enCur=$enCur k=$k")
+    }
+  }
 }
