@@ -169,6 +169,41 @@ object StreamOps {
         microRatio(col("n_err") * 100, col("sample_count"), 2).as("error_rate_pct"),
         col("sample_count"))
 
+  /** st21: hs01's service-health scorecard running CONTINUOUSLY —
+    * per (service, window): volume, error/warn counts, the exact
+    * 3-dp error-rate percent, approx p95 latency (the mergeable
+    * sketch is the only percentile a stream can hold — the ev31→st18
+    * precedent), and the SAME penalty-ladder score + status bands as
+    * batch (HealthScore.healthScore — the ladder itself is a
+    * stateless projection, identical by construction). The log-gap
+    * input pins to 0: a service present in the window is by
+    * definition fresh, and a service ABSENT from the window emits no
+    * row at all — staleness detection is the liveness monitor's job
+    * (es08/st16), not the in-window scorer's.
+    */
+  def serviceHealthStream(logs: DataFrame, windowLen: String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame = {
+    val severe = col("severity_text").isin("ERROR", "FATAL")
+    logs
+      .withColumn("dur_c", graft.functions.Numeric.cents(
+        coalesce(col("duration_ms"), lit(0.0))))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("service_name"))
+      .agg(
+        count(lit(1)).as("total_logs"),
+        count(when(severe, 1)).as("error_count"),
+        count(when(col("severity_text") === "WARNING", 1)).as("warn_count"),
+        microRatio(count(when(severe, 1)) * 100, count(lit(1)), 3).as("error_rate"),
+        (round(expr("approx_percentile(dur_c, 0.95)"), 0).cast("long") / 1e2).as("p95_ms"))
+      .withColumn("health_score", graft.operators.HealthScore.healthScore(
+        col("error_rate"), col("p95_ms"), lit(0L)))
+      .withColumn("health_status",
+        graft.operators.HealthScore.healthStatus(col("health_score")))
+      .select(col("window.start").as("bucket"), col("service_name"),
+        col("total_logs"), col("error_count"), col("warn_count"),
+        col("error_rate"), col("p95_ms"), col("health_score"), col("health_status"))
+  }
+
   def shapeDriftVsBaseline(keyCounts0: DataFrame, baseline: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     // the closed-window frame is bounded (windows × services × keys) and

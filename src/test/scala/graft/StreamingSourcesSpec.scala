@@ -651,4 +651,35 @@ class StreamingSourcesSpec extends SparkSpec {
       assert(batchRows == rows, s"batch $batchRows vs stream $rows")
     } finally q.stop()
   }
+
+  test("st21 streaming health scorecard: the batch penalty ladder per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Timestamp, String, String, java.lang.Double)]
+    val out = StreamOps.serviceHealthStream(
+      mem.toDF.toDF("ts", "service_name", "severity_text", "duration_ms"))
+    val q = out.writeStream.format("memory").queryName("st21").outputMode("append").start()
+    try {
+      // svc A hour 00: 2 errors of 10 at 600 ms → error_rate 20% →
+      // −40; p95 600 > 500 → −5 ⇒ score 55 Degraded.
+      // svc B hour 00: clean, fast → 100 Healthy.
+      val rows =
+        (1 to 8).map(i => (at(f"2024-01-01 00:10:$i%02d"), "A", "INFO", 600.0: java.lang.Double)) ++
+        Seq((at("2024-01-01 00:20:00"), "A", "ERROR", 600.0: java.lang.Double),
+            (at("2024-01-01 00:21:00"), "A", "FATAL", 600.0: java.lang.Double)) ++
+        (1 to 5).map(i => (at(f"2024-01-01 00:30:$i%02d"), "B", "INFO", 50.0: java.lang.Double))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((at("2024-01-01 05:00:00"), "B", "INFO", 1.0: java.lang.Double))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT service_name, error_rate, p95_ms, health_score, health_status FROM st21")
+        .collect().map(r => r.getString(0) -> r).toMap
+      assert(got("A").getDouble(1) == 20.0)
+      assert(got("A").getDouble(2) == 600.0)
+      assert(got("A").getInt(3) == 55 && got("A").getString(4) == "Degraded",
+        "error ladder −40, latency ladder −5")
+      assert(got("B").getInt(3) == 100 && got("B").getString(4) == "Healthy")
+    } finally q.stop()
+  }
 }
