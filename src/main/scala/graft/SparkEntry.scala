@@ -217,6 +217,7 @@ object SparkEntry {
     // Multi-label classification evaluation (recap-subworker)
     "ml04_multilabel_metrics"       -> (MultiLabel.ml04 _),
     "ml05_genre_report"             -> (MultiLabel.ml05 _),
+    "ml06_multilabel_by_lang"       -> (MultiLabel.ml06 _),
     // Job-queue / outbox read models (pre-processor)
     "jq01_stale_pending"            -> (JobQueue.jq01 _),
     "jq02_queue_health"             -> (JobQueue.jq02 _),
@@ -3079,6 +3080,39 @@ object SparkEntry {
                 macro_precision, macro_recall, macro_f1,
                 micro_precision, micro_recall, micro_f1
          FROM ss CROSS JOIN mi2""",
+    "ml06_multilabel_by_lang" ->
+      s"""WITH $multiLabelCte,
+         pl2 AS (SELECT p.*, d2.lang FROM p JOIN documents d2 ON d2.doc_id = p.doc_id),
+         pd AS (SELECT lang, doc_id, count(CASE WHEN y_true = y_pred THEN 1 END) AS agree
+                FROM pl2 GROUP BY 1, 2),
+         ss AS (SELECT lang, count(*) AS n_samples,
+                       count(CASE WHEN agree = 4 THEN 1 END) AS n_exact,
+                       sum(4 - agree) AS n_disagree
+                FROM pd GROUP BY 1),
+         m2 AS (SELECT lang, genre,
+                       count(CASE WHEN y_true AND y_pred THEN 1 END) AS tp,
+                       count(CASE WHEN NOT y_true AND y_pred THEN 1 END) AS fp,
+                       count(CASE WHEN y_true AND NOT y_pred THEN 1 END) AS fn
+                FROM pl2 GROUP BY 1, 2),
+         r2 AS (SELECT lang, tp, fp, fn,
+                       CASE WHEN tp + fp > 0 THEN CAST(round(tp * 1e4 / (tp + fp)) AS BIGINT)
+                            ELSE 0 END AS p_u,
+                       CASE WHEN tp + fn > 0 THEN CAST(round(tp * 1e4 / (tp + fn)) AS BIGINT)
+                            ELSE 0 END AS r_u
+                FROM m2),
+         mm2 AS (SELECT lang, sum(tp) AS tp, sum(fp) AS fp, sum(fn) AS fn,
+                        CAST(round(sum(p_u) * 1e0 / count(*)) AS BIGINT) AS macro_p_u,
+                        CAST(round(sum(r_u) * 1e0 / count(*)) AS BIGINT) AS macro_r_u
+                 FROM r2 GROUP BY 1)
+         SELECT ss.lang, n_samples,
+                CAST(round(n_exact * 1e4 / n_samples) AS BIGINT) / 1e4 AS accuracy,
+                CAST(round(n_disagree * 1e4 / (n_samples * 4)) AS BIGINT) / 1e4 AS hamming_loss,
+                macro_p_u / 1e4 AS macro_precision, macro_r_u / 1e4 AS macro_recall,
+                CASE WHEN tp + fp > 0 THEN CAST(round(tp * 1e4 / (tp + fp)) AS BIGINT) / 1e4
+                     ELSE 0.0 END AS micro_precision,
+                CASE WHEN tp + fn > 0 THEN CAST(round(tp * 1e4 / (tp + fn)) AS BIGINT) / 1e4
+                     ELSE 0.0 END AS micro_recall
+         FROM ss JOIN mm2 USING (lang)""",
     "es10_stream_trim" ->
       """WITH c AS (SELECT event_type AS stream, count(*) AS n_before
                     FROM events GROUP BY 1),

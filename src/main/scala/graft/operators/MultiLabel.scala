@@ -133,4 +133,52 @@ object MultiLabel {
 
   def ml04(s: SparkSession, dir: String): DataFrame =
     summaryOn(indicatorFrame(s, dir))
+
+  /** ml06: the per-language evaluation split (evaluation.py:429
+    * evaluate_by_language — the reference runs the whole battery
+    * separately for each language because a ja/en-pooled number hides
+    * per-language regressions). One summary row per language, the
+    * ml04 battery re-keyed — the indicator frame joins its document's
+    * language and every aggregate gains the language key; same
+    * single-scan shape, |languages|× rows out.
+    */
+  def ml06(s: SparkSession, dir: String): DataFrame = {
+    val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+    val pairs = indicatorFrame(s, dir).join(langs, "doc_id")
+    val perDoc = pairs.groupBy("lang", "doc_id")
+      .agg(count(when(col("y_true") === col("y_pred"), 1)).as("agree"))
+    val nLabels = Genres.size
+    val sampleStats = perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_samples"),
+      count(when(col("agree") === nLabels, 1)).as("n_exact"),
+      sum(lit(nLabels) - col("agree")).as("n_disagree"))
+    val perLabel = pairs.groupBy("lang", "genre").agg(
+        count(when(col("y_true") && col("y_pred"), 1)).as("tp"),
+        count(when(!col("y_true") && col("y_pred"), 1)).as("fp"),
+        count(when(col("y_true") && !col("y_pred"), 1)).as("fn"))
+      .select(col("lang"), col("tp"), col("fp"), col("fn"),
+        round(when(col("tp") + col("fp") > 0,
+            microRatio(col("tp"), col("tp") + col("fp"), 4)).otherwise(0.0) * 1e4, 0)
+          .cast("long").as("p_u"),
+        round(when(col("tp") + col("fn") > 0,
+            microRatio(col("tp"), col("tp") + col("fn"), 4)).otherwise(0.0) * 1e4, 0)
+          .cast("long").as("r_u"))
+    val micro = perLabel.groupBy("lang").agg(
+        sum("tp").as("tp"), sum("fp").as("fp"), sum("fn").as("fn"),
+        microRatio(sum("p_u"), count(lit(1)), 0).as("macro_p_u"),
+        microRatio(sum("r_u"), count(lit(1)), 0).as("macro_r_u"))
+      .select(col("lang"),
+        (col("macro_p_u") / 1e4).as("macro_precision"),
+        (col("macro_r_u") / 1e4).as("macro_recall"),
+        when(col("tp") + col("fp") > 0, microRatio(col("tp"), col("tp") + col("fp"), 4))
+          .otherwise(0.0).as("micro_precision"),
+        when(col("tp") + col("fn") > 0, microRatio(col("tp"), col("tp") + col("fn"), 4))
+          .otherwise(0.0).as("micro_recall"))
+    sampleStats.join(micro, "lang")
+      .select(col("lang"), col("n_samples"),
+        microRatio(col("n_exact"), col("n_samples"), 4).as("accuracy"),
+        microRatio(col("n_disagree"), col("n_samples") * nLabels, 4).as("hamming_loss"),
+        col("macro_precision"), col("macro_recall"),
+        col("micro_precision"), col("micro_recall"))
+  }
 }
