@@ -682,4 +682,34 @@ class StreamingSourcesSpec extends SparkSpec {
       assert(got("B").getInt(3) == 100 && got("B").getString(4) == "Healthy")
     } finally q.stop()
   }
+
+  test("st22 triage-at-ingest: the tx46 cascade runs stateless on a stream, batch-identical") {
+    // the st14 discipline: a stateless gate reuses the IDENTICAL batch
+    // operator body in streaming — here the whole 11-category triage
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.Triage.withCleaned(
+        mem.toDF.toDF("doc_id", "content"))
+      .select(col("doc_id"), graft.operators.Triage.category.as("category"))
+    val q = out.writeStream.format("memory").queryName("st22").outputMode("append").start()
+    try {
+      val batchRows = Seq(
+        (1L, "oops: 404 Not Found"),
+        (2L, "GitHub Linux tech notes"),
+        (3L, "   "),
+        (4L, "go https://example.com/a/1 https://example.org/path/to/x"),
+        (5L, "a perfectly ordinary short line"))
+      mem.addData(batchRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, category FROM st22")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = graft.operators.Triage.withCleaned(
+          batchRows.toDF("doc_id", "content"))
+        .select(col("doc_id"), graft.operators.Triage.category.as("category"))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed(1L) == "error_message" && streamed(3L) == "empty"
+        && streamed(4L) == "url_only")
+    } finally q.stop()
+  }
 }
