@@ -218,6 +218,7 @@ object SparkEntry {
     "ml04_multilabel_metrics"       -> (MultiLabel.ml04 _),
     "ml05_genre_report"             -> (MultiLabel.ml05 _),
     "ml06_multilabel_by_lang"       -> (MultiLabel.ml06 _),
+    "ml07_dataset_quality"          -> (MultiLabel.ml07 _),
     // Job-queue / outbox read models (pre-processor)
     "jq01_stale_pending"            -> (JobQueue.jq01 _),
     "jq02_queue_health"             -> (JobQueue.jq02 _),
@@ -3113,6 +3114,26 @@ object SparkEntry {
                 CASE WHEN tp + fn > 0 THEN CAST(round(tp * 1e4 / (tp + fn)) AS BIGINT) / 1e4
                      ELSE 0.0 END AS micro_recall
          FROM ss JOIN mm2 USING (lang)""",
+    "ml07_dataset_quality" ->
+      s"""WITH $multiLabelCte,
+         tr AS (SELECT genre, count(*) AS n FROM p WHERE y_true GROUP BY 1),
+         tot AS (SELECT count(DISTINCT doc_id) AS total_samples FROM p),
+         agg AS (SELECT count(*) AS genre_count,
+                        coalesce(min(n), 0) AS min_s, coalesce(max(n), 0) AS max_s,
+                        CASE WHEN count(*) > 0
+                             THEN CAST(round(sum(n) * 1e4 / count(*)) AS BIGINT) / 1e4
+                             ELSE 0.0 END AS avg_s,
+                        count(CASE WHEN n < 5 THEN 1 END) AS n_below,
+                        coalesce(array_to_string(list_sort(list(genre) FILTER (WHERE n < 5)), ','), '') AS below
+                 FROM tr)
+         SELECT tot.total_samples, genre_count,
+                min_s AS min_samples_per_genre, max_s AS max_samples_per_genre,
+                avg_s AS avg_samples_per_genre, n_below AS n_below_threshold,
+                below AS genres_below_threshold,
+                min_s < 5 AS warn_unstable,
+                genre_count = 0 AS warn_no_genres,
+                tot.total_samples < 30 AS warn_small_dataset
+         FROM agg CROSS JOIN tot""",
     "es10_stream_trim" ->
       """WITH c AS (SELECT event_type AS stream, count(*) AS n_before
                     FROM events GROUP BY 1),

@@ -142,6 +142,39 @@ object MultiLabel {
     * language and every aggregate gains the language key; same
     * single-scan shape, |languages|× rows out.
     */
+  /** ml07: the evaluation-dataset quality report (recap-worker
+    * api/evaluation.rs:53 analyze_golden_dataset — "is this golden set
+    * statistically usable" BEFORE trusting any score from it): per-
+    * genre sample counts from the expected label sets, min/max/avg
+    * samples per genre, the genres under the 5-sample stability
+    * threshold (sorted — the reference's HashMap order determinized),
+    * and the three warning rules (:81 — unstable genres present,
+    * empty genre set, fewer than 30 total samples) as flags.
+    */
+  def ml07(s: SparkSession, dir: String): DataFrame = {
+    val threshold = 5
+    val truth = indicatorFrame(s, dir).filter(col("y_true"))
+    val genreCounts = truth.groupBy("genre").agg(count(lit(1)).as("n"))
+    val total = indicatorFrame(s, dir).select("doc_id").distinct().count()
+    genreCounts.agg(
+      count(lit(1)).as("genre_count"),
+      coalesce(min("n"), lit(0L)).as("min_samples_per_genre"),
+      coalesce(max("n"), lit(0L)).as("max_samples_per_genre"),
+      when(count(lit(1)) > 0, microRatio(sum("n"), count(lit(1)), 4))
+        .otherwise(0.0).as("avg_samples_per_genre"),
+      count(when(col("n") < threshold, 1)).as("n_below_threshold"),
+      coalesce(array_join(array_sort(
+        collect_list(when(col("n") < threshold, col("genre")))), ","), lit(""))
+        .as("genres_below_threshold"))
+    .select(lit(total).as("total_samples"), col("genre_count"),
+      col("min_samples_per_genre"), col("max_samples_per_genre"),
+      col("avg_samples_per_genre"), col("n_below_threshold"),
+      col("genres_below_threshold"),
+      (col("min_samples_per_genre") < threshold).as("warn_unstable"),
+      (col("genre_count") === 0).as("warn_no_genres"),
+      (lit(total) < 30).as("warn_small_dataset"))
+  }
+
   def ml06(s: SparkSession, dir: String): DataFrame = {
     val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
     val pairs = indicatorFrame(s, dir).join(langs, "doc_id")
