@@ -110,9 +110,9 @@ object PulseSelect {
     val l1 = picksAtTier(clusters, Seq("Ok", "Caution")).withColumn("lvl", lit(1))
     val l2 = picksAtTier(clusters, Seq("Ok", "Caution", "Ng")).withColumn("lvl", lit(2))
     val counts = l0.agg(count(lit(1)).as("n0"))
-      .crossJoin(l1.agg(count(lit(1)).as("n1")))
-      .crossJoin(l2.agg(count(lit(1)).as("n2")))
-      .crossJoin(clusters.agg(count(lit(1)).as("n_clusters")))
+      .crossJoin(broadcast(l1.agg(count(lit(1)).as("n1"))))
+      .crossJoin(broadcast(l2.agg(count(lit(1)).as("n2"))))
+      .crossJoin(broadcast(clusters.agg(count(lit(1)).as("n_clusters"))))
       .select(
         when(col("n0") >= MaxTopics, 0)
           .when(col("n1") >= MaxTopics, 1)

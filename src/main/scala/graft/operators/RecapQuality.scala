@@ -45,8 +45,8 @@ import graft.functions.Numeric.{microRatio, microUnits}
   * Scale: grounding/readability/structure/entity are STATELESS
   * higher-order-function projections of the scan (no explode, no
   * shuffle); redundancy is qe02's bounded pair machinery — ≤C(4,2)
-  * pairs per summary, bigram frames keyed by (summary, bullet), never
-  * corpus². One join merges the two.
+  * pairs per summary, hashed-long bigram frames keyed by (summary,
+  * bullet), never corpus². One join merges the two.
   */
 object RecapQuality {
 
@@ -132,10 +132,28 @@ object RecapQuality {
   }
 
   /** Pairwise char-bigram multiset Jaccard redundancy — the bounded
-    * qe02 pair shape: bigram counts keyed by (summary, bullet),
-    * all-pairs frame from the per-bullet totals (so zero-overlap
-    * pairs still average in), intersection by an equi-join on the
-    * bigram.
+    * qe02 pair shape, tightened two ways after the warm-creep probe
+    * (4.7 s warm; this lineage alone was 4.3 s of it):
+    *
+    *  - the bigram leaves the scan as an 8-byte xxhash64 long, never
+    *    as a string — it is only ever compared for equality, so the
+    *    exploded frame (~2.4 M rows at sf0.1) shuffles fixed-width
+    *    longs (the dd05 precedent). A collision inside one summary's
+    *    ≤ thousands of distinct bigrams is ~2⁻⁴⁴; the DuckDB oracle
+    *    stays on the string key and still hash-matches.
+    *  - per-(bullet, bigram) multiplicities PRE-COUNT in a codegen
+    *    hash aggregation (map-side combine collapses the in-bullet
+    *    repeats before the shuffle), so the second aggregation
+    *    collects ≤ n_bullets tiny (idx, count) structs per bigram and
+    *    the pair derivation is a trivial HOF over ≤ 4 entries — the
+    *    first cut collected the raw index multiset and re-filtered it
+    *    per pair in interpreted lambdas.
+    *
+    * (A fully in-row variant — per-summary pair folds over hashed
+    * bigram arrays, zero shuffles — benched 4× SLOWER: higher-order
+    * functions evaluate interpreted, outside whole-stage codegen, so
+    * the relational plan with codegen hash aggregations wins; kept
+    * relational deliberately.)
     */
   private def redundancy(recaps: DataFrame): DataFrame = {
     val bl = recaps
@@ -143,23 +161,21 @@ object RecapQuality {
       .withColumn("chars", regexp_replace(col("b"), "\\s+", ""))
       .withColumn("n_bi", greatest(length(col("chars")) - 1, lit(0)))
       .select(col("output_id"), col("idx"), col("chars"), col("n_bi"))
-    // ONE aggregation keyed by (summary, bigram) carrying the bullet
-    // indexes as a small list (≤ bullets × per-bullet multiplicity):
-    // per-pair min-count contributions then derive STATELESSLY from
-    // that list — no per-(bullet, bigram) pre-count and no
-    // self-join, which would replay the explode lineage twice
     val contrib = bl
       .filter(col("n_bi") > 0)
-      .withColumn("bg", explode(expr(
-        "transform(sequence(1, n_bi), i -> substr(chars, i, 2))")))
+      // explode the POSITION sequence and hash in the projection —
+      // not transform(...) into an array first: the lambda would
+      // evaluate interpreted per element, while substr+xxhash64 over
+      // an exploded position row stays inside whole-stage codegen
+      .withColumn("i", explode(sequence(lit(1), col("n_bi"))))
+      .withColumn("bg", xxhash64(col("chars").substr(col("i"), lit(2))))
+      .groupBy("output_id", "idx", "bg").agg(count(lit(1)).as("c"))
       .groupBy("output_id", "bg")
-      .agg(collect_list(col("idx")).as("lst"))
+      .agg(collect_list(struct(col("idx"), col("c"))).as("lst"))
       .select(col("output_id"), explode(expr(
-        """flatten(transform(array_distinct(lst), a ->
-             transform(filter(array_distinct(lst), b -> b > a), b ->
-               struct(a AS ia, b AS ib,
-                      least(size(filter(lst, x -> x = a)),
-                            size(filter(lst, x -> x = b))) AS m))))""")).as("p"))
+        """flatten(transform(lst, a ->
+             transform(filter(lst, b -> b.idx > a.idx), b ->
+               struct(a.idx AS ia, b.idx AS ib, least(a.c, b.c) AS m))))""")).as("p"))
       .select(col("output_id"), col("p.ia").as("ia"), col("p.ib").as("ib"),
         col("p.m").as("m"))
     val totals = bl.select("output_id", "idx", "n_bi")
