@@ -105,6 +105,8 @@ object SparkEntry {
     "qe03_citation_audit"           -> (CitationAudit.qe03 _),
     "qe04_recap_quality"            -> (RecapQuality.qe04 _),
     "qe05_run_comparison"           -> (RecapQuality.qe05 _),
+    "ce01_evidence_compression"     -> (Evidence.ce01 _),
+    "ce02_top_sentences"            -> (Evidence.ce02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     "km03_density_clusters"         -> (Density.km03 _),
@@ -615,6 +617,105 @@ object SparkEntry {
                 coalesce(red.redundancy, 0.0) AS redundancy,
                 ax.readability, ax.structure, ax.entity_density
          FROM ax LEFT JOIN red USING (output_id)"""
+
+  /** Shared prelude of the ce01/ce02 oracles: composed bodies/queries,
+    * the sentinel-rewrite sentence split, the running-offset fold as a
+    * recursive CTE (DuckDB has no rich-accumulator list fold), and the
+    * dual-track sentence scores in exact 1e-6 units. Mirrors
+    * operators/Evidence.scoredSentences step for step.
+    */
+  private val ceScoredSql: String =
+    """WITH RECURSIVE d AS (
+         SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+       c AS (
+         SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0 THEN '  '
+                     ELSE coalesce(array_to_string(toks[1:12], ' '), '') || '. Spark ' ||
+                          coalesce(array_to_string(toks[13:20], ' '), '') ||
+                          ' covers 3.14% at U.S. level. Deep ' ||
+                          coalesce(array_to_string(toks[21:26], ' '), '') || chr(10) ||
+                          '機械学習の導入を' ||
+                          list_extract(['発表した', '開始した', '公開した', '実施した'],
+                                       CAST(doc_id % 4 + 1 AS INTEGER)) || '。' ||
+                          'データ分析と自然言語処理の最新動向を解説する。' || chr(10) ||
+                          'note ' || coalesce(array_to_string(toks[27:31], ' '), '')
+                END AS body,
+                CASE WHEN doc_id % 17 = 5 THEN ['zzzqx']
+                     ELSE [coalesce(array_to_string(toks[14:15], ' '), ''),
+                           CASE WHEN doc_id % 3 = 0 THEN '機械学習の導入'
+                                ELSE 'spark analytics' END]
+                END AS queries,
+                doc_id % 2 = 0 AS fallback
+         FROM d),
+       t1 AS (
+         SELECT doc_id, body, fallback,
+                list_sort(list_distinct(
+                  list_filter(flatten(list_transform(queries,
+                    q -> regexp_extract_all(lower(q), '[a-z0-9]+'))), w -> length(w) > 1) ||
+                  list_filter(flatten(list_transform(queries,
+                    q -> regexp_extract_all(q, '[぀-ヿ一-鿿]+'))), w -> length(w) >= 2)
+                )) AS terms
+         FROM c),
+       t2 AS (
+         SELECT doc_id, body, fallback, terms,
+                regexp_replace(array_to_string(terms, ' '), '[^぀-ヿ一-鿿]', '', 'g') AS qcjk
+         FROM t1),
+       t3 AS (
+         SELECT doc_id, body, fallback, terms,
+                CASE WHEN length(qcjk) >= 2
+                     THEN list_distinct(list_transform(range(1, length(qcjk)),
+                            i -> substr(qcjk, CAST(i AS INTEGER), 2)))
+                     ELSE CAST([] AS VARCHAR[]) END AS qbg
+         FROM t2),
+       p AS (
+         SELECT doc_id, body, fallback, terms, qbg,
+                str_split(regexp_replace(body,
+                  '([。！？])\s*|([.!?])\s+([A-Z぀-鿿])|\n',
+                  e'\\1\\2\x01\\3', 'g'), e'\x01') AS parts
+         FROM t3),
+       rec AS (
+         SELECT doc_id, body, fallback, terms, qbg, parts,
+                0 AS i, len(parts) AS n, 0 AS pos,
+                CAST(NULL AS VARCHAR) AS t, CAST(NULL AS INTEGER) AS o
+         FROM p
+         UNION ALL
+         SELECT doc_id, body, fallback, terms, qbg, parts, i + 1, n,
+                CASE WHEN length(trim(parts[i+1])) = 0 THEN pos
+                     ELSE (CASE WHEN strpos(substr(body, pos + 1), trim(parts[i+1])) = 0
+                                THEN pos
+                                ELSE pos + strpos(substr(body, pos + 1), trim(parts[i+1])) - 1 END)
+                          + length(trim(parts[i+1])) END,
+                CASE WHEN length(trim(parts[i+1])) = 0 THEN NULL
+                     ELSE trim(parts[i+1]) END,
+                CASE WHEN length(trim(parts[i+1])) = 0 THEN NULL
+                     WHEN strpos(substr(body, pos + 1), trim(parts[i+1])) = 0 THEN pos
+                     ELSE pos + strpos(substr(body, pos + 1), trim(parts[i+1])) - 1 END
+         FROM rec WHERE i < n),
+       s0 AS (
+         SELECT doc_id, fallback, terms, qbg, t, o,
+                regexp_replace(lower(t), '[^぀-ヿ一-鿿]', '', 'g') AS scjk
+         FROM rec WHERE t IS NOT NULL),
+       s1 AS (
+         SELECT doc_id, fallback, terms, qbg, t, o,
+                CASE WHEN length(scjk) >= 2
+                     THEN list_distinct(list_transform(range(1, length(scjk)),
+                            i -> substr(scjk, CAST(i AS INTEGER), 2)))
+                     ELSE CAST([] AS VARCHAR[]) END AS sbg
+         FROM s0),
+       sc AS (
+         SELECT doc_id, fallback, t, o,
+                greatest(
+                  CASE WHEN len(terms) > 0
+                       THEN CAST(round(len(list_filter(terms, tm ->
+                              list_contains(list_distinct(
+                                regexp_extract_all(lower(t), '[a-z0-9]+')), tm)
+                              OR contains(lower(t), tm))) * 1e6 / len(terms)) AS BIGINT)
+                       ELSE 0 END,
+                  CASE WHEN len(sbg) > 0 AND len(qbg) > 0
+                       THEN CAST(round(len(list_intersect(sbg, qbg)) * 1e6
+                              / (len(sbg) + len(qbg) - len(list_intersect(sbg, qbg)))) AS BIGINT)
+                       ELSE 0 END) AS score_u
+         FROM s1)"""
 
   /** One fallback level of the pulse01 oracle: the role-sequenced
     * greedy argmax chain (threshold + exclusion + LIMIT 1 per role)
@@ -2069,6 +2170,32 @@ object SparkEntry {
     // readability blend (divisible-by-10 integer units), quarter-unit
     // structure, fifth-unit capped entity density
     "qe04_recap_quality" -> qe04OracleSql,
+    "ce01_evidence_compression" ->
+      s"""$ceScoredSql,
+         r AS (SELECT doc_id, t, o, score_u,
+                      row_number() OVER (PARTITION BY doc_id
+                                         ORDER BY score_u DESC, o ASC) AS pack_rank,
+                      sum(length(t)) OVER (PARTITION BY doc_id
+                                           ORDER BY score_u DESC, o ASC
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW) AS cum
+               FROM sc WHERE score_u >= 10000)
+         SELECT doc_id, pack_rank, t AS text, o AS char_offset,
+                score_u / 1e6 AS relevance_score
+         FROM r WHERE pack_rank = 1 OR cum <= 220""",
+    "ce02_top_sentences" ->
+      s"""$ceScoredSql,
+         nr AS (SELECT *, count(*) FILTER (WHERE score_u >= 10000)
+                            OVER (PARTITION BY doc_id) AS n_rel
+                FROM sc),
+         f AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                           ORDER BY CASE WHEN n_rel > 0 THEN -score_u ELSE 0 END ASC,
+                                    o ASC) AS sel_rank
+               FROM nr
+               WHERE (n_rel > 0 AND score_u >= 10000) OR (n_rel = 0 AND fallback))
+         SELECT doc_id, sel_rank, substr(t, 1, 120) AS text, o AS char_offset,
+                score_u / 1e6 AS relevance_score
+         FROM f WHERE sel_rank <= 3""",
     "qe05_run_comparison" ->
       s"""WITH qe AS ($qe04OracleSql),
          runs AS (SELECT *, CASE WHEN output_id % 2 = 0 THEN 'before' ELSE 'after' END AS run
