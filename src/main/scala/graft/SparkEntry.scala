@@ -107,6 +107,7 @@ object SparkEntry {
     "qe05_run_comparison"           -> (RecapQuality.qe05 _),
     "ce01_evidence_compression"     -> (Evidence.ce01 _),
     "ce02_top_sentences"            -> (Evidence.ce02 _),
+    "kw01_genre_keyword_scores"     -> (Keywords.kw01 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     "km03_density_clusters"         -> (Density.km03 _),
@@ -2183,6 +2184,25 @@ object SparkEntry {
          SELECT doc_id, pack_rank, t AS text, o AS char_offset,
                 score_u / 1e6 AS relevance_score
          FROM r WHERE pack_rank = 1 OR cum <= 220""",
+    "kw01_genre_keyword_scores" -> {
+      val dictVals = operators.Keywords.dictionary
+        .map { case (g, w, p) => s"('$g', $w, '$p')" }.mkString(", ")
+      s"""WITH d AS (SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0 THEN ' Artificial Intelligence drives Machine Learning at rapid pace' ELSE '' END
+                    || CASE WHEN doc_id % 5 = 0 THEN ' deep learning on cloud computing stacks' ELSE '' END
+                    || CASE WHEN doc_id % 7 = 0 THEN ' merger talks then a funding round before the IPO' ELSE '' END
+                    || CASE WHEN doc_id % 11 = 0 THEN ' election night in parliament' ELSE '' END
+                    || CASE WHEN doc_id % 2 = 0 THEN ' tournament opener, championship final, tournament recap' ELSE '' END AS kw_text
+             FROM documents),
+           dict(genre, weight, phrase) AS (VALUES $dictVals),
+           m AS (SELECT doc_id,
+                        unnest(regexp_extract_all(lower(kw_text), '${operators.Keywords.alternation}')) AS phrase
+                 FROM d)
+           SELECT m.doc_id, dict.genre, CAST(sum(dict.weight) AS BIGINT) AS kw_score,
+                  count(*) AS n_matches
+           FROM m JOIN dict ON m.phrase = dict.phrase
+           GROUP BY 1, 2"""
+    },
     "ce02_top_sentences" ->
       s"""$ceScoredSql,
          nr AS (SELECT *, count(*) FILTER (WHERE score_u >= 10000)
