@@ -108,6 +108,9 @@ object SparkEntry {
     "ce01_evidence_compression"     -> (Evidence.ce01 _),
     "ce02_top_sentences"            -> (Evidence.ce02 _),
     "kw01_genre_keyword_scores"     -> (Keywords.kw01 _),
+    "kw02_genre_presence_scores"    -> (Golden.kw02 _),
+    "gd01_golden_summary"           -> (Golden.gd01 _),
+    "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     "km03_density_clusters"         -> (Density.km03 _),
@@ -818,6 +821,80 @@ object SparkEntry {
                 sample_size
          FROM e JOIN fr USING (label) CROSS JOIN tot
          WHERE sample_size >= 3"""
+
+  /** Shared prelude of the kw02/gd01 oracles: the composed golden-runs
+    * view and the genre presence scores, both generated from
+    * operators/Golden's dictionary and plant phrases so the two
+    * engines can never drift. Mirrors Golden.composeGoldenRuns /
+    * genreScoresOn step for step.
+    */
+  private val goldenRunsSql: String = {
+    val g = operators.Golden.genres
+    val genreArr = "['" + g.mkString("','") + "']"
+    val plantArr = "['" + g.map(operators.Golden.plantPhrase).mkString("','") + "']"
+    val singleArr = "['" + g.map(operators.Golden.singlePhrase).mkString("','") + "']"
+    val doubleArr = "['" + g.map(operators.Golden.doublePhrase).mkString("','") + "']"
+    s"""d AS (SELECT doc_id AS job_id,
+                string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       runs AS (
+         SELECT job_id,
+           CASE WHEN job_id % 3 = 0 THEN 'bad' ELSE 'good' END AS cohort,
+           CASE WHEN job_id % 13 = 0 THEN NULL
+                ELSE $genreArr[(job_id % ${g.size}) + 1] END AS genre,
+           CASE WHEN job_id % 7 = 0 THEN NULL
+                ELSE (job_id % 101) / 100.0 END AS quality_score,
+           CASE WHEN job_id % 4 = 1 THEN '{"retries": 1}'
+                ELSE '{"noise_ratio": 0.' ||
+                     lpad(CAST((job_id % 17) * 5 AS VARCHAR), 2, '0') || '}'
+           END AS diagnostics,
+           CASE WHEN job_id % 17 = 0 THEN NULL
+                WHEN job_id % 23 = 0 THEN '   '
+                WHEN job_id % 31 = 0 THEN '!!! ???'
+                ELSE array_to_string(toks[5:39], ' ')
+                  || $plantArr[((job_id + CASE WHEN job_id % 5 = 0 THEN 2 ELSE 0 END)
+                                % ${g.size}) + 1]
+                  || CASE WHEN job_id % 4 = 0
+                          THEN $singleArr[((job_id + 1) % ${g.size}) + 1] ELSE '' END
+                  || CASE WHEN job_id % 8 = 0
+                          THEN $doubleArr[((job_id + 3) % ${g.size}) + 1] ELSE '' END
+                  || CASE WHEN job_id % 9 = 0 THEN ' 機械学習の進展' ELSE '' END
+                  || CASE WHEN job_id % 21 = 0 THEN ' stock market mood' ELSE '' END
+                  || CASE WHEN job_id % 27 = 0 THEN ' esports cup night' ELSE '' END
+           END AS summary_text,
+           CASE WHEN job_id % 19 = 0 THEN ''
+                ELSE array_to_string(toks[1:30], ' ')
+                  || CASE WHEN job_id % 9 = 0 THEN ' 機械学習の進展' ELSE '' END
+           END AS reference_summary
+         FROM d)"""
+  }
+
+  /** The presence-score CTEs (sc = score > 0, non-suppressed genres per
+    * run with a summary).
+    */
+  private val goldenScoresSql: String = {
+    def present(kw: String): String =
+      if (kw.forall(_ < 0x80))
+        s"CASE WHEN regexp_matches(lt, '(^|[^a-z0-9])$kw([^a-z0-9]|${"$"})') THEN 1 ELSE 0 END"
+      else s"CASE WHEN position('$kw' IN lt) > 0 THEN 1 ELSE 0 END"
+    val wide = operators.Golden.dictionary.map { case (g, pos, neg) =>
+      val score = pos.map(present).mkString(" + ")
+      if (neg.isEmpty) s"($score) AS s_$g"
+      else {
+        val supp = neg.map(n => s"position('$n' IN lt) > 0").mkString(" OR ")
+        s"CASE WHEN $supp THEN 0 ELSE $score END AS s_$g"
+      }
+    }.mkString(",\n                ")
+    val unpivot = operators.Golden.genres
+      .map(g => s"SELECT job_id, '$g' AS g, s_$g AS s FROM scw")
+      .mkString("\n                UNION ALL ")
+    s"""sc0 AS (SELECT job_id, lower(summary_text) AS lt FROM runs
+                WHERE summary_text IS NOT NULL),
+       scw AS (SELECT job_id,
+                $wide
+               FROM sc0),
+       scl AS ($unpivot),
+       sc AS (SELECT * FROM scl WHERE s > 0)"""
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2203,6 +2280,92 @@ object SparkEntry {
            FROM m JOIN dict ON m.phrase = dict.phrase
            GROUP BY 1, 2"""
     },
+    "kw02_genre_presence_scores" ->
+      s"""WITH $goldenRunsSql,
+         $goldenScoresSql
+         SELECT job_id, g AS genre, s AS score FROM sc""",
+    "gd01_golden_summary" ->
+      s"""WITH $goldenRunsSql,
+         $goldenScoresSql,
+         cls AS (SELECT job_id, genre FROM runs
+                 WHERE genre IS NOT NULL AND summary_text IS NOT NULL),
+         rk AS (SELECT job_id, g,
+                       row_number() OVER (PARTITION BY job_id
+                                          ORDER BY s DESC, g ASC) AS r
+                FROM sc),
+         pred AS (SELECT rk.job_id, g, r
+                  FROM rk JOIN cls ON rk.job_id = cls.job_id WHERE r <= 3),
+         pr AS (SELECT c.job_id,
+                       max(CASE WHEN p.g = c.genre THEN 1 ELSE 0 END) AS correct,
+                       max(CASE WHEN p.g = c.genre AND p.r <= 2 THEN 1 ELSE 0 END) AS top2
+                FROM cls c LEFT JOIN pred p ON p.job_id = c.job_id GROUP BY 1),
+         acc AS (SELECT count(*) AS n_classified,
+                        COALESCE(CAST(round(sum(correct) * 1e6 / count(*)) AS BIGINT) / 1e6, 0) AS accuracy,
+                        COALESCE(CAST(round(sum(top2) * 1e6 / count(*)) AS BIGINT) / 1e6, 0) AS top2_accuracy
+                 FROM pr),
+         lab AS (SELECT job_id, g AS label, TRUE AS p, FALSE AS e FROM pred
+                 UNION ALL SELECT job_id, genre, FALSE, TRUE FROM cls),
+         cell AS (SELECT job_id, label, max(p) AS p, max(e) AS e FROM lab GROUP BY 1, 2),
+         pl AS (SELECT label,
+                       count(CASE WHEN p AND e THEN 1 END) AS tp,
+                       count(CASE WHEN p AND NOT e THEN 1 END) AS fp,
+                       count(CASE WHEN NOT p AND e THEN 1 END) AS fn,
+                       count(CASE WHEN e THEN 1 END) AS support
+                FROM cell GROUP BY 1),
+         plu AS (SELECT support,
+                        CASE WHEN tp + fp > 0 THEN CAST(round(tp * 1e6 / (tp + fp)) AS BIGINT) ELSE 0 END AS p_u,
+                        CASE WHEN tp + fn > 0 THEN CAST(round(tp * 1e6 / (tp + fn)) AS BIGINT) ELSE 0 END AS r_u
+                 FROM pl),
+         plf AS (SELECT support, p_u, r_u,
+                        CASE WHEN p_u + r_u > 0 THEN CAST(round(2 * p_u * r_u / (p_u + r_u)) AS BIGINT) ELSE 0 END AS f_u
+                 FROM plu),
+         mac AS (SELECT COALESCE(CAST(round(sum(p_u) / count(*)) AS BIGINT) / 1e6, 0) AS macro_precision,
+                        COALESCE(CAST(round(sum(r_u) / count(*)) AS BIGINT) / 1e6, 0) AS macro_recall,
+                        COALESCE(CAST(round(sum(f_u) / count(*)) AS BIGINT) / 1e6, 0) AS macro_f1,
+                        COALESCE(CAST(round(sum(f_u * support) / sum(support)) AS BIGINT) / 1e6, 0) AS weighted_f1
+                 FROM plf),
+         rg AS (SELECT job_id, genre,
+                       regexp_extract_all(lower(trim(summary_text)), '[a-z0-9]+|[^\\x00-\\x7F]') AS ct,
+                       regexp_extract_all(lower(trim(reference_summary)), '[a-z0-9]+|[^\\x00-\\x7F]') AS rt
+                FROM runs
+                WHERE summary_text IS NOT NULL AND trim(summary_text) <> ''
+                  AND reference_summary IS NOT NULL AND trim(reference_summary) <> ''),
+         ccg AS (SELECT job_id, tok, count(*) AS c
+                 FROM (SELECT job_id, unnest(ct) AS tok FROM rg) GROUP BY 1, 2),
+         rcg AS (SELECT job_id, tok, count(*) AS c
+                 FROM (SELECT job_id, unnest(rt) AS tok FROM rg) GROUP BY 1, 2),
+         iv AS (SELECT ccg.job_id, sum(least(ccg.c, rcg.c)) AS m
+                FROM ccg JOIN rcg ON ccg.job_id = rcg.job_id AND ccg.tok = rcg.tok
+                GROUP BY 1),
+         ru AS (SELECT rg.job_id,
+                       CASE WHEN len(ct) = 0 OR len(rt) = 0 THEN 0
+                            ELSE CAST(round(COALESCE(m, 0) * 1e6 / len(ct)) AS BIGINT) END AS p1_u,
+                       CASE WHEN len(ct) = 0 OR len(rt) = 0 THEN 0
+                            ELSE CAST(round(COALESCE(m, 0) * 1e6 / len(rt)) AS BIGINT) END AS r1_u
+                FROM rg LEFT JOIN iv ON rg.job_id = iv.job_id),
+         ruf AS (SELECT job_id, p1_u, r1_u,
+                        CASE WHEN p1_u + r1_u > 0 THEN CAST(round(2 * p1_u * r1_u / (p1_u + r1_u)) AS BIGINT) ELSE 0 END AS f1_u
+                 FROM ru),
+         rmean AS (SELECT count(*) AS n_rouge,
+                          COALESCE(CAST(round(sum(p1_u) / count(*)) AS BIGINT) / 1e6, 0) AS rouge1_p,
+                          COALESCE(CAST(round(sum(r1_u) / count(*)) AS BIGINT) / 1e6, 0) AS rouge1_r,
+                          COALESCE(CAST(round(sum(f1_u) / count(*)) AS BIGINT) / 1e6, 0) AS rouge1_f
+                   FROM ruf),
+         cnt AS (SELECT count(*) AS total_samples,
+                        count(CASE WHEN cohort = 'good' THEN 1 END) AS good_samples,
+                        count(CASE WHEN cohort = 'bad' THEN 1 END) AS bad_samples,
+                        COALESCE(CAST(round(sum(CAST(round(quality_score * 100) AS BIGINT)) * 1e6
+                                            / (count(quality_score) * 100)) AS BIGINT) / 1e6, 0) AS avg_quality_score
+                 FROM runs),
+         noi AS (SELECT COALESCE(CAST(round(sum(CAST(round(nr * 1e6) AS BIGINT)) / count(*)) AS BIGINT) / 1e6, 0) AS avg_noise_ratio
+                 FROM (SELECT CAST(NULLIF(regexp_extract(diagnostics, '"noise_ratio": ([0-9.]+)', 1), '') AS DOUBLE) AS nr
+                       FROM runs)
+                 WHERE nr IS NOT NULL)
+         SELECT total_samples, good_samples, bad_samples, avg_quality_score,
+                avg_noise_ratio, n_classified, accuracy, top2_accuracy,
+                macro_precision, macro_recall, macro_f1, weighted_f1,
+                n_rouge, rouge1_p, rouge1_r, rouge1_f
+         FROM cnt, noi, acc, mac, rmean""",
     "ce02_top_sentences" ->
       s"""$ceScoredSql,
          nr AS (SELECT *, count(*) FILTER (WHERE score_u >= 10000)
