@@ -109,6 +109,7 @@ object SparkEntry {
     "ce02_top_sentences"            -> (Evidence.ce02 _),
     "kw01_genre_keyword_scores"     -> (Keywords.kw01 _),
     "kw02_genre_presence_scores"    -> (Golden.kw02 _),
+    "rag08_multilist_rrf"           -> (Rag.rag08 _),
     "gd01_golden_summary"           -> (Golden.gd01 _),
     "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
@@ -2216,6 +2217,59 @@ object SparkEntry {
          SELECT query_id, neighbor_id, r_cos, r_lex, rrf_score, fused_rank
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, neighbor_id ASC) AS fused_rank
                FROM f)
+         WHERE fused_rank <= 5""",
+    "rag08_multilist_rrf" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id % 100 = 0),
+         c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+         scored AS (SELECT query_id, neighbor_id, CAST(round(${duckCos("q_emb", "c_emb")} * 1e6) AS BIGINT) / 1e6 AS cos
+                    FROM c CROSS JOIN q WHERE query_id <> neighbor_id),
+         topk AS (SELECT query_id, neighbor_id, cos
+                  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+                        FROM scored)
+                  WHERE rank <= 10),
+         t AS (SELECT doc_id, list_distinct(string_split_regex(trim(text), '\\s+')) AS toks FROM documents),
+         e AS (SELECT query_id, neighbor_id, cos,
+                      CAST(round((len(list_intersect(qt.toks, ct.toks)) * 1.0 /
+                            len(list_distinct(list_concat(qt.toks, ct.toks)))) * 1e6) AS BIGINT) / 1e6 AS lex
+               FROM topk JOIN t qt ON qt.doc_id = query_id JOIN t ct ON ct.doc_id = neighbor_id),
+         en AS (SELECT *, (CAST(round(cos * 1e6) AS BIGINT) * 7 +
+                           CAST(round(lex * 1e6) AS BIGINT) * 3) / 1e7 AS rerank_score
+                FROM e),
+         hits AS (
+           SELECT query_id, neighbor_id, 'primary' AS src, cos AS score, r FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS r FROM en)
+             WHERE r <= 6
+           UNION ALL
+           SELECT query_id, neighbor_id, 'broad', lex, r FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY lex DESC, neighbor_id ASC) AS r FROM en)
+             WHERE r <= 6
+           UNION ALL
+           SELECT query_id, neighbor_id, 'narrow', rerank_score, r FROM
+             (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rerank_score DESC, neighbor_id ASC) AS r FROM en)
+             WHERE r <= 6),
+         fz AS (SELECT query_id, neighbor_id,
+                       min(CASE WHEN src = 'primary' THEN r END) AS r_primary,
+                       min(CASE WHEN src = 'broad' THEN r END) AS r_broad,
+                       min(CASE WHEN src = 'narrow' THEN r END) AS r_narrow,
+                       max(CASE WHEN src = 'primary' THEN score END) AS s_primary,
+                       max(CASE WHEN src = 'broad' THEN score END) AS s_broad,
+                       max(CASE WHEN src = 'narrow' THEN score END) AS s_narrow
+                FROM hits GROUP BY 1, 2),
+         ff AS (SELECT *,
+                       COALESCE(1.0 / (60 + r_primary), 0) + COALESCE(1.0 / (60 + r_broad), 0)
+                         + COALESCE(1.0 / (60 + r_narrow), 0) AS rrf_score,
+                       greatest(COALESCE(s_primary, -1.0), COALESCE(s_broad, -1.0),
+                                COALESCE(s_narrow, -1.0)) AS best_score
+                FROM fz),
+         fo AS (SELECT *, CASE WHEN s_primary = best_score THEN 'primary'
+                               WHEN s_broad = best_score THEN 'broad'
+                               ELSE 'narrow' END AS best_source
+                FROM ff)
+         SELECT query_id, neighbor_id, r_primary, r_broad, r_narrow,
+                rrf_score, best_score, best_source, fused_rank
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY rrf_score DESC, best_score DESC, neighbor_id ASC) AS fused_rank
+               FROM fo)
          WHERE fused_rank <= 5""",
     "tg02_tag_quality" ->
       s"""WITH $tagQualityCtes

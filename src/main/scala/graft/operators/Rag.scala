@@ -123,6 +123,80 @@ object Rag {
       .select("query_id", "neighbor_id", "r_cos", "r_lex", "rrf_score", "fused_rank")
   }
 
+  /** The N-list fusion core (acolyte-orchestrator acolyte/domain/
+    * fusion.py:45 RRFFusion.fuse) over a long hits frame
+    * (query_id, neighbor_id, src, score, r): RRF(d) = Σ over lists
+    * containing d of 1/(k₀ + rank), ordered by RRF desc then MAX
+    * individual score desc (the reference's tie-break, :67-72) —
+    * heterogeneous score scales are never summed, only compared for
+    * the tie-break, exactly as ScoredHit.score mixes sources. The
+    * surviving hit's source is the FIRST list (in `sources` order)
+    * achieving the max, mirroring the strictly-greater update at :60.
+    * Python's sort leaves further ties in dict order; we determinize
+    * with neighbor_id asc.
+    *
+    * Scale/determinism: one conditional-aggregation pivot per (query,
+    * doc) — ranks and scores land in per-source columns, so the RRF
+    * sum is a FIXED-ORDER chain of IEEE adds (a groupBy sum of
+    * 1/(k₀+r) terms would re-associate doubles nondeterministically),
+    * and both engines compute it bit-identically. |sources|·k rows
+    * per query in, ≤ topN out, one shuffle + one bounded window.
+    */
+  def fuseRankedLists(hits: DataFrame, sources: Seq[String],
+                      k0: Int = 60, topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.Column
+    def term(r: Column): Column =
+      when(r.isNotNull, lit(1.0) / (lit(k0) + r)).otherwise(lit(0.0))
+    val pivots = sources.map(s =>
+        min(when(col("src") === s, col("r"))).as(s"r_$s")) ++
+      sources.map(s => max(when(col("src") === s, col("score"))).as(s"s_$s"))
+    val fused = hits.groupBy("query_id", "neighbor_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .withColumn("rrf_score", sources.map(s => term(col(s"r_$s"))).reduce(_ + _))
+      .withColumn("best_score",
+        greatest(sources.map(s => coalesce(col(s"s_$s"), lit(-1.0))): _*))
+      .withColumn("best_source",
+        sources.init.foldRight(lit(sources.last): Column)((s, rest) =>
+          when(col(s"s_$s") === col("best_score"), s).otherwise(rest)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("rrf_score").desc, col("best_score").desc, col("neighbor_id").asc)
+    fused.withColumn("fused_rank", row_number().over(w))
+      .filter(col("fused_rank") <= topN)
+      .select(Seq(col("query_id"), col("neighbor_id")) ++
+        sources.map(s => col(s"r_$s")) ++
+        Seq(col("rrf_score"), col("best_score"), col("best_source"),
+          col("fused_rank")): _*)
+  }
+
+  /** rag08: multi-list RRF retrieval — rag05's two-list core extended
+    * to the reference's N-list shape: three rankings of the shared
+    * candidate pool (primary = dense cosine, broad = lexical Jaccard,
+    * narrow = rag02's rerank blend — the "primary"/"broad"/"narrow"
+    * source labels are fusion.py:23's own), each cut to its top 6 so
+    * list MEMBERSHIP genuinely differs per source, fused with the
+    * max-score tie-break. The blend rides the same exact integer
+    * micro-unit arithmetic as rag02, so every score — and therefore
+    * the tie-break — is bit-identical across engines.
+    */
+  def rag08(s: SparkSession, dir: String): DataFrame = {
+    val enriched = lexEnrichedCandidates(s, dir)
+      .withColumn("rerank_score",
+        (round(col("cos") * 1e6, 0).cast("long") * 7 +
+         round(col("lex") * 1e6, 0).cast("long") * 3) / 1e7)
+    def listOf(score: String, src: String): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(col(score).desc, col("neighbor_id").asc)
+      enriched.withColumn("r", row_number().over(w)).filter(col("r") <= 6)
+        .select(col("query_id"), col("neighbor_id"), lit(src).as("src"),
+          col(score).as("score"), col("r"))
+    }
+    fuseRankedLists(
+      listOf("cos", "primary")
+        .unionByName(listOf("lex", "broad"))
+        .unionByName(listOf("rerank_score", "narrow")),
+      Seq("primary", "broad", "narrow"))
+  }
+
   /** rag06: golden-case retrieval-evaluation harness — the reference's
     * own gate on every retrieval change (rag-orchestrator/eval):
     * deterministic metrics + per-case verdicts over the rag02 reranked

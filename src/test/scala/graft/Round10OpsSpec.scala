@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Rag
+
+/** Round-10 fusion checks: the N-list RRF core pinned against a
+  * hand-computed three-list case (acolyte domain/fusion.py:45),
+  * including both tie-break tiers.
+  */
+class Round10OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fuseRankedLists: hand-computed 3-list fusion with max-score and first-source tie-breaks") {
+    // query 1 — doc A=10 only in primary; B=2 in primary+broad; C=4 in
+    // broad+narrow; D=7 in primary+broad at EQUAL rank and EQUAL score
+    val hits = Seq(
+      (1L, 10L, "primary", 0.9, 1),
+      (1L, 2L, "primary", 0.8, 2),
+      (1L, 7L, "primary", 0.5, 3),
+      (1L, 2L, "broad", 0.7, 1),
+      (1L, 4L, "broad", 0.6, 2),
+      (1L, 7L, "broad", 0.5, 3),
+      (1L, 4L, "narrow", 0.95, 1))
+      .toDF("query_id", "neighbor_id", "src", "score", "r")
+    val out = Rag.fuseRankedLists(hits, Seq("primary", "broad", "narrow"))
+      .collect().map(r => (r.getInt(8), r.getLong(1), r.getDouble(5),
+        r.getDouble(6), r.getString(7))).sortBy(_._1).toSeq
+
+    // B and C tie exactly on RRF (1/62 + 1/61) — C wins on max
+    // individual score (.95 narrow vs .8 primary), the fusion.py:67
+    // tie-break; D's equal-score tie resolves to the FIRST source
+    val bc = 1.0 / 62 + 1.0 / 61
+    assert(out == Seq(
+      (1, 4L, 0.0 + bc, 0.95, "narrow"),
+      (2, 2L, bc + 0.0, 0.8, "primary"),
+      (3, 7L, 1.0 / 63 + 1.0 / 63 + 0.0, 0.5, "primary"),
+      (4, 10L, 1.0 / 61 + 0.0 + 0.0, 0.9, "primary")))
+  }
+
+  test("rag08: per-source membership genuinely differs and ranks stay bounded") {
+    val out = Rag.rag08(spark, "/root/testdata/sf0.001").cache()
+    assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
+    // the top-6 cuts disagree somewhere: fused docs missing from at
+    // least one list exist at this SF
+    assert(out.filter(col("r_primary").isNull || col("r_broad").isNull ||
+      col("r_narrow").isNull).count() > 0)
+    // every fused row carries a real best score from a real source
+    assert(out.filter(col("best_score") < 0).count() == 0)
+    out.unpersist()
+  }
+}
