@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.Numeric.{microRatio, microUnits}
 import graft.functions.TextFunctions.{lcsLen, tokensMixed}
@@ -73,9 +72,12 @@ import graft.functions.TextFunctions.{lcsLen, tokensMixed}
   * kw02 evaluates a fixed ~30-predicate battery per row (presence
   * booleans, no explode) and unpivots to ≤|genres| rows per run —
   * one map-side-combinable shape with no join at all. gd01's
-  * classification lives on the ≤3·|runs| predicted frame (one
-  * row_number window keyed by job) and the ≤|genres| per-label
-  * frame; ROUGE-1 shuffles token COUNTS (job, tok) once per side and
+  * classification is SHUFFLE-FREE until the final aggregations: the
+  * top-3 prediction is an in-row sort of the wide battery (no rank
+  * window), per-run accuracy flags are row-local, and the per-label
+  * cells explode ≤4 row-local labels per run into ONE
+  * map-side-combined groupBy over a ≤|genres| key space;
+  * ROUGE-1 shuffles token COUNTS (job, tok) once per side and
   * joins them — linear in corpus tokens, the same budget as tx03's
   * inverted index; ROUGE-L is a per-row codegen DP over two bounded
   * token arrays. Every mean re-aggregates exact 1e-6-unit longs (the
@@ -188,19 +190,19 @@ object Golden {
         .as("reference_summary"))
   }
 
-  /** score_text over any (job_id, <textCol>) frame: the long
-    * (job_id, genre, score) frame of score > 0, non-suppressed
-    * genres. A fixed battery of presence booleans per genre (one
-    * lower() shared), unpivoted with stack — no explode, no join.
+  /** The wide per-run presence battery: job_id (+ any carried
+    * columns) plus one s_<genre> score column per genre. A fixed
+    * ~30-predicate projection fused into the scan (one shared
+    * lower()) — no explode, no join, no shuffle.
     */
-  def genreScoresOn(runs: DataFrame, textCol: String): DataFrame = {
+  def genreScoresWide(runs: DataFrame, textCol: String): DataFrame = {
     val lowered = lower(col(textCol))
     def present(kw: String): Column =
       if (kw.forall(_ < 0x80))
         lowered.rlike("(^|[^a-z0-9])" + kw + "([^a-z0-9]|$)")
       else lowered.contains(kw)
-    val scored = runs.select(
-      col("job_id") +:
+    runs.select(
+      runs.columns.map(col).toSeq ++
       dictionary.map { case (g, pos, neg) =>
         val score = pos.map(k => when(present(k), 1).otherwise(0))
           .reduce(_ + _)
@@ -209,10 +211,34 @@ object Golden {
           else neg.map(n => lowered.contains(n)).reduce(_ || _)
         when(suppressed, 0).otherwise(score).as(s"s_$g")
       }: _*)
+  }
+
+  /** score_text over any (job_id, <textCol>) frame: the long
+    * (job_id, genre, score) frame of score > 0, non-suppressed
+    * genres — the wide battery stack-unpivoted.
+    */
+  def genreScoresOn(runs: DataFrame, textCol: String): DataFrame = {
     val stackArgs = genres.map(g => s"'$g', s_$g").mkString(", ")
-    scored.select(col("job_id"),
-      expr(s"stack(${genres.size}, $stackArgs) AS (genre, score)"))
+    genreScoresWide(runs.select(col("job_id"), col(textCol)), textCol)
+      .select(col("job_id"),
+        expr(s"stack(${genres.size}, $stackArgs) AS (genre, score)"))
       .filter(col("score") > 0)
+  }
+
+  /** top_genres(text, 3) computed IN-ROW: the score>0 entries of the
+    * wide battery sorted by (score desc, genre asc) through a
+    * sortable (−score, genre) struct array, sliced to 3 — no rank
+    * window, so classification adds ZERO shuffles to the scan (the
+    * first cut ranked a stack-exploded frame through a job-keyed
+    * row_number window: a corpus-scale shuffle for a 6-element
+    * per-row sort).
+    */
+  private def top3(): Column = {
+    val entries = array(genres.map(g =>
+      struct((-col(s"s_$g")).as("ns"), lit(g).as("g"))): _*)
+    transform(
+      slice(array_sort(filter(entries, e => e.getField("ns") < 0)), 1, 3),
+      e => e.getField("g"))
   }
 
   /** kw02: the presence scores over every golden run with a summary —
@@ -224,19 +250,15 @@ object Golden {
         .select(col("job_id"), col("summary_text")),
       "summary_text")
 
-  /** top_genres(summary, 3): (job_id, genre, rank) by (score desc,
-    * genre asc) (genre_keywords.rs:643) over classification-qualified
-    * runs.
+  /** Classification-qualified runs with their in-row top-3 predicted
+    * genre list ((score desc, genre asc) — genre_keywords.rs:643).
     */
-  private def predictedTop3(runs: DataFrame): DataFrame = {
-    val qualified = runs
-      .filter(col("genre").isNotNull && col("summary_text").isNotNull)
-    val w = Window.partitionBy("job_id")
-      .orderBy(col("score").desc, col("genre").asc)
-    genreScoresOn(qualified.select("job_id", "summary_text"), "summary_text")
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= 3)
-  }
+  private def withPredicted(runs: DataFrame): DataFrame =
+    genreScoresWide(
+      runs.filter(col("genre").isNotNull && col("summary_text").isNotNull)
+        .select(col("job_id"), col("genre"), col("summary_text")),
+      "summary_text")
+      .select(col("job_id"), col("genre"), top3().as("top3"))
 
   /** Per-run clipped-multiset ROUGE-1 micro-units over rouge-qualified
     * runs: (job_id, genre, n_cand, n_ref, lcs, p1_u, r1_u, f1_u).
@@ -304,28 +326,27 @@ object Golden {
       .agg(coalesce(round(sum(round(col("nr") * 1e6, 0).cast("long")) /
         count(lit(1)), 0).cast("long") / 1e6, lit(0.0)).as("avg_noise_ratio"))
 
-    val qualified = runs.filter(col("genre").isNotNull && col("summary_text").isNotNull)
-    val pred = predictedTop3(runs)
-    val perRun = qualified.select("job_id", "genre")
-      .join(pred.withColumnRenamed("genre", "pg"), Seq("job_id"), "left")
-      .groupBy("job_id")
-      .agg(max(when(col("pg") === col("genre"), 1).otherwise(0)).as("correct"),
-        max(when(col("pg") === col("genre") && col("rank") <= 2, 1).otherwise(0))
-          .as("top2"))
-    val accuracy = perRun.agg(
-      count(lit(1)).as("n_classified"),
-      coalesce(microRatio(sum("correct"), count(lit(1)), 6), lit(0.0)).as("accuracy"),
-      coalesce(microRatio(sum("top2"), count(lit(1)), 6), lit(0.0)).as("top2_accuracy"))
+    val pred = withPredicted(runs)
+    val accuracy = pred.select(
+        array_contains(col("top3"), col("genre")).cast("int").as("correct"),
+        array_contains(slice(col("top3"), 1, 2), col("genre")).cast("int").as("top2"))
+      .agg(
+        count(lit(1)).as("n_classified"),
+        coalesce(microRatio(sum("correct"), count(lit(1)), 6), lit(0.0)).as("accuracy"),
+        coalesce(microRatio(sum("top2"), count(lit(1)), 6), lit(0.0)).as("top2_accuracy"))
 
-    // per-label cells: union of each run's predicted set and its
-    // expected singleton (metrics.rs:96) → tp/fp/fn/support per label
-    val cells = pred.select(col("job_id"), col("genre").as("label"),
-        lit(true).as("p"), lit(false).as("e"))
-      .union(qualified.select(col("job_id"), col("genre").as("label"),
-        lit(false).as("p"), lit(true).as("e")))
-      .groupBy("job_id", "label")
-      .agg(max(col("p")).as("p"), max(col("e")).as("e"))
-    val perLabel = cells.groupBy("label").agg(
+    // per-label cells: each run contributes its predicted ∪ {expected}
+    // labels (metrics.rs:96) — ≤4 row-local rows per run, aggregated
+    // by label directly (ONE map-side-combined shuffle on a
+    // ≤|genres|-key space; no per-(run, label) pre-aggregation needed
+    // because the exploded label list is already distinct per run)
+    val perLabel = pred
+      .select(col("genre"), col("top3"),
+        explode(array_distinct(concat(col("top3"), array(col("genre"))))).as("label"))
+      .select(col("label"),
+        array_contains(col("top3"), col("label")).as("p"),
+        (col("label") === col("genre")).as("e"))
+      .groupBy("label").agg(
         count(when(col("p") && col("e"), 1)).as("tp"),
         count(when(col("p") && !col("e"), 1)).as("fp"),
         count(when(!col("p") && col("e"), 1)).as("fn"),
