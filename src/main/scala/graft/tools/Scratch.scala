@@ -55,7 +55,10 @@ object Scratch {
       "pp02_language_quota", "qe05_run_comparison", "es10_stream_trim",
       "km07_cluster_quality", "pulse01_topic_selection",
       "dd06_syndication", "smp08_genre_trim", "pp03_evidence_scores",
-      "tg04_genre_refine")
+      "tg04_genre_refine",
+      "ce01_evidence_compression", "kw01_genre_keyword_scores",
+      "kw02_genre_presence_scores", "gd01_golden_summary",
+      "rag08_multilist_rrf")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
