@@ -424,4 +424,36 @@ class PlanSpec extends SparkSpec {
     assert(f.contains("BroadcastNestedLoopJoin") || f.contains("BroadcastExchange"),
       "the whole-table baseline must broadcast, not shuffle-join the daily frame")
   }
+
+  test("kw02 presence battery is a stateless scan shape — no Exchange, no Window") {
+    val nodes = allNodes(finalPlan("kw02_genre_presence_scores"))
+    assert(nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }.isEmpty, "kw02 must not shuffle — the battery fuses into the scan")
+    assert(nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "kw02 must not window")
+  }
+
+  test("gd01 classification plans zero rank windows — the top-3 sort is in-row") {
+    val ws = allNodes(finalPlan("gd01_golden_summary")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.isEmpty, s"gd01: expected no WindowExec, got ${ws.size}")
+  }
+
+  test("round-10 queries plan no single-task windows and no corpus sort-merge joins") {
+    for (q <- Seq("ce01_evidence_compression", "ce02_top_sentences",
+                  "kw01_genre_keyword_scores", "gd02_golden_rouge_genres",
+                  "rag08_multilist_rrf")) {
+      val ws = allNodes(finalPlan(q)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+      }
+      assert(ws.isEmpty, s"$q plans an unpartitioned (single-task) window")
+    }
+    assert(!formatted("kw01_genre_keyword_scores").contains("SortMergeJoin"),
+      "kw01's 12-row dictionary must broadcast-join")
+    assert(!formatted("rag08_multilist_rrf").contains("SortMergeJoin"),
+      "rag08's candidate/token joins must broadcast")
+  }
 }
