@@ -250,15 +250,22 @@ object Golden {
         .select(col("job_id"), col("summary_text")),
       "summary_text")
 
-  /** Classification-qualified runs with their in-row top-3 predicted
-    * genre list ((score desc, genre asc) — genre_keywords.rs:643).
+  /** Any frame with its in-row top-3 predicted genre list appended
+    * ((score desc, genre asc) — genre_keywords.rs:643). Stateless, so
+    * the identical body classifies a stream at ingest (st23).
     */
+  def withTopGenres(docs: DataFrame, textCol: String,
+                    outCol: String = "top3"): DataFrame =
+    genreScoresWide(docs, textCol)
+      .select(docs.columns.map(col).toSeq :+ top3().as(outCol): _*)
+
+  /** Classification-qualified runs with their top-3 predictions. */
   private def withPredicted(runs: DataFrame): DataFrame =
-    genreScoresWide(
+    withTopGenres(
       runs.filter(col("genre").isNotNull && col("summary_text").isNotNull)
         .select(col("job_id"), col("genre"), col("summary_text")),
       "summary_text")
-      .select(col("job_id"), col("genre"), top3().as("top3"))
+      .select(col("job_id"), col("genre"), col("top3"))
 
   /** Per-run clipped-multiset ROUGE-1 micro-units over rouge-qualified
     * runs: (job_id, genre, n_cand, n_ref, lcs, p1_u, r1_u, f1_u).

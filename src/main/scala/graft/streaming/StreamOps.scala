@@ -566,6 +566,19 @@ object StreamOps {
   def qualityGate(docs: DataFrame): DataFrame =
     graft.operators.TextOps.gopherRulesOn(docs).filter(col("keep"))
 
+  /** st23: streaming genre classification at ingest — the kw02/gd01
+    * presence battery with its in-row top-3 (pipeline/
+    * genre_keywords.rs score_text + top_genres) running as articles
+    * ARRIVE, which is the reference's actual shape (recap-worker
+    * classifies each article when it ingests it, not in nightly
+    * batches). Stateless — the IDENTICAL batch body, zero state
+    * stores — so it chains after st14's quality gate and st22's
+    * triage in one ingest pipeline; the emitted `genres` array is the
+    * routing key downstream recap jobs consume.
+    */
+  def genreTagStream(docs: DataFrame): DataFrame =
+    graft.operators.Golden.withTopGenres(docs, "text", "genres")
+
   /** st15: streaming sentence-level dedup — tx28's semantics running
     * continuously (recap-worker's ACTUAL behavior: it hashes sentences
     * and keeps first occurrences as articles ARRIVE, not in nightly

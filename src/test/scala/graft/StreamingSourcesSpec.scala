@@ -712,4 +712,34 @@ class StreamingSourcesSpec extends SparkSpec {
         && streamed(4L) == "url_only")
     } finally q.stop()
   }
+
+  test("st23 genre tagging at ingest: the kw02 battery + in-row top-3 run stateless on a stream, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamOps.genreTagStream(
+      mem.toDF.toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("st23").outputMode("append").start()
+    try {
+      val batchRows = Seq(
+        (1L, "museum exhibition festival with ai"),
+        (2L, "cloud api game night"), // negative keyword suppresses software_dev
+        (3L, "nothing relevant at all"),
+        (4L, "health vaccine data tournament championship olympics"))
+      mem.addData(batchRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, genres FROM st23")
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      val batch = graft.streaming.StreamOps.genreTagStream(
+          batchRows.toDF("doc_id", "text"))
+        .select("doc_id", "genres")
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed(1L) == List("culture_arts", "ai_data"),
+        "score 3 beats 1; only score>0 genres emit")
+      assert(streamed(2L) == List.empty, "the game negative suppresses software_dev")
+      assert(streamed(3L) == List.empty)
+      assert(streamed(4L) == List("sports", "health_medicine", "ai_data"),
+        "3 > 2 > 1 with ties impossible at distinct scores")
+    } finally q.stop()
+  }
 }
