@@ -393,17 +393,32 @@ object Golden {
     gd02On(composeGoldenRuns(s, dir))
 
   def gd02On(runs: DataFrame): DataFrame = {
-    val rf = rougeFrame(runs)
-    def roll(df: DataFrame, key: Column): DataFrame =
-      df.groupBy(key.as("genre")).agg(
-        count(lit(1)).as("n_pairs"),
-        meanU(col("p1_u")).as("rouge1_p"),
-        meanU(col("r1_u")).as("rouge1_r"),
-        meanU(col("f1_u")).as("rouge1_f"),
-        meanU(col("pl_u")).as("rouge_l_p"),
-        meanU(col("rl_u")).as("rouge_l_r"),
-        meanU(col("fl_u")).as("rouge_l_f"))
-    roll(rf.filter(col("genre").isNotNull), lower(col("genre")))
-      .unionByName(roll(rf, lit("__overall__")))
+    // ONE pass over the scored frame: per-genre SUMS (genre-less runs
+    // under a sentinel key), then the __overall__ row re-aggregates
+    // the sums exactly — Σ_groups Σ_group u ≡ Σ u on longs, so the
+    // means match a direct overall roll bit-for-bit while the token
+    // shuffles run once, not twice
+    val units = Seq("p1_u", "r1_u", "f1_u", "pl_u", "rl_u", "fl_u")
+    val names = Seq("rouge1_p", "rouge1_r", "rouge1_f",
+      "rouge_l_p", "rouge_l_r", "rouge_l_f")
+    val sumAggs = count(lit(1)).as("n_pairs") +:
+      units.map(u => sum(col(u)).as(s"s_$u"))
+    val resumAggs = sum("n_pairs").as("n_pairs") +:
+      units.map(u => sum(col(s"s_$u")).as(s"s_$u"))
+    // the ≤|genres|+1-row sum frame materializes once (the centroid-
+    // collect pattern), so the token-count lineage cannot re-execute
+    // for the overall branch
+    val per = Dedup.materialized(
+      rougeFrame(runs)
+        .groupBy(coalesce(lower(col("genre")), lit("\u0000none")).as("genre"))
+        .agg(sumAggs.head, sumAggs.tail: _*)) {}
+    def means(df: DataFrame): DataFrame =
+      df.select(col("genre") +: col("n_pairs") +:
+        units.zip(names).map { case (u, n) =>
+          (round(col(s"s_$u") / col("n_pairs"), 0).cast("long") / 1e6).as(n)
+        }: _*)
+    val overall = per.groupBy(lit("__overall__").as("genre"))
+      .agg(resumAggs.head, resumAggs.tail: _*)
+    means(per.filter(col("genre") =!= "\u0000none")).unionByName(means(overall))
   }
 }
