@@ -112,6 +112,7 @@ object SparkEntry {
     "rag08_multilist_rrf"           -> (Rag.rag08 _),
     "ps01_prompt_sanitize"          -> (PromptSafety.ps01 _),
     "hy01_hyde_sanitize"            -> (PromptSafety.hy01 _),
+    "qf01_query_facets"             -> (QueryFacets.qf01 _),
     "gd01_golden_summary"           -> (Golden.gd01 _),
     "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
@@ -986,9 +987,74 @@ object SparkEntry {
        FROM h4"""
   }
 
+  private val qf01OracleSql: String = {
+    def sqlList(xs: Seq[String]) = "['" + xs.mkString("','") + "']"
+    val stop = sqlList(operators.QueryFacets.stopWords)
+    val cmp = sqlList(operators.QueryFacets.compareKeywords)
+    val trd = sqlList(operators.QueryFacets.trendKeywords)
+    val longEntity = "Hyper Converged Analytics Platform Steering Committee Quarterly Review For Distributed Processing Excellence"
+    s"""WITH d AS (SELECT doc_id,
+             string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+       c AS (SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 THEN 'to a of in it be'
+                    ELSE coalesce(array_to_string(toks[3:8], ' '), '')
+                      || CASE WHEN doc_id % 12 = 0 THEN ' vs legacy growth'
+                              WHEN doc_id % 6 = 0 THEN ' versus the incumbent'
+                              WHEN doc_id % 6 = 3 THEN ' growth outlook' ELSE '' END
+                      || CASE WHEN doc_id % 8 = 0 THEN ' about ${longEntity.toLowerCase} plans' ELSE '' END
+               END AS raw_query,
+               CASE WHEN doc_id % 4 = 0 THEN 'analysis' ELSE 'general' END AS section_role,
+               doc_id % 10 = 0 AS synthesis_only,
+               coalesce(array_to_string(toks[1:6], ' '), '') || ' Macro Economy Lens' AS topic,
+               [upper(substr(toks[4], 1, 1)) || substr(toks[4], 2),
+                'Zeppelin Corp', '$longEntity'] AS entities,
+               CASE WHEN doc_id % 5 = 0 THEN '2024-01..2024-06' END AS time_range
+             FROM d),
+       f1 AS (SELECT *,
+                list_transform(string_split_regex(trim(raw_query), '\\s+'), t -> lower(t)) AS qlow,
+                list_filter(string_split_regex(trim(raw_query), '\\s+'),
+                  t -> length(t) > 2 AND NOT list_contains($stop, lower(t))) AS sigq,
+                list_filter(string_split_regex(trim(topic), '\\s+'),
+                  t -> length(t) > 2 AND NOT list_contains($stop, lower(t))) AS sigt,
+                list_filter(entities, e -> contains(lower(raw_query), lower(e))) AS matched
+              FROM c WHERE NOT synthesis_only),
+       f2 AS (SELECT *, sigq[1:3] AS must_have FROM f1),
+       f3 AS (SELECT *, list_transform(must_have, t -> lower(t)) AS ml FROM f2),
+       f4 AS (SELECT *,
+                list_filter(sigt, t -> NOT list_contains(ml, lower(t)))[1:3] AS opt,
+                CASE WHEN len(list_intersect(qlow, $cmp)) > 0 THEN 'compare'
+                     WHEN len(list_intersect(qlow, $trd)) > 0 THEN 'trend'
+                     WHEN section_role = 'analysis' THEN 'investigate'
+                     ELSE 'background' END AS intent
+              FROM f3),
+       tm AS (SELECT doc_id, cand[i] AS term, i AS ord
+              FROM (SELECT doc_id, list_concat(must_have, matched) AS cand FROM f4),
+                   unnest(generate_series(1, len(cand))) AS g(i)),
+       dd AS (SELECT doc_id, term, ord,
+                     row_number() OVER (PARTITION BY doc_id, lower(term) ORDER BY ord) AS rn
+              FROM tm),
+       ag AS (SELECT doc_id, string_agg(term, ' ' ORDER BY ord) AS pj, count(*) AS np
+              FROM dd WHERE rn = 1 GROUP BY doc_id),
+       r1 AS (SELECT f4.*,
+                CASE WHEN coalesce(np, 0) = 0 AND time_range IS NULL THEN raw_query
+                     ELSE coalesce(pj || CASE WHEN time_range IS NOT NULL
+                                              THEN ' ' || time_range ELSE '' END,
+                                   time_range) END AS joined
+              FROM f4 LEFT JOIN ag USING (doc_id))
+       SELECT doc_id, intent, raw_query, matched AS entities, must_have,
+              opt AS optional, time_range,
+              CASE WHEN length(joined) > 120
+                   THEN coalesce(nullif(regexp_extract(substr(joined, 1, 120),
+                                                       '^(.+) [^ ]*${"$"}', 1), ''),
+                                 substr(joined, 1, 120))
+                   ELSE joined END AS rendered
+       FROM r1"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ps01_prompt_sanitize" -> ps01OracleSql,
     "hy01_hyde_sanitize" -> hy01OracleSql,
+    "qf01_query_facets" -> qf01OracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
