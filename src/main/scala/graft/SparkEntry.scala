@@ -113,6 +113,7 @@ object SparkEntry {
     "ps01_prompt_sanitize"          -> (PromptSafety.ps01 _),
     "hy01_hyde_sanitize"            -> (PromptSafety.hy01 _),
     "qf01_query_facets"             -> (QueryFacets.qf01 _),
+    "qv01_query_variants"           -> (QueryFacets.qv01 _),
     "gd01_golden_summary"           -> (Golden.gd01 _),
     "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
@@ -1040,21 +1041,51 @@ object SparkEntry {
                      ELSE coalesce(pj || CASE WHEN time_range IS NOT NULL
                                               THEN ' ' || time_range ELSE '' END,
                                    time_range) END AS joined
-              FROM f4 LEFT JOIN ag USING (doc_id))
-       SELECT doc_id, intent, raw_query, matched AS entities, must_have,
-              opt AS optional, time_range,
-              CASE WHEN length(joined) > 120
-                   THEN coalesce(nullif(regexp_extract(substr(joined, 1, 120),
-                                                       '^(.+) [^ ]*${"$"}', 1), ''),
-                                 substr(joined, 1, 120))
-                   ELSE joined END AS rendered
-       FROM r1"""
+              FROM f4 LEFT JOIN ag USING (doc_id)),
+       r2 AS (SELECT *,
+                CASE WHEN length(joined) > 120
+                     THEN coalesce(nullif(regexp_extract(substr(joined, 1, 120),
+                                                         '^(.+) [^ ]*${"$"}', 1), ''),
+                                   substr(joined, 1, 120))
+                     ELSE joined END AS rendered
+              FROM r1)"""
   }
+
+  private val qf01OracleSelect: String =
+    s"""$qf01OracleSql
+       SELECT doc_id, intent, raw_query, matched AS entities, must_have,
+              opt AS optional, time_range, rendered
+       FROM r2"""
+
+  private val qv01OracleSql: String =
+    s"""$qf01OracleSql,
+       vv AS (SELECT doc_id, rendered, raw_query, topic, len(must_have) AS nmh,
+                     trim(topic || ' ' || coalesce(array_to_string(entities[1:3], ' '), '')) AS broad,
+                     array_to_string(must_have, ' ') AS narrow
+              FROM r2),
+       ex AS (SELECT doc_id, 1 AS ord, rendered AS q, 'primary' AS src
+              FROM vv WHERE rendered <> ''
+              UNION ALL
+              SELECT doc_id, 2, broad, 'broad'
+              FROM vv WHERE broad <> '' AND broad <> rendered
+              UNION ALL
+              SELECT doc_id, 3, narrow, 'narrow'
+              FROM vv WHERE nmh >= 2 AND narrow <> rendered),
+       fb AS (SELECT doc_id, 1 AS ord,
+                     CASE WHEN raw_query <> '' THEN raw_query ELSE topic END AS q,
+                     'primary' AS src
+              FROM vv WHERE doc_id NOT IN (SELECT doc_id FROM ex)),
+       al AS (SELECT * FROM ex UNION ALL SELECT * FROM fb)
+       SELECT doc_id,
+              CAST(row_number() OVER (PARTITION BY doc_id ORDER BY ord) AS INT) AS variant_rank,
+              q AS query_string, src AS source_label
+       FROM al"""
 
   def oracleSql: Map[String, String] = Map(
     "ps01_prompt_sanitize" -> ps01OracleSql,
     "hy01_hyde_sanitize" -> hy01OracleSql,
-    "qf01_query_facets" -> qf01OracleSql,
+    "qf01_query_facets" -> qf01OracleSelect,
+    "qv01_query_variants" -> qv01OracleSql,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,

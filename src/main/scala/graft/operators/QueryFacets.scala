@@ -101,9 +101,10 @@ object QueryFacets {
       length(t) > 2 && !array_contains(typedLit(stopWords), lower(t)))
 
   /** decompose_queries + render_query_string over any composed-input
-    * frame.
+    * frame, keeping the input columns (topic/entities/time_range) for
+    * downstream variant generation.
     */
-  def facetsOn(inputs: DataFrame): DataFrame = {
+  private def withFacets(inputs: DataFrame): DataFrame = {
     val qToks = split(trim(col("raw_query")), "\\s+")
     val qLowerSet = transform(qToks, t => lower(t))
     def hitsAny(kws: Seq[String]): Column =
@@ -133,12 +134,64 @@ object QueryFacets {
     val rendered = when(length(joined) > MaxRenderedLength,
       coalesce(nullif(regexp_extract(truncated, "^(.+) [^ ]*$", 1), lit("")),
         truncated)).otherwise(joined)
-    inputs.filter(!col("synthesis_only")).select(
-      col("doc_id"), intent.as("intent"), col("raw_query"),
-      matched.as("entities"), mustHave.as("must_have"),
-      optional.as("optional"), col("time_range"), rendered.as("rendered"))
+    inputs.filter(!col("synthesis_only"))
+      .withColumn("intent", intent)
+      .withColumn("matched", matched)
+      .withColumn("must_have", mustHave)
+      .withColumn("optional", optional)
+      .withColumn("rendered", rendered)
   }
+
+  /** qf01's public shape. */
+  def facetsOn(inputs: DataFrame): DataFrame =
+    withFacets(inputs).select(
+      col("doc_id"), col("intent"), col("raw_query"),
+      col("matched").as("entities"), col("must_have"),
+      col("optional"), col("time_range"), col("rendered"))
 
   def qf01(s: SparkSession, dir: String): DataFrame =
     facetsOn(composeFacetInputs(s, dir))
+
+  /** qv01: multi-query variant generation (domain/query_variant.py:17
+    * `generate_query_variants` — the step that PRODUCES the
+    * primary/broad/narrow ranked-list sources rag08's RRF fusion
+    * consumes): per facet, up to 3 deterministic (query, source)
+    * pairs —
+    *
+    *  - primary: the rendered facet query, when non-empty;
+    *  - broad: topic + the first 3 BRIEF entities (wider catch), when
+    *    entities exist and the string differs from primary;
+    *  - narrow: the must-have terms joined (precision match), when
+    *    ≥ 2 terms (:14) and it differs from primary;
+    *  - the guaranteed-primary fallback (:49): raw_query-or-topic
+    *    when nothing else survived.
+    *
+    * variant_rank is the reference's list position (1-based,
+    * contiguous). Stateless: the variant array builds in-row and
+    * posexplodes to ≤3 rows per facet — no shuffle, no join.
+    */
+  def variantsOn(inputs: DataFrame): DataFrame = {
+    val f = withFacets(inputs)
+    val broad = trim(concat(col("topic"), lit(" "),
+      array_join(slice(col("entities"), 1, 3), " ")))
+    val narrow = array_join(col("must_have"), " ")
+    def entry(q: Column, src: String): Column =
+      array(struct(q.as("q"), lit(src).as("src")))
+    val empty = array().cast("array<struct<q:string,src:string>>")
+    val variants = concat(
+      when(col("rendered") =!= "", entry(col("rendered"), "primary")).otherwise(empty),
+      when(size(col("entities")) > 0 && broad =!= "" && broad =!= col("rendered"),
+        entry(broad, "broad")).otherwise(empty),
+      when(size(col("must_have")) >= 2 && narrow =!= col("rendered"),
+        entry(narrow, "narrow")).otherwise(empty))
+    val withFallback = when(size(variants) === 0,
+      entry(coalesce(nullif(col("raw_query"), lit("")), col("topic")), "primary"))
+      .otherwise(slice(variants, 1, 3))
+    f.select(col("doc_id"), posexplode(withFallback).as(Seq("pos", "v")))
+      .select(col("doc_id"), (col("pos") + 1).as("variant_rank"),
+        col("v.q").as("query_string"), col("v.src").as("source_label"))
+  }
+
+  def qv01(s: SparkSession, dir: String): DataFrame =
+    variantsOn(composeFacetInputs(s, dir))
 }

@@ -69,6 +69,53 @@ class QueryFacetsSpec extends SparkSpec {
     assert(long.getString(7) == "Alpha", "cap truncates at the LAST space before 120")
   }
 
+  private def variants(query: String,
+                       topic: String = "",
+                       entities: Seq[String] = Seq.empty,
+                       timeRange: Option[String] = None) = {
+    val df: DataFrame = Seq(
+      (1L, query, "general", false, topic, entities, timeRange))
+      .toDF("doc_id", "raw_query", "section_role", "synthesis_only",
+        "topic", "entities", "time_range")
+    QueryFacets.variantsOn(df).collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getString(3))).sortBy(_._1).toSeq
+  }
+
+  test("qv01: primary/broad/narrow generate with contiguous ranks (query_variant.py:17)") {
+    // time_range extends the rendered primary, so narrow (must_have
+    // only) genuinely differs and all three variants emit
+    assert(variants("spark engine tuning", topic = "Cluster Costs",
+      entities = Seq("Databend", "Quickwit"), timeRange = Some("2024")) == Seq(
+      (1, "spark engine tuning 2024", "primary"),
+      (2, "Cluster Costs Databend Quickwit", "broad"),
+      (3, "spark engine tuning", "narrow")))
+  }
+
+  test("qv01: narrow skips when identical to primary or under 2 terms; broad skips without entities") {
+    // no entities, no time → primary == narrow → narrow skipped, no broad
+    assert(variants("spark engine tuning", topic = "Cluster Costs") == Seq(
+      (1, "spark engine tuning", "primary")))
+    // one significant term → narrow needs ≥ 2 (query_variant.py:14)
+    assert(variants("spark", topic = "T", entities = Seq("E")) == Seq(
+      (1, "spark", "primary"), (2, "T E", "broad")))
+    // a matched entity extends primary beyond must_have → narrow
+    // differs and emits; broad is the topic-less entity string
+    assert(variants("spark engine meets observability stack",
+      entities = Seq("Observability")) == Seq(
+      (1, "spark engine meets Observability", "primary"),
+      (2, "Observability", "broad"),
+      (3, "spark engine meets", "narrow")))
+  }
+
+  test("qv01: the guaranteed-primary fallback emits raw_query-or-topic") {
+    // all-stopword query, no entities, no time → every variant branch
+    // fails → fallback (query_variant.py:49)... primary is the
+    // raw_query render fallback, so it is non-empty and becomes the
+    // one variant; force TRUE emptiness with an empty raw_query
+    assert(variants("", topic = "Fallback Topic") == Seq(
+      (1, "Fallback Topic", "primary")))
+  }
+
   test("composition exercises every branch at sf0.001") {
     val out = QueryFacets.qf01(spark, "/root/testdata/sf0.001").cache()
     val intents = out.select("intent").distinct().collect().map(_.getString(0)).toSet
