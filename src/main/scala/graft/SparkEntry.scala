@@ -114,6 +114,7 @@ object SparkEntry {
     "hy01_hyde_sanitize"            -> (PromptSafety.hy01 _),
     "qf01_query_facets"             -> (QueryFacets.qf01 _),
     "qv01_query_variants"           -> (QueryFacets.qv01 _),
+    "xs01_exec_summary"             -> (ExecSummary.xs01 _),
     "gd01_golden_summary"           -> (Golden.gd01 _),
     "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
@@ -1086,6 +1087,36 @@ object SparkEntry {
     "hy01_hyde_sanitize" -> hy01OracleSql,
     "qf01_query_facets" -> qf01OracleSelect,
     "qv01_query_variants" -> qv01OracleSql,
+    "xs01_exec_summary" ->
+      """WITH d AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         cl AS (SELECT doc_id % 40 AS report_id, doc_id AS ord,
+                  CASE WHEN doc_id % 19 = 0 THEN ''
+                       ELSE coalesce(array_to_string(toks[3:10], ' '), '')
+                         || CASE WHEN doc_id % 6 = 0 THEN ' が45%まで120円で伸びた' ELSE '' END
+                         || CASE WHEN doc_id % 4 = 0 THEN 'と結論した。' ELSE '' END
+                  END AS claim,
+                  CASE WHEN doc_id % 3 = 0 THEN ['45%', '120円']
+                       ELSE CAST([] AS VARCHAR[]) END AS facts,
+                  CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS n_evid
+                FROM d),
+         c2 AS (SELECT *, claim ||
+                  CASE WHEN len(facts) > 0
+                         AND len(list_filter(facts, f -> NOT contains(claim, f))) > 0
+                       THEN '（' || array_to_string(facts, ', ') || '）' ELSE '' END AS b2
+                FROM cl),
+         sn AS (SELECT report_id, ord,
+                  CASE WHEN len(facts) > 0 THEN 0 ELSE 1 END AS flag,
+                  CASE WHEN claim = '' THEN NULL
+                       ELSE b2 || CASE WHEN NOT ends_with(b2, '。') THEN '。' ELSE '' END
+                  END AS sentence,
+                  n_evid
+                FROM c2)
+         SELECT report_id,
+                coalesce(string_agg(sentence, '' ORDER BY flag, ord), '') AS summary,
+                count(sentence) AS n_claims,
+                CAST(sum(n_evid) AS BIGINT) AS n_citations
+         FROM sn GROUP BY 1""",
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
          CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,

@@ -37,6 +37,25 @@ class Round10OpsSpec extends SparkSpec {
       (4, 10L, 1.0 / 61 + 0.0 + 0.0, 0.9, "primary")))
   }
 
+  test("xs01: numeric-first stable order, fact parens, 。 termination, empty-claim skip") {
+    val claims = Seq(
+      // (report, ord, claim, facts, evidence)
+      (1L, 1L, "売上は伸びた", Seq("45%"), Seq("E1")),          // fact NOT in text → parens, then 。
+      (1L, 2L, "横ばいだった", Seq.empty[String], Seq("E2", "E3")), // no facts → renders AFTER ord-1&3
+      (1L, 3L, "45%まで伸びたと結論した。", Seq("45%"), Seq("E4")), // fact in text → no parens; already 。
+      (1L, 4L, "", Seq.empty[String], Seq("E5")),               // skipped by render, counted by citations
+      (2L, 5L, "other report", Seq.empty[String], Seq("E6")))
+      .toDF("report_id", "ord", "claim", "numeric_facts", "evidence_ids")
+    val out = graft.operators.ExecSummary.renderOn(claims).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L)._1 ==
+      "売上は伸びた（45%）。45%まで伸びたと結論した。横ばいだった。",
+      "numeric claims first in original order, then the rest; parens only when a fact is absent from the text")
+    assert(out(1L)._2 == 3L, "the empty claim renders nothing")
+    assert(out(1L)._3 == 5L, "build_citations counts evidence of ALL claims, empty text included")
+    assert(out(2L)._1 == "other report。")
+  }
+
   test("rag08: per-source membership genuinely differs and ranks stay bounded") {
     val out = Rag.rag08(spark, "/root/testdata/sf0.001").cache()
     assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
