@@ -115,6 +115,7 @@ object SparkEntry {
     "qf01_query_facets"             -> (QueryFacets.qf01 _),
     "qv01_query_variants"           -> (QueryFacets.qv01 _),
     "xs01_exec_summary"             -> (ExecSummary.xs01 _),
+    "fz01_embedding_zscore"         -> (Features.fz01 _),
     "gd01_golden_summary"           -> (Golden.gd01 _),
     "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
@@ -1087,6 +1088,22 @@ object SparkEntry {
     "hy01_hyde_sanitize" -> hy01OracleSql,
     "qf01_query_facets" -> qf01OracleSelect,
     "qv01_query_variants" -> qv01OracleSql,
+    "fz01_embedding_zscore" ->
+      """WITH x AS (SELECT vec_id, i - 1 AS d,
+                CAST(round(CAST(embedding[i] AS DOUBLE) * 1e6) AS BIGINT) AS u
+              FROM embeddings, unnest(generate_series(1, len(embedding))) AS g(i)),
+         st AS (SELECT d, count(*) AS n, sum(u) AS su,
+                       sum(CAST(u AS HUGEINT) * u) AS su2
+                FROM x WHERE vec_id % 10 = 0 GROUP BY 1),
+         sd AS (SELECT d, CAST(su AS DOUBLE) / n / 1e6 AS mean,
+                       greatest(sqrt(CAST(su2 * n - CAST(su AS HUGEINT) * su AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) * 1e6), 1e-6) AS std
+                FROM st),
+         nr AS (SELECT vec_id, x.d,
+                       CAST(round(((u / 1e6) - mean) / std * 1e6) AS BIGINT) / 1e6 AS nv
+                FROM x JOIN sd ON x.d = sd.d)
+         SELECT vec_id, list(nv ORDER BY d) AS normalized
+         FROM nr GROUP BY 1""",
     "xs01_exec_summary" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks FROM documents),

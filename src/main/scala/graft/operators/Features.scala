@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Numeric.microRound
+
+/** Classifier feature preparation — the embedding standardization
+  * step of the recap-worker genre classifier (recap-worker/src/
+  * classification/features.rs): `EmbeddingStats.from_embeddings`
+  * (:66 — per-DIMENSION mean and population standard deviation over
+  * the golden fit set, σ floored at 1e-6 against zero-division) and
+  * `normalize` (:108 — in-place Z-score of every embedding). This is
+  * dimension-wise VECTOR standardization, a different object from
+  * ev14's scalar z-score: without it one high-variance dimension
+  * dominates every downstream distance/classifier.
+  *
+  * Cross-engine determinism: raw float components quantize to exact
+  * 1e-6-unit longs at the scan, so the per-dimension Σu (long) and
+  * Σu² (decimal(38,0) — the round-8 moment discipline; a plain long
+  * Σu² wraps at ~9e6 corpus rows) are order-independent integers;
+  * mean and σ derive from them through a FIXED chain of IEEE ops
+  * (σ = √(n·Σu² − (Σu)²) / (n·1e6), the computational identity of
+  * the reference's two-pass Σ(v−μ)²/n), so both engines compute
+  * bit-identical statistics and the normalized components round to
+  * identical 6-dp values.
+  *
+  * Scale: the fit aggregation shuffles |dim| keys once (map-side
+  * combined); the |dim|-row stats frame collects to the driver (the
+  * literal-centroid pattern) and the apply stage is a STATELESS
+  * in-row transform against literal mean/σ arrays — zero shuffles
+  * over the corpus being normalized, which is the only shape that
+  * survives normalizing 100 TB of vectors.
+  */
+object Features {
+
+  /** Per-dimension (mean, std) of the fit set, as literal-ready
+    * doubles. Fit set = vec_id % 10 = 0 (the golden subset — stats
+    * come from a curated sample, not the corpus being normalized,
+    * exactly as the reference fits on its golden dataset).
+    */
+  def embeddingStats(emb: DataFrame): Array[(Double, Double)] = {
+    val stats = emb.filter(col("vec_id") % 10 === 0)
+      .select(posexplode(col("embedding")).as(Seq("d", "v")))
+      .select(col("d"), round(col("v").cast("double") * 1e6, 0).cast("long").as("u"))
+      .groupBy("d").agg(
+        count(lit(1)).as("n"),
+        sum("u").as("su"),
+        sum(col("u").cast("decimal(38,0)") * col("u")).as("su2"))
+      .select(col("d"),
+        (col("su").cast("double") / col("n") / 1e6).as("mean"),
+        greatest(
+          sqrt((col("su2") * col("n") - col("su").cast("decimal(38,0)") * col("su"))
+            .cast("double")) / (col("n").cast("double") * 1e6),
+          lit(1e-6)).as("std"))
+      .collect()
+    val dim = stats.map(_.getInt(0)).max + 1
+    val out = Array.fill(dim)((0.0, 1.0))
+    stats.foreach(r => out(r.getInt(0)) = (r.getDouble(1), r.getDouble(2)))
+    out
+  }
+
+  /** fz01: every embedding Z-score-normalized against the fit-set
+    * statistics, components rounded to exact 6-dp micro-units.
+    */
+  def fz01(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val stats = embeddingStats(emb)
+    val meanLit = array(stats.map(p => lit(p._1)): _*)
+    val stdLit = array(stats.map(p => lit(p._2)): _*)
+    emb.select(col("vec_id"),
+      transform(col("embedding"), (v, i) =>
+        microRound(
+          (round(v.cast("double") * 1e6, 0).cast("long") / 1e6 -
+            element_at(meanLit, i + 1)) / element_at(stdLit, i + 1), 6))
+        .as("normalized"))
+  }
+}

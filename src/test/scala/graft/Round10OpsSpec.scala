@@ -56,6 +56,27 @@ class Round10OpsSpec extends SparkSpec {
     assert(out(2L)._1 == "other report。")
   }
 
+  test("fz01: per-dimension stats match the hand case; the σ floor guards constant dimensions") {
+    val emb = Seq(
+      (0L, Seq(1.0f, 5.0f), 0), (10L, Seq(3.0f, 5.0f), 0),
+      (1L, Seq(4.0f, 5.0f), 0)) // vec 1 is apply-only — not in the fit set
+      .toDF("vec_id", "embedding", "label")
+    val stats = graft.operators.Features.embeddingStats(emb)
+    assert(stats.toSeq == Seq((2.0, 1.0), (5.0, 1e-6)),
+      "population σ over the fit set only; a zero-variance dimension floors at 1e-6")
+  }
+
+  test("fz01: the fit set re-normalizes to zero mean / unit variance per dimension") {
+    val out = graft.operators.Features.fz01(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") % 10 === 0)
+      .select(posexplode(col("normalized")).as(Seq("d", "v")))
+      .groupBy("d").agg(avg("v").as("m"), stddev_pop("v").as("sd"))
+      .agg(max(abs(col("m"))).as("worst_mean"),
+        max(abs(col("sd") - 1)).as("worst_sd")).collect().head
+    assert(out.getDouble(0) < 1e-3 && out.getDouble(1) < 1e-3,
+      s"fit-set normalized moments drifted: $out")
+  }
+
   test("rag08: per-source membership genuinely differs and ranks stay bounded") {
     val out = Rag.rag08(spark, "/root/testdata/sf0.001").cache()
     assert(out.groupBy("query_id").count().collect().forall(_.getLong(1) <= 5))
