@@ -58,7 +58,8 @@ object Scratch {
       "tg04_genre_refine",
       "ce01_evidence_compression", "kw01_genre_keyword_scores",
       "kw02_genre_presence_scores", "gd01_golden_summary",
-      "rag08_multilist_rrf")
+      "rag08_multilist_rrf", "ps01_prompt_sanitize",
+      "qf01_query_facets", "fz01_embedding_zscore")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
