@@ -456,4 +456,32 @@ class PlanSpec extends SparkSpec {
     assert(!formatted("rag08_multilist_rrf").contains("SortMergeJoin"),
       "rag08's candidate/token joins must broadcast")
   }
+
+  test("the re-sweep sanitization/query-prep ops are pure scan projections") {
+    // ps01/hy01/qf01 fuse into the scan entirely; qv01 adds only the
+    // ≤3-row posexplode Generate — none may shuffle, window, or join
+    for (q <- Seq("ps01_prompt_sanitize", "hy01_hyde_sanitize",
+                  "qf01_query_facets", "qv01_query_variants")) {
+      val nodes = allNodes(finalPlan(q))
+      assert(nodes.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }.isEmpty, s"$q must not shuffle")
+      assert(nodes.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$q must not window")
+    }
+  }
+
+  test("xs01 renders each report in one shuffle; fz01's apply stage is shuffle-free") {
+    val xs = allNodes(finalPlan("xs01_exec_summary")).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(xs.size == 1, s"xs01: expected exactly the report_id exchange, got ${xs.size}")
+    // fz01's stats collected at plan build (the literal-centroid
+    // pattern) — the executed plan is the normalize projection only
+    val fz = allNodes(finalPlan("fz01_embedding_zscore")).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(fz.isEmpty, "fz01's apply must be an in-row transform of the scan")
+  }
 }
