@@ -2612,7 +2612,7 @@ object SparkEntry {
          mac AS (SELECT COALESCE(CAST(round(sum(p_u) / count(*)) AS BIGINT) / 1e6, 0) AS macro_precision,
                         COALESCE(CAST(round(sum(r_u) / count(*)) AS BIGINT) / 1e6, 0) AS macro_recall,
                         COALESCE(CAST(round(sum(f_u) / count(*)) AS BIGINT) / 1e6, 0) AS macro_f1,
-                        COALESCE(CAST(round(sum(f_u * support) / sum(support)) AS BIGINT) / 1e6, 0) AS weighted_f1
+                        COALESCE(CAST(round(sum(CAST(f_u AS HUGEINT) * support) / sum(support)) AS BIGINT) / 1e6, 0) AS weighted_f1
                  FROM plf),
          rg AS (SELECT job_id, genre,
                        regexp_extract_all(lower(trim(summary_text)), '[a-z0-9]+|[^\\x00-\\x7F]') AS ct,

@@ -372,8 +372,12 @@ object Golden {
       coalesce(meanU(col("p_u")), lit(0.0)).as("macro_precision"),
       coalesce(meanU(col("r_u")), lit(0.0)).as("macro_recall"),
       coalesce(meanU(col("f_u")), lit(0.0)).as("macro_f1"),
-      coalesce(round(sum(col("f_u") * col("support")) / sum("support"), 0)
-        .cast("long") / 1e6, lit(0.0)).as("weighted_f1"))
+      // f_u·support is a micro-unit × corpus-count PRODUCT — the
+      // round-8 moment discipline: decimal(38,0) here, HUGEINT in the
+      // oracle, or the long sum wraps silently at scale while DuckDB
+      // raises and the engines diverge exactly when it matters
+      coalesce(round(sum(col("f_u").cast("decimal(38,0)") * col("support")) /
+        sum("support"), 0).cast("long") / 1e6, lit(0.0)).as("weighted_f1"))
 
     val rouge = rougeFrame(runs).agg(
       count(lit(1)).as("n_rouge"),
