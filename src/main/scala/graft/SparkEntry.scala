@@ -116,6 +116,7 @@ object SparkEntry {
     "qv01_query_variants"           -> (QueryFacets.qv01 _),
     "xs01_exec_summary"             -> (ExecSummary.xs01 _),
     "fz01_embedding_zscore"         -> (Features.fz01 _),
+    "rp01_llm_repetition"           -> (Repetition.rp01 _),
     "gd01_golden_summary"           -> (Golden.gd01 _),
     "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
