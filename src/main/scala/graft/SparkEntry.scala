@@ -117,6 +117,7 @@ object SparkEntry {
     "xs01_exec_summary"             -> (ExecSummary.xs01 _),
     "fz01_embedding_zscore"         -> (Features.fz01 _),
     "rp01_llm_repetition"           -> (Repetition.rp01 _),
+    "gb01_graph_boost_snapshot"     -> (GraphBoost.gb01 _),
     "gd01_golden_summary"           -> (Golden.gd01 _),
     "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
@@ -1105,6 +1106,43 @@ object SparkEntry {
                 FROM x JOIN sd ON x.d = sd.d)
          SELECT vec_id, list(nv ORDER BY d) AS normalized
          FROM nr GROUP BY 1""",
+    "gb01_graph_boost_snapshot" ->
+      """WITH d AS (SELECT doc_id AS job_id FROM documents),
+         rows0 AS (
+           SELECT job_id, i AS idx,
+                  CAST((job_id * (i + 3) + i * 7) % 50 AS DOUBLE) / 100 AS score,
+                  CASE WHEN job_id % 4 = i THEN 0.0
+                       ELSE CAST((job_id + i * 11) % 20 AS DOUBLE) / 100 END AS boost
+           FROM d, unnest([0, 1, 2]) AS g(i)
+           WHERE job_id % 17 <> 0 AND NOT (job_id % 9 = 0 AND i = 1)
+           UNION ALL
+           SELECT job_id, 1,
+                  CAST((job_id * 3) % 50 AS DOUBLE) / 100
+                    + CASE WHEN job_id % 4 = 0 THEN 0.0
+                           ELSE CAST(job_id % 20 AS DOUBLE) / 100 END,
+                  0.0
+           FROM d WHERE job_id % 17 <> 0 AND job_id % 9 = 0),
+         bu AS (SELECT job_id, idx, boost,
+                       CAST(round((score + boost) * 1e6) AS BIGINT) AS u
+                FROM rows0),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY job_id
+                            ORDER BY u DESC, idx ASC) AS r
+                FROM bu),
+         agg AS (SELECT job_id,
+                        max(CASE WHEN r = 1 THEN u END) AS topu,
+                        max(CASE WHEN r = 2 THEN u END) AS secondu,
+                        max(CASE WHEN r = 1 THEN boost END) AS topboost,
+                        count(*) AS n
+                 FROM rk GROUP BY 1)
+         SELECT d.job_id,
+                COALESCE((topu - COALESCE(secondu, topu)) / 1e6, 0.0) AS margin,
+                COALESCE(CAST(round(topboost * 1e6) AS BIGINT) / 1e6, 0.0) AS top_boost,
+                CAST(COALESCE(n, 0) AS INT) AS candidate_count,
+                COALESCE(topu - COALESCE(secondu, topu) >= 150000
+                           AND topboost > 0.0, FALSE) AS graph_boost_available,
+                CAST(job_id % 7 AS INT) AS tag_count,
+                CAST(job_id % 100 AS DOUBLE) / 100 AS confidence
+         FROM d LEFT JOIN agg USING (job_id)""",
     "xs01_exec_summary" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -56,6 +56,28 @@ class Round10OpsSpec extends SparkSpec {
     assert(out(2L)._1 == "other report。")
   }
 
+  test("gb01: boosted ranking is Python-stable; margin/flag rules match the reference") {
+    def runs(cands: Seq[(Double, Double)]) = Seq((1L, cands, 2, 0.5))
+      .toDF("job_id", "candidates", "tag_count", "confidence")
+      .withColumn("candidates",
+        col("candidates").cast("array<struct<score:double,boost:double>>"))
+    def snap(cands: Seq[(Double, Double)]) = {
+      val r = graft.operators.GraphBoost.snapshotOn(runs(cands)).collect().head
+      (r.getDouble(1), r.getDouble(2), r.getInt(3), r.getBoolean(4))
+    }
+    // clear winner: margin = 0.9 − 0.6, top_boost from the winner
+    assert(snap(Seq((0.5, 0.4), (0.3, 0.3), (0.1, 0.0))) == (0.3, 0.4, 3, true))
+    // exact boosted tie → FIRST candidate wins (Python stable sort,
+    // genre_learning.py:78) → its boost reported, margin 0 → flag off
+    assert(snap(Seq((0.5, 0.2), (0.7, 0.0))) == (0.0, 0.2, 2, false))
+    // margin clears 0.15 but the winner has no boost → flag off
+    assert(snap(Seq((0.9, 0.0), (0.2, 0.1))) == (0.6, 0.0, 2, false))
+    // single candidate: second = top → margin 0 (:81)
+    assert(snap(Seq((0.4, 0.3))) == (0.0, 0.3, 1, false))
+    // empty candidates → (0, 0, 0, false) (:76)
+    assert(snap(Seq.empty) == (0.0, 0.0, 0, false))
+  }
+
   test("fz01: per-dimension stats match the hand case; the σ floor guards constant dimensions") {
     val emb = Seq(
       (0L, Seq(1.0f, 5.0f), 0), (10L, Seq(3.0f, 5.0f), 0),
