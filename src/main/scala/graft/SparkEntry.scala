@@ -118,6 +118,7 @@ object SparkEntry {
     "fz01_embedding_zscore"         -> (Features.fz01 _),
     "rp01_llm_repetition"           -> (Repetition.rp01 _),
     "gb01_graph_boost_snapshot"     -> (GraphBoost.gb01 _),
+    "tv01_tag_validation"           -> (TagValidate.tv01 _),
     "gd01_golden_summary"           -> (Golden.gd01 _),
     "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
@@ -1106,6 +1107,32 @@ object SparkEntry {
                 FROM x JOIN sd ON x.d = sd.d)
          SELECT vec_id, list(nv ORDER BY d) AS normalized
          FROM nr GROUP BY 1""",
+    "tv01_tag_validation" -> {
+      val lex = "['" + graft.functions.TextFunctions.jaLexicon.take(40).mkString("','") + "']"
+      val verb = operators.TagValidate.verbEndings
+      val part = operators.TagValidate.particleEndings
+      val url = operators.TagValidate.urlFragments
+      s"""WITH d AS (SELECT doc_id AS tag_id FROM documents),
+         b AS (SELECT tag_id, $lex[(tag_id % 40) + 1] AS base FROM d),
+         c AS (SELECT tag_id,
+                 CASE WHEN tag_id % 19 = 0 THEN '語'
+                      WHEN tag_id % 17 = 0 THEN base || base || base || base || base
+                      WHEN tag_id % 13 = 0 THEN CAST(tag_id % 1000 AS VARCHAR)
+                      WHEN tag_id % 11 = 0 THEN (['https','WWW','nbsp','Com'])[(tag_id % 4) + 1]
+                      WHEN tag_id % 7 = 0 THEN base || 'します'
+                      WHEN tag_id % 5 = 0 THEN base || 'の'
+                      WHEN tag_id % 3 = 0 THEN base || 'するの'
+                      ELSE base END AS tag
+               FROM b)
+         SELECT tag_id, tag,
+                (length(tag) BETWEEN 2 AND 15)
+                  AND NOT regexp_matches(tag, '$verb')
+                  AND NOT regexp_matches(tag, '$part')
+                  AND NOT regexp_matches(tag, '^[0-9]+${"$"}')
+                  AND NOT regexp_matches(lower(tag), '$url') AS is_valid,
+                trim(regexp_replace(regexp_replace(trim(tag), '$part', ''), '$verb', '')) AS cleaned
+         FROM c"""
+    },
     "gb01_graph_boost_snapshot" ->
       """WITH d AS (SELECT doc_id AS job_id FROM documents),
          rows0 AS (

@@ -56,6 +56,25 @@ class Round10OpsSpec extends SparkSpec {
     assert(out(2L)._1 == "other report。")
   }
 
+  test("tv01: every validation rule and the two-step clean order match tag_validator.py") {
+    def v(tags: String*) = graft.operators.TagValidate.validateOn(
+      tags.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("tag_id", "tag"))
+      .collect().map(r => r.getString(1) -> (r.getBoolean(2), r.getString(3))).toMap
+    val out = v("機械学習", "発表します", "検索の", "2024", "HTTPS", "語",
+      "するの", "自然言語処理自然言語処理自然言語", "データた")
+    assert(out("機械学習") == (true, "機械学習"))
+    assert(out("発表します") == (false, "発表し"), "ます$ is a verb fragment")
+    assert(out("検索の") == (false, "検索"), "trailing particle rejects and strips")
+    assert(out("2024") == (false, "2024"), "digits-only")
+    assert(out("HTTPS") == (false, "HTTPS"), "URL fragments reject case-insensitively")
+    assert(out("語")._1 == false, "under 2 chars")
+    assert(out("するの") == (false, ""),
+      "particle strips FIRST, exposing the verb ending — cleaned to empty (:97-100)")
+    assert(out("自然言語処理自然言語処理自然言語")._1 == false, "over 15 chars")
+    assert(out("データた") == (true, "データた"),
+      "た alone is neither a listed verb ending nor a particle — single-pass, no stemming")
+  }
+
   test("gb01: boosted ranking is Python-stable; margin/flag rules match the reference") {
     def runs(cands: Seq[(Double, Double)]) = Seq((1L, cands, 2, 0.5))
       .toDF("job_id", "candidates", "tag_count", "confidence")
