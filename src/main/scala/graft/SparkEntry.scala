@@ -119,6 +119,7 @@ object SparkEntry {
     "rp01_llm_repetition"           -> (Repetition.rp01 _),
     "gb01_graph_boost_snapshot"     -> (GraphBoost.gb01 _),
     "tv01_tag_validation"           -> (TagValidate.tv01 _),
+    "ke01_keyword_selection"        -> (KeywordSelect.ke01 _),
     "gd01_golden_summary"           -> (Golden.gd01 _),
     "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
@@ -1107,6 +1108,66 @@ object SparkEntry {
                 FROM x JOIN sd ON x.d = sd.d)
          SELECT vec_id, list(nv ORDER BY d) AS normalized
          FROM nr GROUP BY 1""",
+    "ke01_keyword_selection" ->
+      """WITH RECURSIVE d AS (SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         cand AS (
+           SELECT doc_id, 0 AS idx,
+                  upper(substr(toks[1], 1, 1)) || substr(toks[1], 2) || ' ' || toks[2] AS phrase,
+                  CAST((doc_id * 3 + 1) % 80 + 10 AS DOUBLE) / 100 AS score FROM d
+           UNION ALL SELECT doc_id, 1, toks[3] || ' ' || toks[4],
+                  CAST((doc_id * 5 + 2) % 80 + 10 AS DOUBLE) / 100 FROM d
+           UNION ALL SELECT doc_id, 2, toks[2],
+                  CAST((doc_id * 7 + 3) % 80 + 10 AS DOUBLE) / 100 FROM d
+           UNION ALL SELECT doc_id, 3, toks[5],
+                  CAST((doc_id * 11 + 4) % 80 + 10 AS DOUBLE) / 100 FROM d
+           UNION ALL SELECT doc_id, 4, toks[6],
+                  CAST((doc_id * 13 + 5) % 80 + 10 AS DOUBLE) / 100 FROM d
+           UNION ALL SELECT doc_id, 5, '2024', 0.9 FROM d
+           UNION ALL SELECT doc_id, 6, 'ai', 0.9 FROM d
+           UNION ALL SELECT doc_id, 7,
+                  upper(substr(toks[5], 1, 1)) || substr(toks[5], 2) || ' ' || toks[6] || ' ' || toks[7],
+                  CAST((doc_id * 17 + 6) % 80 + 10 AS DOUBLE) / 100 FROM d),
+         u AS (SELECT doc_id, idx, trim(phrase) AS raw, lower(trim(phrase)) AS p,
+                      CAST(round(score * 1e6) AS BIGINT) AS uv
+               FROM cand),
+         ph AS (SELECT *, len(string_split(p, ' ')) AS nw FROM u),
+         phrases AS (SELECT * FROM ph
+                     WHERE nw >= 2 AND uv >= 225000
+                       AND len(list_filter(string_split_regex(raw, '\s+'),
+                                           w -> regexp_matches(w, '^[A-Z]'))) > 0),
+         seen AS (SELECT doc_id, list_distinct(flatten(list(string_split(p, ' ')))) AS sw
+                  FROM phrases GROUP BY 1),
+         words0 AS (SELECT ph.* FROM ph LEFT JOIN seen USING (doc_id)
+                    WHERE nw = 1 AND uv >= 150000
+                      AND NOT COALESCE(list_contains(sw, p), FALSE)
+                      AND length(p) > 2 AND NOT regexp_matches(p, '^[0-9]+$')),
+         wd AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY doc_id, p
+                                         ORDER BY idx) AS rn FROM words0)
+                WHERE rn = 1),
+         mg AS (SELECT doc_id, p, uv, 0 AS grp, idx FROM phrases
+                UNION ALL SELECT doc_id, p, uv, 1, idx FROM wd),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY grp, idx) AS ins
+                FROM mg),
+         srt AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY uv DESC, ins ASC) AS r
+                 FROM rk),
+         sel AS (
+           SELECT doc_id, 0 AS r, CAST([] AS VARCHAR[]) AS acc, CAST([] AS BIGINT[]) AS us
+           FROM (SELECT DISTINCT doc_id FROM srt)
+           UNION ALL
+           SELECT s.doc_id, s.r + 1,
+                  CASE WHEN len(s.acc) >= 10
+                         OR len(list_filter(s.acc, a -> contains(a, t.p) OR contains(t.p, a))) > 0
+                       THEN s.acc ELSE list_append(s.acc, t.p) END,
+                  CASE WHEN len(s.acc) >= 10
+                         OR len(list_filter(s.acc, a -> contains(a, t.p) OR contains(t.p, a))) > 0
+                       THEN s.us ELSE list_append(s.us, t.uv) END
+           FROM sel s JOIN srt t ON t.doc_id = s.doc_id AND t.r = s.r + 1),
+         fin AS (SELECT doc_id, max_by(acc, r) AS acc, max_by(us, r) AS us
+                 FROM sel GROUP BY 1)
+         SELECT doc_id, i AS rank, acc[i] AS tag,
+                CAST(round(least(greatest(us[i], 0), 1000000) / 1e3) AS BIGINT) / 1e3 AS confidence
+         FROM fin, unnest(generate_series(1, len(acc))) AS g(i)""",
     "tv01_tag_validation" -> {
       val lex = "['" + graft.functions.TextFunctions.jaLexicon.take(40).mkString("','") + "']"
       val verb = operators.TagValidate.verbEndings

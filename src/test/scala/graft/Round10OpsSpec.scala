@@ -56,6 +56,34 @@ class Round10OpsSpec extends SparkSpec {
     assert(out(2L)._1 == "other report。")
   }
 
+  test("ke01: phrase gates, seen-word skip, substring dedupe, cap, and confidence rounding") {
+    def sel(cands: (String, Double)*) = graft.operators.KeywordSelect.selectOn(
+      Seq((1L, cands)).toDF("doc_id", "candidates")
+        .withColumn("candidates",
+          col("candidates").cast("array<struct<phrase:string,score:double>>")))
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getDouble(3))).sortBy(_._1).toSeq
+    // capitalized phrase over 0.225 survives; uncapitalized twin never
+    // does; the phrase's own words are seen → 'neural' single skipped;
+    // an unrelated word at base threshold survives
+    assert(sel(("Neural engine", 0.30), ("query planner", 0.30),
+      ("neural", 0.80), ("batch", 0.20)) == Seq(
+      (1, "neural engine", 0.3), (2, "batch", 0.2)),
+      "phrases lower for output; capitalization gate reads the RAW phrase")
+    // phrase-covered words die in the WORD pass (seen set)
+    assert(sel(("Vector Index Store", 0.50), ("index", 0.45), ("store", 0.40)) ==
+      Seq((1, "vector index store", 0.5)))
+    // substring dedupe is EITHER direction: a containing word drops
+    // against the accepted shorter one, regardless of the :92 comment
+    assert(sel(("vector", 0.50), ("vectorize", 0.40)) == Seq((1, "vector", 0.5)))
+    // generic gates: digits and len<=2 never pass; sub-threshold dies
+    assert(sel(("2024", 0.90), ("ai", 0.90), ("ok", 0.90), ("engine", 0.10)) == Seq())
+    // confidence clips to [0,1] and rounds to 3 dp
+    assert(sel(("verylongword", 1.40)) == Seq((1, "verylongword", 1.0)))
+    // the cap stops at 10 even with more eligible words
+    val many = (1 to 14).map(i => (f"word$i%02d", 0.5 + i * 0.01))
+    assert(sel(many: _*).size == 10)
+  }
+
   test("tv01: every validation rule and the two-step clean order match tag_validator.py") {
     def v(tags: String*) = graft.operators.TagValidate.validateOn(
       tags.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("tag_id", "tag"))
