@@ -59,7 +59,10 @@ object Scratch {
       "ce01_evidence_compression", "kw01_genre_keyword_scores",
       "kw02_genre_presence_scores", "gd01_golden_summary",
       "rag08_multilist_rrf", "ps01_prompt_sanitize",
-      "qf01_query_facets", "fz01_embedding_zscore")
+      "qf01_query_facets", "fz01_embedding_zscore",
+      "hy01_hyde_sanitize", "qv01_query_variants", "xs01_exec_summary",
+      "rp01_llm_repetition", "gb01_graph_boost_snapshot",
+      "tv01_tag_validation", "ke01_keyword_selection")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
