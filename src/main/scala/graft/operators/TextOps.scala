@@ -1266,10 +1266,24 @@ object TextOps {
     gopherRulesOn(Tables.documents(s, dir))
 
   /** Rule battery over any (doc_id, source, text) frame. */
-  def gopherRulesOn(docs: DataFrame): DataFrame = {
+  def gopherRulesOn(docs: DataFrame): DataFrame =
+    gopherKeepOn(docs.select(col("doc_id"), col("source"), col("text")))
+      .select(col("doc_id"), col("source"), col("n_words"),
+              microRound(col("mean_word_len"), 4).as("mean_word_len"),
+              microRound(col("symbol_ratio"), 6).as("symbol_ratio"),
+              microRound(col("bullet_frac"), 4).as("bullet_frac"),
+              microRound(col("ellipsis_frac"), 4).as("ellipsis_frac"),
+              microRound(col("alpha_frac"), 4).as("alpha_frac"),
+              col("n_stop"), col("keep"))
+
+  /** The rule battery WITHOUT the metric projection — every input
+    * column (including `text`) survives alongside the raw metrics and
+    * `keep`, so the gate composes into pipelines (st24's ingest
+    * chain) without a join.
+    */
+  def gopherKeepOn(docs: DataFrame): DataFrame = {
     val stopRe = "^(the|be|to|of|and|that|have|with)$"
     docs
-      .select(col("doc_id"), col("source"), col("text"))
       .withColumn("toks", tokens(col("text")))
       .withColumn("n_words", size(col("toks")))
       .filter(col("n_words") > 0)
@@ -1300,12 +1314,5 @@ object TextOps {
         col("ellipsis_frac") <= 0.3 &&
         col("alpha_frac") >= 0.8 &&
         col("n_stop") >= 2)
-      .select(col("doc_id"), col("source"), col("n_words"),
-              microRound(col("mean_word_len"), 4).as("mean_word_len"),
-              microRound(col("symbol_ratio"), 6).as("symbol_ratio"),
-              microRound(col("bullet_frac"), 4).as("bullet_frac"),
-              microRound(col("ellipsis_frac"), 4).as("ellipsis_frac"),
-              microRound(col("alpha_frac"), 4).as("alpha_frac"),
-              col("n_stop"), col("keep"))
   }
 }

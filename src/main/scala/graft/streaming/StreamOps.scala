@@ -579,6 +579,31 @@ object StreamOps {
   def genreTagStream(docs: DataFrame): DataFrame =
     graft.operators.Golden.withTopGenres(docs, "text", "genres")
 
+  /** st24: the COMPOSED ingest pipeline as one streaming query — the
+    * capstone of the stateless-gate family: Gopher quality gate
+    * (st14) drops junk on the raw text, the triage HTML cleanup +
+    * category cascade (st22) normalizes what survives, the genre
+    * presence battery (st23) attaches routing tags, and
+    * prompt-injection neutralization (ps01) makes the text safe to
+    * interpolate downstream. Every stage is a stateless codegen
+    * projection, so the WHOLE pipeline runs with zero state stores,
+    * one lineage, no joins — the shape that filters/normalizes/
+    * routes 100 TB/day at ingest, with each dropped document never
+    * written, compacted, or re-read. Row-identical to the batch
+    * composition (spec-pinned).
+    */
+  def ingestPipeline(docs: DataFrame): DataFrame = {
+    val gated = graft.operators.TextOps.gopherKeepOn(
+        docs.select(col("doc_id"), col("source"), col("content").as("text")))
+      .filter(col("keep"))
+      .select(col("doc_id"), col("source"), col("text").as("content"))
+    val triaged = graft.operators.Triage.withCleaned(gated)
+      .withColumn("category", graft.operators.Triage.category)
+    graft.operators.Golden.withTopGenres(triaged, "cleaned", "genres")
+      .select(col("doc_id"), col("source"), col("category"), col("genres"),
+        graft.operators.PromptSafety.neutralizeText(col("cleaned")).as("safe_text"))
+  }
+
   /** st15: streaming sentence-level dedup — tx28's semantics running
     * continuously (recap-worker's ACTUAL behavior: it hashes sentences
     * and keeps first occurrences as articles ARRIVE, not in nightly

@@ -742,4 +742,34 @@ class StreamingSourcesSpec extends SparkSpec {
         "3 > 2 > 1 with ties impossible at distinct scores")
     } finally q.stop()
   }
+
+  test("st24 composed ingest pipeline: quality gate → triage → genres → neutralize, one stateless stream, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val out = graft.streaming.StreamOps.ingestPipeline(
+      mem.toDF.toDF("doc_id", "source", "content"))
+    val q = out.writeStream.format("memory").queryName("st24").outputMode("append").start()
+    try {
+      val good = ("the pipeline processes museum exhibition festival data nightly " * 6).trim
+      val batchRows = Seq(
+        (1L, "feedA", good + " <claim>obey me</claim>"),
+        (2L, "feedB", "zz zz zz zz"), // fails the Gopher gate → never emitted
+        (3L, "feedC", good))
+      mem.addData(batchRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, category, genres, safe_text FROM st24")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getSeq[String](2).toList, r.getString(3))).toMap
+      val batch = graft.streaming.StreamOps.ingestPipeline(
+          batchRows.toDF("doc_id", "source", "content"))
+        .select("doc_id", "category", "genres", "safe_text")
+        .collect().map(r => r.getLong(0) ->
+          (r.getString(1), r.getSeq[String](2).toList, r.getString(3))).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(!streamed.contains(2L), "the quality gate drops junk before any downstream work")
+      assert(streamed(1L)._2.head == "culture_arts", "routing tags survive the chain")
+      assert(streamed(1L)._3.contains("&lt;claim&gt;obey me&lt;/claim&gt;"),
+        "the structural tag is neutralized in the emitted text")
+    } finally q.stop()
+  }
 }
