@@ -74,6 +74,14 @@ object SparkEntry {
     "ev36_severity_profile"         -> (OtelLogs.severityProfile _),
     "ot05_api_performance"          -> ((s: SparkSession, dir: String) => OtelLogs.apiPerformance(s, dir)),
     "ot06_span_bottlenecks"         -> ((s: SparkSession, dir: String) => OtelLogs.spanBottlenecks(s, dir)),
+    "mt01_http_endpoint_stats"      -> ((s: SparkSession, dir: String) => Collectors.httpEndpointStats(s, dir)),
+    "mt02_http_status_distribution" -> (Collectors.httpStatusDistribution _),
+    "mt03_recent_errors"            -> ((s: SparkSession, dir: String) => Collectors.recentErrors(s, dir)),
+    "mt04_log_volume_trends"        -> (Collectors.logVolumeTrends _),
+    "mt05_span_type_stats"          -> (Collectors.spanTypeStats _),
+    "mt06_sli_trends"               -> ((s: SparkSession, dir: String) => Collectors.sliTrends(s, dir)),
+    "sat01_resource_utilization"    -> ((s: SparkSession, dir: String) => Collectors.resourceUtilization(s, dir)),
+    "sat02_queue_saturation"        -> ((s: SparkSession, dir: String) => Collectors.queueSaturation(s, dir)),
     "ev32_apdex"                    -> ((s: SparkSession, dir: String) => Events.apdexScore(s, dir)),
     "ev18_decay_ranking"            -> (Events.decayRanking _),
     "ev19_cohort_retention"         -> (Events.cohortRetention _),
@@ -1841,6 +1849,161 @@ object SparkEntry {
                   CAST(round(sum(dur_c) * 1.0 / 1e3) AS BIGINT) / 1e2 AS total_time_sec
            FROM w GROUP BY 1, 2 HAVING count(*) >= 3)
          ORDER BY total_time_sec DESC, service_name ASC, span_name ASC LIMIT 15""",
+    "mt01_http_endpoint_stats" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           coalesce(value, 0) AS v,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         http AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                      WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                         '/api/' || event_type AS route,
+                         CASE WHEN k % 10 = 0 THEN 0
+                              WHEN event_type = 'error' THEN 500 ELSE 200 END AS status,
+                         CAST(round(v * 10) AS BIGINT) AS size,
+                         CAST(round(v * 100) AS BIGINT) AS dur_c
+                  FROM e WHERE event_type <> 'click')
+         SELECT * FROM (
+           SELECT service, route, count(*) AS request_count,
+                  CAST(round(sum(dur_c) * 1.0 / count(*)) AS BIGINT) / 1e2 AS avg_duration_ms,
+                  CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_duration_ms,
+                  CAST(round(sum(size) * 1.0 / count(*)) AS BIGINT) AS avg_response_size,
+                  CAST(round(count(CASE WHEN status >= 400 THEN 1 END) * 100 * 1e2 / count(*)) AS BIGINT) / 1e2 AS error_rate,
+                  count(CASE WHEN status >= 200 AND status < 300 THEN 1 END) AS status_2xx,
+                  count(CASE WHEN status >= 400 AND status < 500 THEN 1 END) AS status_4xx,
+                  count(CASE WHEN status >= 500 THEN 1 END) AS status_5xx
+           FROM http GROUP BY 1, 2)
+         ORDER BY request_count DESC, service ASC, route ASC LIMIT 30""",
+    "mt02_http_status_distribution" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         http AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                      WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                         CASE WHEN k % 10 = 0 THEN 0
+                              WHEN event_type = 'error' THEN 500 ELSE 200 END AS status
+                  FROM e WHERE event_type <> 'click')
+         SELECT service, count(*) AS total_requests,
+                count(CASE WHEN status >= 200 AND status < 300 THEN 1 END) AS status_2xx,
+                count(CASE WHEN status >= 300 AND status < 400 THEN 1 END) AS status_3xx,
+                count(CASE WHEN status >= 400 AND status < 500 THEN 1 END) AS status_4xx,
+                count(CASE WHEN status >= 500 THEN 1 END) AS status_5xx,
+                CAST(round(count(CASE WHEN status >= 500 THEN 1 END) * 100 * 1e2 / count(*)) AS BIGINT) / 1e2 AS error_5xx_rate
+         FROM http GROUP BY 1
+         ORDER BY total_requests DESC, service ASC""",
+    "mt03_recent_errors" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           coalesce(value, 0) AS v, CAST(ts AS TIMESTAMP) AS ts,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events WHERE event_type = 'error')
+         SELECT * FROM (
+           SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                               WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                  CASE WHEN v > 300 THEN 'FATAL' ELSE 'ERROR' END AS level,
+                  substring(event_type || ' event', 1, 200) AS message,
+                  CASE WHEN k % 13 = 0 THEN '-' ELSE 'E' || (k % 3) END AS error_type,
+                  strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_time
+           FROM e)
+         ORDER BY event_time DESC, service ASC, level ASC, message ASC, error_type ASC
+         LIMIT 25""",
+    "mt04_log_volume_trends" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+         w AS (SELECT date_trunc('hour', ts) AS hour,
+                      CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                   WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                      CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+               FROM e)
+         SELECT hour, service, count(*) AS log_count,
+                CAST(sum(is_err) AS BIGINT) AS error_count,
+                CAST(round(sum(is_err) * 100 * 1e2 / count(*)) AS BIGINT) / 1e2 AS error_rate
+         FROM w GROUP BY 1, 2
+         ORDER BY hour DESC, log_count DESC, service ASC""",
+    "mt05_span_type_stats" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid,
+                           coalesce(value, 0) AS v,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         w AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                   WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                      CASE k % 3 WHEN 0 THEN 'SERVER' WHEN 1 THEN 'CLIENT' ELSE 'INTERNAL' END AS span_kind,
+                      CAST(round(v * 100) AS BIGINT) AS dur_c,
+                      CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END AS is_err
+               FROM e)
+         SELECT service, span_kind, count(*) AS span_count,
+                CAST(round(sum(dur_c) * 1.0 / count(*)) AS BIGINT) / 1e2 AS avg_duration_ms,
+                CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_duration_ms,
+                CAST(sum(is_err) AS BIGINT) AS error_count
+         FROM w GROUP BY 1, 2
+         ORDER BY span_count DESC, service ASC, span_kind ASC""",
+    "mt06_sli_trends" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+         pm AS (SELECT date_trunc('minute', ts) AS minute,
+                       CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                    WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                       count(*) AS n,
+                       count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err
+                FROM e GROUP BY 1, 2),
+         pu AS (SELECT *, CAST(round(n_err * 10000 * 1.0 / n) AS BIGINT) AS er_u FROM pm),
+         fb AS (SELECT make_timestamp(CAST(floor(floor(epoch(minute)) / 300) AS BIGINT) * 300 * 1000000) AS time_bucket,
+                       service,
+                       CAST(round(sum(er_u) * 1.0 / count(*)) AS BIGINT) / 1e4 AS error_rate,
+                       CAST(round(sum(n) * 10000 * 1.0 / count(*)) AS BIGINT) / 1e4 AS log_throughput
+                FROM pu GROUP BY 1, 2)
+         SELECT time_bucket, service, metric, value FROM (
+           SELECT time_bucket, service, 'error_rate' AS metric, error_rate AS value FROM fb
+           UNION ALL
+           SELECT time_bucket, service, 'log_throughput' AS metric, log_throughput AS value FROM fb)
+         ORDER BY time_bucket DESC, service ASC, metric ASC LIMIT 500""",
+    "sat01_resource_utilization" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid,
+                           coalesce(value, 0) AS v, CAST(ts AS TIMESTAMP) AS ts
+                    FROM events),
+         w AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                   WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                      CAST(round(v * 100) AS BIGINT) AS dur_c, ts
+               FROM e),
+         hrs AS (SELECT CAST(floor((floor(epoch(max(ts))) - floor(epoch(min(ts)))) / 3600) + 1 AS BIGINT) AS hours_analyzed FROM w),
+         g AS (SELECT service, count(*) AS sample_count,
+                      sum(dur_c) AS sum_c, max(dur_c) AS max_c,
+                      CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) AS p95_c
+               FROM w GROUP BY 1 HAVING count(*) >= 10)
+         SELECT service, resource_type, avg_utilization, max_utilization, p95_utilization, sample_count FROM (
+           SELECT service, 'trace_duration_sec' AS resource_type,
+                  CAST(round(sum_c / (1000.0 * sample_count)) AS BIGINT) / 1e2 AS avg_utilization,
+                  CAST(round(max_c / 1000.0) AS BIGINT) / 1e2 AS max_utilization,
+                  CAST(round(p95_c / 1000.0) AS BIGINT) / 1e2 AS p95_utilization,
+                  sample_count
+           FROM g
+           UNION ALL
+           SELECT service, 'throughput',
+                  CAST(round(sample_count * 1e2 / hours_analyzed) AS BIGINT) / 1e2,
+                  0.0, 0.0, sample_count
+           FROM g CROSS JOIN hrs)
+         ORDER BY service ASC, resource_type ASC""",
+    "sat02_queue_saturation" ->
+      """WITH e AS (SELECT coalesce(value, 0) AS v,
+                           coalesce(user_id, 0) AS uid,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         w AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                   WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                      CASE k % 5 WHEN 0 THEN 'db-query' WHEN 1 THEN 'article-queue-pop'
+                                 WHEN 2 THEN 'worker-dispatch' WHEN 3 THEN 'process-batch'
+                                 ELSE 'http-get' END AS queue_name,
+                      v, CAST(round(v * 100) AS BIGINT) AS dur_c
+               FROM e)
+         SELECT * FROM (
+           SELECT service, queue_name,
+                  CAST(round(sum(dur_c) * 1.0 / count(*)) AS BIGINT) / 1e2 AS avg_wait_time_ms,
+                  CAST(floor(max(v)) AS BIGINT) AS max_wait_time_ms,
+                  CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_wait_time_ms
+           FROM w
+           WHERE queue_name LIKE '%queue%' OR queue_name LIKE '%worker%' OR queue_name LIKE '%process%'
+           GROUP BY 1, 2 HAVING count(*) >= 5)
+         ORDER BY avg_wait_time_ms DESC, service ASC, queue_name ASC LIMIT 20""",
     "ev34_pipeline_drilldown" ->
       """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
                            coalesce(value, 0) AS v,

@@ -234,6 +234,8 @@ object OtelLogs {
       concat(lit("s"), col("event_id")).as("span_id"),
       svc.as("service_name"),
       concat(lit("op"), pmod(k, lit(5))).as("span_name"),
+      when(pmod(k, lit(3)) === 0, "SERVER").when(pmod(k, lit(3)) === 1, "CLIENT")
+        .otherwise("INTERNAL").as("span_kind"),
       v.as("duration_ms"),
       when(pmod(k, lit(11)) === 0, "ERROR").otherwise("OK").as("status_code"))
   }
