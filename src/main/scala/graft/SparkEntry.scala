@@ -80,6 +80,9 @@ object SparkEntry {
     "mt04_log_volume_trends"        -> (Collectors.logVolumeTrends _),
     "mt05_span_type_stats"          -> (Collectors.spanTypeStats _),
     "mt06_sli_trends"               -> ((s: SparkSession, dir: String) => Collectors.sliTrends(s, dir)),
+    "mt07_error_trends"             -> (Collectors.errorTrends _),
+    "mt08_error_spans"              -> ((s: SparkSession, dir: String) => Collectors.errorSpans(s, dir)),
+    "mt09_service_dependencies"     -> ((s: SparkSession, dir: String) => Collectors.serviceDependencies(s, dir)),
     "sat01_resource_utilization"    -> ((s: SparkSession, dir: String) => Collectors.resourceUtilization(s, dir)),
     "sat02_queue_saturation"        -> ((s: SparkSession, dir: String) => Collectors.queueSaturation(s, dir)),
     "ev32_apdex"                    -> ((s: SparkSession, dir: String) => Events.apdexScore(s, dir)),
@@ -1957,6 +1960,64 @@ object SparkEntry {
            UNION ALL
            SELECT time_bucket, service, 'log_throughput' AS metric, log_throughput AS value FROM fb)
          ORDER BY time_bucket DESC, service ASC, metric ASC LIMIT 500""",
+    "mt07_error_trends" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
+                           coalesce(value, 0) AS v, CAST(ts AS TIMESTAMP) AS ts,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         w AS (SELECT date_trunc('hour', ts) AS hour,
+                      CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                   WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                      CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+               FROM e)
+         SELECT hour, service,
+                CAST(sum(is_err) AS BIGINT) AS error_count,
+                count(*) AS total_count,
+                CAST(round(sum(is_err) * 100 * 1e2 / count(*)) AS BIGINT) / 1e2 AS error_rate
+         FROM w GROUP BY 1, 2 HAVING count(*) > 0
+         ORDER BY hour DESC, error_count DESC, service ASC""",
+    "mt08_error_spans" ->
+      """WITH e AS (SELECT coalesce(user_id, 0) AS uid,
+                           coalesce(value, 0) AS v, CAST(ts AS TIMESTAMP) AS ts,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         w AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                   WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                      'op' || (k % 5) AS operation,
+                      'boom-' || (k % 2) AS error_message,
+                      CAST(round(v * 100) AS BIGINT) AS dur_c, ts
+               FROM e WHERE k % 11 = 0)
+         SELECT * FROM (
+           SELECT service, operation, error_message, count(*) AS error_count,
+                  CAST(round(sum(dur_c) * 1.0 / count(*)) AS BIGINT) / 1e2 AS avg_duration_ms,
+                  strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_occurrence
+           FROM w GROUP BY 1, 2, 3)
+         ORDER BY error_count DESC, service ASC, operation ASC, error_message ASC
+         LIMIT 20""",
+    "mt09_service_dependencies" ->
+      """WITH e AS (SELECT event_id, coalesce(user_id, 0) AS uid,
+                           coalesce(value, 0) AS v,
+                           coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+                    FROM events),
+         tr AS (SELECT 't' || (event_id // 8) AS trace_id,
+                       's' || event_id AS span_id,
+                       CASE WHEN event_id % 8 <> 0 THEN 's' || (event_id - 1) END AS parent_span_id,
+                       CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                    WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                       CAST(round(v * 100) AS BIGINT) AS dur_c,
+                       CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END AS is_err
+                FROM e)
+         SELECT * FROM (
+           SELECT s1.service AS caller, s2.service AS callee,
+                  count(*) AS call_count,
+                  CAST(round(sum(s1.dur_c) * 1.0 / count(*)) AS BIGINT) / 1e2 AS avg_duration_ms,
+                  CAST(round(quantile_cont(s1.dur_c, 0.95)) AS BIGINT) / 1e2 AS p95_duration_ms,
+                  CAST(sum(s1.is_err) AS BIGINT) AS error_count
+           FROM tr s1 JOIN tr s2
+             ON s1.trace_id = s2.trace_id AND s1.span_id = s2.parent_span_id
+           WHERE s1.service <> s2.service
+           GROUP BY 1, 2)
+         ORDER BY call_count DESC, caller ASC, callee ASC LIMIT 20""",
     "sat01_resource_utilization" ->
       """WITH e AS (SELECT coalesce(user_id, 0) AS uid,
                            coalesce(value, 0) AS v, CAST(ts AS TIMESTAMP) AS ts

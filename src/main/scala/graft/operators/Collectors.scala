@@ -230,6 +230,83 @@ object Collectors {
       .when(spanName === "op3", "process-batch")
       .otherwise("http-get")
 
+  /** mt07: collect_error_trends (base.py:58) — per-(hour, service)
+    * severe-error trend over the legacy logs view, worst-errors-first
+    * within each hour (the mt04 sibling with the error-count ranking
+    * and the Error/Fatal level source).
+    */
+  def errorTrends(s: SparkSession, dir: String): DataFrame =
+    errorTrendsOn(OtelLogs.composeOtelLogs(s, dir))
+
+  /** mt07 over any otel-log-shaped frame. */
+  def errorTrendsOn(logs: DataFrame): DataFrame =
+    logs
+      .groupBy(date_trunc("hour", col("ts")).as("hour"),
+        col("service_name").as("service"))
+      .agg(
+        count(when(col("severity_text").isin("ERROR", "FATAL"), 1)).as("error_count"),
+        count(lit(1)).as("total_count"),
+        pct2(count(when(col("severity_text").isin("ERROR", "FATAL"), 1)),
+          count(lit(1))).as("error_rate"))
+      .filter(col("total_count") > 0)
+      .orderBy(col("hour").desc, col("error_count").desc, col("service").asc)
+
+  /** mt08: collect_error_spans (traces.py:151) — per (service, span,
+    * status message) error volume with mean latency and the last
+    * occurrence, top-20 by count. The frame analysis.py's trace-error
+    * warning reads its [0] from.
+    */
+  def errorSpans(s: SparkSession, dir: String, limit: Int = 20): DataFrame =
+    errorSpansOn(OtelLogs.composeOtelTraces(s, dir), limit)
+
+  /** mt08 over any otel-trace-shaped frame. */
+  def errorSpansOn(traces: DataFrame, limit: Int = 20): DataFrame =
+    traces
+      .filter(col("status_code") === "ERROR")
+      .withColumn("dur_c", cents(col("duration_ms")))
+      .groupBy(col("service_name").as("service"), col("span_name").as("operation"),
+        col("status_message").as("error_message"))
+      .agg(
+        count(lit(1)).as("error_count"),
+        (microUnits(sum("dur_c"), count(lit(1)), 0) / 1e2).as("avg_duration_ms"),
+        date_format(max("ts"), "yyyy-MM-dd HH:mm:ss").as("last_occurrence"))
+      .orderBy(col("error_count").desc, col("service").asc,
+        col("operation").asc, col("error_message").asc)
+      .limit(limit)
+
+  /** mt09: collect_service_dependencies (traces.py:193) — caller →
+    * callee call edges walked through the ParentSpanId chain
+    * (s1.SpanId = s2.ParentSpanId within one trace, cross-service
+    * edges only), with the CALLER span's latency stats and error
+    * count, top-20 by call volume.
+    *
+    * Scale: a self-equi-join on (trace_id, span key) — both sides
+    * shuffle once on the same key, no window, no broadcast of a
+    * corpus-scale side; the aggregation frame is |services|² bounded.
+    */
+  def serviceDependencies(s: SparkSession, dir: String, limit: Int = 20): DataFrame =
+    serviceDependenciesOn(OtelLogs.composeOtelTraces(s, dir), limit)
+
+  /** mt09 over any otel-trace-shaped frame. */
+  def serviceDependenciesOn(traces: DataFrame, limit: Int = 20): DataFrame = {
+    val parents = traces.select(col("trace_id"), col("span_id"),
+      col("service_name").as("caller"), cents(col("duration_ms")).as("dur_c"),
+      when(col("status_code") === "ERROR", 1L).otherwise(0L).as("is_err"))
+    val children = traces.filter(col("parent_span_id").isNotNull)
+      .select(col("trace_id"), col("parent_span_id").as("span_id"),
+        col("service_name").as("callee"))
+    parents.join(children, Seq("trace_id", "span_id"))
+      .filter(col("caller") =!= col("callee"))
+      .groupBy("caller", "callee")
+      .agg(
+        count(lit(1)).as("call_count"),
+        (microUnits(sum("dur_c"), count(lit(1)), 0) / 1e2).as("avg_duration_ms"),
+        (round(expr("percentile(dur_c, 0.95)"), 0).cast("long") / 1e2).as("p95_duration_ms"),
+        sum("is_err").as("error_count"))
+      .orderBy(col("call_count").desc, col("caller").asc, col("callee").asc)
+      .limit(limit)
+  }
+
   /** sat02: queue-saturation proxy — wait-time stats for the spans
     * whose name says queue/worker/process, occurrence floor 5, top-20
     * by mean wait. Max wait truncates toward zero (CH toInt64), not

@@ -217,7 +217,12 @@ object OtelLogs {
   /** Deterministic otel_traces stand-in (the composeOtelLogs sibling):
     * service from the user bucket, span name from the payload key,
     * duration = value, ERROR status on a fixed residue independent of
-    * the service so error spans spread across the grid.
+    * the service so error spans spread across the grid. Traces group
+    * eight consecutive spans; each non-head span points at its
+    * predecessor (the ParentSpanId chain mt09's dependency join walks
+    * — adjacent events usually belong to different user buckets, so
+    * cross-service edges exist). Error spans carry one of two status
+    * messages so (service, span, message) groups are non-trivial.
     */
   def composeOtelTraces(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir)
@@ -229,15 +234,19 @@ object OtelLogs {
       .when(pmod(uid, lit(4)) === 1, "auth-hub")
       .when(pmod(uid, lit(4)) === 2, "tag-generator")
       .otherwise("news-creator")
+    val isErr = pmod(k, lit(11)) === 0
     e.select(col("ts"),
-      concat(lit("t"), pmod(col("event_id"), lit(1000))).as("trace_id"),
+      concat(lit("t"), floor(col("event_id") / 8).cast("long")).as("trace_id"),
       concat(lit("s"), col("event_id")).as("span_id"),
+      when(pmod(col("event_id"), lit(8)) =!= 0,
+        concat(lit("s"), col("event_id") - 1)).as("parent_span_id"),
       svc.as("service_name"),
       concat(lit("op"), pmod(k, lit(5))).as("span_name"),
       when(pmod(k, lit(3)) === 0, "SERVER").when(pmod(k, lit(3)) === 1, "CLIENT")
         .otherwise("INTERNAL").as("span_kind"),
       v.as("duration_ms"),
-      when(pmod(k, lit(11)) === 0, "ERROR").otherwise("OK").as("status_code"))
+      when(isErr, "ERROR").otherwise("OK").as("status_code"),
+      when(isErr, concat(lit("boom-"), pmod(k, lit(2)))).otherwise("").as("status_message"))
   }
 
   /** ot05: per-endpoint API performance — the metrics service's

@@ -124,6 +124,51 @@ class CollectorsSpec extends SparkSpec {
     assert(r.getAs[Double]("avg_wait_time_ms") == 10.9)
   }
 
+  test("mt07: worst-errors-first within an hour (the mt04 sibling's distinct ranking)") {
+    val logs = Seq(
+      ("a", "ERROR", t(0)), ("a", "INFO", t(1)),                  // 1 err of 2
+      ("b", "INFO", t(2)), ("b", "INFO", t(3)), ("b", "FATAL", t(4)), ("b", "FATAL", t(5)))
+      .toDF("service_name", "severity_text", "ts")
+    val out = Collectors.errorTrendsOn(logs).collect()
+    assert(out.map(_.getAs[String]("service")).toSeq == Seq("b", "a")) // 2 errors before 1
+    assert(out(0).getAs[Double]("error_rate") == 50.0)
+  }
+
+  test("mt08: only ERROR spans group; caller message splits groups; last occurrence is the max") {
+    val traces = Seq(
+      ("a", "op1", "ERROR", "boom-0", 10.0, t(0)),
+      ("a", "op1", "ERROR", "boom-0", 30.0, t(7)),
+      ("a", "op1", "ERROR", "boom-1", 50.0, t(3)),
+      ("a", "op1", "OK", "", 99.0, t(9)))
+      .toDF("service_name", "span_name", "status_code", "status_message", "duration_ms", "ts")
+    val out = Collectors.errorSpansOn(traces).collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[String]("error_message") == "boom-0")
+    assert(out(0).getAs[Long]("error_count") == 2L)
+    assert(out(0).getAs[Double]("avg_duration_ms") == 20.0)
+    assert(out(0).getAs[String]("last_occurrence") == "2023-11-14 22:20:20") // t(7), the max
+
+  }
+
+  test("mt09: parent-chain edges only, caller latency aggregated, same-service and cross-trace pairs dropped") {
+    val traces = Seq(
+      // trace T: s1 (svc a) ← s2 (svc b): one cross-service edge, caller dur 100
+      ("T", "s1", null, "a", 100.0, "ERROR"),
+      ("T", "s2", "s1", "b", 7.0, "OK"),
+      // same-service edge: dropped
+      ("T", "s3", "s2", "b", 1.0, "OK"),
+      // dangling parent in ANOTHER trace: no edge (join needs same trace)
+      ("U", "s9", "s1", "c", 1.0, "OK"))
+      .toDF("trace_id", "span_id", "parent_span_id", "service_name", "duration_ms", "status_code")
+    val out = Collectors.serviceDependenciesOn(traces).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert((r.getAs[String]("caller"), r.getAs[String]("callee")) == ("a", "b"))
+    assert(r.getAs[Long]("call_count") == 1L)
+    assert(r.getAs[Double]("avg_duration_ms") == 100.0) // the CALLER span's duration
+    assert(r.getAs[Long]("error_count") == 1L)          // the caller's status
+  }
+
   test("composition invariants at sf0.001: totals conserved across the collector family") {
     val logs = OtelLogs.composeOtelLogs(spark, sfDir)
     val nAll = logs.count()
