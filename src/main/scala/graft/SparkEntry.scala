@@ -80,6 +80,8 @@ object SparkEntry {
     "mt04_log_volume_trends"        -> (Collectors.logVolumeTrends _),
     "mt05_span_type_stats"          -> (Collectors.spanTypeStats _),
     "mt06_sli_trends"               -> ((s: SparkSession, dir: String) => Collectors.sliTrends(s, dir)),
+    "eb01_error_budget"             -> ((s: SparkSession, dir: String) => MetricsAnalysis.errorBudget(s, dir)),
+    "hw01_health_warnings"          -> (MetricsAnalysis.healthWarnings _),
     "mt07_error_trends"             -> (Collectors.errorTrends _),
     "mt08_error_spans"              -> ((s: SparkSession, dir: String) => Collectors.errorSpans(s, dir)),
     "mt09_service_dependencies"     -> ((s: SparkSession, dir: String) => Collectors.serviceDependencies(s, dir)),
@@ -308,6 +310,133 @@ object SparkEntry {
                    - (CASE WHEN minutes_since_last_log > 10 THEN 30
                            WHEN minutes_since_last_log > 5 THEN 15 ELSE 0 END)) AS health_score
                FROM hj)"""
+
+  /** hw01: analysis.py's issue/warning/recommendation battery — every
+    * rule rebuilt over the same composed collector frames the Spark
+    * side reads (hsc via healthCte; traces via the tw chain).
+    */
+  private val hw01OracleSql: String =
+    s"""WITH $healthCte,
+       sr AS (SELECT *, row_number() OVER (ORDER BY error_rate DESC, total_logs DESC, service_name ASC) AS stats_rn
+              FROM hsc),
+       c1 AS (SELECT 'critical' AS section, 'service_critical' AS rule,
+                     CAST(row_number() OVER (ORDER BY stats_rn) AS BIGINT) AS rank,
+                     service_name AS subject, CAST(error_rate AS DOUBLE) AS value_1,
+                     CAST(p95_ms AS DOUBLE) AS value_2
+              FROM sr WHERE health_score < 50),
+       hb AS (SELECT service_name,
+                     make_timestamp(CAST(floor(floor(epoch(ts)) / 300) AS BIGINT) * 300 * 1000000) AS tb,
+                     CASE WHEN txt IN ('ERROR', 'FATAL') THEN 1 ELSE 0 END AS is_err
+              FROM hw),
+       hg AS (SELECT service_name, tb, count(*) AS n, CAST(sum(is_err) AS BIGINT) AS ne
+              FROM hb GROUP BY 1, 2),
+       viol AS (SELECT service_name FROM hg WHERE ne * 100 > n
+                ORDER BY tb DESC, CAST(round(ne * 100 * 1e2 / n) AS BIGINT) / 1e2 DESC, service_name ASC
+                LIMIT 50),
+       c2 AS (SELECT 'critical', 'slo_violations', CAST(1 AS BIGINT), '',
+                     CAST(count(*) AS DOUBLE), CAST(count(DISTINCT service_name) AS DOUBLE)
+              FROM viol HAVING count(*) > 0),
+       he1 AS (SELECT service_name, row_number() OVER (ORDER BY stats_rn) AS rn
+               FROM sr WHERE error_rate > 1.0),
+       w1 AS (SELECT 'warning', 'high_error_services', CAST(1 AS BIGINT),
+                     string_agg(service_name, ', ' ORDER BY rn),
+                     CAST(count(*) AS DOUBLE), 1.0
+              FROM he1 WHERE rn <= 3 HAVING count(*) > 0),
+       te AS (SELECT event_id, coalesce(user_id, 0) AS uid, coalesce(value, 0) AS v,
+                     coalesce(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INTEGER), 0) AS k
+              FROM events),
+       tw AS (SELECT 't' || (event_id // 8) AS trace_id,
+                     's' || event_id AS span_id,
+                     CASE WHEN event_id % 8 <> 0 THEN 's' || (event_id - 1) END AS parent_span_id,
+                     CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                  WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                     'op' || (k % 5) AS op, v,
+                     CAST(round(v * 100) AS BIGINT) AS dur_c,
+                     CASE WHEN k % 11 = 0 THEN 1 ELSE 0 END AS is_err,
+                     CASE WHEN k % 11 = 0 THEN 'boom-' || (k % 2) ELSE '' END AS msg
+              FROM te),
+       bt AS (SELECT service, op,
+                     CAST(round(sum(dur_c) * 1.0 / 1e3) AS BIGINT) / 1e2 AS tts,
+                     CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95
+              FROM tw WHERE v > 200 GROUP BY 1, 2 HAVING count(*) >= 3
+              ORDER BY tts DESC, service ASC, op ASC LIMIT 1),
+       w2 AS (SELECT 'warning', 'bottleneck', CAST(1 AS BIGINT), service || '/' || op,
+                     CAST(p95 AS DOUBLE), CAST(tts AS DOUBLE)
+              FROM bt),
+       hh AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                  WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                     CASE WHEN k % 10 = 0 THEN 0
+                          WHEN event_type = 'error' THEN 500 ELSE 200 END AS status
+              FROM he WHERE event_type <> 'click'),
+       hsd AS (SELECT service, count(*) AS total,
+                      CAST(round(count(CASE WHEN status >= 500 THEN 1 END) * 100 * 1e2 / count(*)) AS BIGINT) / 1e2 AS r5
+               FROM hh GROUP BY 1),
+       hsr AS (SELECT *, row_number() OVER (ORDER BY total DESC, service ASC) AS rn
+               FROM hsd WHERE r5 > 1),
+       w3 AS (SELECT 'warning', 'http_5xx', CAST(rn AS BIGINT), service,
+                     CAST(r5 AS DOUBLE), CAST(total AS DOUBLE)
+              FROM hsr WHERE rn <= 3),
+       es AS (SELECT service, op, msg, count(*) AS ec,
+                     CAST(round(sum(dur_c) * 1.0 / count(*)) AS BIGINT) / 1e2 AS avg_ms
+              FROM tw WHERE is_err = 1 GROUP BY 1, 2, 3
+              ORDER BY ec DESC, service ASC, op ASC, msg ASC LIMIT 1),
+       w4 AS (SELECT 'warning', 'error_span', CAST(1 AS BIGINT), service || '/' || op,
+                     CAST(ec AS DOUBLE), CAST(avg_ms AS DOUBLE)
+              FROM es),
+       dep AS (SELECT * FROM (
+                 SELECT s1.service AS caller, s2.service AS callee,
+                        count(*) AS cc, CAST(sum(s1.is_err) AS BIGINT) AS ec
+                 FROM tw s1 JOIN tw s2
+                   ON s1.trace_id = s2.trace_id AND s1.span_id = s2.parent_span_id
+                 WHERE s1.service <> s2.service GROUP BY 1, 2)
+               ORDER BY cc DESC, caller ASC, callee ASC LIMIT 20),
+       depf AS (SELECT *, row_number() OVER (ORDER BY cc DESC, caller ASC, callee ASC) AS pick
+                FROM dep WHERE cc > 10 AND ec * 20 > cc),
+       w5 AS (SELECT 'warning', 'dependency_errors', CAST(pick AS BIGINT),
+                     caller || ' -> ' || callee,
+                     CAST(round(ec * 100 * 1e1 / cc) AS BIGINT) / 1e1, CAST(cc AS DOUBLE)
+              FROM depf WHERE pick <= 2),
+       lv AS (SELECT date_trunc('hour', ts) AS hour, service_name AS service, count(*) AS lc
+              FROM hw GROUP BY 1, 2),
+       lvr AS (SELECT *, row_number() OVER (PARTITION BY service ORDER BY hour DESC) AS rn
+               FROM lv),
+       vt AS (SELECT service, max(CASE WHEN rn = 1 THEN lc END) AS recent,
+                     max(CASE WHEN rn = 2 THEN lc END) AS previous
+              FROM lvr WHERE rn <= 2 GROUP BY 1),
+       w6 AS (SELECT 'warning', 'volume_spike',
+                     CAST(row_number() OVER (ORDER BY service ASC) AS BIGINT), service,
+                     CAST(recent AS DOUBLE),
+                     CAST(round(recent * 1e1 / previous) AS BIGINT) / 1e1
+              FROM vt WHERE previous > 0 AND recent > previous * 2),
+       api AS (SELECT * FROM (
+                 SELECT service, op,
+                        CAST(round(quantile_cont(dur_c, 0.95)) AS BIGINT) / 1e2 AS p95
+                 FROM tw GROUP BY 1, 2 HAVING count(*) >= 5)
+               ORDER BY p95 DESC, service ASC, op ASC LIMIT 30),
+       r1 AS (SELECT 'recommendation', 'slow_apis', CAST(1 AS BIGINT), '',
+                     CAST(count(CASE WHEN p95 > 1000 THEN 1 END) AS DOUBLE), 1000.0
+              FROM api HAVING count(CASE WHEN p95 > 1000 THEN 1 END) > 0),
+       et AS (SELECT CASE uid % 4 WHEN 0 THEN 'alt-backend' WHEN 1 THEN 'auth-hub'
+                                  WHEN 2 THEN 'tag-generator' ELSE 'news-creator' END AS service,
+                     CASE WHEN k % 13 = 0 THEN 'Unknown' ELSE 'E' || (k % 3) END AS etype,
+                     count(*) AS ec
+              FROM he WHERE event_type = 'error' GROUP BY 1, 2
+              ORDER BY ec DESC, service ASC, etype ASC LIMIT 1),
+       r2 AS (SELECT 'recommendation', 'top_error_type', CAST(1 AS BIGINT),
+                     service || '/' || etype, CAST(ec AS DOUBLE), 0.0
+              FROM et),
+       st AS (SELECT service_name, row_number() OVER (ORDER BY stats_rn) AS rn
+              FROM sr WHERE minutes_since_last_log > 5),
+       r3 AS (SELECT 'recommendation', 'stale_services', CAST(1 AS BIGINT),
+                     string_agg(service_name, ', ' ORDER BY rn),
+                     CAST(count(*) AS DOUBLE), 5.0
+              FROM st WHERE rn <= 3 HAVING count(*) > 0)
+       SELECT section, rule, rank, subject, value_1, value_2 FROM (
+         SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM w1
+         UNION ALL SELECT * FROM w2 UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4
+         UNION ALL SELECT * FROM w5 UNION ALL SELECT * FROM w6 UNION ALL SELECT * FROM r1
+         UNION ALL SELECT * FROM r2 UNION ALL SELECT * FROM r3)
+       ORDER BY section ASC, rule ASC, rank ASC"""
 
   /** Shared DuckDB CTE chain for the jq01/jq02 oracles: composed job
     * transitions → latest-state-per-job frame.
@@ -1960,6 +2089,29 @@ object SparkEntry {
            UNION ALL
            SELECT time_bucket, service, 'log_throughput' AS metric, log_throughput AS value FROM fb)
          ORDER BY time_bucket DESC, service ASC, metric ASC LIMIT 500""",
+    "eb01_error_budget" ->
+      """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+         agg AS (SELECT count(*) AS n,
+                        count(CASE WHEN event_type = 'error' THEN 1 END) AS n_err,
+                        CAST(floor((floor(epoch(max(ts))) - floor(epoch(min(ts)))) / 3600) + 1 AS BIGINT) AS hours_analyzed
+                 FROM e),
+         c AS (SELECT *,
+                      CAST(round(n_err * 100000 * 1.0 / n) AS BIGINT) AS consumed_m,
+                      CAST(round(CAST(round(n_err * 100000 * 1.0 / n) AS BIGINT) * 1000 * 1.0 / 100) AS BIGINT) AS pct10
+               FROM agg)
+         SELECT CAST(99.9 AS DOUBLE) AS slo_target,
+                100 / 1e3 AS budget_total,
+                consumed_m / 1e3 AS budget_consumed,
+                greatest(0, 100 - consumed_m) / 1e3 AS budget_remaining,
+                pct10 / 1e1 AS consumption_pct,
+                consumed_m > 100 AS is_exceeded,
+                CASE WHEN consumed_m > 100 THEN 'exceeded'
+                     WHEN pct10 >= 800 THEN 'critical'
+                     WHEN pct10 >= 500 THEN 'warning'
+                     ELSE 'healthy' END AS status,
+                hours_analyzed
+         FROM c""",
+    "hw01_health_warnings" -> hw01OracleSql,
     "mt07_error_trends" ->
       """WITH e AS (SELECT coalesce(user_id, 0) AS uid, event_type,
                            coalesce(value, 0) AS v, CAST(ts AS TIMESTAMP) AS ts,

@@ -183,7 +183,11 @@ object OtelLogs {
     * One map-side-combined shuffle + TakeOrdered.
     */
   def errorTypes(s: SparkSession, dir: String, limit: Int = 20): DataFrame =
-    errorLogs(composeOtelLogs(s, dir))
+    errorTypesOn(composeOtelLogs(s, dir), limit)
+
+  /** ev35 over any otel-log-shaped frame. */
+  def errorTypesOn(logs: DataFrame, limit: Int = 20): DataFrame =
+    errorLogs(logs)
       .groupBy(col("service_name"),
         when(col("exception_type") === "", "Unknown")
           .otherwise(col("exception_type")).as("error_type"))
@@ -260,7 +264,12 @@ object OtelLogs {
     */
   def apiPerformance(s: SparkSession, dir: String,
                      minCount: Int = 5, limit: Int = 30): DataFrame =
-    composeOtelTraces(s, dir)
+    apiPerformanceOn(composeOtelTraces(s, dir), minCount, limit)
+
+  /** ot05 over any otel-trace-shaped frame. */
+  def apiPerformanceOn(traces: DataFrame,
+                       minCount: Int = 5, limit: Int = 30): DataFrame =
+    traces
       .withColumn("dur_c", cents(col("duration_ms")))
       .groupBy("service_name", "span_name")
       .agg(
@@ -288,7 +297,12 @@ object OtelLogs {
     */
   def spanBottlenecks(s: SparkSession, dir: String, slowMs: Double = 200,
                       minCount: Int = 3, limit: Int = 15): DataFrame =
-    composeOtelTraces(s, dir)
+    spanBottlenecksOn(composeOtelTraces(s, dir), slowMs, minCount, limit)
+
+  /** ot06 over any otel-trace-shaped frame. */
+  def spanBottlenecksOn(traces: DataFrame, slowMs: Double = 200,
+                        minCount: Int = 3, limit: Int = 15): DataFrame =
+    traces
       .withColumn("dur_c", cents(col("duration_ms")))
       .filter(col("duration_ms") > slowMs)
       .groupBy("service_name", "span_name")
