@@ -80,6 +80,7 @@ object SparkEntry {
     "mt04_log_volume_trends"        -> (Collectors.logVolumeTrends _),
     "mt05_span_type_stats"          -> (Collectors.spanTypeStats _),
     "mt06_sli_trends"               -> ((s: SparkSession, dir: String) => Collectors.sliTrends(s, dir)),
+    "ti01_tier1_gate"               -> (Tier1.tier1Gate _),
     "eb01_error_budget"             -> ((s: SparkSession, dir: String) => MetricsAnalysis.errorBudget(s, dir)),
     "hw01_health_warnings"          -> (MetricsAnalysis.healthWarnings _),
     "mt07_error_trends"             -> (Collectors.errorTrends _),
@@ -2089,6 +2090,52 @@ object SparkEntry {
            UNION ALL
            SELECT time_bucket, service, 'log_throughput' AS metric, log_throughput AS value FROM fb)
          ORDER BY time_bucket DESC, service ASC, metric ASC LIMIT 500""",
+    "ti01_tier1_gate" ->
+      """WITH raw AS (SELECT doc_id,
+                'https://ex-' || (doc_id % 7) || '.example.com' ||
+                CASE WHEN doc_id % 19 = 3 THEN '/crosswords/c' || doc_id
+                     WHEN doc_id % 19 = 7 THEN '/CrossWord/x' || doc_id
+                     WHEN doc_id % 19 = 11 THEN '/gallery/g' || doc_id
+                     WHEN doc_id % 19 = 15 THEN '/puzzles/p' || doc_id
+                     ELSE '/a/' || doc_id END AS url,
+                CASE WHEN doc_id % 31 = 0 THEN 'test'
+                     WHEN doc_id % 31 = 1 THEN '  Discussion  '
+                     WHEN doc_id % 31 = 2 THEN 'Crosswords are saved automatically. ' || substr(text, 1, 100)
+                     WHEN doc_id % 31 = 3 THEN 'What to Read Next: ' || substr(text, 1, 100)
+                     WHEN doc_id % 31 = 4 THEN 'はじめに続きをみる' || substr(text, 1, 100)
+                     WHEN doc_id % 29 = 5 THEN '<p>' || substr(text, 1, 600) || '…</p>'
+                     WHEN doc_id % 29 = 6 THEN '<p>' || substr(text, 1, 620) || '続きを読む</p>'
+                     WHEN doc_id % 29 = 7 THEN '<p>' || substr(text, 1, 650) || 'Read more</p>'
+                     WHEN doc_id % 29 = 8 THEN '<p>' || substr(text, 1, 650) || '...</p>'
+                     WHEN doc_id % 13 = 9 THEN '<p>' || substr(text, 1, 120) || '</p><img src="a.jpg"/><img src="b.jpg"/>'
+                     ELSE '<p>' || text || '</p>' END AS content
+         FROM documents),
+         p AS (SELECT doc_id, url, content,
+                      trim(regexp_replace(regexp_replace(content, '<[^>]*>', '', 'g'), '\s+', ' ', 'g')) AS plain
+               FROM raw),
+         r AS (SELECT doc_id,
+                 CASE
+                   WHEN contains(lower(url), '/crosswords/') THEN 'non-article URL pattern: /crosswords/'
+                   WHEN contains(lower(url), '/crossword/') THEN 'non-article URL pattern: /crossword/'
+                   WHEN contains(lower(url), '/gallery/') THEN 'non-article URL pattern: /gallery/'
+                   WHEN contains(lower(url), '/puzzles/') THEN 'non-article URL pattern: /puzzles/'
+                   WHEN plain = 'test' OR plain = 'Discussion'
+                     OR starts_with(plain, 'Crosswords are saved')
+                     OR starts_with(plain, 'What to Read Next')
+                     OR starts_with(plain, 'はじめに続きをみる') THEN 'placeholder content'
+                   WHEN ends_with(plain, '続きをみる') THEN 'truncated content (ends with 続きをみる)'
+                   WHEN ends_with(plain, '続きを読む') THEN 'truncated content (ends with 続きを読む)'
+                   WHEN ends_with(plain, 'Read more') THEN 'truncated content (ends with Read more)'
+                   WHEN ends_with(plain, 'Read More') THEN 'truncated content (ends with Read More)'
+                   WHEN ends_with(plain, '...') THEN 'truncated content (ends with ...)'
+                   WHEN ends_with(plain, '…') THEN 'truncated content (ends with …)'
+                   WHEN (length(lower(content)) - length(replace(lower(content), '<img', ''))) / 4 > 0
+                        AND length(plain) < 500 THEN 'img-dominant content with insufficient text'
+                   WHEN length(plain) < 500 THEN 'content length below minimum'
+                 END AS reason
+               FROM p)
+         SELECT doc_id, reason IS NULL AS is_tier1, coalesce(reason, '') AS reason
+         FROM r ORDER BY doc_id""",
     "eb01_error_budget" ->
       """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
          agg AS (SELECT count(*) AS n,
