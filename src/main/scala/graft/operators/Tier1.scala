@@ -106,11 +106,16 @@ object Tier1 {
     tier1GateOn(rawArticles(s, dir))
 
   /** ti01 over any (doc_id, url, content) frame. */
-  def tier1GateOn(articles: DataFrame): DataFrame = {
+  def tier1GateOn(articles: DataFrame): DataFrame =
+    tier1GateOnUnordered(articles).orderBy("doc_id")
+
+  /** The ladder without the presentation sort — the form a streaming
+    * micro-batch can run (st25; global sorts are illegal on appends).
+    */
+  def tier1GateOnUnordered(articles: DataFrame): DataFrame = {
     val reason = rejectionReason(col("url"), col("content"))
     articles.select(col("doc_id"),
       reason.isNull.as("is_tier1"),
       coalesce(reason, lit("")).as("reason"))
-      .orderBy("doc_id")
   }
 }

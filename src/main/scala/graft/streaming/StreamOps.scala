@@ -604,6 +604,20 @@ object StreamOps {
         graft.operators.PromptSafety.neutralizeText(col("cleaned")).as("safe_text"))
   }
 
+  /** st25: the Tier-1 classification gate at ingest — ti01's ordered
+    * rejection ladder (tier1_classifier.go) running as articles
+    * ARRIVE, which is where the reference actually runs it (the
+    * pre-processor sidecar classifies each fetched article before
+    * persisting). Stateless codegen projection over (doc_id, url,
+    * content) — zero state stores — so it slots in FRONT of the st24
+    * pipeline: a non-Tier-1 article is dropped before quality gating,
+    * triage, or tagging ever see it, and the rejection reason streams
+    * to the side for ingest observability. Row-identical to the batch
+    * ladder (spec-pinned).
+    */
+  def tier1GateStream(articles: DataFrame): DataFrame =
+    graft.operators.Tier1.tier1GateOnUnordered(articles)
+
   /** st15: streaming sentence-level dedup — tx28's semantics running
     * continuously (recap-worker's ACTUAL behavior: it hashes sentences
     * and keeps first occurrences as articles ARRIVE, not in nightly

@@ -772,4 +772,36 @@ class StreamingSourcesSpec extends SparkSpec {
         "the structural tag is neutralized in the emitted text")
     } finally q.stop()
   }
+
+  test("st25 tier-1 gate at ingest: the full rejection ladder runs stateless on a stream, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String)]
+    val out = graft.streaming.StreamOps.tier1GateStream(
+      mem.toDF.toDF("doc_id", "url", "content"))
+    val q = out.writeStream.format("memory").queryName("st25").outputMode("append").start()
+    try {
+      val rich = "<p>" + ("real article content here " * 25).trim + "</p>" // ~670 chars
+      val batchRows = Seq(
+        (1L, "https://x.com/a/1", rich),                        // Tier-1
+        (2L, "https://x.com/gallery/2", rich),                  // URL rule
+        (3L, "https://x.com/a/3", "test"),                      // placeholder
+        (4L, "https://x.com/a/4", rich.dropRight(4) + "…</p>"), // truncation
+        (5L, "https://x.com/a/5", "<p>tiny</p><img src=\"i\">"),// img-dominant
+        (6L, "https://x.com/a/6", "<p>tiny</p>"))               // length floor
+      mem.addData(batchRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, is_tier1, reason FROM st25")
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+      val batch = graft.operators.Tier1.tier1GateOn(
+          batchRows.toDF("doc_id", "url", "content"))
+        .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getString(2))).toMap
+      assert(streamed == batch, s"stream $streamed vs batch $batch")
+      assert(streamed(1L) == (true, ""))
+      assert(streamed(2L)._2 == "non-article URL pattern: /gallery/")
+      assert(streamed(3L)._2 == "placeholder content")
+      assert(streamed(4L)._2 == "truncated content (ends with …)")
+      assert(streamed(5L)._2 == "img-dominant content with insufficient text")
+      assert(streamed(6L)._2 == "content length below minimum")
+    } finally q.stop()
+  }
 }
