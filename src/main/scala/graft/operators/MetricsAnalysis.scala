@@ -94,20 +94,33 @@ object MetricsAnalysis {
   /** hw01: the issue/warning/recommendation battery as structured
     * rows, ordered (section, rule, rank).
     */
-  def healthWarnings(s: SparkSession, dir: String): DataFrame = {
-    val logs = OtelLogs.composeOtelLogs(s, dir).persist()
-    val traces = OtelLogs.composeOtelTraces(s, dir).persist()
-    try healthWarningsOn(logs, traces)
-    finally { logs.unpersist(); traces.unpersist() }
-  }
+  def healthWarnings(s: SparkSession, dir: String): DataFrame =
+    healthWarningsOn(OtelLogs.composeOtelLogs(s, dir),
+      OtelLogs.composeOtelTraces(s, dir))
 
-  /** hw01 over pre-composed (and ideally cached) log + trace facts.
-    * Every source frame below is a collector output bounded by
-    * |services|, |services|² or a LIMIT.
+  /** hw01 over pre-composed log + trace facts. The log fact caches in
+    * its EXTRACTED form — the attribute map is parsed once into plain
+    * columns before the persist, and the rules' shared views rebuild a
+    * six-key map from those cached columns (cheap: no payload regexp,
+    * no 20-entry construction) so the existing collector bodies run
+    * unchanged. Every rule frame below is bounded by |services|,
+    * |services|² or a LIMIT.
     */
-  def healthWarningsOn(logs: DataFrame, traces: DataFrame): DataFrame = {
-    val spark = logs.sparkSession
-    import spark.implicits._
+  def healthWarningsOn(logsRaw: DataFrame, tracesRaw: DataFrame): DataFrame = {
+    val a = (k: String) => element_at(col("attrs"), k)
+    val narrow = logsRaw.select(col("service_name"), col("severity_text"),
+      col("severity_number"), col("ts"), col("body"),
+      col("trace_id"), col("span_id"),
+      a("http.method").as("m_"), a("http.route").as("r_"),
+      a("http.status_code").as("s_"), a("http.request.duration").as("d_"),
+      a("http.response.body.size").as("b_"),
+      a("exception.type").as("et_"), a("exception.message").as("em_")).persist()
+    val logs = narrow.withColumn("attrs", map(
+      lit("http.method"), col("m_"), lit("http.route"), col("r_"),
+      lit("http.status_code"), col("s_"), lit("http.request.duration"), col("d_"),
+      lit("http.response.body.size"), col("b_"),
+      lit("exception.type"), col("et_"), lit("exception.message"), col("em_")))
+    val traces = tracesRaw.persist()
 
     // service_stats order (base.py:41): error_rate DESC, total_logs
     // DESC — the order every [:n] take below slices
@@ -218,6 +231,8 @@ object MetricsAnalysis {
       .reduce(_ unionAll _)
       .orderBy(col("section").asc, col("rule").asc, col("rank").asc)
     // ≤ ~15 rows — materialize so the caches can release eagerly
-    Dedup.materialized(out) { sh.unpersist() }
+    Dedup.materialized(out) {
+      sh.unpersist(); narrow.unpersist(); traces.unpersist()
+    }
   }
 }

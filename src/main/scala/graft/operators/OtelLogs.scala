@@ -103,11 +103,21 @@ object OtelLogs {
     * attribute map, gated on a present, non-empty http.method; the
     * OrZero casts map unparseable numerics to 0 instead of dropping
     * the row.
+    *
+    * Plan note: the gate + extraction build as ONE when-gated struct
+    * behind an explode barrier (the ev33 shape). A plain
+    * `.filter(a(...)).select(a(...), …)` lets predicate pushdown
+    * substitute the full attrs-map construction into the Filter
+    * condition — the 20-entry map (with its regexp payload parse) gets
+    * built three times per row instead of once, and mt02 measured
+    * 5.0 s vs 1.1 s at sf0.1 for exactly that reason. The Generate
+    * node stops the substitution; within the single Project,
+    * codegen's subexpression elimination builds the map once.
     */
   def httpRequests(logs: DataFrame): DataFrame = {
     val a = (k: String) => element_at(col("attrs"), k)
-    logs.filter(a("http.method").isNotNull && a("http.method") =!= "")
-      .select(col("ts"), col("trace_id"), col("span_id"), col("service_name"),
+    val gated = when(a("http.method").isNotNull && a("http.method") =!= "",
+      struct(
         a("http.method").as("http_method"),
         a("http.route").as("http_route"),
         coalesce(a("http.status_code").try_cast("int"), lit(0)).as("http_status_code"),
@@ -115,7 +125,12 @@ object OtelLogs {
         coalesce(a("http.request.duration").try_cast("double"), lit(0.0)).as("request_duration"),
         coalesce(a("user.id"), lit("")).as("user_id"),
         coalesce(a("http.client_ip"), lit("")).as("client_ip"),
-        coalesce(a("http.user_agent"), lit("")).as("user_agent"))
+        coalesce(a("http.user_agent"), lit("")).as("user_agent")))
+    logs.select(col("ts"), col("trace_id"), col("span_id"), col("service_name"),
+        explode(array(gated)).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("ts"), col("trace_id"), col("span_id"), col("service_name"),
+        col("h.*"))
   }
 
   /** 006's otel_error_logs_mv SELECT: severe rows (SeverityNumber >=
