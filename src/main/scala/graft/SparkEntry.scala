@@ -81,6 +81,7 @@ object SparkEntry {
     "mt05_span_type_stats"          -> (Collectors.spanTypeStats _),
     "mt06_sli_trends"               -> ((s: SparkSession, dir: String) => Collectors.sliTrends(s, dir)),
     "ti01_tier1_gate"               -> (Tier1.tier1Gate _),
+    "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "eb01_error_budget"             -> ((s: SparkSession, dir: String) => MetricsAnalysis.errorBudget(s, dir)),
     "hw01_health_warnings"          -> (MetricsAnalysis.healthWarnings _),
     "mt07_error_trends"             -> (Collectors.errorTrends _),
@@ -2136,6 +2137,24 @@ object SparkEntry {
                FROM p)
          SELECT doc_id, reason IS NULL AS is_tier1, coalesce(reason, '') AS reason
          FROM r ORDER BY doc_id""",
+    "kh01_lens_visibility" ->
+      """WITH items AS (SELECT doc_id,
+                substr(text, 1, 50) AS title,
+                CASE WHEN doc_id % 11 = 0 THEN NULL ELSE substr(text, 51, 150) END AS summary_excerpt,
+                [lang, source] AS tags,
+                1700000000 + (doc_id % 50000) * 3600 AS published_epoch,
+                CASE WHEN doc_id % 37 = 0 THEN 1 ELSE 0 END AS dismissed,
+                CASE WHEN doc_id % 23 = 0 THEN 1 ELSE 2 END AS pv
+         FROM documents)
+         SELECT doc_id,
+                (pv = 2 AND dismissed = 0
+                 AND (title ILIKE '%data%'
+                      OR coalesce(summary_excerpt, '') ILIKE '%data%'
+                      OR len(list_filter(tags, t -> t ILIKE '%data%')) > 0)
+                 AND len(list_filter(tags, t -> t IN ('en', 'zh'))) > 0
+                 AND published_epoch >= CAST(epoch(TIMESTAMP '2023-11-20 00:00:00') AS BIGINT)
+                ) AS visible
+         FROM items ORDER BY doc_id""",
     "eb01_error_budget" ->
       """WITH e AS (SELECT event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
          agg AS (SELECT count(*) AS n,

@@ -62,7 +62,11 @@ object Scratch {
       "qf01_query_facets", "fz01_embedding_zscore",
       "hy01_hyde_sanitize", "qv01_query_variants", "xs01_exec_summary",
       "rp01_llm_repetition", "gb01_graph_boost_snapshot",
-      "tv01_tag_validation", "ke01_keyword_selection")
+      "tv01_tag_validation", "ke01_keyword_selection",
+      "mt01_http_endpoint_stats", "mt06_sli_trends",
+      "mt09_service_dependencies", "sat01_resource_utilization",
+      "sat02_queue_saturation", "eb01_error_budget",
+      "ti01_tier1_gate")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

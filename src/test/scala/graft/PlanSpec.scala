@@ -484,4 +484,28 @@ class PlanSpec extends SparkSpec {
     }
     assert(fz.isEmpty, "fz01's apply must be an in-row transform of the scan")
   }
+
+  test("httpRequests' explode barrier keeps the attrs map to ONE construction per row") {
+    // Without the barrier, predicate pushdown substitutes the full
+    // 20-entry map build into the Filter condition — it appears once
+    // per element_at in the filter plus once in the project (mt02
+    // measured 5.0 s vs 2.0 s warm at sf0.1 for exactly this). The
+    // `alt.feed.id` literal marks each inlined construction; exactly
+    // one Generate-side build may remain.
+    for (q <- Seq("mt01_http_endpoint_stats", "mt02_http_status_distribution")) {
+      val f = formatted(q)
+      val builds = f.sliding("map(alt.feed.id".length).count(_ == "map(alt.feed.id")
+      assert(builds == 1, s"$q: expected 1 attrs-map construction in-plan, got $builds")
+      assert(f.contains("Generate") && f.contains("explode(array("),
+        s"$q: the explode barrier is gone")
+    }
+  }
+
+  test("ti01's ladder is one scan projection: no Exchange before the presentation sort") {
+    val shuffles = allNodes(finalPlan("ti01_tier1_gate")).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    // the only exchange allowed is the final orderBy's range partitioning
+    assert(shuffles.size <= 1, s"ti01: expected at most the sort exchange, got ${shuffles.size}")
+  }
 }
