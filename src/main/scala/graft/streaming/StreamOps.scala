@@ -391,6 +391,73 @@ object StreamOps {
   case class SessionState(start: Long, last: Long, n: Int)
   case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)
 
+  case class VolInput(service: String, ts: Timestamp)
+  case class VolState(bucket: Long, n: Long, prevN: Long, closed: Boolean)
+  case class VolAlert(service: String, bucket_start: Timestamp,
+                      recent: Long, previous: Long, ratio: Double)
+
+  /** st26: continuous log-volume spike alerting — hw01's W6 rule
+    * (analysis.py:317: a service's most recent hour at more than twice
+    * the hour before it) running LIVE instead of at report time, which
+    * is the form with operational value: a crash-restart loop or retry
+    * storm doubles a service's log volume long before the daily report
+    * reads mt04's frame. State per service is THREE LONGS (open-bucket
+    * start, its count, the previous closed bucket's count) regardless
+    * of volume; a bucket closes when a later-bucket event arrives or
+    * event time passes its end (timeout), and closing compares it to
+    * the previous closed count — alert when recent > 2 × previous,
+    * ratio at 1 dp on exact integers (the batch rule's microRatio).
+    */
+  def volumeSpikeStream(events: Dataset[VolInput], bucketSec: Long = 3600,
+                        watermark: String = "2 hours"): Dataset[VolAlert] = {
+    import events.sparkSession.implicits._
+    val bucketMs = bucketSec * 1000
+    def alertOf(service: String, bucket: Long, n: Long, prev: Long): Option[VolAlert] =
+      if (prev > 0 && n > prev * 2)
+        Some(VolAlert(service, new Timestamp(bucket), n, prev,
+          math.round(n * 10.0 / prev) / 10.0))
+      else None
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.service)
+      .flatMapGroupsWithState[VolState, VolAlert](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (service: String, rows: Iterator[VolInput], state: GroupState[VolState]) =>
+          if (state.hasTimedOut) {
+            // event time passed the open bucket's end: close and alert
+            // now (don't wait for the next event), but KEEP the counts —
+            // the next bucket with data compares against this one (the
+            // batch rule reads the two most recent buckets WITH data)
+            val s = state.get
+            state.update(s.copy(closed = true))
+            alertOf(service, s.bucket, s.n, s.prevN).iterator
+          } else {
+            val counts = rows.map(r => (r.ts.getTime / bucketMs) * bucketMs)
+              .toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+              .toSeq.sortBy(_._1)
+            var out = List.empty[VolAlert]
+            var cur = state.getOption
+            counts.foreach { case (b, c) =>
+              cur match {
+                case Some(s) if b == s.bucket && !s.closed =>
+                  cur = Some(s.copy(n = s.n + c))
+                case Some(s) if b > s.bucket =>
+                  if (!s.closed) // not already alerted by the timeout
+                    out = alertOf(service, s.bucket, s.n, s.prevN).toList ::: out
+                  cur = Some(VolState(b, c, s.n, closed = false))
+                case Some(_) => () // at/older than a closed bucket: late beyond interest
+                case None => cur = Some(VolState(b, c, 0L, closed = false))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (!s.closed) state.setTimeoutTimestamp(s.bucket + bucketMs)
+            }
+            out.reverseIterator
+          }
+      }
+  }
+
   /** st02: gap-based sessionization with custom state — the streaming
     * form of Events.sessionize. Sessions close after `gapSec` idle
     * (event-time timeout keyed by watermark); each closed session is

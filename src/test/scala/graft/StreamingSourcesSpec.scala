@@ -804,4 +804,36 @@ class StreamingSourcesSpec extends SparkSpec {
       assert(streamed(6L)._2 == "content length below minimum")
     } finally q.stop()
   }
+
+  test("st26 volume-spike stream: alerts on bucket close, carries the last non-empty bucket as previous") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Timestamp)]
+    def at(min: Int, s: Int = 0) = new Timestamp(1700000000000L + min * 60000L + s * 1000L)
+    val out = graft.streaming.StreamOps.volumeSpikeStream(
+      mem.toDF.toDF("service", "ts").as[graft.streaming.StreamOps.VolInput],
+      bucketSec = 60, watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("st26").outputMode("append").start()
+    try {
+      // a: minute 0 has 2 events, minute 1 has 5 (spike ×2.5), minute 2 has 1 (no spike)
+      // b: 3 then 4 — never more than double
+      // c: 2 in minute 0, then 5 in minute 3 — the empty minutes don't reset "previous"
+      mem.addData((1 to 2).map(i => ("a", at(0, i))) ++ (1 to 3).map(i => ("b", at(0, i))) ++
+        (1 to 2).map(i => ("c", at(0, i))): _*)
+      q.processAllAvailable()
+      mem.addData((1 to 5).map(i => ("a", at(1, i))) ++ (1 to 4).map(i => ("b", at(1, i))): _*)
+      q.processAllAvailable()
+      mem.addData(Seq(("a", at(2, 1))) ++ (1 to 5).map(i => ("c", at(3, i))): _*)
+      q.processAllAvailable()
+      // advance event time far past every open bucket so timeouts close them
+      mem.addData(("z", at(60)))
+      q.processAllAvailable()
+      mem.addData(("z", at(61)))
+      q.processAllAvailable()
+      val alerts = spark.sql("SELECT service, recent, previous, ratio FROM st26")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(alerts == Set(("a", 5L, 2L, 2.5), ("c", 5L, 2L, 2.5)),
+        s"got $alerts")
+    } finally q.stop()
+  }
 }
