@@ -193,15 +193,21 @@ object Collectors {
 
   /** sat01 over any otel-trace-shaped frame. */
   def resourceUtilizationOn(traces: DataFrame, minCount: Int = 10): DataFrame = {
-    val t = traces
+    // min/max ts fold into the SAME per-service aggregation and the
+    // corpus span re-aggregates the |services| frame — one scan of the
+    // composed fact, not a second full pass just for hours_analyzed
+    // (the serviceHealthOn "now" pattern)
+    val perService = traces
       .withColumn("dur_c", cents(col("duration_ms")))
-    val hours = broadcast(t.agg(
-      (floor((unix_timestamp(max("ts")) - unix_timestamp(min("ts"))) / 3600) + 1)
-        .cast("long").as("hours_analyzed")))
-    t.groupBy(col("service_name").as("service"))
+      .groupBy(col("service_name").as("service"))
       .agg(count(lit(1)).as("sample_count"),
         sum("dur_c").as("sum_c"), max("dur_c").as("max_c"),
-        round(expr("percentile(dur_c, 0.95)"), 0).cast("long").as("p95_c"))
+        round(expr("percentile(dur_c, 0.95)"), 0).cast("long").as("p95_c"),
+        min("ts").as("min_ts"), max("ts").as("max_ts"))
+    val hours = broadcast(perService.agg(
+      (floor((unix_timestamp(max("max_ts")) - unix_timestamp(min("min_ts"))) / 3600) + 1)
+        .cast("long").as("hours_analyzed")))
+    perService
       .filter(col("sample_count") >= minCount)
       .crossJoin(hours)
       .select(col("service"), expr(

@@ -101,12 +101,15 @@ object MetricsAnalysis {
   /** hw01 over pre-composed log + trace facts. The log fact caches in
     * its EXTRACTED form — the attribute map is parsed once into plain
     * columns before the persist, and the rules' shared views rebuild a
-    * six-key map from those cached columns (cheap: no payload regexp,
+    * ten-key map from those cached columns (cheap: no payload regexp,
     * no 20-entry construction) so the existing collector bodies run
     * unchanged. Every rule frame below is bounded by |services|,
     * |services|² or a LIMIT.
     */
   def healthWarningsOn(logsRaw: DataFrame, tracesRaw: DataFrame): DataFrame = {
+    // every key the collector bodies can read comes along — a future
+    // rule reusing a user/client-consuming collector must not silently
+    // see '' where the raw fact had values
     val a = (k: String) => element_at(col("attrs"), k)
     val narrow = logsRaw.select(col("service_name"), col("severity_text"),
       col("severity_number"), col("ts"), col("body"),
@@ -114,11 +117,15 @@ object MetricsAnalysis {
       a("http.method").as("m_"), a("http.route").as("r_"),
       a("http.status_code").as("s_"), a("http.request.duration").as("d_"),
       a("http.response.body.size").as("b_"),
+      a("user.id").as("u_"), a("http.client_ip").as("ip_"),
+      a("http.user_agent").as("ua_"),
       a("exception.type").as("et_"), a("exception.message").as("em_")).persist()
     val logs = narrow.withColumn("attrs", map(
       lit("http.method"), col("m_"), lit("http.route"), col("r_"),
       lit("http.status_code"), col("s_"), lit("http.request.duration"), col("d_"),
       lit("http.response.body.size"), col("b_"),
+      lit("user.id"), col("u_"), lit("http.client_ip"), col("ip_"),
+      lit("http.user_agent"), col("ua_"),
       lit("exception.type"), col("et_"), lit("exception.message"), col("em_")))
     val traces = tracesRaw.persist()
 

@@ -392,7 +392,7 @@ object StreamOps {
   case class SessionOut(user_id: Long, start: Timestamp, end: Timestamp, n_events: Int)
 
   case class VolInput(service: String, ts: Timestamp)
-  case class VolState(bucket: Long, n: Long, prevN: Long, closed: Boolean)
+  case class VolState(open: Map[Long, Long], prevN: Long)
   case class VolAlert(service: String, bucket_start: Timestamp,
                       recent: Long, previous: Long, ratio: Double)
 
@@ -401,60 +401,56 @@ object StreamOps {
     * the hour before it) running LIVE instead of at report time, which
     * is the form with operational value: a crash-restart loop or retry
     * storm doubles a service's log volume long before the daily report
-    * reads mt04's frame. State per service is THREE LONGS (open-bucket
-    * start, its count, the previous closed bucket's count) regardless
-    * of volume; a bucket closes when a later-bucket event arrives or
-    * event time passes its end (timeout), and closing compares it to
-    * the previous closed count — alert when recent > 2 × previous,
-    * ratio at 1 dp on exact integers (the batch rule's microRatio).
+    * reads mt04's frame.
+    *
+    * A bucket closes ONLY when the watermark passes its end — never on
+    * the first later-bucket event — so in-watermark stragglers from a
+    * slow producer still count (the batch rule reads FULL bucket
+    * counts; closing early would under-count `recent` and over-fire
+    * the next bucket's ratio). State per service is therefore the
+    * open-bucket counts inside the watermark horizon — at most
+    * ⌈watermark/bucket⌉+1 (count, start) pairs regardless of volume —
+    * plus the previous closed count; empty buckets carry the last
+    * non-empty count forward as "previous" (the batch rule compares
+    * the two most recent buckets WITH data). Alert when
+    * recent > 2 × previous, ratio at 1 dp on exact integers.
     */
   def volumeSpikeStream(events: Dataset[VolInput], bucketSec: Long = 3600,
                         watermark: String = "2 hours"): Dataset[VolAlert] = {
     import events.sparkSession.implicits._
     val bucketMs = bucketSec * 1000
-    def alertOf(service: String, bucket: Long, n: Long, prev: Long): Option[VolAlert] =
-      if (prev > 0 && n > prev * 2)
-        Some(VolAlert(service, new Timestamp(bucket), n, prev,
-          math.round(n * 10.0 / prev) / 10.0))
-      else None
+    def close(service: String, s: VolState, watermarkMs: Long): (VolState, List[VolAlert]) = {
+      val (done, open) = s.open.partition { case (b, _) => b + bucketMs <= watermarkMs }
+      var prev = s.prevN
+      val alerts = done.toSeq.sortBy(_._1).flatMap { case (b, n) =>
+        val a = if (prev > 0 && n > prev * 2)
+          Some(VolAlert(service, new Timestamp(b), n, prev,
+            math.round(n * 10.0 / prev) / 10.0))
+        else None
+        prev = n
+        a
+      }
+      (VolState(open, prev), alerts.toList)
+    }
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.service)
       .flatMapGroupsWithState[VolState, VolAlert](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (service: String, rows: Iterator[VolInput], state: GroupState[VolState]) =>
-          if (state.hasTimedOut) {
-            // event time passed the open bucket's end: close and alert
-            // now (don't wait for the next event), but KEEP the counts —
-            // the next bucket with data compares against this one (the
-            // batch rule reads the two most recent buckets WITH data)
-            val s = state.get
-            state.update(s.copy(closed = true))
-            alertOf(service, s.bucket, s.n, s.prevN).iterator
-          } else {
-            val counts = rows.map(r => (r.ts.getTime / bucketMs) * bucketMs)
-              .toSeq.groupBy(identity).view.mapValues(_.size.toLong)
-              .toSeq.sortBy(_._1)
-            var out = List.empty[VolAlert]
-            var cur = state.getOption
-            counts.foreach { case (b, c) =>
-              cur match {
-                case Some(s) if b == s.bucket && !s.closed =>
-                  cur = Some(s.copy(n = s.n + c))
-                case Some(s) if b > s.bucket =>
-                  if (!s.closed) // not already alerted by the timeout
-                    out = alertOf(service, s.bucket, s.n, s.prevN).toList ::: out
-                  cur = Some(VolState(b, c, s.n, closed = false))
-                case Some(_) => () // at/older than a closed bucket: late beyond interest
-                case None => cur = Some(VolState(b, c, 0L, closed = false))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              if (!s.closed) state.setTimeoutTimestamp(s.bucket + bucketMs)
-            }
-            out.reverseIterator
-          }
+          val incoming = rows.map(r => (r.ts.getTime / bucketMs) * bucketMs)
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+          val before = state.getOption.getOrElse(VolState(Map.empty, 0L))
+          val merged = VolState(
+            incoming.foldLeft(before.open) { case (m, (b, c)) =>
+              m.updated(b, m.getOrElse(b, 0L) + c)
+            }, before.prevN)
+          val (after, alerts) = close(service, merged, state.getCurrentWatermarkMs())
+          state.update(after)
+          // wake when the watermark can close the earliest open bucket
+          if (after.open.nonEmpty)
+            state.setTimeoutTimestamp(after.open.keys.min + bucketMs)
+          alerts.iterator
       }
   }
 

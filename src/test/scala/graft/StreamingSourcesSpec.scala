@@ -836,4 +836,30 @@ class StreamingSourcesSpec extends SparkSpec {
         s"got $alerts")
     } finally q.stop()
   }
+
+  test("st26: an in-watermark straggler for an earlier bucket still counts (buckets close on the watermark, not on the first later event)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Timestamp)]
+    def at(min: Int, s: Int = 0) = new Timestamp(1700000000000L + min * 60000L + s * 1000L)
+    val out = graft.streaming.StreamOps.volumeSpikeStream(
+      mem.toDF.toDF("service", "ts").as[graft.streaming.StreamOps.VolInput],
+      bucketSec = 60, watermark = "2 minutes")
+    val q = out.writeStream.format("memory").queryName("st26b").outputMode("append").start()
+    try {
+      // batch 1 already has a minute-1 event; the minute-0 straggler in
+      // batch 2 is within the 2-minute watermark and MUST still count —
+      // an eager close on the first later-bucket event would read
+      // previous=1 (ratio 5.0) instead of previous=2 (ratio 2.5)
+      mem.addData(("s", at(0, 1)), ("s", at(1, 1)))
+      q.processAllAvailable()
+      mem.addData(Seq(("s", at(0, 2))) ++ (2 to 5).map(i => ("s", at(1, i))): _*)
+      q.processAllAvailable()
+      mem.addData(("z", at(60))); q.processAllAvailable()
+      mem.addData(("z", at(61))); q.processAllAvailable()
+      val alerts = spark.sql("SELECT service, recent, previous, ratio FROM st26b")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(alerts == Set(("s", 5L, 2L, 2.5)), s"got $alerts")
+    } finally q.stop()
+  }
 }
