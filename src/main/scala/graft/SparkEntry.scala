@@ -82,6 +82,8 @@ object SparkEntry {
     "mt06_sli_trends"               -> ((s: SparkSession, dir: String) => Collectors.sliTrends(s, dir)),
     "ti01_tier1_gate"               -> (Tier1.tier1Gate _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
+    "tt01_trending_tags"            -> (TagTrends.tt01 _),
+    "tc01_tag_cloud_layout"         -> ((s: SparkSession, dir: String) => TagCloud.tc01(s, dir)),
     "eb01_error_budget"             -> ((s: SparkSession, dir: String) => MetricsAnalysis.errorBudget(s, dir)),
     "hw01_health_warnings"          -> (MetricsAnalysis.healthWarnings _),
     "mt07_error_trends"             -> (Collectors.errorTrends _),
@@ -2137,6 +2139,28 @@ object SparkEntry {
                FROM p)
          SELECT doc_id, reason IS NULL AS is_tier1, coalesce(reason, '') AS reason
          FROM r ORDER BY doc_id""",
+    "tt01_trending_tags" ->
+      """WITH at AS (SELECT doc_id, unnest([lang, source]) AS tag_name,
+                            CASE WHEN source IN ('src1', 'src5') AND doc_id % 2 = 0
+                                 THEN 1700000000 + 50000 * 3600 - (doc_id % 150) * 3600
+                                 ELSE 1700000000 + (doc_id % 50000) * 3600 END AS created_epoch
+                     FROM documents),
+         mx AS (SELECT max(created_epoch) AS now_e FROM at),
+         c AS (SELECT tag_name,
+                      count(DISTINCT CASE WHEN now_e - created_epoch <= 7 * 86400 THEN doc_id END) AS recent_count,
+                      count(DISTINCT doc_id) AS baseline_count
+               FROM at CROSS JOIN mx
+               WHERE now_e - created_epoch <= 30 * 86400
+               GROUP BY 1
+               HAVING count(DISTINCT CASE WHEN now_e - created_epoch <= 7 * 86400 THEN doc_id END) >= 3),
+         sr AS (SELECT tag_name, recent_count,
+                       CASE WHEN baseline_count > 0
+                            THEN CAST(recent_count AS DOUBLE) / (CAST(baseline_count AS DOUBLE) / 4.0)
+                            ELSE CAST(recent_count AS DOUBLE) END AS surge_ratio
+                FROM c)
+         SELECT tag_name, recent_count, surge_ratio FROM sr
+         WHERE surge_ratio >= 1.5
+         ORDER BY surge_ratio DESC, tag_name ASC LIMIT 20""",
     "kh01_lens_visibility" ->
       """WITH items AS (SELECT doc_id,
                 substr(text, 1, 50) AS title,
