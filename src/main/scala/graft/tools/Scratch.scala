@@ -66,7 +66,7 @@ object Scratch {
       "mt01_http_endpoint_stats", "mt06_sli_trends",
       "mt09_service_dependencies", "sat01_resource_utilization",
       "sat02_queue_saturation", "eb01_error_budget",
-      "ti01_tier1_gate")
+      "ti01_tier1_gate", "kh01_lens_visibility", "tt01_trending_tags")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
