@@ -83,6 +83,7 @@ object SparkEntry {
     "ti01_tier1_gate"               -> (Tier1.tier1Gate _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
+    "mr01_model_routing"            -> (ModelRouting.mr01 _),
     "tc01_tag_cloud_layout"         -> ((s: SparkSession, dir: String) => TagCloud.tc01(s, dir)),
     "eb01_error_budget"             -> ((s: SparkSession, dir: String) => MetricsAnalysis.errorBudget(s, dir)),
     "hw01_health_warnings"          -> (MetricsAnalysis.healthWarnings _),
@@ -2139,6 +2140,20 @@ object SparkEntry {
                FROM p)
          SELECT doc_id, reason IS NULL AS is_tier1, coalesce(reason, '') AS reason
          FROM r ORDER BY doc_id""",
+    "mr01_model_routing" ->
+      """WITH t AS (SELECT doc_id,
+                           greatest(1, (length(text) * 3) // 4) AS prompt_tokens
+                    FROM documents),
+         m AS (SELECT doc_id, prompt_tokens,
+                      greatest((prompt_tokens * 10) // 100, 512) AS safety_margin
+               FROM t),
+         n AS (SELECT *, prompt_tokens + 1200 + safety_margin AS needed_tokens FROM m)
+         SELECT doc_id, prompt_tokens, safety_margin, needed_tokens,
+                CASE WHEN needed_tokens <= 8192 THEN 8192 ELSE 61440 END AS bucket,
+                CASE WHEN needed_tokens <= 8192 THEN 'gemma3-4b-8k'
+                     ELSE 'gemma3-4b-60k' END AS model,
+                needed_tokens > 61440 AS needs_hierarchical
+         FROM n ORDER BY doc_id""",
     "tt01_trending_tags" ->
       """WITH at AS (SELECT doc_id, unnest([lang, source]) AS tag_name,
                             CASE WHEN source IN ('src1', 'src5') AND doc_id % 2 = 0

@@ -681,6 +681,49 @@ object StreamOps {
   def tier1GateStream(articles: DataFrame): DataFrame =
     graft.operators.Tier1.tier1GateOnUnordered(articles)
 
+  case class RouteInput(router_id: String, seq: Long, needed_tokens: Long)
+  case class RouteState(bucket: Long)
+  case class RouteOut(router_id: String, seq: Long, requested_bucket: Long,
+                      selected_bucket: Long, switched: Boolean)
+
+  /** st27: the model router's 2× downgrade hysteresis
+    * (model_router.py:140) as a stateful stream — the part of mr01's
+    * routing that is inherently SEQUENTIAL per router process:
+    * upgrades to a larger bucket apply immediately, a downgrade only
+    * happens when the current bucket is ≥ 2 × the requested one
+    * (avoids thrashing model loads on alternating prompt sizes), the
+    * first request pins the bucket. State per router is ONE LONG;
+    * rows fold in `seq` order within each micro-batch (the reference
+    * router is a per-process serial call chain).
+    */
+  def modelRoutingStream(requests: Dataset[RouteInput],
+                         buckets: Seq[Long] = Seq(
+                           graft.operators.ModelRouting.Bucket8K,
+                           graft.operators.ModelRouting.Bucket60K)): Dataset[RouteOut] = {
+    import requests.sparkSession.implicits._
+    val ladder = buckets.sorted
+    requests
+      .groupByKey(_.router_id)
+      .flatMapGroupsWithState[RouteState, RouteOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (router: String, rows: Iterator[RouteInput], state: GroupState[RouteState]) =>
+          var cur = state.getOption.map(_.bucket)
+          val out = rows.toSeq.sortBy(_.seq).map { r =>
+            val requested = ladder.find(r.needed_tokens <= _).getOrElse(ladder.last)
+            val (selected, switched) = cur match {
+              case None => (requested, true)                        // first selection pins
+              case Some(c) if requested > c => (requested, true)    // upgrade always
+              case Some(c) if c >= requested * 2 => (requested, true) // 2x rule satisfied
+              case Some(c) => (c, false)                            // keep current
+            }
+            cur = Some(selected)
+            RouteOut(router, r.seq, requested, selected, switched)
+          }
+          cur.foreach(b => state.update(RouteState(b)))
+          out.iterator
+      }
+  }
+
   /** st15: streaming sentence-level dedup — tx28's semantics running
     * continuously (recap-worker's ACTUAL behavior: it hashes sentences
     * and keeps first occurrences as articles ARRIVE, not in nightly
