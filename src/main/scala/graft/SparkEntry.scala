@@ -84,6 +84,7 @@ object SparkEntry {
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
+    "hc01_hierarchical_chunks"      -> (HierarchicalChunks.hc01 _),
     "tc01_tag_cloud_layout"         -> ((s: SparkSession, dir: String) => TagCloud.tc01(s, dir)),
     "eb01_error_budget"             -> ((s: SparkSession, dir: String) => MetricsAnalysis.errorBudget(s, dir)),
     "hw01_health_warnings"          -> (MetricsAnalysis.healthWarnings _),
