@@ -53,7 +53,10 @@ object HierarchicalChunks {
       (col("n_chars") + 200).cast("int").as("cluster_len"))
 
   /** The fold as a Spark SQL expression over array<struct<doc_id,len>>
-    * (ordered), yielding array<struct<doc_id,len,chunk>>.
+    * (ordered), yielding array<struct<doc_id,len,chunk>>. The
+    * backward-overlap walk binds ONCE per chunk close (HOF lambdas
+    * have no CSE, so the `transform(array(walk), ot -> …)[0]` wrapper
+    * is the let-binding — one O(|cur|) walk, not three).
     */
   private def foldExpr(maxChars: Int, ovChars: Int): String =
     s"""aggregate(
@@ -63,28 +66,20 @@ object HierarchicalChunks {
            'cur', cast(array() as array<struct<doc_id:bigint,len:int>>),
            'curlen', 0, 'cidx', 0),
          (a, c) -> CASE WHEN size(a.cur) > 0 AND a.curlen + c.len > $maxChars THEN
-             named_struct(
-               'asg', concat(a.asg, transform(a.cur,
-                 x -> named_struct('doc_id', x.doc_id, 'len', x.len, 'chunk', a.cidx))),
-               'cur', concat(
-                 slice(a.cur,
-                   size(a.cur) - aggregate(reverse(a.cur),
-                     named_struct('s', 0, 'k', 0, 'stop', false),
-                     (t, x) -> IF(NOT t.stop AND t.s + x.len <= $ovChars,
-                       named_struct('s', t.s + x.len, 'k', t.k + 1, 'stop', false),
-                       named_struct('s', t.s, 'k', t.k, 'stop', true))).k + 1,
-                   aggregate(reverse(a.cur),
-                     named_struct('s', 0, 'k', 0, 'stop', false),
-                     (t, x) -> IF(NOT t.stop AND t.s + x.len <= $ovChars,
-                       named_struct('s', t.s + x.len, 'k', t.k + 1, 'stop', false),
-                       named_struct('s', t.s, 'k', t.k, 'stop', true))).k),
-                 array(c)),
-               'curlen', aggregate(reverse(a.cur),
-                   named_struct('s', 0, 'k', 0, 'stop', false),
-                   (t, x) -> IF(NOT t.stop AND t.s + x.len <= $ovChars,
-                     named_struct('s', t.s + x.len, 'k', t.k + 1, 'stop', false),
-                     named_struct('s', t.s, 'k', t.k, 'stop', true))).s + c.len,
-               'cidx', a.cidx + 1)
+             transform(
+               array(aggregate(reverse(a.cur),
+                 named_struct('s', 0, 'k', 0, 'stop', false),
+                 (t, x) -> IF(NOT t.stop AND t.s + x.len <= $ovChars,
+                   named_struct('s', t.s + x.len, 'k', t.k + 1, 'stop', false),
+                   named_struct('s', t.s, 'k', t.k, 'stop', true)))),
+               ot -> named_struct(
+                 'asg', concat(a.asg, transform(a.cur,
+                   x -> named_struct('doc_id', x.doc_id, 'len', x.len, 'chunk', a.cidx))),
+                 'cur', concat(
+                   slice(a.cur, size(a.cur) - ot.k + 1, ot.k),
+                   array(c)),
+                 'curlen', ot.s + c.len,
+                 'cidx', a.cidx + 1))[0]
            ELSE named_struct('asg', a.asg,
              'cur', concat(a.cur, array(c)),
              'curlen', a.curlen + c.len, 'cidx', a.cidx) END,

@@ -57,14 +57,17 @@ object LensVisibility {
                 cutoff: Option[String] = Some("2023-11-20 00:00:00")): DataFrame = {
     val projGates = col("projection_version") === activeVersion &&
       col("dismissed_at").isNull
+    // fail-closed means FALSE, never NULL: a NULL title or tags array
+    // must not null the whole conjunction out of getBoolean's reach
     val textGate = queryText.map { q =>
-      col("title").ilike("%" + q + "%") ||
+      coalesce(col("title"), lit("")).ilike("%" + q + "%") ||
         coalesce(col("summary_excerpt"), lit("")).ilike("%" + q + "%") ||
-        exists(col("tags"), t => t.ilike("%" + q + "%"))
+        coalesce(exists(col("tags"), t => t.ilike("%" + q + "%")), lit(false))
     }.getOrElse(lit(true))
     val tagGate =
       if (tagNames.isEmpty) lit(true)
-      else exists(col("tags"), t => t.isin(tagNames.map(x => x: Any): _*))
+      else coalesce(exists(col("tags"), t => t.isin(tagNames.map(x => x: Any): _*)),
+        lit(false))
     val timeGate = cutoff.map(c =>
       col("published_at") >= to_timestamp(lit(c))).getOrElse(lit(true))
     items.select(col("primary_ref_id").as("doc_id"),

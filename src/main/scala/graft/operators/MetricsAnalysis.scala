@@ -237,9 +237,13 @@ object MetricsAnalysis {
         col("r.subject"), col("r.value_1"), col("r.value_2")))
       .reduce(_ unionAll _)
       .orderBy(col("section").asc, col("rule").asc, col("rank").asc)
-    // ≤ ~15 rows — materialize so the caches can release eagerly
-    Dedup.materialized(out) {
+    // ≤ ~15 rows — materialize so the caches can release eagerly;
+    // release on FAILURE too (a thrown collect must not pin three
+    // corpus-scale caches for the session; unpersist is idempotent)
+    def release(): Unit = {
       sh.unpersist(); narrow.unpersist(); traces.unpersist()
     }
+    try Dedup.materialized(out) { release() }
+    catch { case t: Throwable => release(); throw t }
   }
 }

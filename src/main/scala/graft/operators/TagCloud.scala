@@ -155,16 +155,20 @@ object TagCloud {
     val docTags = TagTrends.articleTags(s, dir).select("doc_id", "tag_name")
     val counts = docTags.groupBy("tag_name")
       .agg(count_distinct(col("doc_id")).as("article_count"))
-      .filter(col("article_count") > 0)
       .orderBy(col("article_count").desc, col("tag_name").asc)
       .limit(topN)
     val nodeRows = counts.collect().map(r => (r.getString(0), r.getLong(1)))
     val kept = nodeRows.map(_._1).toSet
     val keptTags = docTags.filter(col("tag_name").isin(kept.toSeq.map(x => x: Any): _*))
+    // edge order is load-bearing: the layout folds edge forces with
+    // non-associative double addition, so a partition-order collect
+    // would make the "deterministic" positions depend on shuffle
+    // configuration — sort before collecting
     val edges = keptTags.as("a").join(keptTags.as("b"), "doc_id")
       .filter(col("a.tag_name") < col("b.tag_name"))
       .groupBy(col("a.tag_name").as("ta"), col("b.tag_name").as("tb"))
       .agg(count(lit(1)).as("shared"))
+      .orderBy(col("ta").asc, col("tb").asc)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
     val pos = layout(nodeRows.map(_._1).toSeq, edges)
       .map { case (t, px, py, pz) => t -> (px, py, pz) }.toMap

@@ -58,7 +58,6 @@ object TagTrends {
 
   def trendingOn(tags: DataFrame, minRecentCount: Long = 3,
                  minSurgeRatio: Double = 1.5, limit: Int = 20): DataFrame = {
-    val spark = tags.sparkSession
     val now = broadcast(tags.agg(max("created_at").as("now_ts")))
     val counted = tags.crossJoin(now)
       .withColumn("age_s", unix_timestamp(col("now_ts")) - unix_timestamp(col("created_at")))

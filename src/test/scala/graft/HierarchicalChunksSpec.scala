@@ -63,11 +63,16 @@ class HierarchicalChunksSpec extends SparkSpec {
     val nDocs = Tables.documents(spark, sfDir).count()
     val memberships = out1.map(r => (r.getString(0), r.getLong(2))).distinct
     assert(memberships.length == nDocs, "every cluster appears in at least one chunk")
-    // chunk totals: a multi-member chunk's NON-OVERLAP portion stays
-    // under budget; just sanity-check that most chunks are bounded
-    val byChunk = out1.groupBy(r => (r.getString(0), r.getInt(1)))
-      .map { case (_, rows) => rows.map(_.getInt(3)).sum }
-    assert(byChunk.exists(_ <= HierarchicalChunks.MaxChars + 900 + 2200),
-      "chunk totals in the expected band")
+    // budget invariant, provable from the fold: a chunk's total is
+    // curlen at close, which only exceeds MaxChars when the member
+    // that re-opened it was itself oversized (len > MaxChars − overlap)
+    val byChunk = out1.groupBy(r => (r.getString(0), r.getInt(1))).values
+    byChunk.foreach { rows =>
+      val total = rows.map(_.getInt(3)).sum
+      val maxMember = rows.map(_.getInt(3)).max
+      assert(total <= HierarchicalChunks.MaxChars ||
+        maxMember > HierarchicalChunks.MaxChars - HierarchicalChunks.OverlapChars,
+        s"over-budget chunk without an oversized member: total=$total max=$maxMember")
+    }
   }
 }

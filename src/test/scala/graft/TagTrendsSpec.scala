@@ -40,12 +40,14 @@ class TagTrendsSpec extends SparkSpec {
     assert(out("boundary") == ((3L, 1.5)))
   }
 
-  test("tt01: the zero-baseline branch scores surge = recent count (gateway.go:88)") {
-    // a frame where the baseline count is planted ZERO is impossible
-    // when baseline ⊇ recent; exercise the branch directly through a
-    // tag whose rows all sit in the recent week — baseline equals
-    // recent, surge = r/(r/4) = 4.0 — and pin the branch arithmetic on
-    // the degenerate single-bucket shape the Go code guards
+  test("tt01: an all-recent tag surges at exactly 4.0 (and the :88 zero-baseline branch is structurally dead through the operator)") {
+    // gateway.go:88's surge = recent branch needs baseline == 0 with
+    // recent > 0, which cannot happen through trendingOn: the 30-day
+    // baseline window CONTAINS the 7-day recent window, so
+    // baseline_count ≥ recent_count ≥ the 3-row floor. The branch is
+    // kept for reference fidelity (live only if history is purged
+    // between the two fetches); what IS reachable — and pinned here —
+    // is its limit shape: all rows recent → surge = r/(r/4) = 4.0.
     val rows = Seq((0L, "anchor", daysAgo(0))) ++
       (1 to 4).map(i => (i.toLong, "burst", daysAgo(0.5)))
     val out = TagTrends.trendingOn(frame(rows)).collect()
