@@ -9,6 +9,11 @@ import graft.operators._
   * the driver's test tables; `oracleSql` holds the DuckDB-equivalent SQL
   * the driver hash-checks against. Column names and rounding match on
   * both sides by construction.
+  *
+  * HARD CONVENTION: query outputs must be SCALAR columns only — the
+  * driver's pandas comparator crashes on array/map/struct columns
+  * (round-10 verdict: fz01/qf01). posexplode list outputs to rows or
+  * array_join them to strings; Verify enforces this at dump time.
   */
 object SparkEntry {
 
@@ -1205,8 +1210,11 @@ object SparkEntry {
 
   private val qf01OracleSelect: String =
     s"""$qf01OracleSql
-       SELECT doc_id, intent, raw_query, matched AS entities, must_have,
-              opt AS optional, time_range, rendered
+       SELECT doc_id, intent, raw_query,
+              coalesce(array_to_string(matched, ' | '), '') AS entities,
+              coalesce(array_to_string(must_have, ' '), '') AS must_have,
+              coalesce(array_to_string(opt, ' '), '') AS optional,
+              time_range, rendered
        FROM r2"""
 
   private val qv01OracleSql: String =
@@ -1252,8 +1260,8 @@ object SparkEntry {
          nr AS (SELECT vec_id, x.d,
                        CAST(round(((u / 1e6) - mean) / std * 1e6) AS BIGINT) / 1e6 AS nv
                 FROM x JOIN sd ON x.d = sd.d)
-         SELECT vec_id, list(nv ORDER BY d) AS normalized
-         FROM nr GROUP BY 1""",
+         SELECT vec_id, CAST(d AS INT) AS dim_idx, nv AS normalized_value
+         FROM nr""",
     "ke01_keyword_selection" ->
       """WITH RECURSIVE d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks FROM documents),

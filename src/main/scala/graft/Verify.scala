@@ -27,8 +27,20 @@ object Verify {
     // absent result is always attributable.
     val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // hard convention (round-10 verdict): the driver's pandas
+        // comparator crashes on array/map/struct output columns, so a
+        // non-scalar column is a broken row even when values are right
+        val nonScalar = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+                 || f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]
+                 || f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] => f.name
+        }
+        if (nonScalar.nonEmpty) throw new IllegalStateException(
+          s"non-scalar output columns (posexplode or array_join them): ${nonScalar.mkString(", ")}")
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         failures(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
         System.err.println(s"[verify] $name failed: ${e.getMessage}")

@@ -39,16 +39,17 @@ class QueryFacetsSpec extends SparkSpec {
   test("entities match by lowercase substring, keep brief casing and order") {
     val r = facet("the openai board versus anthropic aligned",
       entities = Seq("Anthropic", "OpenAI Board", "Mistral")).head
-    assert(r.getSeq[String](3) == Seq("Anthropic", "OpenAI Board"),
-      "multi-word substring matches; absent entity drops; brief order kept")
+    assert(r.getString(3) == "Anthropic | OpenAI Board",
+      "multi-word substring matches; absent entity drops; brief order kept" +
+        " (scalar ' | '-joined output — the driver gate's shape)")
   }
 
   test("must_have: significant tokens (len > 2, non-stopword) capped at 3; optional from topic minus must_have") {
     val r = facet("The analytics of spark engine tuning guide",
       topic = "Engine tuning for cloud costs").head
-    assert(r.getSeq[String](4) == Seq("analytics", "spark", "engine"),
+    assert(r.getString(4) == "analytics spark engine",
       "'The'/'of' are stopwords by lowercase; cap at first 3")
-    assert(r.getSeq[String](5) == Seq("tuning", "cloud", "costs"),
+    assert(r.getString(5) == "tuning cloud costs",
       "topic tokens minus must_have lowers — 'Engine' excluded case-insensitively")
   }
 
@@ -122,9 +123,9 @@ class QueryFacetsSpec extends SparkSpec {
     assert(intents == Set("compare", "trend", "investigate", "background"))
     assert(out.filter("length(rendered) = 120 OR (length(rendered) > 100 AND length(rendered) <= 120)").count() > 0,
       "the 120 cap fires")
-    assert(out.filter("rendered = raw_query AND size(must_have) = 0").count() > 0,
+    assert(out.filter("rendered = raw_query AND must_have = ''").count() > 0,
       "the raw_query fallback fires")
-    assert(out.filter("size(entities) = 0").count() >= 0)
+    assert(out.filter("entities = ''").count() >= 0)
     out.unpersist()
   }
 }

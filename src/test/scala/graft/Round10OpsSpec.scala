@@ -138,7 +138,7 @@ class Round10OpsSpec extends SparkSpec {
   test("fz01: the fit set re-normalizes to zero mean / unit variance per dimension") {
     val out = graft.operators.Features.fz01(spark, "/root/testdata/sf0.001")
       .filter(col("vec_id") % 10 === 0)
-      .select(posexplode(col("normalized")).as(Seq("d", "v")))
+      .select(col("dim_idx").as("d"), col("normalized_value").as("v"))
       .groupBy("d").agg(avg("v").as("m"), stddev_pop("v").as("sd"))
       .agg(max(abs(col("m"))).as("worst_mean"),
         max(abs(col("sd") - 1)).as("worst_sd")).collect().head
