@@ -146,6 +146,8 @@ object SparkEntry {
     "ke01_keyword_selection"        -> (KeywordSelect.ke01 _),
     "gd01_golden_summary"           -> (Golden.gd01 _),
     "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
+    "gw01_genre_weights"            -> (GenreWeights.gw01 _),
+    "gw02_genre_embedding_bias"     -> (GenreWeights.gw02 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     "km03_density_clusters"         -> (Density.km03 _),
@@ -1241,7 +1243,99 @@ object SparkEntry {
               q AS query_string, src AS source_label
        FROM al"""
 
+  /** gw01/gw02 shared composition + feature-count prefix — generated
+    * from GenreWeights' Scala values so the two sides cannot drift.
+    */
+  private val gwOracleBase: String = {
+    def sqlList(xs: Seq[String]) = "['" + xs.mkString("','") + "']"
+    val gs = sqlList(operators.GenreWeights.genres)
+    val rs = sqlList(operators.GenreWeights.residueGenres)
+    val singles = sqlList(operators.GenreWeights.singleTerms)
+    val multis = sqlList(operators.GenreWeights.multiTerms)
+    s"""WITH smp AS (SELECT doc_id,
+             $rs[CAST(doc_id % 31 AS INT) + 1] AS genre,
+             lower(text
+               || CASE WHEN doc_id % 3 = 0 THEN ' Transformers on the Stock Market' ELSE '' END
+               || CASE WHEN doc_id % 4 = 0 THEN ' economy treaty talks economy' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN ' games and art' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN ' machine learning research lab on cloud computing' ELSE '' END
+               || CASE WHEN doc_id % 11 = 0 THEN ' 人工知能 投資 の未来' ELSE '' END
+               || CASE WHEN doc_id % 13 = 0 THEN ' security policy and cybersecurity philosophy' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0 THEN ' investment review' ELSE '' END) AS ltext
+           FROM documents),
+       vg AS (SELECT lower(genre) AS genre, ltext FROM smp
+              WHERE list_contains($gs, lower(genre))),
+       tk AS (SELECT genre, ltext,
+                regexp_extract_all(ltext, '[a-z0-9_ぁ-んァ-ヶー一-龯]+') AS toks
+              FROM vg),
+       ex AS (SELECT genre, ltext,
+                list_concat(toks,
+                  list_transform(list_filter(toks, t -> length(t) > 3 AND t LIKE '%s'),
+                    t -> substr(t, 1, CAST(length(t) - 1 AS INT)))) AS etoks
+              FROM tk),
+       m AS (SELECT genre,
+               list_concat(
+                 list_filter($singles, w -> list_contains(etoks, w)),
+                 list_filter($multis, w -> contains(ltext, w))) AS matched
+             FROM ex),
+       tot AS (SELECT genre, count(*) AS total_g FROM m GROUP BY 1),
+       td AS (SELECT greatest(sum(total_g), 1) AS total_docs FROM tot),
+       cnt AS (SELECT genre, term, count(*) AS cnt
+               FROM (SELECT genre, unnest(matched) AS term FROM m) GROUP BY 1, 2)"""
+  }
+
+  private val gw01OracleSql: String = {
+    def sqlList(xs: Seq[String]) = "['" + xs.mkString("','") + "']"
+    val gs = sqlList(operators.GenreWeights.genres)
+    val vs = sqlList(operators.GenreWeights.vocab)
+    s"""$gwOracleBase,
+       mat AS (SELECT g.genre, t.term
+               FROM (SELECT unnest($gs) AS genre) g,
+                    (SELECT unnest($vs) AS term) t),
+       fc AS (SELECT mat.genre, mat.term, coalesce(cnt.cnt, 0) AS cnt
+              FROM mat LEFT JOIN cnt USING (genre, term)),
+       dw AS (SELECT term, count(*) FILTER (WHERE cnt > 0) AS dwt
+              FROM fc GROUP BY 1),
+       idf AS (SELECT term,
+                 CASE WHEN dwt > 0
+                      THEN CAST(round((1.0 + ln((CAST(total_docs AS DOUBLE) + 1)
+                             / (dwt + 1))) * 1e6) AS BIGINT) / 1e6
+                      ELSE 1.0 END AS idf
+               FROM dw, td)
+       SELECT fc.genre, fc.term, fc.cnt,
+              coalesce(tot.total_g, 0) AS total_g, idf.idf,
+              CAST(round(((fc.cnt * idf.idf) * 1.5) * 1e3
+                   / greatest(coalesce(tot.total_g, 0), 1)) AS BIGINT) / 1e3 AS weight
+       FROM fc JOIN idf USING (term) LEFT JOIN tot USING (genre)"""
+  }
+
+  private val gw02OracleSql: String = {
+    def sqlList(xs: Seq[String]) = "['" + xs.mkString("','") + "']"
+    val gs = sqlList(operators.GenreWeights.genres)
+    val embValues = operators.GenreWeights.embedLookup.flatMap {
+      case (t, ms) => ms.zipWithIndex.map { case (mu, d) => s"('$t', $d, $mu)" }
+    }.mkString(", ")
+    s"""$gwOracleBase,
+       emb AS (SELECT * FROM (VALUES $embValues) e(term, dim_idx, mu)),
+       ag AS (SELECT genre, dim_idx, sum(mu) AS su, count(*) AS hits
+              FROM cnt JOIN emb USING (term) WHERE cnt.cnt > 0 GROUP BY 1, 2),
+       fr AS (SELECT g.genre, d.dim_idx
+              FROM (SELECT unnest($gs) AS genre) g,
+                   (SELECT unnest(generate_series(0, 5)) AS dim_idx) d)
+       SELECT fr.genre, CAST(fr.dim_idx AS INT) AS dim_idx,
+              coalesce(ag.hits, 0) AS hits,
+              CASE WHEN coalesce(ag.hits, 0) > 0
+                   THEN CAST(round(CAST(ag.su AS DOUBLE) / ag.hits) AS BIGINT) / 1e3
+                   ELSE 0.167 END AS emb_weight,
+              CAST(round((-0.3 + (CAST(coalesce(tot.total_g, 0) AS DOUBLE)
+                   / total_docs) * 0.2) * 1e3) AS BIGINT) / 1e3 AS bias
+       FROM fr LEFT JOIN ag USING (genre, dim_idx)
+               LEFT JOIN tot USING (genre), td"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "gw01_genre_weights" -> gw01OracleSql,
+    "gw02_genre_embedding_bias" -> gw02OracleSql,
     "ps01_prompt_sanitize" -> ps01OracleSql,
     "hy01_hyde_sanitize" -> hy01OracleSql,
     "qf01_query_facets" -> qf01OracleSelect,
