@@ -129,6 +129,7 @@ object SparkEntry {
     "qe03_citation_audit"           -> (CitationAudit.qe03 _),
     "qe04_recap_quality"            -> (RecapQuality.qe04 _),
     "qe05_run_comparison"           -> (RecapQuality.qe05 _),
+    "qe06_recap_coverage"           -> (RecapCoverage.qe06 _),
     "ce01_evidence_compression"     -> (Evidence.ce01 _),
     "ce02_top_sentences"            -> (Evidence.ce02 _),
     "kw01_genre_keyword_scores"     -> (Keywords.kw01 _),
@@ -3249,6 +3250,75 @@ object SparkEntry {
     // readability blend (divisible-by-10 integer units), quarter-unit
     // structure, fifth-unit capped entity density
     "qe04_recap_quality" -> qe04OracleSql,
+    "qe06_recap_coverage" ->
+      """WITH tx AS (SELECT CAST((doc_id // 50) % 2 AS BIGINT) AS job_id,
+                'g' || CAST((doc_id // 100) % 3 AS VARCHAR) AS genre,
+                CASE WHEN doc_id % 50 = 0 THEN 'b' ELSE 'c' END AS kind,
+                doc_id AS tid,
+                array_to_string((string_split_regex(lower(trim(text)), '\s+'))[1:6], ' ') AS text
+              FROM documents WHERE doc_id % 25 = 0),
+         t2 AS (SELECT * FROM tx WHERE NOT (kind = 'c' AND genre = 'g2')),
+         w1 AS (SELECT job_id, genre, kind, tid, u.w
+                FROM t2, unnest(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS u(w)),
+         pg AS (SELECT job_id, genre, kind, tid,
+                       ' ' || w || ' ' AS p, length(' ' || w || ' ') AS l FROM w1),
+         gr AS (SELECT job_id, genre, kind, tid, gu.g
+                FROM pg, unnest(list_concat(list_concat(
+                  CASE WHEN l > 2 THEN list_transform(generate_series(1, CAST(l - 1 AS INT)), i -> substr(p, i, 2))
+                       WHEN l = 2 THEN [p] ELSE CAST([] AS VARCHAR[]) END,
+                  CASE WHEN l > 3 THEN list_transform(generate_series(1, CAST(l - 2 AS INT)), i -> substr(p, i, 3))
+                       WHEN l = 3 THEN [p] ELSE CAST([] AS VARCHAR[]) END),
+                  CASE WHEN l > 4 THEN list_transform(generate_series(1, CAST(l - 3 AS INT)), i -> substr(p, i, 4))
+                       WHEN l = 4 THEN [p] ELSE CAST([] AS VARCHAR[]) END)) AS gu(g)),
+         tf AS (SELECT job_id, genre, kind, tid, g, count(*) AS tf FROM gr GROUP BY ALL),
+         nd AS (SELECT job_id, genre, count(*) AS n_docs,
+                       sum(CASE WHEN kind = 'b' THEN 1 ELSE 0 END) AS n_bullets,
+                       sum(CASE WHEN kind = 'c' THEN 1 ELSE 0 END) AS n_centroids
+                FROM t2 GROUP BY ALL),
+         idf AS (SELECT d.job_id, d.genre, d.g,
+                        CAST(round((ln((CAST(n_docs AS DOUBLE) + 1) / (df + 1)) + 1) * 1e6) AS BIGINT) AS idf_u
+                 FROM (SELECT job_id, genre, g, count(*) AS df FROM tf GROUP BY ALL) d
+                 JOIN nd USING (job_id, genre)),
+         cp AS (SELECT tf.job_id, tf.genre, kind, tid, tf.g, tf * idf_u AS cu
+                FROM tf JOIN idf ON tf.job_id = idf.job_id AND tf.genre = idf.genre AND tf.g = idf.g),
+         nm AS (SELECT job_id, genre, kind, tid,
+                       sqrt(CAST(sum(CAST(cu AS HUGEINT) * cu) AS DOUBLE)) AS nrm
+                FROM cp GROUP BY ALL),
+         dt AS (SELECT b.job_id, b.genre, b.tid AS btid, c.tid AS ctid,
+                       sum(CAST(b.cu AS HUGEINT) * c.cu) AS dot
+                FROM cp b JOIN cp c ON b.job_id = c.job_id AND b.genre = c.genre AND b.g = c.g
+                WHERE b.kind = 'b' AND c.kind = 'c' GROUP BY ALL),
+         cs AS (SELECT dt.job_id, dt.genre, btid,
+                       CAST(dot AS DOUBLE) / (nb.nrm * nc.nrm) AS cos
+                FROM dt
+                JOIN nm nb ON nb.job_id = dt.job_id AND nb.genre = dt.genre
+                          AND nb.kind = 'b' AND nb.tid = dt.btid
+                JOIN nm nc ON nc.job_id = dt.job_id AND nc.genre = dt.genre
+                          AND nc.kind = 'c' AND nc.tid = dt.ctid),
+         bm AS (SELECT t.job_id, t.genre,
+                       coalesce(CAST(round(mx * 1e6) AS BIGINT), 0) AS mu
+                FROM (SELECT job_id, genre, tid FROM t2 WHERE kind = 'b') t
+                LEFT JOIN (SELECT job_id, genre, btid, max(cos) AS mx FROM cs GROUP BY ALL) m
+                  ON m.job_id = t.job_id AND m.genre = t.genre AND m.btid = t.tid),
+         gc AS (SELECT sm.job_id, sm.genre, n_bullets, n_centroids,
+                       CASE WHEN n_centroids = 0 THEN 0
+                            ELSE CAST(round(sum_mu / nb) AS BIGINT) END AS cu
+                FROM (SELECT job_id, genre, sum(mu) AS sum_mu, count(*) AS nb
+                      FROM bm GROUP BY ALL) sm
+                JOIN nd USING (job_id, genre)),
+         jb AS (SELECT job_id, count(*) AS ng, sum(cu) AS su,
+                       sum(CAST(cu AS HUGEINT) * cu) AS su2,
+                       min(cu) AS mn, max(cu) AS mx,
+                       sum(n_bullets) AS job_bullets, sum(n_centroids) AS job_centroids
+                FROM gc GROUP BY 1)
+         SELECT gc.job_id, gc.genre, cu / 1e6 AS coverage,
+                gc.n_bullets, gc.n_centroids,
+                CAST(round(su / ng) AS BIGINT) / 1e6 AS job_avg,
+                CAST(round(sqrt(CAST(su2 * ng - CAST(su AS HUGEINT) * su AS DOUBLE))
+                     / (CAST(ng AS DOUBLE) * 1e6) * 1e6) AS BIGINT) / 1e6 AS job_std,
+                mn / 1e6 AS job_min, mx / 1e6 AS job_max,
+                ng AS job_genres, job_bullets, job_centroids
+         FROM gc JOIN jb USING (job_id)""",
     "ce01_evidence_compression" ->
       s"""$ceScoredSql,
          r AS (SELECT doc_id, t, o, score_u,
