@@ -130,6 +130,7 @@ object SparkEntry {
     "qe04_recap_quality"            -> (RecapQuality.qe04 _),
     "qe05_run_comparison"           -> (RecapQuality.qe05 _),
     "qe06_recap_coverage"           -> (RecapCoverage.qe06 _),
+    "qe07_ja_summary_quality"       -> (JaSummaryQuality.qe07 _),
     "ce01_evidence_compression"     -> (Evidence.ce01 _),
     "ce02_top_sentences"            -> (Evidence.ce02 _),
     "kw01_genre_keyword_scores"     -> (Keywords.kw01 _),
@@ -3250,6 +3251,76 @@ object SparkEntry {
     // readability blend (divisible-by-10 integer units), quarter-unit
     // structure, fifth-unit capped entity density
     "qe04_recap_quality" -> qe04OracleSql,
+    "qe07_ja_summary_quality" -> {
+      val qh = operators.JaSummaryQuality.quoteHeavy
+      s"""WITH d AS (SELECT doc_id, text,
+                string_split_regex(trim(text), '\\s+') AS toks FROM documents),
+         c0 AS (SELECT doc_id, text,
+                  array_to_string(toks[1:4], ' ') AS title4,
+                  toks[1] AS tok1,
+                  substr(repeat(text || ' ', 4), 1, 120) AS body120
+                FROM d),
+         c1 AS (SELECT doc_id AS summary_id,
+                  CASE WHEN doc_id % 47 = 0 OR doc_id % 29 = 0 THEN NULL
+                       ELSE title4 END AS title,
+                  CASE WHEN doc_id % 43 = 0 THEN NULL ELSE text END AS content,
+                  CASE WHEN doc_id % 17 = 0 THEN '短いです。'
+                       WHEN doc_id % 19 = 0 THEN substr(repeat(text || ' ', 2), 1, 80) || '。'
+                       WHEN doc_id % 23 = 0 THEN '{"summary": "' || substr(text, 1, 60) || '"}'
+                       WHEN doc_id % 29 = 0 THEN '$qh'
+                       WHEN doc_id % 31 = 0 THEN repeat(tok1 || ' ', 39) || tok1 || '。'
+                       WHEN doc_id % 37 = 0 THEN substr(body120, 1, 100) || repeat(chr(10) || '見出し', 12) || '。'
+                       WHEN doc_id % 41 = 0 THEN body120
+                       WHEN doc_id % 53 = 0 THEN title4 || ' '
+                         || array_to_string(list_transform(generate_series(1, 600),
+                              i -> 'w' || CAST(i AS VARCHAR)), ' ') || '。'
+                       ELSE body120 || '。' END AS summary
+                FROM c0),
+         e0 AS (SELECT summary_id, title, content, summary,
+                  trim(summary) AS st,
+                  length(trim(summary)) AS len,
+                  list_filter(string_split_regex(summary, '\\s+'), w -> w <> '') AS words,
+                  length(summary) AS rawlen,
+                  length(summary) - length(replace(summary, '"', '')) AS quotes,
+                  length(summary) - length(replace(summary, chr(10), '')) AS newlines
+                FROM c1),
+         e1 AS (SELECT *, len(words) AS nw, len(list_distinct(words)) AS uniq,
+                  list_distinct(regexp_extract_all(lower(title),
+                    '[a-z0-9_ぁ-んァ-ヶー一-龯]+')) AS tw,
+                  list_distinct(regexp_extract_all(lower(summary),
+                    '[a-z0-9_ぁ-んァ-ヶー一-龯]+')) AS sw
+                FROM e0),
+         e2 AS (SELECT summary_id, len, nw,
+                  len < 50 AS len_short,
+                  (NOT len < 50) AND len < 100 AS len_shortish,
+                  (NOT len < 50) AND (NOT len < 100) AND len > 2000 AS len_long,
+                  (starts_with(st, '{') OR starts_with(st, '[')) AS json_prefix,
+                  quotes / greatest(rawlen, 1) > 0.15 AS quote_heavy,
+                  nw > 0 AND uniq / nw < 0.3 AS repetitive,
+                  CASE WHEN title IS NOT NULL AND title <> ''
+                         AND content IS NOT NULL AND content <> ''
+                         AND len(tw) > 0
+                       THEN len(list_intersect(tw, sw)) / len(tw) < 0.1
+                       ELSE FALSE END AS low_title_overlap,
+                  len > 0 AND NOT (right(st, 1) IN ('。','！','？','.','!','?'))
+                    AS no_terminal_punct,
+                  newlines > 10 AS many_newlines
+                FROM e1)
+         SELECT summary_id, len AS length, nw AS word_count,
+                CAST(greatest(0, least(100, 100
+                  - CASE WHEN len_short THEN 30 ELSE 0 END
+                  - CASE WHEN len_shortish THEN 10 ELSE 0 END
+                  - CASE WHEN len_long THEN 20 ELSE 0 END
+                  - CASE WHEN json_prefix THEN 50 ELSE 0 END
+                  - CASE WHEN quote_heavy THEN 30 ELSE 0 END
+                  - CASE WHEN repetitive THEN 20 ELSE 0 END
+                  - CASE WHEN low_title_overlap THEN 15 ELSE 0 END
+                  - CASE WHEN no_terminal_punct THEN 5 ELSE 0 END
+                  - CASE WHEN many_newlines THEN 10 ELSE 0 END)) AS DOUBLE) AS score,
+                len_short, len_shortish, len_long, json_prefix, quote_heavy,
+                repetitive, low_title_overlap, no_terminal_punct, many_newlines
+         FROM e2"""
+    },
     "qe06_recap_coverage" ->
       """WITH tx AS (SELECT CAST((doc_id // 50) % 2 AS BIGINT) AS job_id,
                 'g' || CAST((doc_id // 100) % 3 AS VARCHAR) AS genre,
