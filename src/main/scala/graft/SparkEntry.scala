@@ -86,6 +86,7 @@ object SparkEntry {
     "mt05_span_type_stats"          -> (Collectors.spanTypeStats _),
     "mt06_sli_trends"               -> ((s: SparkSession, dir: String) => Collectors.sliTrends(s, dir)),
     "ti01_tier1_gate"               -> (Tier1.tier1Gate _),
+    "ti02_feed_url_genres"          -> (FeedUrls.ti02 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
@@ -2199,6 +2200,26 @@ object SparkEntry {
            UNION ALL
            SELECT time_bucket, service, 'log_throughput' AS metric, log_throughput AS value FROM fb)
          ORDER BY time_bucket DESC, service ASC, metric ASC LIMIT 500""",
+    "ti02_feed_url_genres" -> {
+      val tpl = "['" + operators.FeedUrls.templates.mkString("','") + "']"
+      s"""WITH f AS (SELECT doc_id AS feed_id,
+                $tpl[CAST(doc_id % 31 AS INT) + 1]
+                  || (string_split_regex(trim(text), '\\s+'))[2] AS url
+              FROM documents),
+         u AS (SELECT feed_id, url,
+                 regexp_matches(url, '^[a-zA-Z][a-zA-Z0-9+.\\-]*://') AS hs FROM f),
+         n AS (SELECT feed_id, url,
+                 CASE WHEN hs THEN lower(regexp_extract(url,
+                   '^[a-zA-Z][a-zA-Z0-9+.\\-]*://([^/?#]*)', 1)) ELSE '' END AS nl,
+                 lower(CASE WHEN hs THEN regexp_extract(url,
+                     '^[a-zA-Z][a-zA-Z0-9+.\\-]*://[^/?#]*([^?#]*)', 1)
+                   ELSE regexp_extract(url, '^([^?#]*)', 1) END) AS p
+               FROM u),
+         dd AS (SELECT feed_id, url, p,
+                 CASE WHEN starts_with(nl, 'www.') THEN substr(nl, 5) ELSE nl END AS d
+               FROM n)
+         SELECT feed_id, url, ${operators.FeedUrls.ladderSql} AS genre FROM dd"""
+    },
     "ti01_tier1_gate" ->
       """WITH raw AS (SELECT doc_id,
                 'https://ex-' || (doc_id % 7) || '.example.com' ||
