@@ -87,6 +87,7 @@ object SparkEntry {
     "mt06_sli_trends"               -> ((s: SparkSession, dir: String) => Collectors.sliTrends(s, dir)),
     "ti01_tier1_gate"               -> (Tier1.tier1Gate _),
     "ti02_feed_url_genres"          -> (FeedUrls.ti02 _),
+    "lt04_docker_log_issues"        -> (DockerLogs.lt04 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
@@ -2200,6 +2201,59 @@ object SparkEntry {
            UNION ALL
            SELECT time_bucket, service, 'log_throughput' AS metric, log_throughput AS value FROM fb)
          ORDER BY time_bucket DESC, service ASC, metric ASC LIMIT 500""",
+    "lt04_docker_log_issues" -> {
+      import operators.DockerLogs._
+      def sqlLadder(rules: Seq[(String, String)]): String =
+        rules.map { case (re, l) =>
+          s"WHEN regexp_matches(message, '(?i)$re') THEN '$l'"
+        }.mkString("CASE ", " ", " ELSE NULL END")
+      val svc = "['" + services.mkString("','") + "']"
+      s"""WITH ln AS (SELECT event_id AS line_id,
+                CASE WHEN event_id % 13 = 0 THEN 'malformed line no separators'
+                     ELSE $svc[CAST(event_id % 4 AS INT) + 1]
+                       || CASE WHEN event_id % 17 = 0 THEN ' ' ELSE '' END
+                       || ' | ' || strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') || ' | '
+                       || 'job ' || CAST(event_id % 997 AS VARCHAR) || ' step done'
+                       || CASE WHEN event_id % 5 = 0 THEN ' ERROR: pipeline failed for stage 3'
+                               WHEN event_id % 5 = 1 THEN ' request Timeout after 30s'
+                               WHEN event_id % 5 = 2 THEN ' WARN: value below threshold'
+                               WHEN event_id % 5 = 3 THEN ' Fallback to default genre used'
+                               ELSE '' END
+                       || CASE WHEN event_id % 11 = 0 THEN ' article classified as other bucket'
+                               WHEN event_id % 11 = 1 THEN ' rocchio centroid update'
+                               WHEN event_id % 11 = 2 THEN ' graph label propagation pass'
+                               WHEN event_id % 11 = 3 THEN ' genre scoring failed hard'
+                               WHEN event_id % 11 = 4 THEN ' genre score below threshold now'
+                               ELSE '' END
+                       || CASE WHEN event_id % 9 = 0 THEN ' umap projection finished'
+                               WHEN event_id % 9 = 1 THEN ' HDBSCAN pass complete'
+                               WHEN event_id % 9 = 2 THEN ' min_cluster_size=5 applied'
+                               WHEN event_id % 9 = 3 THEN ' noise ratio high'
+                               WHEN event_id % 9 = 4 THEN ' dbcv score low'
+                               WHEN event_id % 9 = 5 THEN ' embedding cache warm'
+                               ELSE '' END
+                END AS line
+              FROM events),
+         pp AS (SELECT line_id, string_split(line, ' | ') AS parts FROM ln),
+         pr AS (SELECT line_id, trim(parts[1]) AS service, trim(parts[2]) AS ts_str,
+                       trim(parts[3]) AS message
+                FROM pp WHERE len(parts) >= 3),
+         lb AS (SELECT *, ${sqlLadder(genreRules)} AS gt,
+                          ${sqlLadder(clusteringRules)} AS ct
+                FROM pr)
+         SELECT line_id, service, ts_str, 'error' AS category,
+                CAST(NULL AS VARCHAR) AS issue_type, message
+         FROM lb WHERE regexp_matches(message, '(?i)$errorRe')
+         UNION ALL
+         SELECT line_id, service, ts_str, 'warning', NULL, message
+         FROM lb WHERE regexp_matches(message, '(?i)$warnRe')
+         UNION ALL
+         SELECT line_id, service, ts_str, 'genre_issue', gt, message
+         FROM lb WHERE service IN ('recap-worker', 'recap-subworker') AND gt IS NOT NULL
+         UNION ALL
+         SELECT line_id, service, ts_str, 'clustering_issue', ct, message
+         FROM lb WHERE service = 'recap-subworker' AND ct IS NOT NULL"""
+    },
     "ti02_feed_url_genres" -> {
       val tpl = "['" + operators.FeedUrls.templates.mkString("','") + "']"
       s"""WITH f AS (SELECT doc_id AS feed_id,
