@@ -66,7 +66,10 @@ object Scratch {
       "mt01_http_endpoint_stats", "mt06_sli_trends",
       "mt09_service_dependencies", "sat01_resource_utilization",
       "sat02_queue_saturation", "eb01_error_budget",
-      "ti01_tier1_gate", "kh01_lens_visibility", "tt01_trending_tags")
+      "ti01_tier1_gate", "kh01_lens_visibility", "tt01_trending_tags",
+      "gw01_genre_weights", "gw02_genre_embedding_bias",
+      "qe06_recap_coverage", "qe07_ja_summary_quality",
+      "ti02_feed_url_genres", "lt04_docker_log_issues")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

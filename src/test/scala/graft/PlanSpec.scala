@@ -508,4 +508,43 @@ class PlanSpec extends SparkSpec {
     // the only exchange allowed is the final orderBy's range partitioning
     assert(shuffles.size <= 1, s"ti01: expected at most the sort exchange, got ${shuffles.size}")
   }
+
+  test("round-11 ladders are stateless scan projections: qe07/ti02/lt04 never shuffle, window, or join") {
+    for (q <- Seq("qe07_ja_summary_quality", "ti02_feed_url_genres",
+                  "lt04_docker_log_issues")) {
+      val nodes = allNodes(finalPlan(q))
+      assert(nodes.collect {
+        case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+      }.isEmpty, s"$q must not shuffle")
+      assert(nodes.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.isEmpty, s"$q must not window")
+      assert(!formatted(q).contains("SortMergeJoin"), s"$q must not join")
+    }
+  }
+
+  test("gw01/gw02 shuffle the corpus exactly once (the sentinel-explode agg); matrix math broadcasts") {
+    // corpus-keyed exchanges: the (genre, term) count agg — everything
+    // else operates on model-sized frames that must broadcast-join;
+    // small-frame aggs (totals/dwt/idf/matrix) may add bounded
+    // exchanges, but no corpus-scale sort-merge join may appear
+    for (q <- Seq("gw01_genre_weights", "gw02_genre_embedding_bias")) {
+      assert(!formatted(q).contains("SortMergeJoin"),
+        s"$q joins must all broadcast (model-sized frames)")
+      // the sentinel-explode corpus pass lives INSIDE the cached
+      // feature-count relation — the outer plan must read it via
+      // InMemoryTableScan, never recompute the corpus lineage
+      assert(formatted(q).contains("InMemoryTableScan"),
+        s"$q lost the cached one-pass feature-count shape")
+    }
+  }
+
+  test("qe06's per-group windows stay partitioned; no cartesian, no unpartitioned window") {
+    val nodes = allNodes(finalPlan("qe06_recap_coverage"))
+    assert(nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }.isEmpty, "qe06 plans an unpartitioned (single-task) window")
+    assert(!formatted("qe06_recap_coverage").contains("CartesianProduct"),
+      "the dense cosine must stay a gram-keyed equi-join")
+  }
 }
