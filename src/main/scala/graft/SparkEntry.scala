@@ -88,6 +88,12 @@ object SparkEntry {
     "ti01_tier1_gate"               -> (Tier1.tier1Gate _),
     "ti02_feed_url_genres"          -> (FeedUrls.ti02 _),
     "lt04_docker_log_issues"        -> (DockerLogs.lt04 _),
+    "gv01_strategy_breakdown"       -> (GenreVerification.gv01 _),
+    "gv02_hourly_coverage"          -> (GenreVerification.gv02 _),
+    "gv03_confidence_profile"       -> (GenreVerification.gv03 _),
+    "gv04_genre_distribution"       -> (GenreVerification.gv04 _),
+    "gv05_learning_totals"          -> (GenreVerification.gv05 _),
+    "gv06_daily_coverage"           -> (GenreVerification.gv06 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
@@ -1337,6 +1343,50 @@ object SparkEntry {
                LEFT JOIN tot USING (genre), td"""
   }
 
+  /** gv01-gv06 shared composed learning-results view + as-of frame. */
+  private val gvOracleBase: String =
+    """WITH lr AS (SELECT event_id % 37 AS job_id,
+             event_id % 7919 AS article_id,
+             ts AS created_at,
+             CASE WHEN event_id % 19 = 0 THEN NULL
+                  WHEN event_id % 31 = 0 THEN
+                    '{"strategy": "' ||
+                    (CASE WHEN event_id % 10 <= 6 THEN 'graph_boost'
+                          WHEN event_id % 10 <= 8 THEN 'weighted_score'
+                          ELSE 'coarse_only' END) ||
+                    '", "genre": "g' || CAST(event_id % 26 AS VARCHAR) || '"}'
+                  WHEN event_id % 23 = 0 THEN
+                    '{"strategy": "' ||
+                    (CASE WHEN event_id % 10 <= 6 THEN 'graph_boost'
+                          WHEN event_id % 10 <= 8 THEN 'weighted_score'
+                          ELSE 'coarse_only' END) ||
+                    '", "confidence": "' || CAST((event_id * 37) % 1000 / 1000.0 AS VARCHAR) ||
+                    '", "genre": "g' || CAST(event_id % 26 AS VARCHAR) || '"}'
+                  ELSE
+                    '{"strategy": "' ||
+                    (CASE WHEN event_id % 10 <= 6 THEN 'graph_boost'
+                          WHEN event_id % 10 <= 8 THEN 'weighted_score'
+                          ELSE 'coarse_only' END) ||
+                    '", "confidence": "' || CAST((event_id * 37) % 1000 / 1000.0 AS VARCHAR) ||
+                    '", "final_genre": "g' || CAST(event_id % 26 AS VARCHAR) ||
+                    '", "genre": "stale_g' || CAST(event_id % 26 AS VARCHAR) || '"}'
+             END AS refine_decision,
+             CASE WHEN event_id % 29 = 0 THEN NULL
+                  WHEN event_id % 29 = 1 THEN '{"top_tags": []}'
+                  WHEN event_id % 29 = 2 THEN '{"other": 1}'
+                  ELSE '{"top_tags": ["t1", "t2"]}'
+             END AS tag_profile
+           FROM events),
+       ao AS (SELECT max(created_at) AS as_of FROM lr)"""
+
+  private val gvHasTagsSumSql: String =
+    """sum(CASE WHEN json_extract(tag_profile, '$.top_tags') IS NOT NULL
+               AND json_array_length(json_extract(tag_profile, '$.top_tags')) > 0
+          THEN 1 ELSE 0 END)"""
+  private val gvGbSumSql: String =
+    """sum(CASE WHEN json_extract_string(refine_decision, '$.strategy') = 'graph_boost'
+          THEN 1 ELSE 0 END)"""
+
   def oracleSql: Map[String, String] = Map(
     "gw01_genre_weights" -> gw01OracleSql,
     "gw02_genre_embedding_bias" -> gw02OracleSql,
@@ -2201,6 +2251,82 @@ object SparkEntry {
            UNION ALL
            SELECT time_bucket, service, 'log_throughput' AS metric, log_throughput AS value FROM fb)
          ORDER BY time_bucket DESC, service ASC, metric ASC LIMIT 500""",
+    "gv01_strategy_breakdown" -> (gvOracleBase + """,
+       w AS (SELECT * FROM lr, ao
+             WHERE refine_decision IS NOT NULL
+               AND created_at > as_of - INTERVAL 24 HOUR),
+       tt AS (SELECT count(*) AS win_total FROM w)
+       SELECT json_extract_string(refine_decision, '$.strategy') AS strategy,
+              count(*) AS count,
+              CAST(round((100.0 * count(*)) * 1e2 / win_total) AS BIGINT) / 1e2 AS percentage,
+              CAST(round(sum(CAST(round(CAST(json_extract_string(refine_decision, '$.confidence') AS DOUBLE) * 1000) AS BIGINT)) * 1000
+                   / count(json_extract_string(refine_decision, '$.confidence'))) AS BIGINT) / 1e6 AS avg_confidence
+       FROM w, tt
+       GROUP BY 1, win_total"""),
+    "gv02_hourly_coverage" -> (gvOracleBase + s""",
+       w AS (SELECT * FROM lr, ao WHERE created_at > as_of - INTERVAL 24 HOUR)
+       SELECT CAST(date_trunc('hour', created_at) AS TIMESTAMP) AS bucket,
+              count(*) AS records,
+              $gvHasTagsSumSql AS records_with_tags,
+              CAST(round((100.0 * $gvHasTagsSumSql) * 1e2 / count(*)) AS BIGINT) / 1e2 AS tag_coverage_pct,
+              $gvGbSumSql AS graph_boost_count,
+              CAST(round((100.0 * $gvGbSumSql) * 1e2 / count(*)) AS BIGINT) / 1e2 AS graph_boost_pct
+       FROM w GROUP BY 1 ORDER BY 1 DESC LIMIT 24"""),
+    "gv03_confidence_profile" -> (gvOracleBase + """,
+       w AS (SELECT json_extract_string(refine_decision, '$.strategy') AS strategy,
+                    CAST(round(CAST(json_extract_string(refine_decision, '$.confidence') AS DOUBLE) * 1000) AS BIGINT) AS cm
+             FROM lr, ao
+             WHERE created_at > as_of - INTERVAL 24 HOUR),
+       v AS (SELECT * FROM w WHERE cm IS NOT NULL),
+       pr AS (SELECT 'graph_boost' AS scope, count(*) AS n,
+                     CAST(round(sum(cm) * 1000 / count(*)) AS BIGINT) / 1e6 AS avg_confidence,
+                     CAST(round(quantile_cont(cm, 0.5)) AS BIGINT) / 1e3 AS median_confidence,
+                     CAST(round(quantile_cont(cm, 0.95)) AS BIGINT) / 1e3 AS p95_confidence,
+                     CAST(round(quantile_cont(cm, 0.99)) AS BIGINT) / 1e3 AS p99_confidence,
+                     min(cm) / 1e3 AS min_confidence, max(cm) / 1e3 AS max_confidence
+              FROM v WHERE strategy = 'graph_boost'
+              UNION ALL
+              SELECT 'overall', count(*),
+                     CAST(round(sum(cm) * 1000 / count(*)) AS BIGINT) / 1e6,
+                     CAST(round(quantile_cont(cm, 0.5)) AS BIGINT) / 1e3,
+                     CAST(round(quantile_cont(cm, 0.95)) AS BIGINT) / 1e3,
+                     CAST(round(quantile_cont(cm, 0.99)) AS BIGINT) / 1e3,
+                     min(cm) / 1e3, max(cm) / 1e3
+              FROM v)
+       SELECT * FROM pr"""),
+    "gv04_genre_distribution" -> (gvOracleBase + """,
+       w AS (SELECT * FROM lr, ao
+             WHERE refine_decision IS NOT NULL
+               AND created_at > as_of - INTERVAL 24 HOUR),
+       tt AS (SELECT count(*) AS win_total FROM w),
+       gc AS (SELECT coalesce(json_extract_string(refine_decision, '$.final_genre'),
+                              json_extract_string(refine_decision, '$.genre')) AS genre,
+                     count(*) AS count
+              FROM w GROUP BY 1
+              ORDER BY count DESC, genre LIMIT 20)
+       SELECT genre, count,
+              CAST(round((100.0 * count) * 1e2 / win_total) AS BIGINT) / 1e2 AS percentage
+       FROM gc, tt"""),
+    "gv05_learning_totals" -> (gvOracleBase + s""",
+       t AS (SELECT count(*) AS total_records,
+                    count(DISTINCT job_id) AS total_jobs,
+                    count(DISTINCT article_id) AS total_articles,
+                    CAST(min(created_at) AS TIMESTAMP) AS first_record,
+                    CAST(max(created_at) AS TIMESTAMP) AS last_record
+             FROM lr),
+       c AS (SELECT count(*) AS window_total,
+                    $gvHasTagsSumSql AS has_tags,
+                    CAST(round((100.0 * $gvHasTagsSumSql) * 1e2 / count(*)) AS BIGINT) / 1e2 AS tag_coverage_pct
+             FROM lr, ao WHERE created_at > as_of - INTERVAL 24 HOUR)
+       SELECT * FROM t, c"""),
+    "gv06_daily_coverage" -> (gvOracleBase + s"""
+       SELECT CAST(date_trunc('day', created_at) AS TIMESTAMP) AS bucket,
+              count(*) AS records,
+              $gvHasTagsSumSql AS records_with_tags,
+              CAST(round((100.0 * $gvHasTagsSumSql) * 1e2 / count(*)) AS BIGINT) / 1e2 AS tag_coverage_pct,
+              $gvGbSumSql AS graph_boost_count,
+              CAST(round((100.0 * $gvGbSumSql) * 1e2 / count(*)) AS BIGINT) / 1e2 AS graph_boost_pct
+       FROM lr GROUP BY 1 ORDER BY 1 DESC LIMIT 7"""),
     "lt04_docker_log_issues" -> {
       import operators.DockerLogs._
       def sqlLadder(rules: Seq[(String, String)]): String =
