@@ -94,6 +94,8 @@ object SparkEntry {
     "gv04_genre_distribution"       -> (GenreVerification.gv04 _),
     "gv05_learning_totals"          -> (GenreVerification.gv05 _),
     "gv06_daily_coverage"           -> (GenreVerification.gv06 _),
+    "bd01_graph_match_diagnosis"    -> (BayesDiagnosis.bd01 _),
+    "bd02_top_article_tags"         -> (BayesDiagnosis.bd02 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
@@ -1387,7 +1389,82 @@ object SparkEntry {
     """sum(CASE WHEN json_extract_string(refine_decision, '$.strategy') = 'graph_boost'
           THEN 1 ELSE 0 END)"""
 
+  /** bd01/bd02 shared composed-articles + label-extraction prefix. */
+  private val bdOracleBase: String = {
+    val edges = operators.BayesDiagnosis.graphEdges
+      .map { case (g, t, w) => s"('$g', '$t', $w)" }.mkString(", ")
+    s"""WITH gr AS (SELECT * FROM (VALUES $edges) e(genre, tag, weight)),
+       ar AS (SELECT ts AS created_at,
+                CASE WHEN event_id % 29 = 0 THEN NULL
+                     WHEN event_id % 29 = 1 THEN '{"top_tags": ["plain_string_tag"]}'
+                     WHEN event_id % 29 = 2 THEN '{"top_tags": [{"label": " Tag3 "}, {"label": ""}]}'
+                     WHEN event_id % 29 = 3 THEN '{"top_tags": {"not": "a list"}}'
+                     ELSE '{"top_tags": [{"label": "tag' || CAST(event_id % 14 AS VARCHAR)
+                          || '"}, {"label": "zzz_unmatched"}]}'
+                END AS tag_profile,
+                CASE WHEN event_id % 23 = 0 THEN '{"final_genre": ""}'
+                     WHEN event_id % 4 = 0 THEN '{"final_genre": " G' || CAST(event_id % 6 AS VARCHAR) || ' "}'
+                     ELSE '{"final_genre": "g' || CAST(event_id % 6 AS VARCHAR) || '"}'
+                END AS refine_decision
+              FROM events),
+       ao AS (SELECT max(created_at) AS as_of FROM ar),
+       w AS (SELECT tag_profile, refine_decision FROM ar, ao
+             WHERE created_at > as_of - INTERVAL 7 DAY
+               AND tag_profile IS NOT NULL AND refine_decision IS NOT NULL),
+       tl AS (SELECT trim(lower(json_extract_string(refine_decision, '$$.final_genre'))) AS genre,
+                     CASE WHEN starts_with(CAST(json_extract(tag_profile, '$$.top_tags') AS VARCHAR), '[{')
+                          THEN list_transform(
+                                 generate_series(0, CAST(json_array_length(json_extract(tag_profile, '$$.top_tags')) AS INT) - 1),
+                                 i -> trim(lower(json_extract_string(json_extract(tag_profile, '$$.top_tags'),
+                                                                     '$$[' || i || '].label'))))
+                          ELSE CAST([] AS VARCHAR[]) END AS labels
+              FROM w),
+       lx AS (SELECT genre, u.label
+              FROM tl, unnest(labels) AS u(label)
+              WHERE u.label IS NOT NULL AND u.label <> '')"""
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "bd01_graph_match_diagnosis" -> (bdOracleBase + """,
+       gs AS (SELECT count(*) AS total_edges,
+                     count(DISTINCT genre) AS unique_genres,
+                     count(DISTINCT tag) AS unique_tags,
+                     CAST(round(avg(weight) * 1e6) AS BIGINT) / 1e6 AS avg_weight,
+                     CAST(round(min(weight) * 1e6) AS BIGINT) / 1e6 AS min_weight,
+                     CAST(round(max(weight) * 1e6) AS BIGINT) / 1e6 AS max_weight
+              FROM gr),
+       gt AS (SELECT DISTINCT tag FROM gr),
+       cx AS (SELECT count(*) AS total_tags,
+                     sum(CASE WHEN lx.label IN (SELECT tag FROM gt) THEN 1 ELSE 0 END) AS matched_tags,
+                     count(DISTINCT CASE WHEN lx.label NOT IN (SELECT tag FROM gt)
+                                         THEN lx.label END) AS unmatched_tag_count,
+                     sum(CASE WHEN genre <> '' THEN 1 ELSE 0 END) AS total_pairs,
+                     sum(CASE WHEN genre <> '' AND EXISTS (SELECT 1 FROM gr
+                              WHERE gr.genre = lx.genre AND gr.tag = lx.label)
+                          THEN 1 ELSE 0 END) AS matched_pairs,
+                     count(DISTINCT CASE WHEN genre <> '' AND NOT EXISTS (SELECT 1 FROM gr
+                              WHERE gr.genre = lx.genre AND gr.tag = lx.label)
+                          THEN genre || '|' || lx.label END) AS unmatched_pair_count
+              FROM lx),
+       rr AS (SELECT *,
+                     CASE WHEN total_tags > 0
+                          THEN CAST(round((100.0 * matched_tags) * 100 / total_tags) AS BIGINT) / 1e2
+                          ELSE 0.0 END AS tag_match_rate_pct,
+                     CASE WHEN total_pairs > 0
+                          THEN CAST(round((100.0 * matched_pairs) * 100 / total_pairs) AS BIGINT) / 1e2
+                          ELSE 0.0 END AS pair_match_rate_pct
+              FROM gs, cx)
+       SELECT total_edges, unique_genres, unique_tags, avg_weight, min_weight,
+              max_weight, total_tags, matched_tags, unmatched_tag_count,
+              total_pairs, matched_pairs, unmatched_pair_count,
+              tag_match_rate_pct, pair_match_rate_pct,
+              CASE WHEN tag_match_rate_pct < 50 THEN 'low_tag_match'
+                   WHEN pair_match_rate_pct < 50 THEN 'low_pair_match'
+                   ELSE 'healthy' END AS verdict
+       FROM rr"""),
+    "bd02_top_article_tags" -> (bdOracleBase + """
+       SELECT label AS tag, count(*) AS count
+       FROM lx GROUP BY 1 ORDER BY count DESC, tag LIMIT 10"""),
     "gw01_genre_weights" -> gw01OracleSql,
     "gw02_genre_embedding_bias" -> gw02OracleSql,
     "ps01_prompt_sanitize" -> ps01OracleSql,
