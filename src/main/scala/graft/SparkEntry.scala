@@ -96,6 +96,7 @@ object SparkEntry {
     "gv06_daily_coverage"           -> (GenreVerification.gv06 _),
     "bd01_graph_match_diagnosis"    -> (BayesDiagnosis.bd01 _),
     "bd02_top_article_tags"         -> (BayesDiagnosis.bd02 _),
+    "gb02_boost_param_grid"         -> (GraphBoost.gb02 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
@@ -1389,6 +1390,86 @@ object SparkEntry {
     """sum(CASE WHEN json_extract_string(refine_decision, '$.strategy') = 'graph_boost'
           THEN 1 ELSE 0 END)"""
 
+  private val gb01OracleSql: String =
+    """WITH d AS (SELECT doc_id AS job_id FROM documents),
+         rows0 AS (
+           SELECT job_id, i AS idx,
+                  CAST((job_id * (i + 3) + i * 7) % 50 AS DOUBLE) / 100 AS score,
+                  CASE WHEN job_id % 4 = i THEN 0.0
+                       ELSE CAST((job_id + i * 11) % 20 AS DOUBLE) / 100 END AS boost
+           FROM d, unnest([0, 1, 2]) AS g(i)
+           WHERE job_id % 17 <> 0 AND NOT (job_id % 9 = 0 AND i = 1)
+           UNION ALL
+           SELECT job_id, 1,
+                  CAST((job_id * 3) % 50 AS DOUBLE) / 100
+                    + CASE WHEN job_id % 4 = 0 THEN 0.0
+                           ELSE CAST(job_id % 20 AS DOUBLE) / 100 END,
+                  0.0
+           FROM d WHERE job_id % 17 <> 0 AND job_id % 9 = 0),
+         bu AS (SELECT job_id, idx, boost,
+                       CAST(round((score + boost) * 1e6) AS BIGINT) AS u
+                FROM rows0),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY job_id
+                            ORDER BY u DESC, idx ASC) AS r
+                FROM bu),
+         agg AS (SELECT job_id,
+                        max(CASE WHEN r = 1 THEN u END) AS topu,
+                        max(CASE WHEN r = 2 THEN u END) AS secondu,
+                        max(CASE WHEN r = 1 THEN boost END) AS topboost,
+                        count(*) AS n
+                 FROM rk GROUP BY 1)
+         SELECT d.job_id,
+                COALESCE((topu - COALESCE(secondu, topu)) / 1e6, 0.0) AS margin,
+                COALESCE(CAST(round(topboost * 1e6) AS BIGINT) / 1e6, 0.0) AS top_boost,
+                CAST(COALESCE(n, 0) AS INT) AS candidate_count,
+                COALESCE(topu - COALESCE(secondu, topu) >= 150000
+                           AND topboost > 0.0, FALSE) AS graph_boost_available,
+                CAST(job_id % 7 AS INT) AS tag_count,
+                CAST(job_id % 100 AS DOUBLE) / 100 AS confidence
+         FROM d LEFT JOIN agg USING (job_id)"""
+
+  /** gb02: the tuner objective on the literal grid over gb01's
+    * snapshot + the composed strategy/null layer.
+    */
+  private val gb02OracleSql: String = {
+    val gms = operators.GraphBoost.paramGrid.map(_._1).distinct.mkString(", ")
+    val bts = operators.GraphBoost.paramGrid.map(_._2).distinct.mkString(", ")
+    val tcs = operators.GraphBoost.paramGrid.map(_._3).distinct.mkString(", ")
+    s"""WITH snap AS (SELECT * FROM ($gb01OracleSql)),
+       lab AS (SELECT job_id,
+                 CASE WHEN job_id % 31 = 0 THEN NULL ELSE margin END AS margin,
+                 top_boost, tag_count,
+                 CASE WHEN job_id % 23 = 0 THEN NULL
+                      WHEN job_id % 5 = 0 THEN 'coarse_only'
+                      WHEN job_id % 13 = 0 THEN
+                        CASE WHEN graph_boost_available THEN 'weighted_score'
+                             ELSE 'graph_boost' END
+                      ELSE CASE WHEN graph_boost_available THEN 'graph_boost'
+                                ELSE 'weighted_score' END
+                 END AS strategy
+               FROM snap),
+       prep AS (SELECT *, strategy = 'graph_boost' AS label FROM lab
+                WHERE margin IS NOT NULL AND top_boost IS NOT NULL
+                  AND tag_count IS NOT NULL AND strategy IS NOT NULL
+                  AND strategy IN ('graph_boost', 'weighted_score')),
+       hb AS (SELECT sum(CASE WHEN top_boost > 0 THEN 1 ELSE 0 END) > 0 AS has_boost
+              FROM prep),
+       grid AS (SELECT g.gm AS graph_margin, b.bt AS boost_threshold,
+                       t.tc AS tag_count_threshold
+                FROM (SELECT CAST(unnest([$gms]) AS DOUBLE) AS gm) g,
+                     (SELECT CAST(unnest([$bts]) AS DOUBLE) AS bt) b,
+                     (SELECT unnest([$tcs]) AS tc) t)
+       SELECT graph_margin, boost_threshold,
+              CAST(tag_count_threshold AS INT) AS tag_count_threshold,
+              count(*) AS n_samples,
+              CAST(round(sum(CASE WHEN (margin >= graph_margin
+                         AND (NOT has_boost OR top_boost >= boost_threshold)
+                         AND tag_count >= tag_count_threshold) = label
+                    THEN 1 ELSE 0 END) * 1e6 / count(*)) AS BIGINT) / 1e6 AS accuracy
+       FROM prep, hb, grid
+       GROUP BY 1, 2, 3"""
+  }
+
   /** bd01/bd02 shared composed-articles + label-extraction prefix. */
   private val bdOracleBase: String = {
     val edges = operators.BayesDiagnosis.graphEdges
@@ -1573,43 +1654,8 @@ object SparkEntry {
                 trim(regexp_replace(regexp_replace(trim(tag), '$part', ''), '$verb', '')) AS cleaned
          FROM c"""
     },
-    "gb01_graph_boost_snapshot" ->
-      """WITH d AS (SELECT doc_id AS job_id FROM documents),
-         rows0 AS (
-           SELECT job_id, i AS idx,
-                  CAST((job_id * (i + 3) + i * 7) % 50 AS DOUBLE) / 100 AS score,
-                  CASE WHEN job_id % 4 = i THEN 0.0
-                       ELSE CAST((job_id + i * 11) % 20 AS DOUBLE) / 100 END AS boost
-           FROM d, unnest([0, 1, 2]) AS g(i)
-           WHERE job_id % 17 <> 0 AND NOT (job_id % 9 = 0 AND i = 1)
-           UNION ALL
-           SELECT job_id, 1,
-                  CAST((job_id * 3) % 50 AS DOUBLE) / 100
-                    + CASE WHEN job_id % 4 = 0 THEN 0.0
-                           ELSE CAST(job_id % 20 AS DOUBLE) / 100 END,
-                  0.0
-           FROM d WHERE job_id % 17 <> 0 AND job_id % 9 = 0),
-         bu AS (SELECT job_id, idx, boost,
-                       CAST(round((score + boost) * 1e6) AS BIGINT) AS u
-                FROM rows0),
-         rk AS (SELECT *, row_number() OVER (PARTITION BY job_id
-                            ORDER BY u DESC, idx ASC) AS r
-                FROM bu),
-         agg AS (SELECT job_id,
-                        max(CASE WHEN r = 1 THEN u END) AS topu,
-                        max(CASE WHEN r = 2 THEN u END) AS secondu,
-                        max(CASE WHEN r = 1 THEN boost END) AS topboost,
-                        count(*) AS n
-                 FROM rk GROUP BY 1)
-         SELECT d.job_id,
-                COALESCE((topu - COALESCE(secondu, topu)) / 1e6, 0.0) AS margin,
-                COALESCE(CAST(round(topboost * 1e6) AS BIGINT) / 1e6, 0.0) AS top_boost,
-                CAST(COALESCE(n, 0) AS INT) AS candidate_count,
-                COALESCE(topu - COALESCE(secondu, topu) >= 150000
-                           AND topboost > 0.0, FALSE) AS graph_boost_available,
-                CAST(job_id % 7 AS INT) AS tag_count,
-                CAST(job_id % 100 AS DOUBLE) / 100 AS confidence
-         FROM d LEFT JOIN agg USING (job_id)""",
+    "gb01_graph_boost_snapshot" -> gb01OracleSql,
+    "gb02_boost_param_grid" -> gb02OracleSql,
     "xs01_exec_summary" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks FROM documents),

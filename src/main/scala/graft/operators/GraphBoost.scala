@@ -85,4 +85,71 @@ object GraphBoost {
 
   def gb01(s: SparkSession, dir: String): DataFrame =
     snapshotOn(composeRuns(s, dir))
+
+  /** gb02's parameter grid — the deterministic evaluation lattice
+    * standing in for gp_minimize's acquisition choices (the skopt GP
+    * loop is the env-blocked part; the OBJECTIVE it queries is this
+    * evaluation, verbatim from scripts/graph_boost_utils.py, over
+    * the Real(0.05,0.25)/Real(0,5)/Integer(0,10) space).
+    */
+  val paramGrid: Seq[(Double, Double, Int)] =
+    for {
+      gm <- Seq(0.05, 0.10, 0.15, 0.20, 0.25)
+      bt <- Seq(0.0, 0.05, 0.10)
+      tc <- Seq(0, 2, 4)
+    } yield (gm, bt, tc)
+
+  /** Composed optimizer snapshot: gb01 plus the strategy labels the
+    * tuner trains against, with null-field rows for the dropna path
+    * and a mislabel residue so no grid point is perfectly separable.
+    */
+  def composeSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val snap = gb01(s, dir)
+    val aligned = when(col("graph_boost_available"), "graph_boost")
+      .otherwise("weighted_score")
+    val flipped = when(col("graph_boost_available"), "weighted_score")
+      .otherwise("graph_boost")
+    snap.select(col("job_id"),
+      when(col("job_id") % 31 === 0, lit(null).cast("double"))
+        .otherwise(col("margin")).as("margin"),
+      col("top_boost"), col("tag_count"),
+      when(col("job_id") % 23 === 0, lit(null).cast("string"))
+        .when(col("job_id") % 5 === 0, "coarse_only")
+        .when(col("job_id") % 13 === 0, flipped)
+        .otherwise(aligned).as("strategy"))
+  }
+
+  /** gb02: the Bayes-tuner objective evaluated on the grid —
+    * graph_boost_utils.py `prepare_dataframe` (:61 — dropna over the
+    * four fields, strategy ∈ {graph_boost, weighted_score}, label =
+    * strategy == graph_boost) + `_objective` (:75 — preds =
+    * margin ≥ gm ∧ top_boost ≥ bt ∧ tag_count ≥ round(tc), with the
+    * boost conjunct SKIPPED when no prepared row has a positive
+    * top_boost), accuracy = share of label-matching predictions.
+    * One broadcast grid cross-product + a |grid|-key map-side agg.
+    */
+  def gridAccuracyOn(snapshot: DataFrame): DataFrame = {
+    val s = snapshot.sparkSession
+    import s.implicits._
+    val prep = snapshot
+      .filter(col("margin").isNotNull && col("top_boost").isNotNull &&
+        col("tag_count").isNotNull && col("strategy").isNotNull &&
+        col("strategy").isin("graph_boost", "weighted_score"))
+      .withColumn("label", col("strategy") === "graph_boost")
+    val hasBoost = prep.agg(
+      (sum(when(col("top_boost") > 0, 1L).otherwise(0L)) > 0).as("has_boost"))
+    val grid = paramGrid
+      .toDF("graph_margin", "boost_threshold", "tag_count_threshold")
+    val pred = col("margin") >= col("graph_margin") &&
+      (!col("has_boost") || col("top_boost") >= col("boost_threshold")) &&
+      col("tag_count") >= col("tag_count_threshold")
+    prep.crossJoin(broadcast(hasBoost)).crossJoin(broadcast(grid))
+      .groupBy("graph_margin", "boost_threshold", "tag_count_threshold")
+      .agg(count(lit(1)).as("n_samples"),
+        (round(sum(when(pred === col("label"), 1L).otherwise(0L)) * lit(1e6) /
+          count(lit(1)), 0).cast("long") / 1e6).as("accuracy"))
+  }
+
+  def gb02(s: SparkSession, dir: String): DataFrame =
+    gridAccuracyOn(composeSnapshot(s, dir))
 }
