@@ -97,6 +97,7 @@ object SparkEntry {
     "bd01_graph_match_diagnosis"    -> (BayesDiagnosis.bd01 _),
     "bd02_top_article_tags"         -> (BayesDiagnosis.bd02 _),
     "gb02_boost_param_grid"         -> (GraphBoost.gb02 _),
+    "ur01_feed_url_dedup"           -> (FeedNormalize.ur01 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
@@ -1470,6 +1471,89 @@ object SparkEntry {
        GROUP BY 1, 2, 3"""
   }
 
+  /** ur01: URL canonicalization + keep-oldest dedup. */
+  private val ur01OracleSql: String = {
+    val trk = "['" + operators.FeedNormalize.trackingParams.mkString("','") + "']"
+    s"""WITH f AS (SELECT doc_id AS feed_id, doc_id AS created_at,
+                CASE WHEN doc_id % 6 = 0 THEN
+                       'https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+                       || (string_split_regex(trim(text), '\\s+'))[2]
+                       || '?utm_source=rss&UTM_Campaign=x&id=' || CAST(doc_id % 7 AS VARCHAR)
+                     WHEN doc_id % 6 = 1 THEN
+                       'https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+                       || (string_split_regex(trim(text), '\\s+'))[2]
+                       || '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&utm_medium=email&flag'
+                     WHEN doc_id % 6 = 2 THEN
+                       'https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+                       || (string_split_regex(trim(text), '\\s+'))[2]
+                       || '?zz=9&id=' || CAST(doc_id % 7 AS VARCHAR) || '#section-3'
+                     WHEN doc_id % 6 = 3 THEN
+                       'https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+                       || (string_split_regex(trim(text), '\\s+'))[2] || '/'
+                     WHEN doc_id % 6 = 4 THEN
+                       'https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/p%2f'
+                       || (string_split_regex(trim(text), '\\s+'))[2]
+                       || '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                     ELSE
+                       'https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/p%2F'
+                       || (string_split_regex(trim(text), '\\s+'))[2]
+                       || '?id=' || CAST(doc_id % 7 AS VARCHAR)
+                END AS link
+              FROM documents),
+       nf AS (SELECT *, regexp_replace(link, '#.*$$', '') AS nofrag FROM f),
+       bq AS (SELECT *,
+                CASE WHEN contains(nofrag, '?')
+                     THEN substr(nofrag, 1, strpos(nofrag, '?') - 1) ELSE nofrag END AS base,
+                CASE WHEN contains(nofrag, '?')
+                     THEN substr(nofrag, strpos(nofrag, '?') + 1) ELSE '' END AS qs
+              FROM nf),
+       pr AS (SELECT feed_id, g.i, (string_split(qs, '&'))[g.i] AS p
+              FROM bq, unnest(generate_series(1, CAST(len(string_split(qs, '&')) AS INT))) AS g(i)
+              WHERE qs <> ''),
+       kp AS (SELECT feed_id, i, split_part(p, '=', 1) AS k,
+                     CASE WHEN contains(p, '=')
+                          THEN substr(p, length(split_part(p, '=', 1)) + 2)
+                          ELSE '' END AS v
+              FROM pr
+              WHERE p <> '' AND NOT list_contains($trk, lower(split_part(p, '=', 1)))),
+       qq AS (SELECT feed_id, string_agg(k || '=' || v, '&' ORDER BY k, i) AS newqs
+              FROM kp GROUP BY 1),
+       rb AS (SELECT bq.feed_id,
+                CASE WHEN newqs IS NOT NULL THEN base || '?' || newqs ELSE base END AS r
+              FROM bq LEFT JOIN qq USING (feed_id)),
+       ps AS (SELECT feed_id, string_split(r, '%') AS parts FROM rb),
+       pp AS (SELECT feed_id, g.i, parts[g.i] AS part
+              FROM ps, unnest(generate_series(2, CAST(len(parts) AS INT))) AS g(i)
+              WHERE len(parts) > 1),
+       pu AS (SELECT feed_id,
+                string_agg('%' || CASE WHEN length(part) >= 2
+                                       THEN upper(substr(part, 1, 2)) || substr(part, 3)
+                                       ELSE part END, '' ORDER BY i) AS tail
+              FROM pp GROUP BY 1),
+       up AS (SELECT ps.feed_id, parts[1] || coalesce(tail, '') AS u
+              FROM ps LEFT JOIN pu USING (feed_id)),
+       tr AS (SELECT feed_id,
+                CASE WHEN length(u) > 1 AND ends_with(u, '/')
+                       AND NOT ends_with(u, '://')
+                       AND substr(u, length(u) - 1, 1) <> '/'
+                     THEN substr(u, 1, length(u) - 1) ELSE u END AS normalized
+              FROM up),
+       dd AS (SELECT f.feed_id, f.link, tr.normalized,
+                row_number() OVER (PARTITION BY normalized
+                                   ORDER BY f.created_at, f.feed_id) AS rn,
+                count(*) OVER (PARTITION BY normalized) AS gn,
+                first_value(f.feed_id) OVER (PARTITION BY normalized
+                                             ORDER BY f.created_at, f.feed_id) AS keeper_id
+              FROM f JOIN tr USING (feed_id))
+       SELECT feed_id, link, normalized,
+              CASE WHEN rn > 1 THEN 'deleted'
+                   WHEN link <> normalized THEN 'updated'
+                   WHEN gn = 1 THEN 'skipped'
+                   ELSE 'noop_keeper' END AS action,
+              keeper_id
+       FROM dd"""
+  }
+
   /** bd01/bd02 shared composed-articles + label-extraction prefix. */
   private val bdOracleBase: String = {
     val edges = operators.BayesDiagnosis.graphEdges
@@ -1506,6 +1590,7 @@ object SparkEntry {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "ur01_feed_url_dedup" -> ur01OracleSql,
     "bd01_graph_match_diagnosis" -> (bdOracleBase + """,
        gs AS (SELECT count(*) AS total_edges,
                      count(DISTINCT genre) AS unique_genres,
