@@ -98,6 +98,7 @@ object SparkEntry {
     "bd02_top_article_tags"         -> (BayesDiagnosis.bd02 _),
     "gb02_boost_param_grid"         -> (GraphBoost.gb02 _),
     "ur01_feed_url_dedup"           -> (FeedNormalize.ur01 _),
+    "bf01_article_feed_backfill"    -> (FeedBackfill.bf01 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
@@ -1591,6 +1592,28 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ur01_feed_url_dedup" -> ur01OracleSql,
+    "bf01_article_feed_backfill" ->
+      """WITH fe AS (SELECT doc_id + 1000000 AS feed_id, doc_id AS created_at,
+                'https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+                  || (string_split_regex(trim(text), '\s+'))[2] AS link
+              FROM documents),
+         ar AS (SELECT doc_id AS article_id,
+                  CASE WHEN doc_id % 7 = 0
+                       THEN 'https://nomatch.example/a' || CAST(doc_id AS VARCHAR)
+                       ELSE 'https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
+                            || (string_split_regex(trim(text), '\s+'))[2] END AS url,
+                  CASE WHEN doc_id % 11 = 0 THEN -1 END AS old_feed_id
+                FROM documents),
+         nl AS (SELECT link, feed_id AS resolved_feed_id
+                FROM (SELECT *, row_number() OVER (PARTITION BY link
+                        ORDER BY created_at DESC, feed_id DESC) AS rn FROM fe)
+                WHERE rn = 1)
+         SELECT article_id, url, old_feed_id,
+                CASE WHEN old_feed_id IS NULL THEN resolved_feed_id END AS matched_feed_id,
+                CASE WHEN old_feed_id IS NOT NULL THEN 'already_assigned'
+                     WHEN resolved_feed_id IS NOT NULL THEN 'updated'
+                     ELSE 'no_match' END AS action
+         FROM ar LEFT JOIN nl ON ar.url = nl.link""",
     "bd01_graph_match_diagnosis" -> (bdOracleBase + """,
        gs AS (SELECT count(*) AS total_edges,
                      count(DISTINCT genre) AS unique_genres,
