@@ -99,6 +99,7 @@ object SparkEntry {
     "gb02_boost_param_grid"         -> (GraphBoost.gb02 _),
     "ur01_feed_url_dedup"           -> (FeedNormalize.ur01 _),
     "bf01_article_feed_backfill"    -> (FeedBackfill.bf01 _),
+    "pf05_benchmark_stats"          -> (AugurBench.pf05 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
@@ -1592,6 +1593,33 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ur01_feed_url_dedup" -> ur01OracleSql,
+    "pf05_benchmark_stats" ->
+      """WITH l AS (SELECT ['summarize','extract','classify'][CAST(event_id % 3 AS INT) + 1] AS query_type,
+                CAST(round(value * 100) AS BIGINT) AS c
+              FROM events),
+         r AS (SELECT query_type, c,
+                 row_number() OVER (PARTITION BY query_type ORDER BY c) AS rn,
+                 count(*) OVER (PARTITION BY query_type) AS n
+               FROM l)
+         SELECT query_type, max(n) AS n,
+                CAST(round(sum(c) * 1e4 / max(n)) AS BIGINT) / 1e6 AS mean,
+                (CASE WHEN max(n) % 2 = 1
+                      THEN CAST(sum(CASE WHEN (n % 2 = 1 AND rn = (n + 1) / 2)
+                                       OR (n % 2 = 0 AND (rn = n / 2 OR rn = n / 2 + 1))
+                                    THEN c END) AS DOUBLE)
+                      ELSE sum(CASE WHEN (n % 2 = 1 AND rn = (n + 1) / 2)
+                                      OR (n % 2 = 0 AND (rn = n / 2 OR rn = n / 2 + 1))
+                                   THEN c END) / 2.0 END) / 1e2 AS median,
+                max(CASE WHEN rn = floor(n * 0.5) + 1 THEN c END) / 1e2 AS p50,
+                max(CASE WHEN rn = least(floor(n * 0.95), n - 1) + 1 THEN c END) / 1e2 AS p95,
+                min(c) / 1e2 AS min_latency,
+                max(c) / 1e2 AS max_latency,
+                CASE WHEN max(n) > 1
+                     THEN CAST(round(sqrt(CAST(sum(CAST(c AS HUGEINT) * c) * max(n)
+                            - CAST(sum(c) AS HUGEINT) * sum(c) AS DOUBLE)
+                            / (CAST(max(n) AS DOUBLE) * (max(n) - 1))) / 1e2 * 1e6) AS BIGINT) / 1e6
+                     ELSE 0.0 END AS std
+         FROM r GROUP BY 1""",
     "bf01_article_feed_backfill" ->
       """WITH fe AS (SELECT doc_id + 1000000 AS feed_id, doc_id AS created_at,
                 'https://ex' || CAST(doc_id % 5 AS VARCHAR) || '.com/p/'
