@@ -100,6 +100,7 @@ object SparkEntry {
     "ur01_feed_url_dedup"           -> (FeedNormalize.ur01 _),
     "bf01_article_feed_backfill"    -> (FeedBackfill.bf01 _),
     "pf05_benchmark_stats"          -> (AugurBench.pf05 _),
+    "ic01_content_inspection"       -> (ContentInspect.ic01 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
@@ -1593,6 +1594,37 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ur01_feed_url_dedup" -> ur01OracleSql,
+    "ic01_content_inspection" ->
+      """WITH d AS (SELECT doc_id,
+                CASE WHEN doc_id % 13 = 0 THEN ''
+                     WHEN doc_id % 7 = 0 THEN '<!DOCTYPE html><html><body>' || text || '</body></html>'
+                     WHEN doc_id % 7 = 1 THEN '<div>' || substr(text, 1, 60) || '</div>'
+                     WHEN doc_id % 7 = 2 THEN repeat('<span></span>', 10) || substr(text, 1, 20)
+                     WHEN doc_id % 7 = 3 THEN '  <html lang="en">' || text
+                     ELSE text END AS content
+              FROM documents),
+         m AS (SELECT doc_id, content, length(content) AS len,
+                 regexp_extract_all(content, '<[^>]+>') AS tags,
+                 coalesce(length(array_to_string(regexp_extract_all(content, '<[^>]+>'), '')), 0) AS hlen,
+                 length(trim(regexp_replace(content, '<[^>]+>', '', 'g'))) AS tlen,
+                 trim(content) AS st
+               FROM d)
+         SELECT doc_id,
+                CASE WHEN len > 0 THEN hlen * 10 > len * 3
+                       OR starts_with(st, '<!') OR starts_with(st, '<html')
+                     ELSE FALSE END AS is_html,
+                CASE WHEN len > 0 THEN CAST(len(tags) AS INT) ELSE 0 END AS html_tag_count,
+                CASE WHEN len > 0 THEN CAST(round(hlen * 100 * 1e2 / len) AS BIGINT) / 1e2
+                     ELSE 0.0 END AS html_ratio_pct,
+                CASE WHEN len > 0 THEN starts_with(st, '<!') OR starts_with(st, '<html')
+                     ELSE FALSE END AS starts_with_html,
+                CASE WHEN len > 0 THEN tlen * 2 > len ELSE FALSE END AS has_meaningful_text,
+                CASE WHEN len > 0 THEN CAST(round(tlen * 100 * 1e2 / len) AS BIGINT) / 1e2
+                     ELSE 0.0 END AS text_ratio_pct,
+                CASE WHEN len > 0 THEN substr(content, 1, 200) ELSE '' END AS sample_start,
+                CASE WHEN len > 200 THEN substr(content, length(content) - 199)
+                     ELSE '' END AS sample_end
+         FROM m""",
     "pf05_benchmark_stats" ->
       """WITH l AS (SELECT ['summarize','extract','classify'][CAST(event_id % 3 AS INT) + 1] AS query_type,
                 CAST(round(value * 100) AS BIGINT) AS c
