@@ -101,6 +101,9 @@ object SparkEntry {
     "bf01_article_feed_backfill"    -> (FeedBackfill.bf01 _),
     "pf05_benchmark_stats"          -> (AugurBench.pf05 _),
     "ic01_content_inspection"       -> (ContentInspect.ic01 _),
+    "ng01_nginx_request_stats"      -> (NginxLogs.ng01 _),
+    "ng02_nginx_status_dist"        -> (NginxLogs.ng02 _),
+    "ng03_nginx_endpoint_top"       -> (NginxLogs.ng03 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
@@ -1557,6 +1560,33 @@ object SparkEntry {
        FROM dd"""
   }
 
+  /** ng01-ng03 shared composed-line + parse prefix. */
+  private val ngOracleBase: String =
+    """WITH ln AS (SELECT event_id AS line_id,
+             '198.51.100.7 - - [' || strftime(ts, '%d/%b/%Y:%H:%M:%S') || ' +0000] "GET /api/'
+             || ['items','search','feeds','tags'][CAST(event_id % 4 AS INT) + 1]
+             || CASE WHEN event_id % 3 = 0 THEN '?id=' || CAST(event_id % 50 AS VARCHAR) ELSE '' END
+             || ' HTTP/1.1" ' || ['200','404','500','200','301'][CAST(event_id % 5 AS INT) + 1]
+             || ' 512 "-" "agent" rt='
+             || CAST((CASE WHEN event_id % 17 = 0 THEN 0 ELSE (event_id * 7) % 1500 END) // 1000 AS VARCHAR)
+             || '.' || lpad(CAST((CASE WHEN event_id % 17 = 0 THEN 0 ELSE (event_id * 7) % 1500 END) % 1000 AS VARCHAR), 3, '0')
+             || ' uct=' || CAST((event_id * 3) % 40 // 1000 AS VARCHAR)
+             || '.' || lpad(CAST((event_id * 3) % 40 % 1000 AS VARCHAR), 3, '0')
+             || ' uht=' || CAST((event_id * 5) % 900 // 1000 AS VARCHAR)
+             || '.' || lpad(CAST((event_id * 5) % 900 % 1000 AS VARCHAR), 3, '0')
+             || ' urt=' || CAST((event_id * 11) % 1400 // 1000 AS VARCHAR)
+             || '.' || lpad(CAST((event_id * 11) % 1400 % 1000 AS VARCHAR), 3, '0') AS line
+           FROM events),
+       p AS (SELECT line_id,
+               regexp_extract(line, '\[([^\]]+)\]', 1) AS ts_str,
+               regexp_extract(line, '"[A-Z]+ ([^ "]+)', 1) AS path,
+               (string_split(line, ' '))[9] AS status,
+               CAST(round(CAST(regexp_extract(line, ' rt=([0-9.]+)', 1) AS DOUBLE) * 1000) AS BIGINT) AS rt,
+               CAST(round(CAST(regexp_extract(line, ' uct=([0-9.]+)', 1) AS DOUBLE) * 1000) AS BIGINT) AS uct,
+               CAST(round(CAST(regexp_extract(line, ' uht=([0-9.]+)', 1) AS DOUBLE) * 1000) AS BIGINT) AS uht,
+               CAST(round(CAST(regexp_extract(line, ' urt=([0-9.]+)', 1) AS DOUBLE) * 1000) AS BIGINT) AS urt
+             FROM ln)"""
+
   /** bd01/bd02 shared composed-articles + label-extraction prefix. */
   private val bdOracleBase: String = {
     val edges = operators.BayesDiagnosis.graphEdges
@@ -1594,6 +1624,29 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ur01_feed_url_dedup" -> ur01OracleSql,
+    "ng01_nginx_request_stats" -> (ngOracleBase + """
+       SELECT (SELECT count(*) FROM p) AS n,
+              (SELECT CAST(round(sum(rt) * 1.0 / count(*)) AS BIGINT) / 1e3 FROM p) AS avg_rt,
+              (SELECT quantile_cont(rt, 0.5) / 1e3 FROM p) AS median_rt,
+              (SELECT max(rt) / 1e3 FROM p) AS max_rt,
+              (SELECT coalesce(min(CASE WHEN rt > 0 THEN rt END), 999000) / 1e3 FROM p) AS min_rt,
+              (SELECT CAST(round(sum(urt) * 1.0 / count(*)) AS BIGINT) / 1e3 FROM p) AS avg_urt,
+              (SELECT CAST(round(sum(uct) * 1.0 / count(*)) AS BIGINT) / 1e3 FROM p) AS avg_uct,
+              (SELECT sum(CASE WHEN rt >= 1000 THEN 1 ELSE 0 END) FROM p) AS slow_count,
+              (SELECT path FROM p WHERE rt = (SELECT max(rt) FROM p)
+               ORDER BY line_id LIMIT 1) AS max_path,
+              (SELECT status FROM p WHERE rt = (SELECT max(rt) FROM p)
+               ORDER BY line_id LIMIT 1) AS max_status"""),
+    "ng02_nginx_status_dist" -> (ngOracleBase + """
+       SELECT status, count(*) AS count,
+              CAST(round(count(*) * 100.0 * 10 / (SELECT count(*) FROM p)) AS BIGINT) / 1e1 AS pct
+       FROM p GROUP BY 1"""),
+    "ng03_nginx_endpoint_top" -> (ngOracleBase + """
+       SELECT regexp_replace(path, '\?.*$', '') AS endpoint,
+              count(*) AS count,
+              CAST(round(sum(rt) * 1.0 / count(*)) AS BIGINT) / 1e3 AS avg_rt
+       FROM p GROUP BY 1
+       ORDER BY avg_rt DESC, count DESC, endpoint DESC LIMIT 10"""),
     "ic01_content_inspection" ->
       """WITH d AS (SELECT doc_id,
                 CASE WHEN doc_id % 13 = 0 THEN ''
