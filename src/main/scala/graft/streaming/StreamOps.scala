@@ -681,6 +681,24 @@ object StreamOps {
   def tier1GateStream(articles: DataFrame): DataFrame =
     graft.operators.Tier1.tier1GateOnUnordered(articles)
 
+  /** st28: feed-URL canonicalization at ingest — ur01's normalizeURL
+    * running as feeds ARRIVE (the reference normalizes in
+    * feeds_gateway.go at registration time; the batch ur01 is the
+    * one-shot repair for history). The normalization is a stateless
+    * codegen projection; duplicate registrations collapse with
+    * `dropDuplicatesWithinWatermark` on the canonical URL —
+    * FIRST-ARRIVAL-WINS, the stream-time form of the batch keep-oldest
+    * rule, with state provably bounded to one canonical URL per
+    * watermark window (the dd03/st15 ingest-gate shape).
+    */
+  def feedNormalizeStream(feeds: DataFrame,
+                          watermark: String = "1 hour"): DataFrame =
+    feeds
+      .withColumn("normalized",
+        graft.operators.FeedNormalize.normalizeUrl(col("link")))
+      .withWatermark("event_time", watermark)
+      .dropDuplicatesWithinWatermark("normalized")
+
   case class RouteInput(router_id: String, seq: Long, needed_tokens: Long)
   case class RouteState(bucket: Long)
   case class RouteOut(router_id: String, seq: Long, requested_bucket: Long,

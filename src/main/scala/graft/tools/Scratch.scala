@@ -69,7 +69,12 @@ object Scratch {
       "ti01_tier1_gate", "kh01_lens_visibility", "tt01_trending_tags",
       "gw01_genre_weights", "gw02_genre_embedding_bias",
       "qe06_recap_coverage", "qe07_ja_summary_quality",
-      "ti02_feed_url_genres", "lt04_docker_log_issues")
+      "ti02_feed_url_genres", "lt04_docker_log_issues",
+      "gv01_strategy_breakdown", "gv03_confidence_profile",
+      "bd01_graph_match_diagnosis", "gb02_boost_param_grid",
+      "ur01_feed_url_dedup", "bf01_article_feed_backfill",
+      "pf05_benchmark_stats", "ic01_content_inspection",
+      "ng01_nginx_request_stats")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

@@ -60,6 +60,29 @@ class FeedNormalizeSpec extends SparkSpec {
     assert(out(7L) == (("deleted", 6L)))
   }
 
+  test("st28: canonicalization at ingest — first arrival wins across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    def at(m: Int) = java.sql.Timestamp.valueOf(s"2024-01-01 00:0$m:00")
+    val out = graft.streaming.StreamOps.feedNormalizeStream(
+      mem.toDF.toDF("feed_id", "event_time", "link"))
+    val q = out.writeStream.format("memory").queryName("st28")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, at(0), "https://x.com/p?utm_source=a&id=1"))
+      q.processAllAvailable()
+      // same canonical URL, different tracking garbage → dropped
+      mem.addData((2L, at(1), "https://x.com/p?id=1&gclid=z"),
+        (3L, at(2), "https://x.com/q?id=2"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT feed_id, normalized FROM st28").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(kept == Set((1L, "https://x.com/p?id=1"), (3L, "https://x.com/q?id=2")),
+        "the cross-batch duplicate registration is dropped; first arrival survives")
+    } finally q.stop()
+  }
+
   test("composition: duplicate groups, cross-encoding dedup and every action at sf0.001") {
     val out = FeedNormalize.ur01(spark, sfDir).cache()
     val actions = out.select("action").distinct().collect().map(_.getString(0)).toSet

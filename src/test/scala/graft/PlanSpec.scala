@@ -539,6 +539,31 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-11 continuation ops keep their declared shapes") {
+    // ic01 is a pure scan projection
+    val ic = allNodes(finalPlan("ic01_content_inspection")).collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }
+    assert(ic.isEmpty, "ic01 must not shuffle")
+    // ur01/bf01 window+join on the canonical URL — no corpus cartesian,
+    // and bf01's feed side must not broadcast a corpus-scale frame as
+    // a nested-loop (equi-join only)
+    for (q <- Seq("ur01_feed_url_dedup", "bf01_article_feed_backfill",
+                  "gv01_strategy_breakdown", "gb02_boost_param_grid",
+                  "ng01_nginx_request_stats"))
+      assert(!formatted(q).contains("CartesianProduct"), s"$q plans a cartesian")
+    // pf05/ng01: no UNPARTITIONED row_number window over the corpus
+    // except pf05's per-query-type rank (partitioned)
+    val pf = allNodes(finalPlan("pf05_benchmark_stats")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(pf.isEmpty, "pf05's rank window must partition by query_type")
+    val ng = allNodes(finalPlan("ng01_nginx_request_stats")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ng.isEmpty, "ng01 must not window at all (percentile replaces the sort)")
+  }
+
   test("qe06's per-group windows stay partitioned; no cartesian, no unpartitioned window") {
     val nodes = allNodes(finalPlan("qe06_recap_coverage"))
     assert(nodes.collect {
