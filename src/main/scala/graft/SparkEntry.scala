@@ -2621,22 +2621,21 @@ object SparkEntry {
                     CAST(round(CAST(json_extract_string(refine_decision, '$.confidence') AS DOUBLE) * 1000) AS BIGINT) AS cm
              FROM lr, ao
              WHERE created_at > as_of - INTERVAL 24 HOUR),
-       v AS (SELECT * FROM w WHERE cm IS NOT NULL),
        pr AS (SELECT 'graph_boost' AS scope, count(*) AS n,
-                     CAST(round(sum(cm) * 1000 / count(*)) AS BIGINT) / 1e6 AS avg_confidence,
+                     CAST(round(sum(cm) * 1000 / count(cm)) AS BIGINT) / 1e6 AS avg_confidence,
                      CAST(round(quantile_cont(cm, 0.5)) AS BIGINT) / 1e3 AS median_confidence,
                      CAST(round(quantile_cont(cm, 0.95)) AS BIGINT) / 1e3 AS p95_confidence,
                      CAST(round(quantile_cont(cm, 0.99)) AS BIGINT) / 1e3 AS p99_confidence,
                      min(cm) / 1e3 AS min_confidence, max(cm) / 1e3 AS max_confidence
-              FROM v WHERE strategy = 'graph_boost'
+              FROM w WHERE strategy = 'graph_boost'
               UNION ALL
               SELECT 'overall', count(*),
-                     CAST(round(sum(cm) * 1000 / count(*)) AS BIGINT) / 1e6,
+                     CAST(round(sum(cm) * 1000 / count(cm)) AS BIGINT) / 1e6,
                      CAST(round(quantile_cont(cm, 0.5)) AS BIGINT) / 1e3,
                      CAST(round(quantile_cont(cm, 0.95)) AS BIGINT) / 1e3,
                      CAST(round(quantile_cont(cm, 0.99)) AS BIGINT) / 1e3,
                      min(cm) / 1e3, max(cm) / 1e3
-              FROM v)
+              FROM w WHERE strategy IS NOT NULL AND cm IS NOT NULL)
        SELECT * FROM pr"""),
     "gv04_genre_distribution" -> (gvOracleBase + """,
        w AS (SELECT * FROM lr, ao

@@ -152,16 +152,22 @@ object GenreVerification {
 
   /** gv03: confidence profiles — the graph-boost scope and the
     * overall scope, percentile_cont over exact milli-units.
+    *
+    * Scope filters differ ON PURPOSE, as in the reference: the
+    * graph-boost fetcher (:264) filters on strategy ONLY, so its
+    * COUNT(*) includes confidence-less rows while AVG/percentiles
+    * skip them (SQL null semantics); the overall fetcher (:388)
+    * explicitly requires a non-null confidence, so its n counts the
+    * confident rows only.
     */
   def confidenceProfileOn(lr: DataFrame): DataFrame = {
     val w = withAsOf(lr)
       .filter(col("created_at") > col("as_of") - expr("INTERVAL 24 HOURS"))
       .select(strategyCol.as("strategy"), confMilli.as("cm"))
-      .filter(col("cm").isNotNull)
     def profile(scoped: DataFrame, scope: String): DataFrame =
       scoped.agg(
         count(lit(1)).as("n"),
-        (round(sum("cm") * 1000 / count(lit(1)), 0).cast("long") / 1e6).as("avg_confidence"),
+        (round(sum("cm") * 1000 / count("cm"), 0).cast("long") / 1e6).as("avg_confidence"),
         (round(expr("percentile(cm, 0.5)"), 0).cast("long") / 1e3).as("median_confidence"),
         (round(expr("percentile(cm, 0.95)"), 0).cast("long") / 1e3).as("p95_confidence"),
         (round(expr("percentile(cm, 0.99)"), 0).cast("long") / 1e3).as("p99_confidence"),
@@ -171,7 +177,8 @@ object GenreVerification {
           col("median_confidence"), col("p95_confidence"),
           col("p99_confidence"), col("min_confidence"), col("max_confidence"))
     profile(w.filter(col("strategy") === "graph_boost"), "graph_boost")
-      .union(profile(w, "overall"))
+      .union(profile(w.filter(col("strategy").isNotNull && col("cm").isNotNull),
+        "overall"))
   }
 
   /** gv04: top-20 genre distribution with the deterministic

@@ -63,19 +63,23 @@ class GenreVerificationSpec extends SparkSpec {
       "graph_boost share counts strategy rows over ALL records")
   }
 
-  test("gv03: percentiles interpolate over exact milli-units; scopes differ (:264,:388)") {
+  test("gv03: percentiles interpolate over exact milli-units; scope filters differ (:264,:388)") {
     val rows = (0 until 5).map(i =>
-      (i.toLong, i.toLong, ts(0), rd("graph_boost", Some(s"0.${2 * i + 1}")), null)) :+
-      (9L, 9L, ts(0), rd("coarse_only", Some("0.1")), null)
+      (i.toLong, i.toLong, ts(0), rd("graph_boost", Some(s"0.${2 * i + 1}")), null)) ++ Seq(
+      (9L, 9L, ts(0), rd("coarse_only", Some("0.1")), null),
+      (10L, 10L, ts(0), rd("graph_boost", conf = None), null)) // no confidence key
     val out = GenreVerification.confidenceProfileOn(lr(rows: _*))
       .collect().map(r => r.getString(0) -> r).toMap
     val gb = out("graph_boost")
-    assert(gb.getLong(1) == 5 && gb.getDouble(2) == 0.5 && gb.getDouble(3) == 0.5,
-      "confidences .1 .3 .5 .7 .9 → mean and median 0.5")
+    assert(gb.getLong(1) == 6,
+      "the graph-boost fetcher's COUNT(*) includes the confidence-less row (:268)")
+    assert(gb.getDouble(2) == 0.5 && gb.getDouble(3) == 0.5,
+      "confidences .1 .3 .5 .7 .9 → mean (null-skipping denominator) and median 0.5")
     assert(gb.getDouble(4) == 0.86 && gb.getDouble(5) == 0.892,
       "p95 = 0.7 + 0.8·0.2, p99 = 0.7 + 0.96·0.2 (linear interpolation)")
     assert(gb.getDouble(6) == 0.1 && gb.getDouble(7) == 0.9)
-    assert(out("overall").getLong(1) == 6, "overall pools every strategy")
+    assert(out("overall").getLong(1) == 6,
+      "overall requires a non-null confidence (:392): 5 gb + 1 coarse, the keyless gb row drops")
   }
 
   test("gv04: COALESCE(final_genre, genre) fallback and the deterministic top-20 cut (:345)") {
