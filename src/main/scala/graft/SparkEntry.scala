@@ -101,6 +101,7 @@ object SparkEntry {
     "bf01_article_feed_backfill"    -> (FeedBackfill.bf01 _),
     "pf05_benchmark_stats"          -> (AugurBench.pf05 _),
     "ic01_content_inspection"       -> (ContentInspect.ic01 _),
+    "lg01_tag_label_graph"          -> (LabelGraph.lg01 _),
     "ng01_nginx_request_stats"      -> (NginxLogs.ng01 _),
     "ng02_nginx_status_dist"        -> (NginxLogs.ng02 _),
     "ng03_nginx_endpoint_top"       -> (NginxLogs.ng03 _),
@@ -1624,6 +1625,57 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ur01_feed_url_dedup" -> ur01OracleSql,
+    "lg01_tag_label_graph" ->
+      """WITH lr AS (SELECT ts AS updated_at,
+                CASE WHEN event_id % 23 = 0 THEN '{"other_key": 1}'
+                     WHEN event_id % 23 = 1 THEN '{"final_genre": ""}'
+                     WHEN event_id % 4 = 0 THEN '{"final_genre": " G' || CAST(event_id % 5 AS VARCHAR) || ' "}'
+                     ELSE '{"final_genre": "g' || CAST(event_id % 5 AS VARCHAR) || '"}'
+                END AS refine_decision,
+                CASE WHEN event_id % 19 = 0 THEN NULL
+                     WHEN event_id % 19 = 1 THEN
+                       '{"top_tags": [{"label": "tag' || CAST(event_id % 9 AS VARCHAR)
+                       || '", "confidence": ' || CAST(CAST((event_id * 3) % 16 AS DOUBLE) / 16 AS VARCHAR)
+                       || '}, {"label": "tag' || CAST((event_id + 1) % 9 AS VARCHAR)
+                       || '", "confidence": ' || CAST(CAST((event_id * 4 + 5) % 16 AS DOUBLE) / 16 AS VARCHAR)
+                       || '}, {"label": "", "confidence": 0.9375}, {"label": "nullconf", "confidence": null}, {"label": "tag'
+                       || CAST((event_id + 2) % 9 AS VARCHAR)
+                       || '", "confidence": ' || CAST(CAST((event_id * 5 + 10) % 16 AS DOUBLE) / 16 AS VARCHAR)
+                       || '}, {"label": "tag' || CAST((event_id + 3) % 9 AS VARCHAR)
+                       || '", "confidence": ' || CAST(CAST((event_id * 6 + 15) % 16 AS DOUBLE) / 16 AS VARCHAR)
+                       || '}, {"label": "seventh", "confidence": 0.9375}]}'
+                     ELSE
+                       '{"top_tags": [{"label": "tag' || CAST(event_id % 9 AS VARCHAR)
+                       || '", "confidence": ' || CAST(CAST((event_id * 3) % 16 AS DOUBLE) / 16 AS VARCHAR)
+                       || '}, {"label": "tag' || CAST((event_id + 1) % 9 AS VARCHAR)
+                       || '", "confidence": ' || CAST(CAST((event_id * 4 + 5) % 16 AS DOUBLE) / 16 AS VARCHAR)
+                       || '}]}'
+                END AS tag_profile
+              FROM events),
+         ao AS (SELECT max(updated_at) AS as_of FROM lr),
+         px AS (SELECT updated_at, as_of,
+                  CASE WHEN trim(lower(coalesce(json_extract_string(refine_decision, '$.final_genre'), 'other'))) = ''
+                       THEN 'other'
+                       ELSE trim(lower(coalesce(json_extract_string(refine_decision, '$.final_genre'), 'other'))) END AS genre,
+                  json_extract(tag_profile, '$.top_tags') AS tt
+                FROM lr, ao),
+         ex AS (SELECT updated_at, as_of, genre,
+                  trim(lower(json_extract_string(tt, '$[' || i || '].label'))) AS tag,
+                  CAST(round(coalesce(CAST(json_extract_string(tt, '$[' || i || '].confidence') AS DOUBLE), 0.0) * 1e6) AS BIGINT) AS cu
+                FROM px, unnest(generate_series(0,
+                  least(CAST(json_array_length(tt) AS INT), 6) - 1)) AS g(i)
+                WHERE starts_with(CAST(tt AS VARCHAR), '[{')),
+         fl AS (SELECT * FROM ex WHERE tag IS NOT NULL AND tag <> '' AND cu >= 550000),
+         wn AS (SELECT * FROM (VALUES ('7d', 7), ('30d', 30)) w(window_label, days)),
+         ag AS (SELECT window_label, genre, tag, count(*) AS sample_size,
+                       sum(cu) AS su, max(updated_at) AS last_observed_at
+                FROM fl JOIN wn ON updated_at >= as_of - days * INTERVAL 1 DAY
+                GROUP BY 1, 2, 3)
+         SELECT window_label, genre, tag,
+                greatest(0.0, least(1.0,
+                  CAST(round(CAST(su AS DOUBLE) / sample_size) AS BIGINT) / 1e6)) AS weight,
+                sample_size, last_observed_at
+         FROM ag WHERE sample_size >= 3""",
     "ng01_nginx_request_stats" -> (ngOracleBase + """
        SELECT (SELECT count(*) FROM p) AS n,
               (SELECT CAST(round(sum(rt) * 1.0 / count(*)) AS BIGINT) / 1e3 FROM p) AS avg_rt,
