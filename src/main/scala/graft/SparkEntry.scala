@@ -102,6 +102,7 @@ object SparkEntry {
     "pf05_benchmark_stats"          -> (AugurBench.pf05 _),
     "ic01_content_inspection"       -> (ContentInspect.ic01 _),
     "lg01_tag_label_graph"          -> (LabelGraph.lg01 _),
+    "as01_article_sizes"            -> (ArticleSizes.as01 _),
     "ng01_nginx_request_stats"      -> (NginxLogs.ng01 _),
     "ng02_nginx_status_dist"        -> (NginxLogs.ng02 _),
     "ng03_nginx_endpoint_top"       -> (NginxLogs.ng03 _),
@@ -1625,6 +1626,34 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ur01_feed_url_dedup" -> ur01OracleSql,
+    "as01_article_sizes" -> {
+      val ps = operators.ArticleSizes.Percentiles.mkString("[", ", ", "]")
+      val pn = operators.ArticleSizes.PercentileNames
+      val pctSel = pn.zipWithIndex.flatMap { case (n, i) =>
+        Seq(s"CAST(floor(cp[${i + 1}]) AS BIGINT) AS char_$n",
+          s"CAST(floor(tp[${i + 1}]) AS BIGINT) AS token_$n")
+      }.mkString(",\n                ")
+      val fits = operators.ArticleSizes.ContextSizes.map { case (n, lim) =>
+        s"CAST(round(sum(CASE WHEN toks <= $lim THEN 1 ELSE 0 END) * 100.0 * 100 / count(*)) AS BIGINT) / 1e2 AS fit_$n"
+      }.mkString(",\n                ")
+      s"""WITH s AS (SELECT length(text) AS chars,
+                greatest(1, (length(text) * 3) // 4) AS toks
+              FROM documents),
+         a AS (SELECT count(*) AS total_articles,
+                min(chars) AS min_chars, max(chars) AS max_chars,
+                CAST(round((sum(chars) * 1.0 / count(*)) * 1e6) AS BIGINT) / 1e6 AS mean_chars,
+                min(toks) AS min_tokens, max(toks) AS max_tokens,
+                CAST(round((sum(toks) * 1.0 / count(*)) * 1e6) AS BIGINT) / 1e6 AS mean_tokens,
+                quantile_cont(chars, $ps) AS cp,
+                quantile_cont(toks, $ps) AS tp,
+                $fits
+              FROM s)
+         SELECT total_articles, min_chars, max_chars, mean_chars,
+                min_tokens, max_tokens, mean_tokens,
+                $pctSel,
+                ${operators.ArticleSizes.ContextSizes.map(c => "fit_" + c._1).mkString(", ")}
+         FROM a"""
+    },
     "lg01_tag_label_graph" ->
       """WITH lr AS (SELECT ts AS updated_at,
                 CASE WHEN event_id % 23 = 0 THEN '{"other_key": 1}'
