@@ -103,6 +103,8 @@ object SparkEntry {
     "ic01_content_inspection"       -> (ContentInspect.ic01 _),
     "lg01_tag_label_graph"          -> (LabelGraph.lg01 _),
     "as01_article_sizes"            -> (ArticleSizes.as01 _),
+    "vg01_golden_item_checks"       -> (GoldenValidate.vg01 _),
+    "vg02_golden_dataset_report"    -> (GoldenValidate.vg02 _),
     "ng01_nginx_request_stats"      -> (NginxLogs.ng01 _),
     "ng02_nginx_status_dist"        -> (NginxLogs.ng02 _),
     "ng03_nginx_endpoint_top"       -> (NginxLogs.ng03 _),
@@ -1589,6 +1591,88 @@ object SparkEntry {
                CAST(round(CAST(regexp_extract(line, ' urt=([0-9.]+)', 1) AS DOUBLE) * 1000) AS BIGINT) AS urt
              FROM ln)"""
 
+  /** vg01/vg02 shared composed golden items + per-item flags. */
+  private val vgOracleBase: String = {
+    import operators.GoldenValidate._
+    def sqlList(xs: Seq[String]) = "['" + xs.mkString("','") + "']"
+    val eg = sqlList(ExpectedGenres)
+    s"""WITH it AS (SELECT
+             CASE WHEN doc_id % 97 = 0 THEN 'dup_item'
+                  ELSE 'item_' || CAST(doc_id AS VARCHAR) END AS id,
+             CASE WHEN doc_id % 43 = 0 THEN CAST([] AS VARCHAR[])
+                  WHEN doc_id % 41 = 0 THEN ['weird_genre']
+                  ELSE [$eg[CAST(doc_id % 30 AS INT) + 1],
+                        $eg[CAST((doc_id + 1) % 30 AS INT) + 1]]
+             END AS expected_genres,
+             CASE WHEN doc_id % 53 = 0 THEN NULL
+                  WHEN doc_id % 37 = 0 THEN 'mystery'
+                  ELSE $eg[CAST(doc_id % 30 AS INT) + 1] END AS primary_genre,
+             CASE WHEN doc_id % 59 = 0 THEN 'impossible'
+                  WHEN doc_id % 20 < 12 THEN 'baseline'
+                  WHEN doc_id % 20 < 17 THEN 'boundary'
+                  ELSE 'hard' END AS difficulty,
+             CASE WHEN doc_id % 61 = 0 THEN 'both'
+                  ELSE ['ja_only','en_only','parallel','none'][CAST(doc_id % 4 AS INT) + 1]
+             END AS language_pairing,
+             CASE WHEN doc_id % 67 = 0 THEN NULL
+                  ELSE 'src' || CAST(doc_id % 5 AS VARCHAR) END AS source,
+             CASE WHEN doc_id % 71 = 0 THEN '   '
+                  WHEN doc_id % 3 = 0 THEN text END AS content_ja,
+             CASE WHEN doc_id % 71 = 0 THEN NULL
+                  WHEN doc_id % 3 = 1 THEN text END AS content_en,
+             CASE WHEN doc_id % 71 = 0 THEN NULL
+                  WHEN doc_id % 3 = 2 THEN text END AS content,
+             CASE WHEN doc_id % 73 = 0 THEN 'fancy'
+                  WHEN doc_id % 13 = 0 THEN 'headline' END AS style,
+             CASE WHEN doc_id % 79 = 0 THEN 'ultra'
+                  WHEN doc_id % 11 = 0 THEN 'low' END AS terminology_density,
+             CASE WHEN doc_id % 17 = 0 THEN ['only_one']
+                  ELSE [$eg[CAST(doc_id % 30 AS INT) + 1],
+                        $eg[CAST((doc_id + 1) % 30 AS INT) + 1]]
+             END AS boundary_pair,
+             CASE WHEN doc_id % 19 = 0 THEN CAST([] AS VARCHAR[])
+                  ELSE [$eg[CAST((doc_id + 2) % 30 AS INT) + 1]]
+             END AS secondary_genres
+           FROM documents),
+       fl AS (SELECT
+             coalesce(id, 'item_?') AS item_id,
+             (CASE WHEN id IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN expected_genres IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN primary_genre IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN difficulty IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN language_pairing IS NULL THEN 1 ELSE 0 END
+              + CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS n_missing_required,
+             ((content_ja IS NULL OR trim(content_ja) = '')
+              AND (content_en IS NULL OR trim(content_en) = '')
+              AND (content IS NULL OR trim(content) = '')) AS no_content,
+             NOT list_contains(${sqlList(ValidDifficulties)},
+               coalesce(difficulty, 'baseline')) AS invalid_difficulty,
+             NOT list_contains(${sqlList(ValidPairings)},
+               coalesce(language_pairing, 'none')) AS invalid_pairing,
+             (coalesce(primary_genre, '') <> ''
+              AND NOT list_contains($eg, coalesce(primary_genre, '')))
+               AS unexpected_primary,
+             len(coalesce(expected_genres, CAST([] AS VARCHAR[]))) = 0 AS empty_expected,
+             CAST(len(list_filter(coalesce(expected_genres, CAST([] AS VARCHAR[])),
+               x -> NOT list_contains($eg, x))) AS INT) AS n_unexpected_expected,
+             (style IS NOT NULL AND NOT list_contains(${sqlList(ValidStyles)}, style))
+               AS invalid_style,
+             (terminology_density IS NOT NULL
+              AND NOT list_contains(${sqlList(ValidDensities)}, terminology_density))
+               AS invalid_density,
+             (coalesce(difficulty, 'baseline') = 'boundary'
+              AND (boundary_pair IS NULL OR len(boundary_pair) <> 2))
+               AS bad_boundary_pair,
+             (coalesce(difficulty, 'baseline') = 'hard'
+              AND (secondary_genres IS NULL OR len(secondary_genres) = 0))
+               AS missing_secondary,
+             count(*) OVER (PARTITION BY id) > 1 AS dup_id,
+             coalesce(difficulty, 'baseline') AS difficulty_eff,
+             coalesce(language_pairing, 'none') AS pairing_eff,
+             coalesce(primary_genre, '') AS primary_eff
+           FROM it)"""
+  }
+
   /** bd01/bd02 shared composed-articles + label-extraction prefix. */
   private val bdOracleBase: String = {
     val edges = operators.BayesDiagnosis.graphEdges
@@ -1626,6 +1710,58 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "ur01_feed_url_dedup" -> ur01OracleSql,
+    "vg01_golden_item_checks" -> (vgOracleBase + """
+       SELECT * FROM fl"""),
+    "vg02_golden_dataset_report" -> {
+      val eg = "['" + operators.GoldenValidate.ExpectedGenres.mkString("','") + "']"
+      vgOracleBase + s""",
+       per AS (SELECT count(*) AS total,
+                 count(DISTINCT primary_eff) AS unique_genres,
+                 sum(n_missing_required) AS e_missing,
+                 sum(CASE WHEN no_content THEN 1 ELSE 0 END) AS e_content,
+                 sum(CASE WHEN invalid_difficulty THEN 1 ELSE 0 END) AS e_diff,
+                 sum(CASE WHEN invalid_pairing THEN 1 ELSE 0 END) AS e_pair,
+                 sum(CASE WHEN unexpected_primary THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN empty_expected THEN 1 ELSE 0 END)
+                   + sum(n_unexpected_expected)
+                   + sum(CASE WHEN invalid_style THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN invalid_density THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN bad_boundary_pair THEN 1 ELSE 0 END)
+                   + sum(CASE WHEN missing_secondary THEN 1 ELSE 0 END) AS w_items,
+                 count(DISTINCT CASE WHEN dup_id THEN item_id END) > 0 AS has_dups,
+                 sum(CASE WHEN difficulty_eff = 'baseline' THEN 1 ELSE 0 END) AS n_baseline,
+                 sum(CASE WHEN difficulty_eff = 'boundary' THEN 1 ELSE 0 END) AS n_boundary,
+                 sum(CASE WHEN difficulty_eff = 'hard' THEN 1 ELSE 0 END) AS n_hard,
+                 sum(CASE WHEN pairing_eff = 'parallel' THEN 1 ELSE 0 END) AS n_parallel
+               FROM fl),
+       gc AS (SELECT sum(CASE WHEN coalesce(cnt, 0) < 100 THEN 1 ELSE 0 END) AS genres_below_min,
+                     sum(CASE WHEN coalesce(cnt, 0) >= 100 AND coalesce(cnt, 0) < 120
+                          THEN 1 ELSE 0 END) AS genres_below_target
+              FROM (SELECT g.genre, c.cnt
+                    FROM (SELECT unnest($eg) AS genre) g
+                    LEFT JOIN (SELECT primary_eff AS genre, count(*) AS cnt
+                               FROM fl GROUP BY 1) c USING (genre)))
+       SELECT total, unique_genres, genres_below_min, genres_below_target,
+              CAST(round((n_baseline * 100) * 1e1 / total) AS BIGINT) / 1e1 AS baseline_pct,
+              CAST(round((n_boundary * 100) * 1e1 / total) AS BIGINT) / 1e1 AS boundary_pct,
+              CAST(round((n_hard * 100) * 1e1 / total) AS BIGINT) / 1e1 AS hard_pct,
+              CAST(round((n_parallel * 100) * 1e1 / total) AS BIGINT) / 1e1 AS parallel_pct,
+              n_baseline * 100 < total * 55 AS baseline_below_target,
+              n_boundary * 100 < total * 20 AS boundary_below_target,
+              n_hard * 100 < total * 10 AS hard_below_target,
+              n_parallel * 100 < total * 25 AS parallel_below_target,
+              has_dups AS duplicate_ids,
+              e_missing + e_content + e_diff + e_pair + genres_below_min
+                + CASE WHEN has_dups THEN 1 ELSE 0 END AS error_count,
+              w_items + genres_below_target
+                + CASE WHEN n_baseline * 100 < total * 55 THEN 1 ELSE 0 END
+                + CASE WHEN n_boundary * 100 < total * 20 THEN 1 ELSE 0 END
+                + CASE WHEN n_hard * 100 < total * 10 THEN 1 ELSE 0 END
+                + CASE WHEN n_parallel * 100 < total * 25 THEN 1 ELSE 0 END AS warning_count,
+              (e_missing + e_content + e_diff + e_pair + genres_below_min
+                + CASE WHEN has_dups THEN 1 ELSE 0 END) = 0 AS is_valid
+       FROM per, gc"""
+    },
     "as01_article_sizes" -> {
       val ps = operators.ArticleSizes.Percentiles.mkString("[", ", ", "]")
       val pn = operators.ArticleSizes.PercentileNames
