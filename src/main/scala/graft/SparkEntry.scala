@@ -105,6 +105,7 @@ object SparkEntry {
     "as01_article_sizes"            -> (ArticleSizes.as01 _),
     "vg01_golden_item_checks"       -> (GoldenValidate.vg01 _),
     "vg02_golden_dataset_report"    -> (GoldenValidate.vg02 _),
+    "td01_training_csv_build"       -> (TrainingCsv.td01 _),
     "ng01_nginx_request_stats"      -> (NginxLogs.ng01 _),
     "ng02_nginx_status_dist"        -> (NginxLogs.ng02 _),
     "ng03_nginx_endpoint_top"       -> (NginxLogs.ng03 _),
@@ -1712,6 +1713,38 @@ object SparkEntry {
     "ur01_feed_url_dedup" -> ur01OracleSql,
     "vg01_golden_item_checks" -> (vgOracleBase + """
        SELECT * FROM fl"""),
+    "td01_training_csv_build" -> {
+      val eg = "['" + operators.GoldenValidate.ExpectedGenres.mkString("','") + "']"
+      vgOracleBase + s""",
+       gp AS (SELECT primary_genre AS genre, u.content
+              FROM it, unnest([coalesce(content_ja, ''), coalesce(content_en, '')]) AS u(content)
+              WHERE primary_genre IS NOT NULL AND primary_genre <> ''
+                AND length(u.content) >= 80),
+       sv AS (SELECT
+                CASE WHEN doc_id % 5 = 0 THEN NULL
+                     ELSE $eg[CAST((doc_id + 3) % 30 AS INT) + 1] END AS label,
+                CASE WHEN doc_id % 5 = 0 THEN $eg[CAST((doc_id + 3) % 30 AS INT) + 1]
+                END AS genre,
+                CASE WHEN doc_id % 13 = 0 THEN repeat('duplicate silver body ', 5)
+                     WHEN doc_id % 7 = 0 THEN NULL
+                     ELSE rpad(text, 120, 'x') END AS content,
+                CASE WHEN doc_id % 11 = 0 THEN substr(text, 1, 40)
+                     ELSE rpad(text, 90, 'y') END AS text
+              FROM documents),
+       sp AS (SELECT coalesce(label, genre) AS genre,
+                     coalesce(content, text, '') AS content
+              FROM sv
+              WHERE coalesce(label, genre) IS NOT NULL AND coalesce(label, genre) <> ''
+                AND length(coalesce(content, text, '')) >= 80),
+       dd AS (SELECT DISTINCT content, genre FROM
+                (SELECT content, genre FROM gp UNION ALL SELECT content, genre FROM sp)),
+       ct AS (SELECT genre, count(*) AS count FROM dd GROUP BY 1),
+       cn AS (SELECT unnest($eg) AS genre, TRUE AS canonical)
+       SELECT coalesce(ct.genre, cn.genre) AS genre,
+              coalesce(ct.count, 0) AS count,
+              coalesce(cn.canonical, FALSE) AS canonical
+       FROM ct FULL OUTER JOIN cn ON ct.genre = cn.genre"""
+    },
     "vg02_golden_dataset_report" -> {
       val eg = "['" + operators.GoldenValidate.ExpectedGenres.mkString("','") + "']"
       vgOracleBase + s""",
