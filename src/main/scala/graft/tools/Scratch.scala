@@ -74,7 +74,9 @@ object Scratch {
       "bd01_graph_match_diagnosis", "gb02_boost_param_grid",
       "ur01_feed_url_dedup", "bf01_article_feed_backfill",
       "pf05_benchmark_stats", "ic01_content_inspection",
-      "ng01_nginx_request_stats")
+      "ng01_nginx_request_stats", "lg01_tag_label_graph",
+      "as01_article_sizes", "vg02_golden_dataset_report",
+      "td01_training_csv_build")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
