@@ -97,6 +97,7 @@ object SparkEntry {
     "bd01_graph_match_diagnosis"    -> (BayesDiagnosis.bd01 _),
     "bd02_top_article_tags"         -> (BayesDiagnosis.bd02 _),
     "gb02_boost_param_grid"         -> (GraphBoost.gb02 _),
+    "tt02_threshold_tuning"         -> (ThresholdTune.tt02 _),
     "ur01_feed_url_dedup"           -> (FeedNormalize.ur01 _),
     "bf01_article_feed_backfill"    -> (FeedBackfill.bf01 _),
     "pf05_benchmark_stats"          -> (AugurBench.pf05 _),
@@ -1394,13 +1395,16 @@ object SparkEntry {
            FROM events),
        ao AS (SELECT max(created_at) AS as_of FROM lr)"""
 
+  // CAST to BIGINT: DuckDB's bare sum() yields HUGEINT, which the driver's
+  // pandas comparator materializes as float64 while Spark emits int64 —
+  // the dtype gap alone fails the hash even when values are identical.
   private val gvHasTagsSumSql: String =
-    """sum(CASE WHEN json_extract(tag_profile, '$.top_tags') IS NOT NULL
+    """CAST(sum(CASE WHEN json_extract(tag_profile, '$.top_tags') IS NOT NULL
                AND json_array_length(json_extract(tag_profile, '$.top_tags')) > 0
-          THEN 1 ELSE 0 END)"""
+          THEN 1 ELSE 0 END) AS BIGINT)"""
   private val gvGbSumSql: String =
-    """sum(CASE WHEN json_extract_string(refine_decision, '$.strategy') = 'graph_boost'
-          THEN 1 ELSE 0 END)"""
+    """CAST(sum(CASE WHEN json_extract_string(refine_decision, '$.strategy') = 'graph_boost'
+          THEN 1 ELSE 0 END) AS BIGINT)"""
 
   private val gb01OracleSql: String =
     """WITH d AS (SELECT doc_id AS job_id FROM documents),
@@ -1480,6 +1484,68 @@ object SparkEntry {
                     THEN 1 ELSE 0 END) * 1e6 / count(*)) AS BIGINT) / 1e6 AS accuracy
        FROM prep, hb, grid
        GROUP BY 1, 2, 3"""
+  }
+
+  /** tt02: the per-genre threshold grid search — P/R/F1 on the 98-point
+    * lattice, F1-argmax under the recall ≥ 0.3 floor with the
+    * lowest-threshold tie-break, the (0.5, 0, 0, 0) all-below-recall
+    * fallback, and metrics at each genre's current threshold.
+    */
+  private val tt02OracleSql: String = {
+    val curVals = operators.ThresholdTune.CurrentThresholds
+      .map { case (g, t) => s"('$g', CAST($t AS DOUBLE))" }.mkString(", ")
+    val minR = operators.ThresholdTune.MinRecall
+    val defT = operators.ThresholdTune.DefaultThreshold
+    s"""WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 17 <> 0),
+       pairs AS (SELECT 'g' || CAST(i AS VARCHAR) AS genre,
+                CASE WHEN doc_id % 6 = i
+                     THEN CAST((doc_id * 13) % 600 + 400 AS DOUBLE) / 1000
+                     ELSE CAST((doc_id * (i + 7)) % 700 AS DOUBLE) / 1000
+                END AS score,
+                doc_id % 6 = i AS label
+              FROM d, unnest(generate_series(0, 5)) AS g(i)
+              WHERE (doc_id + i) % 4 <> 0),
+       grid AS (SELECT CAST(i AS DOUBLE) / 100 AS threshold
+                FROM unnest(generate_series(1, 98)) AS g(i)),
+       att AS (SELECT genre, threshold,
+                 sum(CASE WHEN score >= threshold AND label THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN score >= threshold AND NOT label THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN score < threshold AND label THEN 1 ELSE 0 END) AS fn
+               FROM pairs, grid GROUP BY 1, 2),
+       sf AS (SELECT genre, threshold, p, r,
+                     CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS f1
+              FROM (SELECT *,
+                      CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS p,
+                      CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS r
+                    FROM att)),
+       best AS (SELECT genre, threshold AS opt_t, p AS opt_p, r AS opt_r, f1 AS opt_f1
+                FROM (SELECT *, row_number() OVER (PARTITION BY genre
+                        ORDER BY f1 DESC, threshold ASC) AS rk
+                      FROM sf WHERE r >= $minR)
+                WHERE rk = 1),
+       ctab AS (SELECT * FROM (VALUES $curVals) t(genre, cur_t)),
+       act AS (SELECT p.genre, coalesce(cur_t, CAST($defT AS DOUBLE)) AS ctv,
+                 sum(CASE WHEN score >= coalesce(cur_t, CAST($defT AS DOUBLE)) AND label THEN 1 ELSE 0 END) AS tp,
+                 sum(CASE WHEN score >= coalesce(cur_t, CAST($defT AS DOUBLE)) AND NOT label THEN 1 ELSE 0 END) AS fp,
+                 sum(CASE WHEN score < coalesce(cur_t, CAST($defT AS DOUBLE)) AND label THEN 1 ELSE 0 END) AS fn
+               FROM pairs p LEFT JOIN ctab USING (genre) GROUP BY 1, 2),
+       cs AS (SELECT genre, ctv, p AS cur_p, r AS cur_r,
+                     CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END AS cur_f1
+              FROM (SELECT *,
+                      CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END AS p,
+                      CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END AS r
+                    FROM act))
+       SELECT cs.genre,
+              coalesce(opt_t, CAST($defT AS DOUBLE)) AS optimal_threshold,
+              CAST(round(coalesce(opt_p, 0.0) * 1e6) AS BIGINT) / 1e6 AS precision_at_optimal,
+              CAST(round(coalesce(opt_r, 0.0) * 1e6) AS BIGINT) / 1e6 AS recall_at_optimal,
+              CAST(round(coalesce(opt_f1, 0.0) * 1e6) AS BIGINT) / 1e6 AS f1_at_optimal,
+              ctv AS current_threshold,
+              CAST(round(cur_p * 1e6) AS BIGINT) / 1e6 AS precision_at_current,
+              CAST(round(cur_r * 1e6) AS BIGINT) / 1e6 AS recall_at_current,
+              CAST(round(cur_f1 * 1e6) AS BIGINT) / 1e6 AS f1_at_current,
+              CAST(round((coalesce(opt_f1, 0.0) - cur_f1) * 1e6) AS BIGINT) / 1e6 AS delta_f1
+       FROM cs LEFT JOIN best ON cs.genre = best.genre"""
   }
 
   /** ur01: URL canonicalization + keep-oldest dedup. */
@@ -1767,9 +1833,9 @@ object SparkEntry {
                  sum(CASE WHEN difficulty_eff = 'hard' THEN 1 ELSE 0 END) AS n_hard,
                  sum(CASE WHEN pairing_eff = 'parallel' THEN 1 ELSE 0 END) AS n_parallel
                FROM fl),
-       gc AS (SELECT sum(CASE WHEN coalesce(cnt, 0) < 100 THEN 1 ELSE 0 END) AS genres_below_min,
-                     sum(CASE WHEN coalesce(cnt, 0) >= 100 AND coalesce(cnt, 0) < 120
-                          THEN 1 ELSE 0 END) AS genres_below_target
+       gc AS (SELECT CAST(sum(CASE WHEN coalesce(cnt, 0) < 100 THEN 1 ELSE 0 END) AS BIGINT) AS genres_below_min,
+                     CAST(sum(CASE WHEN coalesce(cnt, 0) >= 100 AND coalesce(cnt, 0) < 120
+                          THEN 1 ELSE 0 END) AS BIGINT) AS genres_below_target
               FROM (SELECT g.genre, c.cnt
                     FROM (SELECT unnest($eg) AS genre) g
                     LEFT JOIN (SELECT primary_eff AS genre, count(*) AS cnt
@@ -1784,13 +1850,13 @@ object SparkEntry {
               n_hard * 100 < total * 10 AS hard_below_target,
               n_parallel * 100 < total * 25 AS parallel_below_target,
               has_dups AS duplicate_ids,
-              e_missing + e_content + e_diff + e_pair + genres_below_min
-                + CASE WHEN has_dups THEN 1 ELSE 0 END AS error_count,
-              w_items + genres_below_target
+              CAST(e_missing + e_content + e_diff + e_pair + genres_below_min
+                + CASE WHEN has_dups THEN 1 ELSE 0 END AS BIGINT) AS error_count,
+              CAST(w_items + genres_below_target
                 + CASE WHEN n_baseline * 100 < total * 55 THEN 1 ELSE 0 END
                 + CASE WHEN n_boundary * 100 < total * 20 THEN 1 ELSE 0 END
                 + CASE WHEN n_hard * 100 < total * 10 THEN 1 ELSE 0 END
-                + CASE WHEN n_parallel * 100 < total * 25 THEN 1 ELSE 0 END AS warning_count,
+                + CASE WHEN n_parallel * 100 < total * 25 THEN 1 ELSE 0 END AS BIGINT) AS warning_count,
               (e_missing + e_content + e_diff + e_pair + genres_below_min
                 + CASE WHEN has_dups THEN 1 ELSE 0 END) = 0 AS is_valid
        FROM per, gc"""
@@ -1882,7 +1948,7 @@ object SparkEntry {
               (SELECT coalesce(min(CASE WHEN rt > 0 THEN rt END), 999000) / 1e3 FROM p) AS min_rt,
               (SELECT CAST(round(sum(urt) * 1.0 / count(*)) AS BIGINT) / 1e3 FROM p) AS avg_urt,
               (SELECT CAST(round(sum(uct) * 1.0 / count(*)) AS BIGINT) / 1e3 FROM p) AS avg_uct,
-              (SELECT sum(CASE WHEN rt >= 1000 THEN 1 ELSE 0 END) FROM p) AS slow_count,
+              (SELECT CAST(sum(CASE WHEN rt >= 1000 THEN 1 ELSE 0 END) AS BIGINT) FROM p) AS slow_count,
               (SELECT path FROM p WHERE rt = (SELECT max(rt) FROM p)
                ORDER BY line_id LIMIT 1) AS max_path,
               (SELECT status FROM p WHERE rt = (SELECT max(rt) FROM p)
@@ -1987,13 +2053,13 @@ object SparkEntry {
               FROM gr),
        gt AS (SELECT DISTINCT tag FROM gr),
        cx AS (SELECT count(*) AS total_tags,
-                     sum(CASE WHEN lx.label IN (SELECT tag FROM gt) THEN 1 ELSE 0 END) AS matched_tags,
+                     CAST(sum(CASE WHEN lx.label IN (SELECT tag FROM gt) THEN 1 ELSE 0 END) AS BIGINT) AS matched_tags,
                      count(DISTINCT CASE WHEN lx.label NOT IN (SELECT tag FROM gt)
                                          THEN lx.label END) AS unmatched_tag_count,
-                     sum(CASE WHEN genre <> '' THEN 1 ELSE 0 END) AS total_pairs,
-                     sum(CASE WHEN genre <> '' AND EXISTS (SELECT 1 FROM gr
+                     CAST(sum(CASE WHEN genre <> '' THEN 1 ELSE 0 END) AS BIGINT) AS total_pairs,
+                     CAST(sum(CASE WHEN genre <> '' AND EXISTS (SELECT 1 FROM gr
                               WHERE gr.genre = lx.genre AND gr.tag = lx.label)
-                          THEN 1 ELSE 0 END) AS matched_pairs,
+                          THEN 1 ELSE 0 END) AS BIGINT) AS matched_pairs,
                      count(DISTINCT CASE WHEN genre <> '' AND NOT EXISTS (SELECT 1 FROM gr
                               WHERE gr.genre = lx.genre AND gr.tag = lx.label)
                           THEN genre || '|' || lx.label END) AS unmatched_pair_count
@@ -2127,6 +2193,7 @@ object SparkEntry {
     },
     "gb01_graph_boost_snapshot" -> gb01OracleSql,
     "gb02_boost_param_grid" -> gb02OracleSql,
+    "tt02_threshold_tuning" -> tt02OracleSql,
     "xs01_exec_summary" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks FROM documents),
@@ -4137,8 +4204,8 @@ object SparkEntry {
                        WHEN l = 4 THEN [p] ELSE CAST([] AS VARCHAR[]) END)) AS gu(g)),
          tf AS (SELECT job_id, genre, kind, tid, g, count(*) AS tf FROM gr GROUP BY ALL),
          nd AS (SELECT job_id, genre, count(*) AS n_docs,
-                       sum(CASE WHEN kind = 'b' THEN 1 ELSE 0 END) AS n_bullets,
-                       sum(CASE WHEN kind = 'c' THEN 1 ELSE 0 END) AS n_centroids
+                       CAST(sum(CASE WHEN kind = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_bullets,
+                       CAST(sum(CASE WHEN kind = 'c' THEN 1 ELSE 0 END) AS BIGINT) AS n_centroids
                 FROM t2 GROUP BY ALL),
          idf AS (SELECT d.job_id, d.genre, d.g,
                         CAST(round((ln((CAST(n_docs AS DOUBLE) + 1) / (df + 1)) + 1) * 1e6) AS BIGINT) AS idf_u
@@ -4174,7 +4241,8 @@ object SparkEntry {
          jb AS (SELECT job_id, count(*) AS ng, sum(cu) AS su,
                        sum(CAST(cu AS HUGEINT) * cu) AS su2,
                        min(cu) AS mn, max(cu) AS mx,
-                       sum(n_bullets) AS job_bullets, sum(n_centroids) AS job_centroids
+                       CAST(sum(n_bullets) AS BIGINT) AS job_bullets,
+                       CAST(sum(n_centroids) AS BIGINT) AS job_centroids
                 FROM gc GROUP BY 1)
          SELECT gc.job_id, gc.genre, cu / 1e6 AS coverage,
                 gc.n_bullets, gc.n_centroids,
