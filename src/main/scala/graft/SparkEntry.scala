@@ -98,6 +98,8 @@ object SparkEntry {
     "bd02_top_article_tags"         -> (BayesDiagnosis.bd02 _),
     "gb02_boost_param_grid"         -> (GraphBoost.gb02 _),
     "tt02_threshold_tuning"         -> (ThresholdTune.tt02 _),
+    "pl01_pseudo_label_selection"   -> (PseudoLabel.pl01 _),
+    "pl02_confidence_report"        -> (PseudoLabel.pl02 _),
     "ur01_feed_url_dedup"           -> (FeedNormalize.ur01 _),
     "bf01_article_feed_backfill"    -> (FeedBackfill.bf01 _),
     "pf05_benchmark_stats"          -> (AugurBench.pf05 _),
@@ -1548,6 +1550,141 @@ object SparkEntry {
        FROM cs LEFT JOIN best ON cs.genre = best.genre"""
   }
 
+  /** Shared candidate CTEs for the pl01/pl02 oracles — mirrors
+    * PseudoLabel.composeCandidates: the lang-less doc_id % 5 = 0 rows
+    * route through the detect_language_simple ladder (exact integer
+    * ratio gates), six micro-unit class scores per doc, argmax by the
+    * mod-1000 residue.
+    */
+  private val plCandSql: String = {
+    val uList = (0 until 6)
+      .map(i => s"((doc_id * ${2 * i + 3}) % 997) * 1000 + $i").mkString(", ")
+    s"""raw AS (SELECT doc_id, text, lang,
+         length(text) - length(regexp_replace(text,
+           '[\\x{3040}-\\x{309F}\\x{30A0}-\\x{30FF}\\x{4E00}-\\x{9FAF}]', '', 'g')) AS jp,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS en,
+         length(text) - length(regexp_replace(text, '[\\p{L}\\p{N}]', '', 'g')) AS tot
+       FROM documents),
+       eff AS (SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN
+           CASE WHEN length(text) < ${operators.PseudoLabel.MinChars} THEN 'unknown'
+                WHEN tot = 0 THEN 'unknown'
+                WHEN jp > 0 AND jp * 10 > tot THEN 'ja'
+                WHEN en > 0 AND en * 10 > tot * 3 THEN 'en'
+                WHEN jp > 0 THEN 'ja'
+                WHEN en > 0 THEN 'en'
+                ELSE 'unknown' END
+         ELSE lang END AS eff_lang FROM raw),
+       us AS (SELECT doc_id, list_sort([$uList]) AS su
+              FROM eff WHERE eff_lang = '${operators.PseudoLabel.TargetLang}'),
+       cand AS (SELECT doc_id, su[6] AS conf_m, su[6] - su[5] AS margin_m,
+                'g' || CAST(su[6] % 1000 AS VARCHAR) AS pred_label FROM us)"""
+  }
+
+  /** pl01: the four pseudo-label selection methods + per-class cap. */
+  private val pl01OracleSql: String = {
+    val pl = operators.PseudoLabel
+    s"""WITH $plCandSql,
+       n AS (SELECT count(*) AS n FROM cand),
+       ranked AS (SELECT c.*, row_number() OVER (ORDER BY conf_m DESC, doc_id ASC) AS rnk
+                  FROM cand c),
+       sel_top AS (SELECT doc_id, conf_m, margin_m, pred_label FROM ranked, n
+                   WHERE rnk <= CAST(floor(n * ${pl.TopPercent} / 100) AS BIGINT)),
+       sel_def AS (SELECT doc_id, conf_m, margin_m, pred_label FROM ranked, n
+                   WHERE rnk <= greatest(1, CAST(floor(n * ${pl.DefaultPercent} / 100) AS BIGINT))),
+       sel_thr AS (SELECT doc_id, conf_m, margin_m, pred_label FROM cand
+                   WHERE conf_m >= ${pl.ThresholdM}),
+       sel_mar AS (SELECT doc_id, conf_m, margin_m, pred_label FROM cand
+                   WHERE margin_m >= ${pl.MinMarginM}),
+       cap_thr AS (SELECT * FROM (SELECT s.*, row_number() OVER
+                     (PARTITION BY pred_label ORDER BY doc_id ASC) AS rk FROM sel_thr s)
+                   WHERE rk <= ${pl.PerClassCap}),
+       cap_mar AS (SELECT * FROM (SELECT s.*, row_number() OVER
+                     (PARTITION BY pred_label ORDER BY doc_id ASC) AS rk FROM sel_mar s)
+                   WHERE rk <= ${pl.PerClassCap}),
+       cap_top AS (SELECT * FROM (SELECT s.*, row_number() OVER
+                     (PARTITION BY pred_label ORDER BY conf_m DESC, doc_id ASC) AS rk FROM sel_top s)
+                   WHERE rk <= ${pl.PerClassCap}),
+       cap_def AS (SELECT * FROM (SELECT s.*, row_number() OVER
+                     (PARTITION BY pred_label ORDER BY conf_m DESC, doc_id ASC) AS rk FROM sel_def s)
+                   WHERE rk <= ${pl.PerClassCap})
+       SELECT 'threshold' AS method, doc_id, pred_label,
+              conf_m / 1e6 AS confidence, margin_m / 1e6 AS margin FROM cap_thr
+       UNION ALL SELECT 'margin', doc_id, pred_label, conf_m / 1e6, margin_m / 1e6 FROM cap_mar
+       UNION ALL SELECT 'top_percent', doc_id, pred_label, conf_m / 1e6, margin_m / 1e6 FROM cap_top
+       UNION ALL SELECT 'default', doc_id, pred_label, conf_m / 1e6, margin_m / 1e6 FROM cap_def"""
+  }
+
+  /** pl02: the confidence report — exact micro-unit moments, scale-0
+    * rounded interpolated percentiles, the three estimate lattices,
+    * and the default-selection class distribution top-10.
+    */
+  private val pl02OracleSql: String = {
+    val pl = operators.PseudoLabel
+    val q = (c: String, p: Double) =>
+      s"CAST(round(quantile_cont($c, $p)) AS BIGINT) / 1e6"
+    val thrAggs = pl.ThresholdLattice.map(t =>
+      s"sum(CASE WHEN conf_m >= $t THEN 1 ELSE 0 END) AS thr_$t").mkString(", ")
+    val marAggs = pl.MarginLattice.map(m =>
+      s"sum(CASE WHEN margin_m >= $m THEN 1 ELSE 0 END) AS mar_$m").mkString(", ")
+    val topAggs = pl.TopPctLattice.map(p =>
+      s"${q("conf_m", (100 - p) / 100.0)} AS topt_$p").mkString(", ")
+    val thrRows = pl.ThresholdLattice.map { t =>
+      val met = f"ge_${t / 1e6}%.2f"
+      s"SELECT 'threshold_est', '$met', CAST(thr_$t AS DOUBLE) FROM st"
+    }
+    val marRows = pl.MarginLattice.map { m =>
+      val met = f"ge_${m / 1e6}%.2f"
+      s"SELECT 'margin_est', '$met', CAST(mar_$m AS DOUBLE) FROM st"
+    }
+    val topRows = pl.TopPctLattice.flatMap { p => Seq(
+      s"SELECT 'top_pct_est', 'top${p}_n', CAST(greatest(1, CAST(floor(n * $p / 100) AS BIGINT)) AS DOUBLE) FROM st",
+      s"SELECT 'top_pct_est', 'top${p}_thresh', topt_$p FROM st")
+    }
+    s"""WITH $plCandSql,
+       st AS (SELECT count(*) AS n, sum(conf_m) AS su,
+                sum(CAST(conf_m AS HUGEINT) * conf_m) AS su2,
+                min(conf_m) / 1e6 AS mn, max(conf_m) / 1e6 AS mx,
+                ${q("conf_m", 0.5)} AS p50, ${q("conf_m", 0.75)} AS p75,
+                ${q("conf_m", 0.9)} AS p90, ${q("conf_m", 0.95)} AS p95,
+                ${q("conf_m", 0.99)} AS p99,
+                sum(margin_m) AS msu, ${q("margin_m", 0.5)} AS m_med,
+                min(margin_m) / 1e6 AS m_mn, max(margin_m) / 1e6 AS m_mx,
+                $thrAggs, $marAggs, $topAggs
+              FROM cand),
+       n2 AS (SELECT count(*) AS n FROM cand),
+       ranked AS (SELECT c.*, row_number() OVER (ORDER BY conf_m DESC, doc_id ASC) AS rnk
+                  FROM cand c),
+       sel_def AS (SELECT pred_label FROM ranked, n2
+                   WHERE rnk <= greatest(1, CAST(floor(n2.n * ${pl.DefaultPercent} / 100) AS BIGINT))),
+       cd AS (SELECT pred_label, count(*) AS c FROM sel_def GROUP BY 1),
+       cdr AS (SELECT pred_label, c, row_number() OVER
+                 (ORDER BY c DESC, pred_label ASC) AS rk FROM cd)
+       SELECT 'confidence' AS section, 'mean' AS metric,
+              CAST(round(su * 1e6 / (n * 1e6)) AS BIGINT) / 1e6 AS value FROM st
+       UNION ALL SELECT 'confidence', 'median', p50 FROM st
+       UNION ALL SELECT 'confidence', 'std',
+         CAST(round(sqrt(CAST(su2 * n - CAST(su AS HUGEINT) * su AS DOUBLE))
+           / (CAST(n AS DOUBLE) * 1e6) * 1e6) AS BIGINT) / 1e6 FROM st
+       UNION ALL SELECT 'confidence', 'min', mn FROM st
+       UNION ALL SELECT 'confidence', 'max', mx FROM st
+       UNION ALL SELECT 'confidence', 'p50', p50 FROM st
+       UNION ALL SELECT 'confidence', 'p75', p75 FROM st
+       UNION ALL SELECT 'confidence', 'p90', p90 FROM st
+       UNION ALL SELECT 'confidence', 'p95', p95 FROM st
+       UNION ALL SELECT 'confidence', 'p99', p99 FROM st
+       UNION ALL SELECT 'margin', 'mean',
+         CAST(round(msu * 1e6 / (n * 1e6)) AS BIGINT) / 1e6 FROM st
+       UNION ALL SELECT 'margin', 'median', m_med FROM st
+       UNION ALL SELECT 'margin', 'max', m_mx FROM st
+       UNION ALL SELECT 'margin', 'min', m_mn FROM st
+       UNION ALL ${thrRows.mkString("\n       UNION ALL ")}
+       UNION ALL ${topRows.mkString("\n       UNION ALL ")}
+       UNION ALL ${marRows.mkString("\n       UNION ALL ")}
+       UNION ALL SELECT 'class_dist', pred_label, CAST(c AS DOUBLE)
+                 FROM cdr WHERE rk <= 10"""
+  }
+
   /** ur01: URL canonicalization + keep-oldest dedup. */
   private val ur01OracleSql: String = {
     val trk = "['" + operators.FeedNormalize.trackingParams.mkString("','") + "']"
@@ -2194,6 +2331,8 @@ object SparkEntry {
     "gb01_graph_boost_snapshot" -> gb01OracleSql,
     "gb02_boost_param_grid" -> gb02OracleSql,
     "tt02_threshold_tuning" -> tt02OracleSql,
+    "pl01_pseudo_label_selection" -> pl01OracleSql,
+    "pl02_confidence_report" -> pl02OracleSql,
     "xs01_exec_summary" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks FROM documents),

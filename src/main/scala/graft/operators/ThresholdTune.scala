@@ -138,8 +138,9 @@ object ThresholdTune {
       col("ct").as("current_threshold"),
       cp.as("cur_p"), cr.as("cur_r"), cf1.as("cur_f1"))
 
-    // all-below-recall genres fall back to (0.5, 0, 0, 0)
-    curScored.join(best, Seq("genre"), "left")
+    // all-below-recall genres fall back to (0.5, 0, 0, 0); both sides
+    // are |genres|-row frames — broadcast the winners
+    curScored.join(broadcast(best), Seq("genre"), "left")
       .select(col("genre"),
         coalesce(col("optimal_threshold"), lit(DefaultThreshold))
           .as("optimal_threshold"),

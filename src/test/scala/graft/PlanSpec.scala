@@ -564,6 +564,39 @@ class PlanSpec extends SparkSpec {
     assert(ng.isEmpty, "ng01 must not window at all (percentile replaces the sort)")
   }
 
+  test("tt02's lattice multiply broadcasts; the argmax window partitions by genre") {
+    // the 98-row grid and the current-threshold map must broadcast
+    // (a shuffled join on either would replicate the corpus 98×), and
+    // the only window runs on the bounded |genres|·98 metrics frame,
+    // partitioned by genre
+    val f = formatted("tt02_threshold_tuning")
+    assert(!f.contains("CartesianProduct"), "grid multiply must be broadcast nested-loop")
+    assert(!f.contains("SortMergeJoin"), "grid/current-threshold joins must broadcast")
+    val wins = allNodes(finalPlan("tt02_threshold_tuning")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(wins.isEmpty, "tt02's F1-argmax window must partition by genre")
+  }
+
+  test("pl01/pl02 never rank the corpus globally: unpartitioned windows only on bounded post-agg frames") {
+    // pl01: the two histogram-cumulative windows (top_percent +
+    // default) are the ONLY unpartitioned ones — they run on the
+    // ≤10^6-key confidence histogram, never the candidate corpus; the
+    // boundary frames broadcast; cap windows partition by class
+    for ((name, expect) <- Seq("pl01_pseudo_label_selection" -> 2,
+                               "pl02_confidence_report" -> 2)) {
+      val f = formatted(name)
+      assert(!f.contains("CartesianProduct"), s"$name: boundary joins must broadcast")
+      assert(!f.contains("SortMergeJoin"), s"$name: no corpus-shuffle joins")
+      val unpart = allNodes(finalPlan(name)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+      assert(unpart.size == expect,
+        s"$name: exactly $expect bounded-frame cumulative/rank windows, got ${unpart.size}")
+    }
+  }
+
   test("qe06's per-group windows stay partitioned; no cartesian, no unpartitioned window") {
     val nodes = allNodes(finalPlan("qe06_recap_coverage"))
     assert(nodes.collect {
