@@ -100,6 +100,7 @@ object SparkEntry {
     "tt02_threshold_tuning"         -> (ThresholdTune.tt02 _),
     "pl01_pseudo_label_selection"   -> (PseudoLabel.pl01 _),
     "pl02_confidence_report"        -> (PseudoLabel.pl02 _),
+    "pe01_pipeline_health"          -> (PipelineHealth.pe01 _),
     "ur01_feed_url_dedup"           -> (FeedNormalize.ur01 _),
     "bf01_article_feed_backfill"    -> (FeedBackfill.bf01 _),
     "pf05_benchmark_stats"          -> (AugurBench.pf05 _),
@@ -1685,6 +1686,68 @@ object SparkEntry {
                  FROM cdr WHERE rk <= 10"""
   }
 
+  /** pe01: the pipeline-health batch evaluation — per-stage success
+    * rates, job counts from the separate completed/failed fetches,
+    * per-job processing windows, article means, and the success-rate
+    * alert ladder on the exact rational.
+    */
+  private val pe01OracleSql: String = {
+    val pe = operators.PipelineHealth
+    s"""WITH sl AS (SELECT event_id % 500 AS job_id,
+           list_extract(['fetch', 'preprocess', 'classify', 'summarize'],
+                        CAST(event_id % 4 AS INT) + 1) AS stage,
+           CASE WHEN event_type = 'error' THEN 'failed'
+                WHEN event_type = 'signup' THEN 'running'
+                ELSE 'completed' END AS status,
+           CAST(ts AS TIMESTAMP) AS started_at,
+           CASE WHEN event_type = 'signup' THEN NULL
+                ELSE CAST(ts AS TIMESTAMP) + to_seconds((event_id * 7) % 3600)
+           END AS finished_at
+         FROM events),
+       jb AS (SELECT DISTINCT job_id FROM sl),
+       js AS (SELECT job_id,
+                CASE WHEN job_id % 13 = 0 THEN 'failed'
+                     WHEN job_id % 13 = 1 THEN 'running'
+                     ELSE 'completed' END AS job_status FROM jb),
+       mt AS (SELECT job_id, (job_id * 17) % 90 + 10 AS articles
+              FROM jb WHERE job_id % 7 <> 3),
+       sr AS (SELECT stage,
+                CAST(round(sum(CASE WHEN status = 'completed' THEN 1 ELSE 0 END) * 1e6
+                  / count(*)) AS BIGINT) / 1e6 AS rate
+              FROM sl GROUP BY 1),
+       jc AS (SELECT count(*) AS n_jobs,
+                sum(CASE WHEN job_status = 'completed' THEN 1 ELSE 0 END) AS completed,
+                sum(CASE WHEN job_status = 'failed' THEN 1 ELSE 0 END) AS failed
+              FROM js),
+       tm AS (SELECT job_id,
+                CAST(floor(epoch(max(finished_at))) AS BIGINT) AS fin,
+                CAST(floor(epoch(min(started_at))) AS BIGINT) AS sta
+              FROM sl GROUP BY 1),
+       tt AS (SELECT count(*) AS n_t, sum(fin - sta) AS sum_t FROM tm
+              WHERE fin IS NOT NULL AND sta IS NOT NULL),
+       am AS (SELECT count(*) AS n_m, sum(articles) AS sum_a FROM mt)
+       SELECT 'stage' AS section, stage AS metric, rate AS value FROM sr
+       UNION ALL SELECT 'summary', 'total_jobs', CAST(completed + failed AS DOUBLE) FROM jc
+       UNION ALL SELECT 'summary', 'completed_jobs', CAST(completed AS DOUBLE) FROM jc
+       UNION ALL SELECT 'summary', 'failed_jobs', CAST(failed AS DOUBLE) FROM jc
+       UNION ALL SELECT 'summary', 'success_rate',
+         CASE WHEN completed + failed = 0 THEN 0.0
+              ELSE CAST(round(completed * 1e6 / (completed + failed)) AS BIGINT) / 1e6
+         END FROM jc
+       UNION ALL SELECT 'summary', 'avg_processing_time_seconds',
+         CASE WHEN n_t = 0 THEN 0.0
+              ELSE CAST(round(sum_t * 1e6 / n_t) AS BIGINT) / 1e6 END FROM tt
+       UNION ALL SELECT 'summary', 'avg_articles_per_job',
+         CASE WHEN n_m = 0 THEN 0.0
+              ELSE CAST(round(sum_a * 1e6 / n_m) AS BIGINT) / 1e6 END FROM am
+       UNION ALL SELECT 'alert', 'level',
+         CASE WHEN n_jobs = 0 THEN 0.0
+              WHEN completed + failed = 0 THEN 2.0
+              WHEN completed * 1000000 < ${pe.CriticalM} * (completed + failed) THEN 2.0
+              WHEN completed * 1000000 < ${pe.WarnM} * (completed + failed) THEN 1.0
+              ELSE 0.0 END FROM jc"""
+  }
+
   /** ur01: URL canonicalization + keep-oldest dedup. */
   private val ur01OracleSql: String = {
     val trk = "['" + operators.FeedNormalize.trackingParams.mkString("','") + "']"
@@ -2333,6 +2396,7 @@ object SparkEntry {
     "tt02_threshold_tuning" -> tt02OracleSql,
     "pl01_pseudo_label_selection" -> pl01OracleSql,
     "pl02_confidence_report" -> pl02OracleSql,
+    "pe01_pipeline_health" -> pe01OracleSql,
     "xs01_exec_summary" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks FROM documents),
