@@ -699,6 +699,36 @@ object StreamOps {
       .withWatermark("event_time", watermark)
       .dropDuplicatesWithinWatermark("normalized")
 
+  /** st29: pe01's stage-health running CONTINUOUSLY — per closed
+    * (window, stage): log volume, completed count, the exact 6-dp
+    * success rate, and the alert ladder applied per stage with the
+    * batch evaluator's own bands (pipeline_evaluator.py :117 via
+    * config.py:85-86 — warn 0.95 / critical 0.90, strict <, compared
+    * on the exact rational by integer cross-multiplication). The
+    * batch evaluator's JOB-level success rate joins the jobs TABLE —
+    * that rollup stays pe01's; the stream alerts on what the stage-log
+    * stream itself carries (the st21 scoping precedent: what's absent
+    * from the stream is the batch monitor's job). Every non-completed
+    * row — failed OR still-running — counts against its stage, exactly
+    * as :104's status == 'completed' test does.
+    */
+  def pipelineHealthStream(logs: DataFrame, windowLen: String = "1 hour",
+                           watermark: String = "2 hours"): DataFrame = {
+    val done = count(when(col("status") === "completed", 1))
+    logs
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("stage"))
+      .agg(count(lit(1)).as("n_logs"), done.as("n_completed"),
+        microRatio(done, count(lit(1)), 6).as("success_rate"))
+      .select(col("window.start").as("bucket"), col("stage"),
+        col("n_logs"), col("n_completed"), col("success_rate"),
+        when(col("n_completed") * 1000000L <
+            lit(graft.operators.PipelineHealth.CriticalM) * col("n_logs"), "critical")
+          .when(col("n_completed") * 1000000L <
+            lit(graft.operators.PipelineHealth.WarnM) * col("n_logs"), "warn")
+          .otherwise("ok").as("alert_level"))
+  }
+
   case class RouteInput(router_id: String, seq: Long, needed_tokens: Long)
   case class RouteState(bucket: Long)
   case class RouteOut(router_id: String, seq: Long, requested_bucket: Long,

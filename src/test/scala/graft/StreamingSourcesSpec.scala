@@ -683,6 +683,40 @@ class StreamingSourcesSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("st29 streaming stage health: per-window success rates + the strict-< alert bands") {
+    implicit val sqlCtx = spark.sqlContext
+    def at(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Timestamp, String, String)]
+    val out = StreamOps.pipelineHealthStream(mem.toDF.toDF("ts", "stage", "status"))
+    val q = out.writeStream.format("memory").queryName("st29").outputMode("append").start()
+    try {
+      // fetch: 19/20 = exactly 0.95 → ok (strict <); classify: 9/10 =
+      // exactly 0.90 → warn, the running row counts against (:104);
+      // summarize: 2/4 → critical
+      val rows =
+        (1 to 19).map(i => (at(f"2024-01-01 00:10:$i%02d"), "fetch", "completed")) ++
+        Seq((at("2024-01-01 00:20:00"), "fetch", "failed")) ++
+        (1 to 9).map(i => (at(f"2024-01-01 00:30:$i%02d"), "classify", "completed")) ++
+        Seq((at("2024-01-01 00:31:00"), "classify", "running")) ++
+        Seq((at("2024-01-01 00:40:00"), "summarize", "completed"),
+            (at("2024-01-01 00:40:10"), "summarize", "completed"),
+            (at("2024-01-01 00:41:00"), "summarize", "failed"),
+            (at("2024-01-01 00:41:30"), "summarize", "failed"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      mem.addData((at("2024-01-01 05:00:00"), "fetch", "completed")) // close hour 00
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT stage, n_logs, n_completed, success_rate, alert_level FROM st29 " +
+        "WHERE bucket = timestamp'2024-01-01 00:00:00'")
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4)))).toMap
+      assert(got("fetch") == ((20L, 19L, 0.95, "ok")), s"exactly 0.95 is NOT below warn: $got")
+      assert(got("classify") == ((10L, 9L, 0.9, "warn")), s"exactly 0.90 is NOT below critical: $got")
+      assert(got("summarize") == ((4L, 2L, 0.5, "critical")), s"$got")
+    } finally q.stop()
+  }
+
   test("st22 triage-at-ingest: the tx46 cascade runs stateless on a stream, batch-identical") {
     // the st14 discipline: a stateless gate reuses the IDENTICAL batch
     // operator body in streaming — here the whole 11-category triage
