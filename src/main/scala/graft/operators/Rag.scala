@@ -90,8 +90,13 @@ object Rag {
     * of the same candidate set with RRF(d) = Σ_r 1/(k₀ + rank_r(d))
     * (Cormack et al. 2009, k₀ = 60), the fusion every hybrid search
     * engine ships (Meilisearch hybrid search, Elasticsearch RRF
-    * retriever): no score normalization across heterogeneous scales,
-    * only ranks. rag02's weighted blend needs calibrated weights; RRF
+    * retriever) — and the reference's own: rag-orchestrator
+    * internal/adapter/repository/hybrid_search_repo.go:72-108 ranks
+    * pgvector cosine and ts_rank_cd text matches and fuses
+    * Σ 1/(rank + k), with internal/usecase/retrieval_config.go:139
+    * pinning RRFK = 60.0 ("Standard RRF constant") and
+    * retrieval/fuse_results.go:117 accumulating 1/(rrfK + rank + 1).
+    * No score normalization across heterogeneous scales, only ranks. rag02's weighted blend needs calibrated weights; RRF
     * is the calibration-free sibling — two rank windows + an exact
     * per-row fusion.
     *

@@ -1218,7 +1218,11 @@ object TextOps {
     * half of the reference's typo-tolerant search surface: Meilisearch
     * matches the final query word as a prefix while the user is still
     * typing — search-indexer/app/driver/meilisearch_driver.go; tx37
-    * covers the typo side, this covers the prefix side).
+    * covers the typo side, this covers the prefix side. alt-backend's
+    * tag autocomplete is the same shape in raw SQL:
+    * shared/driver/alt_db/search_tags_driver.go:23-29 prefix-matches
+    * feed_tags on a lower() range index and ranks by
+    * COUNT(DISTINCT article_id) top-N).
     *
     * Scale: the vocabulary frame is the inverted-index term list (one
     * map-side-combined shuffle on term). The prefix probe is an
