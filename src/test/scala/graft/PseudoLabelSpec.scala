@@ -123,6 +123,31 @@ class PseudoLabelSpec extends SparkSpec {
     assert(out.filter(col("section") === "class_dist").count() == 1)
   }
 
+  test("top-percent histogram selection ≡ a global rank on every composed profile (ties, skew, tiny N)") {
+    // the scalable histogram+boundary plan must select EXACTLY the set
+    // a naive global row_number over (conf desc, id asc) would — across
+    // distinct confidences, heavy boundary ties, one-value degenerate
+    // frames, and N smaller than 100/P
+    import org.apache.spark.sql.expressions.Window
+    val profiles = Seq(
+      // (n, conf generator) — distinct, mod-heavy ties, all-equal, tiny
+      (200, (i: Int) => 1000L * i),
+      (200, (i: Int) => 10000L * (i % 7)),
+      (50, (i: Int) => 42000L),
+      (7, (i: Int) => 5000L * (i % 2)),
+      (100, (i: Int) => if (i < 90) 100000L else 900000L))
+    for (((n, f), pi) <- profiles.zipWithIndex; pct <- Seq(5, 10, 30)) {
+      val df = cand((1 to n).map(i => (i.toLong, s"g${i % 3}", f(i), 0L)): _*)
+      val got = ids(selectTopPercent(df, pct, atLeastOne = false))
+      val w = Window.orderBy(col("conf_m").desc, col("doc_id").asc)
+      val nAcc = n * pct / 100
+      val want = df.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= nAcc).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == want, s"profile $pi pct $pct: got ${got.size}, want ${want.size}")
+    }
+  }
+
   test("composed candidates: lang-less doc_id%5=0 rows route through detection, the rest keep labels") {
     val c = composeCandidates(spark, sfDir)
     val docs = graft.Tables.documents(spark, sfDir)
