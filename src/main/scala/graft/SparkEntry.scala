@@ -101,6 +101,7 @@ object SparkEntry {
     "pl01_pseudo_label_selection"   -> (PseudoLabel.pl01 _),
     "pl02_confidence_report"        -> (PseudoLabel.pl02 _),
     "pe01_pipeline_health"          -> (PipelineHealth.pe01 _),
+    "qe08_composite_alert"          -> (OutputQuality.qe08 _),
     "ur01_feed_url_dedup"           -> (FeedNormalize.ur01 _),
     "bf01_article_feed_backfill"    -> (FeedBackfill.bf01 _),
     "pf05_benchmark_stats"          -> (AugurBench.pf05 _),
@@ -1748,6 +1749,62 @@ object SparkEntry {
               ELSE 0.0 END FROM jc"""
   }
 
+  /** qe08: the multi-axis summary evaluation's composite score +
+    * alert ladder — presence-gated weight renormalization, G-Eval
+    * (x−1)/4 normalization, per-dim and hallucination/composite band
+    * counts, then the 2-critical / 1-critical-or-2-warn ladder.
+    */
+  private val qe08OracleSql: String = {
+    val q = operators.OutputQuality
+    val gev = (i: Int) =>
+      s"""CASE WHEN (doc_id + $i) % 9 = 0 THEN 0.0
+             ELSE CAST((doc_id * ${2 * i + 3}) % 400 + 100 AS DOUBLE) / 100 END"""
+    val unit = (k: Int, z: Int) =>
+      s"""CASE WHEN (doc_id + $z) % 6 = 0 THEN 0.0
+             ELSE CAST((doc_id * $k) % 1000 AS DOUBLE) / 1000 END"""
+    val dims = Seq("coherence", "consistency", "fluency", "relevance")
+    val dimCrit = dims.map(d =>
+      s"CASE WHEN $d > 0 AND $d < ${q.GevalCritical} THEN 1 ELSE 0 END").mkString(" + ")
+    val dimWarn = dims.map(d =>
+      s"CASE WHEN $d > 0 AND $d >= ${q.GevalCritical} AND $d < ${q.GevalWarn} THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH m AS (SELECT doc_id AS run_id,
+           ${gev(0)} AS coherence, ${gev(1)} AS consistency,
+           ${gev(2)} AS fluency, ${gev(3)} AS relevance,
+           ${gev(4)} AS geval_overall,
+           ${unit(13, 1)} AS bertscore_f1,
+           ${unit(19, 2)} AS faithfulness_score,
+           ${unit(23, 3)} AS rouge_l_f1,
+           CAST((doc_id * 17) % 100 AS DOUBLE) / 100 AS hallucination_rate
+         FROM documents),
+       c AS (SELECT *,
+           (CASE WHEN geval_overall > 0 THEN ${q.WGeval} * ((geval_overall - 1) / 4) ELSE 0.0 END
+            + CASE WHEN bertscore_f1 > 0 THEN ${q.WBert} * bertscore_f1 ELSE 0.0 END
+            + CASE WHEN faithfulness_score > 0 THEN ${q.WFaith} * faithfulness_score ELSE 0.0 END
+            + CASE WHEN rouge_l_f1 > 0 THEN ${q.WRouge} * rouge_l_f1 ELSE 0.0 END) AS wsum,
+           (CASE WHEN geval_overall > 0 THEN ${q.WGeval} ELSE 0.0 END
+            + CASE WHEN bertscore_f1 > 0 THEN ${q.WBert} ELSE 0.0 END
+            + CASE WHEN faithfulness_score > 0 THEN ${q.WFaith} ELSE 0.0 END
+            + CASE WHEN rouge_l_f1 > 0 THEN ${q.WRouge} ELSE 0.0 END) AS wtot
+         FROM m),
+       cc AS (SELECT *, CASE WHEN wtot > 0 THEN wsum / wtot ELSE 0.0 END AS comp FROM c),
+       k AS (SELECT run_id, comp,
+           CAST($dimCrit
+            + CASE WHEN hallucination_rate > 0.5 THEN 1 ELSE 0 END
+            + CASE WHEN comp > 0 AND comp < 0.3 THEN 1 ELSE 0 END AS BIGINT) AS crit,
+           CAST($dimWarn
+            + CASE WHEN hallucination_rate <= 0.5 AND hallucination_rate > 0.3 THEN 1 ELSE 0 END
+            + CASE WHEN comp > 0 AND comp >= 0.3 AND comp < 0.5 THEN 1 ELSE 0 END AS BIGINT) AS warn
+         FROM cc)
+       SELECT run_id,
+              CAST(round(comp * 1e6) AS BIGINT) / 1e6 AS overall_quality_score,
+              crit AS critical_count, warn AS warn_count,
+              CASE WHEN crit >= 2 THEN 'critical'
+                   WHEN crit >= 1 OR warn >= 2 THEN 'warn'
+                   ELSE 'ok' END AS alert_level
+       FROM k"""
+  }
+
   /** ur01: URL canonicalization + keep-oldest dedup. */
   private val ur01OracleSql: String = {
     val trk = "['" + operators.FeedNormalize.trackingParams.mkString("','") + "']"
@@ -2397,6 +2454,7 @@ object SparkEntry {
     "pl01_pseudo_label_selection" -> pl01OracleSql,
     "pl02_confidence_report" -> pl02OracleSql,
     "pe01_pipeline_health" -> pe01OracleSql,
+    "qe08_composite_alert" -> qe08OracleSql,
     "xs01_exec_summary" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -170,4 +170,99 @@ object OutputQuality {
   /** qe02 adapter over the composed outputs view. */
   def summaryRedundancy(s: SparkSession, dir: String): DataFrame =
     summaryRedundancyOn(composeOutputs(s, dir))
+
+  /** qe08 weights (config.py EvaluatorWeights, WEIGHT_*): G-Eval 0.40,
+    * BERTScore 0.25, faithfulness 0.25, ROUGE-L 0.10.
+    */
+  val WGeval = 0.40
+  val WBert = 0.25
+  val WFaith = 0.25
+  val WRouge = 0.10
+  /** geval_<dim> bands (config.py:55-62): warn 3.5 / critical 3.0. */
+  val GevalWarn = 3.5
+  val GevalCritical = 3.0
+
+  /** qe08: the multi-axis summary evaluation's COMPOSITE score +
+    * alert ladder (summary_evaluator.py _calculate_composite_score
+    * :308 + _determine_alert_level :331) — the deterministic half
+    * around the env-blocked scorers (G-Eval/BERTScore/NLI produce the
+    * axis VALUES; combining them is pure arithmetic):
+    *
+    *  - composite: presence-gated weight RENORMALIZATION — each axis
+    *    contributes weight·value only when its score is > 0, and the
+    *    divisor is the sum of PRESENT weights (an absent axis doesn't
+    *    drag the composite down, :312-329); G-Eval's 1-5 scale
+    *    normalizes as (x−1)/4; all axes absent → 0.0;
+    *  - alert (:331): each of the four G-Eval dims counts critical
+    *    when 0 < value < 3.0, else warn when 0 < value < 3.5;
+    *    hallucination_rate counts critical when > 0.5, else warn when
+    *    > 0.3 (STRICT >, opposite direction, no presence gate);
+    *    the composite counts critical when 0 < c < 0.3, else warn
+    *    when 0 < c < 0.5; then critical_count ≥ 2 → critical,
+    *    critical_count ≥ 1 ∨ warn_count ≥ 2 → warn, else ok.
+    *
+    * Engine-exactness: axis values are exact 2-dp rationals, the
+    * weighted sum is a FIXED left-to-right IEEE chain (geval,
+    * bertscore, faithfulness, rouge — both engines evaluate the same
+    * op order), and every band compare is strict on values whose
+    * doubles are identical by construction; the composite rounds to
+    * 6 dp only at OUTPUT (bands compare the raw double, as :350
+    * does). A stateless scan projection — zero shuffles.
+    */
+  def compositeAlertOn(m: DataFrame): DataFrame = {
+    val gNorm = (col("geval_overall") - 1) / 4
+    val terms = Seq(
+      (col("geval_overall") > 0, lit(WGeval), gNorm),
+      (col("bertscore_f1") > 0, lit(WBert), col("bertscore_f1")),
+      (col("faithfulness_score") > 0, lit(WFaith), col("faithfulness_score")),
+      (col("rouge_l_f1") > 0, lit(WRouge), col("rouge_l_f1")))
+    val wSum = terms.map { case (p, w, v) =>
+      when(p, w * v).otherwise(0.0) }.reduce(_ + _)
+    val wTot = terms.map { case (p, w, _) =>
+      when(p, w).otherwise(0.0) }.reduce(_ + _)
+    val composite = when(wTot > 0, wSum / wTot).otherwise(0.0)
+    val dimCrit = (d: String) =>
+      when(col(d) > 0 && col(d) < GevalCritical, 1L).otherwise(0L)
+    val dimWarn = (d: String) =>
+      when(col(d) > 0 && col(d) >= GevalCritical && col(d) < GevalWarn, 1L)
+        .otherwise(0L)
+    val dims = Seq("coherence", "consistency", "fluency", "relevance")
+    val crit = dims.map(dimCrit).reduce(_ + _) +
+      when(col("hallucination_rate") > 0.5, 1L).otherwise(0L) +
+      when(composite > 0 && composite < 0.3, 1L).otherwise(0L)
+    val warn = dims.map(dimWarn).reduce(_ + _) +
+      when(col("hallucination_rate") <= 0.5 && col("hallucination_rate") > 0.3, 1L)
+        .otherwise(0L) +
+      when(composite > 0 && composite >= 0.3 && composite < 0.5, 1L).otherwise(0L)
+    m.select(col("run_id"),
+      graft.functions.Numeric.microRound(composite, 6).as("overall_quality_score"),
+      crit.as("critical_count"), warn.as("warn_count"),
+      when(crit >= 2, "critical")
+        .when(crit >= 1 || warn >= 2, "warn")
+        .otherwise("ok").as("alert_level"))
+  }
+
+  /** Composed per-run axis metrics: every presence branch and band
+    * edge occurs on real rows — each axis zeroes on its own residue
+    * class; G-Eval dims land in [1.00, 4.99], unit axes in [0, 0.999],
+    * hallucination in [0, 0.99].
+    */
+  def composeAxisMetrics(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val gev = (i: Int) => when(pmod(d + i, lit(9)) === 0, 0.0)
+      .otherwise((pmod(d * (2 * i + 3), lit(400)) + 100).cast("double") / 100)
+    val unitAxis = (k: Int, z: Int) => when(pmod(d + z, lit(6)) === 0, 0.0)
+      .otherwise(pmod(d * k, lit(1000)).cast("double") / 1000)
+    Tables.documents(s, dir).select(d.as("run_id"),
+      gev(0).as("coherence"), gev(1).as("consistency"),
+      gev(2).as("fluency"), gev(3).as("relevance"),
+      gev(4).as("geval_overall"),
+      unitAxis(13, 1).as("bertscore_f1"),
+      unitAxis(19, 2).as("faithfulness_score"),
+      unitAxis(23, 3).as("rouge_l_f1"),
+      (pmod(d * 17, lit(100)).cast("double") / 100).as("hallucination_rate"))
+  }
+
+  def qe08(s: SparkSession, dir: String): DataFrame =
+    compositeAlertOn(composeAxisMetrics(s, dir))
 }

@@ -69,4 +69,57 @@ class OutputQualitySpec extends SparkSpec {
     val n = composed.count()
     assert(q.agg(sum("n_outputs")).head.getLong(0) == n)
   }
+
+  private def axisRow(id: Long, coh: Double, con: Double, flu: Double, rel: Double,
+                      gev: Double, bert: Double, faith: Double, rouge: Double,
+                      hall: Double) =
+    (id, coh, con, flu, rel, gev, bert, faith, rouge, hall)
+
+  private def qe08On(rows: (Long, Double, Double, Double, Double, Double,
+                            Double, Double, Double, Double)*) =
+    OutputQuality.compositeAlertOn(rows.toSeq.toDF("run_id", "coherence",
+      "consistency", "fluency", "relevance", "geval_overall", "bertscore_f1",
+      "faithfulness_score", "rouge_l_f1", "hallucination_rate"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Double]("overall_quality_score"), r.getLong(2), r.getLong(3),
+          r.getString(4)))).toMap
+
+  test("qe08 composite: presence-gated weight RENORMALIZATION (:312-329)") {
+    val out = qe08On(
+      // only ROUGE present: its weight cancels — composite IS the value
+      axisRow(1, 0, 0, 0, 0, 0, 0, 0, 0.8, 0),
+      // all four present: 0.4·((5−1)/4) + 0.25·0.8 + 0.25·0.6 + 0.1·0.5 = 0.80
+      axisRow(2, 4, 4, 4, 4, 5.0, 0.8, 0.6, 0.5, 0),
+      // nothing present → 0.0 (and the composite band SKIPS via its > 0 gate)
+      axisRow(3, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    assert(out(1)._1 == 0.8)
+    assert(out(2)._1 == 0.8)
+    assert(out(3) == ((0.0, 0L, 0L, "ok")))
+  }
+
+  test("qe08 alert: band strictness and the 2-critical / 1-critical-or-2-warn ladder (:331)") {
+    val out = qe08On(
+      // two dims below 3.0 → critical_count 2 → 'critical'
+      axisRow(10, 2.9, 2.5, 4.0, 4.0, 4.0, 0.9, 0.9, 0.9, 0),
+      // exactly 3.0 is NOT critical (strict <) but IS < 3.5 → warn; one warn alone → ok
+      axisRow(11, 3.0, 4.0, 4.0, 4.0, 4.0, 0.9, 0.9, 0.9, 0),
+      // two warn dims → 'warn'
+      axisRow(12, 3.0, 3.4, 4.0, 4.0, 4.0, 0.9, 0.9, 0.9, 0),
+      // a zero dim skips BOTH bands (the value > 0 gate)
+      axisRow(13, 0.0, 4.0, 4.0, 4.0, 4.0, 0.9, 0.9, 0.9, 0),
+      // hallucination: exactly 0.5 is NOT critical (strict >) but > 0.3 → warn
+      axisRow(14, 4.0, 4.0, 4.0, 4.0, 4.0, 0.9, 0.9, 0.9, 0.5),
+      // hallucination 0.55 → critical; one critical alone → 'warn'
+      axisRow(15, 4.0, 4.0, 4.0, 4.0, 4.0, 0.9, 0.9, 0.9, 0.55),
+      // low composite: only rouge 0.2 present → composite 0.2 < 0.3 → critical++
+      axisRow(16, 4.0, 4.0, 4.0, 4.0, 0, 0, 0, 0.2, 0.55))
+    // composite for rows 10-15: 0.4·0.75 + 0.25·0.9 + 0.25·0.9 + 0.1·0.9 = 0.84
+    assert(out(10) == ((0.84, 2L, 0L, "critical")))
+    assert(out(11)._2 == 0L && out(11)._3 == 1L && out(11)._4 == "ok")
+    assert(out(12)._3 == 2L && out(12)._4 == "warn")
+    assert(out(13) == ((0.84, 0L, 0L, "ok")))
+    assert(out(14)._2 == 0L && out(14)._3 == 1L && out(14)._4 == "ok")
+    assert(out(15)._2 == 1L && out(15)._4 == "warn")
+    assert(out(16)._2 == 2L && out(16)._4 == "critical")
+  }
 }
