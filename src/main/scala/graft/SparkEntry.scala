@@ -102,6 +102,7 @@ object SparkEntry {
     "pl02_confidence_report"        -> (PseudoLabel.pl02 _),
     "pe01_pipeline_health"          -> (PipelineHealth.pe01 _),
     "qe08_composite_alert"          -> (OutputQuality.qe08 _),
+    "gv07_learning_analysis"        -> (GenreVerification.gv07 _),
     "ur01_feed_url_dedup"           -> (FeedNormalize.ur01 _),
     "bf01_article_feed_backfill"    -> (FeedBackfill.bf01 _),
     "pf05_benchmark_stats"          -> (AugurBench.pf05 _),
@@ -1805,6 +1806,34 @@ object SparkEntry {
        FROM k"""
   }
 
+  /** gv07: the learning-results strategy/confidence rollup — the
+    * no-decision rows count coarse and skip the confidence buckets;
+    * unknown/empty strategies count refined; missing confidence
+    * defaults low.
+    */
+  private val gv07OracleSql: String =
+    s"""WITH lr AS (SELECT doc_id AS article_id,
+           doc_id % 7 <> 2 AS has_decision,
+           CASE WHEN doc_id % 11 = 0 THEN ''
+                ELSE list_extract(['coarse_high_confidence', 'coarse_only',
+                                   'llm_refine', 'graph_boost'],
+                                  CAST(doc_id % 4 AS INT) + 1) END AS strategy,
+           CASE WHEN doc_id % 13 = 0 THEN 0.0
+                ELSE CAST((doc_id * 13) % 100 AS DOUBLE) / 100 END AS confidence
+         FROM documents),
+       c AS (SELECT *,
+           (NOT has_decision) OR strategy IN ('coarse_high_confidence', 'coarse_only') AS coarse
+         FROM lr)
+       SELECT count(*) AS total_articles,
+              CAST(sum(CASE WHEN coarse THEN 1 ELSE 0 END) AS BIGINT) AS coarse_only_count,
+              CAST(sum(CASE WHEN NOT coarse THEN 1 ELSE 0 END) AS BIGINT) AS refined_count,
+              CAST(round(sum(CASE WHEN coarse THEN 1 ELSE 0 END) * 1e6 / count(*)) AS BIGINT) / 1e6 AS coarse_only_rate,
+              CAST(round(sum(CASE WHEN NOT coarse THEN 1 ELSE 0 END) * 1e6 / count(*)) AS BIGINT) / 1e6 AS refined_rate,
+              CAST(sum(CASE WHEN has_decision AND confidence >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS high_confidence_count,
+              CAST(sum(CASE WHEN has_decision AND confidence < 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS low_confidence_count,
+              CAST(round(sum(CASE WHEN has_decision AND confidence >= 0.7 THEN 1 ELSE 0 END) * 1e6 / count(*)) AS BIGINT) / 1e6 AS high_confidence_rate
+       FROM c"""
+
   /** ur01: URL canonicalization + keep-oldest dedup. */
   private val ur01OracleSql: String = {
     val trk = "['" + operators.FeedNormalize.trackingParams.mkString("','") + "']"
@@ -2455,6 +2484,7 @@ object SparkEntry {
     "pl02_confidence_report" -> pl02OracleSql,
     "pe01_pipeline_health" -> pe01OracleSql,
     "qe08_composite_alert" -> qe08OracleSql,
+    "gv07_learning_analysis" -> gv07OracleSql,
     "xs01_exec_summary" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -225,6 +225,64 @@ object GenreVerification {
     totals.crossJoin(broadcast(cov))
   }
 
+  /** gv07: the learning-results strategy/confidence rollup
+    * (recap-evaluator evaluator/genre_evaluator.py
+    * analyze_learning_results :88) — the deterministic residue of the
+    * otherwise API-parsing evaluator:
+    *
+    *  - a row with NO refine_decision counts coarse_only and SKIPS
+    *    the confidence buckets entirely (:104-106's `continue` — it
+    *    still counts in `total`, so the confidence bucket counts do
+    *    NOT sum to total, pinned);
+    *  - strategy ∈ {coarse_high_confidence, coarse_only} → coarse,
+    *    anything ELSE — including the `.get("strategy", "")` empty
+    *    default — counts refined (:111-114, pinned);
+    *  - confidence ≥ 0.7 splits high/low, with the `.get(…, 0.0)`
+    *    default landing missing confidences in LOW (:116-119);
+    *  - rates divide by total with the 0-guards (:124-130; no
+    *    low_confidence_rate in the output dict — only high's, kept).
+    *
+    * One map-side-combined agg over a stateless projection — one
+    * bounded shuffle at any corpus size.
+    */
+  def gv07On(lr: DataFrame): DataFrame = {
+    val coarse = !col("has_decision") ||
+      col("strategy").isin("coarse_high_confidence", "coarse_only")
+    val total = count(lit(1))
+    lr.agg(
+      total.as("total_articles"),
+      count(when(coarse, 1)).as("coarse_only_count"),
+      count(when(!coarse, 1)).as("refined_count"),
+      microRatio(count(when(coarse, 1)), total, 6).as("coarse_only_rate"),
+      microRatio(count(when(!coarse, 1)), total, 6).as("refined_rate"),
+      count(when(col("has_decision") && col("confidence") >= 0.7, 1))
+        .as("high_confidence_count"),
+      count(when(col("has_decision") && col("confidence") < 0.7, 1))
+        .as("low_confidence_count"),
+      microRatio(count(when(col("has_decision") && col("confidence") >= 0.7, 1)),
+        total, 6).as("high_confidence_rate"))
+  }
+
+  /** Composed learning results: residue 2 rows arrive with NO
+    * refine_decision; residue-11 rows carry the empty-string strategy
+    * default; residue-13 rows the 0.0 confidence default.
+    */
+  def composeLearningResults(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    val strategies = array(lit("coarse_high_confidence"), lit("coarse_only"),
+      lit("llm_refine"), lit("graph_boost"))
+    Tables.documents(s, dir).select(d.as("article_id"),
+      (pmod(d, lit(7)) =!= 2).as("has_decision"),
+      when(pmod(d, lit(11)) === 0, "")
+        .otherwise(element_at(strategies, (pmod(d, lit(4)) + 1).cast("int")))
+        .as("strategy"),
+      when(pmod(d, lit(13)) === 0, 0.0)
+        .otherwise(pmod(d * 13, lit(100)).cast("double") / 100).as("confidence"))
+  }
+
+  def gv07(s: SparkSession, dir: String): DataFrame =
+    gv07On(composeLearningResults(s, dir))
+
   def gv05(s: SparkSession, dir: String): DataFrame =
     learningTotalsOn(composeLearning(s, dir))
 }

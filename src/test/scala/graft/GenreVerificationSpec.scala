@@ -121,4 +121,24 @@ class GenreVerificationSpec extends SparkSpec {
     assert(totals.getLong(0) > totals.getLong(5),
       "the 24h window is a strict subset of the cumulative totals")
   }
+
+  test("gv07: the no-decision skip, the empty-strategy → refined default, the 0.7 split (:88-130)") {
+    // (id, has_decision, strategy, confidence)
+    val frame = Seq(
+      (1L, false, "llm_refine", 0.9),   // no decision: coarse, NO conf bucket
+      (2L, true, "coarse_only", 0.9),   // coarse + high
+      (3L, true, "coarse_high_confidence", 0.69), // coarse + low (strict >= 0.7)
+      (4L, true, "", 0.7),              // .get default '' → REFINED; exactly 0.7 → high
+      (5L, true, "llm_refine", 0.0))    // missing-confidence default → low
+      .toDF("article_id", "has_decision", "strategy", "confidence")
+    val r = GenreVerification.gv07On(frame).collect().head
+    assert(r.getAs[Long]("total_articles") == 5)
+    assert(r.getAs[Long]("coarse_only_count") == 3)
+    assert(r.getAs[Long]("refined_count") == 2)
+    // confidence buckets exclude the no-decision row: 2 high + 2 low ≠ total
+    assert(r.getAs[Long]("high_confidence_count") == 2)
+    assert(r.getAs[Long]("low_confidence_count") == 2)
+    assert(r.getAs[Double]("coarse_only_rate") == 0.6)
+    assert(r.getAs[Double]("high_confidence_rate") == 0.4)
+  }
 }
