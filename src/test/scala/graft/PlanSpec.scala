@@ -597,6 +597,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("qe08 is one stateless scan projection; gv07 one map-side agg — no windows, no joins") {
+    val qe08 = allNodes(finalPlan("qe08_composite_alert"))
+    assert(!qe08.exists(_.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "qe08: the composite + ladder must fuse into the scan, zero exchanges")
+    assert(!qe08.exists(_.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]))
+    val f = formatted("gv07_learning_analysis")
+    assert(!f.contains("Window") && !f.contains("Join"),
+      "gv07: one aggregation over a stateless projection, nothing else")
+    val gv07Shuffles = allNodes(finalPlan("gv07_learning_analysis")).count(
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(gv07Shuffles <= 1, s"gv07: at most the single final-agg exchange, got $gv07Shuffles")
+  }
+
   test("qe06's per-group windows stay partitioned; no cartesian, no unpartitioned window") {
     val nodes = allNodes(finalPlan("qe06_recap_coverage"))
     assert(nodes.collect {
