@@ -103,6 +103,7 @@ object SparkEntry {
     "pe01_pipeline_health"          -> (PipelineHealth.pe01 _),
     "qe08_composite_alert"          -> (OutputQuality.qe08 _),
     "gv07_learning_analysis"        -> (GenreVerification.gv07 _),
+    "td02_tag_vote_labels"          -> (TagVote.td02 _),
     "ur01_feed_url_dedup"           -> (FeedNormalize.ur01 _),
     "bf01_article_feed_backfill"    -> (FeedBackfill.bf01 _),
     "pf05_benchmark_stats"          -> (AugurBench.pf05 _),
@@ -1834,6 +1835,57 @@ object SparkEntry {
               CAST(round(sum(CASE WHEN has_decision AND confidence >= 0.7 THEN 1 ELSE 0 END) * 1e6 / count(*)) AS BIGINT) / 1e6 AS high_confidence_rate
        FROM c"""
 
+  /** td02: the tag-vote weak-supervision labeler — majority vote over
+    * the 256-entry tag→genre table, confidence = top share of mapped
+    * votes, ≥ 0.5 acceptance, first-insertion tie-break, (None, 0.0)
+    * for vote-less items. The VALUES table and the key array generate
+    * from TagVote.TagToGenre so both engines share one source.
+    */
+  private val td02OracleSql: String = {
+    val tv = operators.TagVote
+    val values = tv.TagToGenre.toSeq
+      .map { case (k, g) => s"('$k', '$g')" }.mkString(", ")
+    val keys = tv.TagToGenre.keys.toSeq.sorted
+    val keyList = keys.map(k => s"'$k'").mkString("[", ", ", "]")
+    val n = keys.size
+    val tagAt = (m: Int, off: Int) => s"ka[CAST((item_id * $m + $off) % $n AS INT) + 1]"
+    s"""WITH tg(tag_key, genre) AS (VALUES $values),
+       ka_t AS (SELECT $keyList AS ka),
+       docs AS (SELECT doc_id AS item_id FROM documents),
+       slots AS (
+         SELECT item_id, 1 AS pos,
+                CASE WHEN item_id % 19 = 0 THEN 'zz-unmapped' ELSE ${tagAt(7, 0)} END AS tag
+         FROM docs, ka_t
+         UNION ALL SELECT item_id, 2,
+                CASE WHEN item_id % 19 <> 0 AND item_id % 3 <> 0 THEN ${tagAt(11, 5)} END
+         FROM docs, ka_t
+         UNION ALL SELECT item_id, 3,
+                CASE WHEN item_id % 19 <> 0 AND item_id % 4 = 0 THEN ${tagAt(7, 0)} END
+         FROM docs, ka_t
+         UNION ALL SELECT item_id, 4,
+                CASE WHEN item_id % 5 = 0 THEN 'unmapped-noise-tag' END
+         FROM docs
+         UNION ALL SELECT item_id, 5,
+                CASE WHEN item_id % 19 <> 0 AND item_id % 17 = 0 THEN upper(${tagAt(13, 9)}) END
+         FROM docs, ka_t),
+       votes AS (SELECT s.item_id, s.pos, t.genre
+                 FROM slots s JOIN tg t ON lower(s.tag) = t.tag_key
+                 WHERE s.tag IS NOT NULL),
+       pg AS (SELECT item_id, genre, count(*) AS v, min(pos) AS first_pos
+              FROM votes GROUP BY 1, 2),
+       tot AS (SELECT item_id, sum(v) AS total_votes FROM pg GROUP BY 1),
+       win AS (SELECT item_id, genre, v FROM (
+                 SELECT *, row_number() OVER (PARTITION BY item_id
+                           ORDER BY v DESC, first_pos ASC) AS rk FROM pg)
+               WHERE rk = 1)
+       SELECT d.item_id,
+              CASE WHEN w.v * 2 >= t.total_votes THEN w.genre END AS genre,
+              coalesce(CAST(round(w.v * 1e6 / t.total_votes) AS BIGINT) / 1e6, 0.0) AS confidence
+       FROM docs d
+       LEFT JOIN win w ON d.item_id = w.item_id
+       LEFT JOIN tot t ON d.item_id = t.item_id"""
+  }
+
   /** ur01: URL canonicalization + keep-oldest dedup. */
   private val ur01OracleSql: String = {
     val trk = "['" + operators.FeedNormalize.trackingParams.mkString("','") + "']"
@@ -2485,6 +2537,7 @@ object SparkEntry {
     "pe01_pipeline_health" -> pe01OracleSql,
     "qe08_composite_alert" -> qe08OracleSql,
     "gv07_learning_analysis" -> gv07OracleSql,
+    "td02_tag_vote_labels" -> td02OracleSql,
     "xs01_exec_summary" ->
       """WITH d AS (SELECT doc_id,
              string_split_regex(trim(text), '\s+') AS toks FROM documents),
