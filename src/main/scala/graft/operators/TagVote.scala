@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Numeric.microRatio
@@ -28,10 +27,9 @@ import graft.functions.Numeric.microRatio
   *    re-expressed away.
   *
   * Scale: tags explode in-row, the vote map is a broadcast literal,
-  * and the per-item winner is ONE map-side-combinable agg keyed by
-  * (item, genre) + a |votes|-bounded per-item window -- no corpus
-  * joins; the labeler runs on 100 TB of tag lists in two bounded
-  * shuffles.
+  * and the winner is a max_by over the (item, genre) vote frame --
+  * TWO map-side-combinable aggs, no windows, no corpus joins; the
+  * labeler runs on 100 TB of tag lists in two bounded shuffles.
   */
 object TagVote {
 
@@ -129,7 +127,16 @@ object TagVote {
 
   /** decide_genre over an exploded (item_id, pos, tag) frame: one
     * vote per mapped tag, majority by count with the first-insertion
-    * tie-break, confidence = top count / mapped votes.
+    * tie-break, confidence = top count / mapped votes; items whose
+    * tags cast NO mapped vote emit the (None, 0.0) row (:168).
+    *
+    * Unmapped tags LEFT-join to a null genre and ride through the
+    * same aggregation — resurrecting vote-less items with an outer
+    * join against the item list would be a corpus×corpus sort-merge
+    * join (caught by the PlanSpec pin); the winner is a max_by whose
+    * ordering key is null on unmapped rows (max_by skips them), so
+    * the whole labeler is two map-side-combinable aggs and zero
+    * joins beyond the broadcast table.
     */
   def decideGenresOn(tags: DataFrame): DataFrame = {
     val s = tags.sparkSession
@@ -137,19 +144,22 @@ object TagVote {
     val table = TagToGenre.toSeq.toDF("tag_key", "genre")
     val votes = tags
       .withColumn("tag_key", lower(col("tag")))
-      .join(broadcast(table), Seq("tag_key"))
+      .join(broadcast(table), Seq("tag_key"), "left")
     val perGenre = votes.groupBy("item_id", "genre").agg(
       count(lit(1)).as("votes"),
       min(col("pos")).as("first_pos"))
-    val w = Window.partitionBy("item_id")
-      .orderBy(col("votes").desc, col("first_pos").asc)
-    val totals = perGenre.groupBy("item_id").agg(sum("votes").as("total_votes"))
-    perGenre
-      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
-      .join(totals, Seq("item_id"))
+    // max votes, ties to the earliest first vote: the ordering struct
+    // negates first_pos so struct-max is (max votes, min first_pos)
+    perGenre.groupBy("item_id").agg(
+      max_by(struct(col("genre"), col("votes")),
+        when(col("genre").isNotNull,
+          struct(col("votes"), -col("first_pos")))).as("win"),
+      sum(when(col("genre").isNotNull, col("votes"))).as("total_votes"))
       .select(col("item_id"),
-        when(col("votes") * 2 >= col("total_votes"), col("genre")).as("genre"),
-        microRatio(col("votes"), col("total_votes"), 6).as("confidence"))
+        when(col("win.votes") * 2 >= col("total_votes"), col("win.genre"))
+          .as("genre"),
+        coalesce(microRatio(col("win.votes"), col("total_votes"), 6), lit(0.0))
+          .as("confidence"))
   }
 
   /** Composed tag lists: tags drawn from the vote table keys plus
@@ -174,14 +184,6 @@ object TagVote {
         .as(Seq("pos", "tag")))
   }
 
-  /** The full labeler: items whose tags cast NO mapped vote emit the
-    * (None, 0.0) row (:168's early return — NOT dropped).
-    */
-  def td02(s: SparkSession, dir: String): DataFrame = {
-    val tags = composeTags(s, dir)
-    tags.select("item_id").distinct()
-      .join(decideGenresOn(tags), Seq("item_id"), "left")
-      .select(col("item_id"), col("genre"),
-        coalesce(col("confidence"), lit(0.0)).as("confidence"))
-  }
+  def td02(s: SparkSession, dir: String): DataFrame =
+    decideGenresOn(composeTags(s, dir))
 }

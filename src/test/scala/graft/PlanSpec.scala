@@ -608,6 +608,13 @@ class PlanSpec extends SparkSpec {
     val gv07Shuffles = allNodes(finalPlan("gv07_learning_analysis")).count(
       _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
     assert(gv07Shuffles <= 1, s"gv07: at most the single final-agg exchange, got $gv07Shuffles")
+    // td02: the 256-row vote table must broadcast (a shuffled join
+    // would move the corpus to meet a constant), and the per-item
+    // winner window partitions by item
+    val td02 = formatted("td02_tag_vote_labels")
+    assert(!td02.contains("SortMergeJoin"),
+      "td02: the vote table broadcasts; the winner is max_by, not a join")
+    assert(!td02.contains("Window"), "td02: two aggs, zero windows")
   }
 
   test("qe06's per-group windows stay partitioned; no cartesian, no unpartitioned window") {
