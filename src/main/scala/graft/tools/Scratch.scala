@@ -77,7 +77,8 @@ object Scratch {
       "ng01_nginx_request_stats", "lg01_tag_label_graph",
       "as01_article_sizes", "vg02_golden_dataset_report",
       "td01_training_csv_build", "tt02_threshold_tuning",
-      "pl01_pseudo_label_selection", "pe01_pipeline_health")
+      "pl01_pseudo_label_selection", "pe01_pipeline_health",
+      "td02_tag_vote_labels")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
