@@ -172,6 +172,7 @@ object SparkEntry {
     "qv01_query_variants"           -> (QueryFacets.qv01 _),
     "xs01_exec_summary"             -> (ExecSummary.xs01 _),
     "fz01_embedding_zscore"         -> (Features.fz01 _),
+    "fo01_recap_outlier_filter"     -> (OutlierFilter.fo01 _),
     "rp01_llm_repetition"           -> (Repetition.rp01 _),
     "gb01_graph_boost_snapshot"     -> (GraphBoost.gb01 _),
     "tv01_tag_validation"           -> (TagValidate.tv01 _),
@@ -294,6 +295,7 @@ object SparkEntry {
     "ml05_genre_report"             -> (MultiLabel.ml05 _),
     "ml06_multilabel_by_lang"       -> (MultiLabel.ml06 _),
     "ml07_dataset_quality"          -> (MultiLabel.ml07 _),
+    "ml08_accuracy_wilson_ci"       -> (MultiLabel.ml08 _),
     // Job-queue / outbox read models (pre-processor)
     "jq01_stale_pending"            -> (JobQueue.jq01 _),
     "jq02_queue_health"             -> (JobQueue.jq02 _),
@@ -5739,6 +5741,97 @@ object SparkEntry {
                 macro_precision, macro_recall, macro_f1,
                 micro_precision, micro_recall, micro_f1
          FROM ss CROSS JOIN mi2""",
+    // Wilson accuracy CI: the z literal is MultiLabel.WilsonZ; every
+    // double op mirrors the Spark column chain (statsmodels op order)
+    "ml08_accuracy_wilson_ci" ->
+      s"""WITH $multiLabelCte,
+         pd AS (SELECT doc_id, count(CASE WHEN y_true = y_pred THEN 1 END) AS agree
+                FROM p GROUP BY 1),
+         ss AS (SELECT count(*) AS n_samples,
+                       count(CASE WHEN agree = 4 THEN 1 END) AS n_exact
+                FROM pd),
+         w1 AS (SELECT n_samples, n_exact,
+                       CAST(n_samples AS DOUBLE) AS nd,
+                       CAST(n_exact AS DOUBLE) / CAST(n_samples AS DOUBLE) AS acc
+                FROM ss),
+         w2 AS (SELECT *, CAST(floor(acc * nd) AS BIGINT) AS cc FROM w1),
+         w3 AS (SELECT *, CAST(cc AS DOUBLE) / nd AS q,
+                       1.959963984540054 * 1.959963984540054 AS crit2
+                FROM w2),
+         w4 AS (SELECT *, 1.0 + crit2 / nd AS denom FROM w3),
+         w5 AS (SELECT *,
+                       (q + crit2 / (2.0 * nd)) / denom AS center,
+                       1.959963984540054 * sqrt(q * (1.0 - q) / nd + crit2 / (4.0 * nd * nd)) / denom AS dist
+                FROM w4)
+         SELECT n_samples, n_exact, cc AS count_correct,
+                CAST(round(acc * 1e6) AS BIGINT) / 1e6 AS accuracy,
+                CAST(round((center - dist) * 1e6) AS BIGINT) / 1e6 AS ci_lower,
+                CAST(round((center + dist) * 1e6) AS BIGINT) / 1e6 AS ci_upper,
+                CAST(round(((center + dist) - (center - dist)) * 1e6) AS BIGINT) / 1e6 AS ci_width
+         FROM w5""",
+    // recap select outlier filter: integer-quantized cosine-to-Σ (the
+    // sim02 discipline), histogram order statistic, dynamic-min
+    // backfill — every comparison on 1e-6-rounded values in lockstep
+    "fo01_recap_outlier_filter" ->
+      """WITH e AS (
+           SELECT vec_id,
+                  CASE WHEN vec_id % 1999 = 0 THEN 'rare'
+                       WHEN label = 0 THEN 'other'
+                       ELSE 'g' || CAST(label AS VARCHAR) END AS genre,
+                  list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1e6) AS BIGINT)) AS v_u
+           FROM embeddings),
+         st AS (SELECT genre, count(*) AS n FROM e GROUP BY 1),
+         skip AS (SELECT genre, (genre = 'other' OR n < 3) AS skipped, n FROM st),
+         dims AS (SELECT genre, pos, sum(vv) AS s_u
+                  FROM (SELECT e2.genre, unnest(e2.v_u) AS vv, generate_subscripts(e2.v_u, 1) AS pos
+                        FROM e e2 JOIN skip k ON k.genre = e2.genre AND NOT k.skipped)
+                  GROUP BY 1, 2),
+         gn AS (SELECT genre, sum(CAST(s_u AS HUGEINT) * s_u) AS norm_s FROM dims GROUP BY 1),
+         rv AS (SELECT e2.vec_id, e2.genre, unnest(e2.v_u) AS vv, generate_subscripts(e2.v_u, 1) AS pos
+                FROM e e2 JOIN skip k ON k.genre = e2.genre AND NOT k.skipped),
+         scored AS (
+           SELECT r.vec_id, r.genre,
+                  CAST(round(CAST(sum(CAST(r.vv AS HUGEINT) * d.s_u) AS DOUBLE)
+                       / (sqrt(CAST(sum(CAST(r.vv AS HUGEINT) * r.vv) AS DOUBLE))
+                          * sqrt(CAST(max(g.norm_s) AS DOUBLE))) * 1e6) AS BIGINT) / 1e6 AS cos
+           FROM rv r
+           JOIN dims d ON d.genre = r.genre AND d.pos = r.pos
+           JOIN gn g ON g.genre = r.genre
+           GROUP BY r.vec_id, r.genre),
+         hist AS (SELECT genre, cos, count(*) AS c FROM scored GROUP BY 1, 2),
+         cum AS (SELECT genre, cos, c,
+                        sum(c) OVER (PARTITION BY genre ORDER BY cos DESC) AS cum
+                 FROM hist),
+         cut AS (SELECT k.genre,
+                        coalesce(max(CASE WHEN cum >= CAST(floor(CAST(k.n AS DOUBLE) * 0.8) AS BIGINT) + 1
+                                          THEN cos END), -1.0) AS cutoff
+                 FROM cum JOIN skip k USING (genre)
+                 GROUP BY k.genre),
+         eff AS (SELECT k.genre, c.cutoff,
+                        greatest(3,
+                          CAST(ceil(CAST(k.n AS DOUBLE) * 0.1) AS BIGINT),
+                          CASE WHEN k.genre = 'g3' THEN 55 ELSE 3 END) AS eff_min
+                 FROM skip k JOIN cut c USING (genre)),
+         vn AS (SELECT s.genre, count(*) AS valid_n
+                FROM scored s JOIN eff f USING (genre)
+                WHERE s.cos >= f.cutoff GROUP BY 1),
+         needy AS (SELECT f.genre, f.cutoff,
+                          greatest(f.eff_min - coalesce(v.valid_n, 0), 0) AS needed
+                   FROM eff f LEFT JOIN vn v USING (genre)),
+         valid AS (SELECT s.genre, s.vec_id, s.cos, false AS backfilled
+                   FROM scored s JOIN needy n2 USING (genre) WHERE s.cos >= n2.cutoff),
+         backfill AS (
+           SELECT genre, vec_id, cos, true AS backfilled
+           FROM (SELECT s.genre, s.vec_id, s.cos,
+                        row_number() OVER (PARTITION BY s.genre ORDER BY s.cos DESC, s.vec_id ASC) AS rn,
+                        n2.needed
+                 FROM scored s JOIN needy n2 USING (genre)
+                 WHERE s.cos < n2.cutoff AND n2.needed > 0)
+           WHERE rn <= needed),
+         passthru AS (SELECT e2.genre, e2.vec_id, CAST(NULL AS DOUBLE) AS cos, false AS backfilled
+                      FROM e e2 JOIN skip k ON k.genre = e2.genre AND k.skipped)
+         SELECT genre, vec_id, cos AS cos_sim, backfilled
+         FROM (SELECT * FROM valid UNION ALL SELECT * FROM backfill UNION ALL SELECT * FROM passthru)""",
     "ml06_multilabel_by_lang" ->
       s"""WITH $multiLabelCte,
          pl2 AS (SELECT p.*, d2.lang FROM p JOIN documents d2 ON d2.doc_id = p.doc_id),

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Numeric.microRatio
+import graft.functions.Numeric.{microRatio, microRound}
 import graft.functions.TextFunctions.tokens
 
 /** Multi-LABEL classification evaluation — the recap-subworker's
@@ -174,6 +174,71 @@ object MultiLabel {
       (col("genre_count") === 0).as("warn_no_genres"),
       (lit(total) < 30).as("warn_small_dataset"))
   }
+
+  /** Φ⁻¹(0.975) to double precision — the z both engines share. The
+    * reference takes it from scipy (`stats.norm.ppf((1+0.95)/2)`
+    * inside statsmodels' proportion_confint); a ±1-ulp difference in
+    * that library constant is invisible under the 1e-6 output
+    * rounding, and cross-engine parity here only needs Spark and the
+    * oracle to use the SAME literal.
+    */
+  val WilsonZ = 1.959963984540054
+
+  /** ml08: the Wilson score interval on subset accuracy —
+    * evaluation.py:360-372, the deterministic residue of the
+    * golden-run evaluator's `use_bootstrap` branch (evaluate_genres.py
+    * defaults `--bootstrap` ON, so a real evaluation run always
+    * computes this on top of the ml04 metrics).
+    *
+    * Two pinned quirks:
+    *   - `count_correct = int(metrics.accuracy * len(X))` (:362) —
+    *     the float round-trip TRUNCATES, so count_correct can be one
+    *     BELOW the true exact-match count (e.g. 15 exact of 22 →
+    *     int(0.6818…·22) = 14). Both engines floor the same double
+    *     product, so the quirk reproduces bit-exactly.
+    *   - the interval runs on count_correct/n (statsmodels' q_), while
+    *     the reported point stays metrics.accuracy (:367-368) — the
+    *     two can straddle the truncation.
+    *
+    * Wilson algebra in statsmodels' exact op order
+    * (proportion_confint, method="wilson"): denom = 1 + z²/n,
+    * center = (q + z²/(2n))/denom, dist = z·√(q(1−q)/n + z²/(4n²))
+    * / denom; no clamping (Wilson bounds are inherently in [0,1]).
+    * Every op is the same IEEE double chain in both engines; outputs
+    * round to 1e-6 via the scale-0 discipline.
+    *
+    * Scale: rides ml04's per-doc agreement aggregate (one map-side
+    * combined shuffle over the indicator frame, then one global
+    * two-counter agg); the Wilson columns are a stateless projection
+    * over the single summary row.
+    */
+  def wilsonOn(pairs: DataFrame): DataFrame = {
+    val nLabels = Genres.size
+    val perDoc = pairs.groupBy("doc_id")
+      .agg(count(when(col("y_true") === col("y_pred"), 1)).as("agree"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_samples"),
+      count(when(col("agree") === nLabels, 1)).as("n_exact"))
+    val nD = col("n_samples").cast("double")
+    val acc = col("n_exact").cast("double") / nD
+    val cc = floor(acc * nD).cast("long")
+    val qv = cc.cast("double") / nD
+    val z = lit(WilsonZ)
+    val crit2 = z * z
+    val denom = lit(1.0) + crit2 / nD
+    val center = (qv + crit2 / (lit(2.0) * nD)) / denom
+    val dist = z * sqrt(qv * (lit(1.0) - qv) / nD + crit2 / (lit(4.0) * nD * nD)) / denom
+    stats.select(
+      col("n_samples"), col("n_exact"),
+      cc.as("count_correct"),
+      microRound(acc, 6).as("accuracy"),
+      microRound(center - dist, 6).as("ci_lower"),
+      microRound(center + dist, 6).as("ci_upper"),
+      microRound((center + dist) - (center - dist), 6).as("ci_width"))
+  }
+
+  def ml08(s: SparkSession, dir: String): DataFrame =
+    wilsonOn(indicatorFrame(s, dir))
 
   def ml06(s: SparkSession, dir: String): DataFrame = {
     val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))

@@ -189,6 +189,16 @@ object PseudoLabel {
         (col("margin_m") / 1e6).as("margin"))
   }
 
+  /** Cache lifecycle: the persist below (and pl02's, and fo01's) is
+    * intentionally NOT paired with an unpersist inside the operator —
+    * the returned DataFrame is lazy and still references the cached
+    * frame, so an eager unpersist would defeat the multi-branch reuse
+    * that motivates the cache. The DRIVER owns the lifecycle for
+    * query entries: Verify and Bench call `spark.catalog.clearCache()`
+    * after each query's action. A long-lived session embedding these
+    * operators should do the same (or `df.unpersist()` the source
+    * frame) once the result is materialized.
+    */
   def pl01(s: SparkSession, dir: String): DataFrame =
     pl01On(composeCandidates(s, dir).persist())
 

@@ -53,6 +53,14 @@ object ThresholdTune {
     */
   val GridSteps: Seq[Int] = 1 to 98
 
+  /** Pinned to find_optimal_threshold's FUNCTION default
+    * (tune_thresholds.py:70 `min_recall=0.3`). Documented decision:
+    * the script's CLI entry ships a more conservative `--min-recall`
+    * default of 0.4, so the tuner-as-invoked-from-the-shell differs
+    * from the function contract; this operator pins the function
+    * semantics, and a caller reproducing the CLI run passes 0.4
+    * through `tuneOn`'s minRecall parameter.
+    */
   val MinRecall = 0.3
   val DefaultThreshold = 0.5
 
@@ -96,8 +104,11 @@ object ThresholdTune {
     (p, r, f1)
   }
 
-  /** The tuner over any (genre, score, label) frame. */
-  def tuneOn(pairs: DataFrame): DataFrame = {
+  /** The tuner over any (genre, score, label) frame. `minRecall`
+    * defaults to the function-contract pin (0.3); pass 0.4 to
+    * reproduce the CLI-as-shipped run.
+    */
+  def tuneOn(pairs: DataFrame, minRecall: Double = MinRecall): DataFrame = {
     val s = pairs.sparkSession
     import s.implicits._
     val grid = GridSteps.map(i => i / 100.0).toDF("threshold")
@@ -122,7 +133,7 @@ object ThresholdTune {
     // == lowest threshold among F1 ties
     val w = Window.partitionBy("genre")
       .orderBy(col("f1").desc, col("threshold").asc)
-    val best = scored.filter(col("r") >= MinRecall)
+    val best = scored.filter(col("r") >= minRecall)
       .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
       .select(col("genre"), col("threshold").as("optimal_threshold"),
         col("p").as("opt_p"), col("r").as("opt_r"), col("f1").as("opt_f1"))

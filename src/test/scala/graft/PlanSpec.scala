@@ -617,6 +617,25 @@ class PlanSpec extends SparkSpec {
     assert(!td02.contains("Window"), "td02: two aggs, zero windows")
   }
 
+  test("fo01 broadcasts every bounded frame; windows partition by genre; ml08 plans no window at all") {
+    // fo01: the centroid table, cutoffs, and needy frames are all
+    // ≤|genres| rows — every join must broadcast; the cumulative
+    // window runs on the (genre, cos) histogram and the backfill rank
+    // on needy-genre outliers only, both partitioned by genre
+    val f = formatted("fo01_recap_outlier_filter")
+    assert(!f.contains("SortMergeJoin"), "fo01: no corpus-shuffle joins")
+    assert(!f.contains("CartesianProduct"))
+    val unpart = allNodes(finalPlan("fo01_recap_outlier_filter")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, "fo01: every window must partition by genre")
+    // ml08: one agg chain + a stateless Wilson projection over one row
+    val m = formatted("ml08_accuracy_wilson_ci")
+    assert(!m.contains("Window") && !m.contains("Join"),
+      "ml08: two aggregations and a projection, nothing else")
+  }
+
   test("qe06's per-group windows stay partitioned; no cartesian, no unpartitioned window") {
     val nodes = allNodes(finalPlan("qe06_recap_coverage"))
     assert(nodes.collect {

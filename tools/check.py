@@ -78,10 +78,13 @@ def canon_df(df):
 fails = 0
 names = sorted(n for n in oracle if only is None or n in only)
 for name in names:
-    files = glob.glob(f"{out_dir}/{name}/*.parquet")
+    files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1; continue
-    sdf = pq.read_table(files[0]).to_pandas()
+    # read EVERY part file: Verify coalesces to 1 today, but a
+    # multi-part dump must not silently compare a subset of rows
+    sdf = pd.concat([pq.read_table(f).to_pandas() for f in files],
+                    ignore_index=True)
     scols, srows, sdt = canon_df(sdf)
     try:
         odf = con.execute(oracle[name]).df()
