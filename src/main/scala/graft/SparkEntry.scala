@@ -296,6 +296,7 @@ object SparkEntry {
     "ml06_multilabel_by_lang"       -> (MultiLabel.ml06 _),
     "ml07_dataset_quality"          -> (MultiLabel.ml07 _),
     "ml08_accuracy_wilson_ci"       -> (MultiLabel.ml08 _),
+    "ml09_confusion_effect"         -> (MultiLabel.ml09 _),
     // Job-queue / outbox read models (pre-processor)
     "jq01_stale_pending"            -> (JobQueue.jq01 _),
     "jq02_queue_health"             -> (JobQueue.jq02 _),
@@ -5769,6 +5770,66 @@ object SparkEntry {
                 CAST(round((center + dist) * 1e6) AS BIGINT) / 1e6 AS ci_upper,
                 CAST(round(((center + dist) - (center - dist)) * 1e6) AS BIGINT) / 1e6 AS ci_width
          FROM w5""",
+    // top-1 confusion matrix + Cramér's V: χ² terms quantize to
+    // 1e-6-unit longs BEFORE the sum (order-independent); expected
+    // values are the same rs·cs/n double chain in both engines
+    "ml09_confusion_effect" ->
+      """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+         h AS (SELECT doc_id, toks,
+                      toks[1:CAST(floor(len(toks) / 2) AS INT)] AS half
+               FROM d),
+         c AS (SELECT doc_id, g.idx, g.genre,
+                      len(list_filter(toks, x -> x = g.genre)) AS tc,
+                      len(list_filter(half, x -> x = g.genre)) AS pc
+               FROM h, (SELECT unnest(['join', 'stream', 'sort', 'filter']) AS genre,
+                               unnest([1, 2, 3, 4]) AS idx) g),
+         a1 AS (SELECT doc_id, max(pc) AS mx,
+                       coalesce(min(CASE WHEN tc >= 2 THEN idx END), 9) AS tidx
+                FROM c GROUP BY 1),
+         a2 AS (SELECT c.doc_id, max(a.tidx) AS tidx,
+                       coalesce(min(CASE WHEN a.mx > 0 AND c.pc = a.mx THEN c.idx END), 9) AS pidx
+                FROM c JOIN a1 a USING (doc_id) GROUP BY 1),
+         gl AS (SELECT unnest(['join', 'stream', 'sort', 'filter', 'other']) AS genre,
+                       unnest([1, 2, 3, 4, 9]) AS idx),
+         sg AS (SELECT p.doc_id, gt.genre AS y_true, gp.genre AS y_pred
+                FROM a2 p JOIN gl gt ON gt.idx = p.tidx
+                          JOIN gl gp ON gp.idx = p.pidx),
+         cells AS (SELECT y_true, y_pred, count(*) AS o FROM sg GROUP BY 1, 2),
+         rs AS (SELECT y_true, sum(o) AS rsum FROM cells GROUP BY 1),
+         cs AS (SELECT y_pred, sum(o) AS csum FROM cells GROUP BY 1),
+         tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+         dims AS (SELECT (SELECT count(*) FROM rs) AS nr,
+                         (SELECT count(*) FROM cs) AS nc),
+         grid AS (SELECT r.y_true, c2.y_pred, r.rsum, c2.csum,
+                         coalesce(cl.o, 0) AS o0
+                  FROM rs r CROSS JOIN cs c2
+                  LEFT JOIN cells cl ON cl.y_true = r.y_true AND cl.y_pred = c2.y_pred),
+         terms AS (SELECT g.y_true, g.y_pred, g.o0,
+                          CAST(g.rsum AS DOUBLE) * CAST(g.csum AS DOUBLE)
+                            / CAST(t.n AS DOUBLE) AS e,
+                          d.nr, d.nc, t.n
+                   FROM grid g, tot t, dims d),
+         t2 AS (SELECT *,
+                       CASE WHEN nr = 2 AND nc = 2
+                            THEN greatest(abs(CAST(o0 AS DOUBLE) - e) - 0.5, 0.0)
+                            ELSE abs(CAST(o0 AS DOUBLE) - e) END AS adj
+                FROM terms),
+         t3 AS (SELECT *, CAST(round(adj * adj / e * 1e6) AS BIGINT) AS term_u FROM t2),
+         sm AS (SELECT sum(term_u) AS chi2_u, max(n) AS n,
+                       max(nr) AS nr, max(nc) AS nc
+                FROM t3)
+         SELECT t3.y_true AS true_genre, t3.y_pred AS pred_genre,
+                t3.o0 AS n_obs,
+                CAST(round(t3.e * 1e6) AS BIGINT) / 1e6 AS expected,
+                f.n AS n_samples,
+                least(f.nr, f.nc) - 1 AS min_dim,
+                (f.nr = 2 AND f.nc = 2) AS yates_applied,
+                f.chi2_u / 1e6 AS chi2,
+                CASE WHEN least(f.nr, f.nc) - 1 <= 0 THEN 0.0
+                     ELSE CAST(round(least(sqrt((f.chi2_u / 1e6)
+                            / (CAST(f.n AS DOUBLE) * CAST(least(f.nr, f.nc) - 1 AS DOUBLE))), 1.0) * 1e6) AS BIGINT) / 1e6
+                END AS cramers_v
+         FROM t3 CROSS JOIN sm f""",
     // recap select outlier filter: integer-quantized cosine-to-Σ (the
     // sim02 discipline), histogram order statistic, dynamic-min
     // backfill — every comparison on 1e-6-rounded values in lockstep

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Numeric.{microRatio, microRound}
+import graft.functions.Numeric.{microRatio, microRound, units}
 import graft.functions.TextFunctions.tokens
 
 /** Multi-LABEL classification evaluation — the recap-subworker's
@@ -239,6 +239,110 @@ object MultiLabel {
 
   def ml08(s: SparkSession, dir: String): DataFrame =
     wilsonOn(indicatorFrame(s, dir))
+
+  /** ml09: the top-1 confusion matrix + Cramér's V effect size.
+    *
+    * The confusion matrix is a PRODUCTION compute
+    * (services/evaluation.py:397-409 — "Top-1 approximation"):
+    * y_true_single = labels[0] or "other" when the label set is empty;
+    * y_pred_single = the prediction's top_genre. Cramér's V
+    * (domain/analysis/stats.py:338-384, the exported effect-size
+    * member whose value the evaluate_genres report prints at :78) runs
+    * over exactly such a matrix:
+    *   - n = the UNFILTERED matrix total (:349 — summed before any
+    *     row/col dropping);
+    *   - zero rows/columns are dropped (:354-366) — with cells built
+    *     from observed pairs only, the surviving axes are precisely
+    *     the distinct observed true / pred values;
+    *   - min_dim = min(filtered shape) − 1; ≤ 0 → 0.0 early-out
+    *     (chi² never computed — we still emit it; with one row or one
+    *     column every o equals its e, so it is identically 0);
+    *   - Pearson χ² with Yates continuity ONLY when the filtered
+    *     matrix is 2×2 (scipy chi2_contingency's correction=True
+    *     applies iff dof == 1): each |o−e| shrinks toward 0 by
+    *     min(0.5, |o−e|);
+    *   - v = min(√(χ²/(n·min_dim)), 1.0).
+    *
+    * Composition (the ml04 corpus, single-label form): y_true = the
+    * FIRST genre in Genres declaration order used ≥ 2 times (the
+    * reference's labels[0] under a list built in genre order), else
+    * "other"; y_pred = the argmax half-count genre (the classifier's
+    * top_genre stand-in), ties to the earliest genre, all-zero →
+    * "other".
+    *
+    * Determinization: expected values rs·cs/n and each χ² term are the
+    * same IEEE double chain in both engines; each term quantizes to
+    * 1e-6-unit longs BEFORE the sum (the Numeric.units discipline —
+    * a float sum's order-dependence cannot flip the output), so χ²
+    * and v are exact cross-engine at every scale.
+    *
+    * Scale: one corpus scan → stateless top-1 projection → ONE
+    * map-side-combined groupBy onto ≤ (|genres|+1)² cells; everything
+    * after (marginals, the R×C grid, χ², v) runs on that bounded
+    * frame (persisted — four branches read it; driver owns cache
+    * lifecycle, see pl01). No corpus window, no corpus join.
+    */
+  def topOneOn(docs: DataFrame): DataFrame = {
+    val d = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("half", expr("slice(toks, 1, CAST(floor(size(toks) / 2) AS INT))"))
+    val cnts = Genres.flatMap { g =>
+      Seq(size(filter(col("toks"), t => t === lit(g))).as(s"tc_$g"),
+          size(filter(col("half"), t => t === lit(g))).as(s"pc_$g"))
+    }
+    val wide = d.select(col("doc_id") +: cnts: _*)
+    val trueSingle = Genres.foldRight(lit("other"): Column)((g, acc) =>
+      when(col(s"tc_$g") >= 2, lit(g)).otherwise(acc))
+    val maxPc = greatest(Genres.map(g => col(s"pc_$g")): _*)
+    val predSingle = when(maxPc === 0, lit("other")).otherwise(
+      Genres.foldRight(lit("other"): Column)((g, acc) =>
+        when(col(s"pc_$g") === maxPc, lit(g)).otherwise(acc)))
+    wide.select(col("doc_id"),
+      trueSingle.as("y_true"), predSingle.as("y_pred"))
+  }
+
+  def cramersOn(single: DataFrame): DataFrame = {
+    val cells = single.groupBy("y_true", "y_pred")
+      .agg(count(lit(1)).as("o")).persist()
+    val rs = cells.groupBy("y_true").agg(sum("o").as("rsum"))
+    val cs = cells.groupBy("y_pred").agg(sum("o").as("csum"))
+    val tot = cells.agg(sum("o").as("n"))
+    val dims = rs.agg(count(lit(1)).as("nr"))
+      .crossJoin(broadcast(cs.agg(count(lit(1)).as("nc"))))
+    val grid = rs.crossJoin(broadcast(cs))
+      .join(cells, Seq("y_true", "y_pred"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(dims))
+      .withColumn("o0", coalesce(col("o"), lit(0L)))
+      .withColumn("e",
+        col("rsum").cast("double") * col("csum").cast("double")
+          / col("n").cast("double"))
+    val diff = abs(col("o0").cast("double") - col("e"))
+    val adj = when(col("nr") === 2 && col("nc") === 2,
+      greatest(diff - lit(0.5), lit(0.0))).otherwise(diff)
+    val terms = grid.withColumn("term_u", units(adj * adj / col("e"), 6))
+    val sm = terms.agg(
+      sum("term_u").as("chi2_u"), max("n").as("n"),
+      max("nr").as("nr"), max("nc").as("nc"))
+    val minDim = least(col("nr"), col("nc")) - 1
+    terms.select(col("y_true"), col("y_pred"), col("o0"), col("e"))
+      .crossJoin(broadcast(sm))
+      .select(
+        col("y_true").as("true_genre"), col("y_pred").as("pred_genre"),
+        col("o0").as("n_obs"),
+        microRound(col("e"), 6).as("expected"),
+        col("n").as("n_samples"),
+        minDim.as("min_dim"),
+        (col("nr") === 2 && col("nc") === 2).as("yates_applied"),
+        (col("chi2_u") / 1e6).as("chi2"),
+        when(minDim <= 0, lit(0.0)).otherwise(
+          microRound(least(
+            sqrt((col("chi2_u") / 1e6)
+              / (col("n").cast("double") * minDim.cast("double"))),
+            lit(1.0)), 6)).as("cramers_v"))
+  }
+
+  def ml09(s: SparkSession, dir: String): DataFrame =
+    cramersOn(topOneOn(Tables.documents(s, dir)))
 
   def ml06(s: SparkSession, dir: String): DataFrame = {
     val langs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))

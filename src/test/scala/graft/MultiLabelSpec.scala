@@ -55,4 +55,55 @@ class MultiLabelSpec extends SparkSpec {
     assert(s.getDouble(7) == 0.6667 && s.getDouble(8) == 0.6667, "micro pools tp=2 fp=1 fn=1")
     assert(s.getDouble(9) == 0.6667, "micro_f1 of equal P,R is P")
   }
+
+  test("ml09 top-1 projection: first-≥2 truth, argmax-half prediction, ties and 'other'") {
+    val docs = Seq(
+      // toks 6 → half 3 = [join,sort,join]: true = join (first ≥2),
+      // pred = join (argmax count 2)
+      (1L, "join sort join stream stream x"),
+      // no genre twice → true 'other'; half [x,y] has no genre → pred 'other'
+      (2L, "x y sort filter"),
+      // half [stream,sort] ties 1-1 → pred = stream (earliest in genre order)
+      (3L, "stream sort filter filter")).toDF("doc_id", "text")
+    val got = MultiLabel.topOneOn(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(got(1L) == ("join", "join"))
+    assert(got(2L) == ("other", "other"))
+    assert(got(3L) == ("filter", "stream"), "true = first genre with two uses; pred tie → earliest")
+  }
+
+  test("ml09 Cramér's V: hand-computed 2×2 with Yates continuity") {
+    // cells: (a,a)=10 (a,b)=2 (b,a)=3 (b,b)=5 → n=20, rsums 12/8,
+    // csums 13/7, e = [7.8 4.2 5.2 2.8]; every |o−e| = 2.2, Yates
+    // shrinks to 1.7; terms(1e-6) = 370513+688095+555769+1032143
+    // = 2646520 → chi2 2.64652, v = √(2.64652/20) → 0.363766
+    val singles = (Seq.fill(10)(("a", "a")) ++ Seq.fill(2)(("a", "b")) ++
+      Seq.fill(3)(("b", "a")) ++ Seq.fill(5)(("b", "b")))
+      .zipWithIndex.map { case ((t, p), i) => (i.toLong, t, p) }
+      .toDF("doc_id", "y_true", "y_pred")
+    val rows = MultiLabel.cramersOn(singles).collect()
+    assert(rows.length == 4)
+    val byCell = rows.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byCell(("a", "a")).getLong(2) == 10 && byCell(("a", "a")).getDouble(3) == 7.8)
+    assert(byCell(("a", "b")).getDouble(3) == 4.2)
+    assert(byCell(("b", "a")).getDouble(3) == 5.2)
+    assert(byCell(("b", "b")).getDouble(3) == 2.8)
+    val r0 = rows(0)
+    assert(r0.getLong(4) == 20 && r0.getLong(5) == 1)
+    assert(r0.getBoolean(6), "2x2 after filtering → Yates applied")
+    assert(r0.getDouble(7) == 2.64652, "chi2 from 1e-6-quantized Yates terms")
+    assert(r0.getDouble(8) == 0.363766)
+  }
+
+  test("ml09 min_dim early-out: a single predicted class yields v = 0 (and chi2 is identically 0)") {
+    val singles = (Seq.fill(3)(("a", "x")) ++ Seq.fill(2)(("b", "x")))
+      .zipWithIndex.map { case ((t, p), i) => (i.toLong, t, p) }
+      .toDF("doc_id", "y_true", "y_pred")
+    val rows = MultiLabel.cramersOn(singles).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(r => r.getLong(5) == 0L), "min_dim = min(2,1) − 1 = 0")
+    assert(rows.forall(r => !r.getBoolean(6)), "1 column → no Yates")
+    assert(rows.forall(r => r.getDouble(7) == 0.0), "one column: every o = e")
+    assert(rows.forall(r => r.getDouble(8) == 0.0), "the :371 early-out pinned")
+  }
 }

@@ -634,6 +634,12 @@ class PlanSpec extends SparkSpec {
     val m = formatted("ml08_accuracy_wilson_ci")
     assert(!m.contains("Window") && !m.contains("Join"),
       "ml08: two aggregations and a projection, nothing else")
+    // ml09: ONE corpus shuffle (the cells groupBy); marginals, the
+    // R×C grid, χ² and v all run on the bounded cells frame — every
+    // join broadcast, zero windows, zero sort-merge
+    val c9 = formatted("ml09_confusion_effect")
+    assert(!c9.contains("SortMergeJoin") && !c9.contains("Window"),
+      "ml09: bounded-frame broadcasts only")
   }
 
   test("qe06's per-group windows stay partitioned; no cartesian, no unpartitioned window") {
