@@ -78,7 +78,9 @@ object Scratch {
       "as01_article_sizes", "vg02_golden_dataset_report",
       "td01_training_csv_build", "tt02_threshold_tuning",
       "pl01_pseudo_label_selection", "pe01_pipeline_health",
-      "td02_tag_vote_labels")
+      "td02_tag_vote_labels",
+      "fo01_recap_outlier_filter", "ml08_accuracy_wilson_ci",
+      "ml09_confusion_effect")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
