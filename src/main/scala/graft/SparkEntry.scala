@@ -181,6 +181,8 @@ object SparkEntry {
     "gd02_golden_rouge_genres"      -> (Golden.gd02 _),
     "gw01_genre_weights"            -> (GenreWeights.gw01 _),
     "gw02_genre_embedding_bias"     -> (GenreWeights.gw02 _),
+    "gw03_retrain_weights"          -> (GenreRetrain.gw03 _),
+    "gw04_retrain_embed_bias"       -> (GenreRetrain.gw04 _),
     "km01_spherical_kmeans"         -> (KMeans.km01 _),
     "km02_minibatch_kmeans"         -> (KMeans.km02 _),
     "km03_density_clusters"         -> (Density.km03 _),
@@ -1368,6 +1370,110 @@ object SparkEntry {
                LEFT JOIN tot USING (genre), td"""
   }
 
+  /** gw03/gw04 shared composition + the one-pass count prefix —
+    * generated from GenreRetrain's Scala values so the two sides
+    * cannot drift. Whitespace tokenization (NOT gw01's regex),
+    * occurrence counting, per-(sample, valid genre) duplication, and
+    * document-frequency over ALL samples.
+    */
+  private val gw34OracleBase: String = {
+    def sqlList(xs: Seq[String]) = "['" + xs.mkString("','") + "']"
+    val gs = sqlList(operators.GenreRetrain.genres)
+    val rs = sqlList(operators.GenreRetrain.residueGenres)
+    val vs = sqlList(operators.GenreRetrain.vocab)
+    s"""WITH smp AS (SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0
+                THEN [$rs[CAST(doc_id % 31 AS INT) + 1], 'tech']
+                ELSE [$rs[CAST(doc_id % 31 AS INT) + 1]] END AS genres,
+           text
+             || CASE WHEN doc_id % 2 = 0 THEN ' Economy business economy' ELSE '' END
+             || CASE WHEN doc_id % 3 = 0 THEN ' transformers and treaty' ELSE '' END
+             || CASE WHEN doc_id % 5 = 0 THEN ' cybersecurity diplomacy briefing' ELSE '' END
+             || CASE WHEN doc_id % 7 = 0 THEN ' confidential computing summit' ELSE '' END
+             || CASE WHEN doc_id % 11 = 0 THEN ' 人工知能 投資 医療' ELSE '' END
+             || CASE WHEN doc_id % 13 = 0 THEN ' 量子 サッカー 音楽 政府' ELSE '' END AS text0
+         FROM documents),
+       tk AS (SELECT doc_id, genres,
+                list_filter(string_split_regex(replace(lower(text0), '　', ' '), '\\s+'),
+                  t -> t <> '') AS toks
+              FROM smp),
+       ex AS (SELECT doc_id, genres,
+                list_concat(toks,
+                  list_transform(list_filter(toks, t -> length(t) > 3 AND t LIKE '%s'),
+                    t -> substr(t, 1, CAST(length(t) - 1 AS INT)))) AS etoks
+              FROM tk),
+       m AS (SELECT doc_id,
+               list_filter(list_transform(genres, g -> lower(g)),
+                 g -> list_contains($gs, g)) AS vgen,
+               list_filter(etoks, t -> list_contains($vs, t)) AS matched
+             FROM ex),
+       td AS (SELECT count(*) AS total_docs FROM m),
+       dfq AS (SELECT t.term, count(*) AS df
+               FROM m, unnest(list_distinct(matched)) t(term) GROUP BY 1),
+       gt AS (SELECT g.genre, count(*) AS n_g
+              FROM m, unnest(vgen) g(genre) GROUP BY 1),
+       cnt AS (SELECT g.genre, t.term, count(*) AS cnt
+               FROM m, unnest(vgen) g(genre), unnest(matched) t(term)
+               GROUP BY 1, 2),
+       tt AS (SELECT genre, CAST(sum(cnt) AS BIGINT) AS total_terms_g
+              FROM cnt GROUP BY 1)"""
+  }
+
+  private val gw03OracleSql: String = {
+    def sqlList(xs: Seq[String]) = "['" + xs.mkString("','") + "']"
+    val gs = sqlList(operators.GenreRetrain.genres)
+    val vs = sqlList(operators.GenreRetrain.vocab)
+    s"""$gw34OracleBase,
+       idf AS (SELECT v.term,
+                 CAST(round((ln(CAST(td.total_docs + 1 AS DOUBLE)
+                     / (coalesce(dfq.df, 0) + 1)) + 1.0) * 1e3) AS BIGINT) / 1e3 AS idf
+               FROM (SELECT unnest($vs) AS term) v
+               LEFT JOIN dfq ON dfq.term = v.term, td),
+       mat AS (SELECT g.genre, v.term
+               FROM (SELECT unnest($gs) AS genre) g,
+                    (SELECT unnest($vs) AS term) v)
+       SELECT mat.genre, mat.term,
+              coalesce(cnt.cnt, 0) AS cnt,
+              coalesce(tt.total_terms_g, 0) AS total_terms_g,
+              idf.idf,
+              CASE WHEN coalesce(tt.total_terms_g, 0) > 0
+                   THEN CAST(round(coalesce(cnt.cnt, 0) * idf.idf * 1e3
+                          / tt.total_terms_g) AS BIGINT) / 1e3
+                   ELSE 0.0 END AS weight
+       FROM mat LEFT JOIN cnt USING (genre, term)
+            JOIN idf ON idf.term = mat.term
+            LEFT JOIN tt USING (genre)"""
+  }
+
+  private val gw04OracleSql: String = {
+    def sqlList(xs: Seq[String]) = "['" + xs.mkString("','") + "']"
+    val gs = sqlList(operators.GenreRetrain.genres)
+    val embValues = operators.GenreRetrain.embedLookup.flatMap {
+      case (t, ms) => ms.zipWithIndex.map { case (mu, d) => s"('$t', $d, $mu)" }
+    }.mkString(", ")
+    s"""$gw34OracleBase,
+       emb AS (SELECT * FROM (VALUES $embValues) e(term, dim_idx, mu)),
+       ag AS (SELECT cnt.genre, emb.dim_idx,
+                     sum(cnt.cnt * emb.mu) AS smu,
+                     CAST(sum(cnt.cnt) AS BIGINT) AS total_w
+              FROM cnt JOIN emb USING (term) GROUP BY 1, 2),
+       ts AS (SELECT sum(n_g) AS total_samples FROM gt),
+       fr AS (SELECT g.genre, d.dim_idx
+              FROM (SELECT unnest($gs) AS genre) g,
+                   (SELECT unnest(generate_series(0, 5)) AS dim_idx) d)
+       SELECT fr.genre, CAST(fr.dim_idx AS INT) AS dim_idx,
+              coalesce(ag.total_w, 0) AS total_w,
+              CASE WHEN coalesce(ag.total_w, 0) > 0
+                   THEN CAST(round(CAST(ag.smu AS DOUBLE) / ag.total_w) AS BIGINT) / 1e3
+                   ELSE 0.0 END AS emb_weight,
+              coalesce(gt.n_g, 0) AS n_g,
+              CASE WHEN coalesce(gt.n_g, 0) > 0
+                   THEN CAST(round(ln(CAST(ts.total_samples AS DOUBLE) / gt.n_g) * 1e3) AS BIGINT) / 1e3
+                   ELSE 0.0 END AS bias
+       FROM fr LEFT JOIN ag USING (genre, dim_idx)
+            LEFT JOIN gt USING (genre), ts"""
+  }
+
   /** gv01-gv06 shared composed learning-results view + as-of frame. */
   private val gvOracleBase: String =
     """WITH lr AS (SELECT event_id % 37 AS job_id,
@@ -2426,6 +2532,8 @@ object SparkEntry {
        FROM lx GROUP BY 1 ORDER BY count DESC, tag LIMIT 10"""),
     "gw01_genre_weights" -> gw01OracleSql,
     "gw02_genre_embedding_bias" -> gw02OracleSql,
+    "gw03_retrain_weights" -> gw03OracleSql,
+    "gw04_retrain_embed_bias" -> gw04OracleSql,
     "ps01_prompt_sanitize" -> ps01OracleSql,
     "hy01_hyde_sanitize" -> hy01OracleSql,
     "qf01_query_facets" -> qf01OracleSelect,

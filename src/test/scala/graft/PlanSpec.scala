@@ -642,6 +642,18 @@ class PlanSpec extends SparkSpec {
       "ml09: bounded-frame broadcasts only")
   }
 
+  test("gw03/gw04 plan one corpus pass onto bounded keys; broadcasts only, no windows") {
+    // the sentinel-family explode makes genre counts, pair totals,
+    // document frequency and the corpus count ONE map-side-combined
+    // shuffle; idf/matrix/embedding/bias all join broadcast bounded
+    // frames (gw01's shape, re-verified for the retrain variant)
+    Seq("gw03_retrain_weights", "gw04_retrain_embed_bias").foreach { q =>
+      val f = formatted(q)
+      assert(!f.contains("SortMergeJoin") && !f.contains("Window"),
+        s"$q: bounded-frame broadcasts only")
+    }
+  }
+
   test("qe06's per-group windows stay partitioned; no cartesian, no unpartitioned window") {
     val nodes = allNodes(finalPlan("qe06_recap_coverage"))
     assert(nodes.collect {
