@@ -299,6 +299,7 @@ object SparkEntry {
     "ml07_dataset_quality"          -> (MultiLabel.ml07 _),
     "ml08_accuracy_wilson_ci"       -> (MultiLabel.ml08 _),
     "ml09_confusion_effect"         -> (MultiLabel.ml09 _),
+    "gc01_classifier_decision"      -> (ClassifierDecision.gc01 _),
     // Job-queue / outbox read models (pre-processor)
     "jq01_stale_pending"            -> (JobQueue.jq01 _),
     "jq02_queue_health"             -> (JobQueue.jq02 _),
@@ -1472,6 +1473,42 @@ object SparkEntry {
                    ELSE 0.0 END AS bias
        FROM fr LEFT JOIN ag USING (genre, dim_idx)
             LEFT JOIN gt USING (genre), ts"""
+  }
+
+  /** gc01: thresholds generated from ClassifierDecision's literals;
+    * the single (pass desc, score desc, genre asc) ordering carries
+    * candidates[0] and the argmax fallback alike.
+    */
+  private val gc01OracleSql: String = {
+    val gs = operators.MultiLabel.Genres
+    val genreList = "['" + gs.mkString("','") + "']"
+    val thrList = "[" + gs.map(g =>
+      operators.ClassifierDecision.thresholds
+        .getOrElse(g, operators.ClassifierDecision.DefaultThresholdU)).mkString(",") + "]"
+    s"""WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+           FROM documents),
+       sc AS (SELECT doc_id, g.genre, g.thr_u,
+                     CAST(round(len(list_filter(toks, x -> x = g.genre)) * 1e6
+                        / len(toks)) AS BIGINT) AS score_u
+              FROM d, (SELECT unnest($genreList) AS genre,
+                              unnest($thrList) AS thr_u) g),
+       rk AS (SELECT *, (score_u >= thr_u) AS pass,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY (score_u >= thr_u) DESC, score_u DESC, genre ASC) AS rn,
+                     sum(CASE WHEN score_u >= thr_u THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id) AS n_pass,
+                     first_value(genre) OVER (PARTITION BY doc_id
+                       ORDER BY (score_u >= thr_u) DESC, score_u DESC, genre ASC) AS top_genre,
+                     first_value(score_u) OVER (PARTITION BY doc_id
+                       ORDER BY (score_u >= thr_u) DESC, score_u DESC, genre ASC) AS top_u
+              FROM sc)
+       SELECT doc_id, top_genre, top_u / 1e6 AS confidence,
+              (n_pass = 0) AS below_threshold,
+              CAST(rn AS INT) AS rank, genre AS cand_genre,
+              score_u / 1e6 AS cand_score, thr_u / 1e6 AS cand_threshold
+       FROM rk
+       WHERE (pass AND rn <= ${operators.ClassifierDecision.TopK})
+          OR (n_pass = 0 AND rn = 1)"""
   }
 
   /** gv01-gv06 shared composed learning-results view + as-of frame. */
@@ -5881,6 +5918,7 @@ object SparkEntry {
     // top-1 confusion matrix + Cramér's V: χ² terms quantize to
     // 1e-6-unit longs BEFORE the sum (order-independent); expected
     // values are the same rs·cs/n double chain in both engines
+    "gc01_classifier_decision" -> gc01OracleSql,
     "ml09_confusion_effect" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
          h AS (SELECT doc_id, toks,

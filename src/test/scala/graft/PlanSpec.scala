@@ -642,6 +642,16 @@ class PlanSpec extends SparkSpec {
       "ml09: bounded-frame broadcasts only")
   }
 
+  test("gc01 is one doc_id-partitioned window pass — no joins at all") {
+    val f = formatted("gc01_classifier_decision")
+    assert(!f.contains("Join"), "gc01: scan + stack + one window lineage, zero joins")
+    val unpart = allNodes(finalPlan("gc01_classifier_decision")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty, "gc01: every window must partition by doc_id")
+  }
+
   test("gw03/gw04 plan one corpus pass onto bounded keys; broadcasts only, no windows") {
     // the sentinel-family explode makes genre counts, pair totals,
     // document frequency and the corpus count ONE map-side-combined
