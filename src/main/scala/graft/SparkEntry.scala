@@ -300,6 +300,8 @@ object SparkEntry {
     "ml08_accuracy_wilson_ci"       -> (MultiLabel.ml08 _),
     "ml09_confusion_effect"         -> (MultiLabel.ml09 _),
     "gc01_classifier_decision"      -> (ClassifierDecision.gc01 _),
+    "hm01_bm25_features"            -> (HybridModel.hm01 _),
+    "hm02_hybrid_scores"            -> (HybridModel.hm02 _),
     // Job-queue / outbox read models (pre-processor)
     "jq01_stale_pending"            -> (JobQueue.jq01 _),
     "jq02_queue_health"             -> (JobQueue.jq02 _),
@@ -1509,6 +1511,82 @@ object SparkEntry {
        FROM rk
        WHERE (pass AND rn <= ${operators.ClassifierDecision.TopK})
           OR (n_pass = 0 AND rn = 1)"""
+  }
+
+  /** hm01/hm02 shared tokens + raw-count prefix — generated from
+    * HybridModel's literals (which are themselves the checked-in
+    * weights JSON) so the engines cannot drift. Reuses gw03's
+    * composed corpus text.
+    */
+  private val hmOracleBase: String = {
+    val terms = operators.GenreRetrain.vocab
+    val termList = "['" + terms.mkString("','") + "']"
+    val tiList = "[" + terms.indices.mkString(",") + "]"
+    val idfList = "[" + operators.HybridModel.idfU.mkString(",") + "]"
+    val smp = gw34OracleBase.substring(0, gw34OracleBase.indexOf("tk AS"))
+    s"""${smp}tk AS (SELECT doc_id,
+                list_filter(string_split_regex(replace(lower(text0), '　', ' '), '\\s+'),
+                  t -> t <> '') AS toks
+              FROM smp),
+       rc AS (SELECT doc_id, len(toks) AS dl, v.ti, v.term, v.idf_u,
+                     len(list_filter(toks, x -> x = v.term)) AS raw
+              FROM tk, (SELECT unnest($termList) AS term,
+                               unnest($tiList) AS ti,
+                               unnest($idfList) AS idf_u) v),
+       hg AS (SELECT doc_id, CAST(sum(raw) AS BIGINT) AS hits,
+                     max(dl) AS dl,
+                     CASE WHEN max(dl) > 0
+                          THEN 1.0 - 0.75 + 0.75 * (CAST(max(dl) AS DOUBLE) / 320.0)
+                          ELSE 1.0 END AS lnorm
+              FROM rc GROUP BY 1)"""
+  }
+
+  private val hm01OracleSql: String =
+    s"""$hmOracleBase
+       SELECT r.doc_id, r.term, r.raw, h.hits AS total_hits,
+              h.dl AS doc_len,
+              CAST(round((CAST(r.raw AS DOUBLE) / h.hits) * (r.idf_u / 1000.0) * 1e6) AS BIGINT) / 1e6 AS tfidf,
+              CAST(round((r.idf_u / 1000.0) * (CAST(r.raw AS DOUBLE) * 2.6)
+                   / (CAST(r.raw AS DOUBLE) + 1.6 * h.lnorm) * 1e6) AS BIGINT) / 1e6 AS bm25
+       FROM rc r JOIN hg h USING (doc_id)
+       WHERE r.raw > 0"""
+
+  private val hm02OracleSql: String = {
+    val coValues = operators.HybridModel.coefU.zipWithIndex.flatMap {
+      case ((g, cs), gi) =>
+        val biasU = operators.HybridModel.weightRows(gi)._4
+        cs.zipWithIndex.map { case (c, ti) => s"($gi, '$g', $biasU, $ti, $c)" }
+    }.mkString(", ")
+    s"""$hmOracleBase,
+       co AS (SELECT * FROM (VALUES $coValues) c(gi, genre, bias_u, ti, c_u)),
+       sg AS (SELECT r.doc_id, c.gi, CAST(sum(r.raw * c.c_u) AS BIGINT) AS s
+              FROM rc r JOIN co c ON c.ti = r.ti
+              WHERE r.raw > 0 GROUP BY 1, 2),
+       gr AS (SELECT h.doc_id, h.hits, g.gi, g.genre, g.bias_u,
+                     coalesce(s.s, 0) AS s
+              FROM hg h CROSS JOIN (SELECT DISTINCT gi, genre, bias_u FROM co) g
+              LEFT JOIN sg s ON s.doc_id = h.doc_id AND s.gi = g.gi),
+       sc AS (SELECT doc_id, gi, genre,
+                     CASE WHEN hits > 0 THEN bias_u * hits * 1000 + s
+                          ELSE bias_u END AS key,
+                     CASE WHEN hits > 0
+                          THEN CAST(bias_u * hits * 1000 + s AS DOUBLE)
+                               / (CAST(hits AS DOUBLE) * 1e6)
+                          ELSE bias_u / 1000.0 END AS score
+              FROM gr),
+       top AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                       ORDER BY key DESC, gi ASC) AS rnk
+               FROM sc),
+       pk AS (SELECT r.doc_id,
+                     coalesce(max(CASE WHEN r.raw > 0
+                       THEN (r.idf_u / 1000.0) * (CAST(r.raw AS DOUBLE) * 2.6)
+                            / (CAST(r.raw AS DOUBLE) + 1.6 * h.lnorm) END), 0.0) AS peak
+              FROM rc r JOIN hg h USING (doc_id) GROUP BY 1)
+       SELECT t.doc_id, CAST(t.rnk AS INT) AS rank, t.genre,
+              CAST(round(t.score * 1e6) AS BIGINT) / 1e6 AS score,
+              CAST(round(p.peak * 1e6) AS BIGINT) / 1e6 AS bm25_peak
+       FROM top t JOIN pk p USING (doc_id)
+       WHERE t.rnk <= 3"""
   }
 
   /** gv01-gv06 shared composed learning-results view + as-of frame. */
@@ -5919,6 +5997,8 @@ object SparkEntry {
     // 1e-6-unit longs BEFORE the sum (order-independent); expected
     // values are the same rs·cs/n double chain in both engines
     "gc01_classifier_decision" -> gc01OracleSql,
+    "hm01_bm25_features" -> hm01OracleSql,
+    "hm02_hybrid_scores" -> hm02OracleSql,
     "ml09_confusion_effect" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
          h AS (SELECT doc_id, toks,

@@ -80,7 +80,8 @@ object Scratch {
       "pl01_pseudo_label_selection", "pe01_pipeline_health",
       "td02_tag_vote_labels",
       "fo01_recap_outlier_filter", "ml08_accuracy_wilson_ci",
-      "ml09_confusion_effect")
+      "ml09_confusion_effect", "gw03_retrain_weights",
+      "gw04_retrain_embed_bias", "gc01_classifier_decision")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

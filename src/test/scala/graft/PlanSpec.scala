@@ -652,6 +652,14 @@ class PlanSpec extends SparkSpec {
     assert(unpart.isEmpty, "gc01: every window must partition by doc_id")
   }
 
+  test("hm01/hm02 are stateless scan projections — the weight matrix lives in codegen, not a join") {
+    Seq("hm01_bm25_features", "hm02_hybrid_scores").foreach { q =>
+      val f = formatted(q)
+      assert(!f.contains("Join") && !f.contains("Window") && !f.contains("Exchange"),
+        s"$q: zero shuffles — raw counts, the 29 integer dot products and the in-row top-3 all fuse into the scan")
+    }
+  }
+
   test("gw03/gw04 plan one corpus pass onto bounded keys; broadcasts only, no windows") {
     // the sentinel-family explode makes genre counts, pair totals,
     // document frequency and the corpus count ONE map-side-combined
