@@ -302,6 +302,7 @@ object SparkEntry {
     "gc01_classifier_decision"      -> (ClassifierDecision.gc01 _),
     "hm01_bm25_features"            -> (HybridModel.hm01 _),
     "hm02_hybrid_scores"            -> (HybridModel.hm02 _),
+    "pre01_preprocess_gate"         -> (Preprocess.pre01 _),
     // Job-queue / outbox read models (pre-processor)
     "jq01_stale_pending"            -> (JobQueue.jq01 _),
     "jq02_queue_health"             -> (JobQueue.jq02 _),
@@ -5999,6 +6000,57 @@ object SparkEntry {
     "gc01_classifier_decision" -> gc01OracleSql,
     "hm01_bm25_features" -> hm01OracleSql,
     "hm02_hybrid_scores" -> hm02OracleSql,
+    // recap-worker preprocess gate: the 10·ja >= 3·total integer gate,
+    // both tokenizers, both short-content exceptions; regexp_replace
+    // needs the 'g' flag (DuckDB defaults to first-match)
+    "pre01_preprocess_gate" ->
+      """WITH art AS (SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN 'ja' ELSE lang END AS language,
+             CASE WHEN doc_id % 3 = 0 THEN TRUE
+                  ELSE regexp_matches(text, '(?s)<[/!?A-Za-z].*>') END AS was_html,
+             CASE WHEN doc_id % 17 = 0 THEN 'tiny note only'
+                  WHEN doc_id % 17 = 1 THEN '短い文です。'
+                  WHEN doc_id % 17 = 2 THEN 'tiny note 42'
+                  WHEN doc_id % 17 = 3 THEN '   '
+                  WHEN doc_id % 5 = 0 THEN '日本語のテキスト実験 mixed 42 ' || substr(text, 1, 40)
+                  ELSE text END AS content
+           FROM documents),
+         tr AS (SELECT *, regexp_replace(content, '^\s+|\s+$', '', 'g') AS t
+                FROM art),
+         st AS (SELECT *, length(t) AS char_count,
+                       regexp_replace(t, '\s', '', 'g') AS nonws
+                FROM tr WHERE t <> ''),
+         jc AS (SELECT *,
+                       length(regexp_replace(nonws, '[^\x{3040}-\x{309F}\x{30A0}-\x{30FF}\x{4E00}-\x{9FAF}]', '', 'g')) AS ja_chars,
+                       length(nonws) AS total_chars
+                FROM st),
+         gt AS (SELECT *,
+                       (total_chars > 0 AND ja_chars * 10 >= total_chars * 3) AS ja_heavy
+                FROM jc),
+         ml AS (SELECT *, CASE WHEN ja_heavy THEN 10 ELSE 20 END AS min_len,
+                       (length(regexp_replace(t, '[^\p{L}\p{N}]', '', 'g'))) AS ja_n,
+                       regexp_replace(t, '[^\p{L}\p{N}]', '', 'g') AS ja_filtered,
+                       list_filter(regexp_extract_all(lower(t), '[\p{L}\p{N}]+'),
+                         w -> length(w) >= 2) AS latin_toks
+                FROM gt)
+         SELECT doc_id, language, was_html,
+                CAST(char_count AS BIGINT) AS char_count,
+                CAST(ja_chars AS BIGINT) AS ja_chars,
+                CASE WHEN total_chars > 0
+                     THEN CAST(round(ja_chars * 1e6 / total_chars) AS BIGINT) / 1e6
+                     ELSE 0.0 END AS ja_ratio,
+                CAST(min_len AS BIGINT) AS min_len,
+                CAST(CASE WHEN language LIKE 'ja%' THEN
+                       CASE WHEN ja_n >= 2 THEN ja_n - 1
+                            WHEN ja_n = 1 THEN 1 ELSE 0 END
+                     ELSE len(latin_toks) END AS BIGINT) AS n_tokens,
+                CASE WHEN language LIKE 'ja%' THEN
+                       CASE WHEN ja_n >= 2 THEN substr(ja_filtered, 1, 2)
+                            WHEN ja_n = 1 THEN ja_filtered END
+                     ELSE latin_toks[1] END AS first_token
+         FROM ml
+         WHERE char_count >= min_len OR ends_with(t, '。')
+            OR regexp_matches(t, '\p{Nd}')""",
     "ml09_confusion_effect" ->
       """WITH d AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
          h AS (SELECT doc_id, toks,

@@ -652,6 +652,12 @@ class PlanSpec extends SparkSpec {
     assert(unpart.isEmpty, "gc01: every window must partition by doc_id")
   }
 
+  test("pre01 is a stateless filter-projection — the gate pushes into the scan") {
+    val f = formatted("pre01_preprocess_gate")
+    assert(!f.contains("Join") && !f.contains("Window") && !f.contains("Exchange"),
+      "pre01: regex counts + integer gate + tokenizers, all in one codegen span")
+  }
+
   test("hm01/hm02 are stateless scan projections — the weight matrix lives in codegen, not a join") {
     Seq("hm01_bm25_features", "hm02_hybrid_scores").foreach { q =>
       val f = formatted(q)
