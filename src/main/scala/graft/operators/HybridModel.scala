@@ -217,31 +217,59 @@ object HybridModel {
     * (doc_id, rank, genre, score, bm25_peak).
     */
   def scoresOn(docs: DataFrame): DataFrame = {
-    val wide = docs.select(
-      (col("doc_id") +: size(col("toks")).cast("long").as("dl") +: rawCols): _*)
+    // Two ev33 explode barriers: the first materializes ONE pass over
+    // the full token array (vocabulary membership filter) so the 19
+    // per-term counts scan only the tiny hit list; the second
+    // materializes the 19-count array so the 29 genre numerators
+    // reference attributes instead of re-inlined scans. Without them
+    // CollapseProject re-inlined the full-array scans into all ~580
+    // uses — measured 575 s; with them, sub-second at sf0.1.
+    val pre = docs.select(col("doc_id"),
+      explode(array(struct(
+        size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"),
+          t => array_contains(typedLit(GenreRetrain.vocab), t)).as("ht"))))
+        .as("x"))
+      .select(col("doc_id"), col("x.dl").as("dl"), col("x.ht").as("ht"))
+    val wide = pre.select(col("doc_id"), col("dl"),
+      explode(array(struct(transform(typedLit(GenreRetrain.vocab),
+        v => size(filter(col("ht"), t => t === v)).cast("long")).as("raw"))))
+        .as("y"))
+      .select(col("doc_id"), col("dl"), col("y.raw").as("raw_arr"))
       .withColumn("hits",
-        GenreRetrain.vocab.indices.map(i => col(s"r_$i")).reduce(_ + _))
+        aggregate(col("raw_arr"), lit(0L), (acc, x) => acc + x))
       .withColumn("ln", lengthNorm)
-    // integer numerator per genre; hits = 0 ranks by bias alone
-    val entries = coefU.zipWithIndex.map { case ((g, cs), gi) =>
-      val biasU = weightRows(gi)._4
-      val s = GenreRetrain.vocab.indices
-        .map(i => col(s"r_$i") * lit(cs(i))).reduce(_ + _)
-      val n = lit(biasU) * col("hits") * lit(1000L) + s
-      val key = when(col("hits") > 0, n).otherwise(lit(biasU))
+    // integer numerator per genre, as HOF loops over literal arrays —
+    // the unrolled 29×19 formulation generated a ~600-op expression
+    // tree that fell out of codegen (measured 5.7 s vs sub-second)
+    val coefMat = typedLit(coefU.map(_._2))
+    val biasArr = typedLit(weightRows.map(_._4))
+    val genreArr = typedLit(genres)
+    val idfArr = typedLit(idfU)
+    val rawArr = col("raw_arr")
+    val entries = transform(sequence(lit(0), lit(genres.size - 1)), gi => {
+      val biasU = element_at(biasArr, gi + 1)
+      val s = aggregate(
+        zip_with(rawArr, element_at(coefMat, gi + 1), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      val n = biasU * col("hits") * lit(1000L) + s
+      val key = when(col("hits") > 0, n).otherwise(biasU)
       val score = when(col("hits") > 0,
         n.cast("double") / (col("hits").cast("double") * 1e6))
-        .otherwise(lit(biasU / 1000.0))
-      struct(key.as("key"), lit(-gi).as("negi"), lit(g).as("genre"),
+        .otherwise(biasU.cast("double") / 1000.0)
+      struct(key.as("key"), (lit(0) - gi).as("negi"),
+        element_at(genreArr, gi + 1).as("genre"),
         microRound(score, 6).as("score"))
-    }
+    })
     val peak = coalesce(
-      greatest(GenreRetrain.vocab.indices.map(i =>
-        when(col(s"r_$i") > 0, bm25Of(col(s"r_$i"), i))): _*),
+      array_max(zip_with(rawArr, idfArr, (raw, idfu) =>
+        when(raw > 0,
+          (idfu.cast("double") / 1000.0) * (raw.cast("double") * (K1 + 1.0)) /
+            (raw.cast("double") + lit(K1) * col("ln"))))),
       lit(0.0))
     wide
       .withColumn("top3",
-        slice(reverse(array_sort(array(entries: _*))), 1, 3))
+        slice(reverse(array_sort(entries)), 1, 3))
       .withColumn("bm25_peak", microRound(peak, 6))
       .select(col("doc_id"), col("bm25_peak"),
         posexplode(col("top3")).as(Seq("pos", "e")))

@@ -81,7 +81,9 @@ object Scratch {
       "td02_tag_vote_labels",
       "fo01_recap_outlier_filter", "ml08_accuracy_wilson_ci",
       "ml09_confusion_effect", "gw03_retrain_weights",
-      "gw04_retrain_embed_bias", "gc01_classifier_decision")
+      "gw04_retrain_embed_bias", "gc01_classifier_decision",
+      "hm01_bm25_features", "hm02_hybrid_scores",
+      "pre01_preprocess_gate")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
