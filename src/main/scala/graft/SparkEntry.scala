@@ -303,6 +303,7 @@ object SparkEntry {
     "hm01_bm25_features"            -> (HybridModel.hm01 _),
     "hm02_hybrid_scores"            -> (HybridModel.hm02 _),
     "pre01_preprocess_gate"         -> (Preprocess.pre01 _),
+    "hm03_corpus_vocab"             -> (HybridModel.hm03 _),
     // Job-queue / outbox read models (pre-processor)
     "jq01_stale_pending"            -> (JobQueue.jq01 _),
     "jq02_queue_health"             -> (JobQueue.jq02 _),
@@ -1551,6 +1552,26 @@ object SparkEntry {
                    / (CAST(r.raw AS DOUBLE) + 1.6 * h.lnorm) * 1e6) AS BIGINT) / 1e6 AS bm25
        FROM rc r JOIN hg h USING (doc_id)
        WHERE r.raw > 0"""
+
+  private val hm03OracleSql: String =
+    s"""$hmOracleBase,
+       tot AS (SELECT count(*) AS total_docs,
+                      CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+               FROM tk),
+       dfq AS (SELECT t.token, count(*) AS df
+               FROM tk, unnest(list_distinct(list_transform(toks, x -> lower(x)))) t(token)
+               GROUP BY 1),
+       top AS (SELECT token, df,
+                      row_number() OVER (ORDER BY df DESC, token ASC) AS rank
+               FROM dfq)
+       SELECT CAST(rank AS INT) AS rank, token, df,
+              CAST(round((ln(CAST(total_docs + 1 AS DOUBLE) / (df + 1)) + 1.0) * 1e6) AS BIGINT) / 1e6 AS idf,
+              total_docs, total_tokens,
+              CASE WHEN total_docs > 0
+                   THEN CAST(round(CAST(total_tokens AS DOUBLE) / CAST(total_docs AS DOUBLE) * 1e6) AS BIGINT) / 1e6
+                   ELSE 320.0 END AS avg_doc_len
+       FROM top, tot
+       WHERE rank <= ${operators.HybridModel.VocabSize}"""
 
   private val hm02OracleSql: String = {
     val coValues = operators.HybridModel.coefU.zipWithIndex.flatMap {
@@ -6000,6 +6021,7 @@ object SparkEntry {
     "gc01_classifier_decision" -> gc01OracleSql,
     "hm01_bm25_features" -> hm01OracleSql,
     "hm02_hybrid_scores" -> hm02OracleSql,
+    "hm03_corpus_vocab" -> hm03OracleSql,
     // recap-worker preprocess gate: the 10·ja >= 3·total integer gate,
     // both tokenizers, both short-content exceptions; regexp_replace
     // needs the 'g' flag (DuckDB defaults to first-match)

@@ -278,6 +278,54 @@ object HybridModel {
         col("bm25_peak"))
   }
 
+  /** hm03: the DYNAMIC vocabulary builder — features.rs
+    * build_from_corpus (:166-241), the startup path workflow.rs:146
+    * runs over the golden dataset (from_golden_dataset → vocab_size
+    * 1000):
+    *  - document frequency over per-document UNIQUE lowercased
+    *    tokens; total token count over the RAW (non-deduped) lists;
+    *  - the top vocab_size tokens by DF descending — Rust's stable
+    *    sort_by_key(Reverse(df)) keeps HashMap iteration order on
+    *    ties, which is nondeterministic; determinized as
+    *    (df desc, token asc), mirrored in the oracle;
+    *  - idf = ln((N+1)/(df+1)) + 1 (the gw03 smooth formula, unrounded
+    *    here — output quantizes once at 1e-6);
+    *  - avg_doc_len = total_tokens/total_docs, the :208 empty-corpus
+    *    320.0 fallback kept.
+    *
+    * Scale: ONE corpus explode onto distinct-token keys (map-side
+    * combined), a TakeOrdered top-K for the vocabulary cut, and a
+    * row_number on the ≤vocab_size SELECTED frame only (never a
+    * corpus window); totals ride a one-row broadcast.
+    */
+  val VocabSize = 1000
+
+  def corpusVocabOn(docs: DataFrame, vocabSize: Int = VocabSize): DataFrame = {
+    val tot = docs.agg(
+      count(lit(1)).as("total_docs"),
+      sum(size(col("toks"))).cast("long").as("total_tokens"))
+    val dfq = docs
+      .select(explode(array_distinct(transform(col("toks"), t => lower(t))))
+        .as("token"))
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val top = dfq.orderBy(col("df").desc, col("token").asc).limit(vocabSize)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("token").asc)))
+    top.crossJoin(broadcast(tot))
+      .select(col("rank").cast("int").as("rank"), col("token"), col("df"),
+        microRound(log((col("total_docs") + 1).cast("double") / (col("df") + 1))
+          + 1.0, 6).as("idf"),
+        col("total_docs"), col("total_tokens"),
+        when(col("total_docs") > 0,
+          microRound(col("total_tokens").cast("double")
+            / col("total_docs").cast("double"), 6)).otherwise(320.0)
+          .as("avg_doc_len"))
+  }
+
+  def hm03(s: SparkSession, dir: String): DataFrame =
+    corpusVocabOn(composeTokens(s, dir))
+
   def hm01(s: SparkSession, dir: String): DataFrame =
     featuresOn(composeTokens(s, dir))
 

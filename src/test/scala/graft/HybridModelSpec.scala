@@ -41,6 +41,22 @@ class HybridModelSpec extends SparkSpec {
     assert(out.forall(_.getDouble(4) == 10.201137), "bm25_peak = the economy slot's value")
   }
 
+  test("hm03: df over unique lowered tokens, raw total length, df-desc/token-asc cut, smooth idf") {
+    val docs = df(Seq(
+      (1L, Seq("Alpha", "alpha", "beta")), // alpha counts ONCE in df (unique, lowered), twice in length
+      (2L, Seq("beta", "gamma")),
+      (3L, Seq("delta"))))
+    val out = HybridModel.corpusVocabOn(docs, vocabSize = 3)
+      .orderBy("rank").collect()
+    assert(out.map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq((1, "beta", 2L, 1.287682),          // ln(4/3)+1
+        (2, "alpha", 1L, 1.693147),            // df ties order alphabetically (determinized)
+        (3, "delta", 1L, 1.693147)),
+      "gamma falls to the vocab_size cut; Alpha/alpha dedupe per document")
+    assert(out.forall(r => r.getLong(4) == 3 && r.getLong(5) == 6 && r.getDouble(6) == 2.0),
+      "avg_doc_len = RAW token total / docs = 6/3")
+  }
+
   test("hm02: zero hits scores every genre at its bias; bias ties break by genre-list index") {
     val out = HybridModel.scoresOn(df(Seq((2L, Seq("x", "zz")))))
       .orderBy("rank").collect()

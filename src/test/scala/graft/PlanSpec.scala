@@ -658,6 +658,12 @@ class PlanSpec extends SparkSpec {
       "pre01: regex counts + integer gate + tokenizers, all in one codegen span")
   }
 
+  test("hm03 cuts the vocabulary with TakeOrdered; its window runs on the bounded cut only") {
+    val f = formatted("hm03_corpus_vocab")
+    assert(f.contains("TakeOrderedAndProject"), "top-K must not full-sort the token frame")
+    assert(!f.contains("SortMergeJoin"))
+  }
+
   test("hm01/hm02 are stateless scan projections — the weight matrix lives in codegen, not a join") {
     Seq("hm01_bm25_features", "hm02_hybrid_scores").foreach { q =>
       val f = formatted(q)
