@@ -304,6 +304,7 @@ object SparkEntry {
     "hm02_hybrid_scores"            -> (HybridModel.hm02 _),
     "pre01_preprocess_gate"         -> (Preprocess.pre01 _),
     "hm03_corpus_vocab"             -> (HybridModel.hm03 _),
+    "eq01_expansion_parse"          -> (ExpandQuery.eq01 _),
     // Job-queue / outbox read models (pre-processor)
     "jq01_stale_pending"            -> (JobQueue.jq01 _),
     "jq02_queue_health"             -> (JobQueue.jq02 _),
@@ -1552,6 +1553,89 @@ object SparkEntry {
                    / (CAST(r.raw AS DOUBLE) + 1.6 * h.lnorm) * 1e6) AS BIGINT) / 1e6 AS bm25
        FROM rc r JOIN hg h USING (doc_id)
        WHERE r.raw > 0"""
+
+  /** eq01: every list generated from ExpandQuery's literals; the
+    * repetition count is a chunk-compare fold (RE2 has no
+    * backreferences — list_position over generate_series chunks).
+    */
+  private val eq01OracleSql: String = {
+    def sqlList(xs: Seq[String]) =
+      "['" + xs.map(_.replace("'", "''")).mkString("','") + "']"
+    val labelChecks = operators.ExpandQuery.LabelPrefixes
+      .map(p => s"starts_with(lower(t0), '${p.replace("'", "''")}')")
+      .mkString(" OR ")
+    val echoes = sqlList(operators.ExpandQuery.InstructionEchoExact
+      .map(_.replaceAll("\\.+$", "")))
+    val echoLong = sqlList(operators.ExpandQuery.InstructionEchoExact
+      .filter(_.length > 20).map(_.replaceAll("\\.+$", "")))
+    val meta = sqlList(operators.ExpandQuery.MetaWords)
+    val preambles = sqlList(operators.ExpandQuery.PreamblePatterns)
+    // list_position yields 0 (not NULL) when no chunk mismatches —
+    // same convention as Spark's array_position
+    def chunksExpr(p: Int) =
+      s"list_transform(generate_series(0, (length(q)-1)//$p), " +
+        s"i -> substr(q, i*$p+1, $p) = substr(q, 1, $p))"
+    def repsExpr(p: Int) =
+      s"(CASE WHEN list_position(${chunksExpr(p)}, false) = 0 " +
+        s"THEN len(${chunksExpr(p)}) " +
+        s"ELSE list_position(${chunksExpr(p)}, false) - 1 END)"
+    val repCond = (1 to 4).map { p =>
+      s"(length(q) >= 6 AND length(q) >= ${3 * p} AND ${repsExpr(p)} >= 3 " +
+        s"AND ${repsExpr(p)} * $p * 3 >= 2 * length(q))"
+    }.mkString(" OR ")
+    s"""WITH raws AS (SELECT doc_id,
+           'Here are the generated queries:' || chr(10) ||
+           'Japanese:' || chr(10) ||
+           '1. ' || array_to_string((string_split_regex(trim(text), '\\s+'))[1:3], ' ') || chr(10) ||
+           '- ' || array_to_string((string_split_regex(trim(text), '\\s+'))[4:5], ' ') || chr(10) ||
+           upper(array_to_string((string_split_regex(trim(text), '\\s+'))[1:3], ' ')) || chr(10) ||
+           '</example>' || chr(10) ||
+           ':):):):):)' || chr(10) ||
+           'Do not add numbering, bullets, labels, or explanations.' || chr(10) ||
+           'generate exactly' || chr(10) ||
+           array_to_string((string_split_regex(trim(text), '\\s+'))[6:8], ' ') || chr(10) ||
+           'output queries generate variations now' AS raw
+         FROM documents),
+       ln AS (SELECT doc_id, g.pos, ls[g.pos] AS line
+              FROM (SELECT doc_id, string_split(raw, chr(10)) AS ls FROM raws),
+                   unnest(generate_series(1, len(ls))) AS g(pos)),
+       p0 AS (SELECT doc_id, pos, trim(line) AS t0 FROM ln),
+       p1 AS (SELECT doc_id, pos,
+                     trim(regexp_replace(t0, '^\\d{1,3}[.):][ \\t]', '')) AS t1
+              FROM p0
+              WHERE t0 <> '' AND NOT ($labelChecks)),
+       parsed AS (SELECT doc_id, pos,
+                     CASE WHEN starts_with(t1, '-') OR starts_with(t1, '*')
+                               OR starts_with(t1, '•')
+                          THEN trim(substr(t1, 2)) ELSE t1 END AS q
+                  FROM p1
+                  WHERE CASE WHEN starts_with(t1, '-') OR starts_with(t1, '*')
+                                  OR starts_with(t1, '•')
+                             THEN trim(substr(t1, 2)) ELSE t1 END <> ''),
+       np AS (SELECT doc_id, count(*) AS n_parsed FROM parsed GROUP BY 1),
+       dd AS (SELECT *, row_number() OVER (PARTITION BY doc_id, lower(q)
+                        ORDER BY pos) AS rn
+              FROM parsed),
+       nrm AS (SELECT doc_id, pos, q,
+                      regexp_replace(lower(q), '\\.+$$', '') AS norm
+               FROM dd WHERE rn = 1),
+       flt AS (SELECT * FROM nrm
+               WHERE NOT (list_contains($echoes, norm)
+                      OR len(list_filter($echoLong, p -> contains(norm, p))) > 0
+                      OR len(list_intersect(
+                           list_distinct(list_filter(
+                             string_split_regex(norm, '\\s+'), w -> w <> '')),
+                           $meta)) >= 3)
+                 AND NOT (len(list_filter($preambles,
+                           p -> contains(lower(q), p))) > 0)
+                 AND NOT ((starts_with(q, '<') AND contains(q, '>'))
+                      OR starts_with(q, '</') OR ends_with(q, '/>'))
+                 AND NOT ($repCond))
+       SELECT f.doc_id,
+              CAST(row_number() OVER (PARTITION BY f.doc_id ORDER BY f.pos) AS INT) AS rank,
+              f.q AS query, np.n_parsed
+       FROM flt f JOIN np USING (doc_id)"""
+  }
 
   private val hm03OracleSql: String =
     s"""$hmOracleBase,
@@ -6022,6 +6106,7 @@ object SparkEntry {
     "hm01_bm25_features" -> hm01OracleSql,
     "hm02_hybrid_scores" -> hm02OracleSql,
     "hm03_corpus_vocab" -> hm03OracleSql,
+    "eq01_expansion_parse" -> eq01OracleSql,
     // recap-worker preprocess gate: the 10·ja >= 3·total integer gate,
     // both tokenizers, both short-content exceptions; regexp_replace
     // needs the 'g' flag (DuckDB defaults to first-match)

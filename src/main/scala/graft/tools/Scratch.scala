@@ -83,7 +83,8 @@ object Scratch {
       "ml09_confusion_effect", "gw03_retrain_weights",
       "gw04_retrain_embed_bias", "gc01_classifier_decision",
       "hm01_bm25_features", "hm02_hybrid_scores",
-      "pre01_preprocess_gate", "hm03_corpus_vocab")
+      "pre01_preprocess_gate", "hm03_corpus_vocab",
+      "eq01_expansion_parse")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"

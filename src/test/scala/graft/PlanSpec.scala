@@ -658,6 +658,16 @@ class PlanSpec extends SparkSpec {
       "pre01: regex counts + integer gate + tokenizers, all in one codegen span")
   }
 
+  test("eq01's windows all partition by doc_id; no joins") {
+    val f = formatted("eq01_expansion_parse")
+    assert(!f.contains("Join"), "eq01: parse-explode + doc windows, zero joins")
+    val unpart = allNodes(finalPlan("eq01_expansion_parse")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(unpart.isEmpty)
+  }
+
   test("hm03 cuts the vocabulary with TakeOrdered; its window runs on the bounded cut only") {
     val f = formatted("hm03_corpus_vocab")
     assert(f.contains("TakeOrderedAndProject"), "top-K must not full-sort the token frame")
