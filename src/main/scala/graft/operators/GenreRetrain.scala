@@ -202,6 +202,10 @@ object GenreRetrain {
   def weightsOn(samples: DataFrame): DataFrame = {
     val s = samples.sparkSession
     import s.implicits._
+    // one corpus pass feeds counts + df + doc totals; the output is
+    // bounded (|genres|×|vocab| rows), so materialize it eagerly and
+    // release the cache — running gw03 and gw04 in one session then
+    // holds no residual corpus-sized cache between queries
     val fr = featureRows(samples).cache()
     val counts = fr.filter(col("k") =!= "__df__" && col("k") =!= "__docs__" &&
         col("term") =!= "__doc__")
@@ -218,7 +222,7 @@ object GenreRetrain {
         log((col("total_docs") + 1).cast("double") /
           (coalesce(col("df"), lit(0L)) + 1)) + 1.0, 3).as("idf"))
     val matrix = genres.flatMap(g => vocab.map(g -> _)).toDF("genre", "term")
-    matrix
+    val out = matrix
       .join(broadcast(counts), Seq("genre", "term"), "left")
       .join(broadcast(idf), Seq("term"))
       .join(broadcast(totalTerms), Seq("genre"), "left")
@@ -230,6 +234,7 @@ object GenreRetrain {
           microRatio(coalesce(col("cnt"), lit(0L)) * col("idf"),
             col("total_terms_g"), 3))
           .otherwise(0.0).as("weight"))
+    Dedup.materialized(out) { fr.unpersist(blocking = false) }
   }
 
   /** gw04 over any (doc_id, genres, text) sample frame: per-genre
@@ -240,6 +245,8 @@ object GenreRetrain {
   def embeddingBiasOn(samples: DataFrame): DataFrame = {
     val s = samples.sparkSession
     import s.implicits._
+    // same one-pass cache + eager-materialize-and-release discipline
+    // as weightsOn (output bounded at |genres|×EmbeddingDim rows)
     val fr = featureRows(samples).cache()
     val counts = fr.filter(col("k") =!= "__df__" && col("k") =!= "__docs__" &&
         col("term") =!= "__doc__")
@@ -257,7 +264,7 @@ object GenreRetrain {
       .agg(sum(col("cnt") * col("mu")).as("smu"), sum("cnt").as("total_w"))
     val frame = genres.flatMap(g => (0 until EmbeddingDim).map(g -> _))
       .toDF("genre", "dim_idx")
-    frame
+    val out = frame
       .join(broadcast(agg), Seq("genre", "dim_idx"), "left")
       .join(broadcast(gtot), Seq("genre"), "left")
       .crossJoin(broadcast(totalSamples))
@@ -271,6 +278,7 @@ object GenreRetrain {
         when(coalesce(col("n_g"), lit(0L)) > 0,
           microRound(log(col("total_samples").cast("double") / col("n_g")), 3))
           .otherwise(0.0).as("bias"))
+    Dedup.materialized(out) { fr.unpersist(blocking = false) }
   }
 
   def gw03(s: SparkSession, dir: String): DataFrame =

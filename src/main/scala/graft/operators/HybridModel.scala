@@ -9,40 +9,7 @@ import graft.functions.Numeric.microRound
   * (classification/features.rs FeatureExtractor.extract :275-349 and
   * classification/model.rs HybridModel::predict :136-165, loading the
   * checked-in resources/genre_classifier_weights.json verbatim —
-  * DEFAULT_  val idfU: Seq[Long] = Seq(8434L, 9127L, 9127L, 9127L, 9127L, 9127L, 9127L, 9127L, 9127L, 9127L, 9127L, 9127L, 9127L, 6082L, 8028L, 7335L, 6562L, 4745L, 3528L)
-
-  /** (genre, tfidf-weight milli-units (19), embedding-weight milli-units (6), bias milli-units). */
-  val weightRows: Seq[(String, Seq[Long], Seq[Long], Long)] = Seq(
-    ("ai", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 553L, 365L, 0L, 0L, 863L, 2405L), Seq(118L, 882L, 0L, 0L, 0L, 0L), 2945L),
-    ("tech", Seq(85L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 799L, 0L, 0L, 0L, 144L, 2922L), Seq(115L, 885L, 0L, 0L, 0L, 0L), 1980L),
-    ("business", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1613L, 2328L), Seq(0L, 1000L, 0L, 0L, 0L, 0L), 2784L),
-    ("politics", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 76L, 204L, 1426L, 2322L), Seq(0L, 971L, 33L, 0L, 0L, 0L), 1936L),
-    ("health", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 3528L), Seq(0L, 1000L, 0L, 0L, 0L, 0L), 3171L),
-    ("sports", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1356L, 2520L), Seq(0L, 1000L, 0L, 0L, 0L, 0L), 4630L),
-    ("science", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 3528L), Seq(0L, 1000L, 0L, 0L, 0L, 0L), 3672L),
-    ("entertainment", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 437L, 949L, 2587L), Seq(0L, 953L, 53L, 0L, 0L, 0L), 3150L),
-    ("world", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 582L, 521L, 1205L, 2072L), Seq(0L, 889L, 127L, 0L, 0L, 0L), 2823L),
-    ("security", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 3475L, 0L, 0L, 0L, 0L, 1512L), Seq(457L, 543L, 0L, 0L, 0L, 0L), 3850L),
-    ("product", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 529L, 0L, 0L, 0L, 206L, 3068L), Seq(70L, 930L, 0L, 0L, 0L, 0L), 2047L),
-    ("design", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 1520L, 0L, 0L, 0L, 0L, 2646L), Seq(200L, 800L, 0L, 0L, 0L, 0L), 2895L),
-    ("culture", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 262L, 190L, 3246L), Seq(0L, 972L, 32L, 0L, 0L, 0L), 2733L),
-    ("environment", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 2034L, 2016L), Seq(0L, 1000L, 0L, 0L, 0L, 0L), 3999L),
-    ("lifestyle", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 475L, 3175L), Seq(0L, 1000L, 0L, 0L, 0L, 0L), 3045L),
-    ("art_culture", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 8127L),
-    ("developer_insights", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 7433L),
-    ("pro_it_media", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 0L),
-    ("consumer_tech", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 7028L),
-    ("global_politics", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 0L),
-    ("environment_policy", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 0L),
-    ("society_justice", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 8127L),
-    ("travel_lifestyle", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 0L),
-    ("security_policy", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 0L),
-    ("business_finance", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 3528L), Seq(0L, 1000L, 0L, 0L, 0L, 0L), 7028L),
-    ("ai_research", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 0L),
-    ("ai_policy", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 0L),
-    ("games_puzzles", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L), Seq(0L, 0L, 0L, 0L, 0L, 0L), 7433L),
-    ("other", Seq(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 3528L), Seq(0L, 1000L, 0L, 0L, 0L, 0L), 2481L)
-  )_JSON at model.rs:13). Together with gw03/gw04 (the
+  * DEFAULT_JSON at model.rs:13). Together with gw03/gw04 (the
   * trainer that REGENERATES that JSON), gc01 (the downstream
   * threshold decision) and ml04-ml09 (the evaluators), this closes
   * the classification pipeline train → featurize → score → decide →

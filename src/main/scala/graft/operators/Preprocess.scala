@@ -47,7 +47,16 @@ import graft.functions.Numeric.microRatio
   *    alphanumeric runs when no intra-word punctuation is present;
   *    Rust's byte-length ≥ 2 equals char-length on ASCII runs).
   *    Trim is the shared regex ^\s+|\s+$ (Rust trims Unicode
-  *    whitespace; both engines run the same class).
+  *    whitespace; both engines run the same class). The premise is
+  *    spec-ENFORCED, not assumed: PreprocessSpec asserts the
+  *    latin-routed composed corpus has no intra-word punctuation and
+  *    no non-ASCII — except the ONE pinned counter-example class
+  *    (doc_id%17==1 rows whose doc lang ≠ ja route '短い文です。'
+  *    through the latin tokenizer, where UAX-29 would segment the
+  *    ideographs/kana per character into five 3-BYTE words but the
+  *    alnum-run regex yields one 5-char token; the oracle mirrors
+  *    the regex, so the divergence is documented, driver-green, and
+  *    visible the moment the composition changes).
   *
   * Output per KEPT article: doc_id, language, was_html, char_count,
   * ja_chars, ja_ratio (1e-6), min_len, n_tokens, first_token.

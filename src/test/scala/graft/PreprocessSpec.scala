@@ -54,4 +54,33 @@ class PreprocessSpec extends SparkSpec {
     assert(out(6L).getLong(7) == 5, "it, test, case, 42xy, ok — 's' and 'a' fall to the ≥2 gate")
     assert(out(6L).getString(8) == "it")
   }
+
+  test("tokenizer-equivalence premise ENFORCED on the composed corpus " +
+       "(+ the one pinned UAX-29 counter-example class)") {
+    import org.apache.spark.sql.functions._
+    val arts = Preprocess.composeArticles(spark, sfDir)
+    val latin = arts.filter(!col("lang").startsWith("ja"))
+    // the regex re-expression (alnum runs ≥ 2 chars) equals the
+    // reference's UAX-29 + edge-strip + BYTE-length ≥ 2 tokenizer only
+    // when the latin-routed corpus has no intra-word punctuation and
+    // no non-ASCII letters — assert both, excluding the pinned class
+    val clean = latin.filter(col("doc_id") % 17 =!= 1)
+    assert(clean.filter(col("content")
+      .rlike("[\\p{L}\\p{N}][^\\p{L}\\p{N}\\s]+[\\p{L}\\p{N}]")).count() == 0,
+      "no intra-word punctuation on the latin-routed composed corpus")
+    assert(clean.filter(col("content").rlike("[^\\x00-\\x7F]")).count() == 0,
+      "ASCII-only latin-routed corpus: Rust byte-length ≥ 2 = char-length ≥ 2")
+    // the pinned counter-example: doc_id%17==1 rows whose doc lang ≠ ja
+    // carry '短い文です。' through the LATIN tokenizer. UAX-29
+    // unicode_words segments ideographs/hiragana per character — five
+    // words of 3 BYTES each, all passing the byte-length gate — while
+    // the alnum-run regex yields ONE 5-char token. Both engines mirror
+    // the regex (oracle-green); this row documents the divergence.
+    val counter = Preprocess.preprocessOn(arts)
+      .filter(col("doc_id") % 17 === 1 && !col("language").startsWith("ja"))
+      .select("n_tokens", "first_token").collect()
+    assert(counter.nonEmpty, "the counter-example class exists at sf0.001")
+    assert(counter.forall(r => r.getLong(0) == 1 && r.getString(1) == "短い文です"),
+      "regex run-tokenization: 1 token where reference UAX-29 would give 5")
+  }
 }
