@@ -321,6 +321,9 @@ object SparkEntry {
     "km07_cluster_quality"          -> (ClusterQuality.km07 _),
     "pulse01_topic_selection"       -> (PulseSelect.pulse01 _),
     "dd06_syndication"              -> (Syndication.dd06 _),
+    // Recap-worker article-level hash dedup (pipeline/dedup.rs)
+    "hd01_article_neardup"          -> (HashDedup.hd01 _),
+    "hd02_dedup_stats"              -> (HashDedup.hd02 _),
     "smp08_genre_trim"              -> (Sampling.smp08 _),
     "pp03_evidence_scores"          -> (Curation.pp03 _),
     "tg04_genre_refine"             -> (GenreRefine.tg04 _),
@@ -6107,6 +6110,11 @@ object SparkEntry {
     "hm02_hybrid_scores" -> hm02OracleSql,
     "hm03_corpus_vocab" -> hm03OracleSql,
     "eq01_expansion_parse" -> eq01OracleSql,
+    // recap-worker HashDedupStage: raw-substring windows + a
+    // node-restricted recursive-CTE greedy mirror the hashed Spark
+    // pipeline (oracle SQL generated from the same literals)
+    "hd01_article_neardup" -> HashDedup.hd01OracleSql,
+    "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // recap-worker preprocess gate: the 10·ja >= 3·total integer gate,
     // both tokenizers, both short-content exceptions; regexp_replace
     // needs the 'g' flag (DuckDB defaults to first-match)

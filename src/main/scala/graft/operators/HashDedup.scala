@@ -1,0 +1,583 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Numeric.microUnits
+
+/** hd01/hd02: recap-worker's ARTICLE-level near-duplicate stage —
+  * pipeline/dedup.rs HashDedupStage (:113-456), the one recap-pipeline
+  * stage between pre01 (preprocess) and the mapped select stack, run
+  * on EVERY recap job (orchestrator.rs:318 constructs it with
+  * `(cpu_count.max(2), 0.8, 100)`, executor.rs:155 and
+  * morning.rs:119/152 call it). Distinct from every other mapped
+  * dedup operator: not Jaccard (tx09), not simhash (tx08), not
+  * winnowing (tx10), not sentence-granular (tx28) — a SAMPLED
+  * rolling-window multiset-Dice with a greedy newest-first keep.
+  *
+  * The algorithm, quirk by quirk (all pinned in HashDedupSpec):
+  *
+  *  - signature (:346-389 ArticleSignature::new + util/text.rs:30
+  *    rolling_hash_windows): windows = every 100-CHAR sliding window
+  *    of the body, hashed — but only when the body's BYTE length ≥
+  *    100; a shorter body hashes whole. The byte-vs-char mismatch is
+  *    a real reference quirk: a CJK body of ≥ 100 bytes but < 100
+  *    chars produces ZERO windows (chars.windows(100) on a shorter
+  *    slice is empty) and falls through to the empty-window fallback.
+  *    Sampling: step = (windows/256).max(1), keep idx % step == 0,
+  *    cap 256 (MAX_WINDOW_SAMPLE); empty → the primary (whole-body)
+  *    hash as the single key. total_windows = the SAMPLED count.
+  *  - similarity (:391-411): MULTISET Dice over the sampled window
+  *    histograms, 2·Σ min(count_a,count_b) / (total_a+total_b) ≥ 0.8.
+  *    The gate cross-multiplies to exact integers here
+  *    (2·inter·1e6 ≥ 800000·(ta+tb) ⇔ 5·inter ≥ 2·(ta+tb)) — at the
+  *    reachable exact boundary 4/5 the f64 `>=` of the reference and
+  *    the integer gate agree (a correctly-rounded quotient of small
+  *    ints equals the 0.8 literal's double exactly at 4/5).
+  *  - order (:271-273): greedy streaming keep in published_at-DESC
+  *    order, None sorting OLDEST (unwrap_or(MIN_UTC)) — the
+  *    "dated article beats undated" semantics the reference's own
+  *    test pins (:517); ties fall back to corpus order (the Rust
+  *    sort is stable), re-expressed as the (ord, doc_id) composite.
+  *  - exact fast path (:125-141): primary-hash hit + body equality →
+  *    duplicate attributed to THE body-equal keeper. Re-expressed as
+  *    64-bit primary-hash equality (hash-equality patterns = body
+  *    equality modulo 2^-64 — the tx28 vendored-XXH3 precedent; the
+  *    reference tolerates collisions by falling through, a branch
+  *    that is unobservable under a collision-free mirror, and the
+  *    string-keyed oracle makes any collision measurable). Equal
+  *    bodies have identical sampled histograms (Dice = 1), so exact
+  *    pairs are a subset of the near graph and only affect
+  *    ATTRIBUTION, never the keep decision.
+  *  - candidates (:144-149): inverted window-key index — banded
+  *    equi-join on the 8-byte sampled keys, never all-pairs; the
+  *    reference's scale shape kept. The near-match keeper choice is
+  *    FxHashSet-iteration-order-dependent in the reference
+  *    (nondeterministic); pinned here to the earliest (min (ord,
+  *    doc_id)) qualifying keeper, with body-equal keepers preferred
+  *    first exactly as the exact path dictates.
+  *  - sentence half (:412-450 deduplicate_sentences): per KEPT
+  *    article, UAX-29 sentence split + first-occurrence hash dedup.
+  *    Split re-expressed as the terminator-marker rule
+  *    ([.!?。] + whitespace); equal on the composed corpus because
+  *    every terminator is followed by whitespace + uppercase (the
+  *    UAX-29 SB8 lowercase-suppression case is absent — spec-pinned)
+  *    and the word-salad rows carry no terminators at all.
+  *  - DedupStats (:43-51): hd02 — total/unique/duplicate articles
+  *    and the sentence totals summed over KEPT articles only (the
+  *    reference runs sentence dedup on survivors).
+  *
+  * GREEDY ≠ connected-components-keep-min: in a chain A~B, B~C, A≁C
+  * with A newest, greedy keeps A AND C (B's drop removes it from the
+  * index, so C faces only A). The composed corpus plants exactly that
+  * chain (three 500-char slices of one base at 50-char offsets:
+  * adjacent slices share 206 of 256 sampled windows = Dice 0.805,
+  * the ends share 156 = 0.609) plus an exact-boundary pair (Dice
+  * 160/200 = 0.8 precisely) and a just-below pair (158/200 = 0.79).
+  *
+  * Scale shape: signatures are a stateless scan projection (≤ 256
+  * substring hashes per row, 8-byte keys explode — window STRINGS
+  * never shuffle); candidate generation is the window-key equi-join
+  * with map-side-combined intersection counts (dd04's pre-aggregate
+  * discipline — a boilerplate-hot window key skews the join, the
+  * same skew the reference's inverted index absorbs in RAM, and AQE
+  * skew-join is the remedy at 100 TB); the greedy walk is ADAPTIVE
+  * exactly like Dedup.connectedComponents — the verified ≥ 0.8 pair
+  * residue is orders smaller than the corpus, so when it fits the
+  * driver a local walk runs, and past the gate it folds PER
+  * CONNECTED COMPONENT (near-dup components are bounded dup groups —
+  * the titleLeaderClusters HOF fold over per-node adjacency maps,
+  * linear in Σ edges), never a global sequential pass; the bounded
+  * verdict residue materializes eagerly (releasing the pair cache +
+  * CC labels) and broadcasts back onto the corpus — dd02's apply
+  * discipline. No global window anywhere: order comparisons use the
+  * (ord, doc_id) composite directly. The per-window hashing runs in
+  * the native [[graft.functions.SampledWindowHistogram]] kernel
+  * (the HOF xxhash64∘substr form paid one O(n) UTF-8 offset scan
+  * per window — ~5× the whole query's floor).
+  */
+object HashDedup {
+
+  val WindowSize = 100
+  val MaxWindowSample = 256
+  /** 0.8 in 1e-6 units — orchestrator.rs:318's near_duplicate_threshold. */
+  val ThresholdMicros = 800000L
+
+  /** ord = 4102444800 − epoch (null → −1): smaller = newer = earlier
+    * in greedy order; nulls land past every real epoch (< 2100).
+    */
+  val MaxOrd = 4102444800L
+
+  // ---- composed-corpus literals (ONE definition feeds the Spark
+  // when-chain, the oracle SQL and the spec) ----
+
+  /** Exact-duplicate class body (%29==1) — carries a repeated
+    * sentence so the kept article's sentence-dedup stats are
+    * non-trivial.
+    */
+  val ExactBody: String =
+    "Shared wire story body for the exact duplicate class. " +
+    "The quick brown fox jumps over the lazy dog near the river bank. " +
+    "The quick brown fox jumps over the lazy dog near the river bank. " +
+    "Numbers like 42 and 7 anchor the tail of this shared story body."
+
+  /** 600-char base for the near-dup class and the greedy-chain
+    * slices. Sentence terminators are always ". " + uppercase.
+    */
+  val NearBase: String = (1 to 10)
+    .map(i => f"Rolling base segment $i%02d of the shared syndicated story body. ")
+    .mkString.take(600)
+
+  /** The greedy chain: three 500-char slices at 50-char offsets.
+    * Adjacent slices share 206/256 sampled windows (Dice 412/512 =
+    * 0.8047 ≥ 0.8); the ends share 156 (312/512 = 0.609 < 0.8).
+    */
+  val ChainA: String = NearBase.substring(0, 500)
+  val ChainB: String = NearBase.substring(50, 550)
+  val ChainC: String = NearBase.substring(100, 600)
+
+  /** Below-threshold candidate class (%29==3): 300 shared chars +
+    * the doc's own text → 201 shared windows of 256 sampled
+    * (Dice 402/512 = 0.785 < 0.8) — candidates that must NOT drop.
+    */
+  val SharedHalf: String = (1 to 6)
+    .map(i => f"Common prefix block $i%02d shared across the candidate family. ")
+    .mkString.take(300)
+
+  /** Exact-boundary pair (ids 44/45): 179 shared + 20 unique chars →
+    * W = 100 windows each, 80 shared → Dice 160/200 = 0.8 EXACTLY
+    * (must drop: the gate is ≥). Just-below pair (ids 46/47): 178
+    * shared + 21 unique → 79 shared → 158/200 = 0.79 (must keep).
+    */
+  val BoundaryPrefix: String = (1 to 4)
+    .map(i => f"Boundary shared prefix piece $i%02d of the dice gate pair. ")
+    .mkString.take(179)
+
+  /** Dated-beats-undated pair (ids 36/37: 36 undated, 37 dated). */
+  val DatedPairBody: String =
+    "Dated versus undated duplicate pair body. The dated article must " +
+    "win representative selection even when second in corpus order."
+
+  /** Equal-timestamp tie pair (ids 48/49): corpus order (doc_id)
+    * breaks the tie — the Rust sort is stable.
+    */
+  val TiePairBody: String =
+    "Tie break pair body shares equal timestamps. Corpus order resolves " +
+    "the election so the smaller identifier keeps the story here."
+
+  /** Short-body exact class (%29==4): 16 bytes < 100 → the whole
+    * body hashes as the single window (text.rs:31).
+    */
+  val ShortBody: String = "short body exact"
+
+  /** Byte-vs-char quirk pair (ids 38/39): 39 CJK chars = 117 bytes ≥
+    * 100 but < 100 chars → chars.windows(100) is EMPTY → the
+    * empty-window fallback pushes the primary hash (:374-377).
+    */
+  val CjkBody: String =
+    "深層学習の分散処理は大規模データの重複除去と類似検索を高速化する基盤技術である"
+
+  require(NearBase.length == 600 && SharedHalf.length == 300 &&
+    BoundaryPrefix.length == 179, "composed literal lengths drifted")
+  require(!SharedHalf.matches("(?s).*[.!?。]\\s*$") &&
+    !BoundaryPrefix.matches("(?s).*[.!?。]\\s*$"),
+    "shared prefixes must not end at a sentence terminator (the marker " +
+    "split would diverge from UAX-29 at the lowercase junction)")
+  require(CjkBody.length < 100 && CjkBody.getBytes("UTF-8").length >= 100,
+    "the CJK quirk body must be >=100 bytes but <100 chars")
+  require(Seq(ExactBody, DatedPairBody, TiePairBody).forall(_.length >= 100))
+
+  private def ts(epoch: Long): Column = timestamp_seconds(lit(epoch))
+  private val nullTs: Column = lit(null).cast("timestamp")
+  /** Fixed-id epochs sit in 2026, past every %-class epoch (2025 +
+    * ≤ 100000 minutes).
+    */
+  val FixedEpoch = 1767225600L
+
+  /** Composed post-preprocess articles: (doc_id, published_at, body).
+    * Fixed ids 36-49 plant the quirk cases; the %29 classes plant
+    * exact/near/below-threshold/short populations at every SF;
+    * %23==0 rows publish as None.
+    */
+  def composeArticles(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir)
+    val id = col("doc_id")
+    val body =
+      when(id === 41, lit(ChainA))
+        .when(id === 42, lit(ChainB))
+        .when(id === 43, lit(ChainC))
+        .when(id === 44, lit(BoundaryPrefix + "a" * 20))
+        .when(id === 45, lit(BoundaryPrefix + "b" * 20))
+        .when(id === 46, lit(BoundaryPrefix.take(178) + "c" * 21))
+        .when(id === 47, lit(BoundaryPrefix.take(178) + "d" * 21))
+        .when(id === 36 || id === 37, lit(DatedPairBody))
+        .when(id === 48 || id === 49, lit(TiePairBody))
+        .when(id === 38 || id === 39, lit(CjkBody))
+        .when(id % 29 === 1, lit(ExactBody))
+        .when(id % 29 === 2,
+          concat(lit("variant "), lpad((id % 1000).cast("string"), 3, "0"),
+            lit(" "), lit(NearBase)))
+        .when(id % 29 === 3, concat(lit(SharedHalf), col("text")))
+        .when(id % 29 === 4, lit(ShortBody))
+        .otherwise(col("text"))
+    val pub =
+      when(id === 41, ts(FixedEpoch + 300))
+        .when(id === 42, ts(FixedEpoch + 200))
+        .when(id === 43, ts(FixedEpoch + 100))
+        .when(id === 44, ts(FixedEpoch + 90))
+        .when(id === 45, ts(FixedEpoch + 80))
+        .when(id === 46, ts(FixedEpoch + 70))
+        .when(id === 47, ts(FixedEpoch + 60))
+        .when(id === 48 || id === 49, ts(FixedEpoch + 50))
+        .when(id === 38, ts(FixedEpoch + 20))
+        .when(id === 39, ts(FixedEpoch + 10))
+        .when(id === 36, nullTs)
+        .when(id === 37, ts(FixedEpoch + 5))
+        .when(id % 23 === 0, nullTs)
+        .otherwise(timestamp_seconds(lit(1735689600L) + (id * 137) % 100000 * 60))
+    d.select(id, pub.as("published_at"), body.as("body"))
+  }
+
+  /** The sampled-window signature columns over any (doc_id,
+    * published_at, body) frame: ord key, primary hash, sampled
+    * window-key array. The byte-gate / char-window / step / cap /
+    * empty-fallback semantics live inside the native
+    * [[graft.functions.SampledWindowHashes]] kernel (values
+    * bit-identical to the composable xxhash64∘substr form it
+    * replaced — which cost one O(n) UTF-8 scan per window and took
+    * ~4.5 s per corpus pass at sf0.1).
+    */
+  private[graft] def signatures(arts: DataFrame, windowSize: Int, maxSample: Int): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    arts
+      .withColumn("ord", lit(MaxOrd) - coalesce(col("published_at").cast("long"), lit(-1L)))
+      .withColumn("ph", xxhash64(col("body")))
+      .withColumn("whist", ColumnBridge.column(
+        graft.functions.SampledWindowHistogram(
+          ColumnBridge.expression(col("body")), windowSize, maxSample)))
+      .withColumn("total", expr("aggregate(whist, 0L, (acc, h) -> acc + h.cnt)"))
+  }
+
+  /** The full verdict pipeline over any (doc_id, published_at, body)
+    * frame: one row per INPUT article with the keep decision, the
+    * attribution and the kept-side sentence-dedup stats.
+    */
+  def verdictsOn(arts0: DataFrame, thresholdMicros: Long = ThresholdMicros,
+                 windowSize: Int = WindowSize,
+                 maxSample: Int = MaxWindowSample,
+                 greedySmallMax: Long = 2000000L): DataFrame = {
+    val sig = signatures(arts0, windowSize, maxSample)
+
+    // per-(doc, key) histogram counts, built IN-KERNEL (sort +
+    // run-length encode inside SampledWindowHistogram) — an
+    // explode+groupBy here would shuffle corpus×maxSample rows just
+    // to count within-doc repeats. total = the SAMPLED window count
+    // (Σ cnt), the reference's total_windows. Persisted: this is the
+    // inverted signature index, read by BOTH sides of the candidate
+    // self-join (the reference holds the same index in RAM;
+    // disk-backed here)
+    val wc = sig
+      .withColumn("h", explode(col("whist")))
+      .select(col("doc_id"), col("ord"), col("ph"), col("total"),
+        col("h.k").as("k"), col("h.cnt").as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val a = wc.select(col("k"), col("doc_id").as("a_id"), col("ord").as("a_ord"),
+      col("ph").as("a_ph"), col("total").as("ta"), col("cnt").as("ca"))
+    val b = wc.select(col("k"), col("doc_id").as("b_id"), col("ord").as("b_ord"),
+      col("ph").as("b_ph"), col("total").as("tb"), col("cnt").as("cb"))
+    // banded candidate generation: shared sampled key, oriented
+    // earlier(a) < later(b) on the (ord, doc_id) composite
+    val pairs = a.join(b, Seq("k"))
+      .filter(col("a_ord") < col("b_ord") ||
+        (col("a_ord") === col("b_ord") && col("a_id") < col("b_id")))
+      .groupBy("a_id", "b_id")
+      .agg(sum(least(col("ca"), col("cb"))).as("inter"),
+        min(col("ta")).as("ta"), min(col("tb")).as("tb"),
+        min(col("a_ord")).as("a_ord"), min(col("b_ord")).as("b_ord"),
+        min(col("a_ph")).as("a_ph"), min(col("b_ph")).as("b_ph"))
+    // the exact integer Dice gate; sim_u only for surviving pairs
+    val dup = pairs
+      .filter(col("inter") * 2 * 1000000L >= lit(thresholdMicros) * (col("ta") + col("tb")))
+      .withColumn("sim_u", microUnits(col("inter") * 2, col("ta") + col("tb"), 6))
+      .withColumn("beq", col("a_ph") === col("b_ph"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // greedy keep over the >=threshold graph. Adaptive like
+    // Dedup.connectedComponents: the dup-pair list is the
+    // post-banding residue, orders smaller than the corpus — when it
+    // fits the driver, a local greedy walk beats two CC shuffle
+    // rounds plus the fold's group/join chain (measured ~4 s of the
+    // sf0.1 query). The distributed path (CC → per-component
+    // adjacency-map fold) remains for big graphs; HashDedupSpec pins
+    // both paths to identical verdicts.
+    val session = arts0.sparkSession
+    val nEdges = dup.count()
+    val keptFlags = if (nEdges <= greedySmallMax) {
+      import session.implicits._
+      val es = dup.select("a_id", "b_id", "a_ord", "b_ord")
+        .as[(Long, Long, Long, Long)].collect()
+      val ord = scala.collection.mutable.HashMap.empty[Long, Long]
+      val ins = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.ArrayBuffer[Long]]
+      es.foreach { case (a, b, ao, bo) =>
+        ord(a) = ao; ord(b) = bo
+        ins.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty) += a
+      }
+      val kept = scala.collection.mutable.HashSet.empty[Long]
+      val rows = ord.keys.toSeq.sortBy(id => (ord(id), id)).map { id =>
+        val keep = !ins.get(id).exists(_.exists(kept.contains))
+        if (keep) kept += id
+        (id, keep)
+      }
+      rows.toDF("doc_id", "kept")
+    } else {
+      val comps = Dedup.connectedComponents(dup.select("a_id", "b_id"), "a_id", "b_id")
+      val members = comps.select(col("node").as("doc_id"), col("label"))
+        .join(sig.select("doc_id", "ord"), Seq("doc_id"))
+      val mAgg = members.groupBy("label")
+        .agg(sort_array(collect_list(struct(col("ord"), col("doc_id").as("id")))).as("ms"))
+      // in-edges grouped PER NODE (hi → its earlier neighbors) so the
+      // fold checks only each member's own adjacency list, not every
+      // component edge per member — linear in Σ|edges|
+      val eAgg = dup.select(col("a_id"), col("b_id"))
+        .join(comps.withColumnRenamed("node", "a_id"), Seq("a_id"))
+        .groupBy("label", "b_id")
+        .agg(collect_list(col("a_id")).as("los"))
+        .groupBy("label")
+        .agg(map_from_arrays(collect_list(col("b_id")), collect_list(col("los"))).as("es"))
+      // the sequential fold, per component: a member is kept iff no
+      // EARLIER KEPT member is >=threshold-adjacent (dropped members
+      // leave the index — the greedy-vs-CC distinction)
+      val folded = mAgg.join(eAgg, Seq("label"))
+        .withColumn("kept_ids", expr(
+          """aggregate(ms, cast(array() as array<bigint>), (acc, m) ->
+               CASE WHEN exists(coalesce(element_at(es, m.id), cast(array() as array<bigint>)),
+                                lo -> array_contains(acc, lo))
+                    THEN acc ELSE concat(acc, array(m.id)) END)"""))
+      // bounded by the dup-graph node population; persisted (and
+      // forced, so the CC labels release here) because the verdict
+      // assembly reads it three times and each read would otherwise
+      // replay the fold
+      val kf = folded
+        .select(explode(col("ms")).as("m"), col("kept_ids"))
+        .select(col("m.id").as("doc_id"),
+          array_contains(col("kept_ids"), col("m.id")).as("kept"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      kf.count()
+      comps.unpersist(blocking = false)
+      kf
+    }
+
+    // attribution: body-equal keeper first (the exact fast path),
+    // else the earliest qualifying keeper (pinned where the
+    // reference is hash-iteration-order-dependent)
+    val attrib = dup
+      .join(keptFlags.select(col("doc_id").as("a_id"), col("kept").as("kept_lo")), Seq("a_id"))
+      .join(keptFlags.select(col("doc_id").as("b_id"), col("kept").as("kept_hi")), Seq("b_id"))
+      .filter(col("kept_lo") && !col("kept_hi"))
+      .groupBy(col("b_id").as("doc_id"))
+      .agg(min(struct(
+        when(col("beq"), 0).otherwise(1).as("nb"),
+        col("a_ord").as("ko"), col("a_id").as("kid"), col("sim_u").as("su"))).as("ch"))
+      .select(col("doc_id"), col("ch.nb").as("nb"),
+        col("ch.kid").as("keeper_id"), col("ch.su").as("sim_u"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nd = attrib.groupBy(col("keeper_id").as("doc_id"))
+      .agg(count(lit(1)).as("nd"))
+
+    // the bounded verdict residue (dup population only) materializes
+    // eagerly, releasing the pair cache and the CC labels, then
+    // broadcasts back onto the corpus — dd02's apply discipline
+    val small = keptFlags
+      .join(attrib, Seq("doc_id"), "left")
+      .join(nd, Seq("doc_id"), "left")
+    val smallM = Dedup.materialized(small) {
+      wc.unpersist(blocking = false); dup.unpersist(blocking = false)
+      keptFlags.unpersist(blocking = false); attrib.unpersist(blocking = false)
+    }
+
+    // sentence half (kept articles): marker split + first-occurrence
+    // dedup as distinct-count
+    val sents = filter(
+      transform(split(regexp_replace(col("body"), "([.!?。])\\s+", "$1\u001E"), "\u001E"),
+        x => trim(x)),
+      x => x =!= "")
+    val base = sig.select(col("doc_id"), col("published_at"),
+      size(sents).cast("long").as("ns"),
+      size(array_distinct(sents)).cast("long").as("nu"))
+
+    val kept = coalesce(col("kept"), lit(true))
+    base.join(broadcast(smallM), Seq("doc_id"), "left")
+      .select(
+        col("doc_id"), col("published_at"),
+        kept.as("kept"),
+        when(kept, lit("kept"))
+          .when(col("nb") === 0, lit("exact_duplicate"))
+          .otherwise(lit("near_duplicate")).as("reason"),
+        col("keeper_id"),
+        when(!kept, col("sim_u") / 1e6).as("sim"),
+        when(kept, coalesce(col("nd"), lit(0L))).otherwise(lit(0L)).as("n_duplicates"),
+        when(kept, col("ns")).as("n_sentences"),
+        when(kept, col("nu")).as("n_unique_sentences"),
+        when(kept, col("ns") - col("nu")).as("n_dup_sentences"))
+      .orderBy("doc_id")
+  }
+
+  /** hd01: the per-article dedup verdict over the composed corpus. */
+  def hd01(s: SparkSession, dir: String): DataFrame =
+    verdictsOn(composeArticles(s, dir))
+
+  /** hd02: DedupStats (dedup.rs:43-51) — article counts plus the
+    * sentence totals over KEPT articles (the reference runs sentence
+    * dedup on survivors only).
+    */
+  def hd02(s: SparkSession, dir: String): DataFrame =
+    verdictsOn(composeArticles(s, dir)).agg(
+      count(lit(1)).as("total_articles"),
+      sum(when(col("kept"), 1L).otherwise(0L)).as("unique_articles"),
+      sum(when(!col("kept"), 1L).otherwise(0L)).as("duplicate_articles"),
+      sum(when(col("kept"), col("n_sentences"))).as("total_sentences"),
+      sum(when(col("kept"), col("n_unique_sentences"))).as("unique_sentences"),
+      sum(when(col("kept"), col("n_dup_sentences"))).as("duplicate_sentences"))
+
+  // ---- DuckDB oracle (generated from the same literals) ----
+
+  private def sqlLit(s: String): String = "'" + s.replace("'", "''") + "'"
+
+  /** The full hd01 mirror. Windows are RAW 100-char substrings on the
+    * oracle side (no hash — so a 2^-64 xxhash64 collision on the Spark
+    * side would surface as a red row, making the hash-equality
+    * re-expression measurable); the greedy chain is a recursive CTE
+    * restricted to dup-graph NODES (the same boundedness the Spark
+    * fold uses), join-formulated (a correlated EXISTS inside DuckDB's
+    * recursion proved nondeterministic at sf0.1) with every reused CTE
+    * MATERIALIZED (non-materialized CTEs re-evaluate per reference and
+    * the recursion must run exactly once).
+    */
+  val hd01OracleSql: String = {
+    val F = FixedEpoch
+    s"""WITH arts AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id = 41 THEN make_timestamp(CAST(${F + 300} AS BIGINT)*1000000)
+      WHEN doc_id = 42 THEN make_timestamp(CAST(${F + 200} AS BIGINT)*1000000)
+      WHEN doc_id = 43 THEN make_timestamp(CAST(${F + 100} AS BIGINT)*1000000)
+      WHEN doc_id = 44 THEN make_timestamp(CAST(${F + 90} AS BIGINT)*1000000)
+      WHEN doc_id = 45 THEN make_timestamp(CAST(${F + 80} AS BIGINT)*1000000)
+      WHEN doc_id = 46 THEN make_timestamp(CAST(${F + 70} AS BIGINT)*1000000)
+      WHEN doc_id = 47 THEN make_timestamp(CAST(${F + 60} AS BIGINT)*1000000)
+      WHEN doc_id IN (48,49) THEN make_timestamp(CAST(${F + 50} AS BIGINT)*1000000)
+      WHEN doc_id = 38 THEN make_timestamp(CAST(${F + 20} AS BIGINT)*1000000)
+      WHEN doc_id = 39 THEN make_timestamp(CAST(${F + 10} AS BIGINT)*1000000)
+      WHEN doc_id = 36 THEN NULL
+      WHEN doc_id = 37 THEN make_timestamp(CAST(${F + 5} AS BIGINT)*1000000)
+      WHEN doc_id % 23 = 0 THEN NULL
+      ELSE make_timestamp(CAST(1735689600 + (doc_id * 137) % 100000 * 60 AS BIGINT)*1000000)
+    END AS published_at,
+    CASE
+      WHEN doc_id = 41 THEN ${sqlLit(ChainA)}
+      WHEN doc_id = 42 THEN ${sqlLit(ChainB)}
+      WHEN doc_id = 43 THEN ${sqlLit(ChainC)}
+      WHEN doc_id = 44 THEN ${sqlLit(BoundaryPrefix + "a" * 20)}
+      WHEN doc_id = 45 THEN ${sqlLit(BoundaryPrefix + "b" * 20)}
+      WHEN doc_id = 46 THEN ${sqlLit(BoundaryPrefix.take(178) + "c" * 21)}
+      WHEN doc_id = 47 THEN ${sqlLit(BoundaryPrefix.take(178) + "d" * 21)}
+      WHEN doc_id IN (36,37) THEN ${sqlLit(DatedPairBody)}
+      WHEN doc_id IN (48,49) THEN ${sqlLit(TiePairBody)}
+      WHEN doc_id IN (38,39) THEN ${sqlLit(CjkBody)}
+      WHEN doc_id % 29 = 1 THEN ${sqlLit(ExactBody)}
+      WHEN doc_id % 29 = 2 THEN 'variant ' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ${sqlLit(" " + NearBase)}
+      WHEN doc_id % 29 = 3 THEN ${sqlLit(SharedHalf)} || text
+      WHEN doc_id % 29 = 4 THEN ${sqlLit(ShortBody)}
+      ELSE text
+    END AS body
+  FROM documents),
+ranked AS MATERIALIZED (
+  SELECT doc_id, published_at, body,
+    row_number() OVER (ORDER BY published_at DESC NULLS LAST, doc_id) AS rnk
+  FROM arts),
+sig AS MATERIALIZED (
+  SELECT doc_id, rnk, published_at, body,
+    CASE WHEN strlen(body) < $WindowSize OR length(body) - ${WindowSize - 1} <= 0 THEN [body]
+         ELSE list_transform(
+           range(0, least($MaxWindowSample, (length(body) - $WindowSize) // greatest((length(body) - ${WindowSize - 1}) // $MaxWindowSample, 1) + 1)),
+           j -> substr(body, j * greatest((length(body) - ${WindowSize - 1}) // $MaxWindowSample, 1) + 1, $WindowSize)) END AS wins
+  FROM ranked),
+wc AS MATERIALIZED (
+  SELECT doc_id, rnk, len(wins) AS total, w, count(*) AS cnt
+  FROM (SELECT doc_id, rnk, wins, unnest(wins) AS w FROM sig)
+  GROUP BY ALL),
+pairs AS MATERIALIZED (
+  SELECT a.rnk AS lo, b.rnk AS hi, sum(least(a.cnt, b.cnt)) AS inter,
+         min(a.total) AS ta, min(b.total) AS tb
+  FROM wc a JOIN wc b ON a.w = b.w AND a.rnk < b.rnk
+  GROUP BY 1, 2),
+dup AS MATERIALIZED (
+  SELECT lo, hi, CAST(round(2 * inter * 1e6 / (ta + tb)) AS BIGINT) AS sim_u,
+    (SELECT sa.body = sb.body FROM sig sa, sig sb WHERE sa.rnk = dup0.lo AND sb.rnk = dup0.hi) AS beq
+  FROM (SELECT * FROM pairs WHERE 2 * inter * 1000000 >= $ThresholdMicros * (ta + tb)) dup0),
+nodes AS MATERIALIZED (
+  SELECT rnk, row_number() OVER (ORDER BY rnk) AS nr
+  FROM (SELECT DISTINCT rnk FROM (SELECT lo AS rnk FROM dup UNION ALL SELECT hi FROM dup))),
+dupn AS MATERIALIZED (
+  SELECT nl.nr AS lo, nh.nr AS hi FROM dup
+  JOIN nodes nl ON nl.rnk = dup.lo JOIN nodes nh ON nh.rnk = dup.hi),
+ins AS MATERIALIZED (SELECT hi, list(lo) AS los FROM dupn GROUP BY hi),
+g AS MATERIALIZED (
+  WITH RECURSIVE gr AS (
+    SELECT CAST(0 AS BIGINT) AS i, CAST([] AS BIGINT[]) AS kept_nr,
+           coalesce((SELECT max(nr) FROM nodes), 0) AS mx
+    UNION ALL
+    SELECT gr.i + 1,
+      CASE WHEN coalesce(list_has_any(ins.los, gr.kept_nr), false)
+           THEN gr.kept_nr ELSE list_append(gr.kept_nr, gr.i + 1) END,
+      gr.mx
+    FROM gr LEFT JOIN ins ON ins.hi = gr.i + 1 WHERE gr.i < gr.mx)
+  SELECT kept_nr FROM gr ORDER BY i DESC LIMIT 1),
+verdict AS MATERIALIZED (
+  SELECT r.doc_id, r.rnk, r.published_at, r.body,
+    CASE WHEN n.nr IS NULL THEN true ELSE list_contains(g.kept_nr, n.nr) END AS kept
+  FROM ranked r CROSS JOIN g LEFT JOIN nodes n ON n.rnk = r.rnk),
+attrib AS (
+  SELECT hi, lo, sim_u, beq,
+    row_number() OVER (PARTITION BY hi ORDER BY beq DESC, lo ASC) AS pick
+  FROM dup
+  WHERE lo IN (SELECT rnk FROM verdict WHERE kept)
+    AND hi IN (SELECT rnk FROM verdict WHERE NOT kept)),
+chosen AS MATERIALIZED (SELECT hi, lo, sim_u, beq FROM attrib WHERE pick = 1),
+nd AS MATERIALIZED (SELECT lo, count(*) AS n_dup FROM chosen GROUP BY lo),
+sents AS MATERIALIZED (
+  SELECT rnk, len(ss) AS ns, len(list_distinct(ss)) AS nu
+  FROM (SELECT rnk,
+      list_filter(list_transform(string_split(regexp_replace(body, '([.!?。])\\s+', '\\1' || chr(30), 'g'), chr(30)), x -> trim(x)), x -> x <> '') AS ss
+    FROM verdict))
+SELECT v.doc_id, v.published_at, v.kept,
+  CASE WHEN v.kept THEN 'kept' WHEN c.beq THEN 'exact_duplicate' ELSE 'near_duplicate' END AS reason,
+  kr.doc_id AS keeper_id,
+  CASE WHEN NOT v.kept THEN c.sim_u / 1e6 END AS sim,
+  CASE WHEN v.kept THEN coalesce(nd.n_dup, 0) ELSE 0 END AS n_duplicates,
+  CASE WHEN v.kept THEN s.ns END AS n_sentences,
+  CASE WHEN v.kept THEN s.nu END AS n_unique_sentences,
+  CASE WHEN v.kept THEN s.ns - s.nu END AS n_dup_sentences
+FROM verdict v
+LEFT JOIN chosen c ON c.hi = v.rnk
+LEFT JOIN verdict kr ON kr.rnk = c.lo
+LEFT JOIN nd ON nd.lo = v.rnk
+LEFT JOIN sents s ON s.rnk = v.rnk
+ORDER BY v.doc_id"""
+  }
+
+  /** hd02 mirror: the DedupStats aggregate over the hd01 chain. Sums
+    * CAST to BIGINT (a bare DuckDB sum is HUGEINT → pandas float —
+    * the check.py dtype rule).
+    */
+  val hd02OracleSql: String =
+    s"""WITH base AS ($hd01OracleSql)
+SELECT CAST(count(*) AS BIGINT) AS total_articles,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS unique_articles,
+  CAST(sum(CASE WHEN NOT kept THEN 1 ELSE 0 END) AS BIGINT) AS duplicate_articles,
+  CAST(sum(CASE WHEN kept THEN n_sentences END) AS BIGINT) AS total_sentences,
+  CAST(sum(CASE WHEN kept THEN n_unique_sentences END) AS BIGINT) AS unique_sentences,
+  CAST(sum(CASE WHEN kept THEN n_dup_sentences END) AS BIGINT) AS duplicate_sentences
+FROM base"""
+}
