@@ -324,6 +324,11 @@ object SparkEntry {
     // Recap-worker article-level hash dedup (pipeline/dedup.rs)
     "hd01_article_neardup"          -> (HashDedup.hd01 _),
     "hd02_dedup_stats"              -> (HashDedup.hd02 _),
+    // Tag-generator input sanitization ladder (input_sanitizer.py)
+    "is01_input_sanitize"           -> (InputSanitize.is01 _),
+    // Tag-extraction residue + cascade gate (extract.py, cascade.py)
+    "ex01_extract_metrics"          -> (TagExtract.ex01 _),
+    "cc01_cascade_decisions"        -> (TagExtract.cc01 _),
     "smp08_genre_trim"              -> (Sampling.smp08 _),
     "pp03_evidence_scores"          -> (Curation.pp03 _),
     "tg04_genre_refine"             -> (GenreRefine.tg04 _),
@@ -6115,6 +6120,13 @@ object SparkEntry {
     // pipeline (oracle SQL generated from the same literals)
     "hd01_article_neardup" -> HashDedup.hd01OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
+    // tag-generator input sanitizer: validation ladder + security
+    // battery (oracle SQL generated from the same constants)
+    "is01_input_sanitize" -> InputSanitize.is01OracleSql,
+    // tag-extraction residue + the per-worker cascade walk (the
+    // stateful budget recursion mirrors as a recursive CTE per worker)
+    "ex01_extract_metrics" -> TagExtract.ex01OracleSql,
+    "cc01_cascade_decisions" -> TagExtract.cc01OracleSql,
     // recap-worker preprocess gate: the 10·ja >= 3·total integer gate,
     // both tokenizers, both short-content exceptions; regexp_replace
     // needs the 'g' flag (DuckDB defaults to first-match)
