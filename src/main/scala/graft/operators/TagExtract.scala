@@ -171,11 +171,22 @@ object TagExtract {
   def extractOn(raw: DataFrame): DataFrame = {
     val truncated = truncateOn(raw)
       .withColumn("url", lit(null).cast("string"))
-    val staged = InputSanitize.sanitizeStaged(truncated)
-    val invalid = col("v1").isNotNull || col("suspicious")
-    val rawText = trim(concat(col("st"), lit("\n"), col("sc")))
-    val slen = (length(col("st")) + length(col("sc"))).cast("long")
-    val tooShort = length(rawText) < MinTextLength
+    val staged0 = InputSanitize.sanitizeStaged(truncated)
+    // one more ev33 barrier: `invalid` folds the whole suspicious
+    // tree (token split + three char-class scans) and feeds EIGHT
+    // output columns — without the barrier CollapseProject re-inlines
+    // that tree per column
+    val staged = staged0.select(staged0.columns.map(col).toSeq
+      :+ explode(array(struct(
+        (col("v1").isNotNull || col("suspicious")).as("invalid"),
+        (length(trim(concat(col("st"), lit("\n"), col("sc")))) < MinTextLength)
+          .as("too_short"),
+        (length(col("st")) + length(col("sc"))).cast("long").as("slen")))).as("z"): _*)
+      .select(col("*"), col("z.invalid").as("invalid"),
+        col("z.too_short").as("too_short"), col("z.slen").as("slen0"))
+    val invalid = col("invalid")
+    val slen = col("slen0")
+    val tooShort = col("too_short")
     val tagCount = (col("doc_id") * 7) % 13
     val k = lit(1400L) * least(tagCount, lit(10L)) +
       lit(5L) * least(slen, lit(1200L))

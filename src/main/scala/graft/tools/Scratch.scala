@@ -84,7 +84,9 @@ object Scratch {
       "gw04_retrain_embed_bias", "gc01_classifier_decision",
       "hm01_bm25_features", "hm02_hybrid_scores",
       "pre01_preprocess_gate", "hm03_corpus_vocab",
-      "eq01_expansion_parse")
+      "eq01_expansion_parse",
+      "hd01_article_neardup", "hd02_dedup_stats",
+      "is01_input_sanitize", "ex01_extract_metrics", "cc01_cascade_decisions")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
