@@ -117,6 +117,7 @@ object SparkEntry {
     "ng02_nginx_status_dist"        -> (NginxLogs.ng02 _),
     "ng03_nginx_endpoint_top"       -> (NginxLogs.ng03 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
+    "ks01_knowledge_slo"            -> (KnowledgeSlo.ks01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
     "hc01_hierarchical_chunks"      -> (HierarchicalChunks.hc01 _),
@@ -6119,6 +6120,7 @@ object SparkEntry {
     // node-restricted recursive-CTE greedy mirror the hashed Spark
     // pipeline (oracle SQL generated from the same literals)
     "hd01_article_neardup" -> HashDedup.hd01OracleSql,
+    "ks01_knowledge_slo" -> KnowledgeSlo.ks01OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // tag-generator input sanitizer: validation ladder + security
     // battery (oracle SQL generated from the same constants)

@@ -45,10 +45,17 @@ import graft.functions.Numeric.microUnits
   *    equality modulo 2^-64 — the tx28 vendored-XXH3 precedent; the
   *    reference tolerates collisions by falling through, a branch
   *    that is unobservable under a collision-free mirror, and the
-  *    string-keyed oracle makes any collision measurable). Equal
-  *    bodies have identical sampled histograms (Dice = 1), so exact
-  *    pairs are a subset of the near graph and only affect
-  *    ATTRIBUTION, never the keep decision.
+  *    string-keyed oracle makes any collision measurable). The path
+  *    is STRUCTURAL, exactly as in the reference: body-equal groups
+  *    collapse to their first-processed representative BEFORE the
+  *    window-key join (see [[exactGroups]]) — duplicates never enter
+  *    the inverted index, so an exact class of E members costs Θ(E)
+  *    here and in the reference, not the Θ(E²) candidate pairs a
+  *    naive all-members join would pay. Siblings inherit the
+  *    representative's fate: exact duplicates of it when it keeps
+  *    (equal bodies are Dice 1 by construction), near duplicates of
+  *    its own keeper when it drops (identical signatures see the
+  *    identical earliest qualifying keeper).
   *  - candidates (:144-149): inverted window-key index — banded
   *    equi-join on the 8-byte sampled keys, never all-pairs; the
   *    reference's scale shape kept. The near-match keeper choice is
@@ -75,13 +82,21 @@ import graft.functions.Numeric.microUnits
   * the ends share 156 = 0.609) plus an exact-boundary pair (Dice
   * 160/200 = 0.8 precisely) and a just-below pair (158/200 = 0.79).
   *
-  * Scale shape: signatures are a stateless scan projection (≤ 256
-  * substring hashes per row, 8-byte keys explode — window STRINGS
-  * never shuffle); candidate generation is the window-key equi-join
-  * with map-side-combined intersection counts (dd04's pre-aggregate
-  * discipline — a boilerplate-hot window key skews the join, the
-  * same skew the reference's inverted index absorbs in RAM, and AQE
-  * skew-join is the remedy at 100 TB); the greedy walk is ADAPTIVE
+  * Scale shape: body-equal groups short-circuit first (one groupBy
+  * on the 8-byte primary hash — the reference's exact fast path, so
+  * exact-duplicate mass never reaches the candidate join); signatures
+  * are a stateless scan projection (≤ 256 substring hashes per row,
+  * 8-byte keys explode — window STRINGS never shuffle); candidate
+  * generation is the window-key equi-join with map-side-combined
+  * intersection counts (dd04's pre-aggregate discipline). A
+  * boilerplate-hot window key shared by d DISTINCT bodies still
+  * yields O(d²) candidate pairs — the reference's in-RAM inverted
+  * index has the identical blowup (dedup.rs:144-149 extends
+  * candidates per key with no df cap), AQE skew-join rebalances
+  * partitions but cannot cut pair counts, and the 100 TB remedy is
+  * the [[candidatePairs]] hotKeyDfCap (default OFF to stay
+  * reference-faithful; divergence pinned in HashDedupSpec); the
+  * greedy walk is ADAPTIVE
   * exactly like Dedup.connectedComponents — the verified ≥ 0.8 pair
   * residue is orders smaller than the corpus, so when it fits the
   * driver a local walk runs, and past the gate it folds PER
@@ -103,10 +118,18 @@ object HashDedup {
   /** 0.8 in 1e-6 units — orchestrator.rs:318's near_duplicate_threshold. */
   val ThresholdMicros = 800000L
 
-  /** ord = 4102444800 − epoch (null → −1): smaller = newer = earlier
-    * in greedy order; nulls land past every real epoch (< 2100).
+  /** ord = 4102444800 − epoch: smaller = newer = earlier in greedy
+    * order. Null published_at coalesces to [[NullEpochSentinel]]
+    * (Long.MinValue/2) so an undated article sorts past EVERY dated
+    * one — including pre-1970 negative epochs — matching
+    * dedup.rs:273's unwrap_or(MIN_UTC) "dated beats undated" rule for
+    * arbitrary verdictsOn inputs, not just the post-1970 composed
+    * corpus (MaxOrd − MinValue/2 ≈ 4.6e18 stays well under
+    * Long.MaxValue, and every representable timestamp's epoch is
+    * ≥ −9.3e12, so ordering is overflow-free).
     */
   val MaxOrd = 4102444800L
+  val NullEpochSentinel: Long = Long.MinValue / 2
 
   // ---- composed-corpus literals (ONE definition feeds the Spark
   // when-chain, the oracle SQL and the spec) ----
@@ -247,15 +270,110 @@ object HashDedup {
     * replaced — which cost one O(n) UTF-8 scan per window and took
     * ~4.5 s per corpus pass at sf0.1).
     */
+  /** The (ord, primary-hash) projection shared by the exact-group
+    * short-circuit and the signature index.
+    */
+  private def ordCol: Column =
+    lit(MaxOrd) - coalesce(col("published_at").cast("long"), lit(NullEpochSentinel))
+
   private[graft] def signatures(arts: DataFrame, windowSize: Int, maxSample: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
     arts
-      .withColumn("ord", lit(MaxOrd) - coalesce(col("published_at").cast("long"), lit(-1L)))
+      .withColumn("ord", ordCol)
       .withColumn("ph", xxhash64(col("body")))
       .withColumn("whist", ColumnBridge.column(
         graft.functions.SampledWindowHistogram(
           ColumnBridge.expression(col("body")), windowSize, maxSample)))
       .withColumn("total", expr("aggregate(whist, 0L, (acc, h) -> acc + h.cnt)"))
+  }
+
+  /** The exact fast path's group structure (dedup.rs:125-141): body
+    * equality keyed by the 64-bit primary hash (the tx28 vendored-XXH3
+    * precedent — collision-free modulo 2^-64, and the string-keyed
+    * oracle makes any collision a red row). Returns
+    * (multi, extras): `multi` = one row per body-equal group of size
+    * > 1 with its first-processed (min (ord, doc_id)) representative;
+    * `extras` = the non-representative members (bounded by the
+    * duplicate population). Only representatives enter the window-key
+    * join: duplicates never enter the reference's inverted index
+    * (exact_hashes holds KEPT articles and near-duplicates leave the
+    * index on drop), so within a body-equal group only the
+    * representative can influence any other article's verdict. The
+    * rest are exact duplicates of the representative when it keeps
+    * (Dice 1 by construction), and near duplicates of the
+    * representative's OWN keeper when it drops (identical signatures
+    * see the identical earliest qualifying keeper — any keeper kept
+    * between the representative and a later sibling has a strictly
+    * larger ord than the representative's pick, so the min is
+    * unchanged). Without this short-circuit an exact class of E
+    * members pays Θ(E²) candidate pairs in the window-key join where
+    * the reference pays Θ(E).
+    */
+  private[graft] def exactGroups(arts0: DataFrame): (DataFrame, DataFrame) = {
+    val keyed = arts0.select(col("doc_id"), ordCol.as("ord"),
+      xxhash64(col("body")).as("ph"))
+    val multi = keyed.groupBy("ph")
+      .agg(min(struct(col("ord"), col("doc_id"))).as("r"), count(lit(1)).as("gsz"))
+      .filter(col("gsz") > 1)
+      .select(col("ph"), col("r.doc_id").as("rep_id"), col("gsz"))
+    val extras = keyed.join(multi.select("ph", "rep_id"), Seq("ph"))
+      .filter(col("doc_id") =!= col("rep_id"))
+      .select(col("doc_id"), col("rep_id"))
+    (multi, extras)
+  }
+
+  /** The inverted signature index over a signature frame: one row per
+    * (doc, sampled window key) with the in-doc count — built IN-KERNEL
+    * (sort + run-length encode inside SampledWindowHistogram; an
+    * explode+groupBy here would shuffle corpus×maxSample rows just to
+    * count within-doc repeats). total = the SAMPLED window count
+    * (Σ cnt), the reference's total_windows.
+    */
+  private[graft] def invertedIndex(sig: DataFrame): DataFrame =
+    sig.withColumn("h", explode(col("whist")))
+      .select(col("doc_id"), col("ord"), col("ph"), col("total"),
+        col("h.k").as("k"), col("h.cnt").as("cnt"))
+
+  /** Candidate pairs over an inverted index: the banded window-key
+    * equi-join with map-side-combined intersection counts, oriented
+    * earlier(a) < later(b) on the (ord, doc_id) composite.
+    *
+    * `hotKeyDfCap`: OFF by default (None) — the reference-faithful
+    * path; dedup.rs:144-149 extends candidates per key with no
+    * document-frequency cap, so a boilerplate-hot window key shared
+    * by d DISTINCT bodies yields O(d²) candidate pairs in both
+    * engines (the reference's in-RAM inverted index absorbs the same
+    * blowup; AQE skew-join rebalances partitions here but cannot cut
+    * pair counts). At 100 TB, Some(cap) drops keys whose document
+    * frequency exceeds `cap` from candidate generation (the CCNet /
+    * MinHash-LSH hot-band discipline) — a PINNED SEMANTICS
+    * DIVERGENCE: a pair whose overlap is concentrated in capped keys
+    * can be missed, which is why the default stays off and
+    * HashDedupSpec pins both the quadratic growth and the cap's
+    * effect explicitly. (Exact-duplicate classes are NOT the
+    * quadratic case: exactGroups removes them before this join.)
+    */
+  private[graft] def candidatePairs(wc: DataFrame,
+                                    hotKeyDfCap: Option[Long] = None): DataFrame = {
+    val wcJ = hotKeyDfCap match {
+      case Some(cap) =>
+        val hot = wc.groupBy("k").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("k")
+        wc.join(hot, Seq("k"), "left_anti")
+      case None => wc
+    }
+    val a = wcJ.select(col("k"), col("doc_id").as("a_id"), col("ord").as("a_ord"),
+      col("ph").as("a_ph"), col("total").as("ta"), col("cnt").as("ca"))
+    val b = wcJ.select(col("k"), col("doc_id").as("b_id"), col("ord").as("b_ord"),
+      col("ph").as("b_ph"), col("total").as("tb"), col("cnt").as("cb"))
+    a.join(b, Seq("k"))
+      .filter(col("a_ord") < col("b_ord") ||
+        (col("a_ord") === col("b_ord") && col("a_id") < col("b_id")))
+      .groupBy("a_id", "b_id")
+      .agg(sum(least(col("ca"), col("cb"))).as("inter"),
+        min(col("ta")).as("ta"), min(col("tb")).as("tb"),
+        min(col("a_ord")).as("a_ord"), min(col("b_ord")).as("b_ord"),
+        min(col("a_ph")).as("a_ph"), min(col("b_ph")).as("b_ph"))
   }
 
   /** The full verdict pipeline over any (doc_id, published_at, body)
@@ -265,37 +383,31 @@ object HashDedup {
   def verdictsOn(arts0: DataFrame, thresholdMicros: Long = ThresholdMicros,
                  windowSize: Int = WindowSize,
                  maxSample: Int = MaxWindowSample,
-                 greedySmallMax: Long = 2000000L): DataFrame = {
-    val sig = signatures(arts0, windowSize, maxSample)
+                 greedySmallMax: Long = 2000000L,
+                 hotKeyDfCap: Option[Long] = None): DataFrame = {
+    // exact fast path first (dedup.rs:125-141): body-equal groups
+    // collapse to their representative BEFORE the window-key join —
+    // see exactGroups. Bounded-by-duplicates frames persist; the
+    // corpus-sized keyed projection does not.
+    val (multi0, extras0) = exactGroups(arts0)
+    val multi = multi0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val extras = extras0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // per-(doc, key) histogram counts, built IN-KERNEL (sort +
-    // run-length encode inside SampledWindowHistogram) — an
-    // explode+groupBy here would shuffle corpus×maxSample rows just
-    // to count within-doc repeats. total = the SAMPLED window count
-    // (Σ cnt), the reference's total_windows. Persisted: this is the
-    // inverted signature index, read by BOTH sides of the candidate
-    // self-join (the reference holds the same index in RAM;
-    // disk-backed here)
-    val wc = sig
-      .withColumn("h", explode(col("whist")))
-      .select(col("doc_id"), col("ord"), col("ph"), col("total"),
-        col("h.k").as("k"), col("h.cnt").as("cnt"))
+    // representatives-only signature index (AQE broadcasts the anti
+    // join when the extras residue is small)
+    val sig = signatures(
+      arts0.join(extras.select("doc_id"), Seq("doc_id"), "left_anti"),
+      windowSize, maxSample)
+
+    // inverted signature index (the reference holds the same index in
+    // RAM; disk-backed here — read by BOTH sides of the candidate
+    // self-join), then the banded candidate join. With the exact
+    // short-circuit every representative has a DISTINCT ph, so
+    // a_ph === b_ph below is false modulo a 2^-64 collision (kept for
+    // the collision-tolerant fall-through the reference also has).
+    val wc = invertedIndex(sig)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    val a = wc.select(col("k"), col("doc_id").as("a_id"), col("ord").as("a_ord"),
-      col("ph").as("a_ph"), col("total").as("ta"), col("cnt").as("ca"))
-    val b = wc.select(col("k"), col("doc_id").as("b_id"), col("ord").as("b_ord"),
-      col("ph").as("b_ph"), col("total").as("tb"), col("cnt").as("cb"))
-    // banded candidate generation: shared sampled key, oriented
-    // earlier(a) < later(b) on the (ord, doc_id) composite
-    val pairs = a.join(b, Seq("k"))
-      .filter(col("a_ord") < col("b_ord") ||
-        (col("a_ord") === col("b_ord") && col("a_id") < col("b_id")))
-      .groupBy("a_id", "b_id")
-      .agg(sum(least(col("ca"), col("cb"))).as("inter"),
-        min(col("ta")).as("ta"), min(col("tb")).as("tb"),
-        min(col("a_ord")).as("a_ord"), min(col("b_ord")).as("b_ord"),
-        min(col("a_ph")).as("a_ph"), min(col("b_ph")).as("b_ph"))
+    val pairs = candidatePairs(wc, hotKeyDfCap)
     // the exact integer Dice gate; sim_u only for surviving pairs
     val dup = pairs
       .filter(col("inter") * 2 * 1000000L >= lit(thresholdMicros) * (col("ta") + col("tb")))
@@ -382,18 +494,57 @@ object HashDedup {
       .select(col("doc_id"), col("ch.nb").as("nb"),
         col("ch.kid").as("keeper_id"), col("ch.su").as("sim_u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nd = attrib.groupBy(col("keeper_id").as("doc_id"))
-      .agg(count(lit(1)).as("nd"))
+    // expand the representative verdicts back over the body-equal
+    // extras (the exact fast path's attribution — see exactGroups):
+    // a kept representative's siblings are its exact duplicates at
+    // Dice 1; a dropped representative's siblings are near duplicates
+    // of the representative's own keeper at the representative's own
+    // similarity. All frames here are bounded by the dup population.
+    val repVerdict = keptFlags.join(attrib, Seq("doc_id"), "left")
+    val repFate = multi.select(col("rep_id"), col("gsz"))
+      .join(repVerdict.select(col("doc_id").as("rep_id"), col("kept"),
+        col("keeper_id").as("rk_keeper"), col("sim_u").as("rk_sim")), Seq("rep_id"), "left")
+      .select(col("rep_id"), col("gsz"),
+        coalesce(col("kept"), lit(true)).as("rep_kept"),
+        col("rk_keeper"), col("rk_sim"))
+    val extrasV = extras.join(repFate, Seq("rep_id"))
+      .select(col("doc_id"), lit(false).as("kept"),
+        when(col("rep_kept"), lit(0)).otherwise(lit(1)).as("nb"),
+        when(col("rep_kept"), col("rep_id")).otherwise(col("rk_keeper")).as("keeper_id"),
+        when(col("rep_kept"), lit(1000000L)).otherwise(col("rk_sim")).as("sim_u"))
+    // keeper duplicate counts: a dropped representative carries its
+    // whole body-equal group to its keeper; a kept multi-group
+    // representative gains its gsz-1 exact extras
+    val ndNear = attrib
+      .join(multi.select(col("rep_id").as("doc_id"), col("gsz")), Seq("doc_id"), "left")
+      .groupBy(col("keeper_id").as("doc_id"))
+      .agg(sum(coalesce(col("gsz"), lit(1L))).as("ndn"))
+    val ndExact = repFate.filter(col("rep_kept"))
+      .select(col("rep_id").as("doc_id"), (col("gsz") - 1).as("nde"))
+    val nd = ndNear.join(ndExact, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(col("ndn"), lit(0L)) + coalesce(col("nde"), lit(0L))).as("nd"))
+    // kept multi-group representatives OUTSIDE the dup graph still
+    // need a residue row to carry their exact-duplicate counts
+    val outsideKept = repFate.filter(col("rep_kept"))
+      .join(keptFlags.select(col("doc_id").as("rep_id")), Seq("rep_id"), "left_anti")
+      .select(col("rep_id").as("doc_id"), lit(true).as("kept"),
+        lit(null).cast("int").as("nb"), lit(null).cast("bigint").as("keeper_id"),
+        lit(null).cast("bigint").as("sim_u"))
 
-    // the bounded verdict residue (dup population only) materializes
-    // eagerly, releasing the pair cache and the CC labels, then
-    // broadcasts back onto the corpus — dd02's apply discipline
-    val small = keptFlags
-      .join(attrib, Seq("doc_id"), "left")
+    // the bounded verdict residue (dup + body-equal populations only)
+    // materializes eagerly, releasing the pair cache and the CC
+    // labels, then broadcasts back onto the corpus — dd02's apply
+    // discipline
+    val small = repVerdict
+      .select(col("doc_id"), col("kept"), col("nb"), col("keeper_id"), col("sim_u"))
+      .unionByName(extrasV)
+      .unionByName(outsideKept)
       .join(nd, Seq("doc_id"), "left")
     val smallM = Dedup.materialized(small) {
       wc.unpersist(blocking = false); dup.unpersist(blocking = false)
       keptFlags.unpersist(blocking = false); attrib.unpersist(blocking = false)
+      multi.unpersist(blocking = false); extras.unpersist(blocking = false)
     }
 
     // sentence half (kept articles): marker split + first-occurrence
@@ -402,7 +553,9 @@ object HashDedup {
       transform(split(regexp_replace(col("body"), "([.!?。])\\s+", "$1\u001E"), "\u001E"),
         x => trim(x)),
       x => x =!= "")
-    val base = sig.select(col("doc_id"), col("published_at"),
+    // computed over ALL input articles (extras included — the output
+    // is one row per input), though only kept rows surface the stats
+    val base = arts0.select(col("doc_id"), col("published_at"),
       size(sents).cast("long").as("ns"),
       size(array_distinct(sents)).cast("long").as("nu"))
 

@@ -18,6 +18,15 @@ import graft.Tables
   *    url failing URL_PATTERN.fullmatch (:22-30, translated verbatim —
   *    RE2/Java-safe already) → 'Invalid URL format'. Lengths are
   *    Python len() = code points = Spark length() on the BMP corpus.
+  *    CORPUS-CONDITIONAL PREMISE (trim flavor): the emptiness checks
+  *    use Spark trim(), which strips ASCII SPACES only, where
+  *    Python str.strip() (:196/:204 `not title.strip()`) strips ALL
+  *    whitespace — a title of '\t' or '\n' alone is 'Title too
+  *    short' in the reference but passes step 1 here. DuckDB trim()
+  *    is space-only too, so the divergence is oracle-invisible; the
+  *    composed corpus plants whitespace-only fields as SPACES
+  *    (composeInputs %19==0 plants "   "), never as bare
+  *    tab/newline, which is where the premise holds.
   *  - Step 1.5 (:232): _looks_like_html (:364 — '<' AND '>' present
   *    and ≥ 3 `<[a-zA-Z/][^>]*>` tags) routes to readability-lxml
   *    extraction — which in THIS container (and any env without
@@ -47,7 +56,19 @@ import graft.Tables
   *    ranges verbatim; integer gate 10·cjk > len): special chars
   *    (not alnum, not space) > 30% (10·special > 3·len) or uppercase
   *    > 70% (10·upper > 7·len). Any hit → 'Suspicious patterns
-  *    detected', sanitized_input = None.
+  *    detected', sanitized_input = None. GATE EXACTNESS: the 0.1 and
+  *    0.3 integer gates equal CPython's float comparisons at every
+  *    reachable length (len·0.1 and len·0.3 never round to cross an
+  *    integer the ratio can hit), but the 0.7 gate has a pinned
+  *    round-DOWN boundary: where len·0.7's nearest double is just
+  *    below the true product (e.g. len=180 → CPython compares
+  *    upper > 125.99999999999999, so upper=126 fires there while
+  *    10·126 > 7·180 does not), the reference flags the row and this
+  *    gate (and the oracle, which mirrors the integer form) passes
+  *    it. Pinned as a convention like TagExtract's confidence
+  *    half-milli note — exact-rational gates beat replicating each
+  *    engine's float rounding, and the composed corpus's uppercase
+  *    bomb sits far from the boundary.
   *
   * Output per article: doc_id, is_valid, violation (first, or null),
   * looks_like_html / is_cjk as NULLABLE INTS (null when step 1

@@ -170,6 +170,87 @@ class HashDedupSpec extends SparkSpec {
     assert(dist == local, "both greedy paths must agree row for row")
   }
 
+  test("enforced premise: the composed corpus never exercises UAX-29's " +
+       "lowercase-suppression case (SB8) — every sentence terminator is " +
+       "followed by whitespace + non-lowercase, so the marker split equals " +
+       "the reference's unicode_sentences on this corpus") {
+    val arts = HashDedup.composeArticles(spark, sfDir)
+    assert(arts.filter(col("body").rlike("[.!?。]\\s+[a-z]")).count() == 0,
+      "a terminator followed by whitespace+lowercase would make the marker " +
+      "split break where UAX-29 does not — the premise the scaladoc pins")
+    assert(arts.filter(col("body").rlike("[.!?。]\\s")).count() > 0,
+      "terminators must be present so the split is actually exercised " +
+      "(word-salad rows carry none; the composed literals do)")
+  }
+
+  test("pre-1970 timestamps still beat undated: a negative epoch sorts " +
+       "NEWER than null published_at (dedup.rs:273 unwrap_or(MIN_UTC) for " +
+       "arbitrary verdictsOn inputs, not just the post-1970 corpus)") {
+    val body = "Pre nineteen seventy ordering pin body text segment. " * 3
+    val out = run(Seq((1L, Some(-100000L), body), (2L, None, body)))
+    assert(kept(out(1L)) && !kept(out(2L)),
+      "the dated 1969 copy must keep; the old null sentinel (-1) inverted this")
+    assert(keeper(out(2L)) == 1L && reason(out(2L)) == "exact_duplicate")
+  }
+
+  test("exact classes are linear: E body-equal articles contribute ONE " +
+       "representative to the window-key join (the reference's exact fast " +
+       "path — duplicates never enter the inverted index)") {
+    import spark.implicits._
+    val body = "Exact class linearity pin shared body for every member row. " * 3
+    val arts = (1L to 30L).map(i => (i, Some(1000L + i), body))
+      .toDF("doc_id", "epoch", "body")
+      .select(col("doc_id"), timestamp_seconds(col("epoch")).as("published_at"), col("body"))
+    val (multi, extras) = HashDedup.exactGroups(arts)
+    assert(multi.count() == 1 && extras.count() == 29)
+    // the representative-only signature index yields ZERO candidate
+    // pairs — where the naive all-members join would pay C(30,2)=435
+    val sig = HashDedup.signatures(
+      arts.join(extras.select("doc_id"), Seq("doc_id"), "left_anti"), 100, 256)
+    assert(HashDedup.candidatePairs(HashDedup.invertedIndex(sig)).count() == 0)
+    // and the verdicts match the reference: newest keeps, 29 exact dups
+    val out = HashDedup.verdictsOn(arts).collect().map(r => r.getLong(0) -> r).toMap
+    assert(kept(out(30L)) && out(30L).getLong(6) == 29L)
+    assert((1L to 29L).forall(i => !kept(out(i)) &&
+      reason(out(i)) == "exact_duplicate" && keeper(out(i)) == 30L && sim(out(i)) == 1.0))
+  }
+
+  test("hot-window-key pin: a boilerplate key shared by d DISTINCT bodies " +
+       "yields Θ(d²) candidate pairs (the reference's in-RAM index has the " +
+       "same blowup — dedup.rs:144-149 caps nothing); the documented " +
+       "hotKeyDfCap drops hot keys from candidate generation, a pinned " +
+       "semantics divergence that stays OFF by default") {
+    import spark.implicits._
+    // 150-char boilerplate prefix + per-doc unique tail: bodies are
+    // ~300 chars -> W <= 256 windows, step 1, ALL windows sampled; the
+    // 51 windows fully inside the boilerplate are content-identical
+    // across docs, every other window contains the doc number
+    val boiler = ("Boilerplate navigation header block shared verbatim by " +
+      "every syndicated page of the corpus in this pin. " * 2).take(150)
+    require(boiler.length == 150)
+    // tails are one DISTINCT letter repeated, so no tail or straddle
+    // window is ever shared across docs (a numbered tail would leak
+    // shared digit-prefix windows past the cap)
+    def mk(n: Int) = (1 to n).map { i =>
+      (i.toLong, Some(1000L + i), boiler + (('a' + i).toChar.toString * 150))
+    }.toDF("doc_id", "epoch", "body")
+      .select(col("doc_id"), timestamp_seconds(col("epoch")).as("published_at"), col("body"))
+    def pairCount(n: Int, cap: Option[Long]) =
+      HashDedup.candidatePairs(
+        HashDedup.invertedIndex(HashDedup.signatures(mk(n), 100, 256)), cap).count()
+    // quadratic growth, pinned exactly: every pair shares the 51
+    // boilerplate-interior keys -> all C(d,2) pairs materialize
+    assert(pairCount(12, None) == 66L && pairCount(24, None) == 276L,
+      "C(12,2)=66 and C(24,2)=276 — doubling d quadruples the pair residue")
+    // the df-cap kills the hot keys (df=24 > 20) and with them every
+    // pair: tails are unique, straddling windows are per-doc
+    assert(pairCount(24, Some(20L)) == 0L)
+    // a cap above every key's df is a no-op on verdicts
+    val base = HashDedup.verdictsOn(mk(24)).collect().map(_.toSeq)
+    val capped = HashDedup.verdictsOn(mk(24), hotKeyDfCap = Some(1000L)).collect().map(_.toSeq)
+    assert(base.toSeq == capped.toSeq)
+  }
+
   test("plan: the verdict residue broadcasts back onto the corpus and the " +
        "candidate join is a banded equi-join (no cartesian)") {
     val f = HashDedup.hd01(spark, sfDir).queryExecution.explainString(
