@@ -197,6 +197,7 @@ object SparkEntry {
     "es03_retention_ttl"            -> (Events.retentionTtl _),
     "es04_weekly_recap_rollup"      -> (Events.weeklyRecapRollup _),
     "es08_producer_liveness"        -> ((s: SparkSession, dir: String) => Trail.producerLiveness(s, dir)),
+    "es11_trail_episodes"           -> (Trail.trailEpisodes _),
     "es09_trail_wear"               -> ((s: SparkSession, dir: String) => Trail.trailWear(s, dir)),
     "es10_stream_trim"              -> ((s: SparkSession, dir: String) => Trail.streamTrimReport(s, dir)),
     "asof01_purchase_after_view"    -> (AsOf.purchaseAfterView _),
@@ -6121,6 +6122,7 @@ object SparkEntry {
     // pipeline (oracle SQL generated from the same literals)
     "hd01_article_neardup" -> HashDedup.hd01OracleSql,
     "ks01_knowledge_slo" -> KnowledgeSlo.ks01OracleSql,
+    "es11_trail_episodes" -> Trail.es11OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // tag-generator input sanitizer: validation ladder + security
     // battery (oracle SQL generated from the same constants)

@@ -111,4 +111,15 @@ class KnowledgeSloSpec extends SparkSpec {
     assert(rows.map(_.getString(7)).distinct.length == 1,
       "overall_health is denormalized identically on every row")
   }
+
+  test("plan: no global window or sort in the lag computation — the " +
+       "checkpoint is a per-type agg + scalar-min broadcast, the count a " +
+       "filtered agg (the no-row_number re-expression the scaladoc claims)") {
+    val f = KnowledgeSlo.ks01(spark, sfDir).queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!f.contains("Window"), "no WindowExec anywhere")
+    assert(!f.contains("CartesianProduct"))
+    assert(f.contains("BroadcastNestedLoopJoin") || f.contains("BroadcastHashJoin"),
+      "the one-row checkpoint scalar must broadcast into the corpus count")
+  }
 }
