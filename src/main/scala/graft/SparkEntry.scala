@@ -118,6 +118,7 @@ object SparkEntry {
     "ng03_nginx_endpoint_top"       -> (NginxLogs.ng03 _),
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "ks01_knowledge_slo"            -> (KnowledgeSlo.ks01 _),
+    "ka01_projection_audit"         -> (KnowledgeAudit.ka01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
     "hc01_hierarchical_chunks"      -> (HierarchicalChunks.hc01 _),
@@ -6123,6 +6124,7 @@ object SparkEntry {
     "hd01_article_neardup" -> HashDedup.hd01OracleSql,
     "ks01_knowledge_slo" -> KnowledgeSlo.ks01OracleSql,
     "es11_trail_episodes" -> Trail.es11OracleSql,
+    "ka01_projection_audit" -> KnowledgeAudit.ka01OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // tag-generator input sanitizer: validation ladder + security
     // battery (oracle SQL generated from the same constants)
