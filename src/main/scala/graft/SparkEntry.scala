@@ -119,6 +119,9 @@ object SparkEntry {
     "kh01_lens_visibility"          -> (LensVisibility.kh01 _),
     "ks01_knowledge_slo"            -> (KnowledgeSlo.ks01 _),
     "ka01_projection_audit"         -> (KnowledgeAudit.ka01 _),
+    "rag09_quality_verdict"         -> (RetrievalQuality.rag09 _),
+    "rag10_context_allocation"      -> (ContextAllocate.rag10 _),
+    "rag11_article_bm25"            -> (ArticleBm25.rag11 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
     "hc01_hierarchical_chunks"      -> (HierarchicalChunks.hc01 _),
@@ -6125,6 +6128,9 @@ object SparkEntry {
     "ks01_knowledge_slo" -> KnowledgeSlo.ks01OracleSql,
     "es11_trail_episodes" -> Trail.es11OracleSql,
     "ka01_projection_audit" -> KnowledgeAudit.ka01OracleSql,
+    "rag09_quality_verdict" -> RetrievalQuality.rag09OracleSql,
+    "rag10_context_allocation" -> ContextAllocate.rag10OracleSql,
+    "rag11_article_bm25" -> ArticleBm25.rag11OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // tag-generator input sanitizer: validation ladder + security
     // battery (oracle SQL generated from the same constants)
