@@ -122,6 +122,7 @@ object SparkEntry {
     "rag09_quality_verdict"         -> (RetrievalQuality.rag09 _),
     "rag10_context_allocation"      -> (ContextAllocate.rag10 _),
     "rag11_article_bm25"            -> (ArticleBm25.rag11 _),
+    "rag12_temporal_boost"          -> (TemporalBoost.rag12 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
     "hc01_hierarchical_chunks"      -> (HierarchicalChunks.hc01 _),
@@ -6131,6 +6132,7 @@ object SparkEntry {
     "rag09_quality_verdict" -> RetrievalQuality.rag09OracleSql,
     "rag10_context_allocation" -> ContextAllocate.rag10OracleSql,
     "rag11_article_bm25" -> ArticleBm25.rag11OracleSql,
+    "rag12_temporal_boost" -> TemporalBoost.rag12OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // tag-generator input sanitizer: validation ladder + security
     // battery (oracle SQL generated from the same constants)
