@@ -203,6 +203,7 @@ object SparkEntry {
     "es04_weekly_recap_rollup"      -> (Events.weeklyRecapRollup _),
     "es08_producer_liveness"        -> ((s: SparkSession, dir: String) => Trail.producerLiveness(s, dir)),
     "es11_trail_episodes"           -> (Trail.trailEpisodes _),
+    "es12_home_item_score"          -> (HomeItemScore.es12 _),
     "es09_trail_wear"               -> ((s: SparkSession, dir: String) => Trail.trailWear(s, dir)),
     "es10_stream_trim"              -> ((s: SparkSession, dir: String) => Trail.streamTrimReport(s, dir)),
     "asof01_purchase_after_view"    -> (AsOf.purchaseAfterView _),
@@ -6128,6 +6129,7 @@ object SparkEntry {
     "hd01_article_neardup" -> HashDedup.hd01OracleSql,
     "ks01_knowledge_slo" -> KnowledgeSlo.ks01OracleSql,
     "es11_trail_episodes" -> Trail.es11OracleSql,
+    "es12_home_item_score" -> HomeItemScore.es12OracleSql,
     "ka01_projection_audit" -> KnowledgeAudit.ka01OracleSql,
     "rag09_quality_verdict" -> RetrievalQuality.rag09OracleSql,
     "rag10_context_allocation" -> ContextAllocate.rag10OracleSql,
