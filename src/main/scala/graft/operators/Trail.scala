@@ -199,10 +199,12 @@ object Trail {
     *    tie rule (:99-106).
     *
     * The reference derives per user per RPC over a fixed
-    * episodeWindowRows window; the batch form computes EVERY user in
-    * one pass (es01's batch-read-model discipline) — per-user graphs
-    * stay bounded by the item catalog exactly as the reference's are
-    * bounded by the window.
+    * episodeWindowRows = 500 window (rpc_trail.go:25-29 — the window
+    * is deliberately independent of the client's page cursor, with a
+    * loud window-exhausted log as the redesign trigger); the batch
+    * form computes EVERY user in one pass (es01's batch-read-model
+    * discipline) — per-user graphs stay bounded by the item catalog
+    * exactly as the reference's are bounded by the window.
     *
     * Output: one row per footprint with its episode's key/wear/rank
     * and its position inside the episode (arrays would trip Verify's
