@@ -834,4 +834,49 @@ object StreamOps {
       }
       .toDF("ts", "template", "line")
   }
+
+  case class ScoreInput(user_id: Long, item_key: String, ts: Timestamp,
+                        event_id: Long, score: Double, op: String)
+  case class ScoreState(lastSetTs: Long, lastSetEid: Long, score: Double, n: Long)
+  case class ScoreOut(user_id: Long, item_key: String, score: Double,
+                      suppressed: Boolean, n_score_events: Long)
+
+  /** st30: the Knowledge Home score_op fold as an INCREMENTAL stream —
+    * es12's batch fold (knowledge_home_projector/projector.go
+    * :52-68/:262-268) in the form the projector actually runs it: a
+    * per-batch apply over the ordered event log (RunBatch's checkpoint
+    * loop). State per (user, item) is the fold's whole memory — the
+    * last set-op's (ts, event_id) and the running score (max-ops
+    * ratchet, a NEWER set overwrites, later max-ops ratchet from it).
+    * Rows fold in (ts, event_id) order within each micro-batch, and
+    * the stream carries the projector's own premise: the event feed is
+    * the ordered log (a cross-batch late max-op older than the
+    * standing set would wrongly ratchet — the reference's sequential
+    * log consumption has the identical exposure, which is why its
+    * checkpoint is a sequence number). Update-mode emission: one
+    * current-score row per touched key per batch — exactly the
+    * projector's upsert stream.
+    */
+  def scoreFoldStream(events: Dataset[ScoreInput]): Dataset[ScoreOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.item_key))
+      .mapGroupsWithState[ScoreState, ScoreOut](GroupStateTimeout.NoTimeout) {
+        case ((user, item), rows, state) =>
+          var st = state.getOption.getOrElse(
+            ScoreState(Long.MinValue, Long.MinValue, Double.MinValue, 0L))
+          rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id)).foreach { r =>
+            val (t, eid) = (r.ts.getTime, r.event_id)
+            st = r.op match {
+              case "set" if t > st.lastSetTs ||
+                  (t == st.lastSetTs && eid > st.lastSetEid) =>
+                ScoreState(t, eid, r.score, st.n + 1)
+              case "set" => st.copy(n = st.n + 1)
+              case _ => st.copy(score = math.max(st.score, r.score), n = st.n + 1)
+            }
+          }
+          state.update(st)
+          ScoreOut(user, item, st.score, st.lastSetTs != Long.MinValue, st.n)
+      }
+  }
 }

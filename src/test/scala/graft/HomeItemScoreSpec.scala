@@ -64,6 +64,37 @@ class HomeItemScoreSpec extends SparkSpec {
     assert(out("b").getDouble(2) == 0.9, "event_id 4 is later at equal ts")
   }
 
+  test("st30: the streaming fold carries state across micro-batches " +
+       "and agrees with the batch fold verdict-for-verdict") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, Long, Long, Double, String)]
+    val in = mem.toDF.toDF("user_id", "item_key", "epoch", "event_id", "score", "op")
+      .select(col("user_id"), col("item_key"),
+        timestamp_seconds(col("epoch")).as("ts"), col("event_id"),
+        col("score"), col("op"))
+      .as[graft.streaming.StreamOps.ScoreInput](
+        org.apache.spark.sql.Encoders.product[graft.streaming.StreamOps.ScoreInput])
+    val q = graft.streaming.StreamOps.scoreFoldStream(in)
+      .writeStream.format("memory").queryName("st30").outputMode("update").start()
+    try {
+      mem.addData((1L, "a", 10L, 1L, 0.8, "max"))
+      q.processAllAvailable()
+      mem.addData((1L, "a", 20L, 2L, 0.1, "set"))   // overwrite across batches
+      q.processAllAvailable()
+      mem.addData((1L, "a", 30L, 3L, 0.5, "max"))   // ratchet from the set
+      q.processAllAvailable()
+      val hist = spark.sql("SELECT score, suppressed, n_score_events FROM st30")
+        .collect().map(r => (r.getDouble(0), r.getBoolean(1), r.getLong(2))).toSet
+      assert(hist == Set((0.8, false, 1L), (0.1, true, 2L), (0.5, true, 3L)),
+        "each batch emits the then-current fold state")
+      // the final state equals the batch fold on the full log
+      val batch = run(Seq((1L, "a", 10L, 1L, 0.8, "max"),
+        (1L, "a", 20L, 2L, 0.1, "set"), (1L, "a", 30L, 3L, 0.5, "max")))
+      assert(batch("a").getDouble(2) == 0.5 && batch("a").getInt(3) == 1)
+    } finally q.stop()
+  }
+
   test("es12 over the corpus: every score is one of the four fold " +
        "constants, suppressed rows exist, and error events never " +
        "create items") {
