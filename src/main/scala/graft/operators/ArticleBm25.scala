@@ -18,7 +18,14 @@ import graft.functions.Numeric
   *    term (Han/Hiragana/Katakana), first-seen deduplicated. The scan
   *    order only matters for float summation in the reference;
   *    contributions are integer-quantized here (the tx18 discipline),
-  *    so a DISTINCT term set is exact.
+  *    so a DISTINCT term set is exact. CORPUS-CONDITIONAL PREMISE
+  *    (pinned): the reference's letter test is `unicode.IsLetter(r)
+  *    && r < 0x3000`, which also admits ACCENTED Latin into a run
+  *    ('café' is one term there, 'caf' under the [a-z] runs both
+  *    engines use here); the corpus carries no accented Latin
+  *    (grep-verified at all three SFs), and the oracle mirrors the
+  *    same token regex, so the divergence is both unreachable and
+  *    oracle-invisible.
   *  - df and tf are SUBSTRING-based, not token-based (:189
   *    strings.Contains, :216 strings.Count — both byte-level,
   *    non-overlapping): the term "ai" matches inside "maintain".
