@@ -204,6 +204,7 @@ object SparkEntry {
     "es08_producer_liveness"        -> ((s: SparkSession, dir: String) => Trail.producerLiveness(s, dir)),
     "es11_trail_episodes"           -> (Trail.trailEpisodes _),
     "es12_home_item_score"          -> (HomeItemScore.es12 _),
+    "kh02_home_ranked"              -> (HomeItemScore.kh02 _),
     "es09_trail_wear"               -> ((s: SparkSession, dir: String) => Trail.trailWear(s, dir)),
     "es10_stream_trim"              -> ((s: SparkSession, dir: String) => Trail.streamTrimReport(s, dir)),
     "asof01_purchase_after_view"    -> (AsOf.purchaseAfterView _),
@@ -6130,6 +6131,7 @@ object SparkEntry {
     "ks01_knowledge_slo" -> KnowledgeSlo.ks01OracleSql,
     "es11_trail_episodes" -> Trail.es11OracleSql,
     "es12_home_item_score" -> HomeItemScore.es12OracleSql,
+    "kh02_home_ranked" -> HomeItemScore.kh02OracleSql,
     "ka01_projection_audit" -> KnowledgeAudit.ka01OracleSql,
     "rag09_quality_verdict" -> RetrievalQuality.rag09OracleSql,
     "rag10_context_allocation" -> ContextAllocate.rag10OracleSql,

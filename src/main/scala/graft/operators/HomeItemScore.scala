@@ -101,6 +101,78 @@ object HomeItemScore {
     scoreFoldOn(base)
   }
 
+  // ---- kh02: the ranked Knowledge Home read (read_projections.go) ----
+
+  /** kh02: GetKnowledgeHomeItems' ranked list —
+    * sovereign_db/read_projections.go (:93-193) over
+    * sql_fragments.go homeItemRankScoreSQL (:37-39), the read model
+    * kh01's lens visibility feeds. Quirks, each pinned:
+    *
+    *  - rank_score = score / (1 + GREATEST(age/86400, 0)) — the
+    *    READ-TIME hyperbolic day-decay of the STORED time-invariant
+    *    score (es12's fold output); deliberately not a stored column
+    *    (sql_fragments.go:11-19 records the frozen-ranking bug:
+    *    baking the decay into the projector's GREATEST-merged write
+    *    froze staleness forever). Age falls back to generated_at when
+    *    published_at is unknown (:18-19); the GREATEST floor keeps
+    *    future-dated publishes at decay 0. The reference's
+    *    bare-integer-literal discipline (:31-36, numeric-vs-float8
+    *    Postgres typing) becomes exact integer microseconds over
+    *    86400e6 here.
+    *  - ORDER BY rank_score DESC, COALESCE(published_at,
+    *    '-infinity') DESC, item_key DESC (:192) — undated rows sort
+    *    LAST within a rank tie.
+    *  - keyset pagination anchors "now" ONCE per pagination session
+    *    (:96-105: decay strictly shrinks, so a continuation page that
+    *    re-evaluated now() would watch the boundary row's rank drop
+    *    below its own cursor value and re-emit it forever — the
+    *    each_key_duplicate bug). The batch form holds one asOf for
+    *    the whole frame BY CONSTRUCTION, which is exactly the
+    *    invariant; pages are then the keyset-equivalent
+    *    row_number/pageSize split. The spec demonstrates the quirk:
+    *    a drifted anchor re-admits the boundary row.
+    *  - dismissed rows are excluded at read (:141 dismissed_at IS
+    *    NULL; the composed %13 class), matching kh01's gate.
+    *
+    * Scale: es12's fold + one scalar asOf broadcast + one
+    * user-partitioned rank window; the decayed score is a scalar
+    * projection (never stored, computed in the scan).
+    */
+  def rankedHomeOn(items: DataFrame, asOfMicros: Long,
+                   pageSize: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val age = (lit(asOfMicros) -
+      coalesce(col("pub_us"), col("gen_us"))).cast("double") / 86400e6
+    val ranked = items
+      .filter(!col("dismissed"))
+      .withColumn("rank_score", col("score") / (lit(1.0) + greatest(age, lit(0.0))))
+      .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("rank_score").desc,
+          coalesce(col("pub_us"), lit(Long.MinValue)).desc, col("item_key").desc)))
+    ranked.select(col("user_id"), col("item_key"), col("score"),
+      col("rank_score"),
+      (col("pub_us").isNull).cast("int").as("undated"),
+      (((col("rn") - 1) / pageSize) + 1).cast("int").as("page"),
+      (((col("rn") - 1) % pageSize) + 1).cast("int").as("pos_in_page"))
+      .orderBy("user_id", "page", "pos_in_page")
+  }
+
+  def kh02(s: SparkSession, dir: String): DataFrame = {
+    val scores = es12(s, dir)
+    val n = regexp_extract(col("item_key"), "([0-9]+)$", 1).cast("int")
+    val genUs = unix_micros(col("last_event_at"))
+    val items = scores.select(col("user_id"), col("item_key"), col("score"),
+      genUs.as("gen_us"),
+      when(n % 7 === 3, lit(null).cast("long"))
+        .otherwise(genUs - (n * 7 % 50).cast("long") * 3600000000L).as("pub_us"),
+      (pmod(col("user_id") + n, lit(13)) === 0).as("dismissed"))
+    // deterministic anchor: one hour past the corpus tip (es08's
+    // deterministic-now convention), broadcast as a literal via the
+    // scalar agg
+    val asOf = items.agg(max(col("gen_us"))).head().getLong(0) + 3600000000L
+    rankedHomeOn(items, asOf)
+  }
+
   val es12OracleSql: String =
     """WITH e AS (
   SELECT coalesce(user_id, 0) AS user_id,
@@ -132,4 +204,31 @@ SELECT a1.user_id, a1.item_key,
   a1.last_ord.ts AS last_event_at
 FROM a1 LEFT JOIN ma ON ma.user_id = a1.user_id AND ma.item_key = a1.item_key
 ORDER BY a1.user_id, a1.item_key"""
+
+  /** kh02 mirror over the es12 chain. */
+  val kh02OracleSql: String =
+    s"""WITH base AS ($es12OracleSql),
+items AS (
+  SELECT user_id, item_key, score,
+    epoch_us(last_event_at) AS gen_us,
+    CASE WHEN CAST(regexp_extract(item_key, '([0-9]+)$$', 1) AS INTEGER) % 7 = 3 THEN NULL
+         ELSE epoch_us(last_event_at)
+              - CAST((CAST(regexp_extract(item_key, '([0-9]+)$$', 1) AS INTEGER) * 7 % 50) AS BIGINT) * 3600000000 END AS pub_us,
+    ((user_id + CAST(regexp_extract(item_key, '([0-9]+)$$', 1) AS INTEGER)) % 13 = 0) AS dismissed
+  FROM base),
+anchor AS (SELECT max(gen_us) + 3600000000 AS as_of FROM items),
+ranked AS (
+  SELECT i.user_id, i.item_key, i.score,
+    i.score / (1.0 + greatest(CAST(a.as_of - coalesce(i.pub_us, i.gen_us) AS DOUBLE) / 86400e6, 0.0)) AS rank_score,
+    CAST(i.pub_us IS NULL AS INTEGER) AS undated,
+    row_number() OVER (PARTITION BY i.user_id
+      ORDER BY i.score / (1.0 + greatest(CAST(a.as_of - coalesce(i.pub_us, i.gen_us) AS DOUBLE) / 86400e6, 0.0)) DESC,
+               coalesce(i.pub_us, -9223372036854775808) DESC, i.item_key DESC) AS rn
+  FROM items i CROSS JOIN anchor a
+  WHERE NOT i.dismissed)
+SELECT user_id, item_key, score, rank_score, undated,
+       CAST((rn - 1) // 5 + 1 AS INTEGER) AS page,
+       CAST((rn - 1) % 5 + 1 AS INTEGER) AS pos_in_page
+FROM ranked ORDER BY user_id, page, pos_in_page"""
+
 }

@@ -89,7 +89,7 @@ object Scratch {
       "is01_input_sanitize", "ex01_extract_metrics", "cc01_cascade_decisions",
       "ks01_knowledge_slo", "es11_trail_episodes", "ka01_projection_audit",
       "rag09_quality_verdict", "rag10_context_allocation", "rag11_article_bm25",
-      "rag12_temporal_boost", "es12_home_item_score")
+      "rag12_temporal_boost", "es12_home_item_score", "kh02_home_ranked")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
