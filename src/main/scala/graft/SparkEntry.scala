@@ -123,6 +123,9 @@ object SparkEntry {
     "rag10_context_allocation"      -> (ContextAllocate.rag10 _),
     "rag11_article_bm25"            -> (ArticleBm25.rag11 _),
     "rag12_temporal_boost"          -> (TemporalBoost.rag12 _),
+    "cb01_bullet_citations"         -> (CitationReconcile.cb01 _),
+    "gp01_rescue_propagation"       -> (GraphRescue.gp01 _),
+    "gp02_rescue_knn"               -> (GraphRescue.gp02 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
     "hc01_hierarchical_chunks"      -> (HierarchicalChunks.hc01 _),
@@ -6137,6 +6140,9 @@ object SparkEntry {
     "rag10_context_allocation" -> ContextAllocate.rag10OracleSql,
     "rag11_article_bm25" -> ArticleBm25.rag11OracleSql,
     "rag12_temporal_boost" -> TemporalBoost.rag12OracleSql,
+    "cb01_bullet_citations" -> CitationReconcile.cb01OracleSql,
+    "gp01_rescue_propagation" -> GraphRescue.gp01OracleSql,
+    "gp02_rescue_knn" -> GraphRescue.gp02OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // tag-generator input sanitizer: validation ladder + security
     // battery (oracle SQL generated from the same constants)

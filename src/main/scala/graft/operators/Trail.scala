@@ -168,6 +168,20 @@ object Trail {
   /** 14-day stage-2 chain window (trail_episodes.go:30), microseconds. */
   val TagChainWindowMicros: Long = 14L * 24 * 3600 * 1000000L
 
+  /** Enforced premise: the (user << 20) + ordinal node encoding holds a
+    * 20-bit item ordinal. The reference's episode derivation is bounded
+    * by construction (episodeWindowRows=500 footprints per call —
+    * trail_episodes.go), so a >2^20-item catalog is unreachable there;
+    * here the bound is ASSERTED, not assumed — an ordinal past the
+    * width raises instead of silently colliding (user, item) nodes and
+    * merging unrelated episodes. Distributed and free: a per-row guard
+    * inside the projection, no extra driver action.
+    */
+  private[graft] def encodedOrd(ord: Column): Column =
+    when(ord < (1L << 20), ord).otherwise(raise_error(concat(
+      lit("es11 node encoding overflow: item ordinal "), ord.cast("string"),
+      lit(" exceeds the 20-bit catalog premise (trail_episodes.go bounded-window invariant)"))))
+
   /** es11: derived trail EPISODES (knowledge-sovereign
     * usecase/trail_episodes/trail_episodes.go Derive :54-108 — the
     * trail RPC's sole display unit since D24/D30: rpc_trail.go:60
@@ -292,7 +306,7 @@ object Trail {
       .withColumn("ord",
         row_number().over(Window.orderBy("item_key")).cast("long"))
     def node(user: Column, ord: Column): Column =
-      shiftleft(user, 20) + ord
+      shiftleft(user, 20) + encodedOrd(ord)
     val ePairs = edges
       .join(broadcast(itemDim.select(col("item_key").as("ia"), col("ord").as("oa"))), Seq("ia"))
       .join(broadcast(itemDim.select(col("item_key").as("ib"), col("ord").as("ob"))), Seq("ib"))

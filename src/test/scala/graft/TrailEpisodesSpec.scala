@@ -156,4 +156,21 @@ class TrailEpisodesSpec extends SparkSpec {
       .groupBy("user_id").agg(max("episode_rank").as("mx"), count(lit(1)).as("n"))
     assert(ranks.filter(col("mx") =!= col("n")).count() == 0, "dense ranks")
   }
+
+  test("enforced premise: the 20-bit item-ordinal width of the node " +
+       "encoding RAISES past the catalog bound instead of silently " +
+       "colliding (user,item) nodes (episodeWindowRows bounds it in the " +
+       "reference; here it is asserted)") {
+    import spark.implicits._
+    val ords = Seq((1L << 20) - 1, 1L << 20).toDF("ord")
+    // the last in-width ordinal passes through unchanged
+    assert(ords.filter(col("ord") < (1L << 20))
+      .select(Trail.encodedOrd(col("ord"))).as[Long].head() == (1L << 20) - 1)
+    val ex = intercept[Exception] {
+      ords.select(Trail.encodedOrd(col("ord"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("es11 node encoding overflow")), ex.toString)
+  }
 }
