@@ -126,6 +126,8 @@ object SparkEntry {
     "cb01_bullet_citations"         -> (CitationReconcile.cb01 _),
     "gp01_rescue_propagation"       -> (GraphRescue.gp01 _),
     "gp02_rescue_knn"               -> (GraphRescue.gp02 _),
+    "qj01_summary_quality_gate"     -> (QualityJudge.qj01 _),
+    "cf01_citation_format"          -> (CitationFormat.cf01 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
     "hc01_hierarchical_chunks"      -> (HierarchicalChunks.hc01 _),
@@ -6143,6 +6145,8 @@ object SparkEntry {
     "cb01_bullet_citations" -> CitationReconcile.cb01OracleSql,
     "gp01_rescue_propagation" -> GraphRescue.gp01OracleSql,
     "gp02_rescue_knn" -> GraphRescue.gp02OracleSql,
+    "qj01_summary_quality_gate" -> QualityJudge.qj01OracleSql,
+    "cf01_citation_format" -> CitationFormat.cf01OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // tag-generator input sanitizer: validation ladder + security
     // battery (oracle SQL generated from the same constants)
