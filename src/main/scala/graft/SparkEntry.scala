@@ -128,6 +128,7 @@ object SparkEntry {
     "gp02_rescue_knn"               -> (GraphRescue.gp02 _),
     "qj01_summary_quality_gate"     -> (QualityJudge.qj01 _),
     "cf01_citation_format"          -> (CitationFormat.cf01 _),
+    "rag13_query_filters"           -> (QueryFilters.rag13 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
     "hc01_hierarchical_chunks"      -> (HierarchicalChunks.hc01 _),
@@ -6147,6 +6148,7 @@ object SparkEntry {
     "gp02_rescue_knn" -> GraphRescue.gp02OracleSql,
     "qj01_summary_quality_gate" -> QualityJudge.qj01OracleSql,
     "cf01_citation_format" -> CitationFormat.cf01OracleSql,
+    "rag13_query_filters" -> QueryFilters.rag13OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // tag-generator input sanitizer: validation ladder + security
     // battery (oracle SQL generated from the same constants)
