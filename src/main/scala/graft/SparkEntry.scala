@@ -129,6 +129,8 @@ object SparkEntry {
     "qj01_summary_quality_gate"     -> (QualityJudge.qj01 _),
     "cf01_citation_format"          -> (CitationFormat.cf01 _),
     "rag13_query_filters"           -> (QueryFilters.rag13 _),
+    "rag15_answer_quality"          -> (AnswerQuality.rag15 _),
+    "rag14_answer_validate"         -> (AnswerValidate.rag14 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
     "hc01_hierarchical_chunks"      -> (HierarchicalChunks.hc01 _),
@@ -6149,6 +6151,8 @@ object SparkEntry {
     "qj01_summary_quality_gate" -> QualityJudge.qj01OracleSql,
     "cf01_citation_format" -> CitationFormat.cf01OracleSql,
     "rag13_query_filters" -> QueryFilters.rag13OracleSql,
+    "rag15_answer_quality" -> AnswerQuality.rag15OracleSql,
+    "rag14_answer_validate" -> AnswerValidate.rag14OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // tag-generator input sanitizer: validation ladder + security
     // battery (oracle SQL generated from the same constants)
