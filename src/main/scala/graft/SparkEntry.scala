@@ -131,6 +131,7 @@ object SparkEntry {
     "rag13_query_filters"           -> (QueryFilters.rag13 _),
     "rag15_answer_quality"          -> (AnswerQuality.rag15 _),
     "rag14_answer_validate"         -> (AnswerValidate.rag14 _),
+    "gc02_genre_blend"              -> (GenreBlend.gc02 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
     "hc01_hierarchical_chunks"      -> (HierarchicalChunks.hc01 _),
@@ -6153,6 +6154,7 @@ object SparkEntry {
     "rag13_query_filters" -> QueryFilters.rag13OracleSql,
     "rag15_answer_quality" -> AnswerQuality.rag15OracleSql,
     "rag14_answer_validate" -> AnswerValidate.rag14OracleSql,
+    "gc02_genre_blend" -> GenreBlend.gc02OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // tag-generator input sanitizer: validation ladder + security
     // battery (oracle SQL generated from the same constants)
