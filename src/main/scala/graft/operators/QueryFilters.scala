@@ -145,10 +145,18 @@ object QueryFilters {
     * resolved query → (set_id, out_ord, query).
     */
   def filterQueries(lines: DataFrame, resolved: DataFrame): DataFrame = {
-    val q = stripScaffolding(col("raw"))
-    val kept = lines
-      .withColumn("q", q)
+    // materialize the cleaned line ONCE: the scaffolding regex chain
+    // otherwise gets substituted into every downstream predicate AND
+    // into the garbage fold's per-element lambda body (~400 elements ×
+    // 11 regexes per row — measured 20 s at sf0.1; the is01/hm02
+    // CollapseProject lesson), while the lambdas over a materialized
+    // attribute read a row value
+    val cleaned = lines
+      .withColumn("q", stripScaffolding(col("raw")))
       .filter(col("q").isNotNull)
+      .select(col("set_id"), col("line_no"), col("q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = cleaned
       .filter(length(col("q")).between(MinQueryRuneLen, MaxQueryRuneLen))
       .filter(!isGarbage(col("q")))
       .filter(!isRomanized(col("q")))
@@ -165,6 +173,9 @@ object QueryFilters {
         Window.partitionBy("set_id").orderBy("line_no")))
       .filter(col("out_ord") <= MaxExpandedQueries)
       .select(col("set_id"), col("out_ord"), col("q").as("query"))
+      // referenced twice (output + the fallback anti-join) — keep the
+      // ≤8-rows-per-set result instead of re-running both windows
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val fallback = resolved
       .join(deduped.select("set_id").distinct(), Seq("set_id"), "left_anti")
       .filter(col("resolved") =!= "")

@@ -89,7 +89,11 @@ object Scratch {
       "is01_input_sanitize", "ex01_extract_metrics", "cc01_cascade_decisions",
       "ks01_knowledge_slo", "es11_trail_episodes", "ka01_projection_audit",
       "rag09_quality_verdict", "rag10_context_allocation", "rag11_article_bm25",
-      "rag12_temporal_boost", "es12_home_item_score", "kh02_home_ranked")
+      "rag12_temporal_boost", "es12_home_item_score", "kh02_home_ranked",
+      "cb01_bullet_citations", "gp01_rescue_propagation", "gp02_rescue_knn",
+      "qj01_summary_quality_gate", "cf01_citation_format",
+      "rag13_query_filters", "rag14_answer_validate", "rag15_answer_quality",
+      "gc02_genre_blend")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
