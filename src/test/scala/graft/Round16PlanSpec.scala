@@ -23,8 +23,17 @@ class Round16PlanSpec extends SparkSpec {
       QueryFilters.rag13(spark, sfDir),
       AnswerValidate.rag14(spark, sfDir),
       AnswerQuality.rag15(spark, sfDir),
-      GenreBlend.gc02(spark, sfDir)).map(plan)
+      GenreBlend.gc02(spark, sfDir),
+      ParagraphChunks.rag16(spark, sfDir),
+      ChunkDiff.rag17(spark, sfDir)).map(plan)
     assert(plans.forall(!_.contains("CartesianProduct")))
+  }
+
+  test("the chunker and the chunk diff are exchange-free in-row folds (rag16, rag17)") {
+    Seq("rag16" -> plan(ParagraphChunks.rag16(spark, sfDir)),
+      "rag17" -> plan(ChunkDiff.rag17(spark, sfDir))).foreach { case (n, p) =>
+      assert(!p.contains("Exchange"), s"$n must be a pure scan projection")
+    }
   }
 
   test("the stateless ladders are exchange-free scans: qj01, cf01, rag14, rag15 (tx39/tx46's shape)") {
