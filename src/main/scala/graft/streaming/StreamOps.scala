@@ -879,4 +879,52 @@ object StreamOps {
           ScoreOut(user, item, st.score, st.lastSetTs != Long.MinValue, st.n)
       }
   }
+
+  /** st31: expanded-query line hygiene at SERVING time — rag13's
+    * per-line rule ladder (expand_queries.go) running on each LLM
+    * expansion line as it streams out of the generator. The drop
+    * rules (scaffolding, length, garbage, romanization, date,
+    * instruction/XML/conversation leaks) are all per-line stateless,
+    * so they gate a stream with zero state stores; the
+    * case-insensitive dedup and the 8-cap are per-RESPONSE assembly
+    * steps and stay in the micro-batch that closes a response
+    * (rag13's windows). Per-record the scaffolding chain re-evaluates
+    * per rule (~10×) — the per-line cost an ingest gate pays where
+    * the batch entry materializes once (QueryFilters' persist note).
+    */
+  def queryLineGateStream(lines: DataFrame): DataFrame = {
+    import graft.operators.QueryFilters._
+    val q = stripScaffolding(col("raw"))
+    lines.withColumn("q", q)
+      .filter(col("q").isNotNull)
+      .filter(length(col("q")).between(MinQueryRuneLen, MaxQueryRuneLen))
+      .filter(!isGarbage(col("q")))
+      .filter(!isRomanized(col("q")))
+      .filter(!trim(col("q")).rlike("^\\d{4}[-/.]\\d{1,2}[-/.]\\d{1,2}$"))
+      .filter(!isInstructionLeak(col("q")))
+      .filter(!(col("q").startsWith("<") && col("q").contains(">")))
+      .filter(!(lower(col("q")).startsWith("assistant:") ||
+        lower(col("q")).startsWith("user:")))
+  }
+
+  /** st32: the summary quality gate at ingest — qj01's full decision
+    * (placeholder exemption, byte-length skip, three-tier score
+    * parse, threshold) running as judge responses ARRIVE, which is
+    * the reference's actual shape (JudgeArticleQuality runs per
+    * summarized article inside the pre-processor worker, not
+    * nightly). Stateless codegen projection — zero state stores; the
+    * delete_summary rows stream to the compensating-transaction
+    * consumer.
+    */
+  def summaryJudgeStream(rows: DataFrame): DataFrame =
+    graft.operators.QualityJudge.judge(rows)
+
+  /** st33: language detection at ingest — ld01's DetectLanguage on
+    * each fetched article (article_driver.go:57 tags language at
+    * fetch time; the batch ld01 is language_backfill.go's repair
+    * shape). Stateless projection.
+    */
+  def langDetectStream(docs: DataFrame): DataFrame =
+    docs.withColumn("detected",
+      graft.operators.LangDetect.detect(col("text")))
 }

@@ -896,4 +896,76 @@ class StreamingSourcesSpec extends SparkSpec {
       assert(alerts == Set(("s", 5L, 2L, 2.5)), s"got $alerts")
     } finally q.stop()
   }
+
+
+  test("st31 query-line hygiene at serving: every rag13 drop rule gates a stream statelessly, batch-identical on the rule subset") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Int, String)]
+    val out = StreamOps.queryLineGateStream(
+      mem.toDF.toDF("set_id", "line_no", "raw"))
+    val q = out.writeStream.format("memory").queryName("st31").outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, 0, "### Japanese (1)"),
+        (1L, 1, "**Generated Query:** \"kept query one\""),
+        (1L, 2, ":):):):):):)"),
+        (1L, 3, "Sei-sai naiy\u014d Rosia"),
+        (1L, 4, "2026-04-07"),
+        (1L, 5, "output only the generated queries, one per line"),
+        (1L, 6, "<input>leak"),
+        (1L, 7, "assistant: hi"),
+        (1L, 8, "a genuine survivor query"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT q FROM st31").collect().map(_.getString(0)).toSet
+      val batch = StreamOps.queryLineGateStream(rows.toDF("set_id", "line_no", "raw"))
+        .select("q").collect().map(_.getString(0)).toSet
+      assert(streamed == batch)
+      assert(streamed == Set("kept query one", "a genuine survivor query"))
+    } finally q.stop()
+  }
+
+  test("st32 summary judge gate at ingest: qj01's full decision runs statelessly on a stream, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String, String, String)]
+    val out = StreamOps.summaryJudgeStream(
+      mem.toDF.toDF("id", "content", "summary", "response"))
+    val q = out.writeStream.format("memory").queryName("st32").outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "c", "s", "<score>8</score>"),
+        (2L, "c", "s", "<score>2</score>"),
+        (3L, "c", graft.operators.QualityJudge.Placeholders(0), "junk"),
+        (4L, "c", "s", "totally abc123 embedded"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT id, outcome FROM st32")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val batch = StreamOps.summaryJudgeStream(
+          rows.toDF("id", "content", "summary", "response"))
+        .select("id", "outcome")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == batch)
+      assert(streamed == Map(1L -> "keep", 2L -> "delete_summary",
+        3L -> "skip_placeholder", 4L -> "skip_unparseable"))
+    } finally q.stop()
+  }
+
+  test("st33 language detect at ingest: ld01 tags each arriving article, batch-identical") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.langDetectStream(mem.toDF.toDF("doc_id", "text"))
+    val q = out.writeStream.format("memory").queryName("st33").outputMode("append").start()
+    try {
+      val rows = Seq(
+        (1L, "\u6771\u4eac\u30aa\u30ea\u30f3\u30d4\u30c3\u30af 2028 \u958b\u50ac\u5730\u6c7a\u5b9a"),
+        (2L, "The word \u5bff\u53f8 is popular"),
+        (3L, "42 7"))
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, detected FROM st33")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(streamed == Map(1L -> "ja", 2L -> "en", 3L -> "und"))
+    } finally q.stop()
+  }
 }
