@@ -135,6 +135,7 @@ object SparkEntry {
     "rag16_paragraph_chunks"        -> (ParagraphChunks.rag16 _),
     "rag17_chunk_diff"              -> (ChunkDiff.rag17 _),
     "ld01_detect_language"          -> (LangDetect.ld01 _),
+    "rag18_query_intent"            -> (QueryIntent.rag18 _),
     "tt01_trending_tags"            -> (TagTrends.tt01 _),
     "mr01_model_routing"            -> (ModelRouting.mr01 _),
     "hc01_hierarchical_chunks"      -> (HierarchicalChunks.hc01 _),
@@ -6160,6 +6161,7 @@ object SparkEntry {
     "gc02_genre_blend" -> GenreBlend.gc02OracleSql,
     "rag16_paragraph_chunks" -> ParagraphChunks.rag16OracleSql,
     "ld01_detect_language" -> LangDetect.ld01OracleSql,
+    "rag18_query_intent" -> QueryIntent.rag18OracleSql,
     "hd02_dedup_stats" -> HashDedup.hd02OracleSql,
     // tag-generator input sanitizer: validation ladder + security
     // battery (oracle SQL generated from the same constants)

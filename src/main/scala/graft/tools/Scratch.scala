@@ -94,7 +94,7 @@ object Scratch {
       "qj01_summary_quality_gate", "cf01_citation_format",
       "rag13_query_filters", "rag14_answer_validate", "rag15_answer_quality",
       "gc02_genre_blend", "rag16_paragraph_chunks", "rag17_chunk_diff",
-      "ld01_detect_language")
+      "ld01_detect_language", "rag18_query_intent")
     val out = new StringBuilder
     out ++= "# EXPLAIN — formatted physical plans of headline queries (sf0.01)\n\n"
     out ++= "Regenerate with `sbt \"runMain graft.tools.Scratch\"`. What to look\n"
