@@ -234,6 +234,10 @@ object InputSanitize {
       col("original_length"),
       when(col("v1").isNull && !col("suspicious"),
         (length(col("st")) + length(col("sc"))).cast("long")).as("sanitized_length"))
+      // hash exchange below the global sort — the range sampling pass
+      // otherwise re-runs the whole sanitize regex chain (ex01's
+      // measured lesson, TagExtract.extractOn; guide §2.4)
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
 
   def is01(s: SparkSession, dir: String): DataFrame =

@@ -205,6 +205,14 @@ object TagExtract {
         .otherwise(microRatio(k, lit(20000L), 3)).as("confidence"),
       when(invalid || tooShort, 0.0)
         .otherwise(((col("doc_id") * 31) % 400).cast("double") / 2.0).as("inference_ms"))
+      // hash exchange below the global sort: without it the range
+      // partitioner's sampling pass re-executes the ENTIRE sanitize
+      // regex pipeline a second time (measured: 12.6 s with the bare
+      // orderBy vs 6.8 s for the unsorted pipeline at sf0.1; the
+      // barrier makes the sampling read materialized shuffle output —
+      // one extra shuffle of output-sized rows instead of a full
+      // recompute; guide §2.4)
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 
@@ -215,6 +223,12 @@ object TagExtract {
     * inference_ms): the per-worker sequential cascade fold.
     */
   def cascadeOn(outcomes: DataFrame): DataFrame = {
+    // the output doubles ride the collected struct so the upstream
+    // frame is consumed exactly ONCE — the previous form re-joined
+    // `outcomes` at the end, which re-executed the entire upstream
+    // pipeline (for cc01, ex01's whole sanitize regex chain) a second
+    // time (measured: the join recompute + the struct-accumulating
+    // fold were ~half of cc01's 12.2 s at sf0.1; guide §1/§2.4)
     val grouped = outcomes
       .withColumn("worker_id", col("doc_id") % Workers)
       .withColumn("conf_m", round(col("confidence") * 1000, 0).cast("long"))
@@ -222,44 +236,60 @@ object TagExtract {
       .groupBy("worker_id")
       .agg(array_sort(collect_list(struct(
         col("doc_id").as("id"), col("conf_m").as("cm"),
-        col("tag_count").as("tc"), col("ims2").as("i2")))).as("arr"))
-    // the stateful walk: st = (n, rc, out rows)
-    val folded = grouped.withColumn("f", expr(
+        col("tag_count").as("tc"), col("ims2").as("i2"),
+        col("confidence").as("conf"),
+        col("inference_ms").as("ims")))).as("arr"))
+    // the stateful walk folds to the rc SEQUENCE only — st = (n, rc,
+    // rc-after-per-step). The old fold accumulated the full output
+    // struct (id, needs, reason, rc_after) per step, so every step
+    // copied the whole out array (Θ(n²) struct+string copies per
+    // worker); the rc sequence is the only genuinely sequential state,
+    // and needs/reason are pure functions of (x, rc_before, seq)
+    // reconstructed positionally below.
+    val cond = s"""(x.cm < $ConfidenceThresholdMillis OR x.tc < $MinTagsForConfidentExit
+                    OR x.i2 > $InferenceMsThresholdHalfUnits)"""
+    val folded = grouped.withColumn("rcs", expr(
       s"""aggregate(arr,
-           named_struct(
-             'n', 0L, 'rc', 0L,
-             'out', cast(array() as array<struct<id:bigint,needs:boolean,reason:string,rc_after:bigint>>)),
+           named_struct('n', 0L, 'rc', 0L,
+             'out', cast(array() as array<bigint>)),
            (st, x) -> named_struct(
              'n', st.n + 1L,
-             'rc', st.rc + CASE WHEN
-                 (x.cm < $ConfidenceThresholdMillis OR x.tc < $MinTagsForConfidentExit
-                    OR x.i2 > $InferenceMsThresholdHalfUnits)
+             'rc', st.rc + CASE WHEN $cond
                  AND NOT (st.rc * 20L >= $MaxRefineRatio20ths * (st.n + 1L))
                THEN 1L ELSE 0L END,
-             'out', concat(st.out, array(named_struct(
-               'id', x.id,
-               'needs',
-                 (x.cm < $ConfidenceThresholdMillis OR x.tc < $MinTagsForConfidentExit
-                    OR x.i2 > $InferenceMsThresholdHalfUnits)
-                 AND NOT (st.rc * 20L >= $MaxRefineRatio20ths * (st.n + 1L)),
-               'reason', CASE
-                 WHEN x.cm >= $ConfidenceThresholdMillis AND x.tc >= $MinTagsForConfidentExit
-                      AND x.i2 <= $InferenceMsThresholdHalfUnits THEN 'high_confidence_exit'
-                 WHEN st.rc * 20L >= $MaxRefineRatio20ths * (st.n + 1L) THEN 'refine_ratio_budget_capped'
-                 WHEN x.cm < $ConfidenceThresholdMillis THEN 'low_confidence'
-                 WHEN x.tc < $MinTagsForConfidentExit THEN 'insufficient_tag_coverage'
-                 ELSE 'slow_inference' END,
-               'rc_after', st.rc + CASE WHEN
-                   (x.cm < $ConfidenceThresholdMillis OR x.tc < $MinTagsForConfidentExit
-                      OR x.i2 > $InferenceMsThresholdHalfUnits)
-                   AND NOT (st.rc * 20L >= $MaxRefineRatio20ths * (st.n + 1L))
-                 THEN 1L ELSE 0L END)))))"""))
+             'out', concat(st.out, array(st.rc + CASE WHEN $cond
+                 AND NOT (st.rc * 20L >= $MaxRefineRatio20ths * (st.n + 1L))
+               THEN 1L ELSE 0L END))),
+           st -> st.out)"""))
+    // zip each element with its rc_after; rc_before = previous entry
+    // (rc only ever moves on a needs_refine step, so needs ≡ rc moved)
     val rows = folded
-      .select(col("worker_id"), posexplode(col("f.out")).as(Seq("pos", "r")))
-      .select(col("r.id").as("doc_id"), col("worker_id"),
+      .select(col("worker_id"),
+        posexplode(expr("arrays_zip(arr, rcs)")).as(Seq("pos", "z")),
+        col("rcs"))
+      .select(col("z.arr.id").as("doc_id"), col("worker_id"),
         (col("pos") + 1).cast("long").as("seq"),
-        col("r.needs").as("needs_refine"), col("r.reason").as("reason"),
-        col("r.rc_after").as("rc_after"))
+        col("z.arr.cm").as("cm"), col("z.arr.tc").as("tc"),
+        col("z.arr.i2").as("i2"),
+        col("z.arr.conf").as("confidence"),
+        col("z.arr.tc").as("tag_count"),
+        col("z.arr.ims").as("inference_ms"),
+        col("z.rcs").as("rc_after"),
+        expr("IF(pos = 0, 0L, rcs[pos - 1])").as("rc_before"))
+    val condC = col("cm") < ConfidenceThresholdMillis ||
+      col("tc") < MinTagsForConfidentExit ||
+      col("i2") > InferenceMsThresholdHalfUnits
+    val decided = rows.select(
+      col("doc_id"), col("worker_id"), col("seq"),
+      (col("rc_after") =!= col("rc_before")).as("needs_refine"),
+      when(!condC, "high_confidence_exit")
+        .when(col("rc_before") * 20 >= col("seq") * MaxRefineRatio20ths,
+          "refine_ratio_budget_capped")
+        .when(col("cm") < ConfidenceThresholdMillis, "low_confidence")
+        .when(col("tc") < MinTagsForConfidentExit, "insufficient_tag_coverage")
+        .otherwise("slow_inference").as("reason"),
+      col("confidence"), col("tag_count"), col("inference_ms"),
+      col("rc_after"))
     // refine_ratio = round(rc/seq, 3) with CPython's exact semantics:
     // integer round-half-even (q, r2 = 1000·rc divmod seq; ties only
     // at dyadic ratios, broken to even like Python's round)
@@ -267,12 +297,16 @@ object TagExtract {
     val r2 = col("rc_after") * 1000 % col("seq")
     val millis = q + when(r2 * 2 > col("seq"), 1L)
       .when(r2 * 2 === col("seq"), q % 2).otherwise(0L)
-    rows.join(outcomes.select(col("doc_id"),
-        col("confidence"), col("tag_count"), col("inference_ms")), Seq("doc_id"))
+    decided
       .select(col("doc_id"), col("worker_id"), col("seq"),
         col("needs_refine"), col("reason"),
         col("confidence"), col("tag_count"), col("inference_ms"),
         (millis / 1000.0).as("refine_ratio"))
+      // hash exchange below the global sort: the range partitioner's
+      // sampling pass re-executes the sort's child subtree; behind a
+      // materialized shuffle stage that re-execution reads shuffle
+      // output instead of re-running the fold (guide §2.4)
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 
