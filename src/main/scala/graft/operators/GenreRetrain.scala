@@ -182,12 +182,20 @@ object GenreRetrain {
     val matched = filter(expanded, t => array_contains(typedLit(vocab), t))
     val vgen = filter(transform(col("genres"), g => lower(g)),
       g => array_contains(typedLit(genres), g))
-    samples
+    // ev33 explode barrier: `matched` feeds the genre fan-out AND the
+    // __df__ distinct rows — without the barrier the whole interpreted
+    // tokenize→plural-expand→vocab-match chain (HOFs never codegen)
+    // re-evaluates per reference inside the one giant explode argument
+    val b = samples
+      .select(explode(array(struct(
+        matched.as("matched"), vgen.as("vgen")))).as("x"))
+      .select(col("x.matched").as("matched"), col("x.vgen").as("vgen"))
+    b
       .select(explode(concat(
-        flatten(transform(vgen, g => concat(
+        flatten(transform(col("vgen"), g => concat(
           array(struct(g.as("k"), lit("__doc__").as("term"))),
-          transform(matched, t => struct(g.as("k"), t.as("term")))))),
-        transform(array_distinct(matched),
+          transform(col("matched"), t => struct(g.as("k"), t.as("term")))))),
+        transform(array_distinct(col("matched")),
           t => struct(lit("__df__").as("k"), t.as("term"))),
         array(struct(lit("__docs__").as("k"), lit("__doc__").as("term")))))
         .as("r"))

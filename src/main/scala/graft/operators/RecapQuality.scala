@@ -156,11 +156,14 @@ object RecapQuality {
     * relational deliberately.)
     */
   private def redundancy(recaps: DataFrame): DataFrame = {
+    // persisted: contrib AND totals both read it — unpersisted, the
+    // whitespace-strip regexp pass over every bullet ran twice
     val bl = recaps
       .select(col("output_id"), posexplode(col("bullets")).as(Seq("idx", "b")))
       .withColumn("chars", regexp_replace(col("b"), "\\s+", ""))
       .withColumn("n_bi", greatest(length(col("chars")) - 1, lit(0)))
       .select(col("output_id"), col("idx"), col("chars"), col("n_bi"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val contrib = bl
       .filter(col("n_bi") > 0)
       // explode the POSITION sequence and hash in the projection —

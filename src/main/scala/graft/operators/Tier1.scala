@@ -107,7 +107,10 @@ object Tier1 {
 
   /** ti01 over any (doc_id, url, content) frame. */
   def tier1GateOn(articles: DataFrame): DataFrame =
-    tier1GateOnUnordered(articles).orderBy("doc_id")
+    // hash exchange below the global sort — the range sampling pass
+    // otherwise re-runs the whole regex ladder (TagExtract.extractOn's
+    // measured lesson; guide §2.4)
+    tier1GateOnUnordered(articles).repartition(col("doc_id")).orderBy("doc_id")
 
   /** The ladder without the presentation sort — the form a streaming
     * micro-batch can run (st25; global sorts are illegal on appends).

@@ -85,18 +85,25 @@ object Trail {
     * ts, event_id, dwell, legacy_engaged) footprints frame.
     */
   def trailWearOn(base: DataFrame, engagedDwell: Double = 150.0): DataFrame = {
-    // wear folds over RAW rows per item; engagement is the act-outcome
-    // gate (dwell threshold OR legacy label) folded in the same pass
-    val wear = base.groupBy("user_id", "item_key")
-      .agg(count(lit(1)).as("cnt"),
-        max(when(col("verb") === "asked", 1).otherwise(0)).as("has_ask"),
-        max(when(col("dwell") >= engagedDwell || col("legacy_engaged"), 1).otherwise(0))
-          .as("engaged"))
+    // ONE scan: the per-(user, item, verb) collapse carries partial
+    // wear evidence (row count, ask flag, engagement flag), and the
+    // per-(user, item) wear fold is a window over the collapsed frame
+    // — the previous form aggregated the RAW rows twice (a second
+    // full scan) and joined the two aggregates (guide §2.3 "aggregate
+    // before you shuffle" / §2.4: the wear totals are exact functions
+    // of the per-verb partials, so the second scan bought nothing)
     val collapsed = base.groupBy("user_id", "item_key", "verb")
       .agg(count(lit(1)).as("contact_count"),
         min("ts").as("first_ts"),
-        max(struct(col("ts"), col("event_id"))).as("last"))
-    collapsed.join(wear, Seq("user_id", "item_key"))
+        max(struct(col("ts"), col("event_id"))).as("last"),
+        max(when(col("verb") === "asked", 1).otherwise(0)).as("v_ask"),
+        max(when(col("dwell") >= engagedDwell || col("legacy_engaged"), 1).otherwise(0))
+          .as("v_eng"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id", "item_key")
+    collapsed
+      .withColumn("cnt", sum(col("contact_count")).over(w))
+      .withColumn("has_ask", max(col("v_ask")).over(w))
+      .withColumn("engaged", max(col("v_eng")).over(w))
       .select(col("user_id"), col("item_key"), col("verb"),
         col("contact_count"), col("first_ts"),
         col("last.ts").as("last_ts"), col("last.event_id").as("last_event_id"),
