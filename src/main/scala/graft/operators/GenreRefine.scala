@@ -153,9 +153,13 @@ object GenreRefine {
       .join(broadcast(g), col("name") === col("genre") && col("label") === col("tag"))
       .groupBy("doc_id", "name")
       .agg(sum(col("w_u6") * col("conf_u6")).as("boost_u12"))
+    // persisted: the rank chain AND the tie-break branch read it —
+    // unpersisted, the allCands∪expanded union and the boost join
+    // re-executed once per referencing branch (guide §2.4)
     val withBoost = allCands.join(boosts, Seq("doc_id", "name"), "left")
       .withColumn("boost_u12", coalesce(col("boost_u12"), lit(0L)))
       .withColumn("scored_u12", col("score_u6") * 1000000L + col("boost_u12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // step 3: tag-consistency winner
     val gated = tags.filter(col("conf_u6") >= TagConfidenceGateU6)
@@ -173,15 +177,25 @@ object GenreRefine {
       .select(col("doc_id"), col("w_name"),
         least(greatest(col("w_tag_u6"), col("w_cl_u6")), lit(1000000L)).as("w_conf_u6"))
 
-    // step 5: rank by scored (ties by candidate rank — the stable sort)
+    // step 5: rank by scored (ties by candidate rank — the stable
+    // sort). Top-1 and runner-up come out of ONE window pass + one
+    // aggregation — the two-filter form executed the window twice and
+    // joined the halves back (one join fewer in the final chain)
     val wRank = Window.partitionBy("doc_id")
       .orderBy(col("scored_u12").desc, col("cand_rank").asc)
-    val ranked = withBoost.withColumn("rn", row_number().over(wRank))
-    val top = ranked.filter(col("rn") === 1).select(
-      col("doc_id"), col("name").as("t_name"), col("conf_u6").as("t_conf_u6"),
-      col("boost_u12").as("t_boost_u12"), col("scored_u12").as("t_scored_u12"))
-    val secondC = ranked.filter(col("rn") === 2).select(
-      col("doc_id"), col("scored_u12").as("s2_scored_u12"))
+    val topTwo = withBoost.withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") <= 2)
+      .groupBy("doc_id")
+      .agg(
+        max(when(col("rn") === 1, struct(
+          col("name").as("t_name"), col("conf_u6").as("t_conf_u6"),
+          col("boost_u12").as("t_boost_u12"),
+          col("scored_u12").as("t_scored_u12")))).as("t"),
+        max(when(col("rn") === 2, col("scored_u12"))).as("s2_scored_u12"))
+      .select(col("doc_id"), col("t.t_name").as("t_name"),
+        col("t.t_conf_u6").as("t_conf_u6"),
+        col("t.t_boost_u12").as("t_boost_u12"),
+        col("t.t_scored_u12").as("t_scored_u12"), col("s2_scored_u12"))
 
     // step 6: weighted tie-break over the ORIGINAL candidates.
     // Blend in exact 1e-13 units: min(kw,10)/10·0.2 → ·2e11;
@@ -198,13 +212,15 @@ object GenreRefine {
       .agg(least(coalesce(sum(
           when(col("label") === col("name"), col("conf_u6") * 2)
             .otherwise(col("conf_u6"))), lit(0L)), lit(2000000L)).as("tc_x2"))
-    val tieScored = cands
-      .select(col("doc_id"), col("name"), col("conf_u6").cast("long"),
-        col("keyword_support").cast("long").as("kw"), col("cand_rank").cast("int"))
+    // the inner tcScores join restricts withBoost to the ORIGINAL
+    // candidates (expanded (doc, name) keys are anti-joined disjoint),
+    // so the boost join need not run a second time here
+    val tieScored = withBoost
+      .select(col("doc_id"), col("name"), col("conf_u6").cast("long").as("conf_u6"),
+        col("keyword_support").cast("long").as("kw"), col("cand_rank").cast("int").as("cand_rank"),
+        col("boost_u12"))
       .join(tcScores.select(col("doc_id"), col("name"), col("tc_x2")),
         Seq("doc_id", "name"))
-      .join(boosts, Seq("doc_id", "name"), "left")
-      .withColumn("boost_u12", coalesce(col("boost_u12"), lit(0L)))
       .withColumn("wt_u13",
         least(col("kw"), lit(10L)) * 200000000000L +
         col("conf_u6") * 4000000L +
@@ -236,8 +252,7 @@ object GenreRefine {
       .join(hasTags, Seq("doc_id"), "left")
       .join(firstCand, Seq("doc_id"), "left")
       .join(winner, Seq("doc_id"), "left")
-      .join(top, Seq("doc_id"), "left")
-      .join(secondC, Seq("doc_id"), "left")
+      .join(topTwo, Seq("doc_id"), "left")
       .join(tieWinner, Seq("doc_id"), "left")
       .withColumn("margin_u12", col("t_scored_u12") - col("s2_scored_u12"))
       .select(col("doc_id"),

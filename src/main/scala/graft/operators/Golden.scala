@@ -315,7 +315,12 @@ object Golden {
   def gd01(s: SparkSession, dir: String): DataFrame =
     gd01On(composeGoldenRuns(s, dir))
 
-  def gd01On(runs: DataFrame): DataFrame = {
+  def gd01On(runs0: DataFrame): DataFrame = {
+    // five one-row agg branches (counts, noise, accuracy, per-label,
+    // rouge) all read the composed runs frame — persist it so the
+    // composition executes once, not five times (guide §2.4); the
+    // 1-row output materializes eagerly below so the cache releases
+    val runs = runs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val counts = runs.agg(
       count(lit(1)).as("total_samples"),
@@ -385,8 +390,9 @@ object Golden {
       coalesce(meanU(col("r1_u")), lit(0.0)).as("rouge1_r"),
       coalesce(meanU(col("f1_u")), lit(0.0)).as("rouge1_f"))
 
-    counts.crossJoin(broadcast(noise)).crossJoin(broadcast(accuracy))
+    val out = counts.crossJoin(broadcast(noise)).crossJoin(broadcast(accuracy))
       .crossJoin(broadcast(macroW)).crossJoin(broadcast(rouge))
+    Dedup.materialized(out) { runs.unpersist(blocking = false) }
   }
 
   /** gd02: rouge_by_genre — one row per lowercased genre plus the

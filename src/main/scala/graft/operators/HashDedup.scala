@@ -573,6 +573,12 @@ object HashDedup {
         when(kept, col("ns")).as("n_sentences"),
         when(kept, col("nu")).as("n_unique_sentences"),
         when(kept, col("ns") - col("nu")).as("n_dup_sentences"))
+      // hash exchange below the global sort — the range sampling pass
+      // otherwise re-runs the whole sentence-split regex scan (the
+      // TagExtract.extractOn measured lesson; guide §2.4). Under hd02's
+      // aggregate the sort is optimizer-eliminated and this exchange
+      // costs one pass over the small verdict rows.
+      .repartition(col("doc_id"))
       .orderBy("doc_id")
   }
 

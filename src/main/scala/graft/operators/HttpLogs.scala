@@ -58,7 +58,16 @@ object HttpLogs {
         map(lit("method"), m, lit("path"), p, lit("status"), st,
             lit("client"), ip, lit("duration_ms"), dur))
       .otherwise(map(lit("method"), m, lit("path"), p, lit("status"), st))
-    e.select(col("ts"), svc.as("service_name"), fields.as("fields"))
+    // ev33 explode barrier: normalize() reads `fields` through ~14
+    // element_at/filter references — without the barrier,
+    // CollapseProject re-inlines the 4-branch CASE-map construction
+    // into every one of them (SimplifyExtractValueOps cannot collapse
+    // element_at over a CASE of maps), rebuilding the map per
+    // reference per row
+    e.select(col("ts"), explode(array(struct(
+        svc.as("service_name"), fields.as("fields")))).as("x"))
+      .select(col("ts"), col("x.service_name").as("service_name"),
+        col("x.fields").as("fields"))
   }
 
   /** The MV's SELECT: producer-gated conditional field mapping into the

@@ -336,15 +336,28 @@ object OtelLogs {
     */
   def businessContext(logs: DataFrame): DataFrame = {
     val a = (k: String) => coalesce(element_at(col("attrs"), k), lit(""))
+    // ev33 explode barrier (httpRequests' documented shape): the seven
+    // extractions below otherwise each re-inline composeOtelLogs'
+    // CASE-of-maps attrs construction per reference per row
+    // (SimplifyExtractValueOps cannot collapse element_at over a CASE
+    // of maps) — ONE struct behind a Generate builds it once
     logs.select(col("ts"), col("service_name"), col("severity_number"),
-      a("alt.feed.id").as("feed_id"),
-      a("alt.article.id").as("article_id"),
-      a("alt.job.id").as("job_id"),
-      a("alt.processing.stage").as("processing_stage"),
-      a("alt.ai.pipeline").as("ai_pipeline"),
-      a("alt.request.id").as("request_id"),
-      coalesce(element_at(col("attrs"), "http.request.duration").try_cast("double"), lit(0.0))
-        .as("duration_ms"))
+      explode(array(struct(
+        a("alt.feed.id").as("feed_id"),
+        a("alt.article.id").as("article_id"),
+        a("alt.job.id").as("job_id"),
+        a("alt.processing.stage").as("processing_stage"),
+        a("alt.ai.pipeline").as("ai_pipeline"),
+        a("alt.request.id").as("request_id"),
+        coalesce(element_at(col("attrs"), "http.request.duration").try_cast("double"), lit(0.0))
+          .as("duration_ms")))).as("x"))
+      .select(col("ts"), col("service_name"), col("severity_number"),
+        col("x.feed_id").as("feed_id"), col("x.article_id").as("article_id"),
+        col("x.job_id").as("job_id"),
+        col("x.processing_stage").as("processing_stage"),
+        col("x.ai_pipeline").as("ai_pipeline"),
+        col("x.request_id").as("request_id"),
+        col("x.duration_ms").as("duration_ms"))
   }
 
   /** ev34: the drilldown the 008 columns exist for — per (AIPipeline,
