@@ -81,7 +81,12 @@ object NginxLogs {
     */
   def requestStatsOn(lines: DataFrame): DataFrame = {
     val p = parseOn(lines)
-    val stats = p.agg(
+    // the slowest-line attribution is an argmax, so it rides the SAME
+    // aggregation as the scalars (max over (rt, -line_id, …) picks the
+    // max-rt row with the smallest line_id on ties — exactly the
+    // crossJoin+filter+limit(1) row) — the previous three-branch form
+    // re-ran the compose+parse regex scan three times (guide §2.4)
+    p.agg(
       count(lit(1)).as("n"),
       (round(sum("rt") * lit(1.0) / count(lit(1)), 0).cast("long") / 1e3).as("avg_rt"),
       (expr("percentile(rt, 0.5)") / 1e3).as("median_rt"),
@@ -89,20 +94,22 @@ object NginxLogs {
       (coalesce(min(when(col("rt") > 0, col("rt"))), lit(999000L)) / 1e3).as("min_rt"),
       (round(sum("urt") * lit(1.0) / count(lit(1)), 0).cast("long") / 1e3).as("avg_urt"),
       (round(sum("uct") * lit(1.0) / count(lit(1)), 0).cast("long") / 1e3).as("avg_uct"),
-      sum(when(col("rt") >= SlowThresholdMillis, 1L).otherwise(0L)).as("slow_count"))
-    val maxLine = p.select(col("rt"), col("path"), col("status"), col("line_id"))
-      .crossJoin(broadcast(p.agg(max("rt").as("mx"))))
-      .filter(col("rt") === col("mx"))
-      .orderBy("line_id").limit(1)
-      .select(col("path").as("max_path"), col("status").as("max_status"))
-    stats.crossJoin(broadcast(maxLine))
+      sum(when(col("rt") >= SlowThresholdMillis, 1L).otherwise(0L)).as("slow_count"),
+      max(struct(col("rt"), (-col("line_id")).as("nid"),
+        col("path"), col("status"))).as("mx"))
+      .withColumn("max_path", col("mx.path"))
+      .withColumn("max_status", col("mx.status"))
+      .drop("mx")
   }
 
   /** ng02: status distribution with 1-dp shares. */
   def statusStatsOn(lines: DataFrame): DataFrame = {
     val p = parseOn(lines)
-    p.groupBy("status").agg(count(lit(1)).as("count"))
-      .crossJoin(broadcast(p.agg(count(lit(1)).as("total"))))
+    // total = Σ of the per-status counts — re-aggregate the ≤5-row
+    // counts frame instead of re-running the parse scan a second time
+    val counts = p.groupBy("status").agg(count(lit(1)).as("count"))
+    counts
+      .crossJoin(broadcast(counts.agg(sum("count").as("total"))))
       .select(col("status"), col("count"),
         (round(col("count") * lit(100.0) * 10 / col("total"), 0).cast("long") / 1e1)
           .as("pct"))

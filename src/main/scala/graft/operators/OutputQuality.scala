@@ -139,7 +139,12 @@ object OutputQuality {
     * frames.
     */
   def summaryRedundancyOn(outputs: DataFrame): DataFrame = {
+    // both persisted: `base` is read by the bullet explode AND the
+    // final outputs dimension, `bl` by both sides of the pair
+    // self-join — unpersisted, the parse ran three times and the
+    // tokenization twice (guide §2.4)
     val base = parsed(outputs).select(col("output_id"), col("source"), col("bullets"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bl = base
       .select(col("output_id"), col("source"),
         posexplode(col("bullets")).as(Seq("idx", "bu")))
@@ -149,6 +154,7 @@ object OutputQuality {
       .filter(length(trim(col("bu.text"))) > 0)
       .withColumn("btoks", tokens(col("bu.text")))
       .select(col("output_id"), col("source"), col("idx"), col("btoks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = bl.select(col("output_id"), col("idx").as("ia"), col("btoks").as("ta"))
       .join(bl.select(col("output_id"), col("idx").as("ib"), col("btoks").as("tb")),
         Seq("output_id"))
