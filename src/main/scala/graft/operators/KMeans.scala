@@ -29,6 +29,7 @@ object KMeans {
   def fit(e: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1)
     val corpus = e.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = Similarity.dimOf(corpus)
     var assigned = e.select(col("vec_id"), col("embedding"), col("label").as("cell"))
       .withColumn("cc", lit(null).cast("double"))
     var i = 0
@@ -37,7 +38,7 @@ object KMeans {
       // bakes them into the next plan as literals, so each iteration's
       // lineage is exactly (corpus cache scan → one projection) — no
       // chained lineage, no per-iteration persist, no corpus fan-out.
-      val cents = Similarity.centroidsFor(assigned, "cell")
+      val cents = Similarity.centroidsFor(assigned, "cell", dim)
       assigned = Similarity.assignToCentroids(corpus, cents)
       i += 1
     }
@@ -73,8 +74,9 @@ object KMeans {
   def fitMiniBatch(e: DataFrame, epochs: Int, fraction: Double, seed: Long = 42L): DataFrame = {
     require(epochs >= 1 && fraction > 0 && fraction <= 1)
     val corpus = e.select("vec_id", "embedding").persist(StorageLevel.MEMORY_AND_DISK)
+    val dim = Similarity.dimOf(corpus)
     val (init, cellLit) = Similarity.sortedCellsAndLit(
-      Similarity.centroidsFor(e, "label").select("cell", "centroid").collect())
+      Similarity.centroidsFor(e, "label", dim).select("cell", "centroid").collect())
     val cellIdx: Map[Any, Int] = init.map(_.get(0)).zipWithIndex.toMap
     val cents = init.map(_.getSeq[Double](1).toArray)
     val counts = Array.fill(init.length)(0L)
@@ -83,17 +85,25 @@ object KMeans {
       val batch = corpus.sample(withReplacement = false, fraction, seed + ep)
       val assigned = Similarity.assignToCentroidLiterals(
         batch, cellLit, cents.map(_.toSeq).toSeq)
-      // one row per (cell, dim): batch sum + batch count after partial agg
+      // one row per cell: batch count + per-dim batch sums after ONE
+      // map-side partial agg (the posexplode form fanned the batch ×dim
+      // and shuffled (cell,pos) rows; same sums, same row order)
       val stats = assigned
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cell", "pos")
-        .agg(sum(col("v").cast("double")).as("s"), count(lit(1)).as("n"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n"),
+          array((1 to dim).map(i =>
+            sum(element_at(col("embedding"), i).cast("double"))): _*).as("s"))
         .collect()
       val batchN = Array.fill(init.length)(0L)
       stats.foreach { r =>
-        val j = cellIdx(r.get(0)); val pos = r.getInt(1)
-        val b = r.getLong(3)
-        cents(j)(pos) = (counts(j) * cents(j)(pos) + r.getDouble(2)) / (counts(j) + b)
+        val j = cellIdx(r.get(0))
+        val b = r.getLong(1)
+        val sums = r.getSeq[Double](2)
+        var pos = 0
+        while (pos < dim) {
+          cents(j)(pos) = (counts(j) * cents(j)(pos) + sums(pos)) / (counts(j) + b)
+          pos += 1
+        }
         batchN(j) = b
       }
       var j = 0

@@ -60,14 +60,28 @@ object Similarity {
   /** Elementwise-mean centroid per value of `cellCol` → (cell,
     * centroid: array<double>). Shared by IVF, k-means, and the
     * centroid-summary query — fix the math once, every caller follows.
+    *
+    * ONE map-side-combined aggregation of `dim` per-dimension avgs
+    * (guide §2.3/§2.4): the old posexplode form fanned the corpus out
+    * ×dim and paid a second shuffle re-assembling the array
+    * (groupBy(cell,pos) then groupBy(cell)); per-dim avg over
+    * element_at reads the same values in the same row order, so the
+    * centroid doubles are unchanged. Callers that already know `dim`
+    * pass it (seeds/encode paths); the 2-arg form probes one row.
     */
+  private[operators] def centroidsFor(e: DataFrame, cellCol: String, dim: Int): DataFrame =
+    e.groupBy(col(cellCol).as("cell"))
+      .agg(array((1 to dim).map(i =>
+        avg(element_at(col("embedding"), i).cast("double"))): _*).as("centroid"))
+
   private[operators] def centroidsFor(e: DataFrame, cellCol: String): DataFrame =
-    e.select(col(cellCol).as("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy("cell", "pos")
-      .agg(avg(col("v").cast("double")).as("c"))
-      .groupBy("cell")
-      .agg(array_sort(collect_list(struct(col("pos"), col("c")))).as("pairs"))
-      .select(col("cell"), transform(col("pairs"), p => p.getField("c")).as("centroid"))
+    centroidsFor(e, cellCol, dimOf(e))
+
+  /** Embedding width probed from one row — drives the unrolled codegen
+    * kernels below (the array width is a plan-time constant there).
+    */
+  private[operators] def dimOf(e: DataFrame): Int =
+    e.select(size(col("embedding"))).head().getInt(0)
 
   /** Assign each vector to its nearest centroid (argmax cosine,
     * cell-asc tie-break) → (vec_id, embedding, cell, cc).
@@ -139,10 +153,11 @@ object Similarity {
       case d: Double => d
     }.toSeq).toSeq
     val cellLit = typedlit((0 until cells).toList)
+    val dim = cents.head.length
     var i = 0
     while (i < iters) {
       val assigned = assignToCentroidLiterals(v, cellLit, cents)
-      val updated = centroidsFor(assigned, "cell").collect()
+      val updated = centroidsFor(assigned, "cell", dim).collect()
         .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       cents = cents.indices.map(c => updated.getOrElse(c, cents(c)))
       i += 1
@@ -380,18 +395,25 @@ object Similarity {
                       candidates: Int = 50, sampleRows: Int = 2048,
                       seed: Int = 7): DataFrame = {
     val k = 1 << codebookBits
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    val dim = dimOf(e)
     require(dim % m == 0, s"dim $dim not divisible by m=$m")
     val sub = dim / m
 
-    // unit-normalize so asymmetric dot == cosine; the norm materializes
-    // as its own column first — inlined into the transform lambda it
-    // would re-evaluate per element under interpreted HOF evaluation
+    // unit-normalize so asymmetric dot == cosine. UNROLLED over the
+    // plan-time dim: higher-order functions (transform/aggregate) are
+    // CodegenFallback — evaluated interpreted per row with per-element
+    // lambda-variable boxing — while the element_at chain compiles into
+    // whole-stage codegen. Fold order matches the old aggregate (left
+    // to right from 0.0, each v·v still float-rounded before widening),
+    // so the doubles are bit-identical.
+    val sqSum = (1 to dim).map(i =>
+        element_at(col("embedding"), i) * element_at(col("embedding"), i))
+      .foldLeft(lit(0.0d))(_ + _)
     val unit = e
-      .withColumn("n", sqrt(aggregate(transform(col("embedding"), v => v * v),
-        lit(0.0d), (acc, x) => acc + x)))
+      .withColumn("n", sqrt(sqSum))
       .select(col("vec_id"),
-        transform(col("embedding"), v => v / greatest(col("n"), lit(1e-12))).as("u"))
+        array((1 to dim).map(i =>
+          element_at(col("embedding"), i) / greatest(col("n"), lit(1e-12))): _*).as("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-subspace codebooks from a deterministic hash-ordered sample
@@ -404,13 +426,17 @@ object Similarity {
     }
 
     // encode: per subspace, argmin L2 over the 16 codewords — unrolled
-    // literal expressions, one projection, no shuffle. Not persisted:
-    // the scoring join reads it exactly once, off the cached unit frame
+    // literal expressions (element_at chains, same left-fold order as
+    // the old aggregate(zip_with(...)) so every distance is
+    // bit-identical — but codegen'd instead of interpreted), one
+    // projection, no shuffle. Not persisted: the scoring join reads it
+    // exactly once, off the cached unit frame
     def code(s: Int): Column = {
-      val subv = slice(col("u"), s * sub + 1, sub)
       val dists = array(codebooks(s).map { cw =>
-        aggregate(zip_with(subv, typedlit(cw.toSeq), (a, b) => (a - b) * (a - b)),
-          lit(0.0d), (acc, x) => acc + x)
+        (1 to sub).map { i =>
+          val d = element_at(col("u"), s * sub + i) - lit(cw(i - 1))
+          d * d
+        }.foldLeft(lit(0.0d))(_ + _)
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
@@ -418,13 +444,12 @@ object Similarity {
       .withColumn("codes", array((0 until m).map(code): _*))
       .select("vec_id", "codes")
 
-    // queries: flat m*16 LUT of subquery·codeword dots
+    // queries: flat m*16 LUT of subquery·codeword dots (same unroll)
     val lut = {
       val terms = (0 until m).flatMap { s =>
-        val subv = slice(col("u"), s * sub + 1, sub)
         codebooks(s).map { cw =>
-          aggregate(zip_with(subv, typedlit(cw.toSeq), (a, b) => a * b),
-            lit(0.0d), (acc, x) => acc + x)
+          (1 to sub).map(i => element_at(col("u"), s * sub + i) * lit(cw(i - 1)))
+            .foldLeft(lit(0.0d))(_ + _)
         }
       }
       array(terms: _*)
@@ -612,17 +637,26 @@ object Similarity {
     * shuffle, no UDF); the word-array form keeps the operator honest
     * for production dims (768 → 12 longs), not just the test corpus.
     */
-  def binarize(e: DataFrame): DataFrame = {
-    val dim = e.select(size(col("embedding"))).head().getInt(0)
+  def binarize(e: DataFrame): DataFrame = binarizeWithDim(e, dimOf(e))
+
+  /** binarize with the embedding width already known (saves the probe
+    * job; the caller that also builds the Hamming kernel needs the
+    * word count anyway). UNROLLED: the old nested
+    * aggregate(sequence(0,63)) ran 64 interpreted fold steps per word
+    * per row (HOFs are CodegenFallback); the OR chain over per-bit
+    * CASEs compiles into whole-stage codegen and is value-identical
+    * (bitwise OR is order-free, out-of-range bits contribute the same
+    * 0 the old in-range guard kept as `acc`).
+    */
+  private[operators] def binarizeWithDim(e: DataFrame, dim: Int): DataFrame = {
     val words = (dim + 63) / 64
-    e.withColumn("bcode", expr(
-      s"""transform(sequence(0, ${words - 1}), w ->
-            aggregate(sequence(0, 63),
-              0L,
-              (acc, b) -> CASE
-                WHEN w * 64 + b < $dim
-                     AND element_at(embedding, w * 64 + b + 1) > 0
-                THEN acc | shiftleft(1L, b) ELSE acc END))"""))
+    val wordCols = (0 until words).map { w =>
+      (0 until math.min(64, dim - w * 64)).map { b =>
+        when(element_at(col("embedding"), w * 64 + b + 1) > 0, lit(1L << b))
+          .otherwise(lit(0L))
+      }.foldLeft(lit(0L))(_ bitwiseOR _)
+    }
+    e.withColumn("bcode", array(wordCols: _*))
   }
 
   /** sim11: binary-quantized ANN — Hamming-distance candidate
@@ -640,7 +674,9 @@ object Similarity {
 
   def binaryKnnOn(e: DataFrame, queryPred: Column, k: Int = 5,
                   candidates: Int = 50): DataFrame = {
-    val b = binarize(e)
+    val dim = dimOf(e)
+    val words = (dim + 63) / 64
+    val b = binarizeWithDim(e, dim)
     // the wide (corpus × queries) Hamming stage streams CODES ONLY —
     // 8 bytes/vector at dim 64 — so the 32× compression actually
     // reaches the scan; float embeddings re-enter just for the
@@ -654,9 +690,16 @@ object Similarity {
     // partials keep ≤ candidates entries per (query, partition), ONE
     // shuffle moves only those — never a corpus-sized window sort per
     // query, which would single-task the whole corpus at serving time
+    // per-word popcount of XOR, UNROLLED over the plan-time word count
+    // (the corpus × queries hot loop must stay in codegen — the old
+    // aggregate(zip_with(...)) evaluated interpreted per pair); int
+    // additions in the same left-to-right order, value-identical
+    val hammingCol = (1 to words).map(w =>
+        bit_count(element_at(col("q_code"), w).bitwiseXOR(element_at(col("c_code"), w)))
+          .cast("int"))
+      .foldLeft(lit(0))(_ + _)
     val cand = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("hamming", expr(
-        "aggregate(zip_with(q_code, c_code, (a, b) -> bit_count(a ^ b)), 0, (acc, v) -> acc + v)"))
+      .withColumn("hamming", hammingCol)
       .groupBy("query_id")
       .agg(graft.functions.TopKByAgg.topKBy(
         -col("hamming").cast("double"), col("neighbor_id").cast("long"), candidates).as("topk"))
