@@ -53,7 +53,15 @@ object Bench {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // sbt frames stdout with [warn]/[success] lines that have defeated
+    // downstream parsing of the (~15 KB) JSON line for several rounds;
+    // also write it verbatim to a file so the measurement is always
+    // recoverable. Same content, zero framing.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_OUT.json"),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH_OUT.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

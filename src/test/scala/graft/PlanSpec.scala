@@ -501,12 +501,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("ti01's ladder is one scan projection: no Exchange before the presentation sort") {
+  test("ti01's ladder is one scan projection plus the sort barrier: hash + range exchanges only") {
     val shuffles = allNodes(finalPlan("ti01_tier1_gate")).collect {
       case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
     }
-    // the only exchange allowed is the final orderBy's range partitioning
-    assert(shuffles.size <= 1, s"ti01: expected at most the sort exchange, got ${shuffles.size}")
+    // Tier1.tier1GateOn deliberately plans TWO exchanges: a hash
+    // repartition(doc_id) barrier below the global sort (so the range
+    // sampling pass does not re-run the regex ladder) and the orderBy's
+    // range partitioning itself. Nothing else may shuffle.
+    assert(shuffles.size == 2,
+      s"ti01: expected hash barrier + sort exchange, got ${shuffles.size}")
+    val kinds = shuffles.map(_.outputPartitioning.getClass.getSimpleName).sorted
+    assert(kinds == Seq("HashPartitioning", "RangePartitioning"),
+      s"ti01: expected one hash + one range exchange, got $kinds")
   }
 
   test("round-11 ladders are stateless scan projections: qe07/ti02/lt04 never shuffle, window, or join") {
