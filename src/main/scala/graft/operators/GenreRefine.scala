@@ -248,7 +248,7 @@ object GenreRefine {
     val noTags = coalesce(col("n_tags"), lit(0L)) === 0
     val u6 = (c: Column) => c / 1e6
 
-    docs.select(col("doc_id"))
+    val out = docs.select(col("doc_id"))
       .join(hasTags, Seq("doc_id"), "left")
       .join(firstCand, Seq("doc_id"), "left")
       .join(winner, Seq("doc_id"), "left")
@@ -279,6 +279,14 @@ object GenreRefine {
           .when(col("t_boost_u12") > 0 && col("t_conf_u6") >= MinClassifierConfU6,
             "graph_boost")
           .otherwise("coarse_only").as("strategy"))
+    // materialize the verdicts and release all three caches eagerly
+    // (gd01's idiom) — previously withBoost/cands/tags pinned the
+    // cache LRU until the harness's clearCache. A 100 TB production
+    // run would instead release after the sink write; the verdict
+    // frame itself is the presentation output either way.
+    Dedup.materialized(out) {
+      withBoost.unpersist(); cands.unpersist(); tags.unpersist()
+    }
   }
 
   def tg04(s: SparkSession, dir: String): DataFrame =

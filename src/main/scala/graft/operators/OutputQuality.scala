@@ -164,13 +164,16 @@ object OutputQuality {
           size(col("ta")) + size(col("tb")), 4).as("f1_u"))
     val perOutput = pairs.groupBy("output_id")
       .agg(microUnits(sum("f1_u"), count(lit(1)), 0).as("redund_u"))
-    base.select("output_id", "source")
+    val out = base.select("output_id", "source")
       .join(perOutput, Seq("output_id"), "left")
       .na.fill(0L, Seq("redund_u"))
       .groupBy("source")
       .agg(
         count(lit(1)).as("n_outputs"),
         (microUnits(sum("redund_u"), count(lit(1)), 0) / 1e4).as("redundancy"))
+    // bounded (per-source) — materialize and release both caches
+    // eagerly instead of pinning them for the session (gd01's idiom)
+    Dedup.materialized(out) { base.unpersist(); bl.unpersist() }
   }
 
   /** qe02 adapter over the composed outputs view. */

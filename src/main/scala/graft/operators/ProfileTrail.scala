@@ -62,7 +62,18 @@ object ProfileTrail {
           max(col("last_us")).as("latest"),
           array_distinct(flatten(collect_list(col("ctags")))).as("gtags"))
     })
-    time("es11 full")(noop(graft.SparkEntry.queries("es11_trail_episodes")(spark, sfDir)))
+    time("es11 full (materialized)")(noop(graft.SparkEntry.queries("es11_trail_episodes")(spark, sfDir)))
+    // same JVM, same plan: the lazy frame sunk through noop (no driver
+    // roundtrip) vs collect-materialization — attributes the release
+    // idiom's cost exactly
+    time("es11 lazy noop") {
+      val (out, release) = Trail.episodesPlan(fps0)
+      noop(out); release()
+    }
+    time("es11 lazy collect") {
+      val (out, release) = Trail.episodesPlan(fps0)
+      out.collect(); release()
+    }
     spark.stop()
   }
 }

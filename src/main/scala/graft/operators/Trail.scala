@@ -270,7 +270,23 @@ object Trail {
     */
   def episodesOn(fps0: DataFrame,
                  windowMicros: Long = TagChainWindowMicros,
-                 minSharedTags: Int = 2): DataFrame = {
+                 minSharedTags: Int = 2): DataFrame =
+    // lazy on purpose: the output is per-footprint (corpus-scale at
+    // 100 TB), so the gd01 collect-materialize release idiom does not
+    // apply — measured +1.2 s (+18%) at sf0.1 just shipping the sorted
+    // rows through the driver. The three stage caches are consumed
+    // within this one plan; a long-lived session that sinks the frame
+    // itself should use episodesPlan and call the release closure
+    // after its write (the harness's clearCache covers bench/verify).
+    episodesPlan(fps0, windowMicros, minSharedTags)._1
+
+  /** The lazy episode plan plus the closure releasing its stage
+    * caches — split out so callers that sink the frame themselves
+    * (and profiling) can release after their own action.
+    */
+  private[operators] def episodesPlan(fps0: DataFrame,
+                 windowMicros: Long = TagChainWindowMicros,
+                 minSharedTags: Int = 2): (DataFrame, () => Unit) = {
     val fps = fps0
       .withColumn("eff_first_us",
         unix_micros(coalesce(col("first_ts"), col("last_ts"))))
@@ -348,7 +364,7 @@ object Trail {
         Window.partitionBy("user_id")
           .orderBy(col("lead_t").desc, col("lead_k").desc)))
 
-    fpl.join(eps.select("user_id", "label", "episode_key", "episode_wear",
+    val out = fpl.join(eps.select("user_id", "label", "episode_key", "episode_wear",
         "episode_rank"), Seq("user_id", "label"))
       .withColumn("position", row_number().over(
         Window.partitionBy("user_id", "label")
@@ -358,6 +374,9 @@ object Trail {
         col("item_key"), col("verb"), col("contact_count"),
         col("first_ts"), col("last_ts"), col("wear"))
       .orderBy("user_id", "episode_rank", "position")
+    (out, () => {
+      fps.unpersist(); groups.unpersist(); fpl.unpersist(); cc.unpersist()
+    })
   }
 
   /** es11 DuckDB mirror: the es09 footprint CTEs + the same cleaning,
