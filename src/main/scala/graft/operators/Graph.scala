@@ -162,9 +162,55 @@ object Graph {
     * session alive should unpersist() the returned (node, rank) frame.
     */
   def weightedPagerank(edges: DataFrame, damping: Double = 0.85,
-                       iters: Int = 3): DataFrame = {
+                       iters: Int = 3,
+                       smallGraphMax: Long = 2000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    val e0 = edges.select(col("src"), col("dst"), col("w").cast("double").as("w"))
+    // adaptive path (connectedComponents' discipline): the edge list
+    // here is a post-aggregation residue bounded by the vocabulary/
+    // catalog, orders smaller than the corpus — when it fits the
+    // driver comfortably, the power iterations run there instead of
+    // paying ~7 shuffle stages per chained plan on a few hundred rows
+    // (measured on tx30: 435 edges, 2.8-11 s of pure stage overhead at
+    // sf0.1). Same math, same fixed iteration count; the spec pins the
+    // two paths to equal ranks. Only the edge COUNT is probed up
+    // front; the distributed path below stays the 100 TB form.
+    val nEdges0 = e0.persist(lvl).count()
+    if (nEdges0 <= smallGraphMax) {
+      val spark = edges.sparkSession
+      val rows = e0.collect()
+      e0.unpersist()
+      // deterministic accumulation order: sorted by (src, dst) — the
+      // addends are identical to the distributed sums, only the merge
+      // order differs (both round stably through the callers' 1e-6
+      // presentation units)
+      val byKey = rows.map(r => (r.get(0), r.get(1), r.getDouble(2)))
+        .sortBy(t => (t._1.toString, t._2.toString))
+      val wout = scala.collection.mutable.HashMap.empty[Any, Double]
+      byKey.foreach { case (s, _, w) => wout(s) = wout.getOrElse(s, 0.0) + w }
+      val nodeSet = scala.collection.mutable.LinkedHashSet.empty[Any]
+      byKey.foreach { case (s, d, _) => nodeSet += s; nodeSet += d }
+      val n = nodeSet.size
+      var rank: Map[Any, Double] = nodeSet.iterator.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to iters) {
+        val contrib = scala.collection.mutable.HashMap.empty[Any, Double]
+        byKey.foreach { case (s, d, w) =>
+          contrib(d) = contrib.getOrElse(d, 0.0) + (w / wout(s)) * rank(s)
+        }
+        rank = nodeSet.iterator.map(nd =>
+          nd -> ((1.0 - damping) / n + damping * contrib.getOrElse(nd, 0.0))).toMap
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("node",
+          e0.schema("src").dataType, nullable = true),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType, nullable = false)))
+      val out = nodeSet.iterator.map(nd =>
+        org.apache.spark.sql.Row(nd, rank(nd))).toSeq
+      return spark.createDataFrame(
+        java.util.Arrays.asList(out: _*), schema)
+    }
+    val e = e0
     val outW = e.groupBy("src").agg(sum("w").as("wout"))
     val share = e.join(outW, "src")
       .select(col("src"), col("dst"), (col("w") / col("wout")).as("share"))
@@ -185,7 +231,7 @@ object Graph {
     }
     val out = ranks.persist(lvl)
     out.count()
-    share.unpersist(); nodes.unpersist()
+    share.unpersist(); nodes.unpersist(); e0.unpersist()
     out
   }
 

@@ -111,7 +111,23 @@ object MetricsAnalysis {
     // rule reusing a user/client-consuming collector must not silently
     // see '' where the raw fact had values
     val a = (k: String) => element_at(col("attrs"), k)
-    val narrow = logsRaw.select(col("service_name"), col("severity_text"),
+    // ev33's explode barrier, applied locally (the ev34 lesson: a
+    // source-level barrier regresses attrs-free consumers): the narrow
+    // extraction below reads `attrs` through ELEVEN element_at
+    // references, and composeOtelLogs builds attrs as a CASE of maps —
+    // without the barrier CollapseProject re-inlines the ~20-entry map
+    // construction into every reference, rebuilding it 11× per row
+    val logsB = logsRaw.select(explode(array(struct(
+        col("service_name"), col("severity_text"), col("severity_number"),
+        col("ts"), col("body"), col("trace_id"), col("span_id"),
+        col("attrs")))).as("x"))
+      .select(col("x.service_name").as("service_name"),
+        col("x.severity_text").as("severity_text"),
+        col("x.severity_number").as("severity_number"),
+        col("x.ts").as("ts"), col("x.body").as("body"),
+        col("x.trace_id").as("trace_id"), col("x.span_id").as("span_id"),
+        col("x.attrs").as("attrs"))
+    val narrow = logsB.select(col("service_name"), col("severity_text"),
       col("severity_number"), col("ts"), col("body"),
       col("trace_id"), col("span_id"),
       a("http.method").as("m_"), a("http.route").as("r_"),

@@ -357,8 +357,14 @@ object Similarity {
     * array is ever materialized). Rows-only: DuckDB has no int8
     * array type to mirror the rounding.
     */
-  def quantizedKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val q8 = quantize8(Tables.embeddings(s, dir))
+  def quantizedKnn(s: SparkSession, dir: String, k: Int = 5): DataFrame =
+    quantizedKnnOn(Tables.embeddings(s, dir), k)
+
+  /** sim07 over any (vec_id, embedding) frame — the On-form sim10's
+    * recall harness feeds with its shared persisted corpus.
+    */
+  def quantizedKnnOn(e: DataFrame, k: Int = 5): DataFrame = {
+    val q8 = quantize8(e)
     val queries = q8.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("query_id"), col("q_emb").as("q_q"))
     val corpus = q8.select(col("vec_id").as("neighbor_id"), col("q_emb").as("c_q"))
@@ -429,8 +435,7 @@ object Similarity {
     // literal expressions (element_at chains, same left-fold order as
     // the old aggregate(zip_with(...)) so every distance is
     // bit-identical — but codegen'd instead of interpreted), one
-    // projection, no shuffle. Not persisted: the scoring join reads it
-    // exactly once, off the cached unit frame
+    // projection, no shuffle.
     def code(s: Int): Column = {
       val dists = array(codebooks(s).map { cw =>
         (1 to sub).map { i =>
@@ -440,9 +445,17 @@ object Similarity {
       }: _*)
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
+    // PERSISTED: the encode projection sits on the stream side of the
+    // scoring join below, and Catalyst inlines a projection under a
+    // join's output — unpersisted, the m·16·(D/m)-term encode ran once
+    // per JOINED row (|corpus|×|queries| times), not once per corpus
+    // row (measured: 5.3 s vs 1.1 s encode + 2.0 s scoring at sf0.1 —
+    // the gw03/ev31 CollapseProject lesson again). Released with unit
+    // after the bounded result materializes.
     val coded = unit
       .withColumn("codes", array((0 until m).map(code): _*))
       .select("vec_id", "codes")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // queries: flat m*16 LUT of subquery·codeword dots (same unroll)
     val lut = {
@@ -461,18 +474,30 @@ object Similarity {
     val score = (0 until m).map { s =>
       element_at(col("lut"), element_at(col("codes"), s + 1) + lit(s * k) + 1)
     }.reduce(_ + _)
-    val w = Window.partitionBy("query_id").orderBy(col("pq_score").desc, col("neighbor_id").asc)
+    // top-candidates per query via the bounded-heap aggregate
+    // (knnBruteOn's shape, identical value-desc/id-asc tie-break) with
+    // the scored frame projected to three narrow columns FIRST — the
+    // old row_number window shuffled and fully sorted all
+    // |corpus|×|queries| rows still carrying each query's m·16-double
+    // LUT and the m-byte codes (≈1 KB/row; measured 8-10 s at sf0.1,
+    // almost all of it that exchange). Guide §2.3 project-before-
+    // exchange + §2.4: only ≤`candidates` entries per (query,
+    // partition) shuffle now.
     val result = coded.select(col("vec_id").as("neighbor_id"), col("codes"))
       .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
-      .withColumn("pq_score", (microRound(score, 6)))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= candidates)
-      .select("query_id", "neighbor_id", "pq_score", "rank")
+      .select(col("query_id"), col("neighbor_id"), microRound(score, 6).as("pq_score"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByAgg.topKBy(
+        col("pq_score"), col("neighbor_id"), candidates).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "entry")))
+      .select(col("query_id"), col("entry.id").as("neighbor_id"),
+        col("entry.value").as("pq_score"),
+        (col("pos") + 1).cast("int").as("rank"))
     // the result is bounded (|queries| × candidates): materialize it
     // eagerly so the cached unit frame can be released instead of
     // leaking for the session's lifetime
     val rows = result.collect()
-    unit.unpersist()
+    unit.unpersist(); coded.unpersist()
     e.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), result.schema)
   }
 
@@ -676,7 +701,14 @@ object Similarity {
                   candidates: Int = 50): DataFrame = {
     val dim = dimOf(e)
     val words = (dim + 63) / 64
+    // PERSISTED: the binarize OR-chain sits on the stream side of the
+    // Hamming candidate join — unpersisted, Catalyst inlines it under
+    // the join output and the dim-term encode runs once per JOINED row
+    // (|corpus|×|queries|), not once per corpus row (sim08's measured
+    // CollapseProject lesson). Released after the bounded result
+    // materializes below.
     val b = binarizeWithDim(e, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the wide (corpus × queries) Hamming stage streams CODES ONLY —
     // 8 bytes/vector at dim 64 — so the 32× compression actually
     // reaches the scan; float embeddings re-enter just for the
@@ -709,7 +741,7 @@ object Similarity {
     val emb = e.select(col("vec_id"), col("embedding"))
     val byCos = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id").asc)
-    emb.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
+    val out = emb.join(broadcast(cand), col("vec_id") === col("neighbor_id"))
       .drop("vec_id")
       .join(broadcast(emb.filter(queryPred)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
@@ -718,10 +750,17 @@ object Similarity {
       .withColumn("rank", row_number().over(byCos))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "hamming", "cos", "rank")
+    // bounded (≤ |queries|·k rows) — materialize so the binarized
+    // corpus cache releases with the action instead of leaking
+    Dedup.materialized(out) { b.unpersist() }
   }
 
   def annRecall(s: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    // ONE persisted corpus shared by all six member pipelines — each
+    // previously re-scanned the parquet source (and re-probed dimOf)
+    // independently; legitimate within the one action, released at end
     val e = Tables.embeddings(s, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pred = col("vec_id") % 50 === 0
     val truth = knnBruteOn(e, pred, k)
       .select("query_id", "neighbor_id")
@@ -741,10 +780,10 @@ object Similarity {
       recallOf("brute", truth),
       recallOf("ivf_label", ivfAnnOn(e, pred, k)),
       recallOf("ivf_kmeans", ivfAnnKmeans(e, pred, k)),
-      recallOf("sq8", quantizedKnn(s, dir, k)),
+      recallOf("sq8", quantizedKnnOn(e, k)),
       recallOf("pq_candidates", pqTopCandidates(e, pred)),
       recallOf("binary", binaryKnnOn(e, pred, k))
     ).reduce(_ unionByName _)
-    Dedup.materialized(out) { truth.unpersist() }
+    Dedup.materialized(out) { truth.unpersist(); e.unpersist() }
   }
 }

@@ -854,9 +854,24 @@ object TextOps {
     */
   def textrankKeywords(s: SparkSession, dir: String, topK: Int = 20,
                        window: Int = 15): DataFrame = {
-    val toks = Tables.documents(s, dir)
+    import org.apache.spark.sql.expressions.Window
+    val toksRaw = Tables.documents(s, dir)
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "term")))
       .filter(length(col("term")) >= 3)
+    // dictionary-encode terms to ints BEFORE the pair stage (§2.3
+    // narrower types / §8 lightweight proxy): the join output (~12
+    // pairs per token) then hashes/compares/shuffles two ints per row
+    // instead of two strings, and all three pagerank iterations key on
+    // ints. Ids are ORDER-ISOMORPHIC with the terms (row_number over
+    // the sorted vocabulary — es11's bounded-catalog ordinal shape),
+    // so least/greatest pair canonicalization and the rank's node-asc
+    // tie-break pick exactly the same rows; only the bounded top-K is
+    // decoded back to strings.
+    val vocab = toksRaw.select("term").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("term")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = toksRaw.join(broadcast(vocab), "term")
+      .select(col("doc_id"), col("pos"), col("tid").as("term"))
     // the floored edge list is vocabulary-sized — persist it so the
     // corpus-sized pair-generation join runs exactly ONCE.
     // weightedPagerank references its edge input from several actions
@@ -871,9 +886,13 @@ object TextOps {
     pe.unpersist() // ranks are materialized inside weightedPagerank
     val top = ranks
       .orderBy(col("rank").desc, col("node").asc).limit(topK)
-      .select(col("node").as("term"), (microRound(col("rank"), 6)).as("rank"))
+      .join(broadcast(vocab), col("node") === col("tid"))
+      // re-establish the selection order after the decode join (raw
+      // rank, then term — identical to node-asc by order-isomorphism)
+      .orderBy(col("rank").desc, col("term").asc)
+      .select(col("term"), (microRound(col("rank"), 6)).as("rank"))
     val rows = top.collect()
-    ranks.unpersist()
+    ranks.unpersist(); vocab.unpersist()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), top.schema)
   }
 

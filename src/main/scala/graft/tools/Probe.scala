@@ -20,10 +20,13 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val (planDir, planSuffix, names) = args.toSeq match {
+    val (planDir, planSuffix, names0) = args.toSeq match {
       case Seq("-plans", dir, suffix, rest @ _*) => (Some(dir), suffix, rest)
       case other => (None, "", other)
     }
+    // -rows: ALSO print every result row (sorted) for value-level A/Bs
+    val dumpRows = names0.contains("-rows")
+    val names = names0.filterNot(_ == "-rows")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,6 +62,11 @@ object Probe {
         dt
       }
       println(f"[probe] $name%-32s min=${times.min}%8.3f  runs=${times.map(t => f"$t%.3f").mkString(",")}")
+      if (dumpRows) {
+        fn(spark, sfDir).collect().map(_.toString).sorted
+          .foreach(r => println(s"[row:$name] $r"))
+        spark.catalog.clearCache()
+      }
     }
     spark.stop()
   }

@@ -80,6 +80,25 @@ class Round17KernelSpec extends SparkSpec {
     }
   }
 
+  test("weightedPagerank's driver small-graph path equals the distributed path") {
+    import spark.implicits._
+    // weighted digraph with a dangling-free symmetric core plus an
+    // asymmetric appendix — exercises shares, teleport and zero-contrib
+    val edges = Seq(
+      (1L, 2L, 3.0), (2L, 1L, 3.0), (2L, 3L, 1.0), (3L, 2L, 1.0),
+      (1L, 3L, 2.0), (3L, 1L, 2.0), (4L, 1L, 5.0), (1L, 4L, 1.0),
+      (5L, 3L, 7.0), (3L, 5L, 7.0)).toDF("src", "dst", "w")
+    val fast = Graph.weightedPagerank(edges)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val dist = Graph.weightedPagerank(edges, smallGraphMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(fast.keySet == dist.keySet)
+    fast.keySet.foreach { n =>
+      assert(math.abs(fast(n) - dist(n)) <= 1e-12,
+        s"rank diverged at node $n: ${fast(n)} vs ${dist(n)}")
+    }
+  }
+
   test("PQ's unrolled unit-normalization matches the float-then-widen scalar reference") {
     val dim = Similarity.dimOf(emb)
     val sqSum = (1 to dim).map(i =>
