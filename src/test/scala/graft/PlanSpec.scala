@@ -233,19 +233,19 @@ class PlanSpec extends SparkSpec {
       s"q26 shuffles ${shuffleCount("q26_topn_agg")}× — partial agg must combine map-side")
   }
 
-  test("sim11 candidate stage is the bounded-heap aggregate — no corpus-sized window sort") {
-    // sim11 is the 1-bit SERVING tier: its Hamming candidate stage must
-    // never single-task the corpus. The only WindowExec allowed is the
-    // exact-cosine re-rank over the ≤|queries|·candidates frame.
+  test("sim11 materializes its bounded result at construction (plan is local)") {
+    // sim11's declared frame is now the materialized ≤|queries|·k
+    // output (binaryKnnOn releases its binarized-corpus cache with the
+    // action), so its final plan must be a pure local scan. The
+    // candidate stage's bounded-heap/no-corpus-window shape is pinned
+    // on the INTERNAL pipeline in Round17KernelSpec.
     val nodes = allNodes(finalPlan("sim11_binary_ann"))
-    val windows = nodes.collect {
+    assert(nodes.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }
-    assert(windows.size == 1,
-      s"expected only the bounded cosine re-rank window, got ${windows.size}")
-    assert(nodes.exists(_.isInstanceOf[
-      org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
-      "expected the graft_top_by bounded-heap aggregate in the candidate stage")
+    }.isEmpty, "materialized sim11 must not re-plan any window")
+    assert(nodes.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s
+    }.isEmpty, "materialized sim11 must not shuffle")
   }
 
   test("no sim-family query windows over a corpus-sized frame") {

@@ -80,6 +80,48 @@ class Round17KernelSpec extends SparkSpec {
     }
   }
 
+  test("sim11's internal candidate stage is the bounded-heap aggregate over the persisted codes — no corpus-sized window") {
+    // the declared query materializes at construction, so the shape
+    // pin moved here (from PlanSpec) onto the internal lazy pipeline:
+    // Hamming candidates must come from graft_top_by (map-side bounded
+    // heaps), never a window sort of the |corpus|×|queries| frame
+    val e = emb
+    val dim = Similarity.dimOf(e)
+    val words = (dim + 63) / 64
+    val b = Similarity.binarizeWithDim(e, dim)
+    val queries = b.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("query_id"), col("bcode").as("q_code"))
+    val corpus = b.select(col("vec_id").as("neighbor_id"), col("bcode").as("c_code"))
+    val ham = (1 to words).map(w =>
+        bit_count(element_at(col("q_code"), w).bitwiseXOR(element_at(col("c_code"), w)))
+          .cast("int")).foldLeft(lit(0))(_ + _)
+    val cand = corpus.join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+      .withColumn("hamming", ham)
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByAgg.topKBy(
+        -col("hamming").cast("double"), col("neighbor_id").cast("long"), 50).as("topk"))
+    cand.collect() // finalize the adaptive plan
+    val nodes = {
+      def all(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] =
+        (p +: p.children.flatMap(all)) ++ (p match {
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => all(q.plan)
+          case _ => Seq.empty
+        })
+      cand.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          all(a.executedPlan)
+        case p => all(p)
+      }
+    }
+    assert(nodes.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "candidate stage must not window-sort the corpus")
+    assert(nodes.exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
+      "expected the graft_top_by bounded-heap aggregate")
+  }
+
   test("weightedPagerank's driver small-graph path equals the distributed path") {
     import spark.implicits._
     // weighted digraph with a dangling-free symmetric core plus an
